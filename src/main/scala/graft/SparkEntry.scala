@@ -1,13 +1,572 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.gold.Upsert
+
+/** Driver contract: every operator from SURVEY.md §2 (plus the
+  * training-data-pipeline extensions) expressed as a query over the
+  * driver testdata with a DuckDB oracle twin.
+  *
+  * Determinism rules applied throughout (the driver hash-compares
+  * values after sorting columns by name):
+  *  - every oracled query ends in a total ORDER BY with unique
+  *    tie-breakers, mirrored in the SQL;
+  *  - doubles are rounded no finer than their fixed-point lattice
+  *    (sums of 2-dec money stay exact within ~1e-10 ≪ half-ulp of the
+  *    lattice), ratios/products of identical doubles round identically
+  *    in any IEEE engine;
+  *  - SQL casts (`INT`, `BIGINT`) pin DuckDB's wider defaults
+  *    (year()→BIGINT, len()→BIGINT, SUM(int)→HUGEINT) to Spark's types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Dashboard top-k shape: fact ⋈ broadcast dim → agg → top-k
+    * (ref: assets/dashboard.jpg "Top 10 Businesses by 5-Star Reviews"). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(Tables.part(spark, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("n").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  // ---- shared builders -------------------------------------------------
+
+  /** dim_time over all order + ship dates (SURVEY.md §2.5 W1 pattern:
+    * union → distinct → global row_number surrogate). Small dim: the
+    * un-partitioned window (single task) is the intended plan. */
+  private def allDates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(to_date(col("o_orderdate")).as("date"))
+      .union(Tables.lineitem(s, d).select(to_date(col("l_shipdate")).as("date")))
+      .distinct()
+
+  private def dimTime(s: SparkSession, d: String): DataFrame =
+    allDates(s, d)
+      .withColumn("date_id", row_number().over(Window.orderBy("date")))
+      .select(col("date_id"), col("date"),
+        year(col("date")).as("year"), month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day"),
+        date_format(col("date"), "E").as("weekday"),
+        quarter(col("date")).as("quarter"),
+        date_format(col("date"), "E").isin("Sat", "Sun").as("is_weekend"))
+
+  /** The cleaning chain of SURVEY.md §2.7 F1–F3 + P5 (strip u'…'
+    * wrappers, substring True→true, "none"→NULL) — same as
+    * silver.Clean.cleanStringValue. */
+  private def cleanString(c: Column): Column = graft.silver.Clean.cleanStringValue(c)
+
+  // SQL fragment shared by the text queries: whitespace tokens.
+  private val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  // SQL fragment: 3-token shingles (mirrors Dedup.shingles w=3).
+  private val sqlShingles =
+    s"""CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       | ELSE list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END""".stripMargin
+
+  // ---- the catalog -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 A1 hash agg with partial/map-side combine; §2.2 P6/P7 filter
+    "q01_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // §2.6 U1 union + A2 distinct
+    "q02_union_distinct_dates" -> ((s, d) => allDates(s, d).orderBy(col("date"))),
+
+    // §2.5 W1 global row_number surrogate + §2.7 F10–F12/P9
+    "q03_dim_time" -> ((s, d) => dimTime(s, d).orderBy(col("date_id"))),
+
+    // §2.7 F5/F7/F4 + §2.4 A2 + §2.5 W2 + §2.3 J1 — the category-bridge
+    // pipeline (split → explode → trim → distinct → surrogate → join)
+    "q04_bridge_category" -> { (s, d) =>
+      val exploded = Tables.part(s, d)
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("type_name"))
+        .withColumn("type_name", trim(col("type_name")))
+        .filter(col("type_name") =!= "")
+        .distinct()
+      val dim = exploded.select("type_name").distinct()
+        .withColumn("type_id", row_number().over(Window.orderBy("type_name")))
+      exploded.join(broadcast(dim), Seq("type_name"))
+        .select(col("p_partkey"), col("type_id"), col("type_name"))
+        .orderBy(col("p_partkey"), col("type_id"))
+    },
+
+    // §2.3 J2 fact ⋈ dim_time left join on date key (broadcast dim)
+    "q05_fact_orders" -> { (s, d) =>
+      val dt = dimTime(s, d).select(col("date_id"), col("date").as("order_date"))
+      Tables.orders(s, d)
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .join(broadcast(dt), Seq("order_date"), "left")
+        .select(col("o_orderkey"), col("date_id"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // §2.1 S9 MERGE emulation (whenMatchedUpdateAll/whenNotMatchedInsertAll)
+    "q06_merge_upsert" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"))
+      Upsert.merge(target, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    },
+
+    // §2.7 F1–F3 + §2.2 P5 string-cleaning chain
+    "q07_clean_strings" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        cleanString(concat(lit("u'"), col("event_type"), lit("'"))).as("unwrapped"),
+        cleanString(concat(col("event_type"), lit("_True"))).as("boolnorm"),
+        cleanString(lit("None")).as("none_val"))
+        .orderBy(col("event_id"))),
+
+    // §2.7 F14 from_json with explicit schema (deterministic variant of
+    // the reference's schema_of_json sampling — SURVEY.md §7.5)
+    "q08_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))),
+
+    // §2.7 F5/F6 split + getItem (the hours-cleaning shape)
+    "q09_split_part" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
+          split(col("o_orderpriority"), "-").getItem(1).as("prio_name"))
+        .groupBy(col("prio_code"), col("prio_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("prio_code"))),
+
+    // §2.7 F7 explode (null/empty arrays drop rows)
+    "q10_explode_words" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))),
+
+    // §2.7 F9–F11 timestamp handling (nanos-as-long events source)
+    "q11_event_dates" -> ((s, d) =>
+      Tables.eventsWithTs(s, d)
+        .groupBy(to_date(col("event_ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"),
+          min(hour(col("event_ts"))).as("first_hour"),
+          max(hour(col("event_ts"))).as("last_hour"))
+        .orderBy(col("event_date"))),
+
+    // §2.2 P6–P10 conjunctive filters + casts
+    "q12_filters_casts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 10 && col("l_returnflag") === "R" &&
+          col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_linenumber") % 2 === 1).as("odd_line"),
+          floor(col("l_quantity")).cast(IntegerType).as("qty_int"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // §2.8 dashboard top-k: filter + broadcast join + agg + ORDER/LIMIT
+    "q13_top10_brands" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p_brand"))
+        .limit(10)),
+
+    // §2.8 "Top Regions": two broadcast joins + concat key + agg
+    "q14_regions" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(concat_ws(", ", col("n_name"), col("r_name")).as("region"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("total_acctbal").desc, col("region"))),
+
+    // §2.8 "Reviews per Weekday" shape (locale-pinned date_format)
+    "q15_weekday_counts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "E").as("weekday"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("weekday"))),
+
+    // §2.8 KPI global aggregates
+    "q16_global_kpis" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"),
+        countDistinct(col("o_custkey")).as("n_customers"))),
+
+    // §1.4 dim_user-style projection + §2.4 A3 size(split())
+    "q17_dim_customer" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        (col("c_acctbal") > 0).as("positive_bal"),
+        size(split(col("c_name"), "#")).as("name_parts"))
+        .orderBy(col("c_custkey"))),
+
+    // partitioned window functions (row_number/lag beyond the
+    // reference's global-window uses)
+    "q18_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          row_number().over(w).as("rnk"),
+          lag(col("c_custkey"), 1).over(w).as("prev_custkey"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("c_nationkey"), col("rnk"))
+    },
+
+    // ---- training-data extensions (documents / embeddings) ----
+
+    // exact dedup: hash-groupBy, min-id winner
+    "q20_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy(col("keep_id"))),
+
+    // token counting: whitespace + BPE-ish regex segmentation
+    "q21_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).as("n_tokens"),
+        size(TextStats.bpeishTokens(col("text"))).as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+
+    // quality scoring: length / punctuation / stopword ratios
+    "q22_quality_scores" -> ((s, d) =>
+      TextStats.qualityScore(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // language ID: stopword-hit argmax heuristic
+    "q23_lang_id" -> ((s, d) =>
+      TextStats.langId(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // document fingerprinting: normalize → md5 → group
+    "q24_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy(col("keep_id"))),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q25_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe,
+        "vec_id", "embedding", 10)
+    },
+
+    // MinHash + LSH banding → candidate near-dup pairs
+    "q26_minhash_pairs" -> { (s, d) =>
+      val sig = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
+      Dedup.minhashCandidates(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash fingerprints (32-bit, md5-derived, oracle-checkable)
+    "q27_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id").orderBy(col("doc_id"))),
+
+    // exact n-gram Jaccard on a deterministic pair set (adjacent ids)
+    "q28_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      Dedup.ngramJaccard(docs, pairs, "text", "doc_id").orderBy(col("id_a"))
+    },
+
+    // multimodal: opaque binary payload + typed metadata accounting
+    "q29_multimodal_bytes" -> ((s, d) =>
+      Multimodal.byteStats(
+        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"))
+        .orderBy(col("source"))),
+
+    // ---- rows-only entries (no SQL-expressible oracle) ----
+
+    // LSH-bucketed ANN (the 100 TB path: probe touches one bucket)
+    "q30_ann_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      Similarity.lshTopK(emb, probe, "vec_id", "embedding", k = 10, nPlanes = 6)
+    },
+
+    // embedding near-dup pairs via LSH buckets (testdata has no planted
+    // near-dups — max pairwise cosine ≈ 0.51 — so the threshold is set
+    // where the tail of the distribution lives)
+    "q31_near_dup_pairs" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nPlanes = 4).orderBy(col("id_a"), col("id_b"))),
+
+    // multimodal feature extraction (stubbed decode, real plumbing)
+    "q32_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"))),
+  )
+
+  // ---- DuckDB oracle twins --------------------------------------------
+
+  private val dimTimeSql =
+    """WITH dates AS (
+      |  SELECT DISTINCT d FROM (
+      |    SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+      |    UNION ALL SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem))""".stripMargin
+
+  private def simhashVotesSql(bits: Int): String =
+    (0 until bits).map(b =>
+      s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+
+  private def simhashFpSql(bits: Int): String =
+    (0 until bits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity), 2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_union_distinct_dates" ->
+      s"""$dimTimeSql SELECT d AS "date" FROM dates ORDER BY "date"""".stripMargin,
+
+    "q03_dim_time" ->
+      s"""$dimTimeSql
+        |SELECT CAST(row_number() OVER (ORDER BY d) AS INT) AS date_id, d AS "date",
+        | CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+        | CAST(day(d) AS INT) AS day, strftime(d, '%a') AS weekday,
+        | CAST(quarter(d) AS INT) AS quarter,
+        | strftime(d, '%a') IN ('Sat','Sun') AS is_weekend
+        |FROM dates ORDER BY date_id""".stripMargin,
+
+    "q04_bridge_category" ->
+      """WITH exploded AS (
+        | SELECT DISTINCT p_partkey, trim(u.cat) AS type_name
+        | FROM part, unnest(string_split(p_type, ' ')) AS u(cat)
+        | WHERE trim(u.cat) <> ''),
+        |dim AS (
+        | SELECT type_name, CAST(row_number() OVER (ORDER BY type_name) AS INT) AS type_id
+        | FROM (SELECT DISTINCT type_name FROM exploded))
+        |SELECT e.p_partkey, dim.type_id, dim.type_name
+        |FROM exploded e JOIN dim USING (type_name)
+        |ORDER BY p_partkey, type_id""".stripMargin,
+
+    "q05_fact_orders" ->
+      s"""$dimTimeSql,
+        |dim AS (SELECT d AS order_date, CAST(row_number() OVER (ORDER BY d) AS INT) AS date_id FROM dates)
+        |SELECT o_orderkey, dim.date_id, ROUND(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        |FROM orders LEFT JOIN dim ON CAST(o_orderdate AS DATE) = dim.order_date
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q06_merge_upsert" ->
+      """WITH target AS (
+        | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus = 'F'),
+        |updates AS (
+        | SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price FROM orders WHERE o_totalprice > 150000)
+        |SELECT * FROM (
+        | SELECT t.o_orderkey, t.price FROM target t
+        | WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+        | UNION ALL SELECT o_orderkey, price FROM updates)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_clean_strings" ->
+      """WITH cleaned AS (
+        | SELECT event_id,
+        |  replace(replace(regexp_replace('u''' || event_type || '''', '^u?''|''?$', '', 'g'), 'True', 'true'), 'False', 'false') AS c1,
+        |  replace(replace(regexp_replace(event_type || '_True', '^u?''|''?$', '', 'g'), 'True', 'true'), 'False', 'false') AS c2
+        | FROM events)
+        |SELECT event_id,
+        | CASE WHEN lower(c1) = 'none' THEN NULL ELSE c1 END AS unwrapped,
+        | CASE WHEN lower(c2) = 'none' THEN NULL ELSE c2 END AS boolnorm,
+        | CAST(NULL AS VARCHAR) AS none_val
+        |FROM cleaned ORDER BY event_id""".stripMargin,
+
+    "q08_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q09_split_part" ->
+      """SELECT string_split(o_orderpriority, '-')[1] AS prio_code,
+        | string_split(o_orderpriority, '-')[2] AS prio_name,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY prio_code""".stripMargin,
+
+    "q10_explode_words" ->
+      """SELECT u.word, COUNT(*) AS n
+        |FROM part, unnest(string_split(p_name, ' ')) AS u(word)
+        |GROUP BY u.word ORDER BY n DESC, word""".stripMargin,
+
+    "q11_event_dates" ->
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+        | CAST(MIN(hour(ts)) AS INT) AS first_hour,
+        | CAST(MAX(hour(ts)) AS INT) AS last_hour
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    "q12_filters_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (l_linenumber % 2 = 1) AS odd_line,
+        | CAST(FLOOR(l_quantity) AS INT) AS qty_int
+        |FROM lineitem
+        |WHERE l_quantity < 10 AND l_returnflag = 'R' AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q13_top10_brands" ->
+      """SELECT p_brand, COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""".stripMargin,
+
+    "q14_regions" ->
+      """SELECT concat_ws(', ', n_name, r_name) AS region,
+        | COUNT(*) AS n_customers,
+        | ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY total_acctbal DESC, region""".stripMargin,
+
+    "q15_weekday_counts" ->
+      """SELECT strftime(o_orderdate, '%a') AS weekday, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    "q16_global_kpis" ->
+      """SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_value,
+        | COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders""".stripMargin,
+
+    "q17_dim_customer" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        | ROUND(c_acctbal, 2) AS acctbal,
+        | (c_acctbal > 0) AS positive_bal,
+        | CAST(len(string_split(c_name, '#')) AS INT) AS name_parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q18_window_rank" ->
+      """SELECT c_nationkey, c_custkey, rnk, prev_custkey FROM (
+        | SELECT c_nationkey, c_custkey,
+        |  CAST(row_number() OVER w AS INT) AS rnk,
+        |  lag(c_custkey, 1) OVER w AS prev_custkey
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q21_token_counts" ->
+      s"""SELECT doc_id,
+        | CAST(len($sqlToks) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_quality_scores" ->
+      s"""SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_measured,
+        | CAST(len($sqlToks) AS INT) AS n_tokens,
+        | ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        | ROUND(CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE) / len($sqlToks), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_lang_id" ->
+      s"""WITH hits AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter($sqlToks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS INT) AS en_hits,
+        |  CAST(len(list_filter($sqlToks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','fur','auf'))) AS INT) AS de_hits,
+        |  CAST(len(list_filter($sqlToks, t -> t IN ('le','la','les','et','est','pas','un','une','pour','dans'))) AS INT) AS fr_hits,
+        |  CAST(len(list_filter($sqlToks, t -> t IN ('el','los','las','y','es','no','si','una','por','para'))) AS INT) AS es_hits
+        | FROM documents)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        | CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown'
+        |  WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |  WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |  WHEN fr_hits >= es_hits THEN 'fr'
+        |  ELSE 'es' END AS predicted_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q25_cosine_topk" ->
+      """SELECT vec_id,
+        | ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q26_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |sh AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
+        |ex AS (SELECT doc_id, u.sh FROM sh, unnest(sh.shingles) AS u(sh)),
+        |sig AS (SELECT doc_id,
+        |  ${(0 until 8).map(i => s"min(md5('$i|' || sh)) AS sig$i").mkString(", ")}
+        | FROM ex GROUP BY doc_id),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(sig${2 * b} || '|' || sig${2 * b + 1}) AS bucket FROM sig")
+            .mkString(" UNION ALL ")}),
+        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS n FROM bands),
+        |keep AS (SELECT band, bucket, doc_id FROM sized WHERE n <= 100)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_simhash" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, u.tok FROM (SELECT doc_id, $sqlToks AS t FROM documents) x,
+        |  unnest(x.t) AS u(tok)),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hv FROM toks),
+        |v AS (SELECT doc_id, ${simhashVotesSql(32)} FROM h GROUP BY doc_id)
+        |SELECT doc_id, CAST(${simhashFpSql(32)} AS BIGINT) AS simhash
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q28_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |sh AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
+        |exd AS (SELECT DISTINCT doc_id, u.sh FROM sh, unnest(sh.shingles) AS u(sh)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM exd GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+        |  FROM exd a JOIN exd b ON a.sh = b.sh AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        | ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |JOIN cnt ca ON ca.doc_id = p.id_a
+        |JOIN cnt cb ON cb.doc_id = p.id_b
+        |ORDER BY p.id_a""".stripMargin,
+
+    "q29_multimodal_bytes" ->
+      """SELECT source, COUNT(*) AS n_media,
+        | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
 }

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture: every op is a hash-partitioned groupBy/join on a
+  * derived key — no cross joins, no driver collection. The LSH band
+  * join is the classic shingle→minhash→band→bucket-join pipeline; at
+  * 100 TB the band hash is the shuffle key and bucket sizes are bounded
+  * by `maxBucket` to cap worst-case pair blowup (standard LSH practice).
+  *
+  * Hash choice: md5 (a Spark AND DuckDB builtin with identical output)
+  * rather than Spark's murmur3 `hash()`, so every stage is
+  * oracle-checkable; lexicographic min over md5 hex strings is a valid
+  * min-hash (any total order over a uniform hash works).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the lowest id. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** w-token shingles of the whitespace tokens (w=3): positions
+    * 0..n-w joined with single spaces. Documents shorter than w tokens
+    * contribute their full token string as one shingle. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
+  }
+
+  /** MinHash signature columns: for seed s, min over shingles of
+    * md5("<s>|" + shingle). Returns (idCol, sig0..sig{k-1}). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val exploded = df.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
+    val sigs = (0 until k).map(s =>
+      min(md5(concat(lit(s + "|"), col("shingle")))).as(s"sig$s"))
+    exploded.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the k-wide signature into bands of
+    * `rowsPerBand`, hash each band, self-join on (band index, band
+    * hash), keep a<b pairs. Buckets larger than `maxBucket` are dropped
+    * (degenerate hot keys — at scale these would quadratically explode;
+    * dropping them is the standard guard and is deterministic). */
+  def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 8,
+                        rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val sized = bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = sized.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens: per token take the first 8
+    * hex chars of md5 as a 32-bit value; each fingerprint bit is the
+    * sign of the per-bit vote sum (+1 if set, −1 if not) across tokens.
+    * Returns (idCol, simhash: long). */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    val toked = df.select(col(idCol),
+      explode(TextStats.tokens(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val voted = toked.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (pairs: id_a, id_b): |shingles∩| / |shingles∪| on distinct
+    * shingle sets. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
+                   w: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      array_distinct(shingles(col(textCol), w)).as("sh"))
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+  }
+}

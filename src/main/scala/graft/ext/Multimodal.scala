@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, plus the decode/feature-extract stage shape.
+  *
+  * The real Spark-side mechanics (schema, partitioning, batch shape,
+  * per-partition processing) are implemented and tested; the actual
+  * media decode is STUBBED with a deterministic fake (this container
+  * has no image/audio codecs) — swap [[StubDecoder.decode]] for a real
+  * decoder (e.g. javacv / a Pandas-UDF sidecar) in production.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Wrap a text table as opaque media rows (the ingestion shape:
+    * payload bytes + metadata, content never interpreted by the engine). */
+  def ingest(docs: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(BinaryType).as("payload"),
+      lit("text/plain").as("media_type"),
+      struct(
+        col(sourceCol).as("source"),
+        length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta"))
+
+  /** STUB decoder: deterministic fake "features" from the payload bytes.
+    * Real deployments replace this with a codec; everything around it
+    * (partition-parallel `mapPartitions`, feature schema, downstream
+    * aggregation) is the production shape. */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      // ??? in production: image/audio decode + model features.
+      // Deterministic fake: 4 moments of the byte stream.
+      if (payload == null || payload.isEmpty) Array(0f, 0f, 0f, 0f)
+      else {
+        val n = payload.length.toFloat
+        val mean = payload.map(_ & 0xff).sum / n
+        Array(n, mean, (payload.head & 0xff).toFloat, (payload.last & 0xff).toFloat)
+      }
+    }
+  }
+
+  /** Feature extraction over media rows: per-partition batch decode
+    * (the `mapInPandas`-equivalent shape in Scala — one decoder init
+    * per partition, streamed batches, no driver involvement). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = true)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      // decoder init would happen here, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Row(id, StubDecoder.decode(payload).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-source byte accounting over the opaque payloads — the kind of
+    * manifest stat a 100 TB media crawl needs before any decode. */
+  def byteStats(media: DataFrame): DataFrame =
+    media.groupBy(col("meta.source").as("source"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one pass, no
+  * shuffle until the final top-k). The scale path is sign-random-
+  * projection LSH: deterministic pseudo-random hyperplanes hash each
+  * vector into a bucket; search touches only the probe's bucket —
+  * a broadcast-join instead of a full scan at 100 TB.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as double (sequential left-to-right — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against the single probe row
+    * `probe(probe_vec)`: broadcast the probe, score every vector,
+    * order by rounded similarity (stable across engines) with id
+    * tie-break. */
+  def bruteForceTopK(vectors: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame =
+    vectors
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic ±1 hyperplanes: component d of plane p is the sign
+    * of bit (d mod 128) of md5("plane-p"). Pure driver-side constants —
+    * no data dependence, no RNG. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      val bytes = mdf.digest(s"plane-$p".getBytes("UTF-8"))
+      (0 until dim).map { d =>
+        val bit = (bytes((d / 8) % 16) >> (d % 8)) & 1
+        if (bit == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH bucket id: for each hyperplane, 1 bit = sign of ⟨v, h⟩;
+    * bucket = the packed bit string. Vectors in the same bucket are
+    * near-duplicate candidates. */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (h, i) =>
+      val hLit = array(h.map(lit): _*)
+      when(dot(vecCol, hLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: score the probe only against vectors sharing
+    * its bucket, then exact-rank within the bucket. Falls back to
+    * nothing if the bucket is empty (recall/latency trade — the 100 TB
+    * path would multi-probe neighboring buckets). */
+  def lshTopK(vectors: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
+              k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = vectors.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val probeB = broadcast(probe.withColumn("bucket", lshBucket(col("probe_vec"), planes)))
+    bucketed
+      .join(probeB, Seq("bucket"))
+      .select(col(idCol), round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All near-duplicate pairs by embedding cosine ≥ `threshold`,
+    * restricted to LSH-bucket collisions (no O(n²) cross join). */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = vectors.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * All built from codegen'd Spark built-ins (higher-order array
+  * functions, regexp) — no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with input splits at 100 TB.
+  */
+object TextStats {
+
+  /** Whitespace tokens of lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish sub-word segmentation: letter runs, digit runs, single
+    * non-alphanumeric marks — the standard pre-tokenizer shape. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Language-ID stopword lists (hit-count-argmax heuristic). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "fur", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "no", "si", "una", "por", "para"))
+
+  /** Count of tokens present in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-language stopword hits + predicted language (argmax with
+    * deterministic tie-break en > de > fr > es; all-zero → "unknown"). */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val en = hitCount(t, stopwords("en"))
+    val de = hitCount(t, stopwords("de"))
+    val fr = hitCount(t, stopwords("fr"))
+    val es = hitCount(t, stopwords("es"))
+    df.select(col(idCol),
+      en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") === 0 && col("de_hits") === 0 &&
+             col("fr_hits") === 0 && col("es_hits") === 0, lit("unknown"))
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+                col("en_hits") >= col("es_hits"), lit("en"))
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), lit("de"))
+          .when(col("fr_hits") >= col("es_hits"), lit("fr"))
+          .otherwise(lit("es")))
+  }
+
+  /** Quality signals: char/token counts, punctuation ratio, English
+    * stopword ratio. Ratios of exact integer counts produce identical
+    * IEEE doubles in any engine, so rounding is oracle-safe. */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.select(col(idCol),
+      length(t).as("n_chars_measured"),
+      size(toks).as("n_tokens"),
+      round(length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") / length(t), 6)
+        .as("punct_ratio"),
+      round(hitCount(toks, stopwords("en")).cast("double") / size(toks), 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased,
+    * punctuation-stripped text — the cheap exact-after-normalization
+    * dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Training-data extension operators: dedup, similarity, text, media. */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps min id per identical text") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "text", "doc_id").orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: w=3 over tokens; short docs collapse to one shingle") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val got = df.select(Dedup.shingles($"text").as("s")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("minhash LSH finds exact duplicates as candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with other words entirely here now")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id")
+    val pairs = Dedup.minhashCandidates(sig, "doc_id").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs identical fingerprints; fingerprint in 32-bit range") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "text", "doc_id").orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got(0)._2 == got(1)._2)
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 0xFFFFFFFFL))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(docs, pairs, "text", "doc_id")
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.0)))
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(2f, 0f))).toDF("vec_id", "embedding")
+    val probe = vecs.filter($"vec_id" === 1).select($"embedding".as("probe_vec"))
+    val got = Similarity.bruteForceTopK(vecs, probe, "vec_id", "embedding", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0 && got(3L) == 1.0 && got(2L) == 0.0)
+  }
+
+  test("lsh bucket: identical direction → same bucket; ann recovers self") {
+    val vecs = (0 until 20).map(i => (i.toLong, Seq.tabulate(8)(d => (i * 7 + d * 3 % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probe = vecs.filter($"vec_id" === 5).select($"embedding".as("probe_vec"))
+    val got = Similarity.lshTopK(vecs, probe, "vec_id", "embedding", 5, nPlanes = 4, dim = 8)
+      .as[(Long, Double)].collect()
+    assert(got.nonEmpty && got.exists(_._1 == 5L))
+  }
+
+  test("langId predicts via stopword hits with tie-break") {
+    val docs = Seq((1L, "the cat of the house"), (2L, "der hund und die katze ist"),
+      (3L, "zzz qqq")).toDF("doc_id", "text")
+    val got = TextStats.langId(docs, "text", "doc_id").orderBy("doc_id")
+      .select("predicted_lang").as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "unknown"))
+  }
+
+  test("multimodal: ingest schema + stub feature extraction shape") {
+    val docs = Seq((1L, "abc", "s1"), (2L, "defgh", "s2")).toDF("doc_id", "text", "source")
+    val media = Multimodal.ingest(docs, "doc_id", "text", "source")
+    val stats = Multimodal.byteStats(media).orderBy("source")
+      .as[(String, Long, Long, Long)].collect()
+    assert(stats.toSeq == Seq(("s1", 1L, 3L, 3L), ("s2", 1L, 5L, 5L)))
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 2)
+    assert(feats(0).getSeq[Float](1).head == 3f) // n bytes as first stub feature
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gold.{Gold, Upsert}
+
+/** Gold star-schema builder semantics (SURVEY.md §2.3–§2.5). */
+class GoldSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("buildDimTime: distinct union of dates, dense ordered date_id, weekend flag") {
+    val reviews = Seq(ts("2018-07-07 22:09:11"), ts("2018-07-07 01:00:00"), ts("2018-07-09 10:00:00"))
+      .toDF("date")
+    val checkins = Seq(ts("2018-07-08 12:00:00"), ts("2018-07-09 23:59:59")).toDF("date")
+    val dim = Gold.buildDimTime(reviews, checkins).orderBy("date_id").collect()
+    assert(dim.length == 3)
+    assert(dim.map(_.getInt(0)).toSeq == Seq(1, 2, 3)) // dense ids in date order
+    val weekdays = dim.map(r => (r.getDate(1).toString, r.getString(5), r.getBoolean(7)))
+    assert(weekdays.toSeq == Seq(
+      ("2018-07-07", "Sat", true), ("2018-07-08", "Sun", true), ("2018-07-09", "Mon", false)))
+  }
+
+  test("bridge: explode drops NULL categories; ids assigned by name order; dedup") {
+    val biz = Seq(
+      ("b1", "Seafood, Restaurants"),
+      ("b2", null.asInstanceOf[String]),           // must vanish (explode, not explode_outer)
+      ("b3", "Restaurants, Restaurants , Cajun")   // dup after trim → one row
+    ).toDF("business_id", "categories")
+    val got = Gold.buildBridgeBusinessCategory(biz)
+      .orderBy("business_id", "category_id").collect()
+    assert(!got.exists(_.getString(0) == "b2"))
+    val names = got.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    // name order: Cajun=1, Restaurants=2, Seafood=3
+    assert(names == Seq(("b1", 2, "Restaurants"), ("b1", 3, "Seafood"),
+      ("b3", 1, "Cajun"), ("b3", 2, "Restaurants")))
+  }
+
+  test("fact_checkin counts multiple same-day checkins; joins date_id") {
+    val checkins = Seq(("b1", ts("2016-04-26 19:49:16")), ("b1", ts("2016-04-26 20:00:00")),
+      ("b1", ts("2016-04-27 01:00:00"))).toDF("business_id", "date")
+    val dim = Gold.buildDimTime(checkins, checkins)
+    val fact = Gold.buildFactCheckin(checkins, dim)
+      .orderBy("date_id").collect()
+    assert(fact.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
+  test("merge upsert: matched rows replaced wholesale, unmatched inserted") {
+    val target = Seq((1, "old", 10.0), (2, "keep", 20.0)).toDF("id", "v", "x")
+    val updates = Seq((1, "new", 11.0), (3, "ins", 30.0)).toDF("id", "v", "x")
+    val got = Upsert.merge(target, updates, Seq("id"))
+      .orderBy("id").as[(Int, String, Double)].collect()
+    assert(got.toSeq == Seq((1, "new", 11.0), (2, "keep", 20.0), (3, "ins", 30.0)))
+  }
+
+  test("upsertParquet: bootstrap then idempotent re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_test").toString + "/t"
+    val first = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Upsert.upsertParquet(spark, dir, first, Seq("id"))
+    assert(spark.read.parquet(dir).count() == 2)
+    val second = Seq((2, "B"), (3, "c")).toDF("id", "v")
+    Upsert.upsertParquet(spark, dir, second, Seq("id"))
+    Upsert.upsertParquet(spark, dir, second, Seq("id")) // idempotent
+    val got = spark.read.parquet(dir).orderBy("id").as[(Int, String)].collect()
+    assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+}

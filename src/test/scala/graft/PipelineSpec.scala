@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Runner
+import graft.analytics.Dashboard
+
+/** End-to-end bronze→silver→gold golden test on synthetic Yelp-shaped
+  * JSON (FIXTURES.md §A), including idempotent re-run. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeFixtures(base: String): Unit = {
+    def put(rel: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
+    put("bronze/business/business.json", Seq(
+      """{"business_id":"b1","name":"Acme","address":"724 Iberville","city":"New Orleans","state":"LA","postal_code":"70130","latitude":29.95,"longitude":-90.07,"stars":4.0,"review_count":2,"is_open":1,"attributes":{"WiFi":"u'no'","NoiseLevel":"none","BikeParking":"True"},"categories":"Seafood, Restaurants","hours":{"Monday":"9:0-17:0"}}""",
+      """{"business_id":"b2","name":"NullCat","address":"1 Way","city":"Tampa","state":"FL","postal_code":"33601","latitude":27.95,"longitude":-82.46,"stars":3.0,"review_count":1,"is_open":0,"attributes":null,"categories":null,"hours":null}"""))
+    put("bronze/checkin/checkin.json", Seq(
+      """{"business_id":"b1","date":"2018-07-07 19:49:16, 2018-07-07 20:00:00, 2018-07-08 01:00:00"}"""))
+    put("bronze/review/year=2018/month=07/r.json", Seq(
+      """{"review_id":"r1","user_id":"u1","business_id":"b1","stars":5.0,"useful":1,"funny":0,"cool":0,"text":"Great!","date":"2018-07-07 22:09:11"}""",
+      """{"review_id":"r2","user_id":"u1","business_id":"b2","stars":3.0,"useful":0,"funny":0,"cool":0,"text":"Meh","date":"2018-07-08 10:00:00"}"""))
+    put("bronze/tip/year=2018/month=07/t.json", Seq(
+      """{"user_id":"u1","business_id":"b1","text":"Try oysters","date":"2018-07-07 15:31:04","compliment_count":0}"""))
+    put("bronze/user/year=2018/month=07/u.json", Seq(
+      """{"user_id":"u1","name":"Anna","review_count":2,"yelping_since":"2012-03-14 04:21:06","useful":42,"funny":10,"cool":7,"fans":3,"average_stars":3.87,"elite":"2015,2016","friends":"u2, u3"}""",
+      """{"user_id":"u2","name":"Ben","review_count":0,"yelping_since":"2013-01-01 00:00:00","useful":0,"funny":0,"cool":0,"fans":0,"average_stars":0.0,"elite":"","friends":""}"""))
+  }
+
+  test("full pipeline: bronze→silver→gold, facts/dims correct, re-run idempotent") {
+    val base = Files.createTempDirectory("graft_e2e").toString
+    writeFixtures(base)
+    val runner = new Runner(spark, base)
+    runner.runMonth(2018, 7)
+
+    val dimTime = runner.gold("dim_time")
+    assert(dimTime.count() == 2) // 2018-07-07, 2018-07-08
+
+    val factReview = runner.gold("fact_review")
+    assert(factReview.count() == 2)
+
+    val factCheckin = runner.gold("fact_checkin")
+    val counts = factCheckin.orderBy("date_id").select("checkin_count")
+      .collect().map(_.getLong(0))
+    assert(counts.toSeq == Seq(2L, 1L))
+
+    val bridge = runner.gold("bridge_business_category")
+    assert(bridge.count() == 2) // b1×{Seafood,Restaurants}; b2 dropped (null categories)
+
+    val dimUser = runner.gold("dim_user")
+    assert(dimUser.count() == 2)
+
+    // dashboard panels over gold
+    assert(Dashboard.totalReviews(factReview).head().getLong(0) == 2)
+    assert(Dashboard.totalCheckins(factCheckin).head().getLong(0) == 3)
+    val top = Dashboard.topBusinessesBy5Star(factReview, runner.gold("dim_business")).collect()
+    assert(top.length == 1 && top(0).getString(0) == "Acme")
+
+    // idempotence: re-running the same month changes nothing
+    runner.runMonth(2018, 7)
+    assert(runner.gold("fact_review").count() == 2)
+    assert(runner.gold("bridge_business_category").count() == 2)
+    assert(runner.gold("dim_user").count() == 2)
+  }
+}
