@@ -24,24 +24,40 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** w-token shingles of the whitespace tokens (w=3): positions
-    * 0..n-w joined with single spaces. Documents shorter than w tokens
-    * contribute their full token string as one shingle. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextStats.tokens(text)
+  /** w-token shingles over an already-materialized token-array COLUMN
+    * (w=3): positions 0..n-w joined with single spaces. Documents
+    * shorter than w tokens contribute their full token string as one
+    * shingle.
+    *
+    * IMPORTANT: `toks` must be a plain attribute (a column produced by
+    * a previous projection), not an inline `split(...)` expression —
+    * this expression references it O(tokens) times, and an inlined
+    * split would be re-evaluated at every reference. CollapseProject
+    * keeps the upstream projection separate because the alias is
+    * multiply-referenced and non-cheap. */
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column =
     when(size(toks) < w, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - w),
         i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
-  }
+
+  /** Convenience form over raw text (materializes tokens internally
+    * via [[explodedShingles]]; for composition prefer the token form). */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(TextStats.tokens(text), w)
+
+  /** (id, shingle) rows with the token array materialized once per
+    * row before shingling. */
+  def explodedShingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("toks"), w)).as("shingle"))
 
   /** MinHash signature columns: for seed s, min over shingles of
     * md5("<s>|" + shingle). Returns (idCol, sig0..sig{k-1}). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
-    val exploded = df.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
     val sigs = (0 until k).map(s =>
       min(md5(concat(lit(s + "|"), col("shingle")))).as(s"sig$s"))
-    exploded.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+    explodedShingles(df, textCol, idCol).groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH candidate pairs: band the k-wide signature into bands of
@@ -52,17 +68,25 @@ object Dedup {
   def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 8,
                         rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
     val nBands = k / rowsPerBand
-    val bands = (0 until nBands).map { b =>
+    // One projection + one explode produces all bands in a single pass
+    // (a per-band union would recompute the signature pipeline nBands
+    // times), and the band table is cached because the self-join below
+    // consumes it twice.
+    val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
-    }.reduce(_ unionByName _)
-    val sized = bands
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    val bands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = sized.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+      .select(col("band"), col("bucket"))
+    val kept = bands.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val a = kept.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = kept.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -92,8 +116,9 @@ object Dedup {
     * shingle sets. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
                    w: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-      array_distinct(shingles(col(textCol), w)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("jid"), TextStats.tokens(col(textCol)).as("toks"))
+      .select(col("jid"), array_distinct(shinglesFromTokens(col("toks"), w)).as("sh"))
     pairs
       .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -80,12 +80,18 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val bucketed = vectors.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // norms precomputed per vector (not per pair — the self-join fans
+    // each vector out to many candidate pairs)
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }

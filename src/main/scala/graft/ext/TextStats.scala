@@ -34,13 +34,14 @@ object TextStats {
   /** Per-language stopword hits + predicted language (argmax with
     * deterministic tie-break en > de > fr > es; all-zero → "unknown"). */
   def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val en = hitCount(t, stopwords("en"))
-    val de = hitCount(t, stopwords("de"))
-    val fr = hitCount(t, stopwords("fr"))
-    val es = hitCount(t, stopwords("es"))
-    df.select(col(idCol),
-      en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"))
+    // tokens materialized in their own projection: four hit-counters
+    // reference them, and an inlined split would re-run per reference
+    val t = col("toks")
+    df.select(col(idCol), tokens(col(textCol)).as("toks")).select(col(idCol),
+      hitCount(t, stopwords("en")).as("en_hits"),
+      hitCount(t, stopwords("de")).as("de_hits"),
+      hitCount(t, stopwords("fr")).as("fr_hits"),
+      hitCount(t, stopwords("es")).as("es_hits"))
       .withColumn("predicted_lang",
         when(col("en_hits") === 0 && col("de_hits") === 0 &&
              col("fr_hits") === 0 && col("es_hits") === 0, lit("unknown"))
@@ -56,8 +57,8 @@ object TextStats {
     * IEEE doubles in any engine, so rounding is oracle-safe. */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    df.select(col(idCol),
+    val toks = col("toks")
+    df.select(col(idCol), t, tokens(t).as("toks")).select(col(idCol),
       length(t).as("n_chars_measured"),
       size(toks).as("n_tokens"),
       round(length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") / length(t), 6)
