@@ -224,6 +224,20 @@ object SparkEntry {
         size(split(col("c_name"), "#")).as("name_parts"))
         .orderBy(col("c_custkey"))),
 
+    // §2.8 word-cloud panel shape: fact ⋈ exploded-category bridge + agg
+    "q19_type_revenue" -> { (s, d) =>
+      val exploded = Tables.part(s, d)
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("type_name"))
+        .withColumn("type_name", trim(col("type_name")))
+        .filter(col("type_name") =!= "")
+        .distinct()
+      Tables.lineitem(s, d)
+        .join(broadcast(exploded), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("type_name"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"), count(lit(1)).as("n"))
+        .orderBy(col("total_qty").desc, col("type_name"))
+    },
+
     // partitioned window functions (row_number/lag beyond the
     // reference's global-window uses)
     "q18_window_rank" -> { (s, d) =>
@@ -300,6 +314,21 @@ object SparkEntry {
       Multimodal.byteStats(
         Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"))
         .orderBy(col("source"))),
+
+    // streaming-surface ops, oracle-checked in batch mode:
+    // tumbling-window agg (window() + watermark path)
+    "q33_stream_window" -> ((s, d) =>
+      graft.streaming.Streams.windowedEventCounts(
+        Tables.eventsWithTs(s, d).select(col("event_id"), col("event_ts"),
+          col("user_id"), col("event_type"), col("value")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // gap-based sessionization (lag + running sum, per-user window)
+    "q34_sessionize" -> ((s, d) =>
+      graft.streaming.Streams.sessionsByGap(
+        Tables.eventsWithTs(s, d).select(col("event_ts"), col("user_id")),
+        gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_no"))),
 
     // ---- rows-only entries (no SQL-expressible oracle) ----
 
@@ -562,6 +591,39 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = p.id_a
         |JOIN cnt cb ON cb.doc_id = p.id_b
         |ORDER BY p.id_a""".stripMargin,
+
+    "q19_type_revenue" ->
+      """WITH exploded AS (
+        | SELECT DISTINCT p_partkey, trim(u.cat) AS type_name
+        | FROM part, unnest(string_split(p_type, ' ')) AS u(cat)
+        | WHERE trim(u.cat) <> '')
+        |SELECT e.type_name, ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS n
+        |FROM lineitem l JOIN exploded e ON l.l_partkey = e.p_partkey
+        |GROUP BY e.type_name ORDER BY total_qty DESC, type_name""".stripMargin,
+
+    "q33_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
+        | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |flagged AS (
+        | SELECT user_id, us,
+        |  CASE WHEN lag(us, 1) OVER w IS NULL OR us - lag(us, 1) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |numbered AS (
+        | SELECT user_id, us,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        | FROM flagged)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        | make_timestamp(MIN(us)) AS session_start,
+        | make_timestamp(MAX(us)) AS session_end,
+        | COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q29_multimodal_bytes" ->
       """SELECT source, COUNT(*) AS n_media,

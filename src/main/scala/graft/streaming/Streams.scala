@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is batch-only (SURVEY.md §2.9) — its "incrementality"
+  * is a monthly Airflow tick. This module is the Spark-native upgrade
+  * path: the same transforms run as a stream (`readStream` → watermark
+  * → windowed agg / stateful sessions → sink) or as batch (the
+  * functions below accept either kind of DataFrame — windowed
+  * aggregation and `flatMapGroupsWithState` are meaningful in both
+  * modes, which is also how they're oracle-checked).
+  */
+object Streams {
+
+  /** Schema of the normalized event feed ([[graft.Tables.eventsWithTs]]
+    * without the raw ns column). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Open the event feed as a real stream over a parquet directory. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * late data. Works identically on batch input (window() is a plain
+    * grouping expression there; the watermark is a no-op). */
+  def windowedEventCounts(events: DataFrame,
+                          windowDur: String = "1 hour",
+                          watermark: String = "30 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("event_ts", watermark) else events
+    wm.groupBy(window(col("event_ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Gap-based sessionization, declarative form: a new session starts
+    * when the gap to the previous event of the same user exceeds
+    * `gapMinutes`. lag + running-sum over a per-user window — fully
+    * parallel across users (shuffle on user_id only). */
+  def sessionsByGap(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_ts"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("event_ts")), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_us").isNull ||
+          unix_micros(col("event_ts")) - col("prev_us") > gapMicros).cast("long"))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("event_ts")).as("session_start"),
+        max(col("event_ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  case class SessionEvent(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  case class SessionOut(user_id: Long, session_no: Long, startMicros: Long,
+                        endMicros: Long, n_events: Long)
+  case class SessionBuf(sessions: List[SessionOut], openStart: Long, openEnd: Long, openN: Long)
+
+  /** Stateful sessionization via `flatMapGroupsWithState` — the
+    * custom-state path. In batch mode Spark calls the function once
+    * per user with all its events and the same session list falls out
+    * as [[sessionsByGap]], which is how it's tested. A production
+    * stream would switch to `GroupStateTimeout.EventTimeTimeout` and
+    * keep the open session in `state`, emitting it on timeout. */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30)
+                        (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var sessions = List.empty[SessionOut]
+          var no = 0L; var start = 0L; var end = 0L; var n = 0L
+          sorted.foreach { e =>
+            if (n == 0L || e.tsMicros - end > gapMicros) {
+              if (n > 0L) sessions ::= SessionOut(userId, no, start, end, n)
+              no += 1; start = e.tsMicros; end = e.tsMicros; n = 1
+            } else { end = e.tsMicros; n += 1 }
+          }
+          if (n > 0L) sessions ::= SessionOut(userId, no, start, end, n)
+          sessions.reverseIterator
+      }
+  }
+}
