@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as double (sequential left-to-right — deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ as double (sequential left-to-right — deterministic).
+    * Backed by the codegen'd [[graft.functions.VecDotProduct]]
+    * expression; [[dotHof]] is the built-in-only formulation with
+    * bit-identical results (asserted in ExtSpec). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** Higher-order-function formulation of [[dot]] — reference
+    * semantics for the custom expression, and the fallback if the
+    * session can't register functions. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for Σ aᵢ·bᵢ over `array<float>` /
+  * `array<double>` columns.
+  *
+  * The built-in formulation `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0D, (s,v) -> s+v)` materializes an intermediate array and dispatches
+  * two lambdas per element; this expression is a single codegen'd loop
+  * over the underlying `ArrayData` — the difference is real at
+  * 100 TB × 1000-dim embeddings. Arithmetic is bit-identical to the
+  * built-in chain (widen each element to double, multiply, accumulate
+  * left-to-right from 0.0), so swapping implementations never changes
+  * results.
+  *
+  * Shorter input wins on length mismatch; null inputs propagate null
+  * (null ELEMENTS are not expected — embedding arrays are dense).
+  */
+case class VecDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val xf = elemType(left) == FloatType
+    val yf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, dt: DataType) = dt match {
+        case FloatType => s"(double)$arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  /** Register `vec_dot` in the session so it's callable from both the
+    * Column API (via [[vecDot]]) and `spark.sql` text. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "built-in")
+  }
+
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}

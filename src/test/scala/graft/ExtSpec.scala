@@ -48,6 +48,21 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.0)))
   }
 
+  test("custom VecDotProduct expression matches the HOF formulation bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("p")).head().getSeq[Float](0)
+    val pLit = array(probe.map(v => lit(v)): _*)
+    val cmp = emb.select(
+      Similarity.dot($"embedding", pLit).as("custom"),
+      Similarity.dotHof($"embedding", pLit.cast("array<double>")).as("hof"))
+    assert(cmp.filter($"custom" =!= $"hof").count() == 0)
+    // and via SQL text
+    emb.createOrReplaceTempView("emb_v")
+    val sqlN = spark.sql("SELECT vec_dot(embedding, embedding) AS d FROM emb_v").count()
+    assert(sqlN == emb.count())
+  }
+
   test("cosine: orthogonal=0, identical=1") {
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(2f, 0f))).toDF("vec_id", "embedding")
     val probe = vecs.filter($"vec_id" === 1).select($"embedding".as("probe_vec"))
