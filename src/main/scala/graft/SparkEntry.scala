@@ -330,6 +330,27 @@ object SparkEntry {
         gapMinutes = 30)
         .orderBy(col("user_id"), col("session_no"))),
 
+    // as-of join (operator Spark lacks; union+window composition,
+    // oracle = DuckDB's native ASOF JOIN)
+    "q35_asof_join" -> { (s, d) =>
+      val events = Tables.eventsWithTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_ts"))
+      val orders = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+      graft.operators.AsOfJoin.joinAsOfBackward(
+        events, orders, "user_id", "o_custkey", "event_ts", "o_orderdate",
+        Seq("o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          to_date(col("o_orderdate")).as("last_order_date"))
+        .orderBy(col("event_id"))
+    },
+
+    // rollup aggregation (beyond the reference's flat group-bys)
+    "q36_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // ---- rows-only entries (no SQL-expressible oracle) ----
 
     // LSH-bucketed ANN (the 100 TB path: probe touches one bucket)
@@ -624,6 +645,18 @@ object SparkEntry {
         | COUNT(*) AS n_events
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q35_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS DATE) AS last_order_date
+        |FROM events e ASOF JOIN orders o
+        | ON e.user_id = o.o_custkey
+        | AND make_timestamp(epoch_ns(e.ts) // 1000) >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q36_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q29_multimodal_bytes" ->
       """SELECT source, COUNT(*) AS n_media,

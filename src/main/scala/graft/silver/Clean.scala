@@ -78,4 +78,24 @@ object Clean {
     * Values that do not parse become NULL (PERMISSIVE mode). */
   def parseJsonColumn(df: DataFrame, colName: String, schema: DataType): DataFrame =
     df.withColumn(colName, from_json(col(colName), schema))
+
+  /** Behavior-faithful port of the reference's sampling flow
+    * (ref: bronze_to_silver_on_minio.py:45-54): probe one JSON-shaped
+    * value (`limit(1).collect()` — a deliberate driver round-trip,
+    * exactly like the original), derive the struct type with
+    * `schema_of_json`, parse with `from_json`; with no JSON-shaped
+    * sample the column becomes a typed NULL string (b2s:53). Prefer
+    * [[parseJsonColumn]] with a static schema in new code — this
+    * exists for reference parity on unknown columns. */
+  def parseJsonColumnSampled(df: DataFrame, colName: String): DataFrame =
+    df.filter(looksLikeJsonObject(col(colName))).select(col(colName))
+      .limit(1).collect().headOption match {
+      case Some(row) =>
+        val ddl = df.sparkSession.range(1)
+          .select(schema_of_json(lit(row.getString(0))).as("s"))
+          .head().getString(0)
+        df.withColumn(colName, from_json(col(colName), ddl, Map.empty[String, String]))
+      case None =>
+        df.withColumn(colName, lit(null).cast(StringType))
+    }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+import graft.gold.Surrogate
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks latest right row at-or-before left time, per key") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")),   // exactly at order time → inclusive
+      (3L, 10L, ts("2023-12-31 00:00:00")),   // before any order → dropped (inner)
+      (4L, 20L, ts("2024-06-01 00:00:00")),
+      (5L, 30L, ts("2024-06-01 00:00:00"))    // key with no right rows → dropped
+    ).toDF("event_id", "user_id", "event_ts")
+    val orders = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-04 00:00:00"), "b"),
+      (10L, ts("2024-02-01 00:00:00"), "c"),  // after event 1 → not picked
+      (20L, ts("2024-05-30 00:00:00"), "d")
+    ).toDF("o_custkey", "o_orderdate", "tag")
+    val got = AsOfJoin.joinAsOfBackward(events, orders,
+      "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("tag"))
+      .select("event_id", "tag").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "b"), (2L, "a"), (4L, "d")))
+  }
+
+  test("denseId assigns a dense 1..N sequence in sort order, distributed") {
+    val df = (1 to 1000).map(i => (s"k${1000 - i}", i)).toDF("k", "v")
+    val got = Surrogate.denseId(df, "v", "id")
+    val rows = got.select("v", "id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == (1L to 1000L))
+  }
+}

@@ -60,6 +60,22 @@ class PipelineSpec extends AnyFunSuite {
     val top = Dashboard.topBusinessesBy5Star(factReview, runner.gold("dim_business")).collect()
     assert(top.length == 1 && top(0).getString(0) == "Acme")
 
+    // serving layer: same panels via spark.sql over registered views
+    Dashboard.registerViews(spark, Map(
+      "fact_review" -> factReview, "fact_checkin" -> factCheckin,
+      "dim_business" -> runner.gold("dim_business"), "dim_time" -> dimTime))
+    val sqlTop = spark.sql(
+      """SELECT b.name, count(*) AS n FROM fact_review f
+        |JOIN dim_business b USING (business_id)
+        |WHERE f.stars = 5 GROUP BY b.name ORDER BY n DESC, b.name LIMIT 10""".stripMargin)
+      .collect()
+    assert(sqlTop.length == 1 && sqlTop(0).getString(0) == "Acme")
+    val sqlWeekday = spark.sql(
+      """SELECT t.weekday, count(*) AS n FROM fact_review f
+        |JOIN dim_time t USING (date_id) GROUP BY t.weekday ORDER BY t.weekday""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sqlWeekday.toSeq == Seq(("Sat", 1L), ("Sun", 1L)))
+
     // idempotence: re-running the same month changes nothing
     runner.runMonth(2018, 7)
     assert(runner.gold("fact_review").count() == 2)

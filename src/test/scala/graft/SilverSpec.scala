@@ -64,6 +64,19 @@ class SilverSpec extends AnyFunSuite {
     assert(got.filter($"date".isNull).count() == 0)
   }
 
+  test("parseJsonColumnSampled replicates the reference's schema_of_json flow") {
+    val df = Seq("""{"garage": false, "street": true}""", """{"garage": true, "street": false}""")
+      .toDF("parking")
+    val parsed = Clean.parseJsonColumnSampled(df, "parking")
+    val r = parsed.select("parking.garage", "parking.street")
+      .as[(Boolean, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((false, true), (true, false)))
+    // no JSON-shaped sample → typed NULL string column (b2s:53)
+    val none = Clean.parseJsonColumnSampled(Seq("plain", "text").toDF("c"), "c")
+    assert(none.schema("c").dataType.typeName == "string")
+    assert(none.filter($"c".isNotNull).count() == 0)
+  }
+
   test("processBusiness: flattens attributes/hours, splits day ranges, casts is_open") {
     val schema = StructType(Seq(
       StructField("business_id", StringType),
