@@ -21,6 +21,7 @@ object Tables {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.TextFunctions.register(spark)
     spark
   }
 

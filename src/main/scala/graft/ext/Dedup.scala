@@ -53,8 +53,28 @@ object Dedup {
       .select(col(idCol), explode(shinglesFromTokens(col("toks"), w)).as("shingle"))
 
   /** MinHash signature columns: for seed s, min over shingles of
-    * md5("<s>|" + shingle). Returns (idCol, sig0..sig{k-1}). */
+    * md5("<s>|" + shingle). Returns (idCol, sig0..sig{k-1}).
+    *
+    * Computed row-locally by the [[graft.functions.MinHashSignature]]
+    * expression — one pass over each document's token array, no
+    * explode and no shuffle. The declarative formulation it replaces
+    * (and must stay bit-identical to; asserted in ExtSpec) is
+    * [[minhashSignaturesExploded]]. Null-text rows are dropped, as
+    * explode-of-nothing dropped them in the exploded form. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val sigs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.TextFunctions.minhashSigs(TextStats.tokens(col(textCol)), 3, k).as("sigs"))
+    // "sigs" is multiply-referenced, so CollapseProject keeps the
+    // expression evaluated once in its own projection.
+    sigs.select(col(idCol) +: (0 until k).map(i =>
+      element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
+  }
+
+  /** Built-in-only formulation of [[minhashSignatures]] (reference
+    * semantics for the custom expression): explode shingles, hash per
+    * seed, groupBy-min. One full shuffle of every (doc, shingle) row. */
+  def minhashSignaturesExploded(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
     val sigs = (0 until k).map(s =>
       min(md5(concat(lit(s + "|"), col("shingle")))).as(s"sig$s"))
     explodedShingles(df, textCol, idCol).groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
@@ -76,9 +96,16 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }
+    // Hash-repartition on the (band, bucket) key BEFORE caching: the
+    // bucket-size count, the semi-join, and the self-join below all key
+    // on (band, bucket), so they reuse this partitioning instead of
+    // re-shuffling the cached table — and a single-split input (one
+    // small parquet file locally; one giant row-group at scale) gets
+    // spread across the cluster instead of pinning one task.
     val bands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .repartition(col("band"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBuckets = bands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))

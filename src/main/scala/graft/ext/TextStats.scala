@@ -69,7 +69,15 @@ object TextStats {
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,
     * punctuation-stripped text — the cheap exact-after-normalization
-    * dedup key. */
+    * dedup key. Backed by the fused single-pass
+    * [[graft.functions.NormalizedFingerprint]] expression;
+    * [[fingerprintHof]] is the built-in chain with identical output. */
   def fingerprint(text: Column): Column =
+    graft.functions.TextFunctions.normFingerprint(text)
+
+  /** Built-in-only formulation of [[fingerprint]] — two regex passes
+    * over the full text; kept as the reference semantics the custom
+    * expression is asserted against (ExtSpec). */
+  def fingerprintHof(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 }

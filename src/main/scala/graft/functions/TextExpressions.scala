@@ -1,0 +1,227 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative kernels behind the text-hashing expressions. Static
+  * methods so whole-stage codegen can call them directly (the emitted
+  * Java references `graft.functions.TextHash.…`), with a thread-local
+  * MessageDigest — Spark's own `md5()` builds a fresh MessageDigest per
+  * call, which dominates when hashing millions of short shingles.
+  */
+object TextHash {
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+
+  private def seedPrefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, k2 => Array.tabulate(k2)(s => s"$s|".getBytes("UTF-8")))
+
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  private def hex(digest: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(digest(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Single-pass equivalent of
+    * `md5(trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""), " +", " ")))`:
+    * lowercase, keep only `[a-z0-9 ]`, collapse space runs, trim, md5-hex.
+    * Byte-level filtering after `UTF8String.toLowerCase` is safe because
+    * every UTF-8 byte of a multi-byte code point is ≥ 0x80 and therefore
+    * dropped exactly as the regex drops the code point. */
+  def fingerprint(s: UTF8String): UTF8String = {
+    val lower = s.toLowerCase.getBytes
+    val buf = new Array[Byte](lower.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < lower.length) {
+      val b = lower(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && n > 0) { buf(n) = ' '; n += 1 }
+        pendingSpace = false
+        buf(n) = b
+        n += 1
+      } else if (b == ' ') {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    val md = mdLocal.get()
+    md.update(buf, 0, n)
+    hex(md.digest())
+  }
+
+  /** k MinHash signatures over w-token shingles of a token array, in
+    * one pass per row — semantically identical to exploding shingles
+    * and taking `min(md5(concat(s + "|", shingle)))` per seed s:
+    *
+    *   - shingling matches `Dedup.shinglesFromTokens`: arrays shorter
+    *     than w yield one shingle joining all tokens; otherwise every
+    *     w-window joined with single spaces (null tokens skipped, as
+    *     `concat_ws` does);
+    *   - the min is taken over raw 16-byte digests with unsigned
+    *     comparison — hex encoding is monotonic for equal-length
+    *     arrays, so this equals the lexicographic min over hex strings;
+    *   - output = the k minima, hex-encoded, as array<string>.
+    */
+  def minhash(toks: ArrayData, w: Int, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+
+    def shingleBytes(from: Int, until: Int): Array[Byte] = {
+      var len = 0
+      var cnt = 0
+      var j = from
+      while (j < until) {
+        val tb = tokBytes(j)
+        if (tb != null) { len += tb.length; cnt += 1 }
+        j += 1
+      }
+      if (cnt > 1) len += cnt - 1
+      val out = new Array[Byte](len)
+      var pos = 0
+      var first = true
+      j = from
+      while (j < until) {
+        val tb = tokBytes(j)
+        if (tb != null) {
+          if (!first) { out(pos) = ' '; pos += 1 }
+          System.arraycopy(tb, 0, out, pos, tb.length)
+          pos += tb.length
+          first = false
+        }
+        j += 1
+      }
+      out
+    }
+
+    val md = mdLocal.get()
+    val prefixes = seedPrefixes(k)
+    val mins = new Array[Array[Byte]](k)
+
+    def absorb(sh: Array[Byte]): Unit = {
+      var s = 0
+      while (s < k) {
+        md.update(prefixes(s))
+        md.update(sh)
+        val dg = md.digest()
+        if (mins(s) == null || java.util.Arrays.compareUnsigned(dg, mins(s)) < 0)
+          mins(s) = dg
+        s += 1
+      }
+    }
+
+    if (n < w) {
+      absorb(shingleBytes(0, n))
+    } else {
+      var st = 0
+      while (st <= n - w) {
+        absorb(shingleBytes(st, st + w))
+        st += 1
+      }
+    }
+
+    new GenericArrayData(mins.map(hex(_): Any))
+  }
+}
+
+/** `norm_fingerprint(text)`: fused normalize-and-md5 (see
+  * [[TextHash.fingerprint]]). Replaces a lower → two regexp_replace →
+  * trim → md5 chain (two full regex passes over every document) with
+  * one linear scan; results are byte-identical, so the DuckDB oracle
+  * keeps the regex formulation. */
+case class NormalizedFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"norm_fingerprint requires a string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sigs(tokens, w, k)`: all k MinHash signatures of a token
+  * array in one pass (see [[TextHash.minhash]]). The declarative
+  * formulation (explode shingles → groupBy doc → k × min(md5)) shuffles
+  * every shingle row and hash-aggregates k string minima; this computes
+  * the same k minima row-locally — no explode, no shuffle, one
+  * MessageDigest reused across all shingles. */
+case class MinHashSignature(child: Expression, w: Int, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w >= 1 && k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires array<string> input and positive w/k, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhash(input.asInstanceOf[ArrayData], w, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhash($c, $w, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Register the text-hash expressions in the session's function
+    * registry (Column API goes through `call_function`). Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("norm_fingerprint"))) {
+      reg.createOrReplaceTempFunction(
+        "norm_fingerprint", exprs => NormalizedFingerprint(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "minhash_sigs", exprs => MinHashSignature(
+          exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue(),
+          exprs(2).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    }
+  }
+
+  // Column API builds the expressions directly (no registry needed, so
+  // library callers work in any session); `register` exists for SQL text.
+  import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+
+  def normFingerprint(text: Column): Column =
+    column(NormalizedFingerprint(expression(text)))
+
+  def minhashSigs(tokens: Column, w: Int, k: Int): Column =
+    column(MinHashSignature(expression(tokens), w, k))
+}

@@ -88,6 +88,34 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("MinHashSignature expression matches the exploded groupBy-min formulation") {
+    graft.functions.TextFunctions.register(spark)
+    // real data: every document at sf0.001, all 8 seeds
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8)
+    val exploded = Dedup.minhashSignaturesExploded(docs, "text", "doc_id", k = 8)
+    assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty)
+    // edge cases: short doc (single shingle), empty string, exactly w tokens
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three"),
+      (5L, "a  b\tc   d")).toDF("doc_id", "text")
+    val f2 = Dedup.minhashSignatures(edge, "text", "doc_id", k = 4)
+    val e2 = Dedup.minhashSignaturesExploded(edge, "text", "doc_id", k = 4)
+    assert(f2.exceptAll(e2).isEmpty && e2.exceptAll(f2).isEmpty)
+  }
+
+  test("NormalizedFingerprint expression matches the regex chain") {
+    graft.functions.TextFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cmp = docs.select(TextStats.fingerprint($"text").as("fused"),
+      TextStats.fingerprintHof($"text").as("chain"))
+    assert(cmp.filter($"fused" =!= $"chain").count() == 0)
+    val edge = Seq("", "  ", "a .b", "a . b", "A  B!!c", " x ", "Ümläut ø 42", "a\n\tb")
+      .toDF("text")
+    val cmp2 = edge.select(TextStats.fingerprint($"text").as("fused"),
+      TextStats.fingerprintHof($"text").as("chain"))
+    assert(cmp2.filter($"fused" =!= $"chain").count() == 0)
+  }
+
   test("multimodal: ingest schema + stub feature extraction shape") {
     val docs = Seq((1L, "abc", "s1"), (2L, "defgh", "s2")).toDF("doc_id", "text", "source")
     val media = Multimodal.ingest(docs, "doc_id", "text", "source")
