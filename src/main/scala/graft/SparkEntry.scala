@@ -351,7 +351,104 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // skew-aware salted join — output identical to the plain inner
+    // join (the oracle IS the plain join), physics spread over salts
+    "q37_salted_join" -> { (s, d) =>
+      val left = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("partkey"), col("l_linenumber"), col("l_quantity"))
+      val right = Tables.part(s, d)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.operators.SaltedJoin.innerJoin(left, right, "partkey",
+        col("l_linenumber"), nSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+
+    // banded range join (equi-join on band id + exact filter, not a
+    // nested-loop inequality join)
+    "q38_range_join" -> { (s, d) =>
+      val points = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val intervals = Tables.supplier(s, d).select(col("s_suppkey"),
+        (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(points, "c_acctbal",
+        intervals, "lo", "hi", bandWidth = 100.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // pivot (explicit value list → static schema, scale-safe)
+    "q39_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_linestatus"))),
+
+    // cube aggregation (all grouping-set combinations)
+    "q40_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // set operations: INTERSECT ∪ EXCEPT over yearly customer cohorts
+    "q41_setops" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val c94 = orders.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val c95 = orders.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      c94.intersect(c95).withColumn("tag", lit("both"))
+        .union(c94.except(c95).withColumn("tag", lit("only_1996")))
+        .orderBy(col("tag"), col("o_custkey"))
+    },
+
+    // semi/anti joins as user-visible ops (EXISTS / NOT EXISTS)
+    "q42_semi_anti" -> { (s, d) =>
+      val customer = Tables.customer(s, d)
+      val orders = Tables.orders(s, d).select(col("o_custkey"))
+      val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+      val noO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("no_orders"))
+      withO.union(noO).select(col("tag"), col("n")).orderBy(col("tag"))
+    },
+
+    // exact percentiles (sort-based, linear interpolation — matches
+    // DuckDB's quantile_cont)
+    "q43_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("l_returnflag"))),
+
+    // window frames: rolling 3-row sum + lead + first_value per key
+    "q44_window_frames" -> { (s, d) =>
+      val wOrder = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFrame = wOrder.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(wFrame), 2).as("roll3"),
+        lead(col("o_orderkey"), 1).over(wOrder).as("next_orderkey"),
+        first(col("o_orderkey")).over(wOrder).as("first_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // ---- rows-only entries (no SQL-expressible oracle) ----
+
+    // IVF ANN: Lloyd-trained inverted lists; probe scans nProbe/nLists
+    // of the corpus (the partition-prunable scale path)
+    "q45_ann_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), probe,
+        "vec_id", "embedding", k = 10, nLists = 16, nProbe = 4)
+    },
+
 
     // LSH-bucketed ANN (the 100 TB path: probe touches one bucket)
     "q30_ann_lsh" -> { (s, d) =>
@@ -663,5 +760,64 @@ object SparkEntry {
         | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q37_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q38_range_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_customers
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal < s_acctbal + 50
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "q39_pivot" ->
+      """SELECT l_linestatus,
+        | ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        | ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        | ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q40_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q41_setops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q42_semi_anti" ->
+      """SELECT 'no_orders' AS tag, COUNT(*) AS n FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'with_orders' AS tag, COUNT(*) AS n FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY tag""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3,
+        | lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+        | first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_orderkey
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

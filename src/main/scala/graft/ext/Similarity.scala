@@ -83,6 +83,82 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  private def sqnorm(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Argmin-centroid assignment as a single projection expression:
+    * per row, `array_min` over `struct(dist, list_id)` structs — struct
+    * ordering is lexicographic, so equal distances tie-break on the
+    * lower list id deterministically. `dist` is squared L2 minus the
+    * per-vector constant ‖v‖² (irrelevant to the argmin):
+    * −2·⟨v,c⟩ + ‖c‖². No shuffle, no crossJoin — nLists dot products
+    * inline in whole-stage codegen via [[dot]]. */
+  private def assignStructs(vecCol: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      struct((dot(vecCol, cLit) * -2 + lit(sqnorm(c))).as("d"), lit(i).as("list_id"))
+    }: _*)
+
+  // NOTE: getField on a *fresh* struct() literal fails to resolve in
+  // the Column API (field names materialize during analysis), so
+  // callers first alias the struct/array into an attribute and extract
+  // from that in a second projection.
+
+  /** Lloyd-iterated IVF centroids. Initialization is the `nLists`
+    * vectors with the lowest ids (deterministic, like the reference
+    * corpus order); each iteration assigns every vector to its nearest
+    * centroid with [[assignExpr]] (map-only) and recomputes element-wise
+    * means via posexplode → groupBy(list, pos) → avg — the only
+    * shuffle, keyed on (list, pos) with cardinality nLists × dim.
+    * Centroids (nLists × dim doubles) collect to the driver per
+    * iteration, exactly like MLlib's k-means does between rounds. */
+  def ivfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                   nLists: Int, iters: Int = 2): Seq[Array[Double]] = {
+    val init = vectors.orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val assigned = vectors
+        .select(array_min(assignStructs(col(vecCol), cents)).as("am"), col(vecCol).as("vec"))
+        .select(col("am.list_id").as("list_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      val means = assigned
+        .groupBy(col("list_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty lists keep their previous centroid
+      cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+  }
+
+  /** IVF ANN top-k: score the probe only against vectors whose
+    * centroid is among the probe's `nProbe` nearest lists. At scale
+    * the assignment is a map-only pass (or a precomputed partition
+    * column — partition-prune straight to the lists), so a query
+    * touches ~nProbe/nLists of the data instead of all of it. */
+  def ivfTopK(vectors: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(vectors, idCol, vecCol, nLists, iters)
+    val probeB = broadcast(probe
+      .select(col("probe_vec"),
+        slice(array_sort(assignStructs(col("probe_vec"), cents)), 1, nProbe).as("cand"))
+      .select(col("probe_vec"),
+        transform(col("cand"), x => x.getField("list_id")).as("lists")))
+    vectors
+      .withColumn("am", array_min(assignStructs(col(vecCol), cents)))
+      .withColumn("list_id", col("am.list_id")).drop("am")
+      .join(probeB, array_contains(col("lists"), col("list_id")))
+      .select(col(idCol), round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ `threshold`,
     * restricted to LSH-bucket collisions (no O(n²) cross join). */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -88,6 +88,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("IVF ANN: recovers most of brute-force top-k while scanning a fraction") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, probe, "vec_id", "embedding", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, probe, "vec_id", "embedding",
+      k = 10, nLists = 8, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    // nProbe=half the lists → expect decent recall on the top-10
+    assert((exact intersect ivf).size >= 5, s"recall too low: $exact vs $ivf")
+    // deterministic across runs
+    val ivf2 = Similarity.ivfTopK(corpus, probe, "vec_id", "embedding",
+      k = 10, nLists = 8, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf == ivf2)
+  }
+
   test("MinHashSignature expression matches the exploded groupBy-min formulation") {
     graft.functions.TextFunctions.register(spark)
     // real data: every document at sf0.001, all 8 seeds

@@ -31,6 +31,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "b"), (2L, "a"), (4L, "d")))
   }
 
+  test("salted join equals the plain inner join exactly") {
+    val left = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_partkey".as("partkey"), $"l_linenumber", $"l_quantity")
+    val right = Tables.part(spark, "/root/testdata/sf0.001")
+      .select($"p_partkey".as("partkey"), $"p_brand")
+    val salted = graft.operators.SaltedJoin.innerJoin(left, right, "partkey", $"l_linenumber", 8)
+    val plain = left.join(right, Seq("partkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("banded range join equals the raw inequality join") {
+    val points = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_custkey", $"c_acctbal")
+    val intervals = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select($"s_suppkey", ($"s_acctbal" - 50).as("lo"), ($"s_acctbal" + 50).as("hi"))
+    val banded = graft.operators.RangeJoin.pointInInterval(
+      points, "c_acctbal", intervals, "lo", "hi", 100.0)
+      .select($"c_custkey", $"s_suppkey")
+    val raw = points.join(intervals,
+      $"c_acctbal" >= $"lo" && $"c_acctbal" < $"hi")
+      .select($"c_custkey", $"s_suppkey")
+    assert(banded.count() > 0)
+    assert(banded.exceptAll(raw).isEmpty && raw.exceptAll(banded).isEmpty)
+    // empty intervals (hi <= lo) match nothing
+    val empty = graft.operators.RangeJoin.pointInInterval(
+      points, "c_acctbal", intervals.withColumn("hi", $"lo"), "lo", "hi", 100.0)
+    assert(empty.count() == 0)
+  }
+
   test("denseId assigns a dense 1..N sequence in sort order, distributed") {
     val df = (1 to 1000).map(i => (s"k${1000 - i}", i)).toDF("k", "v")
     val got = Surrogate.denseId(df, "v", "id")
