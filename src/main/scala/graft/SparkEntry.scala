@@ -440,6 +440,28 @@ object SparkEntry {
 
     // ---- rows-only entries (no SQL-expressible oracle) ----
 
+    // approximate distinct-count sketch (HLL++) side-by-side with the
+    // exact count — the 100 TB cardinality-estimation path (one pass,
+    // fixed memory, mergeable partials). Approx values are
+    // implementation-defined → rows-only here; the error bound is
+    // asserted in ExtSpec.
+    "q46_approx_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .orderBy(col("o_orderstatus"))),
+
+    // approximate quantiles (Greenwald-Khanna) vs exact percentile —
+    // same single-pass/mergeable story for order statistics
+    "q47_approx_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("approx_p"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
+        .orderBy(col("l_returnflag"))),
+
     // IVF ANN: Lloyd-trained inverted lists; probe scans nProbe/nLists
     // of the corpus (the partition-prunable scale path)
     "q45_ann_ivf" -> { (s, d) =>
@@ -486,7 +508,37 @@ object SparkEntry {
     (0 until bits).map(b =>
       s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
 
+  /** DuckDB twin of q31: the same sign-random-projection bucketing
+    * with the hyperplanes inlined as ±1.0 list literals (they're
+    * md5-derived driver-side constants — see Similarity.hyperplanes),
+    * then bucket-equality self-join + exact cosine ≥ threshold.
+    * list_dot_product accumulates left-to-right over DOUBLE[] exactly
+    * like the codegen'd vec_dot, so buckets and rounded cosines are
+    * bit-identical. */
+  private def nearDupSql(threshold: Double, nPlanes: Int, dim: Int): String = {
+    val planes = graft.ext.Similarity.hyperplanes(nPlanes, dim)
+    val bucketExpr = planes.zipWithIndex.map { case (h, i) =>
+      val lit = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       |         $bucketExpr AS bucket
+       |  FROM v),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |         ROUND(list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm), 6) AS cos_sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT DISTINCT id_a, id_b, cos_sim FROM pairs
+       |WHERE cos_sim >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q31_near_dup_pairs" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

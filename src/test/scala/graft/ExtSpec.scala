@@ -88,6 +88,21 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("approx sketches stay within error bounds of exact answers") {
+    val d = "/root/testdata/sf0.01"
+    // HLL++ default rsd = 5%
+    val cd = Tables.orders(spark, d).agg(
+      approx_count_distinct($"o_custkey").as("a"),
+      countDistinct($"o_custkey").as("e")).head()
+    val (a, e) = (cd.getLong(0).toDouble, cd.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1, s"HLL estimate $a too far from exact $e")
+    // approx_percentile with accuracy 10000 ≈ exact at this scale
+    val q = Tables.lineitem(spark, d).agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a"),
+      expr("percentile(l_extendedprice, 0.5)").as("e")).head()
+    assert(math.abs(q.getDouble(0) - q.getDouble(1)) / q.getDouble(1) < 0.01)
+  }
+
   test("IVF ANN: recovers most of brute-force top-k while scanning a fraction") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))

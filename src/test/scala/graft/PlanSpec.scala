@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract, not just results:
+  * filters reach the parquet scan, projections prune the read schema,
+  * dims broadcast, bucketed joins need no shuffle. A plan regression
+  * here is a 100 TB incident that a value-equality test would miss.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  /** Formatted explain (scan details: PushedFilters, ReadSchema). */
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Final adaptive plan, after execution (codegen spans resolved). */
+  private def executedPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan (q13)") {
+    val plan = planOf(SparkEntry.queries("q13_top10_brands")(spark, d))
+    assert(plan.contains("EqualTo(l_returnflag,R)") && plan.contains("PushedFilters"),
+      s"expected returnflag pushdown in:\n$plan")
+  }
+
+  test("column pruning: projection-only query reads only selected columns (q17)") {
+    val plan = planOf(SparkEntry.queries("q17_dim_customer")(spark, d))
+    // customer has 5 columns; the query uses 4 — c_nationkey must not be read
+    assert(plan.contains("ReadSchema") && !plan.contains("c_nationkey"),
+      s"expected pruned ReadSchema without c_nationkey in:\n$plan")
+  }
+
+  test("dimension joins broadcast; top-k plans as TakeOrderedAndProject (q13)") {
+    val plan = planOf(SparkEntry.queries("q13_top10_brands")(spark, d))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("bucketed co-located join plans with no shuffle exchange") {
+    import graft.operators.Bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must choose SMJ/shuffle-hash —
+      // the bucket layout is what removes the exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, d)
+      val lineitem = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      Bucketing.saveBucketed(orders, "b_orders", "o_orderkey", 4)
+      Bucketing.saveBucketed(lineitem, "b_lineitem", "o_orderkey", 4)
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"expected bucketed scan in:\n$plan")
+      // and the result is the plain join's result
+      val plain = orders.join(lineitem, Seq("o_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline (q01)") {
+    val plan = executedPlanOf(SparkEntry.queries("q01_pricing_summary")(spark, d))
+    // codegen'd operators print as "*(n) Operator" in the final plan
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+      s"expected codegen spans in:\n$plan")
+  }
+}
