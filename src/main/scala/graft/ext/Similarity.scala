@@ -123,14 +123,15 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     (0 until iters).foldLeft(init) { (cents, _) =>
-      val assigned = vectors
+      // centroid update via the typed VectorMean Aggregator: the
+      // shuffle carries one dim-wide partial buffer per (partition,
+      // list) — not one row per vector ELEMENT as a posexplode →
+      // groupBy(list, pos) → avg formulation would
+      val means = vectors
         .select(array_min(assignStructs(col(vecCol), cents)).as("am"), col(vecCol).as("vec"))
-        .select(col("am.list_id").as("list_id"), posexplode(col("vec")).as(Seq("pos", "v")))
-      val means = assigned
-        .groupBy(col("list_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .select(col("am.list_id").as("list_id"), col("vec"))
         .groupBy(col("list_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
+        .agg(graft.functions.VectorMean.vecMean(col("vec")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       // empty lists keep their previous centroid
       cents.indices.map(i => means.getOrElse(i, cents(i)))

@@ -65,6 +65,25 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Stream-static enrichment: join the (possibly streaming) event
+    * feed against a static dimension on a key. Catalyst broadcasts the
+    * static side per micro-batch — no state, no watermark needed for
+    * stream-static inner joins; identical semantics in batch. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+                    dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
+  /** Streaming dedup on event id with a watermark bound on state:
+    * exactly-once output per id as long as duplicates arrive within
+    * the watermark horizon. In batch mode this degrades to a plain
+    * dropDuplicates — same rows out, which is how it's differentially
+    * tested. */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("event_ts", watermark) else events
+    wm.dropDuplicates(idCol)
+  }
+
   case class SessionEvent(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
   case class SessionOut(user_id: Long, session_no: Long, startMicros: Long,
                         endMicros: Long, n_events: Long)

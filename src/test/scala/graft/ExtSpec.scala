@@ -88,6 +88,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("VectorMean aggregator matches the posexplode/avg formulation to 1e-9") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(($"vec_id" % 7).as("k"), $"embedding")
+    val typed = emb.groupBy($"k")
+      .agg(graft.functions.VectorMean.vecMean($"embedding").as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val declarative = emb
+      .select($"k", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"k", $"pos").agg(avg($"v").as("m"))
+      .groupBy($"k")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        x => x.getField("m")).as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(typed.keySet == declarative.keySet)
+    for (k <- typed.keySet) {
+      val diffs = typed(k).zip(declarative(k)).map { case (a, b) => math.abs(a - b) }
+      assert(diffs.max < 1e-9, s"key $k diverges by ${diffs.max}")
+    }
+  }
+
   test("approx sketches stay within error bounds of exact answers") {
     val d = "/root/testdata/sf0.01"
     // HLL++ default rsd = 5%

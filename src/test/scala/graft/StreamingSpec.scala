@@ -39,6 +39,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-static join and watermarked dedup run as a real stream") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val batchIn = normalizedEvents("/root/testdata/sf0.001")
+    // duplicate every event to give the dedup something to drop
+    batchIn.union(batchIn).write.mode("overwrite").parquet(dir)
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0))
+      .toDF("t", "weight")
+
+    val stream = Streams.enrichWithDim(
+      Streams.dedupEvents(Streams.eventsStream(spark, dir)),
+      dim, "event_type", "t")
+      .groupBy($"weight").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("enriched_out")
+      .orderBy("weight").as[(Double, Long)].collect()
+    val batch = Streams.enrichWithDim(
+      Streams.dedupEvents(batchIn.union(batchIn)), dim, "event_type", "t")
+      .groupBy($"weight").agg(count(lit(1)).as("n"))
+      .orderBy("weight").as[(Double, Long)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // dedup actually dropped the duplicates
+    val total = streamed.map(_._2).sum
+    val distinctIds = batchIn.filter($"event_type".isin("click", "view", "purchase"))
+      .select($"event_id").distinct().count()
+    assert(total == distinctIds)
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
