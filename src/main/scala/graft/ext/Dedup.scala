@@ -81,42 +81,46 @@ object Dedup {
   }
 
   /** LSH candidate pairs: band the k-wide signature into bands of
-    * `rowsPerBand`, hash each band, self-join on (band index, band
-    * hash), keep a<b pairs. Buckets larger than `maxBucket` are dropped
+    * `rowsPerBand`, hash each band, emit all a<b pairs within each
+    * (band, bucket) group. Buckets larger than `maxBucket` are dropped
     * (degenerate hot keys — at scale these would quadratically explode;
-    * dropping them is the standard guard and is deterministic). */
+    * dropping them is the standard guard and is deterministic).
+    *
+    * Plan shape: ONE linear pipeline — explode bands → groupBy (band,
+    * bucket) collecting ids → per-group pair expansion as an array
+    * expression → distinct. No self-join, so the signature pipeline is
+    * computed once with no cache; the per-group expansion is bounded by
+    * maxBucket² (≤10⁴ structs for the default 100), evaluated inside
+    * codegen. The groupBy key (band, bucket) is the only data shuffle;
+    * `distinct` shuffles the (already-small) candidate set. */
   def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 8,
                         rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
     val nBands = k / rowsPerBand
     // One projection + one explode produces all bands in a single pass
     // (a per-band union would recompute the signature pipeline nBands
-    // times), and the band table is cached because the self-join below
-    // consumes it twice.
+    // times).
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }
-    // Hash-repartition on the (band, bucket) key BEFORE caching: the
-    // bucket-size count, the semi-join, and the self-join below all key
-    // on (band, bucket), so they reuse this partitioning instead of
-    // re-shuffling the cached table — and a single-split input (one
-    // small parquet file locally; one giant row-group at scale) gets
-    // spread across the cluster instead of pinning one task.
     val bands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .repartition(col("band"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val smallBuckets = bands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val kept = bands.join(smallBuckets, Seq("band", "bucket"), "left_semi")
-    val a = kept.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = kept.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // all ordered pairs (ids[i], ids[j]) with i < j over the sorted
+    // id list — id_a < id_b holds by construction (2-element arrays,
+    // not structs: lambda-built struct field names don't survive
+    // Column-API resolution)
+    val pairsOfSorted = {
+      val ids = array_sort(col("ids"))
+      flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + 2, size(ids)), b => array(a, b))))
+    }
+    bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(pairsOfSorted).as("p"))
+      .select(element_at(col("p"), 1).as("id_a"), element_at(col("p"), 2).as("id_b"))
       .distinct()
   }
 
