@@ -438,6 +438,14 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // connected components over near-dup pairs → dedup GROUPS
+    // (iterative min-label propagation; oracle = recursive-CTE closure)
+    "q48_dedup_components" -> { (s, d) =>
+      val sig = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
+      val pairs = Dedup.minhashCandidates(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    },
+
     // ---- rows-only entries (no SQL-expressible oracle) ----
 
     // approximate distinct-count sketch (HLL++) side-by-side with the
@@ -507,6 +515,24 @@ object SparkEntry {
   private def simhashFpSql(bits: Int): String =
     (0 until bits).map(b =>
       s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+
+  /** DuckDB twin of the q26 MinHash-LSH candidate pipeline, without
+    * the final ORDER BY so q48 can build its recursive closure on it. */
+  private val minhashPairsSqlBody: String =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      |sh AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
+      |ex AS (SELECT doc_id, u.sh FROM sh, unnest(sh.shingles) AS u(sh)),
+      |sig AS (SELECT doc_id,
+      |  ${(0 until 8).map(i => s"min(md5('$i|' || sh)) AS sig$i").mkString(", ")}
+      | FROM ex GROUP BY doc_id),
+      |bands AS (
+      |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(sig${2 * b} || '|' || sig${2 * b + 1}) AS bucket FROM sig")
+            .mkString(" UNION ALL ")}),
+      |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS n FROM bands),
+      |keep AS (SELECT band, bucket, doc_id FROM sized WHERE n <= 100)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
 
   /** DuckDB twin of q31: the same sign-random-projection bucketing
     * with the hyperplanes inlined as ±1.0 list literals (they're
@@ -720,22 +746,24 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q26_minhash_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
-        |sh AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
-        |ex AS (SELECT doc_id, u.sh FROM sh, unnest(sh.shingles) AS u(sh)),
-        |sig AS (SELECT doc_id,
-        |  ${(0 until 8).map(i => s"min(md5('$i|' || sh)) AS sig$i").mkString(", ")}
-        | FROM ex GROUP BY doc_id),
-        |bands AS (
-        |  ${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, md5(sig${2 * b} || '|' || sig${2 * b + 1}) AS bucket FROM sig")
-            .mkString(" UNION ALL ")}),
-        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS n FROM bands),
-        |keep AS (SELECT band, bucket, doc_id FROM sized WHERE n <= 100)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q26_minhash_pairs" -> s"$minhashPairsSqlBody\nORDER BY id_a, id_b",
+
+    // connected components over the q26 candidate pairs: transitive
+    // closure (recursive CTE) → min reachable id = the same fixpoint
+    // Spark's iterative min-label propagation converges to
+    "q48_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT * FROM ($minhashPairsSqlBody)),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.comp AS comp
+        |  FROM reach r JOIN edges e ON r.id = e.src)
+        |SELECT id, CAST(MIN(comp) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q27_simhash" ->
       s"""WITH toks AS (

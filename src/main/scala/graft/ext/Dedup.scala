@@ -124,6 +124,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list — turns
+    * near-duplicate PAIRS into duplicate GROUPS (the step between
+    * candidate generation and "keep one per cluster").
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * itself; each round every node takes the min label among itself
+    * and its neighbors; converged when no label changes. The final
+    * label is the component's minimum node id — the same fixpoint a
+    * transitive-closure formulation reaches, which is how the DuckDB
+    * recursive-CTE oracle states it (q48).
+    *
+    * Each round is one shuffle on node id. Rounds needed = graph
+    * diameter (near-dup clusters are shallow — a handful). `maxIter`
+    * bounds pathological chains; convergence is checked per round so
+    * typical inputs stop early. Labels persist per round and unpersist
+    * after the next round materializes. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var persisted = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // one round = one action: the neighbor-min left join carries the
+      // old label alongside the new one, so materializing `next` (via
+      // persist) and testing convergence is a single aggregate pass —
+      // no second join-and-count job per round
+      val nbMin = labels
+        .join(edges, labels("id") === edges("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("component")).as("nb_min"))
+      val next = labels.withColumnRenamed("component", "old")
+        .join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nb_min"), col("old"))).as("component"),
+          col("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .agg(max((col("component") =!= col("old")).cast("int")).as("c"))
+        .head().getInt(0)
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("id"), col("component"))
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash over whitespace tokens: per token take the first 8
     * hex chars of md5 as a 32-bit value; each fingerprint bit is the
     * sign of the per-bit vote sum (+1 if set, −1 if not) across tokens.

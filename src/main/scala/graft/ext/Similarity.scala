@@ -91,23 +91,24 @@ object Similarity {
     s
   }
 
-  /** Argmin-centroid assignment as a single projection expression:
-    * per row, `array_min` over `struct(dist, list_id)` structs — struct
-    * ordering is lexicographic, so equal distances tie-break on the
-    * lower list id deterministically. `dist` is squared L2 minus the
-    * per-vector constant ‖v‖² (irrelevant to the argmin):
-    * −2·⟨v,c⟩ + ‖c‖². No shuffle, no crossJoin — nLists dot products
-    * inline in whole-stage codegen via [[dot]]. */
-  private def assignStructs(vecCol: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
-      struct((dot(vecCol, cLit) * -2 + lit(sqnorm(c))).as("d"), lit(i).as("list_id"))
-    }: _*)
+  /** Per-centroid [dist, list_id] pairs as a single projection
+    * expression: the centroid matrix is ONE nested-array literal (not
+    * nLists × dim separate literal nodes — keeps the expression tree
+    * small however many lists), and `transform` computes
+    * −2·⟨v,c⟩ + ‖c‖² per centroid — squared L2 minus the per-vector
+    * constant ‖v‖², irrelevant to the argmin. `array_min` over the
+    * [dist, id] pairs is lexicographic, so equal distances tie-break
+    * on the lower list id deterministically. No shuffle, no crossJoin —
+    * nLists dot products inline in whole-stage codegen via [[dot]]. */
+  private def assignArrays(vecCol: Column, cents: Seq[Array[Double]]): Column = {
+    val centsLit = typedlit(cents.map(_.toSeq))
+    val normsLit = typedlit(cents.map(sqnorm))
+    transform(centsLit, (c, i) =>
+      array(dot(vecCol, c) * -2 + element_at(normsLit, i + 1), i.cast("double")))
+  }
 
-  // NOTE: getField on a *fresh* struct() literal fails to resolve in
-  // the Column API (field names materialize during analysis), so
-  // callers first alias the struct/array into an attribute and extract
-  // from that in a second projection.
+  private def assignedList(vecCol: Column, cents: Seq[Array[Double]]): Column =
+    array_min(assignArrays(vecCol, cents)).getItem(1).cast("int")
 
   /** Lloyd-iterated IVF centroids. Initialization is the `nLists`
     * vectors with the lowest ids (deterministic, like the reference
@@ -128,8 +129,7 @@ object Similarity {
       // list) — not one row per vector ELEMENT as a posexplode →
       // groupBy(list, pos) → avg formulation would
       val means = vectors
-        .select(array_min(assignStructs(col(vecCol), cents)).as("am"), col(vecCol).as("vec"))
-        .select(col("am.list_id").as("list_id"), col("vec"))
+        .select(assignedList(col(vecCol), cents).as("list_id"), col(vecCol).as("vec"))
         .groupBy(col("list_id"))
         .agg(graft.functions.VectorMean.vecMean(col("vec")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
@@ -148,12 +148,10 @@ object Similarity {
     val cents = ivfCentroids(vectors, idCol, vecCol, nLists, iters)
     val probeB = broadcast(probe
       .select(col("probe_vec"),
-        slice(array_sort(assignStructs(col("probe_vec"), cents)), 1, nProbe).as("cand"))
-      .select(col("probe_vec"),
-        transform(col("cand"), x => x.getField("list_id")).as("lists")))
+        transform(slice(array_sort(assignArrays(col("probe_vec"), cents)), 1, nProbe),
+          x => x.getItem(1).cast("int")).as("lists")))
     vectors
-      .withColumn("am", array_min(assignStructs(col(vecCol), cents)))
-      .withColumn("list_id", col("am.list_id")).drop("am")
+      .withColumn("list_id", assignedList(col(vecCol), cents))
       .join(probeB, array_contains(col("lists"), col("list_id")))
       .select(col(idCol), round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))

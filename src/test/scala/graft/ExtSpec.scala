@@ -33,6 +33,14 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("connected components: chains merge, isolated pairs stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L), (9L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("simhash: identical docs identical fingerprints; fingerprint in 32-bit range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z")).toDF("doc_id", "text")
     val got = Dedup.simhash(docs, "text", "doc_id").orderBy("doc_id").as[(Long, Long)].collect()
