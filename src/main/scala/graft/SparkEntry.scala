@@ -438,6 +438,19 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // string-level near-dup: Levenshtein distance on adjacent-id pairs
+    // (prefix-bounded — edit distance is O(len²) per pair; a real
+    // pipeline gates it behind cheap filters like fingerprint equality)
+    "q50_edit_distance" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 64).as("prefix"))
+      docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+        .join(docs.select(col("doc_id").as("id_b"), col("prefix").as("pb")),
+          col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), levenshtein(col("pa"), col("pb")).as("edit_dist"))
+        .orderBy(col("id_a"))
+    },
+
     // connected components over near-dup pairs → dedup GROUPS
     // (iterative min-label propagation; oracle = recursive-CTE closure)
     "q48_dedup_components" -> { (s, d) =>
@@ -498,6 +511,17 @@ object SparkEntry {
     "q32_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"))),
+
+    // multimodal frame sampling: 1:N generator fan-out per media row
+    // (stubbed chunking; the explode plumbing is the production shape)
+    "q49_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.resize(
+          Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"),
+          targetBytes = 256),
+        frameBytes = 64, stride = 2)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- DuckDB oracle twins --------------------------------------------
@@ -891,6 +915,12 @@ object SparkEntry {
         | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "q44_window_frames" ->
       """SELECT o_custkey, o_orderkey,

@@ -71,6 +71,38 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize: payload → payload'. Real deployments decode, scale,
+    * re-encode; the stub truncates/pads to `targetBytes` so the
+    * pipeline shape (binary → binary map, null-safe, codegen-adjacent)
+    * is real and size-assertable in tests. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val doResize = udf((p: Array[Byte]) =>
+      if (p == null) null
+      else if (p.length >= targetBytes) p.take(targetBytes)
+      else p ++ Array.fill[Byte](targetBytes - p.length)(0))
+    media.withColumn("payload", doResize(col("payload")))
+      .withColumn("meta", struct(col("meta.source").as("source"),
+        lit(targetBytes.toLong).as("n_bytes")))
+  }
+
+  /** STUB frame sampling: one media row → every `stride`-th fixed-size
+    * chunk of the payload as a frame row (media_id, frame_no, frame).
+    * Real deployments pull I-frames via a codec; the generator shape —
+    * explode of a per-row array, null/empty payloads dropping out, 1:N
+    * row fan-out partition-locally — is the production plumbing. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val slice = udf((p: Array[Byte]) =>
+      if (p == null) Array.empty[Array[Byte]]
+      else Iterator.from(0)
+        .map(_ * frameBytes * stride)
+        .takeWhile(_ < p.length)
+        .map(off => p.slice(off, math.min(off + frameBytes, p.length)))
+        .toArray)
+    media
+      .select(col("media_id"), posexplode(slice(col("payload"))).as(Seq("frame_no", "frame")))
+  }
+
   /** Per-source byte accounting over the opaque payloads — the kind of
     * manifest stat a 100 TB media crawl needs before any decode. */
   def byteStats(media: DataFrame): DataFrame =

@@ -188,4 +188,23 @@ class ExtSpec extends AnyFunSuite {
     assert(feats.length == 2)
     assert(feats(0).getSeq[Float](1).head == 3f) // n bytes as first stub feature
   }
+
+  test("multimodal resize + frame sampling: size contract and 1:N fan-out") {
+    val docs = Seq((1L, "x" * 100, "s"), (2L, "y" * 10, "s"), (3L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.ingest(docs, "doc_id", "text", "source")
+    val resized = Multimodal.resize(media, 40)
+    val sizes = resized.select($"media_id", length($"payload"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(sizes(1L).contains(40) && sizes(2L).contains(40) && sizes(3L).isEmpty)
+    // frames of 16 bytes, stride 2 → offsets 0, 32 → 2 full-or-partial
+    // frames from 40 bytes; null payloads contribute no rows
+    val frames = Multimodal.frameSample(resized, frameBytes = 16, stride = 2)
+    val byId = frames.groupBy($"media_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byId == Map(1L -> 2L, 2L -> 2L))
+    val f = frames.filter($"media_id" === 1 && $"frame_no" === 1)
+      .select(length($"frame")).as[Int].head()
+    assert(f == 8) // second frame starts at 32 of 40 → 8 bytes
+  }
 }
