@@ -22,6 +22,7 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TextFunctions.register(spark)
+    graft.plans.GraftExtensions.install(spark)
     spark
   }
 

@@ -69,6 +69,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinRewrite turns inequality joins into banded equi-joins") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.install(spark)
+    val points = Tables.customer(spark, d).select(col("c_custkey"), col("c_acctbal"))
+    val intervals = Tables.supplier(spark, d).select(col("s_suppkey"),
+      (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+    def rawJoin = points.join(intervals,
+      col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .select(col("c_custkey"), col("s_suppkey"))
+    try {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      val rewritten = rawJoin
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"expected banded equi-join, got:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val expected = rawJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.nonEmpty && got.toSeq == expected.toSeq)
+      // and the disabled plan really is the nested loop
+      assert(rawJoin.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline (q01)") {
     val plan = executedPlanOf(SparkEntry.queries("q01_pricing_summary")(spark, d))
     // codegen'd operators print as "*(n) Operator" in the final plan
