@@ -93,6 +93,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
   }
 
+  test("partition pruning: filter on partition column prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.orders(spark, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition filter in:\n$plan")
+    // the un-pruned read sees >1 partition value; the pruned one sees 1
+    assert(pruned.select("o_year").distinct().count() == 1)
+  }
+
   test("whole-stage codegen covers the aggregation pipeline (q01)") {
     val plan = executedPlanOf(SparkEntry.queries("q01_pricing_summary")(spark, d))
     // codegen'd operators print as "*(n) Operator" in the final plan
