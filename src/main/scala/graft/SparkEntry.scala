@@ -344,6 +344,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // forward as-of join: each event → the same user's next purchase
+    // at-or-after it (the classic conversion-funnel enrichment)
+    "q51_asof_forward" -> { (s, d) =>
+      val events = Tables.eventsWithTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_ts"))
+      val purchases = Tables.eventsWithTs(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_ts").as("purchase_ts"))
+      graft.operators.AsOfJoin.joinAsOfForward(
+        events, purchases, "user_id", "p_user", "event_ts", "purchase_ts",
+        Seq("purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // rollup aggregation (beyond the reference's flat group-bys)
     "q36_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -852,6 +867,15 @@ object SparkEntry {
         |FROM events e ASOF JOIN orders o
         | ON e.user_id = o.o_custkey
         | AND make_timestamp(epoch_ns(e.ts) // 1000) >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q51_asof_forward" ->
+      """SELECT e.event_id, e.user_id, p.purchase_ts
+        |FROM events e ASOF JOIN (
+        |  SELECT user_id AS p_user, make_timestamp(epoch_ns(ts) // 1000) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase') p
+        | ON e.user_id = p.p_user
+        | AND make_timestamp(epoch_ns(e.ts) // 1000) <= p.purchase_ts
         |ORDER BY event_id""".stripMargin,
 
     "q36_rollup" ->

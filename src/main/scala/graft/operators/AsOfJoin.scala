@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
@@ -29,12 +29,37 @@ object AsOfJoin {
   def joinAsOfBackward(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
-                       valueCols: Seq[String]): DataFrame = {
+                       valueCols: Seq[String]): DataFrame =
+    joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      forward = false)
+
+  /** Forward as-of join: attach the right row with the SMALLEST
+    * `rightTime >= leftTime` per key ("next scheduled event after this
+    * one"). Same union-and-window shape, mirrored: right rows sort
+    * after left rows at equal time is wrong for inclusive >= — so
+    * right sorts first at equal times and the carry runs backward via
+    * an unbounded-following frame. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String]): DataFrame =
+    joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      forward = true)
+
+  private def joinAsOf(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    // sort position of right rows at equal timestamps: backward wants
+    // right BEFORE left (so <= is inclusive under a preceding frame);
+    // forward wants right AFTER left under a following frame — which
+    // is again "left greater", so the flag encoding flips
+    val lFlag = 1
     val lNorm = left.select(
       (Seq(col(leftKey).cast("long").as("__k"),
         col(leftTime).cast(TimestampType).as("__t"),
-        lit(1).as("__isL")) ++
+        lit(lFlag).as("__isL")) ++
         leftCols.map(col) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
     val rNorm = right.select(
@@ -43,11 +68,16 @@ object AsOfJoin {
         lit(0).as("__isL")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"__v_$c"))): _*)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__isL"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), if (forward) col("__isL").desc else col("__isL").asc)
+    val w =
+      if (forward) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry: Column => Column =
+      if (forward) c => first(c, ignoreNulls = true).over(w)
+      else c => last(c, ignoreNulls = true).over(w)
     val filled = valueCols.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"__v_$c", carry(col(s"__v_$c")))
     }
     filled
       .filter(col("__isL") === 1 && valueCols.map(c => col(s"__v_$c").isNotNull).reduce(_ && _))

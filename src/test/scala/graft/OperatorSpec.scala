@@ -31,6 +31,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "b"), (2L, "a"), (4L, "d")))
   }
 
+  test("forward as-of join picks earliest right row at-or-after left time, per key") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),   // between b and c → c
+      (2L, 10L, ts("2024-01-04 00:00:00")),   // exactly at order b → inclusive
+      (3L, 10L, ts("2024-03-01 00:00:00")),   // after all orders → dropped (inner)
+      (4L, 20L, ts("2024-05-01 00:00:00")),
+      (5L, 30L, ts("2024-06-01 00:00:00"))    // key with no right rows → dropped
+    ).toDF("event_id", "user_id", "event_ts")
+    val orders = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-04 00:00:00"), "b"),
+      (10L, ts("2024-02-01 00:00:00"), "c"),
+      (20L, ts("2024-05-30 00:00:00"), "d")
+    ).toDF("o_custkey", "o_orderdate", "tag")
+    val got = AsOfJoin.joinAsOfForward(events, orders,
+      "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("tag"))
+      .select("event_id", "tag").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "c"), (2L, "b"), (4L, "d")))
+  }
+
   test("salted join equals the plain inner join exactly") {
     val left = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select($"l_partkey".as("partkey"), $"l_linenumber", $"l_quantity")
