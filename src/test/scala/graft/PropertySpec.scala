@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based differential tests (SURVEY.md §5.2.3): the Spark
+  * expressions are compared against plain-Scala reference
+  * implementations of the same semantics on arbitrary inputs, and
+  * structural invariants (explode cardinality, dense-id permutation,
+  * as-of selection) are checked on generated data.
+  *
+  * Cases are kept small (each one runs Spark jobs); 10 successful
+  * cases per property keeps the suite under a minute.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // plain-Scala reference of silver.Clean.cleanStringValue: strip the
+  // u'…' repr wrapper, substring-normalize booleans, "none"→null
+  // (ref: bronze_to_silver_on_minio.py:27-33)
+  private def cleanRef(s: String): Option[String] = {
+    val stripped = s.replaceAll("^u?'|'?$", "")
+      .replace("True", "true").replace("False", "false")
+    if (stripped.toLowerCase == "none") None else Some(stripped)
+  }
+
+  private val asciiGen: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.stringOfN(n, Gen.frequency(
+      (5, Gen.alphaNumChar), (2, Gen.const('\'')), (1, Gen.const('u')),
+      (1, Gen.oneOf("TrueFalseNone".toSeq)), (1, Gen.const(' ')))))
+
+  property("cleanStringValue == plain-Scala reference") =
+    forAll(Gen.listOfN(5, asciiGen)) { strings =>
+      val got = strings.toDF("v")
+        .select(graft.silver.Clean.cleanStringValue($"v"))
+        .as[Option[String]].collect().toSeq
+      got == strings.map(cleanRef)
+    }
+
+  property("explode emits exactly sum-of-array-sizes rows") =
+    forAll(Gen.listOfN(6, Gen.listOf(Gen.alphaStr).map(_.take(5)))) { arrays =>
+      val n = arrays.toDF("arr").select(explode($"arr")).count()
+      n == arrays.map(_.size).sum
+    }
+
+  property("denseId is a 1..N permutation aligned with sort order") =
+    forAll(Gen.listOf(Gen.chooseNum(-1000, 1000)).map(_.distinct)) { keys =>
+      keys.isEmpty || {
+        val ids = graft.gold.Surrogate.denseId(keys.toDF("k"), "k", "id")
+          .select("k", "id").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+        ids.toSeq == (1L to keys.length.toLong)
+      }
+    }
+
+  private val tsGen = Gen.chooseNum(0L, 3600L).map(s =>
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + s)))
+
+  property("backward as-of join == per-row max(right <= left)") = {
+    val eventsGen = Gen.listOfN(6, Gen.zip(Gen.chooseNum(1L, 3L), tsGen))
+    val ordersGen = Gen.listOfN(4, Gen.zip(Gen.chooseNum(1L, 3L), tsGen))
+    forAll(eventsGen, ordersGen) { (evs, ords) =>
+      val events = evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+        .toDF("event_id", "user_id", "event_ts")
+      val orders = ords.toDF("o_custkey", "o_orderdate")
+      val got = graft.operators.AsOfJoin.joinAsOfBackward(events, orders,
+        "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("o_orderdate"))
+        .select("event_id", "o_orderdate")
+        .as[(Long, java.sql.Timestamp)].collect().toMap
+      val expect = evs.zipWithIndex.flatMap { case ((u, t), i) =>
+        val cand = ords.filter { case (ou, ot) => ou == u && !ot.after(t) }
+        if (cand.isEmpty) None else Some(i.toLong -> cand.map(_._2).maxBy(_.getTime))
+      }.toMap
+      Prop(got == expect) :| s"got=$got expect=$expect"
+    }
+  }
+
+  property("identical texts are always MinHash-LSH candidates") =
+    forAll(Gen.chooseNum(2, 4), Gen.alphaStr.suchThat(_.nonEmpty)) { (copies, text) =>
+      val docs = (0 until copies).map(i => (i.toLong, s"$text $text $text"))
+        .toDF("doc_id", "text")
+      val sig = graft.ext.Dedup.minhashSignatures(docs, "text", "doc_id", 8)
+      val pairs = graft.ext.Dedup.minhashCandidates(sig, "doc_id")
+        .as[(Long, Long)].collect().toSet
+      val allPairs = (for {
+        a <- 0 until copies; b <- a + 1 until copies
+      } yield (a.toLong, b.toLong)).toSet
+      pairs == allPairs
+    }
+}
