@@ -344,6 +344,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // the same as-of semantics through the NATIVE operator path:
+    // custom LogicalPlan + SparkStrategy + sort-merge SparkPlan
+    // (one co-partitioning exchange per side, streaming merge, no
+    // union/window) — same oracle as q35
+    "q52_asof_native" -> { (s, d) =>
+      val events = Tables.eventsWithTs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_ts"))
+      val orders = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+      graft.plans.AsOfJoinNative.joinAsOfBackward(
+        events, orders, "user_id", "o_custkey", "event_ts", "o_orderdate",
+        Seq("o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          to_date(col("o_orderdate")).as("last_order_date"))
+        .orderBy(col("event_id"))
+    },
+
     // forward as-of join: each event → the same user's next purchase
     // at-or-after it (the classic conversion-funnel enrichment)
     "q51_asof_forward" -> { (s, d) =>
@@ -863,6 +879,13 @@ object SparkEntry {
         |ORDER BY user_id, session_no""".stripMargin,
 
     "q35_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS DATE) AS last_order_date
+        |FROM events e ASOF JOIN orders o
+        | ON e.user_id = o.o_custkey
+        | AND make_timestamp(epoch_ns(e.ts) // 1000) >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q52_asof_native" ->
       """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS DATE) AS last_order_date
         |FROM events e ASOF JOIN orders o
         | ON e.user_id = o.o_custkey

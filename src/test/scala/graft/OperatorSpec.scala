@@ -51,6 +51,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "c"), (2L, "b"), (4L, "d")))
   }
 
+  test("native sort-merge as-of exec equals the union+window composition") {
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_ts")
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_custkey", $"o_orderdate")
+    val native = graft.plans.AsOfJoinNative.joinAsOfBackward(
+      events, orders, "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("o_orderdate"))
+    val composed = AsOfJoin.joinAsOfBackward(
+      events, orders, "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("o_orderdate"))
+    assert(native.count() > 0)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    // the plan is the custom exec (nodeName strips the Exec suffix),
+    // not a union+window
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected native exec in:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window operator in:\n$plan")
+    // edge semantics on hand-built rows (inclusive <=, per-key reset)
+    val ev = Seq((1L, 10L, ts("2024-01-04 00:00:00")),
+      (2L, 10L, ts("2023-12-31 00:00:00")), (3L, 99L, ts("2024-01-04 00:00:00")))
+      .toDF("event_id", "user_id", "event_ts")
+    val or = Seq((10L, ts("2024-01-01 00:00:00"), "a"), (10L, ts("2024-01-04 00:00:00"), "b"))
+      .toDF("o_custkey", "o_orderdate", "tag")
+    val got = graft.plans.AsOfJoinNative.joinAsOfBackward(
+      ev, or, "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("tag"))
+      .select("event_id", "tag").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "b")))
+  }
+
   test("salted join equals the plain inner join exactly") {
     val left = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select($"l_partkey".as("partkey"), $"l_linenumber", $"l_quantity")
