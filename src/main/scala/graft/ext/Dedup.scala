@@ -165,8 +165,9 @@ object Dedup {
           least(col("old"), coalesce(col("nb_min"), col("old"))).as("component"),
           col("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // coalesce: max over an EMPTY frame (no pairs at all) is null
       val changed = next
-        .agg(max((col("component") =!= col("old")).cast("int")).as("c"))
+        .agg(coalesce(max((col("component") =!= col("old")).cast("int")), lit(0)).as("c"))
         .head().getInt(0)
       persisted.unpersist()
       persisted = next
@@ -175,7 +176,17 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it and re-run " +
+          "(silently returning partial labels would split clusters)")
+    // cut lineage off the session-lifetime cache: the checkpointed
+    // result lives only as long as the returned frame's RDD, so the
+    // per-round persists can be released now
+    val result = labels.localCheckpoint(true)
+    persisted.unpersist()
+    result
   }
 
   /** 32-bit SimHash over whitespace tokens: per token take the first 8

@@ -82,7 +82,10 @@ object Multimodal {
       else p ++ Array.fill[Byte](targetBytes - p.length)(0))
     media.withColumn("payload", doResize(col("payload")))
       .withColumn("meta", struct(col("meta.source").as("source"),
-        lit(targetBytes.toLong).as("n_bytes")))
+        // null payloads carry no bytes — stamping targetBytes would
+        // corrupt byteStats' sums downstream
+        when(col("payload").isNull, lit(null).cast(LongType))
+          .otherwise(lit(targetBytes.toLong)).as("n_bytes")))
   }
 
   /** STUB frame sampling: one media row → every `stride`-th fixed-size

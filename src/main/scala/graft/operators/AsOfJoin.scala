@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.TimestampType
   *
   * One shuffle on the key, O(n log n) per partition, no pair blowup —
   * the 100 TB-safe shape. Inner semantics: left rows with no prior
-  * right row are dropped (their carried values are all null).
+  * right row are dropped (no carried right-row struct exists); a
+  * matched row's individual values may be null and pass through.
   */
 object AsOfJoin {
 
@@ -51,36 +52,47 @@ object AsOfJoin {
                        leftTime: String, rightTime: String,
                        valueCols: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    // null keys/times never match under the as-of predicate (SQL
+    // comparison semantics) — filter them out rather than letting the
+    // window's null partition/ordering invent matches
+    val vrowType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val lNorm = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .select(
+        (Seq(col(leftKey).cast("long").as("__k"),
+          col(leftTime).cast(TimestampType).as("__t"),
+          lit(1).as("__isL")) ++
+          leftCols.map(col) :+
+          lit(null).cast(vrowType).as("__vrow")): _*)
+    // the matched right row travels as ONE struct — carrying value
+    // columns independently with ignoreNulls would stitch values from
+    // DIFFERENT right rows whenever the true match holds a null value
+    val rNorm = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (Seq(col(rightKey).cast("long").as("__k"),
+          col(rightTime).cast(TimestampType).as("__t"),
+          lit(0).as("__isL")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(valueCols.map(col): _*).as("__vrow")): _*)
     // sort position of right rows at equal timestamps: backward wants
     // right BEFORE left (so <= is inclusive under a preceding frame);
     // forward wants right AFTER left under a following frame — which
     // is again "left greater", so the flag encoding flips
-    val lFlag = 1
-    val lNorm = left.select(
-      (Seq(col(leftKey).cast("long").as("__k"),
-        col(leftTime).cast(TimestampType).as("__t"),
-        lit(lFlag).as("__isL")) ++
-        leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
-    val rNorm = right.select(
-      (Seq(col(rightKey).cast("long").as("__k"),
-        col(rightTime).cast(TimestampType).as("__t"),
-        lit(0).as("__isL")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
     val ordered = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), if (forward) col("__isL").desc else col("__isL").asc)
     val w =
       if (forward) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carry: Column => Column =
-      if (forward) c => first(c, ignoreNulls = true).over(w)
-      else c => last(c, ignoreNulls = true).over(w)
-    val filled = valueCols.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(s"__v_$c", carry(col(s"__v_$c")))
-    }
-    filled
-      .filter(col("__isL") === 1 && valueCols.map(c => col(s"__v_$c").isNotNull).reduce(_ && _))
-      .select((leftCols.map(col) ++ valueCols.map(c => col(s"__v_$c").as(c))): _*)
+    val carried =
+      if (forward) first(col("__vrow"), ignoreNulls = true).over(w)
+      else last(col("__vrow"), ignoreNulls = true).over(w)
+    lNorm.unionByName(rNorm)
+      .withColumn("__vrow", carried)
+      // inner semantics: a left row survives iff a matched right ROW
+      // exists — its value fields may legitimately be null
+      .filter(col("__isL") === 1 && col("__vrow").isNotNull)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"__vrow.$c").as(c))): _*)
   }
 }

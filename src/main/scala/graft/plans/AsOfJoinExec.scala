@@ -140,9 +140,24 @@ object AsOfJoinNative {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
-    val node = AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
+    // the exec reads keys/times via getLong: anything not physically
+    // long-backed (e.g. DateType's int days vs TimestampType's micros)
+    // would silently compare wrong scales — reject it here
+    def requireLongBacked(a: Attribute, role: String): Unit = a.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"native as-of join requires a long-backed $role " +
+          "(LongType / TimestampType / TimestampNTZType), " +
+          s"got ${dt.simpleString} for ${a.name} — cast it first or use " +
+          "operators.AsOfJoin.joinAsOfBackward")
+    }
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    Seq(lk -> "key", rk -> "key", lt -> "time", rt -> "time")
+      .foreach { case (a, role) => requireLongBacked(a, role) }
+    val node = AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt,
       valueCols.map(attr(rPlan, _)))
     org.apache.spark.sql.graftshim.ColumnShim.ofRows(spark, node)
   }

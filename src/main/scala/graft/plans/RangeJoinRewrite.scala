@@ -26,16 +26,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * exactly the rows the raw predicate could never match. The extra
   * `lo < hi` pre-filter only removes rows that match nothing.
   *
-  * Config: `spark.graft.rangeJoin.enabled` (default true),
-  * `spark.graft.rangeJoin.bandWidth` (default 100.0 — tune to the
-  * typical interval length). The rewritten join's condition contains
-  * an equality, so the rule never re-fires on its own output.
+  * Config: `spark.graft.rangeJoin.enabled` (default FALSE — the
+  * rewrite explodes `interval_width / bandWidth` band rows per
+  * interval, so enabling it with a bandWidth far below the widest
+  * interval would inflate the build side without bound; opt in with a
+  * bandWidth sized to the data's typical interval length),
+  * `spark.graft.rangeJoin.bandWidth` (default 100.0). The rewritten
+  * join's condition contains an equality, so the rule never re-fires
+  * on its own output.
   */
 case class RangeJoinRewrite(spark: org.apache.spark.sql.SparkSession)
   extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
-    spark.conf.get("spark.graft.rangeJoin.enabled", "true").toBoolean
+    spark.conf.get("spark.graft.rangeJoin.enabled", "false").toBoolean
   private def bandWidth: Double =
     spark.conf.get("spark.graft.rangeJoin.bandWidth", "100.0").toDouble
 

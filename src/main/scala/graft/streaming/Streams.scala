@@ -68,21 +68,26 @@ object Streams {
   /** Stream-static enrichment: join the (possibly streaming) event
     * feed against a static dimension on a key. Catalyst broadcasts the
     * static side per micro-batch — no state, no watermark needed for
-    * stream-static inner joins; identical semantics in batch. */
+    * stream-static inner joins; identical semantics in batch.
+    * Side-qualified references keep same-named keys unambiguous. */
   def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
                     dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey))
 
   /** Streaming dedup on event id with a watermark bound on state:
-    * exactly-once output per id as long as duplicates arrive within
-    * the watermark horizon. In batch mode this degrades to a plain
-    * dropDuplicates — same rows out, which is how it's differentially
-    * tested. */
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time, so long-running streams don't
+    * grow state forever (plain `dropDuplicates(id)` would — Spark only
+    * bounds that form when the event-time column is part of the keys).
+    * Duplicates arriving within the watermark horizon dedup exactly;
+    * in batch mode this is a plain dropDuplicates — same rows out,
+    * which is how it's differentially tested. */
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
-                  watermark: String = "1 hour"): DataFrame = {
-    val wm = if (events.isStreaming) events.withWatermark("event_ts", watermark) else events
-    wm.dropDuplicates(idCol)
-  }
+                  timeCol: String = "event_ts",
+                  watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(timeCol, watermark).dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
 
   case class SessionEvent(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
   case class SessionOut(user_id: Long, session_no: Long, startMicros: Long,

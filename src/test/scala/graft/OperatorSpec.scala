@@ -31,6 +31,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "b"), (2L, "a"), (4L, "d")))
   }
 
+  test("as-of join: matched row's null values pass through, never stitched from older rows") {
+    val events = Seq((1L, 10L, ts("2024-03-01 00:00:00"))).toDF("event_id", "user_id", "event_ts")
+    val orders = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a", "x"),
+      (10L, ts("2024-02-01 00:00:00"), null.asInstanceOf[String], "y"))
+      .toDF("o_custkey", "o_orderdate", "tag", "other")
+    val got = AsOfJoin.joinAsOfBackward(events, orders,
+      "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("tag", "other"))
+      .select("event_id", "tag", "other").collect()
+    // the true match is the 02-01 row: tag must be NULL (not "a" from
+    // the older row), other must be "y" — one row, not a mix of two
+    assert(got.length == 1 && got(0).isNullAt(1) && got(0).getString(2) == "y")
+    // null keys never match (window must not group nulls together)
+    val nullKey = Seq((2L, null.asInstanceOf[java.lang.Long], ts("2024-03-01 00:00:00")))
+      .toDF("event_id", "user_id", "event_ts")
+    val nullOrders = Seq((null.asInstanceOf[java.lang.Long], ts("2024-01-01 00:00:00"), "z"))
+      .toDF("o_custkey", "o_orderdate", "tag")
+    assert(AsOfJoin.joinAsOfBackward(nullKey, nullOrders,
+      "user_id", "o_custkey", "event_ts", "o_orderdate", Seq("tag")).count() == 0)
+  }
+
   test("forward as-of join picks earliest right row at-or-after left time, per key") {
     val events = Seq(
       (1L, 10L, ts("2024-01-05 00:00:00")),   // between b and c → c

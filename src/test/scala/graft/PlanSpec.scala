@@ -90,7 +90,7 @@ class PlanSpec extends AnyFunSuite {
       assert(got.nonEmpty && got.toSeq == expected.toSeq)
       // and the disabled plan really is the nested loop
       assert(rawJoin.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
-    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "false")
   }
 
   test("partition pruning: filter on partition column prunes the scan") {
