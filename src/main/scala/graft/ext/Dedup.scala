@@ -41,8 +41,11 @@ object Dedup {
         sequence(lit(0), size(toks) - w),
         i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
 
-  /** Convenience form over raw text (materializes tokens internally
-    * via [[explodedShingles]]; for composition prefer the token form). */
+  /** Convenience form over raw text for tests/small inputs. NOTE: the
+    * inline tokenizer is re-evaluated per shingle position (the hazard
+    * [[shinglesFromTokens]] documents) — production callers go through
+    * [[explodedShingles]]/[[minhashSignatures]], which materialize the
+    * token array once per row first. */
   def shingles(text: Column, w: Int = 3): Column =
     shinglesFromTokens(TextStats.tokens(text), w)
 
@@ -95,6 +98,9 @@ object Dedup {
     * `distinct` shuffles the (already-small) candidate set. */
   def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 8,
                         rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be divisible by rowsPerBand=$rowsPerBand — truncating would " +
+        "silently drop trailing signature columns from every band")
     val nBands = k / rowsPerBand
     // One projection + one explode produces all bands in a single pass
     // (a per-band union would recompute the signature pipeline nBands

@@ -92,5 +92,11 @@ object VectorFunctions {
         "vec_dot", exprs => VecDotProduct(exprs(0), exprs(1)), "built-in")
   }
 
-  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  /** Builds the expression directly — no registry dependency, so
+    * library callers (Similarity.*) work in sessions that never ran
+    * [[register]]; `register` remains for `spark.sql` text. */
+  def vecDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+    column(VecDotProduct(expression(a), expression(b)))
+  }
 }

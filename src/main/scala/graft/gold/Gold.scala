@@ -39,6 +39,32 @@ object Gold {
         date_format(col("date"), "E").isin("Sat", "Sun").as("is_weekend"))
   }
 
+  /** Incremental-safe dim_time: `date_id = yyyymmdd` — a pure function
+    * of the date, so ids NEVER shift between monthly runs (the
+    * row_number surrogate restarts at 1 every run, silently re-keying
+    * history — the reference has exactly this bug: it rebuilds and
+    * overwrites dim_time per month while fact partitions accumulate).
+    * `existingDates` carries the dates already in gold so the
+    * overwritten dim keeps covering historical facts. */
+  def buildDimTimeStable(reviews: DataFrame, checkins: DataFrame,
+                         existingDates: Option[DataFrame]): DataFrame = {
+    val current = reviews.select(to_date(col("date")).as("date"))
+      .union(checkins.select(to_date(col("date")).as("date")))
+    val all = existingDates.fold(current)(e => current.union(e.select(to_date(col("date")).as("date"))))
+    all.distinct()
+      .withColumn("date_id",
+        (year(col("date")) * 10000 + month(col("date")) * 100 + dayofmonth(col("date")))
+          .cast("int"))
+      .select(
+        col("date_id"), col("date"),
+        year(col("date")).as("year"),
+        month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day"),
+        date_format(col("date"), "E").as("weekday"),
+        quarter(col("date")).as("quarter"),
+        date_format(col("date"), "E").isin("Sat", "Sun").as("is_weekend"))
+  }
+
   /** ref: silver_to_gold_on_minio.py:37-52 — pure projection/rename. */
   def buildDimBusiness(business: DataFrame): DataFrame =
     business.select(
@@ -68,6 +94,38 @@ object Gold {
     val dim = exploded.select("category_name").distinct()
       .withColumn("category_id", row_number().over(Window.orderBy("category_name")))
     exploded.join(dim, Seq("category_name"))
+      .select(col("business_id"), col("category_id"), col("category_name"))
+      .distinct()
+  }
+
+  /** Incremental-safe bridge: category ids are assigned ONCE and kept
+    * forever — existing (id, name) pairs are reused, genuinely new
+    * names get max(existing id) + row_number(name order). A per-run
+    * row_number (the reference's scheme) re-keys categories whenever
+    * the observed name set changes, so upserts on (business_id,
+    * category_id) strand stale rows under retired ids. */
+  def buildBridgeBusinessCategoryStable(business: DataFrame,
+                                        existingBridge: Option[DataFrame]): DataFrame = {
+    val exploded = business
+      .select(col("business_id"), explode(split(col("categories"), ",\\s*")).as("category_name"))
+      .withColumn("category_name", trim(col("category_name")))
+      .filter(col("category_name") =!= "")
+      .distinct()
+    val existingCats = existingBridge.map(
+      _.select(col("category_id"), col("category_name")).distinct())
+    val maxExisting: Int = existingCats
+      .map(_.agg(coalesce(max(col("category_id")), lit(0))).head().getInt(0))
+      .getOrElse(0)
+    val newNames = existingCats.fold(exploded.select("category_name").distinct()) { ec =>
+      exploded.select("category_name").distinct()
+        .join(ec.select("category_name"), Seq("category_name"), "left_anti")
+    }
+    val newCats = newNames
+      .withColumn("category_id",
+        (row_number().over(Window.orderBy("category_name")) + maxExisting))
+      .select(col("category_id"), col("category_name"))
+    val dim = existingCats.fold(newCats)(_.unionByName(newCats))
+    exploded.join(broadcast(dim), Seq("category_name"))
       .select(col("business_id"), col("category_id"), col("category_name"))
       .distinct()
   }

@@ -26,20 +26,55 @@ object Upsert {
     target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*), keys, "left_anti")
       .unionByName(updates)
 
+  /** Deterministically keep one row per key: rows ordered by every
+    * non-key column, first wins. Delta MERGE would ERROR on duplicate
+    * update keys; resolving deterministically keeps re-delivered
+    * bronze records from permanently duplicating dimension rows. */
+  def dedupByKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val others = df.columns.filterNot(keys.contains).toSeq
+    if (others.isEmpty) df.dropDuplicates(keys)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(others.map(col): _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
   /** Path-based form with bootstrap: if `path` doesn't exist yet, plain
     * overwrite (the reference's `DeltaTable.isDeltaTable` branch,
-    * ref: silver_to_gold_on_minio.py:131-144). */
+    * ref: silver_to_gold_on_minio.py:131-144).
+    *
+    * Crash-safe swap protocol (local FS; object stores need their own
+    * committer): write merged → `__upsert_tmp`, move live → `__old`,
+    * move tmp → live, delete `__old`. Every crash window is recovered
+    * on the next call: a missing live dir with `__old` present is
+    * restored (the interrupted merge simply re-runs), a leftover
+    * `__old` beside a live dir is garbage-collected, and a stale tmp
+    * is cleared before writing. The previous delete-then-move protocol
+    * had a window where the table vanished and the next run's
+    * bootstrap branch silently re-created it from one month's rows. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Unit = {
     val dir = Paths.get(path)
+    val old = Paths.get(path.stripSuffix("/") + "__old")
+    val tmp = Paths.get(path.stripSuffix("/") + "__upsert_tmp")
+    // recovery from a previous interrupted swap
+    if (!Files.exists(dir) && Files.exists(old))
+      Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+
+    val deduped = dedupByKeys(updates, keys)
     if (!Files.exists(dir)) {
-      updates.write.mode(SaveMode.Overwrite).parquet(path)
+      deduped.write.mode(SaveMode.Overwrite).parquet(path)
     } else {
       val target = spark.read.parquet(path)
-      val merged = merge(target, updates, keys)
-      val tmp = path.stripSuffix("/") + "__upsert_tmp"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      deleteRecursively(dir)
-      Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+      val merged = merge(target, deduped, keys)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.schemas.YelpSchemas
@@ -11,13 +13,21 @@ import graft.gold.{Gold, Upsert}
   * in-process and parameterized by (year, month) exactly like the
   * DAG's templated spark-submit args.
   *
-  * Storage is plain partitioned Parquet with
-  * `partitionOverwriteMode=dynamic`, reproducing the reference's
-  * incremental-monthly-load semantics (SURVEY.md §2.1 S5–S9) without
-  * Delta.
+  * Storage is plain partitioned Parquet with dynamic partition
+  * overwrite set PER WRITE (not as session-global conf — that would
+  * silently change overwrite semantics for unrelated jobs sharing the
+  * session), reproducing the reference's incremental-monthly-load
+  * semantics (SURVEY.md §2.1 S5–S9) without Delta.
+  *
+  * Incremental correctness (deliberate fixes of reference bugs —
+  * its dims are rebuilt per month with run-local surrogate ids while
+  * fact partitions accumulate, silently re-keying history):
+  *  - dim_time uses the STABLE `yyyymmdd` date key and is rebuilt over
+  *    current ∪ previously-seen dates;
+  *  - bridge category ids are assigned once and extended, never
+  *    reshuffled ([[Gold.buildBridgeBusinessCategoryStable]]).
   */
 class Runner(spark: SparkSession, base: String) {
-  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   private def bronze(table: String, yearMonth: Option[(Int, Int)]): DataFrame = {
     val schema = table match {
@@ -34,41 +44,55 @@ class Runner(spark: SparkSession, base: String) {
     spark.read.schema(schema).json(path)
   }
 
+  private def writeMonthPartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month")
+      .parquet(path)
+
   /** Stage 1 (ref: bronze_to_silver_on_minio.py:138-190). Business and
     * checkins are full loads; review/tip/user are month-scoped. */
   def bronzeToSilver(year: Int, month: Int): Unit = {
     val ym = Some((year, month))
     Silver.processBusiness(bronze("business", None))
       .write.mode(SaveMode.Overwrite).parquet(s"$base/silver/business")
-    Silver.processCheckins(bronze("checkin", None))
-      .write.mode(SaveMode.Overwrite).partitionBy("year", "month")
-      .parquet(s"$base/silver/checkins")
-    Silver.processReviewsAndTips(bronze("review", ym))
-      .write.mode(SaveMode.Overwrite).partitionBy("year", "month")
-      .parquet(s"$base/silver/reviews")
-    Silver.processReviewsAndTips(bronze("tip", ym))
-      .write.mode(SaveMode.Overwrite).partitionBy("year", "month")
-      .parquet(s"$base/silver/tips")
+    writeMonthPartitioned(Silver.processCheckins(bronze("checkin", None)),
+      s"$base/silver/checkins")
+    writeMonthPartitioned(Silver.processReviewsAndTips(bronze("review", ym)),
+      s"$base/silver/reviews")
+    writeMonthPartitioned(Silver.processReviewsAndTips(bronze("tip", ym)),
+      s"$base/silver/tips")
     Silver.processUsers(bronze("user", ym))
       .write.mode(SaveMode.Overwrite).parquet(s"$base/silver/users")
   }
 
+  private def goldIfExists(table: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(s"$base/gold/$table")))
+      Some(spark.read.parquet(s"$base/gold/$table"))
+    else None
+
   /** Stage 2 (ref: silver_to_gold_on_minio.py:147-223).
-    * Divergences from the reference, all observationally safe
-    * (SURVEY.md §7.5): dim_time is cached (the reference recomputes it
-    * per consumer), the checkins read prunes on the partition columns
-    * (the reference filters `year(date)` post-scan), and `dim_user`
-    * (declared in its schema diagram, never built) is materialized. */
+    * Divergences from the reference, all deliberate (SURVEY.md §7.5 +
+    * the incremental fixes in the class doc): dim_time is cached (the
+    * reference recomputes it per consumer), the month-scoped reads
+    * prune on partition COLUMNS over the table root (a month with no
+    * data yields an empty frame instead of a missing-path failure),
+    * and `dim_user` (declared in its schema diagram, never built) is
+    * materialized. */
   def silverToGold(year: Int, month: Int): Unit = {
     val business = spark.read.parquet(s"$base/silver/business")
     val users = spark.read.parquet(s"$base/silver/users")
-    // Spark writes partition dirs unpadded (month=7), so read unpadded.
-    val reviews = spark.read.parquet(s"$base/silver/reviews/year=$year/month=$month")
-      .withColumn("year", lit(year)).withColumn("month", lit(month))
+    val reviews = spark.read.parquet(s"$base/silver/reviews")
+      .filter(col("year") === year && col("month") === month)
     val checkins = spark.read.parquet(s"$base/silver/checkins")
       .filter(col("year") === year && col("month") === month)
 
-    val dimTime = Gold.buildDimTime(reviews, checkins).cache()
+    // localCheckpoint (eager): materializes the dim AND truncates its
+    // plan, so the overwrite below doesn't see itself reading the same
+    // path it writes ("Cannot overwrite a path that is also being read
+    // from"), and the two fact builds reuse the materialized blocks
+    val dimTime = Gold.buildDimTimeStable(reviews, checkins,
+      goldIfExists("dim_time").map(_.select("date"))).localCheckpoint(true)
     dimTime.write.mode(SaveMode.Overwrite).parquet(s"$base/gold/dim_time")
 
     Upsert.upsertParquet(spark, s"$base/gold/dim_business",
@@ -76,14 +100,14 @@ class Runner(spark: SparkSession, base: String) {
     Upsert.upsertParquet(spark, s"$base/gold/dim_user",
       Gold.buildDimUser(users), Seq("user_id"))
     Upsert.upsertParquet(spark, s"$base/gold/bridge_business_category",
-      Gold.buildBridgeBusinessCategory(business), Seq("business_id", "category_id"))
+      Gold.buildBridgeBusinessCategoryStable(business,
+        goldIfExists("bridge_business_category")),
+      Seq("business_id", "category_id"))
 
-    Gold.buildFactReview(reviews, dimTime)
-      .write.mode(SaveMode.Overwrite).partitionBy("year", "month")
-      .parquet(s"$base/gold/fact_review")
-    Gold.buildFactCheckin(checkins, dimTime)
-      .write.mode(SaveMode.Overwrite).partitionBy("year", "month")
-      .parquet(s"$base/gold/fact_checkin")
+    writeMonthPartitioned(Gold.buildFactReview(reviews, dimTime),
+      s"$base/gold/fact_review")
+    writeMonthPartitioned(Gold.buildFactCheckin(checkins, dimTime),
+      s"$base/gold/fact_checkin")
     dimTime.unpersist()
   }
 

@@ -102,6 +102,12 @@ object Streams {
     * keep the open session in `state`, emitting it on timeout. */
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30)
                         (implicit spark: SparkSession): Dataset[SessionOut] = {
+    // batch-only: the function never touches GroupState, so on a real
+    // stream each micro-batch would re-sessionize only its own slice
+    // (split sessions, colliding session_no) — refuse rather than be
+    // silently wrong; a streaming version needs EventTimeTimeout state
+    require(!events.isStreaming,
+      "sessionizeStateful is the batch form; streaming needs open-session state + EventTimeTimeout")
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     events.groupByKey(_.user_id)

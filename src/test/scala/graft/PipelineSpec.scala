@@ -82,4 +82,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(runner.gold("bridge_business_category").count() == 2)
     assert(runner.gold("dim_user").count() == 2)
   }
+
+  test("incremental load: month 2 keeps month 1's date_ids and category ids stable") {
+    val base = Files.createTempDirectory("graft_e2e_incr").toString
+    writeFixtures(base)
+    // August drop: a new review, a new user, and a business whose
+    // categories sort BEFORE the existing ones (the id-shift trap)
+    def put(rel: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
+    val runner = new Runner(spark, base)
+    runner.runMonth(2018, 7)
+    val julyFactByReview = runner.gold("fact_review")
+      .select("review_id", "date_id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val julyBridge = runner.gold("bridge_business_category")
+      .select("category_name", "category_id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    put("bronze/business/business.json", Seq(
+      """{"business_id":"b1","name":"Acme","address":"724 Iberville","city":"New Orleans","state":"LA","postal_code":"70130","latitude":29.95,"longitude":-90.07,"stars":4.0,"review_count":3,"is_open":1,"attributes":null,"categories":"Seafood, Restaurants","hours":null}""",
+      """{"business_id":"b3","name":"AAA Bar","address":"2 Way","city":"Austin","state":"TX","postal_code":"78701","latitude":30.27,"longitude":-97.74,"stars":4.5,"review_count":1,"is_open":1,"attributes":null,"categories":"Bars, Seafood","hours":null}"""))
+    put("bronze/review/year=2018/month=08/r.json", Seq(
+      """{"review_id":"r3","user_id":"u1","business_id":"b3","stars":4.0,"useful":0,"funny":0,"cool":0,"text":"Nice","date":"2018-08-15 12:00:00"}"""))
+    put("bronze/tip/year=2018/month=08/t.json", Seq(
+      """{"user_id":"u1","business_id":"b3","text":"Go","date":"2018-08-15 13:00:00","compliment_count":0}"""))
+    put("bronze/user/year=2018/month=08/u.json", Seq(
+      """{"user_id":"u3","name":"Cleo","review_count":1,"yelping_since":"2014-02-02 00:00:00","useful":1,"funny":0,"cool":0,"fans":0,"average_stars":4.0,"elite":"","friends":""}"""))
+    runner.runMonth(2018, 8)
+
+    // July facts still resolve to July dates through the rebuilt dim
+    val dimTime = runner.gold("dim_time")
+    assert(dimTime.count() == 3) // 07-07, 07-08 preserved + 08-15
+    val dates = dimTime.select("date_id", "date").collect()
+      .map(r => r.getInt(0) -> r.getDate(1).toString).toMap
+    assert(dates(20180707) == "2018-07-07" && dates(20180815) == "2018-08-15")
+    val factNow = runner.gold("fact_review")
+      .select("review_id", "date_id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(factNow("r1") == julyFactByReview("r1")) // unchanged history
+    assert(factNow("r3") == 20180815)
+    assert(factNow.size == 3)
+
+    // category ids: existing names keep their ids; the new name
+    // ("Bars", alphabetically first) gets a NEW id, not id 1
+    val bridgeNow = runner.gold("bridge_business_category")
+      .select("category_name", "category_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(julyBridge.forall { case (name, id) => bridgeNow(name) == id })
+    assert(bridgeNow("Bars") == julyBridge.values.max + 1)
+    // no duplicate (business, category) rows survived the upsert
+    val pairs = runner.gold("bridge_business_category")
+      .select("business_id", "category_name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.length == pairs.distinct.length)
+
+    // dims accumulated across months
+    assert(runner.gold("dim_user").count() == 3)
+  }
 }
