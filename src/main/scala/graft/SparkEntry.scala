@@ -64,6 +64,16 @@ object SparkEntry {
     * silver.Clean.cleanStringValue. */
   private def cleanString(c: Column): Column = graft.silver.Clean.cleanStringValue(c)
 
+  /** The category-bridge explode chain (split → explode → trim → drop
+    * empties → distinct), shared by q04 and q19 so the cleaning rule
+    * can never silently diverge between them. */
+  private def explodedPartTypes(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("type_name"))
+      .withColumn("type_name", trim(col("type_name")))
+      .filter(col("type_name") =!= "")
+      .distinct()
+
   // SQL fragment shared by the text queries: whitespace tokens.
   private val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
   // SQL fragment: 3-token shingles (mirrors Dedup.shingles w=3).
@@ -96,11 +106,7 @@ object SparkEntry {
     // §2.7 F5/F7/F4 + §2.4 A2 + §2.5 W2 + §2.3 J1 — the category-bridge
     // pipeline (split → explode → trim → distinct → surrogate → join)
     "q04_bridge_category" -> { (s, d) =>
-      val exploded = Tables.part(s, d)
-        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("type_name"))
-        .withColumn("type_name", trim(col("type_name")))
-        .filter(col("type_name") =!= "")
-        .distinct()
+      val exploded = explodedPartTypes(s, d)
       val dim = exploded.select("type_name").distinct()
         .withColumn("type_id", row_number().over(Window.orderBy("type_name")))
       exploded.join(broadcast(dim), Seq("type_name"))
@@ -226,11 +232,7 @@ object SparkEntry {
 
     // §2.8 word-cloud panel shape: fact ⋈ exploded-category bridge + agg
     "q19_type_revenue" -> { (s, d) =>
-      val exploded = Tables.part(s, d)
-        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("type_name"))
-        .withColumn("type_name", trim(col("type_name")))
-        .filter(col("type_name") =!= "")
-        .distinct()
+      val exploded = explodedPartTypes(s, d)
       Tables.lineitem(s, d)
         .join(broadcast(exploded), col("l_partkey") === col("p_partkey"))
         .groupBy(col("type_name"))
@@ -524,11 +526,14 @@ object SparkEntry {
     },
 
 
-    // LSH-bucketed ANN (the 100 TB path: probe touches one bucket)
+    // LSH-bucketed ANN (the 100 TB path: probe touches one bucket);
+    // probe excluded from the corpus like q25/q45, so the top-k slots
+    // are all real neighbors, not a self-match
     "q30_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
-      Similarity.lshTopK(emb, probe, "vec_id", "embedding", k = 10, nPlanes = 6)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), probe,
+        "vec_id", "embedding", k = 10, nPlanes = 6)
     },
 
     // embedding near-dup pairs via LSH buckets (testdata has no planted
@@ -794,11 +799,17 @@ object SparkEntry {
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    // dot/(norm*norm) spelled out with list_dot_product so the
+    // accumulation order matches vec_dot exactly — DuckDB's
+    // list_cosine_similarity could associate differently and round a
+    // boundary-straddling value to a different 6th decimal
     "q25_cosine_topk" ->
-      """SELECT vec_id,
-        | ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
-        |FROM embeddings WHERE vec_id <> 0
+      """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        | ROUND(list_dot_product(e, pv) /
+        |   (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pv, pv))), 6) AS cos_sim
+        |FROM v, p
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q26_minhash_pairs" -> s"$minhashPairsSqlBody\nORDER BY id_a, id_b",

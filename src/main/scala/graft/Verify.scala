@@ -18,6 +18,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous run's output FIRST: a failing query must
+      // leave nothing behind, or the driver's compare would score a
+      // stale-but-well-formed result from an earlier run as passing
+      val qOut = Paths.get(s"$outDir/$name")
+      if (Files.exists(qOut))
+        Files.walk(qOut).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -69,6 +69,39 @@ object TextHash {
     hex(md.digest())
   }
 
+  /** Single-pass equivalent of the reference cleaning chain
+    * (ref: bronze_to_silver_on_minio.py:27-33):
+    *   1. `regexp_replace(s, "^u?'|'?$", "")` — strip a leading `u'`
+    *      or `'` and one trailing `'`;
+    *   2. substring-replace True→true / False→false (non-overlapping,
+    *      left-to-right, like two replaceAll passes — the patterns
+    *      share no characters so interleaving is equivalent);
+    *   3. case-insensitive "none" → null (ASCII compare is exact: no
+    *      Unicode char lowercases into n/o/n/e, and ASCII lowering
+    *      preserves length).
+    * Returns null for the "none" case. */
+  def cleanString(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var start = 0
+    var end = b.length
+    if (end - start >= 2 && b(0) == 'u' && b(1) == '\'') start += 2
+    else if (end - start >= 1 && b(0) == '\'') start += 1
+    if (end > start && b(end - 1) == '\'') end -= 1
+    val out = java.util.Arrays.copyOfRange(b, start, end)
+    var i = 0
+    while (i < out.length) {
+      if (i + 4 <= out.length && out(i) == 'T' && out(i + 1) == 'r' &&
+        out(i + 2) == 'u' && out(i + 3) == 'e') { out(i) = 't'; i += 4 }
+      else if (i + 5 <= out.length && out(i) == 'F' && out(i + 1) == 'a' &&
+        out(i + 2) == 'l' && out(i + 3) == 's' && out(i + 4) == 'e') { out(i) = 'f'; i += 5 }
+      else i += 1
+    }
+    if (out.length == 4 &&
+      (out(0) | 0x20) == 'n' && (out(1) | 0x20) == 'o' &&
+      (out(2) | 0x20) == 'n' && (out(3) | 0x20) == 'e') null
+    else UTF8String.fromBytes(out)
+  }
+
   /** k MinHash signatures over w-token shingles of a token array, in
     * one pass per row — semantically identical to exploding shingles
     * and taking `min(md5(concat(s + "|", shingle)))` per seed s:
@@ -173,6 +206,37 @@ case class NormalizedFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `clean_string(text)`: the fused Bronze→Silver cleaning chain (see
+  * [[TextHash.cleanString]]) — replaces three regexp_replace passes +
+  * lower + when per value with one linear scan. Returns NULL for
+  * "none"-valued inputs, hence the nullable override. */
+case class CleanedString(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"clean_string requires a string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.cleanString(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("cleaned")
+      s"""
+         |UTF8String $r = graft.functions.TextHash.cleanString($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sigs(tokens, w, k)`: all k MinHash signatures of a token
   * array in one pass (see [[TextHash.minhash]]). The declarative
   * formulation (explode shingles → groupBy doc → k × min(md5)) shuffles
@@ -221,6 +285,9 @@ object TextFunctions {
 
   def normFingerprint(text: Column): Column =
     column(NormalizedFingerprint(expression(text)))
+
+  def cleanString(text: Column): Column =
+    column(CleanedString(expression(text)))
 
   def minhashSigs(tokens: Column, w: Int, k: Int): Column =
     column(MinHashSignature(expression(tokens), w, k))

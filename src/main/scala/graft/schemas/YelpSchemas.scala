@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * deterministic and schema inference never triggers an extra pass
   * over 100 TB of JSON (SURVEY.md §7.5).
   *
-  * `attributes` is kept as an open string→string map-shaped struct of
-  * the known Yelp attribute vocabulary subset we exercise; unknown
-  * attributes survive as nulls rather than failing the read.
+  * `attributes` is a struct of the known Yelp attribute vocabulary
+  * subset we exercise. With an explicit schema Spark's JSON reader
+  * silently DROPS attributes not declared here (declared-but-absent
+  * fields read as null; undeclared fields are simply not read) —
+  * extending coverage means adding the field to this struct.
   */
 object YelpSchemas {
 

@@ -32,7 +32,14 @@ object Clean {
     *      preserved exactly for oracle parity)
     *   3. case-insensitive literal "none" → NULL
     */
-  def cleanStringValue(c: Column): Column = {
+  def cleanStringValue(c: Column): Column =
+    graft.functions.TextFunctions.cleanString(c)
+
+  /** Built-in-only formulation of [[cleanStringValue]] — the reference
+    * semantics the fused [[graft.functions.CleanedString]] expression
+    * is asserted bit-identical to (SilverSpec/PropertySpec). Three
+    * regex passes per value; the fused form is one scan. */
+  def cleanStringValueChain(c: Column): Column = {
     val stripped = regexp_replace(c, "^u?'|'?$", "")
     val boolNorm = regexp_replace(regexp_replace(stripped, "True", "true"), "False", "false")
     when(lower(boolNorm) === "none", lit(null).cast(StringType)).otherwise(boolNorm)

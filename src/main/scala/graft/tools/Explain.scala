@@ -10,10 +10,23 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.Explain <sfDir> [queryName ...]
   */
 object Explain {
+  /** Builders that RUN distributed work while constructing their
+    * DataFrame (Lloyd collects, label-propagation fixpoints) — a plan
+    * printer shouldn't execute minutes of jobs, so these are skipped
+    * unless named explicitly. */
+  private val driverIterative = Set("q45_ann_ivf", "q48_dedup_components")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val requested = if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(driverIterative)
+    val unknown = requested.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}; " +
+        s"available: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+    val names = requested
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
