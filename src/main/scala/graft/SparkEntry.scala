@@ -448,14 +448,17 @@ object SparkEntry {
     },
 
     // exact percentiles (sort-based, linear interpolation — matches
-    // DuckDB's quantile_cont)
+    // DuckDB's quantile_cont). ONE array-percentile aggregate: three
+    // scalar percentile() calls would each build and sort their own
+    // per-group value-count buffer
     "q43_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy(col("l_returnflag"))),
 
     // window frames: rolling 3-row sum + lead + first_value per key
