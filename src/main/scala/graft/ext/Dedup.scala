@@ -147,8 +147,12 @@ object Dedup {
     * typical inputs stop early. Labels persist per round and unpersist
     * after the next round materializes. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // pairs is consumed twice (one union branch per direction) — cache
+    // it so an expensive upstream pipeline (LSH candidate generation)
+    // isn't computed once per branch
+    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairsP.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairsP.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var persisted = edges.select(col("src").as("id")).distinct()
@@ -182,6 +186,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    pairsP.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
