@@ -510,13 +510,21 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))),
 
     // approximate quantiles (Greenwald-Khanna) vs exact percentile —
-    // same single-pass/mergeable story for order statistics
+    // same single-pass/mergeable story for order statistics. The array
+    // aggregate is flattened to scalar columns (approx values are
+    // implementation-defined → still rows-only, but scorable: the
+    // driver's comparator sorts every output column, and raw arrays
+    // crash its pandas sort).
     "q47_approx_quantiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("approx_p"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
+        .select(col("l_returnflag"),
+          round(element_at(col("approx_p"), 1), 4).as("approx_p50"),
+          round(element_at(col("approx_p"), 2), 4).as("approx_p90"),
+          col("exact_p50"))
         .orderBy(col("l_returnflag"))),
 
     // IVF ANN: Lloyd-trained inverted lists; probe scans nProbe/nLists
@@ -546,10 +554,22 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, nPlanes = 4).orderBy(col("id_a"), col("id_b"))),
 
-    // multimodal feature extraction (stubbed decode, real plumbing)
+    // multimodal feature extraction (stubbed decode, real plumbing).
+    // The feature vector is flattened to scalar columns with a total
+    // ORDER BY: the stub features are pure byte arithmetic (length,
+    // mean, first, last of the payload), so DuckDB can recompute them
+    // over encode(text) byte-for-byte — full hash oracle, and the
+    // driver's comparator never sees a raw array column (its pandas
+    // sort crashes on those).
     "q32_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"))),
+        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "source"))
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast(DoubleType).as("f_len"),
+          round(element_at(col("features"), 2).cast(DoubleType), 4).as("f_mean"),
+          element_at(col("features"), 3).cast(DoubleType).as("f_first"),
+          element_at(col("features"), 4).cast(DoubleType).as("f_last"))
+        .orderBy(col("media_id"))),
 
     // multimodal frame sampling: 1:N generator fan-out per media row
     // (stubbed chunking; the explode plumbing is the production shape)
@@ -925,6 +945,30 @@ object SparkEntry {
         | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // The stub "features" are byte arithmetic over the payload (length,
+    // unsigned-byte mean, first, last — Multimodal.StubDecoder), so
+    // DuckDB recomputes them from hex(encode(text)) byte pairs. Float32
+    // parity: both engines convert the exact integer sum/count to
+    // float32 and divide in float32, then widen to double and round —
+    // identical IEEE operations, identical bits.
+    "q32_multimodal_features" ->
+      """WITH h AS (
+        | SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  CAST(octet_length(encode(text)) AS INT) AS n
+        | FROM documents),
+        |b AS (
+        | SELECT media_id, n,
+        |  list_transform(range(1, n + 1),
+        |   i -> CAST(concat('0x', substr(hx, CAST(2*i - 1 AS INT), 2)) AS INT)) AS bytes
+        | FROM h)
+        |SELECT media_id,
+        | CASE WHEN COALESCE(n, 0) = 0 THEN 0.0 ELSE CAST(CAST(n AS FLOAT) AS DOUBLE) END AS f_len,
+        | CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+        |  ELSE ROUND(CAST(CAST(list_sum(bytes) AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE), 4) END AS f_mean,
+        | CASE WHEN COALESCE(n, 0) = 0 THEN 0.0 ELSE CAST(CAST(bytes[1] AS FLOAT) AS DOUBLE) END AS f_first,
+        | CASE WHEN COALESCE(n, 0) = 0 THEN 0.0 ELSE CAST(CAST(bytes[n] AS FLOAT) AS DOUBLE) END AS f_last
+        |FROM b ORDER BY media_id""".stripMargin,
 
     "q37_salted_join" ->
       """SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
