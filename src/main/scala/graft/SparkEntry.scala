@@ -488,11 +488,12 @@ object SparkEntry {
     },
 
     // connected components over near-dup pairs → dedup GROUPS
-    // (iterative min-label propagation; oracle = recursive-CTE closure)
+    // (clique-seeded min-label propagation over star edges; oracle =
+    // recursive-CTE closure over the expanded pair list — same fixpoint)
     "q48_dedup_components" -> { (s, d) =>
       val sig = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
-      val pairs = Dedup.minhashCandidates(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
-      Dedup.connectedComponents(pairs).orderBy(col("id"))
+      val buckets = Dedup.minhashBuckets(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
+      Dedup.componentsFromBuckets(buckets).orderBy(col("id"))
     },
 
     // ---- rows-only entries (no SQL-expressible oracle) ----

@@ -96,8 +96,13 @@ object Dedup {
     * maxBucket² (≤10⁴ structs for the default 100), evaluated inside
     * codegen. The groupBy key (band, bucket) is the only data shuffle;
     * `distinct` shuffles the (already-small) candidate set. */
-  def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 8,
-                        rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
+  /** The (band, bucket) collision groups behind [[minhashCandidates]]:
+    * one row per qualifying bucket with the collected id list. Buckets
+    * of size 1 carry no dedup signal; buckets larger than `maxBucket`
+    * are degenerate hot keys that would explode quadratically at scale
+    * and are dropped (deterministic, standard LSH practice). */
+  def minhashBuckets(sig: DataFrame, idCol: String, k: Int = 8,
+                     rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k must be divisible by rowsPerBand=$rowsPerBand — truncating would " +
         "silently drop trailing signature columns from every band")
@@ -109,9 +114,28 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }
-    val bands = sig
+    sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+  }
+
+  /** LSH candidate pairs: band the k-wide signature into bands of
+    * `rowsPerBand`, hash each band, emit all a<b pairs within each
+    * (band, bucket) group (see [[minhashBuckets]] for the grouping and
+    * the `maxBucket` guard).
+    *
+    * Plan shape: ONE linear pipeline — explode bands → groupBy (band,
+    * bucket) collecting ids → per-group pair expansion as an array
+    * expression → distinct. No self-join, so the signature pipeline is
+    * computed once with no cache; the per-group expansion is bounded by
+    * maxBucket² (≤10⁴ structs for the default 100), evaluated inside
+    * codegen. The groupBy key (band, bucket) is the only data shuffle;
+    * `distinct` shuffles the (already-small) candidate set. */
+  def minhashCandidates(sig: DataFrame, idCol: String, k: Int = 8,
+                        rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
     // all ordered pairs (ids[i], ids[j]) with i < j over the sorted
     // id list — id_a < id_b holds by construction (2-element arrays,
     // not structs: lambda-built struct field names don't survive
@@ -121,10 +145,7 @@ object Dedup {
       flatten(transform(ids, (a, i) =>
         transform(slice(ids, i + 2, size(ids)), b => array(a, b))))
     }
-    bands
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    minhashBuckets(sig, idCol, k, rowsPerBand, maxBucket)
       .select(explode(pairsOfSorted).as("p"))
       .select(element_at(col("p"), 1).as("id_a"), element_at(col("p"), 2).as("id_b"))
       .distinct()
@@ -154,10 +175,72 @@ object Dedup {
     val edges = pairsP.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairsP.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var persisted = edges.select(col("src").as("id")).distinct()
+    val seeds = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    val result = propagateMinLabels(edges, seeds, maxIter)
+    pairsP.unpersist()
+    result
+  }
+
+  /** Connected components straight from LSH bucket groups
+    * ([[minhashBuckets]] output) — the scale path for q48-style
+    * dedup-group building. Two structural wins over pair-list CC:
+    *
+    *  - **Star edges, not cliques.** Every (band, bucket) group is a
+    *    clique, so connecting each member to the bucket's min id
+    *    preserves connectivity with Σ|bucket| edges instead of
+    *    Σ|bucket|² pair rows — the edge set stays LINEAR in the data
+    *    at 100 TB.
+    *  - **Clique-seeded labels.** Every node starts at min(bucket min
+    *    over its buckets) instead of itself, so single-bucket clusters
+    *    (the overwhelming majority) are final before round 1 and the
+    *    fixpoint typically confirms convergence in one round; rounds
+    *    scale with CROSS-bucket chain depth only.
+    *
+    * Same fixpoint as [[connectedComponents]] over the expanded pair
+    * list (asserted in ExtSpec; the q48 oracle's recursive-CTE closure
+    * agrees). */
+  def componentsFromBuckets(buckets: DataFrame, maxIter: Int = 20): DataFrame = {
+    val members = buckets
+      .select(array_min(col("ids")).as("hub"), explode(col("ids")).as("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = members.groupBy(col("id")).agg(min(col("hub")).as("component"))
+    val star = members.filter(col("hub") =!= col("id"))
+    val edges = star.select(col("hub").as("src"), col("id").as("dst"))
+      .union(star.select(col("id").as("src"), col("hub").as("dst")))
+      .distinct()
+    val result = propagateMinLabels(edges, seeds, maxIter)
+    members.unpersist()
+    result
+  }
+
+  /** Iterative min-label propagation to a fixpoint: each round every
+    * node takes the min label among itself and its neighbors; converged
+    * when no label changes. With consistent seeds (every seed is the id
+    * of some node in the same component, and seed(v) <= v) the fixpoint
+    * is the component's minimum node id — the same answer a
+    * transitive-closure formulation reaches, which is how the DuckDB
+    * recursive-CTE oracle states it (q48).
+    *
+    * Scale posture: the fixpoint's shuffles are sized to the EDGE
+    * COUNT, not the session default — a few-hundred-edge graph runs
+    * single-task rounds while a 10⁹-edge graph still spreads. Edges are
+    * pre-hash-partitioned on src and labels on id with the same
+    * partition count, so the per-round join needs no exchange; the only
+    * per-round shuffle is the neighbor-min groupBy. Rounds needed =
+    * cross-bucket graph diameter (near-dup clusters are shallow);
+    * `maxIter` bounds pathological chains, and convergence is checked
+    * per round so typical inputs stop early. */
+  private def propagateMinLabels(edges0: DataFrame, seeds: DataFrame,
+                                 maxIter: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edgesAll = edges0.persist(lvl)
+    val nEdges = edgesAll.count()
+    val defPart = spark.sessionState.conf.numShufflePartitions
+    val nPart = math.max(1L, math.min(defPart.toLong, nEdges / 500000 + 1)).toInt
+    val edges = edgesAll.repartition(nPart, col("src")).persist(lvl)
+    var persisted = seeds.repartition(nPart, col("id")).persist(lvl)
     var labels = persisted
     var converged = false
     var iter = 0
@@ -168,14 +251,15 @@ object Dedup {
       // no second join-and-count job per round
       val nbMin = labels
         .join(edges, labels("id") === edges("src"))
+        .repartition(nPart, col("dst"))
         .groupBy(col("dst").as("id")).agg(min(col("component")).as("nb_min"))
       val next = labels.withColumnRenamed("component", "old")
         .join(nbMin, Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nb_min"), col("old"))).as("component"),
           col("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // coalesce: max over an EMPTY frame (no pairs at all) is null
+        .persist(lvl)
+      // coalesce: max over an EMPTY frame (no edges at all) is null
       val changed = next
         .agg(coalesce(max((col("component") =!= col("old")).cast("int")), lit(0)).as("c"))
         .head().getInt(0)
@@ -186,7 +270,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    pairsP.unpersist()
+    edgesAll.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +

@@ -41,6 +41,26 @@ class ExtSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("componentsFromBuckets: cross-bucket chains merge; same fixpoint as pair CC") {
+    // synthetic buckets with a cross-bucket chain: {1,2,3} ∪ {3,9} and
+    // an isolated {5,6} — star edges + clique seeds must still merge
+    // the chain through the shared node 3
+    val buckets = Seq(
+      (0, "b0", Seq(2L, 1L, 3L)),
+      (1, "b1", Seq(9L, 3L)),
+      (0, "b2", Seq(5L, 6L))).toDF("band", "bucket", "ids")
+    val fromBuckets = Dedup.componentsFromBuckets(buckets).as[(Long, Long)].collect().toMap
+    assert(fromBuckets == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // real data: identical fixpoint to pair-expansion connectedComponents
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8)
+    val b = Dedup.minhashBuckets(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
+    val pairs = Dedup.minhashCandidates(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
+    val got = Dedup.componentsFromBuckets(b).orderBy("id").as[(Long, Long)].collect().toSeq
+    val want = Dedup.connectedComponents(pairs).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("simhash: identical docs identical fingerprints; fingerprint in 32-bit range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z")).toDF("doc_id", "text")
     val got = Dedup.simhash(docs, "text", "doc_id").orderBy("doc_id").as[(Long, Long)].collect()
