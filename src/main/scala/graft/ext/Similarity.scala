@@ -159,17 +159,32 @@ object Similarity {
   }
 
   /** All near-duplicate pairs by embedding cosine ≥ `threshold`,
-    * restricted to LSH-bucket collisions (no O(n²) cross join). */
+    * restricted to LSH-bucket collisions (no O(n²) cross join).
+    *
+    * The bucket self-join is quadratic in bucket occupancy, so buckets
+    * larger than `maxBucket` are dropped before pairing — one
+    * degenerate bucket (e.g. near-zero vectors all hashing to the same
+    * sign pattern) would otherwise dominate the whole job at scale.
+    * Same deterministic guard as [[Dedup.minhashBuckets]]; a production
+    * caller re-probes oversized buckets with more planes instead. The
+    * occupancy count is a groupBy on the (≤2^nPlanes-cardinality)
+    * bucket key followed by a semi-join — no data blowup. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+                   threshold: Double, nPlanes: Int = 12, dim: Int = 64,
+                   maxBucket: Int = 10000): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     // norms precomputed per vector (not per pair — the self-join fans
     // each vector out to many candidate pairs)
     val bucketed = vectors.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+    val pairable = bucketed
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select(col("bucket"))
+    val capped = bucketed.join(pairable, Seq("bucket"), "left_semi")
+    val a = capped.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+    val b = capped.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -108,6 +108,21 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(_._1 == 5L))
   }
 
+  test("nearDupPairs: maxBucket drops a degenerate bucket, keeps normal ones") {
+    // 5 identical vectors → one bucket of 5 (10 pairs at cosine 1.0);
+    // 2 opposite-direction vectors → a different bucket pair
+    val vecs = ((0 until 5).map(i => (i.toLong, Seq(1f, 2f, 3f, 4f))) ++
+      Seq((10L, Seq(-1f, -2f, -3f, -4f)), (11L, Seq(-1f, -2f, -3f, -4f))))
+      .toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 4, dim = 4, maxBucket = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(100)
+    assert(uncapped.size == 11 && uncapped.contains((10L, 11L)))
+    // cap 4 drops only the 5-occupancy bucket; the pair bucket survives
+    assert(run(4) == Set((10L, 11L)))
+  }
+
   test("langId predicts via stopword hits with tie-break") {
     val docs = Seq((1L, "the cat of the house"), (2L, "der hund und die katze ist"),
       (3L, "zzz qqq")).toDF("doc_id", "text")
