@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -265,17 +265,34 @@ case class MinHashSignature(child: Expression, w: Int, k: Int) extends UnaryExpr
 
 object TextFunctions {
   /** Register the text-hash expressions in the session's function
-    * registry (Column API goes through `call_function`). Idempotent. */
+    * registry (Column API goes through `call_function`). Idempotent,
+    * and guarded per function — a session where one name already
+    * exists still gets the others. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("norm_fingerprint"))) {
-      reg.createOrReplaceTempFunction(
-        "norm_fingerprint", exprs => NormalizedFingerprint(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "minhash_sigs", exprs => MinHashSignature(
-          exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue(),
-          exprs(2).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    def ifAbsent(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ifAbsent("norm_fingerprint")(exprs => NormalizedFingerprint(exprs(0)))
+    ifAbsent("clean_string")(exprs => CleanedString(exprs(0)))
+    ifAbsent("minhash_sigs")(exprs => MinHashSignature(
+      exprs(0),
+      requireIntLiteral(exprs, 1, "minhash_sigs", "w"),
+      requireIntLiteral(exprs, 2, "minhash_sigs", "k")))
+  }
+
+  /** w/k are structural parameters (they shape the produced expression
+    * tree), so SQL callers must pass integer LITERALS — anything else
+    * gets a clear error instead of an opaque cast/NPE at eval. */
+  private def requireIntLiteral(exprs: Seq[Expression], pos: Int,
+                                fn: String, param: String): Int = {
+    if (exprs.length <= pos) throw new IllegalArgumentException(
+      s"$fn: missing argument $param at position ${pos + 1}")
+    exprs(pos) match {
+      case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) if v != null =>
+        v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be an integer literal, got ${other.sql}")
     }
   }
 

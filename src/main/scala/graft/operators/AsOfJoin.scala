@@ -47,10 +47,31 @@ object AsOfJoin {
     joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
       forward = true)
 
+  /** Duplicate-match caveat: if several right rows tie on exactly
+    * (key, time), the carried winner among them is engine-order
+    * dependent (Spark's window sort is not stable across equal keys,
+    * and DuckDB's ASOF leaves the same choice unspecified). Callers
+    * needing a deterministic winner must dedupe the right side on
+    * (key, time) first — any extra ordering column injected here would
+    * pin Spark's choice while still diverging from other engines'. */
   private def joinAsOf(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
                        valueCols: Seq[String], forward: Boolean): DataFrame = {
+    // keys funnel through cast("long") below; under ANSI-off semantics
+    // a non-integral key (string, double) would cast to NULL and every
+    // row would silently drop through the null filter — fail loudly
+    // instead, mirroring the native path's requireLongBacked
+    def requireIntegralKey(df: DataFrame, name: String): Unit =
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"as-of join key $name must be an integral type, got " +
+            s"${dt.simpleString} — cast it explicitly first")
+      }
+    requireIntegralKey(left, leftKey)
+    requireIntegralKey(right, rightKey)
     val leftCols = left.columns.toSeq
     // null keys/times never match under the as-of predicate (SQL
     // comparison semantics) — filter them out rather than letting the

@@ -136,7 +136,18 @@ object AsOfJoinNative {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // Self-join safety: when the right plan shares lineage with the
+    // left (q51's events-vs-events shape), its attributes carry the
+    // SAME exprIds — UnsafeProjection binds by first exprId match, so
+    // the appended right values would silently resolve to LEFT columns.
+    // Re-alias the right side with fresh exprIds, as Dataset.join's
+    // dedup step does.
+    val rPlan0 = right.queryExecution.analyzed
+    val rPlan =
+      if (rPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
@@ -157,6 +168,25 @@ object AsOfJoinNative {
     val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
     Seq(lk -> "key", rk -> "key", lt -> "time", rt -> "time")
       .foreach { case (a, role) => requireLongBacked(a, role) }
+    // long-backed is necessary but not sufficient: a LongType epoch-
+    // nanos column against a TimestampType (micros) column would pass
+    // per-attribute checks yet compare raw longs across units — require
+    // matching types so both sides share one scale. TimestampType and
+    // TimestampNTZType are both micros-since-epoch, so that mix is
+    // unit-safe (the session zone only affects rendering).
+    def requireSameType(a: Attribute, b: Attribute, role: String): Unit = {
+      def micros(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType
+      if (a.dataType != b.dataType && !(micros(a.dataType) && micros(b.dataType)))
+        throw new IllegalArgumentException(
+        s"native as-of join requires both $role columns to share one type " +
+          s"(raw long comparison can't mix units/scales): " +
+          s"${a.name} is ${a.dataType.simpleString} but ${b.name} is " +
+          s"${b.dataType.simpleString} — cast one side first")
+    }
+    requireSameType(lk, rk, "key")
+    requireSameType(lt, rt, "time")
     val node = AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt,
       valueCols.map(attr(rPlan, _)))
     org.apache.spark.sql.graftshim.ColumnShim.ofRows(spark, node)

@@ -200,6 +200,17 @@ class ExtSpec extends AnyFunSuite {
     assert(f2.exceptAll(e2).isEmpty && e2.exceptAll(f2).isEmpty)
   }
 
+  test("SQL registration: clean_string works; minhash_sigs validates literal w/k") {
+    graft.functions.TextFunctions.register(spark)
+    Seq(("u'Hello_True'", 1)).toDF("s", "i").createOrReplaceTempView("reg_v")
+    val cleaned = spark.sql("SELECT clean_string(s) AS c FROM reg_v").as[String].head()
+    assert(cleaned == "Hello_true")
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(array(s), i, 4) FROM reg_v").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("NormalizedFingerprint expression matches the regex chain") {
     graft.functions.TextFunctions.register(spark)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -100,6 +100,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "b")))
   }
 
+  test("as-of joins reject unit-unsafe key/time columns loudly") {
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_ts", $"ts", $"event_type")
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_custkey", $"o_orderdate")
+    // native: epoch-nanos LongType vs TimestampType both pass the
+    // long-backed check but mix scales — must be rejected as a pair
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.joinAsOfBackward(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderdate"))
+    }
+    assert(e1.getMessage.contains("share one type"))
+    // composition: a string key would cast("long") to NULL under
+    // ANSI-off and silently drop every row — must be rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOfBackward(
+        events, orders, "event_type", "o_custkey", "event_ts", "o_orderdate", Seq("o_orderdate"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("salted join equals the plain inner join exactly") {
     val left = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select($"l_partkey".as("partkey"), $"l_linenumber", $"l_quantity")

@@ -69,7 +69,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("RangeJoinRewrite turns inequality joins into banded equi-joins") {
+  test("RangeJoinRewrite turns inequality joins into banded equi-joins BY DEFAULT") {
     import graft.plans.GraftExtensions
     GraftExtensions.install(spark)
     val points = Tables.customer(spark, d).select(col("c_custkey"), col("c_acctbal"))
@@ -79,18 +79,61 @@ class PlanSpec extends AnyFunSuite {
       col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
       .select(col("c_custkey"), col("s_suppkey"))
     try {
-      spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      // default ON: no conf set, the inequality join still bands
+      spark.conf.unset("spark.graft.rangeJoin.enabled")
       val rewritten = rawJoin
-      val plan = rewritten.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"),
-        s"expected banded equi-join, got:\n$plan")
+      val planBefore = rewritten.queryExecution.executedPlan.toString
+      assert(planBefore.contains("__graft_band"),
+        s"expected banded equi-join by default, got:\n$planBefore")
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // all intervals here are 1 band wide → the wide-fallback branch
+      // is empty, and AQE's empty-relation propagation must erase its
+      // nested-loop join from the final plan
+      // (executedPlan.toString prints Final and Initial sections; the
+      // fallback legitimately exists in the initial plan)
+      val planAfter = rewritten.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!planAfter.contains("BroadcastNestedLoopJoin"),
+        s"expected AQE to erase the empty fallback branch, got:\n$planAfter")
       spark.conf.set("spark.graft.rangeJoin.enabled", "false")
       val expected = rawJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(got.nonEmpty && got.toSeq == expected.toSeq)
       // and the disabled plan really is the nested loop
       assert(rawJoin.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
-    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+  }
+
+  test("RangeJoinRewrite: intervals past maxBands fall back to the raw join branch") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.install(spark)
+    val points = Tables.customer(spark, d).select(col("c_custkey"), col("c_acctbal"))
+    // mixed widths: odd suppliers get a narrow interval (1 band at
+    // W=100), even suppliers a huge one (≫ maxBands below)
+    val intervals = Tables.supplier(spark, d).select(col("s_suppkey"),
+      (col("s_acctbal") - 50).as("lo"),
+      when(col("s_suppkey") % 2 === 0, col("s_acctbal") + 100000)
+        .otherwise(col("s_acctbal") + 50).as("hi"))
+    def rawJoin = points.join(intervals,
+      col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .select(col("c_custkey"), col("s_suppkey"))
+    try {
+      spark.conf.unset("spark.graft.rangeJoin.enabled")
+      spark.conf.set("spark.graft.rangeJoin.maxBands", "16")
+      val hybrid = rawJoin
+      val plan = hybrid.queryExecution.executedPlan.toString
+      // both branches present: a banded equi-join (hash join on the
+      // band) AND the nested-loop fallback for the wide intervals
+      assert(plan.contains("BroadcastNestedLoopJoin") &&
+        (plan.contains("SortMergeJoin") || plan.contains("HashJoin")),
+        s"expected hybrid banded+fallback plan, got:\n$plan")
+      val got = hybrid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      val expected = rawJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.nonEmpty && got.toSeq == expected.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.enabled")
+      spark.conf.unset("spark.graft.rangeJoin.maxBands")
+    }
   }
 
   test("partition pruning: filter on partition column prunes the scan") {
