@@ -363,14 +363,18 @@ object SparkEntry {
     },
 
     // forward as-of join: each event → the same user's next purchase
-    // at-or-after it (the classic conversion-funnel enrichment)
+    // at-or-after it (the classic conversion-funnel enrichment).
+    // Runs through the NATIVE exec (forward streaming merge) — the
+    // left and right share lineage, exercising the self-join re-alias
+    // path; the union+window composition is the differential twin in
+    // OperatorSpec
     "q51_asof_forward" -> { (s, d) =>
       val events = Tables.eventsWithTs(s, d)
         .select(col("event_id"), col("user_id"), col("event_ts"))
       val purchases = Tables.eventsWithTs(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_ts").as("purchase_ts"))
-      graft.operators.AsOfJoin.joinAsOfForward(
+      graft.plans.AsOfJoinNative.joinAsOfForward(
         events, purchases, "user_id", "p_user", "event_ts", "purchase_ts",
         Seq("purchase_ts"))
         .select(col("event_id"), col("user_id"), col("purchase_ts"))

@@ -8,12 +8,14 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
-/** Logical node for the native backward as-of join: for every left row,
-  * attach `rightValues` from the right row with the greatest
-  * `rightTime <= leftTime` sharing the join key. Inner semantics (left
-  * rows with no prior right row drop out), null keys/times never match
-  * — identical to [[graft.operators.AsOfJoin.joinAsOfBackward]], which
-  * is the differential reference in OperatorSpec.
+/** Logical node for the native as-of join: for every left row, attach
+  * `rightValues` from the right row with the greatest
+  * `rightTime <= leftTime` (backward, `forward = false`) or the
+  * smallest `rightTime >= leftTime` (forward) sharing the join key.
+  * Inner semantics (left rows with no matching right row drop out),
+  * null keys/times never match — identical to
+  * [[graft.operators.AsOfJoin]]'s compositions, which are the
+  * differential references in OperatorSpec.
   *
   * Built already-resolved from analyzed children (the Column-API entry
   * resolves attributes by name), so no analyzer rule is needed — only
@@ -22,7 +24,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        rightValues: Seq[Attribute]) extends BinaryNode {
+                        rightValues: Seq[Attribute],
+                        forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ rightValues
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan)
   : LogicalPlan = copy(left = l, right = r)
@@ -47,7 +50,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTime: Attribute, rightTime: Attribute,
-                        rightValues: Seq[Attribute]) extends BinaryExecNode {
+                        rightValues: Seq[Attribute],
+                        forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ rightValues
 
@@ -67,45 +71,74 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val leftOut = left.output
     val rightVals = rightValues
 
+    val isForward = forward
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val valueProj = UnsafeProjection.create(rightVals, rightOut)
       val outProj = UnsafeProjection.create(leftOut ++ rightVals, leftOut ++ rightVals)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val rBuf = rIt.buffered
 
-      var lastKey = 0L
-      var haveLast = false
-      var lastValues: InternalRow = null
-
-      def advanceRight(k: Long, t: Long): Unit = {
-        var continue = true
-        while (continue && rBuf.hasNext) {
-          val r = rBuf.head
-          if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) { rBuf.next() }
+      if (isForward) {
+        // forward merge: left times ascend, so any right row strictly
+        // before (k, t) can never match this or a later left row —
+        // discard it; the matching row (first with rk == k, rt >= t)
+        // is PEEKED, not consumed, because the next left row at the
+        // same key may match it again
+        lIt.flatMap { l =>
+          if (l.isNullAt(lKeyOrd) || l.isNullAt(lTimeOrd)) Iterator.empty
           else {
-            val rk = r.getLong(rKeyOrd)
-            val rt = r.getLong(rTimeOrd)
-            if (rk < k || (rk == k && rt <= t)) {
-              if (rk == k) {
-                lastValues = valueProj(r).copy()
-                lastKey = rk
-                haveLast = true
+            val k = l.getLong(lKeyOrd)
+            val t = l.getLong(lTimeOrd)
+            var continue = true
+            while (continue && rBuf.hasNext) {
+              val r = rBuf.head
+              if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) rBuf.next()
+              else {
+                val rk = r.getLong(rKeyOrd)
+                if (rk < k || (rk == k && r.getLong(rTimeOrd) < t)) rBuf.next()
+                else continue = false
               }
-              rBuf.next()
-            } else continue = false
+            }
+            if (rBuf.hasNext && rBuf.head.getLong(rKeyOrd) == k)
+              Iterator.single(outProj(joined(l, valueProj(rBuf.head))))
+            else Iterator.empty
           }
         }
-      }
+      } else {
+        var lastKey = 0L
+        var haveLast = false
+        var lastValues: InternalRow = null
 
-      lIt.flatMap { l =>
-        if (l.isNullAt(lKeyOrd) || l.isNullAt(lTimeOrd)) Iterator.empty
-        else {
-          val k = l.getLong(lKeyOrd)
-          val t = l.getLong(lTimeOrd)
-          if (haveLast && lastKey != k) haveLast = false
-          advanceRight(k, t)
-          if (haveLast && lastKey == k) Iterator.single(outProj(joined(l, lastValues)))
-          else Iterator.empty
+        def advanceRight(k: Long, t: Long): Unit = {
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val r = rBuf.head
+            if (r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd)) { rBuf.next() }
+            else {
+              val rk = r.getLong(rKeyOrd)
+              val rt = r.getLong(rTimeOrd)
+              if (rk < k || (rk == k && rt <= t)) {
+                if (rk == k) {
+                  lastValues = valueProj(r).copy()
+                  lastKey = rk
+                  haveLast = true
+                }
+                rBuf.next()
+              } else continue = false
+            }
+          }
+        }
+
+        lIt.flatMap { l =>
+          if (l.isNullAt(lKeyOrd) || l.isNullAt(lTimeOrd)) Iterator.empty
+          else {
+            val k = l.getLong(lKeyOrd)
+            val t = l.getLong(lTimeOrd)
+            if (haveLast && lastKey != k) haveLast = false
+            advanceRight(k, t)
+            if (haveLast && lastKey == k) Iterator.single(outProj(joined(l, lastValues)))
+            else Iterator.empty
+          }
         }
       }
     }
@@ -118,8 +151,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** Planner strategy mapping the logical node to the exec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -132,7 +165,26 @@ object AsOfJoinNative {
                        right: org.apache.spark.sql.DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
-                       valueCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+                       valueCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      forward = false)
+
+  /** Forward as-of join via the native operator: smallest
+    * `rightTime >= leftTime` per key. */
+  def joinAsOfForward(left: org.apache.spark.sql.DataFrame,
+                      right: org.apache.spark.sql.DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      forward = true)
+
+  private def joinAsOf(left: org.apache.spark.sql.DataFrame,
+                       right: org.apache.spark.sql.DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String],
+                       forward: Boolean): org.apache.spark.sql.DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -188,7 +240,7 @@ object AsOfJoinNative {
     requireSameType(lk, rk, "key")
     requireSameType(lt, rt, "time")
     val node = AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt,
-      valueCols.map(attr(rPlan, _)))
+      valueCols.map(attr(rPlan, _)), forward)
     org.apache.spark.sql.graftshim.ColumnShim.ofRows(spark, node)
   }
 

@@ -100,6 +100,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "b")))
   }
 
+  test("native FORWARD as-of exec equals the union+window composition; children co-partitioned") {
+    val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_ts")
+    val purchases = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_ts".as("purchase_ts"))
+    // self-join lineage: left and right both derive from events — the
+    // re-alias path must keep right values bound to RIGHT columns
+    val native = graft.plans.AsOfJoinNative.joinAsOfForward(
+      events, purchases, "user_id", "p_user", "event_ts", "purchase_ts", Seq("purchase_ts"))
+    val composed = AsOfJoin.joinAsOfForward(
+      events, purchases, "user_id", "p_user", "event_ts", "purchase_ts", Seq("purchase_ts"))
+    assert(native.count() > 0)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    // zipPartitions pairs children positionally: both sides must hash-
+    // partition on their key with the SAME partition count in the
+    // final (post-AQE) plan
+    native.collect()
+    val plan = native.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hp = """hashpartitioning\((\w+)#\d+L?(?:\s+ASC[^,]*)?, (\d+)\)""".r
+      .findAllMatchIn(plan).map(m => (m.group(1), m.group(2))).toSeq
+    assert(hp.map(_._1).toSet == Set("user_id", "p_user"),
+      s"expected one exchange per side on the join keys, got $hp in:\n$plan")
+    assert(hp.map(_._2).distinct.size == 1,
+      s"children must share one partition count, got $hp")
+    // edge semantics: inclusive >=, peeked (not consumed) match row
+    // shared by consecutive left rows, per-key isolation
+    val ev = Seq((1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")),   // same (key,time) → same match
+      (3L, 10L, ts("2024-01-05 00:00:01")),   // after last purchase → dropped
+      (4L, 99L, ts("2024-01-01 00:00:00")))   // key without purchases → dropped
+      .toDF("event_id", "user_id", "event_ts")
+    val pu = Seq((10L, ts("2024-01-01 00:00:00"), "a"), (10L, ts("2024-01-05 00:00:00"), "b"))
+      .toDF("p_user", "purchase_ts", "tag")
+    val got = graft.plans.AsOfJoinNative.joinAsOfForward(
+      ev, pu, "user_id", "p_user", "event_ts", "purchase_ts", Seq("tag"))
+      .select("event_id", "tag").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "a")))
+  }
+
   test("as-of joins reject unit-unsafe key/time columns loudly") {
     val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"event_ts", $"ts", $"event_type")
