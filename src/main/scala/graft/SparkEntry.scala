@@ -533,7 +533,8 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
 
     // IVF ANN: Lloyd-trained inverted lists; probe scans nProbe/nLists
-    // of the corpus (the partition-prunable scale path)
+    // of the corpus (the partition-prunable scale path). Oracle is
+    // data-derived (centroids inlined at Verify time — dynamicOracleSql)
     "q45_ann_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
@@ -544,7 +545,8 @@ object SparkEntry {
 
     // LSH-bucketed ANN (the 100 TB path: probe touches one bucket);
     // probe excluded from the corpus like q25/q45, so the top-k slots
-    // are all real neighbors, not a self-match
+    // are all real neighbors, not a self-match. Full hash oracle via
+    // inlined hyperplane literals (lshTopKSql)
     "q30_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
@@ -622,19 +624,28 @@ object SparkEntry {
       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |FROM keep a JOIN keep b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
 
-  /** DuckDB twin of q31: the same sign-random-projection bucketing
-    * with the hyperplanes inlined as ±1.0 list literals (they're
-    * md5-derived driver-side constants — see Similarity.hyperplanes),
-    * then bucket-equality self-join + exact cosine ≥ threshold.
+  /** The sign-random-projection bucket id over a DOUBLE[] SQL
+    * expression, hyperplanes inlined as ±1.0 list literals (they're
+    * md5-derived driver-side constants — see Similarity.hyperplanes).
     * list_dot_product accumulates left-to-right over DOUBLE[] exactly
-    * like the codegen'd vec_dot, so buckets and rounded cosines are
-    * bit-identical. */
+    * like the codegen'd vec_dot, so buckets are bit-identical. */
+  private def lshBucketSql(planes: Seq[Seq[Double]], vecExpr: String): String =
+    planes.zipWithIndex.map { case (h, i) =>
+      val lit = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // cosine spelled out with list_dot_product so the accumulation order
+  // matches the codegen'd vec_dot exactly (see the q25 oracle note)
+  private def cosineSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b) /
+       |   (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** DuckDB twin of q31: LSH bucketing, then bucket-equality self-join
+    * + exact cosine ≥ threshold. */
   private def nearDupSql(threshold: Double, nPlanes: Int, dim: Int): String = {
     val planes = graft.ext.Similarity.hyperplanes(nPlanes, dim)
-    val bucketExpr = planes.zipWithIndex.map { case (h, i) =>
-      val lit = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketExpr = lshBucketSql(planes, "e")
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (
@@ -650,9 +661,75 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB twin of q30: bucket every vector with the inlined
+    * hyperplanes, keep only corpus vectors sharing the probe's bucket,
+    * exact-rank within it. Same technique as q31's oracle. */
+  private def lshTopKSql(k: Int, nPlanes: Int, dim: Int): String = {
+    val planes = graft.ext.Similarity.hyperplanes(nPlanes, dim)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${lshBucketSql(planes, "e")} AS bucket FROM v),
+       |p AS (SELECT e AS pv, bucket AS pb FROM b WHERE vec_id = 0),
+       |c AS (SELECT vec_id, e, bucket FROM b WHERE vec_id <> 0)
+       |SELECT c.vec_id,
+       | ROUND(${cosineSql("c.e", "p.pv")}, 6) AS cos_sim
+       |FROM c JOIN p ON c.bucket = p.pb
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Oracle entries that depend on DATA-DERIVED constants: q45's IVF
+    * list assignment is deterministic GIVEN the trained centroids, so
+    * Verify recomputes them for its sf dir (the exact same
+    * ivfCentroids call the query makes) and inlines them as VALUES
+    * literals — DuckDB then independently verifies assignment, probe
+    * list selection, and ranking. Doubles are rendered with
+    * Double.toString (shortest round-trip form), so DuckDB parses the
+    * identical bits. */
+  def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] = {
+    val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val cents = graft.ext.Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      nLists = 16, iters = 2)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      // same left-to-right accumulation as Similarity.sqnorm
+      val nrm = java.lang.Double.toString(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      s"($i, $lit, $nrm)"
+    }.mkString(",\n  ")
+    val q45 =
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0),
+         |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
+         |cents(list_id, c, nrm) AS (VALUES
+         |  $rows),
+         |asg AS (
+         |  SELECT vec_id,
+         |   CAST(MIN([list_dot_product(e, c) * -2 + nrm, CAST(list_id AS DOUBLE)])[2] AS INT) AS list_id
+         |  FROM v CROSS JOIN cents GROUP BY vec_id),
+         |pl AS (
+         |  SELECT list_transform(
+         |    list_sort(list([list_dot_product(pv, c) * -2 + nrm, CAST(list_id AS DOUBLE)]))[1:4],
+         |    x -> CAST(x[2] AS INT)) AS lists
+         |  FROM p CROSS JOIN cents)
+         |SELECT v.vec_id,
+         | ROUND(${cosineSql("v.e", "p.pv")}, 6) AS cos_sim
+         |FROM v JOIN asg USING (vec_id), p, pl
+         |WHERE list_contains(pl.lists, asg.list_id)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    Map("q45_ann_ivf" -> q45)
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q31_near_dup_pairs" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64),
+
+    "q30_ann_lsh" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64),
+
+    // q49 pipeline in SQL: resize pads/truncates every non-null payload
+    // to exactly 256 bytes, so the stub frame sampler (64-byte frames,
+    // stride 2 → one frame per 128-byte offset) yields
+    // len(range(0, 256, 128)) frames per media row; null payloads fan
+    // out to zero rows and drop from the grouped result
+    "q49_multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(len(range(0, 256, 64 * 2)) AS BIGINT) AS n_frames
+        |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -48,7 +48,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // data-derived oracles (q45's IVF centroids) are rebuilt for THIS
+    // sf dir and merged in; skipped when a dev-filtered run doesn't
+    // touch them
+    val dynamic =
+      if (only.isEmpty || only("q45_ann_ivf")) SparkEntry.dynamicOracleSql(spark, sfDir)
+      else Map.empty[String, String]
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
