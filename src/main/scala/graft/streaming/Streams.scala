@@ -94,6 +94,83 @@ object Streams {
                         endMicros: Long, n_events: Long)
   case class SessionBuf(sessions: List[SessionOut], openStart: Long, openEnd: Long, openN: Long)
 
+  /** Typed row for the STREAMING sessionizer: keeps the real timestamp
+    * column so the watermark can bind to it. */
+  case class TimedEvent(event_id: Long, user_id: Long,
+                        event_ts: java.sql.Timestamp, value: Double)
+
+  /** Per-user open-session state carried across micro-batches:
+    * `sessionsStarted` doubles as the open session's 1-based number. */
+  case class OpenSession(sessionsStarted: Long, openStart: Long,
+                         openEnd: Long, openN: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** TRUE streaming sessionization: each user's open session lives in
+    * `GroupState`; a closed session is emitted the moment a same-user
+    * event breaks the gap, and the LAST session of an idle user is
+    * emitted when `EventTimeTimeout` fires — i.e. once the watermark
+    * passes `openEnd + gap`, at which point no admissible event can
+    * extend it (anything older is dropped by the watermark before the
+    * state function runs). State per user is one fixed-size record, so
+    * a 100 TB/day stream holds |active users| × O(1) state, evicted on
+    * timeout.
+    *
+    * Ordering contract: events are sorted within each micro-batch, so
+    * results equal [[sessionsByGap]] whenever per-user disorder across
+    * batches stays within the gap (a late-but-in-watermark event lands
+    * in the still-open session; its span widens by min/max). This is
+    * the standard streaming relaxation of batch sessionization.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    require(events.isStreaming,
+      "sessionizeStream is the streaming form; use sessionizeStateful for batch")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("event_ts", watermark)
+      .select(col("event_id"), col("user_id"), col("event_ts"), col("value"))
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed openEnd + gap: the session can no longer
+            // be extended — emit and evict
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, st.sessionsStarted, st.openStart, st.openEnd, st.openN))
+          } else {
+            val sorted = it.toArray.sortBy(e => (micros(e.event_ts), e.event_id))
+            var st = state.getOption.getOrElse(OpenSession(0L, 0L, 0L, 0L))
+            var out = List.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = micros(e.event_ts)
+              if (st.openN == 0L)
+                st = OpenSession(st.sessionsStarted + 1, t, t, 1L)
+              else if (t - st.openEnd > gapMicros) {
+                out ::= SessionOut(userId, st.sessionsStarted, st.openStart, st.openEnd, st.openN)
+                st = OpenSession(st.sessionsStarted + 1, t, t, 1L)
+              } else
+                // in-gap event; min/max so late-but-admissible arrivals
+                // widen rather than corrupt the open span
+                st = st.copy(openStart = math.min(st.openStart, t),
+                  openEnd = math.max(st.openEnd, t), openN = st.openN + 1L)
+            }
+            state.update(st)
+            // fires once the watermark passes the earliest instant at
+            // which the open session is unextendable
+            state.setTimeoutTimestamp((st.openEnd + gapMicros) / 1000L)
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Stateful sessionization via `flatMapGroupsWithState` — the
     * custom-state path. In batch mode Spark calls the function once
     * per user with all its events and the same session list falls out

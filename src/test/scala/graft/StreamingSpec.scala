@@ -71,6 +71,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == distinctIds)
   }
 
+  test("streaming sessionizer: sessions emit on gap break and on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("event_id", "user_id", "event_ts", "value")
+    val q = Streams.sessionizeStream(events, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream").start()
+    try {
+      // batch 1: user 1 — two events 10 min apart (one open session),
+      // then an event 110 min later → gap break closes session 1 inside
+      // the batch and opens session 2
+      mem.addData(
+        (1L, 1L, t("2024-01-01 10:00:00"), 1.0),
+        (2L, 1L, t("2024-01-01 10:10:00"), 1.0),
+        (3L, 1L, t("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2 advances the watermark to 19:50 (> 12:30 timeout of the
+      // open session) — but timeouts evaluate against the PREVIOUS
+      // batch's watermark, so a third batch makes it observable
+      mem.addData((4L, 1L, t("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((5L, 2L, t("2024-01-01 23:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream")
+        .select($"user_id", $"session_no", $"startMicros", $"endMicros", $"n_events")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val m = (s: String) => t(s).getTime * 1000L
+      // session 1 closed by the in-batch gap break; session 2 (12:00)
+      // timed out once the watermark passed 12:30; session 3 (20:00)
+      // timed out via the no-data batch Spark runs when batch 3's
+      // watermark advance (22:50) passed 20:30. User 2's open session
+      // (23:00, timeout 23:30 > watermark) is correctly NOT emitted.
+      assert(got == Set(
+        (1L, 1L, m("2024-01-01 10:00:00"), m("2024-01-01 10:10:00"), 2L),
+        (1L, 2L, m("2024-01-01 12:00:00"), m("2024-01-01 12:00:00"), 1L),
+        (1L, 3L, m("2024-01-01 20:00:00"), m("2024-01-01 20:00:00"), 1L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
