@@ -52,4 +52,35 @@ object Dashboard {
     * runnable as ANSI SQL via `spark.sql` (the Trino role, in-engine). */
   def registerViews(spark: SparkSession, gold: Map[String, DataFrame]): Unit =
     gold.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+  /** All seven panels as ANSI SQL over CATALOG table names (the
+    * `gold_*` entries Runner registers) — the exact serving shape the
+    * reference hands Trino: any session on the warehouse runs these by
+    * name, no DataFrame handles needed. */
+  val panelSql: Map[String, String] = Map(
+    "total_reviews" ->
+      "SELECT COUNT(*) AS total_reviews FROM gold_fact_review",
+    "total_checkins" ->
+      "SELECT SUM(checkin_count) AS total_checkins FROM gold_fact_checkin",
+    "total_businesses" ->
+      "SELECT COUNT(*) AS total_businesses FROM gold_dim_business",
+    "top_businesses_5star" ->
+      """SELECT b.name, COUNT(*) AS five_star_reviews
+        |FROM gold_fact_review f JOIN gold_dim_business b USING (business_id)
+        |WHERE f.stars = 5
+        |GROUP BY b.name ORDER BY five_star_reviews DESC, name LIMIT 10""".stripMargin,
+    "top_regions_checkins" ->
+      """SELECT concat_ws(', ', b.city, b.state) AS region,
+        | SUM(c.checkin_count) AS checkins
+        |FROM gold_fact_checkin c JOIN gold_dim_business b USING (business_id)
+        |GROUP BY 1 ORDER BY checkins DESC, region""".stripMargin,
+    "reviews_per_weekday" ->
+      """SELECT t.weekday, COUNT(*) AS reviews
+        |FROM gold_fact_review f JOIN gold_dim_time t USING (date_id)
+        |GROUP BY t.weekday ORDER BY t.weekday""".stripMargin,
+    "popular_categories_checkins" ->
+      """SELECT g.category_name, SUM(c.checkin_count) AS checkins
+        |FROM gold_fact_checkin c
+        |JOIN gold_bridge_business_category g USING (business_id)
+        |GROUP BY g.category_name ORDER BY checkins DESC, category_name""".stripMargin)
 }

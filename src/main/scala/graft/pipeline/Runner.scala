@@ -109,6 +109,27 @@ class Runner(spark: SparkSession, base: String) {
     writeMonthPartitioned(Gold.buildFactCheckin(checkins, dimTime),
       s"$base/gold/fact_checkin")
     dimTime.unpersist()
+
+    Seq("dim_time" -> false, "dim_business" -> false, "dim_user" -> false,
+      "bridge_business_category" -> false,
+      "fact_review" -> true, "fact_checkin" -> true)
+      .foreach { case (t, partitioned) => registerGold(t, partitioned) }
+  }
+
+  /** Register a gold output in the SESSION CATALOG as an external
+    * parquet table over its path — the reference's Hive-metastore role
+    * (ref: mnt/hive-conf/hive-site.xml:35-41, so Trino can address gold
+    * by NAME). Entries live in the shared external catalog: every
+    * session on this SparkContext — `spark.newSession()` included —
+    * resolves `spark.table("gold_…")`. Re-registration per run keeps
+    * the inferred schema current; partitioned facts get partition
+    * recovery so month directories are visible through the catalog. */
+  private def registerGold(table: String, partitioned: Boolean): Unit = {
+    val name = s"gold_$table"
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.catalog.createTable(name, "parquet",
+      Map("path" -> s"$base/gold/$table"))
+    if (partitioned) spark.catalog.recoverPartitions(name)
   }
 
   def runMonth(year: Int, month: Int): Unit = {

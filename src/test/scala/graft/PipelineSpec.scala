@@ -76,11 +76,27 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(sqlWeekday.toSeq == Seq(("Sat", 1L), ("Sun", 1L)))
 
+    // S10: gold is registered in the shared external catalog — a NEW
+    // session on the same warehouse resolves every table by name and
+    // runs the panel SQL with no DataFrame handles
+    val served = spark.newSession()
+    assert(served.table("gold_dim_time").count() == 2)
+    assert(served.table("gold_fact_review").count() == 2)
+    assert(served.table("gold_fact_checkin").count() == 2)
+    val catTop = served.sql(Dashboard.panelSql("top_businesses_5star")).collect()
+    assert(catTop.length == 1 && catTop(0).getString(0) == "Acme")
+    val catCheckins = served.sql(Dashboard.panelSql("total_checkins")).head().getLong(0)
+    assert(catCheckins == 3)
+    val catCats = served.sql(Dashboard.panelSql("popular_categories_checkins"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(catCats.toSeq == Seq(("Restaurants", 3L), ("Seafood", 3L)))
+
     // idempotence: re-running the same month changes nothing
     runner.runMonth(2018, 7)
     assert(runner.gold("fact_review").count() == 2)
     assert(runner.gold("bridge_business_category").count() == 2)
     assert(runner.gold("dim_user").count() == 2)
+    assert(spark.newSession().table("gold_dim_user").count() == 2)
   }
 
   test("incremental load: month 2 keeps month 1's date_ids and category ids stable") {
