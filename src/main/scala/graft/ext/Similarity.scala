@@ -158,6 +158,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize an IVF index: assign every vector its nearest list
+    * and write the corpus PARTITIONED BY `list_id`. Probes then
+    * partition-prune straight to their nProbe list directories instead
+    * of scanning and re-assigning the whole corpus per query — the
+    * genuine 100 TB ANN serving shape (train once, write once, prune
+    * every query). Returns the trained centroids, which the query side
+    * needs to rank lists for a probe. */
+  def ivfWriteIndex(vectors: DataFrame, idCol: String, vecCol: String, path: String,
+                    nLists: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
+    val cents = ivfCentroids(vectors, idCol, vecCol, nLists, iters)
+    vectors
+      .withColumn("list_id", assignedList(col(vecCol), cents))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    cents
+  }
+
+  /** The probe's nProbe nearest lists, computed driver-side (the probe
+    * is one vector) with the same −2·⟨v,c⟩ + ‖c‖² ranking and
+    * (dist, id) tie-break as [[assignArrays]]. */
+  def probeNearestLists(v: Array[Double], cents: Seq[Array[Double]], nProbe: Int): Seq[Int] = {
+    cents.zipWithIndex.map { case (c, i) =>
+      var dp = 0.0
+      var j = 0
+      while (j < c.length) { dp += v(j) * c(j); j += 1 }
+      (dp * -2 + sqnorm(c), i)
+    }.sorted.take(nProbe).map(_._2)
+  }
+
+  /** Top-k over a materialized IVF index ([[ivfWriteIndex]] output):
+    * the probe's list ids become LITERAL filters on the partition
+    * column, so the scan reads only those directories (PlanSpec asserts
+    * the PartitionFilters). `probe` must be a single row with an
+    * `probe_vec` array column. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     cents: Seq[Array[Double]], probe: DataFrame,
+                     idCol: String, vecCol: String,
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    val pv = probe.head().getSeq[Float](0).map(_.toDouble).toArray
+    val lists = probeNearestLists(pv, cents, nProbe)
+    spark.read.parquet(indexPath)
+      .filter(col("list_id").isin(lists: _*))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ `threshold`,
     * restricted to LSH-bucket collisions (no O(n²) cross join).
     *

@@ -136,6 +136,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index: probe partition-prunes to its nProbe list directories; results match direct IVF") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val cents = Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir, nLists = 8)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, cents, probe,
+      "vec_id", "embedding", k = 10, nProbe = 2)
+    // partition pruning: the scan's PartitionFilters carry the literal
+    // list ids — only those directories are read
+    val plan = planOf(indexed)
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition filters in:\n$plan")
+    assert("""list_id.* IN \(""".r.findFirstIn(plan).isDefined ||
+      plan.contains("list_id#"), s"expected literal IN filter on list_id in:\n$plan")
+    // identical answer to the scan-and-assign path (same training call
+    // → same centroids → same lists)
+    val direct = Similarity.ivfTopK(corpus, probe, "vec_id", "embedding",
+      k = 10, nLists = 8, nProbe = 2)
+    val a = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = direct.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("partition pruning: filter on partition column prunes the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Tables.orders(spark, d)
