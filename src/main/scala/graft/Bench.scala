@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N within one JVM: single-shot numbers on a shared box
+    // swing 2-4x under contention (q48 measured 6x between runs) — the
+    // per-query median across interleaved passes discards a spiky pass
+    // without rewarding cache-only reruns
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +21,13 @@ object Bench {
     // Warm-up: touch the scan + shuffle + codegen paths once so the
     // first timed query doesn't absorb session/JIT startup.
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    // passes interleave over the whole catalog (not N back-to-back runs
+    // per query), so one machine-load spike lands in one pass and the
+    // median drops it
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // noop write consumes every output column, so Catalyst cannot
       // prune away the expressions being timed — a plain count() would
@@ -26,12 +37,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // failures surface as -1 (never as an innocent-looking small time)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      samples(name) = samples(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val results = names.map { case (name, _) =>
+      val s = samples(name)
+      name -> (if (s.contains(-1.0)) -1.0 else s.sorted.apply(s.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
