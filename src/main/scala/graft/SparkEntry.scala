@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextStats}
 import graft.gold.Upsert
 
 /** Driver contract: every operator from SURVEY.md §2 (plus the
@@ -578,6 +578,53 @@ object SparkEntry {
           element_at(col("features"), 4).cast(DoubleType).as("f_last"))
         .orderBy(col("media_id"))),
 
+    // deterministic train/val/test split: id-hash thresholds, pure
+    // map-side — reproducible across runs/engines/partitionings
+    "q53_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
+    // Gopher-style repetition filters: duplicated-bigram ratio +
+    // top-word ratio per document (boilerplate/spam signals)
+    "q54_repetition" -> ((s, d) =>
+      TextStats.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // sequence packing: shard → order → cumulative-token bins of 2048
+    // (the parallel packing shape; one shuffle on the shard key)
+    "q55_pack_bins" -> ((s, d) =>
+      Packing.binManifest(Tables.documents(s, d), "doc_id", "text",
+        windowTokens = 2048, nShards = 8)
+        .orderBy(col("shard"), col("bin"))),
+
+    // PII scrub report: email/URL matches counted and replaced with
+    // placeholders. Synthetic PII is injected deterministically (the
+    // corpus has none) so the operator is exercised on real matches;
+    // the oracle mirrors the injection
+    "q56_pii_scrub" -> { (s, d) =>
+      val aug = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" see https://data.example.com/doc/"),
+              col("doc_id")))
+          .otherwise(col("text")))
+      Scrub.piiReport(aug, "text", "doc_id").orderBy(col("doc_id"))
+    },
+
+    // stratified deterministic sampling — the dataset-mixing primitive:
+    // per-source keep fractions in one map-side filter
+    "q57_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))),
+
     // multimodal frame sampling: 1:N generator fan-out per media row
     // (stubbed chunking; the explode plumbing is the production shape)
     "q49_multimodal_frames" -> ((s, d) =>
@@ -721,6 +768,78 @@ object SparkEntry {
     "q31_near_dup_pairs" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64),
 
     "q30_ann_lsh" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64),
+
+    // the id-hash fraction both split/sample oracles share: first 32
+    // md5 bits over 2^32-1, exactly Sampling.hashFraction
+    "q53_hash_split" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967295.0 AS frac
+        | FROM documents)
+        |SELECT CASE WHEN frac < 0.8 THEN 'train'
+        |            WHEN frac < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | COUNT(*) AS n, MIN(doc_id) AS min_id
+        |FROM f GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q54_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |b AS (SELECT doc_id, t, len(t) AS n,
+        |  CASE WHEN len(t) < 2 THEN 0 ELSE len(t) - 1 END AS nb,
+        |  CASE WHEN len(t) < 2 THEN 0 ELSE len(list_distinct(
+        |    list_transform(range(1, len(t)),
+        |      i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]))) END AS nd
+        | FROM toks)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(nb AS INT) AS n_bigrams,
+        | CASE WHEN nb = 0 THEN 0.0
+        |  ELSE ROUND(1.0 - CAST(nd AS DOUBLE) / nb, 6) END AS dup_bigram_ratio,
+        | CASE WHEN n = 0 THEN 0.0
+        |  ELSE ROUND(CAST(list_max(list_transform(list_distinct(t),
+        |    d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / n, 6) END AS top_word_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q55_pack_bins" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, doc_id % 8 AS shard, CAST(len($sqlToks) AS INT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |  PARTITION BY shard ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM toks)
+        |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "q56_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |        THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |       WHEN doc_id % 11 = 0
+        |        THEN text || ' see https://data.example.com/doc/' || CAST(doc_id AS VARCHAR)
+        |       ELSE text END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '${graft.ext.Scrub.emailRe}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '${graft.ext.Scrub.urlRe}')) AS INT) AS n_urls,
+        | CAST(length(regexp_replace(regexp_replace(text,
+        |   '${graft.ext.Scrub.emailRe}', '<EMAIL>', 'g'),
+        |   '${graft.ext.Scrub.urlRe}', '<URL>', 'g')) AS INT) AS scrubbed_len
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q57_stratified_sample" ->
+      """WITH f AS (
+        | SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967295.0 AS frac
+        | FROM documents),
+        |kept AS (
+        | SELECT * FROM f
+        | WHERE frac < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                          WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+        |                          ELSE 0.0 END)
+        |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     // q49 pipeline in SQL: resize pads/truncates every non-null payload
     // to exactly 256 bytes, so the stub frame sampler (64-byte frames,

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: group documents into fixed-token-budget bins
+  * (context windows) for training.
+  *
+  * This is the SCALABLE packing shape: documents are sharded by id,
+  * ordered within their shard, and assigned
+  * `bin = floor(exclusive-cumulative-tokens / windowTokens)` — the
+  * cumulative variant of greedy packing (a document may straddle two
+  * bins; the trainer's loader splits it, which is what production
+  * packers do — exact greedy packing is inherently sequential and
+  * cannot fan out). One shuffle on the shard key; each shard's window
+  * scan is independent, so parallelism = nShards at any data size.
+  */
+object Packing {
+
+  /** Per-document bin assignment: (idCol, shard, n_tokens, bin). */
+  def assignBins(docs: DataFrame, idCol: String, textCol: String,
+                 windowTokens: Int, nShards: Int = 8): DataFrame = {
+    require(windowTokens > 0 && nShards > 0, "windowTokens and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(nShards)).as("shard"),
+        size(TextStats.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / windowTokens).cast("long"))
+      .drop("cum_before")
+  }
+
+  /** Bin manifest: per (shard, bin) document count and token total —
+    * what a loader consumes to plan epochs. */
+  def binManifest(docs: DataFrame, idCol: String, textCol: String,
+                  windowTokens: Int, nShards: Int = 8): DataFrame =
+    assignBins(docs, idCol, textCol, windowTokens, nShards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+}

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Everything keys off a content-independent uniform hash of the row
+  * id (`md5` → first 32 bits → [0,1) fraction), so results are
+  * reproducible across runs, engines, cluster sizes, and partitionings
+  * — unlike `df.sample`, whose output depends on partition layout and
+  * seed plumbing. md5 keeps every stage oracle-checkable in DuckDB
+  * (same reasoning as [[Dedup]]).
+  *
+  * Scale posture: pure map-side expressions — no shuffle, no state, no
+  * driver involvement; filters push down on top of the scan.
+  */
+object Sampling {
+
+  /** Uniform [0,1) fraction from the id: first 8 hex chars of
+    * md5(id as string) over 2³²−1. */
+  def hashFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967295.0)
+
+  /** Deterministic Bernoulli sample: keep rows with hash < fraction. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashFraction(col(idCol)) < fraction)
+
+  /** Deterministic train/val/test split: cumulative weight thresholds
+    * over the id hash. `weights` are (label, weight) in declaration
+    * order; they must sum to 1 (a final catch-all guards rounding). */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $weights")
+    val frac = hashFraction(col(idCol))
+    val thresholds = weights.scanLeft(0.0)(_ + _._2).tail
+    val cases = weights.zip(thresholds).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, ((label, _), cum)) =>
+        Some(acc.fold(when(frac < cum, label))(_.when(frac < cum, label)))
+      }
+    val split = cases.fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+    df.withColumn("split", split)
+  }
+
+  /** Stratified deterministic sampling — the dataset-mixing primitive:
+    * each stratum (e.g. source) keeps its own fraction of rows, so a
+    * training mix like {web: 0.5, code: 1.0, chat: 0.1} is one
+    * map-side filter. Strata absent from `fractions` are dropped. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(idCol)) < frac)
+  }
+}

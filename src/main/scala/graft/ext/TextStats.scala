@@ -67,6 +67,36 @@ object TextStats {
         .as("stopword_ratio"))
   }
 
+  /** Gopher-style repetition signals: duplicated-bigram ratio (what
+    * fraction of word bigrams are repeats) and top-word ratio (how
+    * much of the document is its single most frequent token).
+    * High values flag boilerplate/spam for corpus filtering.
+    *
+    * Per-row array expressions, no explode/shuffle. The top-word scan
+    * is O(|distinct| × |tokens|) per document — fine for natural text
+    * (distinct ≈ tokens ≪ 10⁴); the tokens array is materialized once
+    * per row in its own projection (multiply referenced). */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = col("toks")
+    val bigrams = Dedup.shinglesFromTokens(toks, 2)
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), toks, size(toks).as("n_tokens"),
+        when(size(toks) < 2, lit(0)).otherwise(size(toks) - 1).as("n_bigrams"),
+        when(size(toks) < 2, lit(0))
+          .otherwise(size(array_distinct(bigrams))).as("n_distinct_bigrams"))
+      .select(col(idCol), col("n_tokens"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6))
+          .as("dup_bigram_ratio"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(
+            array_max(transform(array_distinct(toks),
+              d => size(filter(toks, t => t === d)))).cast("double") /
+              col("n_tokens"), 6))
+          .as("top_word_ratio"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,
     * punctuation-stripped text — the cheap exact-after-normalization
     * dedup key. Backed by the fused single-pass

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextStats}
 
 /** Training-data extension operators: dedup, similarity, text, media. */
 class ExtSpec extends AnyFunSuite {
@@ -222,6 +222,64 @@ class ExtSpec extends AnyFunSuite {
     val cmp2 = edge.select(TextStats.fingerprint($"text").as("fused"),
       TextStats.fingerprintHof($"text").as("chain"))
     assert(cmp2.filter($"fused" =!= $"chain").count() == 0)
+  }
+
+  test("hashSplit partitions every row once; deterministic samples nest monotonically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.count() == docs.count())
+    val byLabel = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // determinism + nesting: the 10% sample is contained in the 50% one
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.nonEmpty && s10.subsetOf(s50))
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet == s10)
+    // stratified: absent strata drop, kept strata obey their own hash
+    val strat = Sampling.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    val bySrc = strat.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.keySet == Set("src0", "src1") && bySrc("src0") == 25 && bySrc("src1") < 25)
+  }
+
+  test("repetitionStats: known duplication ratios") {
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Int, Int, Double, Double)].collect()
+    // doc1: 3 bigrams all "a a" → dup 1 - 1/3; every token the same → top 1.0
+    assert(got(0) == ((1L, 4, 3, 0.666667, 1.0)))
+    // doc2: all bigrams distinct; top word 1/4
+    assert(got(1) == ((2L, 4, 3, 0.0, 0.25)))
+    // doc3: single token → no bigrams, top ratio 1.0
+    assert(got(2) == ((3L, 1, 0, 0.0, 1.0)))
+  }
+
+  test("packing: cumulative-token bins per shard") {
+    // 6 docs of 3 tokens each; 2 shards; window 4 tokens:
+    // shard cum_before 0,3,6 → bins 0,0,1
+    val docs = (0L until 6L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val got = Packing.binManifest(docs, "doc_id", "text", windowTokens = 4, nShards = 2)
+      .orderBy("shard", "bin").as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 0L, 2L, 6L), (0L, 1L, 1L, 3L),
+      (1L, 0L, 2L, 6L), (1L, 1L, 1L, 3L)))
+  }
+
+  test("scrub: emails and urls replaced with placeholders, counts reported") {
+    val docs = Seq((1L, "mail a@b.co or visit https://x.y/z now"), (2L, "clean"))
+      .toDF("doc_id", "text")
+    val rep = Scrub.piiReport(docs, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(rep(0)._2 == 1 && rep(0)._3 == 1)
+    assert(rep(1) == ((2L, 0, 0, 5)))
+    val scrubbed = docs.filter($"doc_id" === 1)
+      .select(Scrub.scrub($"text")).as[String].head()
+    assert(scrubbed == "mail <EMAIL> or visit <URL> now")
   }
 
   test("multimodal: ingest schema + stub feature extraction shape") {
