@@ -172,9 +172,11 @@ object Dedup {
     // it so an expensive upstream pipeline (LSH candidate generation)
     // isn't computed once per branch
     val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no distinct: pairs are already unique with id_a < id_b, so the
+    // two directions can't collide — and min-label propagation is
+    // duplicate-insensitive anyway
     val edges = pairsP.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairsP.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
     val seeds = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     val result = propagateMinLabels(edges, seeds, maxIter)
@@ -206,9 +208,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = members.groupBy(col("id")).agg(min(col("hub")).as("component"))
     val star = members.filter(col("hub") =!= col("id"))
+    // duplicate star edges (a node sharing several buckets with the
+    // same hub) are harmless under min-label propagation — skipping
+    // the distinct saves a full shuffle of the edge set
     val edges = star.select(col("hub").as("src"), col("id").as("dst"))
       .union(star.select(col("id").as("src"), col("hub").as("dst")))
-      .distinct()
     val result = propagateMinLabels(edges, seeds, maxIter)
     members.unpersist()
     result
