@@ -364,10 +364,10 @@ object SparkEntry {
 
     // forward as-of join: each event → the same user's next purchase
     // at-or-after it (the classic conversion-funnel enrichment).
-    // Runs through the NATIVE exec (forward streaming merge) — the
-    // left and right share lineage, exercising the self-join re-alias
-    // path; the union+window composition is the differential twin in
-    // OperatorSpec
+    // Runs through the NATIVE exec (forward streaming merge); the
+    // union+window composition is the differential twin in
+    // OperatorSpec, which also covers the exprId-overlap re-alias path
+    // (this query's renamed purchase columns carry fresh exprIds)
     "q51_asof_forward" -> { (s, d) =>
       val events = Tables.eventsWithTs(s, d)
         .select(col("event_id"), col("user_id"), col("event_ts"))
@@ -688,9 +688,12 @@ object SparkEntry {
     s"""list_dot_product($a, $b) /
        |   (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
 
-  /** DuckDB twin of q31: LSH bucketing, then bucket-equality self-join
-    * + exact cosine ≥ threshold. */
-  private def nearDupSql(threshold: Double, nPlanes: Int, dim: Int): String = {
+  /** DuckDB twin of q31: LSH bucketing, bucket-occupancy cap (mirrors
+    * Similarity.nearDupPairs' maxBucket guard — without it Spark and
+    * the oracle would diverge the moment any bucket exceeds the cap),
+    * then bucket-equality self-join + exact cosine ≥ threshold. */
+  private def nearDupSql(threshold: Double, nPlanes: Int, dim: Int,
+                         maxBucket: Int): String = {
     val planes = graft.ext.Similarity.hyperplanes(nPlanes, dim)
     val bucketExpr = lshBucketSql(planes, "e")
     s"""WITH v AS (
@@ -699,10 +702,12 @@ object SparkEntry {
        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
        |         $bucketExpr AS bucket
        |  FROM v),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS occ FROM b),
+       |keep AS (SELECT * FROM sized WHERE occ >= 2 AND occ <= $maxBucket),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        |         ROUND(list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm), 6) AS cos_sim
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  FROM keep a JOIN keep b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |SELECT DISTINCT id_a, id_b, cos_sim FROM pairs
        |WHERE cos_sim >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
@@ -765,7 +770,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
-    "q31_near_dup_pairs" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64),
+    "q31_near_dup_pairs" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64,
+      maxBucket = 10000),
 
     "q30_ann_lsh" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64),
 
@@ -775,7 +781,7 @@ object SparkEntry {
       """WITH f AS (
         | SELECT doc_id,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |    / 4294967295.0 AS frac
+        |    / 4294967296.0 AS frac
         | FROM documents)
         |SELECT CASE WHEN frac < 0.8 THEN 'train'
         |            WHEN frac < 0.9 THEN 'val'
@@ -831,7 +837,7 @@ object SparkEntry {
       """WITH f AS (
         | SELECT doc_id, source,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |    / 4294967295.0 AS frac
+        |    / 4294967296.0 AS frac
         | FROM documents),
         |kept AS (
         | SELECT * FROM f

@@ -83,19 +83,6 @@ object Dedup {
     explodedShingles(df, textCol, idCol).groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
-  /** LSH candidate pairs: band the k-wide signature into bands of
-    * `rowsPerBand`, hash each band, emit all a<b pairs within each
-    * (band, bucket) group. Buckets larger than `maxBucket` are dropped
-    * (degenerate hot keys — at scale these would quadratically explode;
-    * dropping them is the standard guard and is deterministic).
-    *
-    * Plan shape: ONE linear pipeline — explode bands → groupBy (band,
-    * bucket) collecting ids → per-group pair expansion as an array
-    * expression → distinct. No self-join, so the signature pipeline is
-    * computed once with no cache; the per-group expansion is bounded by
-    * maxBucket² (≤10⁴ structs for the default 100), evaluated inside
-    * codegen. The groupBy key (band, bucket) is the only data shuffle;
-    * `distinct` shuffles the (already-small) candidate set. */
   /** The (band, bucket) collision groups behind [[minhashCandidates]]:
     * one row per qualifying bucket with the collected id list. Buckets
     * of size 1 carry no dedup signal; buckets larger than `maxBucket`

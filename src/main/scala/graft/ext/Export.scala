@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * Shard assignment hashes the id ([[Sampling.hashFraction]]), so the
   * layout is stable across runs, engines, and cluster sizes — a
   * re-export after an incremental update moves only the rows that
-  * changed, not the whole shard map. One `repartition` on the shard
-  * key gives one writer task per shard; `sortWithinPartitions` makes
-  * record order inside a shard reproducible; `maxRecordsPerFile`
-  * bounds individual file sizes for streaming loaders.
+  * changed, not the whole shard map. The `repartition` on the shard
+  * key bounds writer parallelism at nShards (hash collisions between
+  * shard values may co-locate two shards in one task; `partitionBy`
+  * still routes every row to its own shard directory);
+  * `sortWithinPartitions` makes record order inside a shard
+  * reproducible; `maxRecordsPerFile` bounds individual file sizes for
+  * streaming loaders.
   */
 object Export {
 
@@ -20,8 +23,7 @@ object Export {
   def shardOf(id: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
     floor(Sampling.hashFraction(id) * nShards).cast("int")
 
-  /** Write `df` as JSONL under `outDir/shard=N/…`. Returns the number
-    * of rows written (the action's count, not a separate scan). */
+  /** Write `df` as JSONL under `outDir/shard=N/…`. */
   def writeJsonlShards(df: DataFrame, idCol: String, outDir: String,
                        nShards: Int, maxRecordsPerFile: Int = 0): Unit = {
     require(nShards > 0, "nShards must be positive")
@@ -34,8 +36,8 @@ object Export {
       .json(outDir)
   }
 
-  /** Shard manifest over an export: rows and approximate bytes per
-    * shard — what a loader reads to plan worker assignment. */
+  /** Shard manifest over an export: row count per shard — what a
+    * loader reads to plan worker assignment. */
   def manifest(spark: SparkSession, outDir: String): DataFrame =
     spark.read.json(outDir)
       .groupBy(col("shard"))

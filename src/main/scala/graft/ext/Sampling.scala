@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform [0,1) fraction from the id: first 8 hex chars of
-    * md5(id as string) over 2³²−1. */
+    * md5(id as string) over 2³². The divisor is 2³² (not 2³²−1): the
+    * hash 0xffffffff must map BELOW 1.0, or `fraction = 1.0` samples
+    * would drop that one-in-4-billion row and shard assignment
+    * (`floor(frac × n)`) would emit an out-of-range shard. */
   def hashFraction(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") /
-      lit(4294967295.0)
+      lit(4294967296.0)
 
   /** Deterministic Bernoulli sample: keep rows with hash < fraction. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =

@@ -34,7 +34,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * (the original inequality join over just the wide ones). The wide
   * branch stays a nested-loop join — the honest cost for pathological
   * intervals — but it only carries the few rows past the cap, which is
-  * what lets the rewrite default ON safely.
+  * what lets the rewrite default ON safely. Known price: the interval
+  * side is scanned once per branch even when every interval is narrow
+  * (the wide filter must run to prove itself empty; AQE then erases
+  * the empty join, including the point-side scan, at runtime). One
+  * extra pass over the — typically small — interval side is the cost
+  * of never nested-looping an unbounded build.
   *
   * Config: `spark.graft.rangeJoin.enabled` (default TRUE),
   * `spark.graft.rangeJoin.bandWidth` (default 100.0),

@@ -118,10 +118,19 @@ object Streams {
     * timeout.
     *
     * Ordering contract: events are sorted within each micro-batch, so
-    * results equal [[sessionsByGap]] whenever per-user disorder across
-    * batches stays within the gap (a late-but-in-watermark event lands
-    * in the still-open session; its span widens by min/max). This is
-    * the standard streaming relaxation of batch sessionization.
+    * session BOUNDARIES equal [[sessionsByGap]] whenever per-user
+    * disorder across batches stays within the gap (a late-but-in-
+    * watermark event lands in the still-open session; its span widens
+    * by min/max). This is the standard streaming relaxation of batch
+    * sessionization.
+    *
+    * Identity contract: `session_no` is an ordinal within one state
+    * lifetime — timeout eviction discards the counter, so a user who
+    * returns after the gap restarts at 1. Keying downstream state on
+    * (user_id, session_no) across evictions is therefore wrong; use
+    * (user_id, startMicros), which is unique and stable. (Preserving a
+    * global per-user ordinal would require state that never evicts —
+    * exactly what the timeout exists to prevent.)
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
                        watermark: String = "1 hour"): Dataset[SessionOut] = {

@@ -140,6 +140,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a"), (2L, "a")))
   }
 
+  test("native as-of with GENUINE exprId overlap binds right values to the right side") {
+    // right is a filter of the SAME frame with UNRENAMED columns — its
+    // attributes carry the left's exprIds, forcing the re-alias path;
+    // without it, UnsafeProjection binds the appended right value to
+    // the LEFT column and the bug is silent (values, not errors)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click"),
+      (2L, 10L, ts("2024-01-01 11:00:00"), "purchase"),
+      (3L, 10L, ts("2024-01-01 12:00:00"), "click"),
+      (4L, 10L, ts("2024-01-01 13:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "event_ts", "event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+    val got = graft.plans.AsOfJoinNative.joinAsOfForward(
+      ev, purchases, "user_id", "user_id", "event_ts", "event_ts", Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    // left event 1 (click@10:00) must carry RIGHT event_id 2, not its
+    // own id; event 3 → 4; purchases match themselves
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 4L), (4L, 4L)))
+  }
+
   test("as-of joins reject unit-unsafe key/time columns loudly") {
     val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"event_ts", $"ts", $"event_type")
