@@ -625,6 +625,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
         .orderBy(col("source"))),
 
+    // unigram-rarity stats — the integer-exact perplexity stand-in:
+    // vocab build + token-keyed join back (the TF-IDF shuffle shape)
+    "q58_token_rarity" -> ((s, d) =>
+      TextStats.rarityStats(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // C4-style boilerplate removal: lines repeated across documents
+    // are stripped, docs reassembled in order. A shared footer is
+    // injected (synthetic corpus has no real boilerplate) and must
+    // vanish; the oracle mirrors the injection
+    "q59_strip_boilerplate" -> { (s, d) =>
+      val aug = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          lit(". Subscribe to our newsletter. All rights reserved")))
+      TextStats.stripBoilerplate(aug, "text", "doc_id", maxDocFreq = 2)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // multimodal frame sampling: 1:N generator fan-out per media row
     // (stubbed chunking; the explode plumbing is the production shape)
     "q49_multimodal_frames" -> ((s, d) =>
@@ -846,6 +866,35 @@ object SparkEntry {
         |                          ELSE 0.0 END)
         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "q58_token_rarity" ->
+      s"""WITH toked AS (
+        | SELECT doc_id, u.tok
+        | FROM (SELECT doc_id, $sqlToks AS t FROM documents) x, unnest(x.t) AS u(tok)),
+        |vocab AS (SELECT tok, COUNT(*) AS tok_freq FROM toked GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens, MIN(tok_freq) AS rarest_freq,
+        | ROUND(CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq
+        |FROM toked JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q59_strip_boilerplate" ->
+      """WITH aug AS (
+        | SELECT doc_id, text || '. Subscribe to our newsletter. All rights reserved' AS text
+        | FROM documents),
+        |split_docs AS (SELECT doc_id, string_split(text, '. ') AS l FROM aug),
+        |pl AS (
+        | SELECT doc_id, unnest(list_transform(l, (x, i) -> {'pos': i, 'line': x})) AS u
+        | FROM split_docs),
+        |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM pl),
+        |df AS (
+        | SELECT line, COUNT(*) AS doc_freq
+        | FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line),
+        |kept AS (
+        | SELECT l.doc_id, l.pos, l.line
+        | FROM lines l JOIN df USING (line) WHERE doc_freq <= 2)
+        |SELECT doc_id, md5(string_agg(line, '. ' ORDER BY pos)) AS clean_md5,
+        | COUNT(*) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q49 pipeline in SQL: resize pads/truncates every non-null payload
     // to exactly 256 bytes, so the stub frame sampler (64-byte frames,

@@ -97,6 +97,59 @@ object TextStats {
           .as("top_word_ratio"))
   }
 
+  /** Unigram-rarity quality signals — the integer-exact stand-in for
+    * LM-perplexity scoring: build the corpus vocabulary (token →
+    * occurrence count), then per document report its rarest token's
+    * count and the mean token frequency. Low min/mean = jargon, OOV
+    * junk, or genuinely novel text; high = templated boilerplate.
+    *
+    * Two shuffles, the classic TF-IDF shape: one groupBy(token) to
+    * build the vocab, one token-keyed join back (vocab is corpus-sized
+    * — at 100 TB it shuffle-joins; Catalyst broadcasts it when small),
+    * then a groupBy(doc). All-integer arithmetic until the final mean
+    * (exact-int division), so every engine rounds identically. */
+  def rarityStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toked = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toked.groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
+    toked
+      .join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("tok_freq")).as("rarest_freq"),
+        round(sum(col("tok_freq")).cast("double") / count(lit(1)), 6).as("mean_freq"))
+  }
+
+  /** C4-style boilerplate removal: drop every LINE (sentence) that
+    * occurs in more than `maxDocFreq` distinct documents, and
+    * reassemble each document from its surviving lines in original
+    * order. Navigation chrome, cookie banners, and template sentences
+    * repeat across pages; real content doesn't.
+    *
+    * Shape: posexplode lines → distinct-per-doc groupBy(line) for
+    * document frequencies → token... line-keyed join back → filter →
+    * groupBy(doc) reassembling via array_sort over (pos, line) structs
+    * (collect_list order is partition-dependent; the sort restores
+    * original positions deterministically). Two shuffles on the line
+    * hash + one on doc id — no driver involvement, no quadratic step. */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       maxDocFreq: Int, sep: String = ". "): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val docFreq = lines.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("doc_freq"))
+    lines
+      .join(docFreq, Seq("line"))
+      .filter(col("doc_freq") <= maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,
     * punctuation-stripped text — the cheap exact-after-normalization
     * dedup key. Backed by the fused single-pass

@@ -282,6 +282,32 @@ class ExtSpec extends AnyFunSuite {
     assert(scrubbed == "mail <EMAIL> or visit <URL> now")
   }
 
+  test("rarityStats: per-doc mins and means reflect corpus token frequencies") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextStats.rarityStats(docs, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // vocab: a->2, b->1, c->1
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.5), (2L, 2L, 1L, 1.5)))
+  }
+
+  test("stripBoilerplate drops cross-doc repeated lines and preserves order") {
+    val docs = Seq(
+      (1L, "unique one. SHARED. tail one"),
+      (2L, "another bit. SHARED. more"),
+      (3L, "third text. SHARED. end")).toDF("doc_id", "text")
+    val got = TextStats.stripBoilerplate(docs, "text", "doc_id", maxDocFreq = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "unique one. tail one", 2L),
+      (2L, "another bit. more", 2L),
+      (3L, "third text. end", 2L)))
+    // a doc that is ALL boilerplate drops out entirely
+    val all = docs.union(Seq((4L, "SHARED")).toDF("doc_id", "text"))
+    val ids = TextStats.stripBoilerplate(all, "text", "doc_id", maxDocFreq = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L))
+  }
+
   test("export: sharded JSONL round-trips, shard layout deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text", $"source")
