@@ -625,6 +625,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
         .orderBy(col("source"))),
 
+    // incremental dedup against a historical fingerprint store: batch
+    // winners anti-joined with seen fingerprints. The batch re-ingests
+    // 50 historical docs under new ids (the corpus has no natural
+    // dups) — those must drop; the oracle mirrors the construction
+    "q60_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") < 250)
+        .select(TextStats.fingerprint(col("text")).as("fp"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .union(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000))
+      Dedup.incrementalNew(batch, "text", "doc_id", history)
+        .orderBy(col("doc_id"))
+    },
+
     // unigram-rarity stats — the integer-exact perplexity stand-in:
     // vocab build + token-keyed join back (the TF-IDF shuffle shape)
     "q58_token_rarity" -> ((s, d) =>
@@ -866,6 +881,21 @@ object SparkEntry {
         |                          ELSE 0.0 END)
         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "q60_incremental_dedup" ->
+      """WITH fps AS (
+        | SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        | FROM documents),
+        |history AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
+        |batch AS (
+        | SELECT doc_id, fp FROM fps WHERE doc_id >= 250
+        | UNION ALL
+        | SELECT doc_id + 1000 AS doc_id, fp FROM fps WHERE doc_id < 50),
+        |winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT fp, doc_id FROM winners
+        |WHERE fp NOT IN (SELECT fp FROM history)
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_token_rarity" ->
       s"""WITH toked AS (

@@ -275,6 +275,20 @@ object Dedup {
     result
   }
 
+  /** Incremental exact dedup — the recurring-crawl shape: keep only
+    * NEW documents whose normalized fingerprint is unique within the
+    * batch (min id wins) and unseen in the historical store. History
+    * is a fingerprint-only table (one md5 per ever-ingested document),
+    * so each increment costs one batch groupBy + one anti-join on the
+    * fingerprint — the full historical TEXT is never rescanned. */
+  def incrementalNew(newDocs: DataFrame, textCol: String, idCol: String,
+                     seenFps: DataFrame): DataFrame = {
+    val winners = newDocs
+      .groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+    winners.join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   /** 32-bit SimHash over whitespace tokens: per token take the first 8
     * hex chars of md5 as a 32-bit value; each fingerprint bit is the
     * sign of the per-bit vote sum (+1 if set, −1 if not) across tokens.

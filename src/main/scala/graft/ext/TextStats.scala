@@ -67,15 +67,35 @@ object TextStats {
         .as("stopword_ratio"))
   }
 
+  /** Longest equal-run length in the SORTED token array — the max
+    * occurrence count of any single token, in O(n log n) per row
+    * instead of the O(|distinct| × n) count-per-distinct-token scan.
+    * SQL-parsed lambda (struct field access inside Column-API lambdas
+    * does not resolve; see the round-1 gotcha). */
+  private val maxTokenRunSql =
+    """aggregate(array_sort(toks),
+      |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+      |  (st, x) -> named_struct(
+      |    'prev', x,
+      |    'run', if(x <=> st.prev, st.run + 1, 1),
+      |    'best', greatest(st.best, if(x <=> st.prev, st.run + 1, 1))),
+      |  st -> st.best)""".stripMargin
+
+  /** Reference formulation of the top-word count (count every distinct
+    * token, take the max) — kept for the ExtSpec differential. */
+  def topWordCountNaive(toks: Column): Column =
+    array_max(transform(array_distinct(toks), d => size(filter(toks, t => t === d))))
+
   /** Gopher-style repetition signals: duplicated-bigram ratio (what
     * fraction of word bigrams are repeats) and top-word ratio (how
     * much of the document is its single most frequent token).
     * High values flag boilerplate/spam for corpus filtering.
     *
-    * Per-row array expressions, no explode/shuffle. The top-word scan
-    * is O(|distinct| × |tokens|) per document — fine for natural text
-    * (distinct ≈ tokens ≪ 10⁴); the tokens array is materialized once
-    * per row in its own projection (multiply referenced). */
+    * Per-row array expressions, no explode/shuffle; the top-word count
+    * is a sorted-run aggregate (O(n log n) per row — asserted equal to
+    * the count-per-distinct formulation in ExtSpec); the tokens array
+    * is materialized once per row in its own projection (multiply
+    * referenced). */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = col("toks")
     val bigrams = Dedup.shinglesFromTokens(toks, 2)
@@ -83,17 +103,15 @@ object TextStats {
       .select(col(idCol), toks, size(toks).as("n_tokens"),
         when(size(toks) < 2, lit(0)).otherwise(size(toks) - 1).as("n_bigrams"),
         when(size(toks) < 2, lit(0))
-          .otherwise(size(array_distinct(bigrams))).as("n_distinct_bigrams"))
+          .otherwise(size(array_distinct(bigrams))).as("n_distinct_bigrams"),
+        expr(maxTokenRunSql).as("top_word_count"))
       .select(col(idCol), col("n_tokens"), col("n_bigrams"),
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(round(lit(1.0) -
             col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6))
           .as("dup_bigram_ratio"),
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(
-            array_max(transform(array_distinct(toks),
-              d => size(filter(toks, t => t === d)))).cast("double") /
-              col("n_tokens"), 6))
+          .otherwise(round(col("top_word_count").cast("double") / col("n_tokens"), 6))
           .as("top_word_ratio"))
   }
 

@@ -282,6 +282,37 @@ class ExtSpec extends AnyFunSuite {
     assert(scrubbed == "mail <EMAIL> or visit <URL> now")
   }
 
+  test("repetition top-word sorted-run aggregate == count-per-distinct formulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .union(Seq((9001L, "a a a b", "x", "s", 7L), (9002L, "", "x", "s", 0L),
+        (9003L, "solo", "x", "s", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val toked = docs.select($"doc_id", TextStats.tokens($"text").as("toks"))
+    val cmp = toked.select($"doc_id",
+      expr("""aggregate(array_sort(toks),
+        | named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+        | (st, x) -> named_struct('prev', x,
+        |   'run', if(x <=> st.prev, st.run + 1, 1),
+        |   'best', greatest(st.best, if(x <=> st.prev, st.run + 1, 1))),
+        | st -> st.best)""".stripMargin).as("run_based"),
+      TextStats.topWordCountNaive($"toks").as("naive"))
+    assert(cmp.filter($"run_based" =!= $"naive").count() == 0)
+  }
+
+  test("incrementalNew: batch dups of history drop, novel docs survive") {
+    val history = Seq("old text one", "old text two").toDF("text")
+      .select(TextStats.fingerprint($"text").as("fp"))
+    val batch = Seq(
+      (10L, "brand new document"),
+      (11L, "old text one"),        // seen in history → drop
+      (12L, "brand new document"),  // batch dup → loses to min id 10
+      (13L, "Old  Text two!"))      // normalizes to a seen fp → drop
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.incrementalNew(batch, "text", "doc_id", history)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(10L))
+  }
+
   test("rarityStats: per-doc mins and means reflect corpus token frequencies") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextStats.rarityStats(docs, "text", "doc_id").orderBy("doc_id")
