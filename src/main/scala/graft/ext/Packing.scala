@@ -39,4 +39,41 @@ object Packing {
     assignBins(docs, idCol, textCol, windowTokens, nShards)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
+  /** EXACT greedy packing (no document straddles a bin): within each
+    * shard, documents in id order fill the current bin until adding
+    * the next would exceed `windowTokens`, which closes the bin; a
+    * single document larger than the window gets a bin of its own.
+    *
+    * Greedy packing is inherently sequential, so this is the
+    * documented `mapPartitions` tier — per-partition imperative logic
+    * no expression can state. Parallelism is preserved the same way as
+    * [[assignBins]]: one exchange hash-partitions the shards, rows are
+    * sorted (shard, id) within each partition, and the per-shard
+    * accumulator resets on shard change (a partition may carry several
+    * shards). Returns (idCol, shard, n_tokens, bin). */
+  def assignBinsGreedy(docs: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int, nShards: Int = 8): DataFrame = {
+    require(windowTokens > 0 && nShards > 0, "windowTokens and nShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+        size(TextStats.tokens(col(textCol))).as("n_tokens"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var bin = 0L
+        var used = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; used = 0L }
+          if (used > 0 && used + n > windowTokens) { bin += 1; used = 0L }
+          used += n
+          (id, shard, n, bin)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "bin")
+  }
 }

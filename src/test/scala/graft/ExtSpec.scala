@@ -270,6 +270,38 @@ class ExtSpec extends AnyFunSuite {
       (1L, 0L, 2L, 6L), (1L, 1L, 1L, 3L)))
   }
 
+  test("greedy packing: no straddling, budget respected, matches sequential reference") {
+    // hand case: shard0 docs of 3 tokens each, window 7 → bins hold 2
+    // docs (6 tokens); an oversized doc gets its own bin
+    val docs = ((0L until 6L).map(i => (i * 2, "w w w")) :+ (12L, ("w " * 9).trim))
+      .toDF("doc_id", "text")
+    val got = Packing.assignBinsGreedy(docs, "doc_id", "text", windowTokens = 7, nShards = 1)
+      .orderBy("doc_id").as[(Long, Long, Int, Long)].collect()
+    assert(got.map(r => r._1 -> r._4).toSeq ==
+      Seq(0L -> 0L, 2L -> 0L, 4L -> 1L, 6L -> 1L, 8L -> 2L, 10L -> 2L, 12L -> 3L))
+    // real data differential vs a driver-side sequential reference
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = 512
+    val dist = Packing.assignBinsGreedy(real, "doc_id", "text", w, nShards = 4)
+      .orderBy("doc_id").as[(Long, Long, Int, Long)].collect()
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    dist.groupBy(_._2).foreach { case (_, rows) =>
+      var bin = 0L; var used = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, _) =>
+        if (used > 0 && used + n > w) { bin += 1; used = 0L }
+        used += n
+        ref(id) = bin
+      }
+    }
+    assert(dist.nonEmpty && dist.forall { case (id, _, _, bin) => ref(id) == bin })
+    // budget invariant: every multi-doc bin fits the window
+    val overfull = Packing.assignBinsGreedy(real, "doc_id", "text", w, nShards = 4)
+      .groupBy($"shard", $"bin")
+      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter($"n" > 1 && $"tot" > w).count()
+    assert(overfull == 0)
+  }
+
   test("scrub: emails and urls replaced with placeholders, counts reported") {
     val docs = Seq((1L, "mail a@b.co or visit https://x.y/z now"), (2L, "clean"))
       .toDF("doc_id", "text")
