@@ -80,6 +80,36 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("hashSplit partitions exactly once; fractions bound the hash") =
+    forAll(Gen.listOf(Gen.chooseNum(-100000L, 100000L)).map(_.distinct)) { ids =>
+      ids.isEmpty || {
+        val df = ids.toDF("id")
+        val split = graft.ext.Sampling.hashSplit(df, "id",
+          Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+        // total cover, no duplication, only declared labels
+        val rows = split.select($"id", $"split").as[(Long, String)].collect()
+        rows.length == ids.length &&
+          rows.map(_._1).toSet == ids.toSet &&
+          rows.map(_._2).toSet.subsetOf(Set("a", "b", "c")) && {
+            // fraction=1.0 keeps EVERY row (the 2^32 divisor guarantee)
+            graft.ext.Sampling.deterministicSample(df, "id", 1.0).count() == ids.length
+          }
+      }
+    }
+
+  property("greedy packing: multi-doc bins never exceed the window") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(0, 12))) { tokenCounts =>
+      val docs = tokenCounts.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val bins = graft.ext.Packing.assignBinsGreedy(docs, "doc_id", "text",
+        windowTokens = 5, nShards = 2)
+        .groupBy($"shard", $"bin")
+        .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long, Long)].collect()
+      bins.forall { case (_, _, tot, n) => n == 1 || tot <= 5 }
+    }
+
   property("identical texts are always MinHash-LSH candidates") =
     forAll(Gen.chooseNum(2, 4), Gen.alphaStr.suchThat(_.nonEmpty)) { (copies, text) =>
       val docs = (0 until copies).map(i => (i.toLong, s"$text $text $text"))
