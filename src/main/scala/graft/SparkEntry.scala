@@ -660,6 +660,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // int8 embedding quantization report: per-vector scale, quantized
+    // aggregates, max reconstruction error (the 4x-compression pass
+    // before ANN serving)
+    "q61_quantize_embeddings" -> ((s, d) =>
+      Similarity.quantizeStats(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
     // multimodal frame sampling: 1:N generator fan-out per media row
     // (stubbed chunking; the explode plumbing is the production shape)
     "q49_multimodal_frames" -> ((s, d) =>
@@ -896,6 +903,22 @@ object SparkEntry {
         |SELECT fp, doc_id FROM winners
         |WHERE fp NOT IN (SELECT fp FROM history)
         |ORDER BY doc_id""".stripMargin,
+
+    "q61_quantize_embeddings" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, e, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+        |       ELSE list_transform(e, x -> round(x / scale)) END AS qv
+        | FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        | CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS sum_q,
+        | CAST(list_min(qv) AS BIGINT) AS min_q,
+        | CAST(list_max(qv) AS BIGINT) AS max_q,
+        | ROUND(list_max(list_transform(range(1, len(e) + 1),
+        |   i -> abs(qv[CAST(i AS INT)] * scale - e[CAST(i AS INT)]))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q58_token_rarity" ->
       s"""WITH toked AS (

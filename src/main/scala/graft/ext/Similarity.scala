@@ -205,6 +205,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization report per vector — the storage-
+    * reduction pass a 100 TB embedding corpus runs before ANN serving
+    * (4× smaller than float32): per-vector scale = max|x| / 127,
+    * q_i = round(x_i / scale), plus the max reconstruction error
+    * |q_i·scale − x_i|. Pure map-side array expressions; the report
+    * flattens to scalars (scale, quantized-value aggregates, error)
+    * so it stays oracle-checkable. Zero vectors quantize to all-zero
+    * with scale 0 and error 0. */
+  def quantizeStats(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val withScale = vectors.select(col(idCol), v.as("v"),
+      (array_max(transform(v, x => abs(x))) / 127.0).as("scale"))
+    val q = when(col("scale") === 0.0, transform(col("v"), _ => lit(0.0)))
+      .otherwise(transform(col("v"), x => round(x / col("scale"))))
+    // "q" multiply-referenced → its own projection (evaluated once).
+    // The rounded display scale gets ITS OWN projection after the
+    // stats: aliasing `round(scale, 6) AS scale` in the same select
+    // that references col("scale") inside a lambda makes Spark's
+    // lateral-column-alias resolution bind the lambda to the ROUNDED
+    // alias, silently computing errors against the wrong scale.
+    withScale.select(col(idCol), col("v"), col("scale"), q.as("q"))
+      .select(col(idCol), col("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_q"),
+        array_min(col("q")).cast("long").as("min_q"),
+        array_max(col("q")).cast("long").as("max_q"),
+        round(array_max(zip_with(col("q"), col("v"),
+          (qi, xi) => abs(qi * col("scale") - xi))), 6).as("max_err"))
+      .select(col(idCol), round(col("scale"), 6).as("scale"),
+        col("sum_q"), col("min_q"), col("max_q"), col("max_err"))
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ `threshold`,
     * restricted to LSH-bucket collisions (no O(n²) cross join).
     *

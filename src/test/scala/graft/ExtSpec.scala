@@ -371,6 +371,22 @@ class ExtSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 3L))
   }
 
+  test("quantizeStats: int8 range, half-scale error bound, zero vector safe") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .union(Seq((9999L, Seq.fill(8)(0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.quantizeStats(emb, "vec_id", "embedding")
+    val rows = got.as[(Long, Double, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, _, minQ, maxQ, maxErr) =>
+      assert(minQ >= -127 && maxQ <= 127, s"vec $id out of int8 range")
+      // reconstruction error of round-to-nearest is at most scale/2
+      // (+ rounding-to-6-decimals slack)
+      assert(maxErr <= scale / 2 + 1e-6, s"vec $id err $maxErr > scale/2 $scale")
+      if (id == 9999L) assert(scale == 0.0 && maxErr == 0.0 && minQ == 0 && maxQ == 0)
+    }
+  }
+
   test("export: sharded JSONL round-trips, shard layout deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text", $"source")
