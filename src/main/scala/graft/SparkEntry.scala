@@ -660,6 +660,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // overlapping token-window chunking: the RAG/embedding pre-pass
+    // (1:N explode fan-out, window 6 / stride 3 → 50% overlap)
+    "q62_chunk_documents" -> ((s, d) =>
+      TextStats.chunkByTokens(Tables.documents(s, d), "text", "doc_id",
+        windowTokens = 6, stride = 3)
+        .orderBy(col("doc_id"), col("chunk_no"))),
+
     // int8 embedding quantization report: per-vector scale, quantized
     // aggregates, max reconstruction error (the 4x-compression pass
     // before ANN serving)
@@ -903,6 +910,20 @@ object SparkEntry {
         |SELECT fp, doc_id FROM winners
         |WHERE fp NOT IN (SELECT fp FROM history)
         |ORDER BY doc_id""".stripMargin,
+
+    "q62_chunk_documents" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  CASE WHEN len(t) <= 6 THEN 1
+        |       ELSE CAST(ceil(CAST(len(t) - 6 AS DOUBLE) / 3) AS INT) + 1 END AS nc
+        | FROM toks),
+        |ch AS (
+        | SELECT doc_id, CAST(u.i AS INT) AS chunk_no,
+        |  array_to_string(t[(CAST(u.i AS INT) * 3 + 1):(CAST(u.i AS INT) * 3 + 6)], ' ') AS chunk
+        | FROM n, unnest(range(0, nc)) AS u(i))
+        |SELECT doc_id, chunk_no, chunk,
+        | CAST(len(string_split(chunk, ' ')) AS INT) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q61_quantize_embeddings" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

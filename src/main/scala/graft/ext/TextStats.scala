@@ -168,6 +168,29 @@ object TextStats {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /** Overlapping token-window chunking — the embedding-pipeline
+    * pre-pass (RAG indexing, long-doc encoders): each document fans
+    * out to windows of `windowTokens` tokens advancing by `stride`
+    * (stride < window ⇒ overlap). The last window is the final
+    * partial tail; documents shorter than one window emit exactly one
+    * chunk. Pure per-row array expressions + one explode — 1:N
+    * fan-out, no shuffle, no state. */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0 && stride > 0 && stride <= windowTokens,
+      "need 0 < stride <= windowTokens")
+    val toks = col("toks")
+    val nChunks = when(size(toks) <= windowTokens, lit(1))
+      .otherwise(ceil((size(toks) - windowTokens).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), toks,
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ",
+            slice(toks, i * stride + 1, lit(windowTokens))))).as(Seq("chunk_no", "chunk")))
+      .select(col(idCol), col("chunk_no"),
+        col("chunk"), size(split(col("chunk"), " ")).as("chunk_tokens"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,
     * punctuation-stripped text — the cheap exact-after-normalization
     * dedup key. Backed by the fused single-pass

@@ -371,6 +371,23 @@ class ExtSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 3L))
   }
 
+  test("chunkByTokens: overlap, tail handling, short docs emit one chunk") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8"), (2L, "a b"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextStats.chunkByTokens(docs, "text", "doc_id", windowTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Int, String, Int)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t3 t4 t5 t6", 4), (1L, 2, "t5 t6 t7 t8", 4),
+      (2L, 0, "a b", 2),
+      (3L, 0, "x y z w", 4)))
+    // full coverage: every token of every doc appears in some chunk
+    val n8 = docs.filter($"doc_id" === 1)
+    val covered = TextStats.chunkByTokens(n8, "text", "doc_id", 3, 3)
+      .agg(sum($"chunk_tokens")).as[Long].head()
+    assert(covered == 8) // non-overlapping stride=window partitions exactly
+  }
+
   test("quantizeStats: int8 range, half-scale error bound, zero vector safe") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding")
