@@ -825,7 +825,8 @@ object SparkEntry {
     "q30_ann_lsh" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64),
 
     // the id-hash fraction both split/sample oracles share: first 32
-    // md5 bits over 2^32-1, exactly Sampling.hashFraction
+    // md5 bits over 2^32, exactly Sampling.hashFraction (2^32, NOT
+    // 2^32-1 — 0xffffffff must stay below 1.0)
     "q53_hash_split" ->
       """WITH f AS (
         | SELECT doc_id,
@@ -918,11 +919,11 @@ object SparkEntry {
         |       ELSE CAST(ceil(CAST(len(t) - 6 AS DOUBLE) / 3) AS INT) + 1 END AS nc
         | FROM toks),
         |ch AS (
-        | SELECT doc_id, CAST(u.i AS INT) AS chunk_no,
+        | SELECT doc_id, t, CAST(u.i AS INT) AS chunk_no,
         |  array_to_string(t[(CAST(u.i AS INT) * 3 + 1):(CAST(u.i AS INT) * 3 + 6)], ' ') AS chunk
         | FROM n, unnest(range(0, nc)) AS u(i))
         |SELECT doc_id, chunk_no, chunk,
-        | CAST(len(string_split(chunk, ' ')) AS INT) AS chunk_tokens
+        | CAST(least(6, len(t) - chunk_no * 3) AS INT) AS chunk_tokens
         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q61_quantize_embeddings" ->

@@ -72,7 +72,7 @@ object TextStats {
     * instead of the O(|distinct| × n) count-per-distinct-token scan.
     * SQL-parsed lambda (struct field access inside Column-API lambdas
     * does not resolve; see the round-1 gotcha). */
-  private val maxTokenRunSql =
+  private[graft] val maxTokenRunSql =
     """aggregate(array_sort(toks),
       |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
       |  (st, x) -> named_struct(
@@ -187,8 +187,11 @@ object TextStats {
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ",
             slice(toks, i * stride + 1, lit(windowTokens))))).as(Seq("chunk_no", "chunk")))
-      .select(col(idCol), col("chunk_no"),
-        col("chunk"), size(split(col("chunk"), " ")).as("chunk_tokens"))
+      // the chunk's token count is closed-form from the window
+      // geometry — no re-tokenization of the string just built
+      .select(col(idCol), col("chunk_no"), col("chunk"),
+        least(lit(windowTokens), size(col("toks")) - col("chunk_no") * stride)
+          .as("chunk_tokens"))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,

@@ -294,11 +294,10 @@ class ExtSpec extends AnyFunSuite {
       }
     }
     assert(dist.nonEmpty && dist.forall { case (id, _, _, bin) => ref(id) == bin })
-    // budget invariant: every multi-doc bin fits the window
-    val overfull = Packing.assignBinsGreedy(real, "doc_id", "text", w, nShards = 4)
-      .groupBy($"shard", $"bin")
-      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("n"))
-      .filter($"n" > 1 && $"tot" > w).count()
+    // budget invariant over the already-collected rows: every
+    // multi-doc bin fits the window
+    val overfull = dist.groupBy(r => (r._2, r._4)).values
+      .count(rows => rows.length > 1 && rows.map(_._3.toLong).sum > w)
     assert(overfull == 0)
   }
 
@@ -320,13 +319,10 @@ class ExtSpec extends AnyFunSuite {
         (9003L, "solo", "x", "s", 4L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val toked = docs.select($"doc_id", TextStats.tokens($"text").as("toks"))
+    // the PRODUCTION expression, not a copy — a regression in
+    // maxTokenRunSql must fail here
     val cmp = toked.select($"doc_id",
-      expr("""aggregate(array_sort(toks),
-        | named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
-        | (st, x) -> named_struct('prev', x,
-        |   'run', if(x <=> st.prev, st.run + 1, 1),
-        |   'best', greatest(st.best, if(x <=> st.prev, st.run + 1, 1))),
-        | st -> st.best)""".stripMargin).as("run_based"),
+      expr(TextStats.maxTokenRunSql).as("run_based"),
       TextStats.topWordCountNaive($"toks").as("naive"))
     assert(cmp.filter($"run_based" =!= $"naive").count() == 0)
   }
