@@ -161,6 +161,26 @@ class PlanSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
+    // q62 chunking: scan → project → generate, no exchange at all
+    // (formatted explain lists partitionings in the Arguments: lines)
+    def hashExchanges(plan: String): Int =
+      "Arguments: hashpartitioning".r.findAllIn(plan).length
+    val chunkPlan = planOf(SparkEntry.queries("q62_chunk_documents")(spark, d))
+    // the only exchange allowed is the final presentation ORDER BY
+    assert(hashExchanges(chunkPlan) == 0,
+      s"chunking must not shuffle data, got:\n$chunkPlan")
+    // q55 packing: ONE hash exchange (the shard window); the (shard,
+    // bin) groupBy must reuse the shard partitioning, not re-shuffle
+    val packPlan = planOf(SparkEntry.queries("q55_pack_bins")(spark, d))
+    assert(hashExchanges(packPlan) == 1,
+      s"expected exactly one hash exchange in:\n$packPlan")
+    // q53 split: only doc_id is read from the 5-column documents table
+    val splitPlan = planOf(SparkEntry.queries("q53_hash_split")(spark, d))
+    assert(splitPlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"expected doc_id-only ReadSchema in:\n$splitPlan")
+  }
+
   test("partition pruning: filter on partition column prunes the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Tables.orders(spark, d)
