@@ -660,6 +660,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // per-source contribution cap (domain capping): at most 10 docs
+    // per source, selected in id-hash order — deterministic unbiased
+    // pick, one shuffle on the stratum key
+    "q63_source_cap" -> ((s, d) =>
+      Sampling.capPerStratum(Tables.documents(s, d), "doc_id", "source", maxRows = 10)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .orderBy(col("source"), col("cap_rank"))),
+
     // overlapping token-window chunking: the RAG/embedding pre-pass
     // (1:N explode fan-out, window 6 / stride 3 → 50% overlap)
     "q62_chunk_documents" -> ((s, d) =>
@@ -911,6 +919,19 @@ object SparkEntry {
         |SELECT fp, doc_id FROM winners
         |WHERE fp NOT IN (SELECT fp FROM history)
         |ORDER BY doc_id""".stripMargin,
+
+    "q63_source_cap" ->
+      """WITH f AS (
+        | SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY frac, doc_id) AS INT) AS cap_rank
+        | FROM f)
+        |SELECT doc_id, source, cap_rank FROM r
+        |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
 
     "q62_chunk_documents" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),

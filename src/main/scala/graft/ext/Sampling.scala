@@ -47,6 +47,25 @@ object Sampling {
     df.withColumn("split", split)
   }
 
+  /** Per-stratum contribution cap — the domain-capping step of C4/
+    * RefinedWeb-style curation: every stratum (source, domain) keeps
+    * at most `maxRows` rows, chosen by id-hash order so the selection
+    * is an unbiased deterministic sample rather than "whatever sorted
+    * first". One shuffle on the stratum key; the per-stratum
+    * row_number is the standard windowed top-N (heavily skewed strata
+    * should pre-aggregate or raise shuffle partitions — the window
+    * processes each stratum on one task, the inherent cost of an
+    * exact per-group limit). Adds `cap_rank` (1-based). */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    maxRows: Int): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashFraction(col(idCol)), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= maxRows)
+  }
+
   /** Stratified deterministic sampling — the dataset-mixing primitive:
     * each stratum (e.g. source) keeps its own fraction of rows, so a
     * training mix like {web: 0.5, code: 1.0, chat: 0.1} is one

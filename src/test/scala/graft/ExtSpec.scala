@@ -341,6 +341,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Set(10L))
   }
 
+  test("capPerStratum: per-source cap enforced, selection deterministic and hash-ordered") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val capped = Sampling.capPerStratum(docs, "doc_id", "source", maxRows = 10)
+    val bySrc = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ == 10) && bySrc.size == 20) // 25 docs/source at sf0.01
+    // deterministic across runs
+    val ids1 = capped.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.capPerStratum(docs, "doc_id", "source", maxRows = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // a cap above the stratum size keeps everything
+    assert(Sampling.capPerStratum(docs, "doc_id", "source", 1000).count() == docs.count())
+  }
+
   test("rarityStats: per-doc mins and means reflect corpus token frequencies") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextStats.rarityStats(docs, "text", "doc_id").orderBy("doc_id")
