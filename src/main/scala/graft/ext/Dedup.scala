@@ -180,28 +180,81 @@ object Dedup {
     *    preserves connectivity with Σ|bucket| edges instead of
     *    Σ|bucket|² pair rows — the edge set stays LINEAR in the data
     *    at 100 TB.
-    *  - **Clique-seeded labels.** Every node starts at min(bucket min
-    *    over its buckets) instead of itself, so single-bucket clusters
-    *    (the overwhelming majority) are final before round 1 and the
-    *    fixpoint typically confirms convergence in one round; rounds
-    *    scale with CROSS-bucket chain depth only.
+    *  - **Recursive star contraction, not flat rounds.** Every node is
+    *    seeded at min(bucket min over its buckets); nodes whose buckets
+    *    agree on one hub (the overwhelming majority) are FINAL after
+    *    that single pass, and only the multi-hub nodes — where all
+    *    cross-bucket connectivity lives — recurse as a strictly
+    *    smaller child problem (see [[contractComponents]]).
     *
     * Same fixpoint as [[connectedComponents]] over the expanded pair
     * list (asserted in ExtSpec; the q48 oracle's recursive-CTE closure
     * agrees). */
-  def componentsFromBuckets(buckets: DataFrame, maxIter: Int = 20): DataFrame = {
-    val members = buckets
+  def componentsFromBuckets(buckets: DataFrame, maxIter: Int = 20): DataFrame =
+    contractComponents(buckets.select(col("ids")), depth = 0, maxDepth = maxIter)
+
+  /** Recursive star contraction (the MapReduce-CC family of Kiveris et
+    * al., adapted to bucket cliques). One level:
+    *
+    *  1. Seed every node with the min hub over its buckets — ONE
+    *     groupBy pass that also records the node's distinct-hub set
+    *     (bounded by the number of bands a document can land in, so the
+    *     set is O(nBands), never O(data)).
+    *  2. **Short-circuit**: if every node sees a single distinct hub,
+    *     every star edge (h, v) already joins equal labels (v's only
+    *     hub is h, and h — a member of its own bucket — can then only
+    *     carry h), so the seeds ARE the fixpoint: zero further work.
+    *  3. Otherwise all cross-component connectivity flows through the
+    *     multi-hub nodes (a single-hub node is a leaf: its only edges
+    *     go to its one hub). Contract: each multi-hub node's hub set
+    *     becomes a child "bucket", and the child problem — components
+    *     over hubs only — recurses. The child input is |mismatch
+    *     nodes| rows — strictly smaller than this level's input, and
+    *     typically a tiny fraction of it — unlike a flat fixpoint that
+    *     re-shuffles the FULL node set every round.
+    *  4. Resolve down: final(v) = childLabel(seed(v)), defaulting to
+    *     seed(v) for hubs the child never saw (isolated in the hub
+    *     graph). The component min is always itself a hub (the min
+    *     node m of a component is in some bucket whose hub h ≤ m and h
+    *     is in the same component, so h = m), so resolving through the
+    *     hub labels is exhaustive.
+    *
+    * The resolve join's right side is the contracted result — small by
+    * construction; AQE turns it into a broadcast join at runtime once
+    * its size is known (data-dependent at 100 TB, so the choice is
+    * deliberately left to AQE rather than a hard broadcast() that
+    * could OOM on adversarial inputs). `maxDepth` bounds pathological
+    * hub chains exactly as maxIter bounded flat rounds. */
+  private def contractComponents(idSets: DataFrame, depth: Int, maxDepth: Int): DataFrame = {
+    if (depth >= maxDepth)
+      throw new IllegalStateException(
+        s"star contraction exceeded $maxDepth levels — component hub-chain " +
+          "depth is pathological; raise maxIter and re-run (returning " +
+          "partial labels would split clusters)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val members = idSets
       .select(array_min(col("ids")).as("hub"), explode(col("ids")).as("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = members.groupBy(col("id")).agg(min(col("hub")).as("component"))
-    val star = members.filter(col("hub") =!= col("id"))
-    // duplicate star edges (a node sharing several buckets with the
-    // same hub) are harmless under min-label propagation — skipping
-    // the distinct saves a full shuffle of the edge set
-    val edges = star.select(col("hub").as("src"), col("id").as("dst"))
-      .union(star.select(col("id").as("src"), col("hub").as("dst")))
-    val result = propagateMinLabels(edges, seeds, maxIter)
+      .persist(lvl)
+    val seedsExt = members.groupBy(col("id"))
+      .agg(min(col("hub")).as("component"), collect_set(col("hub")).as("hubs"))
+      .persist(lvl)
+    val nMismatch = seedsExt
+      .agg(coalesce(sum((size(col("hubs")) > 1).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val seeds = seedsExt.select(col("id"), col("component"))
+    val result =
+      if (nMismatch == 0L) seeds.localCheckpoint(true)
+      else {
+        val childSets = seedsExt.filter(size(col("hubs")) > 1).select(col("hubs").as("ids"))
+        val hubLabels = contractComponents(childSets, depth + 1, maxDepth)
+          .select(col("id").as("h_id"), col("component").as("h_comp"))
+        seeds
+          .join(hubLabels, seeds("component") === col("h_id"), "left")
+          .select(col("id"), coalesce(col("h_comp"), seeds("component")).as("component"))
+          .localCheckpoint(true)
+      }
     members.unpersist()
+    seedsExt.unpersist()
     result
   }
 

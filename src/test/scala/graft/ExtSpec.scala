@@ -61,6 +61,18 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("componentsFromBuckets: long hub chain recurses to the global min; empty input ok") {
+    // a 7-bucket chain 1-2, 2-3, ..., 7-8 forces several contraction
+    // levels (each level peels the chain down by its settled leaves) —
+    // every node must still land on component 1
+    val chain = (1L to 7L).map(i => (0, s"b$i", Seq(i, i + 1))).toDF("band", "bucket", "ids")
+    val got = Dedup.componentsFromBuckets(chain).as[(Long, Long)].collect().toMap
+    assert(got == (1L to 8L).map(_ -> 1L).toMap)
+    // degenerate empty bucket list: empty result, no rounds, no error
+    val empty = Seq.empty[(Int, String, Seq[Long])].toDF("band", "bucket", "ids")
+    assert(Dedup.componentsFromBuckets(empty).count() == 0L)
+  }
+
   test("simhash: identical docs identical fingerprints; fingerprint in 32-bit range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z")).toDF("doc_id", "text")
     val got = Dedup.simhash(docs, "text", "doc_id").orderBy("doc_id").as[(Long, Long)].collect()
