@@ -675,6 +675,17 @@ object SparkEntry {
         windowTokens = 6, stride = 3)
         .orderBy(col("doc_id"), col("chunk_no"))),
 
+    // exact substring (repeated-span) dedup: 8-token windows whose
+    // hash appears in >=2 distinct docs are stripped from every doc —
+    // the Lee et al. cross-document span-removal family, hash-windowed
+    // instead of suffix-arrayed for scale
+    "q64_dedup_spans" -> { (s, d) =>
+      Dedup.dedupSpans(Tables.documents(s, d), "text", "doc_id", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // int8 embedding quantization report: per-vector scale, quantized
     // aggregates, max reconstruction error (the 4x-compression pass
     // before ANN serving)
@@ -946,6 +957,28 @@ object SparkEntry {
         |SELECT doc_id, chunk_no, chunk,
         | CAST(least(6, len(t) - chunk_no * 3) AS INT) AS chunk_tokens
         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q64_dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |win AS (
+        | SELECT doc_id, CAST(u.i AS INT) AS st,
+        |  md5(array_to_string(t[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 8)], ' ')) AS wh
+        | FROM toks, unnest(range(0, len(t) - 7)) AS u(i)),
+        |dup AS (SELECT wh FROM win GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
+        |ds AS (SELECT doc_id, list(st) AS starts FROM win JOIN dup USING (wh) GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        | CAST(len(tk.t) AS INT) AS n_tokens,
+        | CAST(coalesce(len(s.starts), 0) AS INT) AS n_dup_windows,
+        -- array_to_string of an EMPTY list is NULL in DuckDB but '' in
+        | -- Spark's array_join (a fully-duplicated doc hits this): coalesce
+        | md5(coalesce(array_to_string(
+        |   list_transform(
+        |     list_filter(list_transform(tk.t, (x, i) -> {'tok': x, 'p': i - 1}),
+        |       e -> len(list_filter(coalesce(s.starts, []),
+        |                            q -> q <= e.p AND e.p < q + 8)) = 0),
+        |     e -> e.tok), ' '), '')) AS clean_md5
+        |FROM toks tk LEFT JOIN ds s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q61_quantize_embeddings" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

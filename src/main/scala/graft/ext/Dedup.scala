@@ -328,6 +328,62 @@ object Dedup {
     result
   }
 
+  /** Exact substring (repeated-span) dedup — the Lee et al.
+    * "Deduplicating Training Data" operator family, in its scalable
+    * Spark shape: hashed k-token windows instead of suffix arrays.
+    *
+    *  1. Every document emits one row per k-token window:
+    *     (md5(window), doc_id, start). Linear fan-out — n_tokens rows
+    *     per doc, same shape as [[explodedShingles]].
+    *  2. A window hash is a CROSS-DOCUMENT repeated span iff it occurs
+    *     in ≥2 distinct docs — detected with min(doc_id) ≠ max(doc_id),
+    *     a bounded-state aggregate that never buffers the occurrence
+    *     list, so boilerplate spans repeated millions of times cost the
+    *     same as a pair (no countDistinct, no hot-key blowup).
+    *  3. Each doc's duplicated window starts join back (hash-keyed semi
+    *     shape) and every token covered by any such window is stripped;
+    *     uncovered tokens reassemble in order, like
+    *     [[TextStats.stripBoilerplate]] does for lines.
+    *
+    * The coverage filter is O(n_tokens × n_dup_windows) per row in the
+    * worst case (a fully-duplicated doc); both factors are bounded by
+    * the doc length, and the common case (few duplicated spans) is
+    * near-linear. Docs shorter than k tokens emit no windows and pass
+    * through untouched.
+    *
+    * Returns (idCol, n_tokens, n_dup_windows, clean_text). */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val toked = df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+    // "toks" is multiply-referenced below — it must stay a materialized
+    // projection (see shinglesFromTokens' hazard note)
+    val windows = toked
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+        .as(Seq("start", "wh")))
+    val dupHashes = windows
+      .groupBy(col("wh"))
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("wh"))
+    val dupStarts = windows
+      .join(dupHashes, Seq("wh"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("start")).as("starts"))
+    toked
+      .join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("st"))
+      .select(
+        col(idCol),
+        size(col("toks")).as("n_tokens"),
+        size(col("st")).as("n_dup_windows"),
+        array_join(filter(col("toks"),
+          (x, i) => !exists(col("st"), s => s <= i && i < s + k)), " ")
+          .as("clean_text"))
+  }
+
   /** Incremental exact dedup — the recurring-crawl shape: keep only
     * NEW documents whose normalized fingerprint is unique within the
     * batch (min id wins) and unseen in the historical store. History

@@ -73,6 +73,25 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.componentsFromBuckets(empty).count() == 0L)
   }
 
+  test("dedupSpans: cross-doc repeated 8-token span stripped, unique text kept") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon"),
+      (3L, "totally unique text that shares nothing with the others at all"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect()
+    // doc 1: 11 tokens, windows starting at 2 covers the span; doc 2:
+    // window at 0. Unique surroundings survive, the shared span goes.
+    assert(got(0) == ((1L, 11, 1, "alpha beta gamma")))
+    assert(got(1) == ((2L, 10, 1, "delta epsilon")))
+    // untouched docs: zero dup windows, full text kept (doc 4 is
+    // shorter than one window and never enters the window pipeline)
+    assert(got(2)._3 == 0 && got(2)._4.startsWith("totally unique"))
+    assert(got(3) == ((4L, 2, 0, "short doc")))
+  }
+
   test("simhash: identical docs identical fingerprints; fingerprint in 32-bit range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z")).toDF("doc_id", "text")
     val got = Dedup.simhash(docs, "text", "doc_id").orderBy("doc_id").as[(Long, Long)].collect()
