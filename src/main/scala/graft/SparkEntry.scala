@@ -554,6 +554,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, nPlanes = 6)
     },
 
+    // multi-probe LSH ANN: the probe searches its own bucket PLUS all
+    // Hamming-1 neighbor buckets (each hyperplane bit flipped) — the
+    // recall path when the primary bucket is thin or empty
+    "q65_ann_multiprobe" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), probe,
+        "vec_id", "embedding", k = 10, nPlanes = 6, multiProbe = true)
+    },
+
     // embedding near-dup pairs via LSH buckets (testdata has no planted
     // near-dups — max pairwise cosine ≈ 0.51 — so the threshold is set
     // where the tail of the distribution lives)
@@ -784,15 +794,23 @@ object SparkEntry {
   /** DuckDB twin of q30: bucket every vector with the inlined
     * hyperplanes, keep only corpus vectors sharing the probe's bucket,
     * exact-rank within it. Same technique as q31's oracle. */
-  private def lshTopKSql(k: Int, nPlanes: Int, dim: Int): String = {
+  private def lshTopKSql(k: Int, nPlanes: Int, dim: Int,
+                         multiProbe: Boolean = false): String = {
     val planes = graft.ext.Similarity.hyperplanes(nPlanes, dim)
+    // multi-probe: the probe bucket plus every Hamming-1 neighbor
+    // (each sign bit xor-flipped), mirroring Similarity.lshTopK
+    val probeList =
+      if (multiProbe)
+        "[pb" + (0 until nPlanes).map(i => s", xor(pb, ${1L << i})").mkString + "]"
+      else "[pb]"
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (SELECT vec_id, e, ${lshBucketSql(planes, "e")} AS bucket FROM v),
        |p AS (SELECT e AS pv, bucket AS pb FROM b WHERE vec_id = 0),
+       |pp AS (SELECT pv, unnest($probeList) AS pbk FROM p),
        |c AS (SELECT vec_id, e, bucket FROM b WHERE vec_id <> 0)
        |SELECT c.vec_id,
-       | ROUND(${cosineSql("c.e", "p.pv")}, 6) AS cos_sim
-       |FROM c JOIN p ON c.bucket = p.pb
+       | ROUND(${cosineSql("c.e", "pp.pv")}, 6) AS cos_sim
+       |FROM c JOIN pp ON c.bucket = pp.pbk
        |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
   }
 
@@ -842,6 +860,8 @@ object SparkEntry {
       maxBucket = 10000),
 
     "q30_ann_lsh" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64),
+
+    "q65_ann_multiprobe" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64, multiProbe = true),
 
     // the id-hash fraction both split/sample oracles share: first 32
     // md5 bits over 2^32, exactly Sampling.hashFraction (2^32, NOT

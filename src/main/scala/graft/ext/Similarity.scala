@@ -68,14 +68,30 @@ object Similarity {
   }
 
   /** ANN via LSH buckets: score the probe only against vectors sharing
-    * its bucket, then exact-rank within the bucket. Falls back to
-    * nothing if the bucket is empty (recall/latency trade — the 100 TB
-    * path would multi-probe neighboring buckets). */
+    * one of its probe buckets, then exact-rank within them.
+    *
+    * With `multiProbe=false` only the probe's own bucket is searched —
+    * lowest latency, but an empty/thin bucket returns fewer than k
+    * results. With `multiProbe=true` (the 100 TB recall path) the
+    * probe also searches every Hamming-1 neighbor bucket (each of the
+    * nPlanes sign bits flipped — the buckets a true neighbor most
+    * likely fell into, since each flip corresponds to the probe lying
+    * close to one hyperplane). The probe side explodes its nPlanes+1
+    * bucket ids and the corpus equi-joins on the bucket key, so the
+    * search stays a broadcast hash join touching ~(nPlanes+1)/2^nPlanes
+    * of the data — never a scan. A corpus vector matches at most one
+    * probe bucket (the probe's bucket list is distinct by
+    * construction), so no post-join dedup is needed. */
   def lshTopK(vectors: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
-              k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+              k: Int, nPlanes: Int = 12, dim: Int = 64,
+              multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = vectors.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val probeB = broadcast(probe.withColumn("bucket", lshBucket(col("probe_vec"), planes)))
+    val pb = lshBucket(col("probe_vec"), planes)
+    val probeBuckets =
+      if (multiProbe) array(pb +: (0 until nPlanes).map(i => pb.bitwiseXOR(lit(1L << i))): _*)
+      else array(pb)
+    val probeB = broadcast(probe.select(col("probe_vec"), explode(probeBuckets).as("bucket")))
     bucketed
       .join(probeB, Seq("bucket"))
       .select(col(idCol), round(cosine(col(vecCol), col("probe_vec")), 6).as("cos_sim"))

@@ -139,6 +139,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(_._1 == 5L))
   }
 
+  test("lsh multi-probe: empty primary bucket still returns the Hamming-1 neighbor") {
+    // construct a corpus vector u and probe w that agree on plane 1 and
+    // disagree on plane 0 — buckets at exactly Hamming distance 1 —
+    // using the deterministic hyperplanes themselves: u = h0 + h1 flips
+    // to w = -h0 + h1 on plane 0 only (valid whenever |<h0,h1>| < dim)
+    val planes = Similarity.hyperplanes(2, 8)
+    val s01 = planes(0).zip(planes(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(s01) < 8.0, "deterministic planes must not be (anti)parallel")
+    val u = planes(0).zip(planes(1)).map { case (a, b) => (a + b).toFloat }
+    val w = planes(0).zip(planes(1)).map { case (a, b) => (-a + b).toFloat }
+    val corpus = Seq((7L, u.toSeq)).toDF("vec_id", "embedding")
+    val probe = Seq(Tuple1(w.toSeq)).toDF("probe_vec")
+    val primary = Similarity.lshTopK(corpus, probe, "vec_id", "embedding",
+      k = 5, nPlanes = 2, dim = 8, multiProbe = false)
+    assert(primary.isEmpty, "primary bucket must be empty for this construction")
+    val multi = Similarity.lshTopK(corpus, probe, "vec_id", "embedding",
+      k = 5, nPlanes = 2, dim = 8, multiProbe = true)
+    assert(multi.as[(Long, Double)].collect().map(_._1).toSeq == Seq(7L))
+  }
+
   test("nearDupPairs: maxBucket drops a degenerate bucket, keeps normal ones") {
     // 5 identical vectors → one bucket of 5 (10 pairs at cosine 1.0);
     // 2 opposite-direction vectors → a different bucket pair
