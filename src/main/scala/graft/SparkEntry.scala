@@ -543,6 +543,24 @@ object SparkEntry {
     },
 
 
+    // IVF ANN over a MATERIALIZED index: train, write the corpus
+    // partitioned by list_id, then answer the probe by partition-
+    // pruning straight to its nProbe list directories (the genuine
+    // serving shape — PlanSpec asserts the PartitionFilters). Same
+    // result set as the retrain-per-query q45, and the same dynamic
+    // centroid-inlined oracle verifies it end to end.
+    "q66_ann_ivf_indexed" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      val cents = Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", idx,
+        nLists = 16, iters = 2)
+      Similarity.ivfTopKIndexed(s, idx, cents, probe, "vec_id", "embedding",
+        k = 10, nProbe = 4)
+    },
+
     // LSH-bucketed ANN (the 100 TB path: probe touches one bucket);
     // probe excluded from the corpus like q25/q45, so the top-k slots
     // are all real neighbors, not a self-match. Full hash oracle via
@@ -851,7 +869,9 @@ object SparkEntry {
          |FROM v JOIN asg USING (vec_id), p, pl
          |WHERE list_contains(pl.lists, asg.list_id)
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
-    Map("q45_ann_ivf" -> q45)
+    // the indexed path (q66) materializes the same assignment the
+    // oracle recomputes, so one SQL text verifies both query shapes
+    Map("q45_ann_ivf" -> q45, "q66_ann_ivf_indexed" -> q45)
   }
 
   def oracleSql: Map[String, String] = Map(
