@@ -52,7 +52,8 @@ object Verify {
     // sf dir and merged in; skipped when a dev-filtered run doesn't
     // touch them
     val dynamic =
-      if (only.isEmpty || only("q45_ann_ivf")) SparkEntry.dynamicOracleSql(spark, sfDir)
+      if (only.isEmpty || only("q45_ann_ivf") || only("q66_ann_ivf_indexed"))
+        SparkEntry.dynamicOracleSql(spark, sfDir)
       else Map.empty[String, String]
     val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

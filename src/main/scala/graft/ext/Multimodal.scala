@@ -72,28 +72,60 @@ object Multimodal {
   }
 
   /** STUB resize: payload → payload'. Real deployments decode, scale,
-    * re-encode; the stub truncates/pads to `targetBytes` so the
-    * pipeline shape (binary → binary map, null-safe, codegen-adjacent)
-    * is real and size-assertable in tests. */
-  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    * re-encode (see [[resizeUdf]], the imperative seam a codec slots
+    * into); the stub truncate/pad is pure byte arithmetic, so it stays
+    * a BUILT-IN: one `rpad` on the binary payload (rpad both truncates
+    * and zero-pads to the target length) — whole-stage codegen, no UDF
+    * row boxing. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload", rpad(col("payload"), targetBytes, Array[Byte](0)))
+      .withColumn("meta", struct(col("meta.source").as("source"),
+        // null payloads carry no bytes — stamping targetBytes would
+        // corrupt byteStats' sums downstream
+        when(col("payload").isNull, lit(null).cast(LongType))
+          .otherwise(lit(targetBytes.toLong)).as("n_bytes")))
+
+  /** The imperative form of [[resize]] — byte-identical (asserted in
+    * ExtSpec), kept as the seam where a REAL codec (decode → scale →
+    * re-encode) replaces the byte arithmetic in production. */
+  def resizeUdf(media: DataFrame, targetBytes: Int): DataFrame = {
     val doResize = udf((p: Array[Byte]) =>
       if (p == null) null
       else if (p.length >= targetBytes) p.take(targetBytes)
       else p ++ Array.fill[Byte](targetBytes - p.length)(0))
     media.withColumn("payload", doResize(col("payload")))
       .withColumn("meta", struct(col("meta.source").as("source"),
-        // null payloads carry no bytes — stamping targetBytes would
-        // corrupt byteStats' sums downstream
         when(col("payload").isNull, lit(null).cast(LongType))
           .otherwise(lit(targetBytes.toLong)).as("n_bytes")))
   }
 
   /** STUB frame sampling: one media row → every `stride`-th fixed-size
     * chunk of the payload as a frame row (media_id, frame_no, frame).
-    * Real deployments pull I-frames via a codec; the generator shape —
-    * explode of a per-row array, null/empty payloads dropping out, 1:N
-    * row fan-out partition-locally — is the production plumbing. */
+    * Real deployments pull I-frames via a codec ([[frameSampleUdf]] is
+    * that seam); the stub's strided slicing is closed-form byte
+    * arithmetic, so it stays in codegen: frame count from the payload
+    * length, `transform(sequence(...))` to build the slices with
+    * binary `substr`, one posexplode for the 1:N fan-out. Null and
+    * empty payloads produce an empty array and drop out of the
+    * explode, exactly like the imperative form. */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val step = frameBytes * stride
+    val nFrames = ceil(length(col("payload")).cast("double") / step).cast("int")
+    // sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    // empty/null payload case to an explicit empty array instead
+    val frames = when(coalesce(length(col("payload")), lit(0)) === 0,
+        array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), nFrames - 1),
+        i => col("payload").substr(i * step + 1, lit(frameBytes))))
+    media
+      .select(col("media_id"), posexplode(frames).as(Seq("frame_no", "frame")))
+  }
+
+  /** The imperative form of [[frameSample]] — identical fan-out
+    * (asserted in ExtSpec), kept as the seam where a REAL codec pulls
+    * I-frames instead of byte slices in production. */
+  def frameSampleUdf(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
     val slice = udf((p: Array[Byte]) =>
       if (p == null) Array.empty[Array[Byte]]

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextStats}
@@ -519,5 +520,23 @@ class ExtSpec extends AnyFunSuite {
     val f = frames.filter($"media_id" === 1 && $"frame_no" === 1)
       .select(length($"frame")).as[Int].head()
     assert(f == 8) // second frame starts at 32 of 40 → 8 bytes
+  }
+
+  test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
+    // odd lengths, exact-multiple lengths, empty and null payloads
+    val docs = Seq((1L, "a" * 100, "s"), (2L, "b" * 64, "s"), (3L, "c", "s"),
+      (4L, "", "s"), (5L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.ingest(docs, "doc_id", "text", "source")
+    def canon(df: DataFrame) = df.select($"media_id", md5($"payload").as("p"),
+      $"meta.n_bytes".as("nb")).orderBy("media_id").collect().toSeq
+    assert(canon(Multimodal.resize(media, 40)) == canon(Multimodal.resizeUdf(media, 40)))
+    def canonF(df: DataFrame) = df.select($"media_id", $"frame_no", md5($"frame"))
+      .orderBy("media_id", "frame_no").collect().toSeq
+    val r = Multimodal.resize(media, 40)
+    assert(canonF(Multimodal.frameSample(r, 16, 2)) ==
+      canonF(Multimodal.frameSampleUdf(r, 16, 2)))
+    // empty (non-null) payload: no frames from either form
+    assert(Multimodal.frameSample(media.filter($"media_id" === 4), 16, 2).isEmpty)
   }
 }

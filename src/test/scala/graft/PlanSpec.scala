@@ -194,6 +194,14 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.select("o_year").distinct().count() == 1)
   }
 
+  test("multimodal stub pipeline stays in codegen: no UDF node in the q49 plan (q49)") {
+    // resize/frameSample are pure byte arithmetic — built-ins, not
+    // UDFs; the imperative *Udf forms exist only as the real-codec seam
+    val plan = executedPlanOf(SparkEntry.queries("q49_multimodal_frames")(spark, d))
+    assert(!plan.contains("UDF") && !plan.contains("BatchEvalPython"),
+      s"q49 must not row-box through a UDF, got:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline (q01)") {
     val plan = executedPlanOf(SparkEntry.queries("q01_pricing_summary")(spark, d))
     // codegen'd operators print as "*(n) Operator" in the final plan
