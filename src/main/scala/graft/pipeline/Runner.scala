@@ -116,15 +116,19 @@ class Runner(spark: SparkSession, base: String) {
       .foreach { case (t, partitioned) => registerGold(t, partitioned) }
   }
 
-  /** Register a gold output in the SESSION CATALOG as an external
-    * parquet table over its path — the reference's Hive-metastore role
+  /** Register a gold output in the catalog as an external parquet
+    * table over its path — the reference's Hive-metastore role
     * (ref: mnt/hive-conf/hive-site.xml:35-41, so Trino can address gold
-    * by NAME). Entries live in the shared external catalog: every
-    * session on this SparkContext — `spark.newSession()` included —
-    * resolves `spark.table("gold_…")`. Re-registration per run keeps
-    * the inferred schema current; partitioned facts get partition
-    * recovery so month directories are visible through the catalog. */
-  private def registerGold(table: String, partitioned: Boolean): Unit = {
+    * by NAME). With a plain session the entries live in the shared
+    * in-memory external catalog (every session on this SparkContext —
+    * `spark.newSession()` included — resolves `spark.table("gold_…")`,
+    * gone on JVM exit); with [[Runner.hiveSession]] they persist in a
+    * derby-backed Hive metastore and SURVIVE JVM restarts, matching
+    * the reference's always-on metastore service. Re-registration per
+    * run keeps the inferred schema current; partitioned facts get
+    * partition recovery so month directories are visible through the
+    * catalog. */
+  def registerGold(table: String, partitioned: Boolean): Unit = {
     val name = s"gold_$table"
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.catalog.createTable(name, "parquet",
@@ -138,4 +142,33 @@ class Runner(spark: SparkSession, base: String) {
   }
 
   def gold(table: String): DataFrame = spark.read.parquet(s"$base/gold/$table")
+}
+
+object Runner {
+
+  /** A SparkSession whose catalog PERSISTS across JVM restarts: Hive
+    * support over an embedded derby metastore rooted under `base`
+    * (ref: the reference's standalone Hive metastore + postgres,
+    * mnt/hive-conf/hive-site.xml:35-41 — one self-contained directory
+    * here instead of two services). Any table registered through
+    * [[Runner#registerGold]] in one JVM resolves by name in the next
+    * (asserted cross-JVM in PipelineSpec via forked processes).
+    *
+    * Derby allows ONE live connection per metastore directory, which
+    * matches the reference's single-metastore-service topology; a
+    * multi-writer deployment swaps the ConnectionURL for a networked
+    * metastore db exactly as hive-site.xml would. */
+  def hiveSession(base: String, master: String = "local[4]"): SparkSession = {
+    // keep derby's log inside the warehouse root, not the process cwd
+    System.setProperty("derby.system.home", base)
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .enableHiveSupport()
+      .getOrCreate()
+  }
 }

@@ -158,4 +158,25 @@ class PipelineSpec extends AnyFunSuite {
     // dims accumulated across months
     assert(runner.gold("dim_user").count() == 3)
   }
+
+  test("hive metastore: gold table registered in one JVM resolves by name after a restart") {
+    // a GENUINE restart: two forked JVMs over the same derby-backed
+    // warehouse dir (an in-process newSession() shares the external
+    // catalog and cannot observe metastore persistence)
+    val base = java.nio.file.Files.createTempDirectory("graft_metastore").toString
+    val cp = sys.props("java.class.path")
+    val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def fork(mode: String): String = {
+      val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+        "graft.tools.MetastoreCheck", mode, base)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"MetastoreCheck $mode failed:\n$out")
+      out
+    }
+    assert(fork("write").contains("METASTORE_WROTE=gold_dim_time"))
+    assert(fork("read").contains("METASTORE_ROWS=3"),
+      "fresh JVM must resolve gold_dim_time from the derby metastore")
+  }
 }
