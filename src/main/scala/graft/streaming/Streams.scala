@@ -155,21 +155,32 @@ object Streams {
             Iterator.single(
               SessionOut(userId, st.sessionsStarted, st.openStart, st.openEnd, st.openN))
           } else {
-            val sorted = it.toArray.sortBy(e => (micros(e.event_ts), e.event_id))
+            // The fold below only reads event TIMES (value/event_id
+            // never enter the session span), and equal-timestamp order
+            // cannot change boundaries or min/max spans — so buffer the
+            // batch slice as a primitive long[] and sort that: ~8
+            // bytes/event instead of an object per event, keeping even
+            // a pathological single-user batch flood (10⁷ events ≈
+            // 80 MB) inside an executor's working memory. True
+            // incremental processing without the sort would mis-split
+            // sessions on out-of-order arrival WITHIN the batch, which
+            // Spark does not forbid.
+            val ts = it.map(e => micros(e.event_ts)).toArray
+            java.util.Arrays.sort(ts)
             var st = state.getOption.getOrElse(OpenSession(0L, 0L, 0L, 0L))
             var out = List.empty[SessionOut]
-            sorted.foreach { e =>
-              val t = micros(e.event_ts)
+            ts.foreach { t =>
               if (st.openN == 0L)
                 st = OpenSession(st.sessionsStarted + 1, t, t, 1L)
               else if (t - st.openEnd > gapMicros) {
                 out ::= SessionOut(userId, st.sessionsStarted, st.openStart, st.openEnd, st.openN)
                 st = OpenSession(st.sessionsStarted + 1, t, t, 1L)
-              } else
+              } else {
                 // in-gap event; min/max so late-but-admissible arrivals
                 // widen rather than corrupt the open span
                 st = st.copy(openStart = math.min(st.openStart, t),
                   openEnd = math.max(st.openEnd, t), openN = st.openN + 1L)
+              }
             }
             state.update(st)
             // fires once the watermark passes the earliest instant at
@@ -179,6 +190,26 @@ object Streams {
           }
       }
   }
+
+  /** The streaming-to-serving hand-off: drive [[sessionizeStream]]'s
+    * emitted sessions into a gold parquet table through `foreachBatch`
+    * → [[graft.gold.Upsert.upsertParquet]]. Each micro-batch upserts
+    * on (user_id, startMicros) — the stable session identity (see the
+    * identity contract above; session_no resets across state
+    * lifetimes, so it must NOT key the sink) — making the sink
+    * idempotent under micro-batch replay: a batch re-delivered after a
+    * failure overwrites its own rows instead of duplicating them.
+    * Returns the started query; callers own its lifecycle. */
+  def sessionsToGold(sessions: Dataset[SessionOut], path: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    sessions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
+        graft.gold.Upsert.upsertParquet(batch.sparkSession, path,
+          batch.toDF(), Seq("user_id", "startMicros"))
+      }
+      .start()
 
   /** Stateful sessionization via `flatMapGroupsWithState` — the
     * custom-state path. In batch mode Spark calls the function once

@@ -112,6 +112,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessions land in a gold table via foreachBatch upsert and re-read") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_gold").toString
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("event_id", "user_id", "event_ts", "value")
+    val q = Streams.sessionsToGold(
+      Streams.sessionizeStream(events, gapMinutes = 30, watermark = "10 minutes"),
+      s"$base/gold/sessions", s"$base/ckpt")
+    try {
+      mem.addData(
+        (1L, 1L, t("2024-01-01 10:00:00"), 1.0),
+        (2L, 1L, t("2024-01-01 10:10:00"), 1.0),
+        (3L, 1L, t("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, 1L, t("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      // the sink table is a plain parquet dir: re-read it cold
+      val gold = spark.read.parquet(s"$base/gold/sessions")
+        .select($"user_id", $"session_no", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gold.contains((1L, 1L, 2L)), s"expected closed session 1 in gold, got $gold")
+      // upsert keyed on (user_id, startMicros): no duplicate sessions
+      val keys = spark.read.parquet(s"$base/gold/sessions")
+        .select($"user_id", $"startMicros").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(keys.length == keys.distinct.length)
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer: single-user batch flood stays correct (primitive-sort path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 50k events for ONE user in ONE batch, adversarially interleaved
+    // (reverse-ordered pairs), 10s apart → one giant session; a second
+    // user far in the future advances the watermark to flush it
+    val flood = (0 until 50000).map { i =>
+      val j = if (i % 2 == 0) i + 1 else i - 1 // within-batch disorder
+      (j.toLong, 1L, new java.sql.Timestamp(base + j * 10000L), 1.0)
+    }
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("event_id", "user_id", "event_ts", "value")
+    val q = Streams.sessionizeStream(events, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_flood").start()
+    try {
+      mem.addData(flood)
+      q.processAllAvailable()
+      mem.addData((999999L, 2L, new java.sql.Timestamp(base + 10L * 24 * 3600 * 1000), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_flood").filter($"user_id" === 1L)
+        .select($"session_no", $"startMicros", $"endMicros", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, base * 1000L, (base + 49999L * 10000L) * 1000L, 50000L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
