@@ -696,6 +696,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("cap_rank"))
         .orderBy(col("source"), col("cap_rank"))),
 
+    // token-budget dataset mixing: each listed source contributes docs
+    // in id-hash order until its TOKEN budget fills (the real mixing
+    // knob — tokens, not documents); unlisted sources drop out
+    "q67_token_budget_mix" -> { (s, d) =>
+      val withTok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).as("n_tokens"))
+      Sampling.capTokensPerStratum(withTok, "doc_id", "source", "n_tokens",
+        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1200L))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // overlapping token-window chunking: the RAG/embedding pre-pass
     // (1:N explode fan-out, window 6 / stride 3 → 50% overlap)
     "q62_chunk_documents" -> ((s, d) =>
@@ -983,6 +995,23 @@ object SparkEntry {
         | FROM f)
         |SELECT doc_id, source, cap_rank FROM r
         |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
+
+    "q67_token_budget_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents),
+        |f AS (SELECT t.*,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM t),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM f)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 800
+        |                         WHEN 'src1' THEN 400
+        |                         WHEN 'src2' THEN 1200 ELSE 0 END
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q62_chunk_documents" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),

@@ -66,6 +66,34 @@ object Sampling {
       .filter(col("cap_rank") <= maxRows)
   }
 
+  /** Token-budget dataset mixing — [[stratifiedSample]]'s knob
+    * measured in the unit that actually matters for a training mix:
+    * TOKENS, not documents. Rows order within their stratum by the id
+    * hash (unbiased, deterministic) and survive while the running
+    * token total stays within the stratum's budget — a strict prefix
+    * in hash order: the first row to overflow is dropped and, since
+    * the cumulative total only grows, so is everything after it (no
+    * knapsack back-filling — determinism and one-pass semantics over
+    * marginally fuller budgets). Strata absent from `budgets` are
+    * dropped, like [[stratifiedSample]]'s missing fractions.
+    *
+    * One shuffle on the stratum key; the running sum is the same
+    * windowed cumulative shape as [[graft.ext.Packing]]'s bins, with
+    * [[capPerStratum]]'s skew caveat. Adds `cum_tokens`. */
+  def capTokensPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                          tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ > 0), "token budgets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashFraction(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, b)) =>
+      when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Stratified deterministic sampling — the dataset-mixing primitive:
     * each stratum (e.g. source) keeps its own fraction of rows, so a
     * training mix like {web: 0.5, code: 1.0, chat: 0.1} is one

@@ -74,6 +74,25 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.componentsFromBuckets(empty).count() == 0L)
   }
 
+  test("capTokensPerStratum: strict prefix in hash order per stratum; unlisted strata drop") {
+    val rows = Seq(
+      (1L, "a", 100), (2L, "a", 100), (3L, "a", 100), (4L, "a", 100),
+      (10L, "b", 50), (11L, "b", 50),
+      (20L, "c", 10)).toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.capTokensPerStratum(rows, "doc_id", "source", "n_tokens",
+      Map("a" -> 250L, "b" -> 1000L))
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    // stratum a: hash order of ids 1..4; exactly the first two fit 250
+    // (each 100 tokens; the third overflows and ends the prefix)
+    val hashOrder = Seq(1L, 2L, 3L, 4L).sortBy(id =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16))
+    assert(got.keySet.filter(_ <= 4L) == hashOrder.take(2).toSet)
+    assert(got(hashOrder.head) == 100L && got(hashOrder(1)) == 200L)
+    // stratum b fits entirely; stratum c is unlisted → dropped
+    assert(got.keySet.filter(_ >= 10L) == Set(10L, 11L))
+  }
+
   test("dedupSpans: cross-doc repeated 8-token span stripped, unique text kept") {
     val span = "one two three four five six seven eight"
     val docs = Seq(
