@@ -356,19 +356,27 @@ object Dedup {
     val toked = df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
     // "toks" is multiply-referenced below — it must stay a materialized
     // projection (see shinglesFromTokens' hazard note)
+    // ONE pass over the exploded windows: cross-doc detection is a
+    // min/max window aggregate over the SAME shuffle that groups
+    // occurrences by hash, so the explode+md5 pipeline runs exactly
+    // once and nothing is ever broadcast (the dup-hash set is sized by
+    // the data — every cross-doc boilerplate window — so a broadcast
+    // join here would be the OOM path at 100 TB; a groupBy+join-back
+    // would recompute the explode per consumer, since the lambda in
+    // `transform` defeats exchange-reuse canonicalization). A
+    // degenerate globally-repeated window puts its occurrence group on
+    // one task either way; WindowExec's group buffer is spill-backed.
     val windows = toked
       .filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - k),
         i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
         .as(Seq("start", "wh")))
-    val dupHashes = windows
-      .groupBy(col("wh"))
-      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("wh"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
     val dupStarts = windows
-      .join(dupHashes, Seq("wh"))
+      .withColumn("mn", min(col(idCol)).over(byHash))
+      .withColumn("mx", max(col(idCol)).over(byHash))
+      .filter(col("mn") =!= col("mx"))
       .groupBy(col(idCol))
       .agg(collect_list(col("start")).as("starts"))
     toked
