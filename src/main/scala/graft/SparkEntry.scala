@@ -696,6 +696,33 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("cap_rank"))
         .orderBy(col("source"), col("cap_rank"))),
 
+    // benchmark decontamination: corpus docs sharing 8-token windows
+    // with the (broadcast) eval split are flagged with their distinct
+    // shared-window counts — the test-set-leakage hygiene pass
+    "q68_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationHits(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 === 3),
+        "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // near-dup corpus materialization: the end product of the q48
+    // component pipeline — keep each cluster's min-id doc plus every
+    // unclustered doc (losers drop via one anti-join)
+    "q69_near_dedup_keep" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sig = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8)
+      val buckets = Dedup.minhashBuckets(sig, "doc_id", k = 8, rowsPerBand = 2, maxBucket = 100)
+      val losers = Dedup.componentsFromBuckets(buckets)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // token-budget dataset mixing: each listed source contributes docs
     // in id-hash order until its TOKEN budget fills (the real mixing
     // knob — tokens, not documents); unlisted sources drop out
@@ -995,6 +1022,36 @@ object SparkEntry {
         | FROM f)
         |SELECT doc_id, source, cap_rank FROM r
         |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
+
+    "q68_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |win AS (
+        | SELECT doc_id,
+        |  md5(array_to_string(t[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 8)], ' ')) AS wh
+        | FROM toks, unnest(range(0, len(t) - 7)) AS u(i)),
+        |bw AS (SELECT DISTINCT wh FROM win WHERE doc_id % 10 = 3),
+        |cw AS (SELECT DISTINCT doc_id, wh FROM win WHERE doc_id % 10 <> 3)
+        |SELECT doc_id, COUNT(*) AS n_hit_windows
+        |FROM cw JOIN bw USING (wh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q69_near_dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT * FROM ($minhashPairsSqlBody)),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.comp AS comp
+        |  FROM reach r JOIN edges e ON r.id = e.src),
+        |losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(comp))
+        |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q67_token_budget_mix" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents),

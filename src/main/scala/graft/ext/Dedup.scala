@@ -352,10 +352,23 @@ object Dedup {
     * through untouched.
     *
     * Returns (idCol, n_tokens, n_dup_windows, clean_text). */
-  def dedupSpans(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
-    val toked = df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+  /** (idCol, start, wh) — one row per k-token window with its md5
+    * hash; docs shorter than k emit nothing. Linear fan-out (n_tokens
+    * rows per doc), map-side only. The shared front end of
+    * [[dedupSpans]] and [[contaminationHits]]. */
+  def windowHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     // "toks" is multiply-referenced below — it must stay a materialized
     // projection (see shinglesFromTokens' hazard note)
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+        .as(Seq("start", "wh")))
+  }
+
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val toked = df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
     // ONE pass over the exploded windows: cross-doc detection is a
     // min/max window aggregate over the SAME shuffle that groups
     // occurrences by hash, so the explode+md5 pipeline runs exactly
@@ -366,12 +379,7 @@ object Dedup {
     // `transform` defeats exchange-reuse canonicalization). A
     // degenerate globally-repeated window puts its occurrence group on
     // one task either way; WindowExec's group buffer is spill-backed.
-    val windows = toked
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - k),
-        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-        .as(Seq("start", "wh")))
+    val windows = windowHashes(df, textCol, idCol, k)
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
     val dupStarts = windows
       .withColumn("mn", min(col(idCol)).over(byHash))
@@ -390,6 +398,38 @@ object Dedup {
         array_join(filter(col("toks"),
           (x, i) => !exists(col("st"), s => s <= i && i < s + k)), " ")
           .as("clean_text"))
+  }
+
+  /** Benchmark decontamination — the pretraining-hygiene counterpart
+    * of [[dedupSpans]]: flag corpus documents that share k-token
+    * windows with an EVALUATION set, so test data can be removed from
+    * the training mix before it leaks into the model. Asymmetric by
+    * design: the benchmark side is small (an eval suite, not a second
+    * corpus), so its distinct window hashes are `broadcast` — the
+    * corpus-side explode stays map-side and nothing shuffles except
+    * the per-doc hit counts. Returns (idCol, n_hit_windows), one row
+    * per contaminated doc — n_hit_windows counts DISTINCT shared
+    * window hashes. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val bw = windowHashes(benchmark, textCol, idCol, k).select(col("wh")).distinct()
+    windowHashes(corpus, textCol, idCol, k)
+      .select(col(idCol), col("wh")).distinct()
+      .join(broadcast(bw), Seq("wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_windows"))
+  }
+
+  /** The removal form of [[contaminationHits]]: corpus rows whose
+    * distinct shared-window count is below `minHits` (anti-join on the
+    * hit list — clean docs stream through untouched). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    k: Int = 8, minHits: Int = 1): DataFrame = {
+    val hits = contaminationHits(corpus, benchmark, textCol, idCol, k)
+      .filter(col("n_hit_windows") >= minHits)
+      .select(col(idCol))
+    corpus.join(hits, Seq(idCol), "left_anti")
   }
 
   /** Incremental exact dedup — the recurring-crawl shape: keep only

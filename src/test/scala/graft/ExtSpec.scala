@@ -112,6 +112,22 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 2, 0, "short doc")))
   }
 
+  test("decontaminate: corpus docs sharing eval windows are flagged and removable") {
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val bench = Seq((100L, span)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro text here then $span closing words"),  // contaminated (2 shared windows)
+      (2L, "completely unrelated content that never overlaps the benchmark at all here"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, bench, "text", "doc_id", k = 8)
+      .as[(Long, Long)].collect().toMap
+    // the 9-token span yields 2 distinct 8-token windows shared by doc 1
+    assert(hits == Map(1L -> 2L))
+    val clean = Dedup.decontaminate(corpus, bench, "text", "doc_id", k = 8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("simhash: identical docs identical fingerprints; fingerprint in 32-bit range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z")).toDF("doc_id", "text")
     val got = Dedup.simhash(docs, "text", "doc_id").orderBy("doc_id").as[(Long, Long)].collect()
