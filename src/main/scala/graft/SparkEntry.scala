@@ -696,6 +696,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("cap_rank"))
         .orderBy(col("source"), col("cap_rank"))),
 
+    // quality-weighted sampling: keep probability scales with the
+    // stopword ratio (soft curation), decided by the same id-hash
+    // fraction as the hard splits — reproducible and composable
+    "q70_weighted_sample" -> { (s, d) =>
+      val q = TextStats.qualityScore(Tables.documents(s, d), "text", "doc_id")
+      Sampling.weightedSample(q, "doc_id", col("stopword_ratio") * 2.0)
+        .select(col("doc_id"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // benchmark decontamination: corpus docs sharing 8-token windows
     // with the (broadcast) eval split are flagged with their distinct
     // shared-window counts — the test-set-leakage hygiene pass
@@ -1022,6 +1032,22 @@ object SparkEntry {
         | FROM f)
         |SELECT doc_id, source, cap_rank FROM r
         |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
+
+    "q70_weighted_sample" ->
+      s"""WITH q AS (
+        | SELECT doc_id,
+        |  ROUND(CAST(len(list_filter($sqlToks, t ->
+        |    t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |    / len($sqlToks), 6) AS stopword_ratio
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, stopword_ratio,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM q)
+        |SELECT doc_id, stopword_ratio FROM f
+        |WHERE frac < least(greatest(stopword_ratio * 2.0, 0.0), 1.0)
+        |ORDER BY doc_id""".stripMargin,
 
     "q68_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),

@@ -94,6 +94,15 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Quality-weighted deterministic sampling — soft curation: each row
+    * survives with probability `probCol` (clamped to [0,1], e.g. a
+    * quality score times a base rate), decided by the SAME id-hash
+    * fraction as every other sampler, so the selection is reproducible
+    * and composable with splits (a row's hash is fixed; only its
+    * threshold moves). Map-side filter, no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, probCol: Column): DataFrame =
+    df.filter(hashFraction(col(idCol)) < least(greatest(probCol, lit(0.0)), lit(1.0)))
+
   /** Stratified deterministic sampling — the dataset-mixing primitive:
     * each stratum (e.g. source) keeps its own fraction of rows, so a
     * training mix like {web: 0.5, code: 1.0, chat: 0.1} is one

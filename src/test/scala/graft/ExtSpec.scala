@@ -74,6 +74,15 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.componentsFromBuckets(empty).count() == 0L)
   }
 
+  test("weightedSample: prob 0 drops, prob 1 keeps, clamping holds") {
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) 5.0 else -1.0)).toDF("doc_id", "p")
+    val kept = Sampling.weightedSample(rows, "doc_id", $"p")
+      .select($"doc_id").as[Long].collect().toSet
+    // p=-1 clamps to 0 (never kept); p=5 clamps to 1 (always kept,
+    // because hashFraction is strictly below 1.0 by construction)
+    assert(kept == (1L to 200L).filter(_ % 2 == 0).toSet)
+  }
+
   test("capTokensPerStratum: strict prefix in hash order per stratum; unlisted strata drop") {
     val rows = Seq(
       (1L, "a", 100), (2L, "a", 100), (3L, "a", 100), (4L, "a", 100),

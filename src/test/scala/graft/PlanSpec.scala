@@ -18,10 +18,13 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  /** Final adaptive plan, after execution (codegen spans resolved). */
+  /** Final adaptive plan, after execution (codegen spans resolved).
+    * Only the "Final Plan" section — executedPlan.toString appends an
+    * "Initial Plan" section under AQE, which would double-count nodes
+    * in structural assertions. */
   private def executedPlanOf(df: DataFrame): String = {
     df.collect()
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("filter pushdown reaches the parquet scan (q13)") {
@@ -192,6 +195,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition filter in:\n$plan")
     // the un-pruned read sees >1 partition value; the pruned one sees 1
     assert(pruned.select("o_year").distinct().count() == 1)
+  }
+
+  test("span-dedup/decontamination plan contracts (q64, q68, q69)") {
+    // q64: the window explode+md5 pipeline must run exactly ONCE (the
+    // one-pass window-aggregate formulation), and the dup-hash set must
+    // never be broadcast — its size is data-dependent at 100 TB
+    val spanPlan = executedPlanOf(SparkEntry.queries("q64_dedup_spans")(spark, d))
+    assert("Generate posexplode".r.findAllIn(spanPlan).length == 1,
+      s"q64 must explode windows exactly once, got:\n$spanPlan")
+    // q68: asymmetric by design — two window explodes (corpus + eval),
+    // with the eval side behind a BroadcastExchange
+    val deconPlan = executedPlanOf(SparkEntry.queries("q68_decontaminate")(spark, d))
+    assert("Generate posexplode".r.findAllIn(deconPlan).length == 2 &&
+      deconPlan.contains("BroadcastExchange"),
+      s"q68 must broadcast the eval windows, got:\n$deconPlan")
+    // q69: losers drop via an anti-join, never a full-corpus rewrite
+    val keepPlan = executedPlanOf(SparkEntry.queries("q69_near_dedup_keep")(spark, d))
+    assert(keepPlan.contains("LeftAnti"),
+      s"q69 must materialize survivors via anti-join, got:\n$keepPlan")
   }
 
   test("multimodal stub pipeline stays in codegen: no UDF node in the q49 plan (q49)") {
