@@ -56,26 +56,48 @@ object Upsert {
     * had a window where the table vanished and the next run's
     * bootstrap branch silently re-created it from one month's rows. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    recoverSwap(path)
+    val deduped = dedupByKeys(updates, keys)
+    if (!Files.exists(Paths.get(path))) {
+      deduped.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      atomicRewrite(path) { tmp =>
+        val target = spark.read.parquet(path)
+        merge(target, deduped, keys).write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+    }
+  }
+
+  /** Recover from a previous interrupted [[atomicRewrite]]: a missing
+    * live dir with `__old` present is restored, leftover `__old`/tmp
+    * dirs beside a live dir are garbage-collected. Safe to call any
+    * time; [[atomicRewrite]] calls it itself. */
+  def recoverSwap(path: String): Unit = {
     val dir = Paths.get(path)
     val old = Paths.get(path.stripSuffix("/") + "__old")
     val tmp = Paths.get(path.stripSuffix("/") + "__upsert_tmp")
-    // recovery from a previous interrupted swap
     if (!Files.exists(dir) && Files.exists(old))
       Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) deleteRecursively(old)
     if (Files.exists(tmp)) deleteRecursively(tmp)
+  }
 
-    val deduped = dedupByKeys(updates, keys)
-    if (!Files.exists(dir)) {
-      deduped.write.mode(SaveMode.Overwrite).parquet(path)
-    } else {
-      val target = spark.read.parquet(path)
-      val merged = merge(target, deduped, keys)
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
-    }
+  /** The crash-safe rewrite protocol, usable by any whole-table
+    * rewriter (upsert here, [[graft.ext.Maintenance]] compaction):
+    * `write` produces the replacement table at the tmp path it is
+    * handed — reading the CURRENT live dir is safe inside it, nothing
+    * has moved yet — then live → `__old`, tmp → live, delete `__old`.
+    * Every crash window is recovered by [[recoverSwap]] on the next
+    * call (local FS; object stores need their own committer). */
+  def atomicRewrite(path: String)(write: String => Unit): Unit = {
+    recoverSwap(path)
+    val dir = Paths.get(path)
+    val old = Paths.get(path.stripSuffix("/") + "__old")
+    val tmp = Paths.get(path.stripSuffix("/") + "__upsert_tmp")
+    write(tmp.toString)
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -566,6 +566,25 @@ class ExtSpec extends AnyFunSuite {
     assert(f == 8) // second frame starts at 32 of 40 → 8 bytes
   }
 
+  test("compaction: small files merge, data survives exactly, partition grain preserved") {
+    import graft.ext.Maintenance
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // unpartitioned: 20 tiny files → 1
+    val df = spark.range(1000).select($"id", ($"id" % 7).as("v"))
+    df.repartition(20).write.parquet(s"$base/t1")
+    val s1 = Maintenance.compact(spark, s"$base/t1")
+    assert(s1.filesBefore == 20 && s1.filesAfter == 1)
+    assert(spark.read.parquet(s"$base/t1").orderBy("id").as[(Long, Long)].collect().toSeq ==
+      (0L until 1000L).map(i => (i, i % 7)))
+    // partitioned: many files per month dir → one per dir, layout kept
+    df.withColumn("month", ($"id" % 3).cast("int"))
+      .repartition(8).write.partitionBy("month").parquet(s"$base/t2")
+    val s2 = Maintenance.compactPartitioned(spark, s"$base/t2", Seq("month"))
+    assert(s2.filesBefore > 3 && s2.filesAfter == 3, s"got $s2")
+    val back = spark.read.parquet(s"$base/t2")
+    assert(back.count() == 1000 && back.select("month").distinct().count() == 3)
+  }
+
   test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
     // odd lengths, exact-multiple lengths, empty and null payloads
     val docs = Seq((1L, "a" * 100, "s"), (2L, "b" * 64, "s"), (3L, "c", "s"),

@@ -66,4 +66,41 @@ class GoldSpec extends AnyFunSuite {
     val got = spark.read.parquet(dir).orderBy("id").as[(Int, String)].collect()
     assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
   }
+
+  test("atomic swap: every crash window recovers on the next call") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def freshTable(): String = {
+      val dir = Files.createTempDirectory("swap_test").toString + "/t"
+      Upsert.upsertParquet(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"))
+      dir
+    }
+    def rows(dir: String) =
+      spark.read.parquet(dir).orderBy("id").as[(Int, String)].collect().toSeq
+
+    // window 1: crash AFTER live → __old, BEFORE tmp → live (the
+    // table has vanished; __old holds the only copy)
+    val t1 = freshTable()
+    Files.move(Paths.get(t1), Paths.get(t1 + "__old"), StandardCopyOption.ATOMIC_MOVE)
+    Upsert.upsertParquet(spark, t1, Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    assert(rows(t1) == Seq((1, "a"), (2, "b"), (3, "c")),
+      "pre-crash rows must be restored from __old, not re-bootstrapped")
+
+    // window 2: crash after writing tmp but before any move — the
+    // stale tmp must be discarded, not swapped in
+    val t2 = freshTable()
+    Files.createDirectories(Paths.get(t2 + "__upsert_tmp"))
+    Files.writeString(Paths.get(t2 + "__upsert_tmp/garbage"), "stale")
+    Upsert.upsertParquet(spark, t2, Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    assert(rows(t2) == Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(!Files.exists(Paths.get(t2 + "__upsert_tmp")))
+
+    // window 3: crash after tmp → live but before __old cleanup — the
+    // leftover __old is garbage-collected, live wins
+    val t3 = freshTable()
+    Files.createDirectories(Paths.get(t3 + "__old"))
+    Files.writeString(Paths.get(t3 + "__old/garbage"), "stale")
+    Upsert.upsertParquet(spark, t3, Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    assert(rows(t3) == Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(!Files.exists(Paths.get(t3 + "__old")))
+  }
 }
