@@ -190,6 +190,19 @@ object Similarity {
     cents
   }
 
+  /** Append new vectors to a materialized IVF index WITHOUT
+    * retraining: assign against the index's existing centroids and
+    * append-write into the matching list_id directories — the
+    * incremental-ingest path that keeps serving live between periodic
+    * retrain+rebuild cycles (standard IVF practice; recall drifts only
+    * as far as the data distribution does). Queries over the index see
+    * appended vectors immediately, since probes prune by directory. */
+  def ivfAppend(vectors: DataFrame, idCol: String, vecCol: String, path: String,
+                cents: Seq[Array[Double]]): Unit =
+    vectors
+      .withColumn("list_id", assignedList(col(vecCol), cents))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
   /** The probe's nProbe nearest lists, computed driver-side (the probe
     * is one vector) with the same −2·⟨v,c⟩ + ‖c‖² ranking and
     * (dist, id) tie-break as [[assignArrays]]. */

@@ -566,6 +566,36 @@ class ExtSpec extends AnyFunSuite {
     assert(f == 8) // second frame starts at 32 of 40 → 8 bytes
   }
 
+  test("ivfAppend: appended vectors serve from the index without retraining") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val half1 = corpus.filter($"vec_id" % 2 === 1)
+    val half2 = corpus.filter($"vec_id" % 2 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString + "/idx"
+    val cents = Similarity.ivfWriteIndex(half1, "vec_id", "embedding", idx, nLists = 4)
+    Similarity.ivfAppend(half2, "vec_id", "embedding", idx, cents)
+    val got = Similarity.ivfTopKIndexed(spark, idx, cents, probe,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    // independent reference: assign every corpus vector driver-side
+    // with the same centroids (probeNearestLists with nProbe=1 IS the
+    // assignment rule), restrict to the probe's lists, brute-force rank
+    val pv = probe.head().getSeq[Float](0).map(_.toDouble).toArray
+    val lists = Similarity.probeNearestLists(pv, cents, 2)
+    val inLists = corpus.select($"vec_id", $"embedding").collect().filter { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      lists.contains(Similarity.probeNearestLists(v, cents, 1).head)
+    }.map(_.getLong(0)).toSet
+    val want = Similarity.bruteForceTopK(
+      corpus.filter($"vec_id".isInCollection(inLists)), probe,
+      "vec_id", "embedding", 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // both halves are physically present in the index
+    assert(spark.read.parquet(idx).count() == corpus.count())
+  }
+
   test("compaction: small files merge, data survives exactly, partition grain preserved") {
     import graft.ext.Maintenance
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
