@@ -352,19 +352,46 @@ object Dedup {
     * through untouched.
     *
     * Returns (idCol, n_tokens, n_dup_windows, clean_text). */
-  /** (idCol, start, wh) — one row per k-token window with its md5
-    * hash; docs shorter than k emit nothing. Linear fan-out (n_tokens
-    * rows per doc), map-side only. The shared front end of
-    * [[dedupSpans]] and [[contaminationHits]]. */
-  def windowHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    // "toks" is multiply-referenced below — it must stay a materialized
-    // projection (see shinglesFromTokens' hazard note)
+  /** (idCol, start, wh) — one row per k-token window with its packed
+    * 64-bit rolling hash (the [[graft.functions.TokenWindowHashes]]
+    * expression: tokens md5'd once each, windows rolled in O(1), an
+    * 8-byte long shuffle key); docs shorter than k emit nothing.
+    * Linear fan-out (n_tokens rows per doc), map-side only. The shared
+    * front end of [[dedupSpans]] and [[contaminationHits]]. Downstream
+    * consumers use `wh` only as an equality key, so the hash choice is
+    * invisible in their output (the DuckDB oracles keep the per-window
+    * md5 formulation and still hash-match end to end). */
+  def windowHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - k),
-        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-        .as(Seq("start", "wh")))
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokenWindowHashes(col("toks"), k))
+          .as(Seq("start", "wh")))
+
+  /** Built-in-only formulation of [[windowHashes]] (reference
+    * semantics for the rolling-hash expression; bit-parity asserted in
+    * ExtSpec): per-token 32-bit values materialize once per row, then
+    * each window folds its k values through the same two mod-prime
+    * Horner recurrences and packs the residues. O(n·k) arithmetic (no
+    * roll), O(n) md5s. */
+  def windowHashesHof(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val (p1, b1) = (lit(2147483647L), lit(1000003L))
+    val (p2, b2) = (lit(2147483629L), lit(999983L))
+    val rolled = transform(sequence(lit(0), size(col("vs")) - k), i =>
+      aggregate(slice(col("vs"), i + 1, lit(k)),
+        array(lit(0L), lit(0L)),
+        (acc, v) => array(
+          (element_at(acc, 1) * b1 + v % p1) % p1,
+          (element_at(acc, 2) * b2 + v % p2) % p2),
+        acc => shiftleft(element_at(acc, 1), 31).bitwiseOR(element_at(acc, 2))))
+    // "vs" is multiply-referenced (every window slices it) — it must
+    // stay a materialized projection (see shinglesFromTokens' hazard
+    // note)
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), transform(col("toks"),
+        t => conv(substring(md5(coalesce(t, lit(""))), 1, 8), 16, 10).cast("long")).as("vs"))
+      .select(col(idCol), posexplode(rolled).as(Seq("start", "wh")))
   }
 
   def dedupSpans(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {

@@ -102,6 +102,68 @@ object TextHash {
     else UTF8String.fromBytes(out)
   }
 
+  // Packed 2×31-bit polynomial rolling hash (Rabin-Karp): two
+  // independent (base, prime) pairs keep the per-window collision
+  // probability ~2⁻⁶², and both residues pack into one non-negative
+  // long — an 8-byte shuffle key where a hex md5 digest is 32 bytes.
+  private val P1 = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private val B1 = 1000003L
+  private val P2 = 2147483629L // largest prime < 2^31 − 1
+  private val B2 = 999983L
+
+  /** All k-token-window hashes of a token array in ONE O(n) pass —
+    * the Rabin-Karp replacement for hashing each window's joined text
+    * (O(n·k) bytes through md5). Each token is md5'd ONCE to a 32-bit
+    * value (the first 4 digest bytes, big-endian — what
+    * `conv(substring(md5(t),1,8),16,10)` computes); window hashes then
+    * roll in O(1) per position: drop the leading token's term,
+    * multiply by the base, add the entering token.
+    *
+    * Equality semantics match the joined-text form: tokens come from a
+    * whitespace split, so they cannot contain the join character, and
+    * per-token hashing cannot merge adjacent tokens. Null tokens hash
+    * like empty strings. Arrays shorter than k yield an empty array.
+    * Returns array<long>, element i = packed hash of the window
+    * starting at 0-based position i. */
+  def windowHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val nOut = n - k + 1
+    if (nOut <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val md = mdLocal.get()
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) md.update(toks.getUTF8String(i).getBytes)
+      val dg = md.digest()
+      v(i) = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      i += 1
+    }
+    // B^(k−1) mod P — the leading-term weight the roll subtracts
+    var bk1 = 1L; var bk2 = 1L
+    var j = 1
+    while (j < k) { bk1 = bk1 * B1 % P1; bk2 = bk2 * B2 % P2; j += 1 }
+    val out = new Array[Long](nOut)
+    // every intermediate stays under 2^62: residues < 2^31 and the
+    // bases < 2^20, so products < 2^51 and residue×residue < 2^62
+    var h1 = 0L; var h2 = 0L
+    j = 0
+    while (j < k) { h1 = (h1 * B1 + v(j) % P1) % P1; h2 = (h2 * B2 + v(j) % P2) % P2; j += 1 }
+    out(0) = (h1 << 31) | h2
+    var s = 1
+    while (s < nOut) {
+      h1 -= v(s - 1) % P1 * bk1 % P1; if (h1 < 0) h1 += P1
+      h1 = (h1 * B1 + v(s + k - 1) % P1) % P1
+      h2 -= v(s - 1) % P2 * bk2 % P2; if (h2 < 0) h2 += P2
+      h2 = (h2 * B2 + v(s + k - 1) % P2) % P2
+      out(s) = (h1 << 31) | h2
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k MinHash signatures over w-token shingles of a token array, in
     * one pass per row — semantically identical to exploding shingles
     * and taking `min(md5(concat(s + "|", shingle)))` per seed s:
@@ -263,6 +325,32 @@ case class MinHashSignature(child: Expression, w: Int, k: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `token_window_hashes(tokens, k)`: packed 64-bit rolling hashes of
+  * every k-token window (see [[TextHash.windowHashes]]). Replaces
+  * per-window `md5(array_join(slice(...)))` — O(n·k) bytes hashed per
+  * document and a 32-char string key — with one O(n) pass and an
+  * 8-byte long key. The built-in-only twin (bit-identical; asserted in
+  * ExtSpec) is [[graft.ext.Dedup.windowHashesHof]]. */
+case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"token_window_hashes requires array<string> input and positive k, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.windowHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.windowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Register the text-hash expressions in the session's function
     * registry (Column API goes through `call_function`). Idempotent,
@@ -279,6 +367,9 @@ object TextFunctions {
       exprs(0),
       requireIntLiteral(exprs, 1, "minhash_sigs", "w"),
       requireIntLiteral(exprs, 2, "minhash_sigs", "k")))
+    ifAbsent("token_window_hashes")(exprs => TokenWindowHashes(
+      exprs(0),
+      requireIntLiteral(exprs, 1, "token_window_hashes", "k")))
   }
 
   /** w/k are structural parameters (they shape the produced expression
@@ -308,4 +399,7 @@ object TextFunctions {
 
   def minhashSigs(tokens: Column, w: Int, k: Int): Column =
     column(MinHashSignature(expression(tokens), w, k))
+
+  def tokenWindowHashes(tokens: Column, k: Int): Column =
+    column(TokenWindowHashes(expression(tokens), k))
 }

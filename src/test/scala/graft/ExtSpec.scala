@@ -121,6 +121,27 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 2, 0, "short doc")))
   }
 
+  test("token_window_hashes: rolling expression bit-matches the built-in formulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = Dedup.windowHashes(docs, "text", "doc_id", k = 8)
+    val slow = Dedup.windowHashesHof(docs, "text", "doc_id", k = 8)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    // edge cases: doc exactly k tokens → one window at start 0; doc
+    // shorter than k → no rows; null text → no rows; single-window
+    // hashes are non-negative (packed residues < 2^62)
+    val edge = Seq((1L, "a b c"), (2L, "a b"), (3L, null)).toDF("doc_id", "text")
+    val e = Dedup.windowHashes(edge, "text", "doc_id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(e.toSeq.map(r => (r._1, r._2)) == Seq((1L, 0)) && e.head._3 >= 0L)
+    // identical windows in different docs collide (the dedup signal)
+    val twin = Seq((1L, "x one two three y"), (2L, "z one two three w")).toDF("doc_id", "text")
+    val th = Dedup.windowHashes(twin, "text", "doc_id", k = 3)
+      .groupBy($"wh").agg(countDistinct($"doc_id").as("n"))
+      .filter($"n" === 2).count()
+    assert(th == 1L)
+  }
+
   test("decontaminate: corpus docs sharing eval windows are flagged and removable") {
     val span = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
     val bench = Seq((100L, span)).toDF("doc_id", "text")
