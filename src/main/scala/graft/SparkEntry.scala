@@ -589,6 +589,15 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, nPlanes = 4).orderBy(col("id_a"), col("id_b"))),
 
+    // multi-probe variant of q31: each vector also searches its
+    // Hamming-1 neighbor buckets, recovering near-dup pairs that
+    // straddle exactly one hyperplane — the recall path at scale,
+    // at a bounded (nPlanes+1)x one-sided fan-out
+    "q71_near_dup_multiprobe" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nPlanes = 4, multiProbe = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // multimodal feature extraction (stubbed decode, real plumbing).
     // The feature vector is flattened to scalar columns with a total
     // ORDER BY: the stub features are pure byte arithmetic (length,
@@ -838,9 +847,17 @@ object SparkEntry {
     * the oracle would diverge the moment any bucket exceeds the cap),
     * then bucket-equality self-join + exact cosine ≥ threshold. */
   private def nearDupSql(threshold: Double, nPlanes: Int, dim: Int,
-                         maxBucket: Int): String = {
+                         maxBucket: Int, multiProbe: Boolean = false): String = {
     val planes = graft.ext.Similarity.hyperplanes(nPlanes, dim)
     val bucketExpr = lshBucketSql(planes, "e")
+    // multi-probe admits singleton buckets (they can pair with a
+    // neighbor bucket's member) and widens the join to Hamming ≤ 1 —
+    // exactly the pair set Similarity.nearDupPairs' one-sided
+    // bit-flip explode reaches
+    val minOcc = if (multiProbe) 1 else 2
+    val joinCond =
+      if (multiProbe) "bit_count(xor(a.bucket, b2.bucket)) <= 1"
+      else "a.bucket = b2.bucket"
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (
@@ -848,11 +865,11 @@ object SparkEntry {
        |         $bucketExpr AS bucket
        |  FROM v),
        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS occ FROM b),
-       |keep AS (SELECT * FROM sized WHERE occ >= 2 AND occ <= $maxBucket),
+       |keep AS (SELECT * FROM sized WHERE occ >= $minOcc AND occ <= $maxBucket),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        |         ROUND(list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm), 6) AS cos_sim
-       |  FROM keep a JOIN keep b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  FROM keep a JOIN keep b2 ON $joinCond AND a.vec_id < b2.vec_id)
        |SELECT DISTINCT id_a, id_b, cos_sim FROM pairs
        |WHERE cos_sim >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
@@ -927,6 +944,9 @@ object SparkEntry {
 
     "q31_near_dup_pairs" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64,
       maxBucket = 10000),
+
+    "q71_near_dup_multiprobe" -> nearDupSql(threshold = 0.35, nPlanes = 4, dim = 64,
+      maxBucket = 10000, multiProbe = true),
 
     "q30_ann_lsh" -> lshTopKSql(k = 10, nPlanes = 6, dim = 64),
 

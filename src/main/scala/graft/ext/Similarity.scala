@@ -278,22 +278,36 @@ object Similarity {
     * bucket key followed by a semi-join — no data blowup. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nPlanes: Int = 12, dim: Int = 64,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000, multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     // norms precomputed per vector (not per pair — the self-join fans
     // each vector out to many candidate pairs)
     val bucketed = vectors.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), planes).as("bucket"))
+    // the occupancy cap is always on the TRUE bucket — multi-probe
+    // widens which buckets a vector SEARCHES, not which it lives in
     val pairable = bucketed
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .filter(col("n") >= (if (multiProbe) 1 else 2) && col("n") <= maxBucket)
       .select(col("bucket"))
     val capped = bucketed.join(pairable, Seq("bucket"), "left_semi")
-    val a = capped.select(col("bucket"), col(idCol).as("id_a"),
+    // multi-probe (the recall path): the LEFT side also probes every
+    // Hamming-1 neighbor bucket, catching pairs that straddle exactly
+    // one hyperplane — the dominant miss mode of single-bucket LSH.
+    // Each qualifying pair matches EXACTLY once: a same-bucket pair
+    // only via the identity probe (flipped probes land one bit away),
+    // and a Hamming-1 pair only via the lower id's matching flip (the
+    // higher id's flip also collides, but id_a < id_b discards that
+    // orientation). Fan-out is (nPlanes+1)× on one side only.
+    val probes =
+      if (multiProbe) array(col("bucket") +:
+        (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+      else array(col("bucket"))
+    val a = capped.select(explode(probes).as("jb"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
-    val b = capped.select(col("bucket"), col(idCol).as("id_b"),
+    val b = capped.select(col("bucket").as("jb"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("jb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))

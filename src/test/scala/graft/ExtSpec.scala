@@ -240,6 +240,40 @@ class ExtSpec extends AnyFunSuite {
     assert(run(4) == Set((10L, 11L)))
   }
 
+  test("nearDupPairs multi-probe: recovers a pair straddling one hyperplane") {
+    // u is orthogonal to plane 0 by construction: each index pair
+    // (2j, 2j+1) holds (h0[2j+1], −h0[2j]), contributing
+    // h0[2j]·h0[2j+1] − h0[2j+1]·h0[2j] = 0 to u·h0. Nudging ±ε along
+    // h0 then puts v1/v2 on opposite sides of plane 0 while staying
+    // ~identical in cosine.
+    val dim = 16
+    val h0 = Similarity.hyperplanes(4, dim).head.toArray
+    val u = Array.tabulate(dim)(i =>
+      if (i % 2 == 0) h0(i + 1) else -h0(i - 1))
+    val eps = 0.001
+    val v1 = u.zip(h0).map { case (a, b) => (a + eps * b).toFloat }.toSeq
+    val v2 = u.zip(h0).map { case (a, b) => (a - eps * b).toFloat }.toSeq
+    val vecs = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    // the construction must put them one bit apart (plane 0 flips, the
+    // ε-nudge is too small to flip any other plane's larger margin)
+    val buckets = vecs.select(
+      Similarity.lshBucket($"embedding", Similarity.hyperplanes(4, dim)).as("b"))
+      .as[Long].collect()
+    assert(java.lang.Long.bitCount(buckets(0) ^ buckets(1)) == 1)
+    def run(mp: Boolean) = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 4, dim = dim, multiProbe = mp)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(false) == Set.empty)
+    assert(run(true) == Set((1L, 2L)))
+    // real data: multi-probe pairs are a superset of single-probe pairs
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(mp: Boolean) = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, nPlanes = 4, multiProbe = mp)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (single, multi) = (pairs(false), pairs(true))
+    assert(single.subsetOf(multi))
+  }
+
   test("langId predicts via stopword hits with tie-break") {
     val docs = Seq((1L, "the cat of the house"), (2L, "der hund und die katze ist"),
       (3L, "zzz qqq")).toDF("doc_id", "text")
