@@ -242,14 +242,26 @@ class ExtSpec extends AnyFunSuite {
 
   test("nearDupPairs multi-probe: recovers a pair straddling one hyperplane") {
     // u is orthogonal to plane 0 by construction: each index pair
-    // (2j, 2j+1) holds (h0[2j+1], −h0[2j]), contributing
-    // h0[2j]·h0[2j+1] − h0[2j+1]·h0[2j] = 0 to u·h0. Nudging ±ε along
-    // h0 then puts v1/v2 on opposite sides of plane 0 while staying
-    // ~identical in cosine.
+    // (2j, 2j+1) holds aⱼ·(h0[2j+1], −h0[2j]), contributing
+    // aⱼ·(h0[2j]·h0[2j+1] − h0[2j+1]·h0[2j]) = 0 to u·h0 for ANY
+    // block coefficient aⱼ. The coefficients must ALSO leave u
+    // off-plane for every other hyperplane — all-ones happens to be
+    // exactly orthogonal to plane 1 with these md5 planes (the r3
+    // fixture's bug: the ±ε nudge then flipped two planes, Hamming-2).
+    // a₀=2 gives margins (0, 2, −4, 14), asserted below before use.
+    // Nudging ±ε along h0 then puts v1/v2 on opposite sides of plane 0
+    // only (ε·|h0·hₘ| ≤ 0.016 ≪ 2) while staying ~identical in cosine.
     val dim = 16
-    val h0 = Similarity.hyperplanes(4, dim).head.toArray
-    val u = Array.tabulate(dim)(i =>
-      if (i % 2 == 0) h0(i + 1) else -h0(i - 1))
+    val planes = Similarity.hyperplanes(4, dim).map(_.toArray)
+    val h0 = planes.head
+    val u = Array.tabulate(dim) { i =>
+      val a = if (i / 2 == 0) 2.0 else 1.0
+      a * (if (i % 2 == 0) h0(i + 1) else -h0(i - 1))
+    }
+    def margin(h: Array[Double]) = u.zip(h).map { case (x, y) => x * y }.sum
+    assert(margin(h0) == 0.0)
+    planes.tail.foreach(h => assert(math.abs(margin(h)) >= 2.0,
+      "construction precondition: every non-target plane needs nonzero margin"))
     val eps = 0.001
     val v1 = u.zip(h0).map { case (a, b) => (a + eps * b).toFloat }.toSeq
     val v2 = u.zip(h0).map { case (a, b) => (a - eps * b).toFloat }.toSeq
