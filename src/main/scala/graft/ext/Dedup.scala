@@ -396,22 +396,31 @@ object Dedup {
 
   def dedupSpans(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
     val toked = df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
-    // ONE pass over the exploded windows: cross-doc detection is a
-    // min/max window aggregate over the SAME shuffle that groups
-    // occurrences by hash, so the explode+md5 pipeline runs exactly
-    // once and nothing is ever broadcast (the dup-hash set is sized by
-    // the data — every cross-doc boilerplate window — so a broadcast
-    // join here would be the OOM path at 100 TB; a groupBy+join-back
-    // would recompute the explode per consumer, since the lambda in
-    // `transform` defeats exchange-reuse canonicalization). A
-    // degenerate globally-repeated window puts its occurrence group on
-    // one task either way; WindowExec's group buffer is spill-backed.
+    // Cross-doc detection is groupBy(wh) → join-back, NOT a window
+    // over wh: a globally-repeated window hash — boilerplate, the
+    // operator's exact target — would put its whole occurrence list on
+    // ONE WindowExec task (spill-backed but serial, and AQE cannot
+    // split window partitions). The aggregate formulation gets
+    // map-side partial aggregation, so the hot key reaches its reducer
+    // as one row per map task, and the join-back probe side is
+    // AQE-skew-splittable. The explode+md5 pipeline still runs exactly
+    // once: `windows` is persisted (lineage kept — executor loss just
+    // recomputes), because the `transform` lambda in the token-hash
+    // front end defeats exchange-reuse canonicalization and an
+    // unpersisted plan would re-explode per consumer. Nothing is ever
+    // broadcast — the dup-hash set is sized by the data (every
+    // cross-doc boilerplate window), the OOM path at 100 TB. The cache
+    // entry stays registered after the action (Spark evicts LRU);
+    // callers looping over many corpora can unpersist via the catalog.
     val windows = windowHashes(df, textCol, idCol, k)
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
-    val dupStarts = windows
-      .withColumn("mn", min(col(idCol)).over(byHash))
-      .withColumn("mx", max(col(idCol)).over(byHash))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = windows
+      .groupBy(col("wh"))
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
       .filter(col("mn") =!= col("mx"))
+      .select(col("wh"))
+    val dupStarts = windows
+      .join(dupHashes, Seq("wh"))
       .groupBy(col(idCol))
       .agg(collect_list(col("start")).as("starts"))
     toked
