@@ -9,6 +9,8 @@ object Bench {
     // per-query median across interleaved passes discards a spiky pass
     // without rewarding cache-only reruns
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,7 +48,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    // load annotation: timings on a shared box swing 2-4x under
+    // contention, so every bench records the 1-min loadavg at start and
+    // end — a reader comparing rounds can discard contended runs
+    // instead of chasing phantom regressions (QUIET_BENCH.md holds the
+    // quiet-box reference).
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd}""")
     spark.stop()
   }
 }

@@ -224,7 +224,25 @@ object Dedup {
     * its size is known (data-dependent at 100 TB, so the choice is
     * deliberately left to AQE rather than a hard broadcast() that
     * could OOM on adversarial inputs). `maxDepth` bounds pathological
-    * hub chains exactly as maxIter bounded flat rounds. */
+    * hub chains exactly as maxIter bounded flat rounds.
+    *
+    * Each level finalizes through a checkpoint to truncate lineage
+    * (the recursion would otherwise stack plans depth-deep). The
+    * default `localCheckpoint` is NOT fault-tolerant: blocks live only
+    * on their executors, so losing one after the checkpoint fails the
+    * job unrecoverably (the lineage is gone). Single-box and small-
+    * cluster runs re-run cheaply; a long 1000-executor job should set
+    * `spark.graft.cc.reliableCheckpoint=true` AND a
+    * `sparkContext.setCheckpointDir` so levels persist to the DFS and
+    * survive executor loss. */
+  private def finalizeLevel(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable = ss.conf.getOption("spark.graft.cc.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (reliable && ss.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+  }
+
   private def contractComponents(idSets: DataFrame, depth: Int, maxDepth: Int): DataFrame = {
     if (depth >= maxDepth)
       throw new IllegalStateException(
@@ -243,15 +261,14 @@ object Dedup {
       .head().getLong(0)
     val seeds = seedsExt.select(col("id"), col("component"))
     val result =
-      if (nMismatch == 0L) seeds.localCheckpoint(true)
+      if (nMismatch == 0L) finalizeLevel(seeds)
       else {
         val childSets = seedsExt.filter(size(col("hubs")) > 1).select(col("hubs").as("ids"))
         val hubLabels = contractComponents(childSets, depth + 1, maxDepth)
           .select(col("id").as("h_id"), col("component").as("h_comp"))
-        seeds
+        finalizeLevel(seeds
           .join(hubLabels, seeds("component") === col("h_id"), "left")
-          .select(col("id"), coalesce(col("h_comp"), seeds("component")).as("component"))
-          .localCheckpoint(true)
+          .select(col("id"), coalesce(col("h_comp"), seeds("component")).as("component")))
       }
     members.unpersist()
     seedsExt.unpersist()

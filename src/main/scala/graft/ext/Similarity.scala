@@ -196,12 +196,26 @@ object Similarity {
     * incremental-ingest path that keeps serving live between periodic
     * retrain+rebuild cycles (standard IVF practice; recall drifts only
     * as far as the data distribution does). Queries over the index see
-    * appended vectors immediately, since probes prune by directory. */
+    * appended vectors immediately, since probes prune by directory.
+    *
+    * The default contract is EXACTLY-ONCE input: the append blindly
+    * adds rows, so an at-least-once ingest retry would duplicate ids
+    * in every later top-k (identical (cos_sim, vec_id) rows). Callers
+    * whose upstream can replay set `guardIds=true`: appended ids
+    * anti-join the existing index first (an id-column-pruned scan of
+    * the index — cheap relative to the write, and the same idempotence
+    * the repo's upsert sinks provide). */
   def ivfAppend(vectors: DataFrame, idCol: String, vecCol: String, path: String,
-                cents: Seq[Array[Double]]): Unit =
-    vectors
+                cents: Seq[Array[Double]], guardIds: Boolean = false): Unit = {
+    val fresh =
+      if (guardIds)
+        vectors.join(vectors.sparkSession.read.parquet(path).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      else vectors
+    fresh
       .withColumn("list_id", assignedList(col(vecCol), cents))
       .write.mode("append").partitionBy("list_id").parquet(path)
+  }
 
   /** The probe's nProbe nearest lists, computed driver-side (the probe
     * is one vector) with the same −2·⟨v,c⟩ + ‖c‖² ranking and

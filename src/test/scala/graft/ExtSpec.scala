@@ -661,6 +661,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
     // both halves are physically present in the index
     assert(spark.read.parquet(idx).count() == corpus.count())
+    // at-least-once ingest: replaying the same append with the id
+    // guard is a no-op (without it, blind mode("append") would
+    // duplicate every id in later top-k results)
+    Similarity.ivfAppend(half2, "vec_id", "embedding", idx, cents, guardIds = true)
+    assert(spark.read.parquet(idx).count() == corpus.count())
+    // a mixed batch (replayed + new ids) passes only the new ids:
+    // guard-appending the FULL corpus onto a half1-only index adds
+    // exactly the half2 rows
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_append2").toString + "/idx"
+    val cents2 = Similarity.ivfWriteIndex(half1, "vec_id", "embedding", idx2, nLists = 4)
+    Similarity.ivfAppend(corpus, "vec_id", "embedding", idx2, cents2, guardIds = true)
+    assert(spark.read.parquet(idx2).count() == corpus.count())
+    assert(spark.read.parquet(idx2).select("vec_id").distinct().count() == corpus.count())
   }
 
   test("compaction: small files merge, data survives exactly, partition grain preserved") {
