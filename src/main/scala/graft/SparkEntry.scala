@@ -106,6 +106,53 @@ object SparkEntry {
 
   // SQL fragment shared by the text queries: whitespace tokens.
   private val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  // SQL fragments for the BPE oracles (q55/q67/q72): the merge table
+  // inlines as two parallel list literals (the q30 inline-the-constants
+  // pattern) and the subword derivation is a recursive CTE over the
+  // DISTINCT words — state (word, symbols, rule r); each step merges
+  // the LEFTMOST occurrence of rule r or, when none remains, advances
+  // to rule r+1; rows finishing all rules are the vocabulary. Repeated
+  // leftmost merging equals the engine kernel's one-pass greedy scan
+  // (a merged symbol can never re-match its own rule). Every query
+  // then joins occurrences against the vocabulary — cheap, because
+  // distinct words ≪ occurrences.
+  private val sqlBpeWords = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+  private val sqlBpeVocab: String = {
+    val merges = graft.ext.TextStats.bpeMerges
+    val a = merges.map(m => s"'${m._1}'").mkString("[", ", ", "]")
+    val b = merges.map(m => s"'${m._2}'").mkString("[", ", ", "]")
+    val n = merges.length
+    s"""words AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest($sqlBpeWords) AS w FROM documents)),
+       |bpe AS (
+       |  SELECT w, list_transform(range(1, len(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)) AS syms, 0 AS r
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN idx IS NULL THEN syms
+       |         ELSE list_slice(syms, 1, CAST(idx AS INT) - 1) ||
+       |              [$a[CAST(r AS INT) + 1] || $b[CAST(r AS INT) + 1]] ||
+       |              list_slice(syms, CAST(idx AS INT) + 2, len(syms)) END AS syms,
+       |    CASE WHEN idx IS NULL THEN r + 1 ELSE r END AS r
+       |  FROM (
+       |    SELECT w, syms, r,
+       |      list_min(list_filter(range(1, len(syms)),
+       |        i -> syms[CAST(i AS INT)] = $a[CAST(r AS INT) + 1]
+       |         AND syms[CAST(i AS INT) + 1] = $b[CAST(r AS INT) + 1])) AS idx
+       |    FROM bpe WHERE r < $n) s
+       |),
+       |vocab AS (SELECT w, syms FROM bpe WHERE r = $n)""".stripMargin
+  }
+  /** Per-document BPE token count via the vocabulary join (docs with
+    * no words keep count 0 through the LEFT JOIN). */
+  private val sqlBpeDocCount =
+    s"""dw AS (SELECT doc_id, unnest($sqlBpeWords) AS w FROM documents),
+       |bpecnt AS (SELECT dw.doc_id, CAST(SUM(len(v.syms)) AS INT) AS n
+       |  FROM dw JOIN vocab v ON dw.w = v.w GROUP BY dw.doc_id),
+       |doctok AS (SELECT d.doc_id, d.source, COALESCE(b.n, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN bpecnt b ON d.doc_id = b.doc_id)""".stripMargin
+
   // SQL fragment: 3-token shingles (mirrors Dedup.shingles w=3).
   private val sqlShingles =
     s"""CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -662,8 +709,11 @@ object SparkEntry {
     // sequence packing: shard → order → cumulative-token bins of 2048
     // (the parallel packing shape; one shuffle on the shard key)
     "q55_pack_bins" -> ((s, d) =>
+      // bins metered in real subword tokens (same BPE table as q67/q72)
+      // — the unit a trainer's context window actually holds
       Packing.binManifest(Tables.documents(s, d), "doc_id", "text",
-        windowTokens = 2048, nShards = 8)
+        windowTokens = 2048, nShards = 8,
+        tokenCount = TextStats.bpeTokenCount)
         .orderBy(col("shard"), col("bin"))),
 
     // PII scrub report: email/URL matches counted and replaced with
@@ -775,13 +825,27 @@ object SparkEntry {
     // in id-hash order until its TOKEN budget fills (the real mixing
     // knob — tokens, not documents); unlisted sources drop out
     "q67_token_budget_mix" -> { (s, d) =>
+      // budgets metered in REAL subword tokens (the checked-in BPE
+      // merge table), not whitespace words — a training mix is
+      // budgeted in model-tokenizer tokens
       val withTok = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          size(TextStats.tokens(col("text"))).as("n_tokens"))
+          TextStats.bpeTokenCount(col("text")).as("n_tokens"))
       Sampling.capTokensPerStratum(withTok, "doc_id", "source", "n_tokens",
-        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1200L))
+        Map("src0" -> 2800L, "src1" -> 1400L, "src2" -> 4200L))
         .orderBy(col("source"), col("doc_id"))
     },
+
+    // BPE tokenization itself, pinned end to end: subword count and an
+    // md5 of the full space-joined token stream per document, against
+    // a DuckDB twin that re-derives the same merges as a recursive
+    // leftmost-merge CTE over the inlined merge table (the q30
+    // inline-the-constants pattern, applied to a vocabulary)
+    "q72_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        md5(array_join(TextStats.bpeTokens(col("text")), " ")).as("tokens_md5"))
+        .orderBy(col("doc_id"))),
 
     // overlapping token-window chunking: the RAG/embedding pre-pass
     // (1:N explode fan-out, window 6 / stride 3 → 50% overlap)
@@ -1013,9 +1077,10 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q55_pack_bins" ->
-      s"""WITH toks AS (
-        | SELECT doc_id, doc_id % 8 AS shard, CAST(len($sqlToks) AS INT) AS n_tokens
-        | FROM documents),
+      s"""WITH RECURSIVE $sqlBpeVocab,
+        |$sqlBpeDocCount,
+        |toks AS (
+        | SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM doctok),
         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
         |  PARTITION BY shard ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
@@ -1129,21 +1194,39 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q67_token_budget_mix" ->
-      s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents),
-        |f AS (SELECT t.*,
+      s"""WITH RECURSIVE $sqlBpeVocab,
+        |$sqlBpeDocCount,
+        |f AS (SELECT doctok.*,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |    / 4294967296.0 AS frac
-        | FROM t),
+        | FROM doctok),
         |c AS (SELECT doc_id, source, n_tokens,
         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
         |                      ROWS UNBOUNDED PRECEDING) AS cum
         | FROM f)
-        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        | CAST(cum AS BIGINT) AS cum_tokens
         |FROM c
-        |WHERE cum <= CASE source WHEN 'src0' THEN 800
-        |                         WHEN 'src1' THEN 400
-        |                         WHEN 'src2' THEN 1200 ELSE 0 END
+        |WHERE cum <= CASE source WHEN 'src0' THEN 2800
+        |                         WHEN 'src1' THEN 1400
+        |                         WHEN 'src2' THEN 4200 ELSE 0 END
         |ORDER BY source, doc_id""".stripMargin,
+
+    "q72_bpe_tokens" ->
+      s"""WITH RECURSIVE $sqlBpeVocab,
+        |docw AS (SELECT doc_id, unnest(list_transform($sqlBpeWords,
+        |  (x, i) -> {'pos': i, 'w': x})) AS u FROM documents),
+        |joined AS (
+        |  SELECT d.doc_id, d.u.pos AS pos, array_to_string(v.syms, ' ') AS sub
+        |  FROM docw d JOIN vocab v ON d.u.w = v.w)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(j.n, 0) AS INT) AS n_bpe_tokens,
+        | COALESCE(j.h, md5('')) AS tokens_md5
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, SUM(len(string_split(sub, ' '))) AS n,
+        |         md5(string_agg(sub, ' ' ORDER BY pos)) AS h
+        |  FROM joined GROUP BY doc_id) j ON d.doc_id = j.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q62_chunk_documents" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),

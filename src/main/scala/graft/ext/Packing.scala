@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Per-document bin assignment: (idCol, shard, n_tokens, bin). */
+  /** Per-document bin assignment: (idCol, shard, n_tokens, bin).
+    * `tokenCount` meters the budget unit — defaults to whitespace
+    * words; pass `TextStats.bpeTokenCount` to pack in model-tokenizer
+    * subword tokens (what a trainer's context window actually holds). */
   def assignBins(docs: DataFrame, idCol: String, textCol: String,
-                 windowTokens: Int, nShards: Int = 8): DataFrame = {
+                 windowTokens: Int, nShards: Int = 8,
+                 tokenCount: Column => Column = c => size(TextStats.tokens(c))): DataFrame = {
     require(windowTokens > 0 && nShards > 0, "windowTokens and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), pmod(col(idCol), lit(nShards)).as("shard"),
-        size(TextStats.tokens(col(textCol))).as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / windowTokens).cast("long"))
       .drop("cum_before")
@@ -35,8 +39,9 @@ object Packing {
   /** Bin manifest: per (shard, bin) document count and token total —
     * what a loader consumes to plan epochs. */
   def binManifest(docs: DataFrame, idCol: String, textCol: String,
-                  windowTokens: Int, nShards: Int = 8): DataFrame =
-    assignBins(docs, idCol, textCol, windowTokens, nShards)
+                  windowTokens: Int, nShards: Int = 8,
+                  tokenCount: Column => Column = c => size(TextStats.tokens(c))): DataFrame =
+    assignBins(docs, idCol, textCol, windowTokens, nShards, tokenCount)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 

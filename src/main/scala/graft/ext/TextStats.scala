@@ -20,6 +20,48 @@ object TextStats {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** The checked-in byte-pair merge table behind [[bpeTokens]] —
+    * see [[graft.functions.TextHash.bpeMergeTable]]. */
+  def bpeMerges: Seq[(String, String)] = graft.functions.TextHash.bpeMergeTable.toSeq
+
+  /** REAL BPE tokenization: pre-tokenize ([[bpeishTokens]]), then
+    * apply the checked-in merge table within each word and flatten in
+    * word order. This is what the token-denominated curation operators
+    * meter (q55 packing bins, q67 token budgets) — model-tokenizer-
+    * style subword tokens, not whitespace words. Backed by the
+    * codegen'd [[graft.functions.BpeEncode]] expression; map-side,
+    * no shuffle, no UDF. */
+  def bpeTokens(text: Column): Column =
+    graft.functions.TextFunctions.bpeEncode(bpeishTokens(text))
+
+  /** Subword-token count of a text under the checked-in merge table. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Built-in-only formulation of [[bpeTokens]] (reference semantics
+    * for the custom expression; identical output asserted in ExtSpec):
+    * the outer `aggregate` folds the merge table in priority order,
+    * the inner one applies one rule as a greedy left-to-right
+    * adjacent-pair merge — comparing each element against the
+    * accumulator's LAST symbol, which equals the kernel's two-pointer
+    * scan because a merged symbol a+b can never re-match as either
+    * side of the same rule (that would need the other side empty). */
+  def bpeTokensHof(text: Column): Column = {
+    val merges = typedlit(bpeMerges)
+    flatten(transform(bpeishTokens(text), w =>
+      aggregate(
+        merges,
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+        (syms, r) => {
+          val a = r.getField("_1")
+          val b = r.getField("_2")
+          aggregate(syms, array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+                concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+                .otherwise(concat(acc, array(x))))
+        })))
+  }
+
   /** Language-ID stopword lists (hit-count-argmax heuristic). */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),

@@ -164,6 +164,99 @@ object TextHash {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Checked-in byte-pair merge table — a small deterministic
+    * demonstration vocabulary of common English merges in priority
+    * order (the public-knowledge BPE shape of Sennrich et al., 2016;
+    * a deployment substitutes its model's merge list, same format).
+    * Invariant (spec-asserted): each side of a rule is a single
+    * character or the OUTPUT of an earlier rule. That ordering makes
+    * sequential rule-at-a-time application exact BPE inference: a
+    * merge's output can only ever pair under LATER rules, so applying
+    * rule r greedily can never create a match for a rule < r. */
+  val bpeMergeTable: Array[(String, String)] = Array(
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("s", "t"), ("a", "r"), ("o", "u"), ("i", "s"), ("i", "t"),
+    ("a", "l"), ("e", "d"), ("n", "g"), ("t", "o"), ("l", "e"),
+    ("c", "o"), ("d", "e"), ("s", "e"), ("m", "e"), ("h", "a"),
+    ("o", "t"), ("a", "s"), ("r", "o"), ("l", "y"), ("t", "i"),
+    ("c", "h"), ("s", "h"), ("w", "h"), ("q", "u"),
+    ("th", "e"), ("i", "ng"), ("an", "d"), ("er", "s"), ("f", "or"),
+    ("th", "at"), ("th", "is"), ("w", "as"), ("w", "it"), ("wit", "h"),
+    ("a", "re"), ("n", "ot"), ("y", "ou"), ("ti", "on"))
+
+  // Per-word results memoized across rows: natural-language vocabularies
+  // are Zipfian, so the same words recur millions of times at 100 TB.
+  // The cache is bounded (never a memory hazard on adversarial inputs —
+  // past the bound, words just re-encode) and value-deterministic, so
+  // hit-or-miss never changes results. UTF8String values are immutable;
+  // sharing them across output rows is safe.
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val BpeCacheMax = 1 << 16
+
+  private def bpeWord(w: String): Array[UTF8String] = {
+    val cached = bpeCache.get(w)
+    if (cached != null) return cached
+    var syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var ri = 0
+    while (ri < bpeMergeTable.length) {
+      val (a, b) = bpeMergeTable(ri)
+      // greedy left-to-right non-overlapping merge of ONE rule — the
+      // same result as repeatedly merging the leftmost (a,b) pair:
+      // the merged symbol a+b can re-match neither as the rule's left
+      // (a+b = a needs b empty) nor right (a+b = b needs a empty) side
+      if (w.contains(a + b)) {
+        val out = new Array[String](syms.length)
+        var n = 0
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out(n) = a + b; n += 1; j += 2
+          } else { out(n) = syms(j); n += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
+      }
+      ri += 1
+    }
+    val res = syms.map(UTF8String.fromString)
+    if (bpeCache.size < BpeCacheMax) bpeCache.put(w, res)
+    res
+  }
+
+  /** BPE-encode a pre-tokenized word array: each word splits to
+    * characters and the merge table applies in order (see
+    * [[bpeMergeTable]]); outputs flatten in word order. Null words
+    * contribute nothing. The built-in-only twin (identical output,
+    * asserted in ExtSpec) is [[graft.ext.TextStats.bpeTokensHof]];
+    * the DuckDB oracle states the same algorithm as a recursive
+    * leftmost-merge CTE. */
+  def bpeEncode(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val parts = new Array[Array[UTF8String]](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val p = bpeWord(words.getUTF8String(i).toString)
+        parts(i) = p
+        total += p.length
+      }
+      i += 1
+    }
+    val out = new Array[Any](total)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      val p = parts(i)
+      if (p != null) { var j = 0; while (j < p.length) { out(pos) = p(j); pos += 1; j += 1 } }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k MinHash signatures over w-token shingles of a token array, in
     * one pass per row — semantically identical to exploding shingles
     * and taking `min(md5(concat(s + "|", shingle)))` per seed s:
@@ -351,6 +444,32 @@ case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** `bpe_encode(words)`: BPE-encode a pre-tokenized word array with the
+  * checked-in merge table (see [[TextHash.bpeMergeTable]]) — subword
+  * tokens flattened in word order. The imperative kernel is O(rules ×
+  * word length) per word with a bounded cross-row word cache; the
+  * equivalent nested-fold HOF twin re-allocates an array per symbol
+  * per rule, which this replaces in the hot path. */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires array<string> input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.bpeEncode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bpeEncode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Register the text-hash expressions in the session's function
     * registry (Column API goes through `call_function`). Idempotent,
@@ -370,6 +489,7 @@ object TextFunctions {
     ifAbsent("token_window_hashes")(exprs => TokenWindowHashes(
       exprs(0),
       requireIntLiteral(exprs, 1, "token_window_hashes", "k")))
+    ifAbsent("bpe_encode")(exprs => BpeEncode(exprs(0)))
   }
 
   /** w/k are structural parameters (they shape the produced expression
@@ -402,4 +522,7 @@ object TextFunctions {
 
   def tokenWindowHashes(tokens: Column, k: Int): Column =
     column(TokenWindowHashes(expression(tokens), k))
+
+  def bpeEncode(words: Column): Column =
+    column(BpeEncode(expression(words)))
 }

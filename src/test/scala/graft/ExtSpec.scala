@@ -286,6 +286,49 @@ class ExtSpec extends AnyFunSuite {
     assert(single.subsetOf(multi))
   }
 
+  test("BPE merge table: each rule side is a single char or an earlier output") {
+    // the invariant that makes sequential rule application exact BPE
+    // inference — a later merge can never create an earlier rule's pair
+    val outputs = scala.collection.mutable.Set.empty[String]
+    TextStats.bpeMerges.foreach { case (a, b) =>
+      assert(a.length == 1 || outputs.contains(a), s"left side '$a' not derivable")
+      assert(b.length == 1 || outputs.contains(b), s"right side '$b' not derivable")
+      outputs += (a + b)
+    }
+    // and no duplicate rules (a dup would be a dead rule: its pair
+    // can't survive the first application)
+    assert(TextStats.bpeMerges.distinct == TextStats.bpeMerges)
+  }
+
+  test("bpeTokens kernel == nested-fold HOF twin; hand-checked merges") {
+    val hand = Seq(
+      (1L, "the cat"),            // t+h→th, th+e→the; c,a,t: a+t→at → [c,at]
+      (2L, "qqq zz"),             // no rule applies → chars
+      (3L, "this, that and 42!"), // punctuation marks + digit run
+      (4L, ""),                   // empty → no tokens
+      (5L, "With WITH with")      // case-folded before merging
+    ).toDF("doc_id", "text")
+    val got = hand.select($"doc_id", TextStats.bpeTokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("the", "c", "at"))
+    assert(got(2L) == Seq("q", "q", "q", "z", "z"))
+    // digits have no merges → char tokens; this/that/and fully merge
+    assert(got(3L) == Seq("this", ",", "that", "and", "4", "2", "!"))
+    assert(got(4L) == Seq.empty)
+    // (t,h) outranks (i,t), so "with" resolves w·i·th — the (w,it)
+    // and (wit,h) rules are shadowed for this word, as priority demands
+    assert(got(5L) == Seq("w", "i", "th", "w", "i", "th", "w", "i", "th"))
+    // differential vs the built-in-only nested-fold formulation, on
+    // hand cases AND real data
+    for (df <- Seq(hand, Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val diff = df.select(
+        TextStats.bpeTokens($"text").as("a"),
+        TextStats.bpeTokensHof($"text").as("b"))
+        .filter(not($"a" <=> $"b"))
+      assert(diff.count() == 0, s"kernel/HOF divergence: ${diff.head(3).toSeq}")
+    }
+  }
+
   test("langId predicts via stopword hits with tie-break") {
     val docs = Seq((1L, "the cat of the house"), (2L, "der hund und die katze ist"),
       (3L, "zzz qqq")).toDF("doc_id", "text")
