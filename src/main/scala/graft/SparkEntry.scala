@@ -41,33 +41,52 @@ object SparkEntry {
 
   // ---- shared builders -------------------------------------------------
 
-  /** Build-once cache for q66's materialized IVF index: (index path,
-    * trained centroids) per dataset dir. The path is keyed by an md5 of
-    * the dataset dir (not String.hashCode — 32-bit and collision-prone)
-    * PLUS a per-process nonce, so concurrent harnesses (bench ∥ verify)
-    * can never read each other's half-written index; a shutdown hook
-    * removes the process's indexes. Within a process the build runs
-    * once — every later q66 call is the pruned-scan serving shape. */
+  /** Per-process scratch root for the lifecycle queries (q66/q73/q74/
+    * q76/q77): one directory keyed by pid, removed by a shutdown hook.
+    * Dataset-derived names inside it use an md5 of the dataset dir
+    * (not String.hashCode — 32-bit and collision-prone), and the pid
+    * nonce means concurrent harnesses (bench ∥ verify) can never read
+    * each other's half-written artifacts. */
+  private lazy val scratchRoot: String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${java.lang.ProcessHandle.current().pid()}")
+    root.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      new scala.reflect.io.Directory(root).deleteRecursively()))
+    root.getAbsolutePath
+  }
+  private def scratchPath(prefix: String, d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(scratchRoot, s"${prefix}_$md").getAbsolutePath
+  }
+
+  /** Build-once caches for the materialized-index queries: (index
+    * path, trained centroids) per (variant, dataset dir). Within a
+    * process the build runs once — every later call is the pruned-scan
+    * serving shape, so Bench's interleaved passes median to serve-only
+    * cost. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Array[Double]])]()
-  private lazy val ivfScratchNonce: String = {
-    val n = java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      new scala.reflect.io.Directory(
-        new java.io.File(sys.props("java.io.tmpdir")))
-        .list.filter(_.name.startsWith(s"graft_ivf_index_${n}_"))
-        .foreach(p => new scala.reflect.io.Directory(p.jfile).deleteRecursively())))
-    n
-  }
   private def ivfIndexFor(s: SparkSession, d: String): (String, Seq[Array[Double]]) =
-    ivfIndexCache.computeIfAbsent(d, { _ =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivf_index_${ivfScratchNonce}_$md").getAbsolutePath
+    ivfIndexCache.computeIfAbsent("full:" + d, { _ =>
+      val idx = scratchPath("ivf_index", d)
       val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       val cents = Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", idx,
         nLists = 16, iters = 2)
+      (idx, cents)
+    })
+  /** q74's index: trained + written from the EVEN non-probe vectors,
+    * odd vectors guard-appended afterwards (ivfAppend's no-retrain
+    * ingest, exercised end to end including the idempotence guard). */
+  private def ivfAppendIndexFor(s: SparkSession, d: String): (String, Seq[Array[Double]]) =
+    ivfIndexCache.computeIfAbsent("append:" + d, { _ =>
+      val idx = scratchPath("ivf_append", d)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val cents = Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nLists = 8, iters = 2)
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx, cents, guardIds = true)
       (idx, cents)
     })
 
@@ -847,6 +866,86 @@ object SparkEntry {
         md5(array_join(TextStats.bpeTokens(col("text")), " ")).as("tokens_md5"))
         .orderBy(col("doc_id"))),
 
+    // compaction as a metered lifecycle query: write documents as 20
+    // small files into process scratch, OPTIMIZE-compact to 1, and
+    // report file counts plus an order-insensitive content sum — the
+    // oracle knows the expected counts (repartition is exact) and
+    // recomputes the sum from the source table, so "data survives
+    // exactly" is hash-checked, not asserted
+    "q73_compact_table" -> { (s, d) =>
+      val path = scratchPath("compact", d)
+      Tables.documents(s, d).repartition(20).write.mode("overwrite").parquet(path)
+      val stats = graft.ext.Maintenance.compact(s, path)
+      s.read.parquet(path).agg(
+        lit(stats.filesBefore).as("files_before"),
+        lit(stats.filesAfter).as("files_after"),
+        count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))),
+          1, 8), 16, 10).cast("long")).as("content_sum"))
+    },
+
+    // ivfAppend end to end: index built from EVEN vectors, odd vectors
+    // appended without retraining (plus the idempotence guard), then a
+    // top-k served over the combined index — the oracle re-derives the
+    // half-trained centroids at Verify time and must see appended
+    // vectors rank identically (dynamicOracleSql, like q45/q66)
+    "q74_ivf_append_serve" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      val (idx, cents) = ivfAppendIndexFor(s, d)
+      Similarity.ivfTopKIndexed(s, idx, cents, probe, "vec_id", "embedding",
+        k = 10, nProbe = 4)
+    },
+
+    // EXACT greedy packing (no bin straddle — the mapPartitions tier),
+    // metered: per (shard, bin) manifest against a DuckDB recursive
+    // CTE that replays the same one-doc-at-a-time greedy fold
+    "q75_pack_greedy" -> ((s, d) =>
+      Packing.assignBinsGreedy(Tables.documents(s, d), "doc_id", "text",
+        windowTokens = 2048, nShards = 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("shard"), col("bin"))),
+
+    // sharded JSONL export + manifest: the trainer hand-off, metered —
+    // the oracle recomputes each doc's hash-assigned shard and the
+    // per-shard counts must match what was physically written and
+    // read back from the export
+    "q76_export_manifest" -> { (s, d) =>
+      val out = scratchPath("export", d)
+      graft.ext.Export.writeJsonlShards(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", out, nShards = 8)
+      graft.ext.Export.manifest(s, out)
+        .select(col("shard").cast("int").as("shard"), col("n_rows"))
+        .orderBy(col("shard"))
+    },
+
+    // vacuum as a metered lifecycle query: plant the three crash
+    // artifacts (abandoned __old swap dir, crashed-task _temporary
+    // tree, .staging dropping), vacuum at horizon 0, and report what
+    // was reclaimed plus proof the live rows survived
+    "q77_vacuum" -> { (s, d) =>
+      val path = scratchPath("vacuum", d)
+      Tables.documents(s, d).write.mode("overwrite").parquet(path)
+      for (dir <- Seq(s"${path}__old", s"$path/_temporary/0"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${path}__old/part-stale.parquet"), "junk")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/_temporary/0/part-crashed.parquet"), "junk")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/.staging-leftover"), "junk")
+      Thread.sleep(25) // junk mtimes must fall behind the zero horizon
+      val stats = graft.ext.Maintenance.vacuum(s, path, horizonMs = 0)
+      s.read.parquet(path).agg(
+        lit(stats.filesDeleted).as("files_deleted"),
+        lit(stats.bytesReclaimed).as("bytes_reclaimed"),
+        count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))),
+          1, 8), 16, 10).cast("long")).as("content_sum"))
+    },
+
     // overlapping token-window chunking: the RAG/embedding pre-pass
     // (1:N explode fan-out, window 6 / stride 3 → 50% overlap)
     "q62_chunk_documents" -> ((s, d) =>
@@ -1000,16 +1099,13 @@ object SparkEntry {
     * Double.toString (shortest round-trip form), so DuckDB parses the
     * identical bits. */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] = {
-    val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-    val cents = graft.ext.Similarity.ivfCentroids(corpus, "vec_id", "embedding",
-      nLists = 16, iters = 2)
-    val rows = cents.zipWithIndex.map { case (c, i) =>
-      val lit = c.map(java.lang.Double.toString).mkString("[", ", ", "]")
-      // same left-to-right accumulation as Similarity.sqnorm
-      val nrm = java.lang.Double.toString(c.foldLeft(0.0)((acc, x) => acc + x * x))
-      s"($i, $lit, $nrm)"
-    }.mkString(",\n  ")
-    val q45 =
+    def ivfSql(cents: Seq[Array[Double]]): String = {
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        val lit = c.map(java.lang.Double.toString).mkString("[", ", ", "]")
+        // same left-to-right accumulation as Similarity.sqnorm
+        val nrm = java.lang.Double.toString(c.foldLeft(0.0)((acc, x) => acc + x * x))
+        s"($i, $lit, $nrm)"
+      }.mkString(",\n  ")
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0),
          |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
          |cents(list_id, c, nrm) AS (VALUES
@@ -1028,9 +1124,20 @@ object SparkEntry {
          |FROM v JOIN asg USING (vec_id), p, pl
          |WHERE list_contains(pl.lists, asg.list_id)
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
+    val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val cents = graft.ext.Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      nLists = 16, iters = 2)
+    // q74's index trains on the EVEN half only; assignment and probe
+    // ranking still run over the full corpus (appended vectors must
+    // serve identically to written ones — the append contract)
+    val centsHalf = graft.ext.Similarity.ivfCentroids(
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nLists = 8, iters = 2)
     // the indexed path (q66) materializes the same assignment the
     // oracle recomputes, so one SQL text verifies both query shapes
-    Map("q45_ann_ivf" -> q45, "q66_ann_ivf_indexed" -> q45)
+    Map("q45_ann_ivf" -> ivfSql(cents), "q66_ann_ivf_indexed" -> ivfSql(cents),
+      "q74_ivf_append_serve" -> ivfSql(centsHalf))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1227,6 +1334,53 @@ object SparkEntry {
         |         md5(string_agg(sub, ' ' ORDER BY pos)) AS h
         |  FROM joined GROUP BY doc_id) j ON d.doc_id = j.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // file counts are exact by construction (repartition(20) → 20;
+    // one target-sized output → 1); the content sum re-derives from
+    // the source table, so a compaction that drops or duplicates any
+    // row hash-mismatches
+    "q73_compact_table" ->
+      """SELECT CAST(20 AS INT) AS files_before, CAST(1 AS INT) AS files_after,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))
+        |   AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
+
+    "q75_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, CAST(len($sqlToks) AS INT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, rn, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |         CAST(n_tokens AS BIGINT) AS used
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.n_tokens,
+        |    CASE WHEN g.used + t.n_tokens > 2048 THEN g.bin + 1 ELSE g.bin END,
+        |    CASE WHEN g.used + t.n_tokens > 2048 THEN CAST(t.n_tokens AS BIGINT)
+        |         ELSE g.used + t.n_tokens END
+        |  FROM g JOIN t ON t.shard = g.shard AND t.rn = g.rn + 1)
+        |SELECT shard, bin, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM g GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "q76_export_manifest" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents)
+        |SELECT CAST(FLOOR(frac * 8) AS INT) AS shard, COUNT(*) AS n_rows
+        |FROM f GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // three planted artifacts of 4 bytes each; the live-content sum
+    // proves vacuum touched nothing a reader references
+    "q77_vacuum" ->
+      """SELECT CAST(3 AS INT) AS files_deleted, CAST(12 AS BIGINT) AS bytes_reclaimed,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))
+        |   AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
 
     "q62_chunk_documents" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),

@@ -52,7 +52,8 @@ object Verify {
     // sf dir and merged in; skipped when a dev-filtered run doesn't
     // touch them
     val dynamic =
-      if (only.isEmpty || only("q45_ann_ivf") || only("q66_ann_ivf_indexed"))
+      if (only.isEmpty || only("q45_ann_ivf") || only("q66_ann_ivf_indexed") ||
+          only("q74_ivf_append_serve"))
         SparkEntry.dynamicOracleSql(spark, sfDir)
       else Map.empty[String, String]
     val json = (SparkEntry.oracleSql ++ dynamic)

@@ -49,6 +49,81 @@ object Maintenance {
     CompactStats(before.length, parquetFiles(spark, path).length, totalBytes)
   }
 
+  case class VacuumStats(filesDeleted: Int, bytesReclaimed: Long,
+                         dryRun: Boolean, deleted: Seq[String])
+
+  /** Delta `VACUUM`'s role for plain parquet tables: delete files that
+    * are NOT part of the current table state and are older than
+    * `horizonMs` — the other half of the maintenance story next to
+    * [[compact]]. With a transaction log the live set would come from
+    * the log; a plain parquet table's live set is every non-hidden
+    * data file, so the garbage is exactly the write machinery's
+    * leavings:
+    *
+    *   - sibling swap dirs (`__old`, `__upsert_tmp`) abandoned by a
+    *     crashed [[graft.gold.Upsert.atomicRewrite]] — but ONLY when
+    *     the live dir exists; a missing live dir means `__old` IS the
+    *     table and recovery ([[graft.gold.Upsert.recoverSwap]]) owns
+    *     it, so vacuum refuses rather than racing it;
+    *   - in-table hidden files/dirs (leading `_` or `.`): crashed-task
+    *     `_temporary` trees, `.staging` files, checksum droppings —
+    *     everything a reader never references. `_SUCCESS` markers are
+    *     kept (harmless, and some orchestrators poll them).
+    *
+    * The horizon compares against the newest mtime in each candidate
+    * SUBTREE (a dir's own mtime goes stale while children still
+    * change), so an in-flight write inside the horizon is never
+    * yanked — same contract as Delta's retention check. `dryRun`
+    * reports without deleting. Safe to call any time; idempotent. */
+  def vacuum(spark: SparkSession, path: String,
+             horizonMs: Long = 7L * 24 * 3600 * 1000,
+             dryRun: Boolean = false): VacuumStats = {
+    require(horizonMs >= 0, "horizonMs must be >= 0")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"no table at $path")
+    val cutoff = System.currentTimeMillis() - horizonMs
+
+    def subtreeStats(p: org.apache.hadoop.fs.Path): (Long, Long, Int) = {
+      // (newest mtime, total bytes, file count) of the subtree
+      val st = fs.getFileStatus(p)
+      if (st.isFile) (st.getModificationTime, st.getLen, 1)
+      else fs.listStatus(p).foldLeft((st.getModificationTime, 0L, 0)) {
+        case ((mt, bytes, n), child) =>
+          val (cmt, cb, cn) = subtreeStats(child.getPath)
+          (math.max(mt, cmt), bytes + cb, n + cn)
+      }
+    }
+
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    for (suffix <- Seq("__old", "__upsert_tmp")) {
+      val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + suffix)
+      if (fs.exists(p)) candidates += p
+    }
+    def collectHidden(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if ((name.startsWith("_") || name.startsWith(".")) && name != "_SUCCESS")
+          candidates += st.getPath
+        else if (st.isDirectory) collectHidden(st.getPath) // partition dirs
+      }
+    collectHidden(hPath)
+
+    var deletedBytes = 0L
+    var deletedFiles = 0
+    val deletedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    candidates.foreach { p =>
+      val (newest, bytes, nFiles) = subtreeStats(p)
+      if (newest < cutoff) {
+        if (!dryRun) fs.delete(p, true)
+        deletedBytes += bytes
+        deletedFiles += nFiles
+        deletedPaths += p.toString
+      }
+    }
+    VacuumStats(deletedFiles, deletedBytes, dryRun, deletedPaths.toSeq)
+  }
+
   /** Compact a PARTITIONED table to one file per partition directory:
     * repartitioning on the partition columns routes each directory's
     * rows to a single task, so each dir is rewritten as one file (the

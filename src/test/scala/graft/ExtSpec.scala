@@ -738,6 +738,53 @@ class ExtSpec extends AnyFunSuite {
     assert(back.count() == 1000 && back.select("month").distinct().count() == 3)
   }
 
+  test("vacuum: swap leftovers and write artifacts go, live data and in-horizon files stay") {
+    import graft.ext.Maintenance
+    val base = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val t = s"$base/t"
+    spark.range(100).select($"id", ($"id" % 5).as("v")).write.parquet(t)
+    val live = spark.read.parquet(t).orderBy("id").as[(Long, Long)].collect().toSeq
+    // simulate a crashed rewrite + crashed task: sibling __old and
+    // __upsert_tmp dirs, an in-table _temporary tree, a .staging file
+    def mkJunk(): Unit = {
+      for (d <- Seq(s"${t}__old", s"${t}__upsert_tmp", s"$t/_temporary/0"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$t/_temporary/0/part-x.parquet"), "junk")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$t/.staging-abc"), "junk")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"${t}__old/part-y.parquet"), "junk")
+    }
+    mkJunk()
+    // a week-long horizon keeps everything (just-written junk is
+    // inside the horizon — the in-flight-write protection)
+    val kept = Maintenance.vacuum(spark, t)
+    assert(kept.filesDeleted == 0 && kept.deleted.isEmpty)
+    // dry run with zero horizon reports but deletes nothing
+    Thread.sleep(20)
+    val dry = Maintenance.vacuum(spark, t, horizonMs = 0, dryRun = true)
+    assert(dry.filesDeleted >= 3 && dry.dryRun)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${t}__old")))
+    // real vacuum: all junk goes, live rows untouched
+    val got = Maintenance.vacuum(spark, t, horizonMs = 0)
+    assert(got.filesDeleted == dry.filesDeleted && got.bytesReclaimed > 0)
+    for (d <- Seq(s"${t}__old", s"${t}__upsert_tmp", s"$t/_temporary", s"$t/.staging-abc"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d)), s"$d survived")
+    assert(spark.read.parquet(t).orderBy("id").as[(Long, Long)].collect().toSeq == live)
+    // idempotent: a second pass finds nothing
+    assert(Maintenance.vacuum(spark, t, horizonMs = 0).filesDeleted == 0)
+    // _SUCCESS markers survive even at zero horizon
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$t/_SUCCESS")))
+    // a missing live dir means __old IS the table: vacuum refuses
+    // (recovery owns that window) instead of deleting the only copy
+    mkJunk()
+    val t2 = s"$base/t2"
+    java.nio.file.Files.move(java.nio.file.Paths.get(t), java.nio.file.Paths.get(t2))
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuum(spark, t, horizonMs = 0)
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${t}__old")))
+  }
+
   test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
     // odd lengths, exact-multiple lengths, empty and null payloads
     val docs = Seq((1L, "a" * 100, "s"), (2L, "b" * 64, "s"), (3L, "c", "s"),
