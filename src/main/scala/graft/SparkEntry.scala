@@ -921,6 +921,30 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // two-phase (skew-hardened) per-stratum row cap: histogram
+    // threshold prefilters map-side, window ranks only the survivors.
+    // The oracle is the SINGLE-PHASE formulation — identical output is
+    // the whole claim
+    "q78_cap_two_phase" -> ((s, d) =>
+      Sampling.capPerStratumTwoPhase(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", maxRows = 15)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // two-phase token-budget mix, same contract: hash-equal to the
+    // one-window form (whitespace tokens keep the oracle orthogonal
+    // to the BPE queries)
+    "q79_token_budget_two_phase" -> { (s, d) =>
+      val withTok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).as("n_tokens"))
+      Sampling.capTokensPerStratumTwoPhase(withTok, "doc_id", "source", "n_tokens",
+        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1200L))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // vacuum as a metered lifecycle query: plant the three crash
     // artifacts (abandoned __old swap dir, crashed-task _temporary
     // tree, .staging dropping), vacuum at horizon 0, and report what
@@ -1372,6 +1396,36 @@ object SparkEntry {
         | FROM documents)
         |SELECT CAST(FLOOR(frac * 8) AS INT) AS shard, COUNT(*) AS n_rows
         |FROM f GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q78_cap_two_phase" ->
+      """WITH f AS (
+        | SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY frac, doc_id) AS INT) AS cap_rank
+        | FROM f)
+        |SELECT doc_id, source, cap_rank FROM r
+        |WHERE cap_rank <= 15 ORDER BY source, doc_id""".stripMargin,
+
+    "q79_token_budget_two_phase" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents),
+        |f AS (SELECT t.*,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM t),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM f)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 800
+        |                         WHEN 'src1' THEN 400
+        |                         WHEN 'src2' THEN 1200 ELSE 0 END
+        |ORDER BY source, doc_id""".stripMargin,
 
     // three planted artifacts of 4 bytes each; the live-content sum
     // proves vacuum touched nothing a reader references

@@ -94,6 +94,85 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Per-stratum bucket thresholds — phase 1 of the two-phase caps:
+    * bucket every row's hash fraction into `nBuckets` fixed cells,
+    * aggregate `weight` per (stratum, bucket) — a groupBy whose key
+    * space is strata × nBuckets, so map-side partial aggregation
+    * crushes a hot stratum — and return, per stratum, the smallest
+    * bucket whose running total reaches `target(stratum)` (the cap in
+    * rows or tokens). Strata that never reach their target keep
+    * everything (threshold = last bucket). Deterministic under any
+    * partitioning: the histogram is exact, not sampled. */
+  private[graft] def stratumBucketThresholds(df: DataFrame, idCol: String,
+                                             stratumCol: String, weight: Column,
+                                             target: Column, nBuckets: Int): DataFrame = {
+    val bucket = floor(hashFraction(col(idCol)) * nBuckets).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__bucket"))
+    df.groupBy(col(stratumCol), bucket.as("__bucket"))
+      .agg(sum(weight).as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .groupBy(col(stratumCol))
+      .agg(coalesce(
+        min(when(col("__cum") >= target, col("__bucket"))),
+        lit(nBuckets - 1)).as("__thr"))
+  }
+
+  /** Two-phase [[capPerStratum]] for hot strata — identical output,
+    * bounded window input. [[capPerStratum]]'s exact per-group top-N
+    * sends EVERY row of a stratum through one window task; here the
+    * histogram threshold (phase 1) prefilters map-side, so the window
+    * sees at most maxRows + one bucket's worth of rows per stratum —
+    * ~maxRows + |stratum|/nBuckets — instead of the full stratum.
+    * Correctness: the N hash-smallest rows all live in buckets ≤ the
+    * threshold bucket (its running count reaches N), and the window
+    * ranks survivors exactly as before. The threshold join is a
+    * per-stratum single row — AQE broadcasts it at sane stratum
+    * counts, and probe-side skew splits since the hot key streams. */
+  def capPerStratumTwoPhase(df: DataFrame, idCol: String, stratumCol: String,
+                            maxRows: Int, nBuckets: Int = 1024): DataFrame = {
+    require(maxRows > 0 && nBuckets > 0, "maxRows and nBuckets must be positive")
+    val thr = stratumBucketThresholds(df, idCol, stratumCol,
+      lit(1L), lit(maxRows.toLong), nBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashFraction(col(idCol)), col(idCol))
+    df.join(thr, Seq(stratumCol))
+      .filter(floor(hashFraction(col(idCol)) * nBuckets).cast("int") <= col("__thr"))
+      .drop("__thr")
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= maxRows)
+  }
+
+  /** Two-phase [[capTokensPerStratum]] — identical output, bounded
+    * window input (same construction as [[capPerStratumTwoPhase]],
+    * with token sums as the histogram weight). The kept prefix ends at
+    * the first row whose running total exceeds the budget; that row
+    * lives in the first bucket whose cumulative token sum passes the
+    * budget, so filtering to buckets ≤ threshold preserves the entire
+    * prefix plus at most one bucket of spill. */
+  def capTokensPerStratumTwoPhase(df: DataFrame, idCol: String, stratumCol: String,
+                                  tokenCol: String, budgets: Map[String, Long],
+                                  nBuckets: Int = 1024): DataFrame = {
+    require(budgets.values.forall(_ > 0), "token budgets must be positive")
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, b)) =>
+      when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    // reach strictly PAST the budget: the kept prefix may extend into
+    // the bucket where the running total first exceeds it
+    val thr = stratumBucketThresholds(df, idCol, stratumCol,
+      col(tokenCol).cast("long"), budget + 1, nBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashFraction(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.join(thr, Seq(stratumCol))
+      .filter(floor(hashFraction(col(idCol)) * nBuckets).cast("int") <= col("__thr"))
+      .drop("__thr")
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Quality-weighted deterministic sampling — soft curation: each row
     * survives with probability `probCol` (clamped to [0,1], e.g. a
     * quality score times a base rate), decided by the SAME id-hash

@@ -738,6 +738,46 @@ class ExtSpec extends AnyFunSuite {
     assert(back.count() == 1000 && back.select("month").distinct().count() == 3)
   }
 
+  test("two-phase stratum caps equal single-phase exactly; hot stratum prefilters to a bounded window") {
+    import graft.ext.Sampling
+    // one hot stratum (20k rows) next to a tiny one — the shape that
+    // serializes the single-phase window onto one task
+    val df = spark.range(20000).select($"id".as("doc_id"), lit("hot").as("source"))
+      .union(spark.range(20000, 20020).select($"id".as("doc_id"), lit("cold").as("source")))
+      .union(spark.range(20020, 20030).select($"id".as("doc_id"), lit("ghost").as("source")))
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.select($"doc_id", $"source", $"cap_rank").as[(Long, String, Int)]
+        .collect().toSeq.sorted
+    val single = rows(Sampling.capPerStratum(df, "doc_id", "source", maxRows = 25))
+    val two = rows(Sampling.capPerStratumTwoPhase(df, "doc_id", "source",
+      maxRows = 25, nBuckets = 256))
+    assert(two == single && two.nonEmpty)
+    // cold (< maxRows rows) keeps everything in both forms
+    assert(two.count(_._2 == "cold") == 20)
+    // the phase-1 threshold really bounds the window input: the hot
+    // stratum's survivors are ~maxRows + one bucket, nowhere near 20k
+    val thr = Sampling.stratumBucketThresholds(df, "doc_id", "source",
+      lit(1L), lit(25L), 256)
+    val hotThr = thr.filter($"source" === "hot").select("__thr").as[Int].head()
+    val surviving = df.filter($"source" === "hot")
+      .filter(floor(Sampling.hashFraction($"doc_id") * 256).cast("int") <= hotThr)
+      .count()
+    assert(surviving < 1000, s"prefilter kept $surviving of 20000 hot rows")
+    // token variant: varying weights, zero-token rows, and a stratum
+    // absent from the budgets (dropped by both forms)
+    val toks = df.withColumn("n_tokens", ($"doc_id" % 13).cast("int"))
+    def trows(x: org.apache.spark.sql.DataFrame) =
+      x.select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+        .as[(Long, String, Int, Long)].collect().toSeq.sorted
+    val budgets = Map("hot" -> 500L, "cold" -> 40L)
+    val tSingle = trows(Sampling.capTokensPerStratum(toks, "doc_id", "source",
+      "n_tokens", budgets))
+    val tTwo = trows(Sampling.capTokensPerStratumTwoPhase(toks, "doc_id", "source",
+      "n_tokens", budgets, nBuckets = 256))
+    assert(tTwo == tSingle && tTwo.nonEmpty)
+    assert(!tTwo.exists(_._2 == "ghost"))
+  }
+
   test("vacuum: swap leftovers and write artifacts go, live data and in-horizon files stay") {
     import graft.ext.Maintenance
     val base = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
