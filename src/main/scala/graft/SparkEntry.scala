@@ -921,6 +921,34 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // REAL image codec end to end: synthesize standards-conformant
+    // 24-bit BMPs (pixels = md5(id:i) bytes — a closed form), then
+    // decode them back through genuine header/padding/bottom-up
+    // parsing, nearest-neighbor-resize on real pixels, and featurize.
+    // The oracle recomputes expected features from the generative
+    // formula WITHOUT a codec, so any encode/decode/resample bug
+    // hash-mismatches (corner samples pin orientation)
+    "q80_image_decode" -> ((s, d) =>
+      Multimodal.imageFeatures(Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+          col("r00"), col("b_last"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("rs_mean_r"), 6).as("rs_mean_r"))
+        .orderBy(col("media_id"))),
+
+    // REAL audio codec end to end: synthesize PCM-16 WAVs (samples
+    // from integer arithmetic), decode through genuine RIFF chunk
+    // walking, and report endpoint/peak/RMS features the oracle
+    // replays from the same formula
+    "q81_audio_decode" -> ((s, d) =>
+      Multimodal.audioFeatures(Multimodal.synthesizeWav(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"), col("n_bytes"),
+          col("first_sample"), col("last_sample"), col("peak_abs"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy(col("media_id"))),
+
     // two-phase (skew-hardened) per-stratum row cap: histogram
     // threshold prefilters map-side, window ranks only the survivors.
     // The oracle is the SINGLE-PHASE formulation — identical output is
@@ -1396,6 +1424,44 @@ object SparkEntry {
         | FROM documents)
         |SELECT CAST(FLOOR(frac * 8) AS INT) AS shard, COUNT(*) AS n_rows
         |FROM f GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q80_image_decode" -> {
+      // nearest-neighbor source indices for the 13×7 → 5×3 resize,
+      // from the SAME integer formula Codecs.resizeNearest uses
+      val rsIdx = (for (y <- 0 until 3; x <- 0 until 5)
+        yield (y * 7 / 3) * 13 + (x * 13 / 5)).mkString(", ")
+      def ch(off: Int) =
+        s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.range AS VARCHAR)), $off, 2)) AS INT)"
+      s"""WITH px AS (
+        |  SELECT doc_id, CAST(t.range AS INT) AS i,
+        |    ${ch(1)} AS r, ${ch(3)} AS g, ${ch(5)} AS b
+        |  FROM documents, range(0, 91) t)
+        |SELECT doc_id AS media_id, CAST(13 AS INT) AS width, CAST(7 AS INT) AS height,
+        | CAST(334 AS INT) AS n_bytes,
+        | CAST(MAX(CASE WHEN i = 0 THEN r END) AS INT) AS r00,
+        | CAST(MAX(CASE WHEN i = 90 THEN b END) AS INT) AS b_last,
+        | ROUND(CAST(SUM(r) AS DOUBLE) / 91.0, 6) AS mean_r,
+        | ROUND(CAST(SUM(g) AS DOUBLE) / 91.0, 6) AS mean_g,
+        | ROUND(CAST(SUM(b) AS DOUBLE) / 91.0, 6) AS mean_b,
+        | ROUND(CAST(SUM(CASE WHEN i IN ($rsIdx) THEN r ELSE 0 END) AS DOUBLE) / 15.0, 6)
+        |   AS rs_mean_r
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+    },
+
+    "q81_audio_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(t.range AS INT) AS j,
+        |    CAST(((t.range * ((doc_id % 31) + 3) + 17) % 4096) - 2048 AS INT) AS v
+        |  FROM documents, range(0, 257) t
+        |  WHERE t.range < 200 + doc_id % 57)
+        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        | CAST(COUNT(*) AS INT) AS n_samples,
+        | CAST(44 + 2 * COUNT(*) AS INT) AS n_bytes,
+        | CAST(MAX(CASE WHEN j = 0 THEN v END) AS INT) AS first_sample,
+        | CAST(MAX(CASE WHEN j = 199 + doc_id % 57 THEN v END) AS INT) AS last_sample,
+        | CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+        | ROUND(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "q78_cap_two_phase" ->
       """WITH f AS (

@@ -7,11 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, plus the decode/feature-extract stage shape.
   *
-  * The real Spark-side mechanics (schema, partitioning, batch shape,
-  * per-partition processing) are implemented and tested; the actual
-  * media decode is STUBBED with a deterministic fake (this container
-  * has no image/audio codecs) — swap [[StubDecoder.decode]] for a real
-  * decoder (e.g. javacv / a Pandas-UDF sidecar) in production.
+  * Two tiers of "decode":
+  *  - REAL codecs for the formats pure byte logic honestly covers —
+  *    24-bit BMP and PCM-16 WAV via [[Codecs]]: genuine header
+  *    parsing, row padding, bottom-up un-flip, RIFF chunk walking,
+  *    nearest-neighbor resampling on real pixels. Exercised end to
+  *    end by q80/q81, whose DuckDB oracles recompute the expected
+  *    decoded features from the synthesis formula with no codec.
+  *  - [[StubDecoder]] for formats that need native codec libraries
+  *    this container doesn't ship (JPEG/PNG/MP3/H.264) — a documented
+  *    deterministic fake behind the same `mapPartitions` seam; swap in
+  *    javacv / a Pandas-UDF sidecar in production.
   */
 object Multimodal {
 
@@ -136,6 +142,157 @@ object Multimodal {
         .toArray)
     media
       .select(col("media_id"), posexplode(slice(col("payload"))).as(Seq("frame_no", "frame")))
+  }
+
+  // ---- REAL codec pipeline (BMP / WAV via [[Codecs]]) ------------------
+  //
+  // The stub above stays as the seam for formats needing native codec
+  // libraries; these paths run GENUINE encode → parse → feature
+  // extraction for the two public formats pure byte logic covers. The
+  // payloads are standards-conformant files (any image viewer / audio
+  // player opens them), and the synthesis is a closed-form function of
+  // (media_id, position) so a DuckDB oracle can recompute the expected
+  // decoded features WITHOUT a codec — a round-trip hash check: any
+  // header, row-padding, bottom-up-flip, or resample bug mismatches.
+
+  /** Synthesized BMP geometry: width 13 forces a 39→40-byte padded row
+    * (exercises the stride logic); height 7 keeps 91 pixels per image. */
+  val BmpW = 13
+  val BmpH = 7
+
+  /** Pixel (index i) channels of media `id`: the first three bytes of
+    * md5("id:i"), as unsigned ints — the formula the oracle replays
+    * with substr(md5(...)) arithmetic. */
+  private def pixelBytes(md: java.security.MessageDigest, id: Long, i: Int): Array[Byte] = {
+    md.reset()
+    md.update(s"$id:$i".getBytes("US-ASCII"))
+    md.digest()
+  }
+
+  /** Deterministic REAL BMP per document id: 13×7 24-bit images whose
+    * pixels derive from md5(id:i). One MessageDigest per partition —
+    * the decoder-init-per-partition production shape. */
+  def synthesizeBmp(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val rgb = new Array[Byte](BmpW * BmpH * 3)
+        var i = 0
+        while (i < BmpW * BmpH) {
+          val dg = pixelBytes(md, id, i)
+          rgb(3 * i) = dg(0); rgb(3 * i + 1) = dg(1); rgb(3 * i + 2) = dg(2)
+          i += 1
+        }
+        val bytes = Codecs.encodeBmp(Codecs.Image(BmpW, BmpH, rgb))
+        Row(id, bytes, "image/bmp", Row("synthetic", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL image features: parse the BMP (magic, headers, padding,
+    * bottom-up un-flip), then per-channel means, the two orientation-
+    * pinning corner samples, and the mean of a REAL nearest-neighbor
+    * resize to `rsW`×`rsH` — decode → transform → featurize, the full
+    * production pipeline shape. Malformed payloads fail loudly. */
+  def imageFeatures(media: DataFrame, rsW: Int = 5, rsH: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("r00", IntegerType, nullable = false),
+      StructField("b_last", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false),
+      StructField("rs_mean_r", DoubleType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = Codecs.decodeBmp(bytes)
+        val n = img.width * img.height
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < n) {
+          sr += img.rgb(3 * i) & 0xff; sg += img.rgb(3 * i + 1) & 0xff
+          sb += img.rgb(3 * i + 2) & 0xff
+          i += 1
+        }
+        val rs = Codecs.resizeNearest(img, rsW, rsH)
+        var srs = 0L
+        i = 0
+        while (i < rsW * rsH) { srs += rs.rgb(3 * i) & 0xff; i += 1 }
+        Row(id, img.width, img.height, bytes.length,
+          img.rgb(0) & 0xff, img.rgb(3 * n - 1) & 0xff,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+          srs.toDouble / (rsW * rsH))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesized WAV: mono 16-bit PCM at 8 kHz, `200 + id % 57`
+    * samples, sample j = ((j·(id % 31 + 3) + 17) mod 4096) − 2048 —
+    * integer arithmetic the oracle replays verbatim. */
+  val WavRate = 8000
+  def wavSampleCount(id: Long): Int = 200 + (id % 57).toInt
+  def wavSample(id: Long, j: Int): Short =
+    (((j * ((id % 31) + 3) + 17) % 4096) - 2048).toShort
+
+  def synthesizeWav(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(wavSampleCount(id))(j => wavSample(id, j))
+        val bytes = Codecs.encodeWav(Codecs.Audio(WavRate, samples))
+        Row(id, bytes, "audio/wav", Row("synthetic", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL audio features off the parsed PCM stream: sample count,
+    * endpoint samples (pin byte order), peak |amplitude|, RMS energy —
+    * sums exact in Long, one IEEE division + sqrt at the end so both
+    * engines round identically. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("first_sample", IntegerType, nullable = false),
+      StructField("last_sample", IntegerType, nullable = false),
+      StructField("peak_abs", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val audio = Codecs.decodeWav(bytes)
+        val s = audio.samples
+        var sumSq = 0L
+        var peak = 0
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          sumSq += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        Row(id, audio.sampleRate, s.length, bytes.length,
+          s.head.toInt, s.last.toInt, peak,
+          math.sqrt(sumSq.toDouble / s.length))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Per-source byte accounting over the opaque payloads — the kind of

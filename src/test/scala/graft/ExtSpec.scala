@@ -825,6 +825,61 @@ class ExtSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${t}__old")))
   }
 
+  test("BMP codec: round-trip identity, padding geometry, loud rejection, resize mapping") {
+    import graft.ext.Codecs
+    // width 5 → 15-byte rows padded to 16: the stride case
+    val rgb = Array.tabulate(5 * 4 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = Codecs.Image(5, 4, rgb)
+    val bytes = Codecs.encodeBmp(img)
+    assert(bytes.length == 54 + 16 * 4)
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    val back = Codecs.decodeBmp(bytes)
+    assert(back.width == 5 && back.height == 4 && back.rgb.toSeq == rgb.toSeq)
+    // malformed inputs fail loudly, never decode to garbage
+    intercept[IllegalArgumentException] { Codecs.decodeBmp("not a bitmap at all".getBytes) }
+    intercept[IllegalArgumentException] { Codecs.decodeBmp(bytes.take(40)) }
+    val wrongBpp = bytes.clone(); wrongBpp(28) = 8
+    intercept[IllegalArgumentException] { Codecs.decodeBmp(wrongBpp) }
+    // nearest-neighbor 2×2 → 4×4: each source pixel becomes a 2×2 block
+    val tiny = Codecs.Image(2, 2, Array.tabulate(12)(i => (i * 10).toByte))
+    val up = Codecs.resizeNearest(tiny, 4, 4)
+    def px(im: Codecs.Image, x: Int, y: Int) =
+      (0 until 3).map(c => im.rgb((y * im.width + x) * 3 + c))
+    assert(px(up, 0, 0) == px(tiny, 0, 0) && px(up, 1, 1) == px(tiny, 0, 0))
+    assert(px(up, 2, 0) == px(tiny, 1, 0) && px(up, 3, 3) == px(tiny, 1, 1))
+  }
+
+  test("WAV codec: round-trip identity, unknown-chunk skipping, loud rejection") {
+    import graft.ext.Codecs
+    val samples = Array.tabulate(333)(j => ((j * 91) % 65536 - 32768).toShort)
+    val bytes = Codecs.encodeWav(Codecs.Audio(8000, samples))
+    assert(bytes.length == 44 + 666)
+    val back = Codecs.decodeWav(bytes)
+    assert(back.sampleRate == 8000 && back.samples.toSeq == samples.toSeq)
+    // a conformant reader skips unknown chunks (LIST/INFO metadata):
+    // splice one between fmt and data
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = bytes.take(36) ++ junk ++ bytes.drop(36)
+    val viaChunks = Codecs.decodeWav(spliced)
+    assert(viaChunks.samples.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException] { Codecs.decodeWav("RIFFnope".getBytes) }
+    val stereo = bytes.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException] { Codecs.decodeWav(stereo) }
+  }
+
+  test("synthesized media decode through the real codecs with the documented geometry") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val bmp = Multimodal.synthesizeBmp(docs, "doc_id")
+    val feats = Multimodal.imageFeatures(bmp).orderBy("media_id").collect()
+    assert(feats.length == 20)
+    assert(feats.forall(r => r.getInt(1) == 13 && r.getInt(2) == 7 && r.getInt(3) == 334))
+    val wav = Multimodal.synthesizeWav(docs, "doc_id")
+    val af = Multimodal.audioFeatures(wav).orderBy("media_id").collect()
+    assert(af.forall(r => r.getInt(1) == 8000 &&
+      r.getInt(2) == Multimodal.wavSampleCount(r.getLong(0)) &&
+      r.getInt(6) <= 2048))
+  }
+
   test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
     // odd lengths, exact-multiple lengths, empty and null payloads
     val docs = Seq((1L, "a" * 100, "s"), (2L, "b" * 64, "s"), (3L, "c", "s"),
