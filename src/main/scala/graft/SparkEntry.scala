@@ -89,6 +89,22 @@ object SparkEntry {
         "vec_id", "embedding", idx, cents, guardIds = true)
       (idx, cents)
     })
+  /** q82's index: the full lifecycle — q74's build+append state, then
+    * retrain-and-swap on the index's own contents; training reads only
+    * the index, and the resulting centroids equal full-corpus training
+    * (init orders by id, Lloyd updates are order-free). */
+  private def ivfRetrainIndexFor(s: SparkSession, d: String): (String, Seq[Array[Double]]) =
+    ivfIndexCache.computeIfAbsent("retrain:" + d, { _ =>
+      val idx = scratchPath("ivf_retrain", d)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val stale = Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, nLists = 8, iters = 2)
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx, stale, guardIds = true)
+      val fresh = Similarity.ivfRetrainSwap(s, idx, "vec_id", "embedding",
+        nLists = 8, iters = 2)
+      (idx, fresh)
+    })
 
   /** dim_time over all order + ship dates (SURVEY.md §2.5 W1 pattern:
     * union → distinct → global row_number surrogate). Small dim: the
@@ -921,6 +937,19 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // the full IVF index lifecycle: build (even half) → guard-append
+    // (odd half, stale-centroid lists) → RETRAIN-AND-SWAP on the
+    // index's own contents → serve. The oracle re-derives full-corpus
+    // centroids at the retrain geometry, so the swap must land
+    // assignments identical to training on the original corpus
+    "q82_ivf_retrain_serve" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      val (idx, cents) = ivfRetrainIndexFor(s, d)
+      Similarity.ivfTopKIndexed(s, idx, cents, probe, "vec_id", "embedding",
+        k = 10, nProbe = 4)
+    },
+
     // REAL image codec end to end: synthesize standards-conformant
     // 24-bit BMPs (pixels = md5(id:i) bytes — a closed form), then
     // decode them back through genuine header/padding/bottom-up
@@ -1186,10 +1215,15 @@ object SparkEntry {
     val centsHalf = graft.ext.Similarity.ivfCentroids(
       corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
       nLists = 8, iters = 2)
+    // q82 retrains on the index's full contents at nLists=8 — by the
+    // order-free-training argument that equals full-corpus centroids
+    val centsFull8 = graft.ext.Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      nLists = 8, iters = 2)
     // the indexed path (q66) materializes the same assignment the
     // oracle recomputes, so one SQL text verifies both query shapes
     Map("q45_ann_ivf" -> ivfSql(cents), "q66_ann_ivf_indexed" -> ivfSql(cents),
-      "q74_ivf_append_serve" -> ivfSql(centsHalf))
+      "q74_ivf_append_serve" -> ivfSql(centsHalf),
+      "q82_ivf_retrain_serve" -> ivfSql(centsFull8))
   }
 
   def oracleSql: Map[String, String] = Map(

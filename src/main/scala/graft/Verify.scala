@@ -53,7 +53,7 @@ object Verify {
     // touch them
     val dynamic =
       if (only.isEmpty || only("q45_ann_ivf") || only("q66_ann_ivf_indexed") ||
-          only("q74_ivf_append_serve"))
+          only("q74_ivf_append_serve") || only("q82_ivf_retrain_serve"))
         SparkEntry.dynamicOracleSql(spark, sfDir)
       else Map.empty[String, String]
     val json = (SparkEntry.oracleSql ++ dynamic)

@@ -217,6 +217,30 @@ object Similarity {
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
 
+  /** Retrain-and-swap — the rebuild half of the IVF lifecycle:
+    * [[ivfAppend]] keeps serving live between rebuilds, but appended
+    * vectors sit in lists chosen by STALE centroids, so recall drifts
+    * with the data distribution; this op retrains on the index's full
+    * current contents and atomically replaces the partition layout via
+    * [[graft.gold.Upsert.atomicRewrite]] (readers see the old index
+    * until the swap, every crash window recovers on the next call).
+    * Training reads the index itself — the original corpus need not be
+    * kept. Returns the new centroids the serving layer must adopt
+    * (deterministic: identical to training on the original corpus,
+    * since init orders by id and Lloyd updates are order-free). */
+  def ivfRetrainSwap(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, vecCol: String,
+                     nLists: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
+    var cents: Seq[Array[Double]] = Seq.empty
+    graft.gold.Upsert.atomicRewrite(path) { tmp =>
+      // reading the live dir inside the write callback is safe by the
+      // swap contract: nothing has moved yet
+      val current = spark.read.parquet(path).drop("list_id")
+      cents = ivfWriteIndex(current, idCol, vecCol, tmp, nLists, iters)
+    }
+    cents
+  }
+
   /** The probe's nProbe nearest lists, computed driver-side (the probe
     * is one vector) with the same −2·⟨v,c⟩ + ‖c‖² ranking and
     * (dist, id) tie-break as [[assignArrays]]. */

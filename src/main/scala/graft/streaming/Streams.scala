@@ -89,6 +89,30 @@ object Streams {
       events.withWatermark(timeCol, watermark).dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
+  /** Streaming decontamination gate — [[graft.ext.Dedup.decontaminate]]
+    * applied at INGEST time, so benchmark text never reaches the
+    * training corpus in the first place. The evaluation suite's
+    * distinct k-token window hashes are computed ONCE (batch side,
+    * driver-collected — bounded by construction: an eval suite, not a
+    * second corpus; same asymmetry argument as q68) and inlined as an
+    * array literal, so the stream-side check is a stateless
+    * `arrays_overlap` between each document's rolling window hashes
+    * and the eval set: codegen'd built-ins, no UDF, no state store, no
+    * stream-static join shuffle — a map-side filter that works in any
+    * output mode and costs nothing when the document is clean. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val evalHashes = graft.ext.Dedup.windowHashes(benchmark, textCol, idCol, k)
+      .select(col("wh")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val toks = graft.ext.TextStats.tokens(col(textCol))
+    val docHashes = when(size(toks) >= k,
+        graft.functions.TextFunctions.tokenWindowHashes(toks, k))
+      .otherwise(array().cast("array<long>"))
+    if (evalHashes.isEmpty) docs
+    else docs.filter(!arrays_overlap(docHashes, typedlit(evalHashes)))
+  }
+
   case class SessionEvent(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
   case class SessionOut(user_id: Long, session_no: Long, startMicros: Long,
                         endMicros: Long, n_events: Long)

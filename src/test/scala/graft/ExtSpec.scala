@@ -719,6 +719,36 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx2).select("vec_id").distinct().count() == corpus.count())
   }
 
+  test("ivfRetrainSwap: retrained index equals full-corpus training; rows survive the swap") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_retrain").toString + "/idx"
+    // stale state: trained on odd ids only, evens appended under
+    // stale-centroid list assignments
+    val stale = Similarity.ivfWriteIndex(corpus.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", idx, nLists = 4)
+    Similarity.ivfAppend(corpus.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", idx, stale)
+    val fresh = Similarity.ivfRetrainSwap(spark, idx, "vec_id", "embedding", nLists = 4)
+    // training on the index contents == training on the corpus (init
+    // orders by id; Lloyd updates are order-free)
+    val direct = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nLists = 4)
+    assert(fresh.map(_.toSeq) == direct.map(_.toSeq))
+    // every row survived; the layout is the retrained assignment
+    assert(spark.read.parquet(idx).count() == corpus.count())
+    val served = Similarity.ivfTopKIndexed(spark, idx, fresh, probe,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.ivfTopK(corpus, probe, "vec_id", "embedding",
+      k = 5, nLists = 4, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(served.nonEmpty && served == want)
+    // no swap debris left behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx + "__old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx + "__upsert_tmp")))
+  }
+
   test("compaction: small files merge, data survives exactly, partition grain preserved") {
     import graft.ext.Maintenance
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString

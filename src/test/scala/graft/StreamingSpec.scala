@@ -170,6 +170,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate equals batch decontaminate; stays stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // eval suite: two 8-token probes; corpus docs 2 and 4 embed one
+    val probe1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val probe2 = "one two three four five six seven eight"
+    val bench = Seq((100L, probe1), (101L, probe2)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean text with nothing shared at all here truly"),
+      (2L, s"prefix words then $probe1 and a suffix"),
+      (3L, "short doc"), // under k tokens: no windows, must pass
+      (4L, s"$probe2 leaked right at the start of this document"),
+      (5L, "another clean document that talks about something else entirely"))
+    val batch = docs.toDF("doc_id", "text")
+    val expected = graft.ext.Dedup.decontaminate(batch, bench, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    val mem = MemoryStream[(Long, String)]
+    val gated = Streams.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text"), bench, "text", "doc_id")
+    // stateless contract: the gate must not introduce a state store
+    // (works in append mode with no watermark)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("decon_stream").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").select($"doc_id").as[Long].collect().sorted
+      assert(got.toSeq == expected.toSeq && got.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
