@@ -49,6 +49,65 @@ object Maintenance {
     CompactStats(before.length, parquetFiles(spark, path).length, totalBytes)
   }
 
+  /** Recover an interrupted [[compactBucketed]]: a missing live table
+    * with the tmp table present means the crash hit between DROP and
+    * RENAME — the tmp table holds the complete compacted data, so the
+    * rename completes the swap. A tmp table BESIDE a live one is a
+    * pre-drop leftover: dropped (the original is still authoritative;
+    * re-running compaction redoes the work). Safe to call any time. */
+  def recoverBucketedCompact(spark: SparkSession, table: String): Unit = {
+    val tmp = table + "__compact_tmp"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    else if (spark.catalog.tableExists(tmp))
+      spark.sql(s"DROP TABLE $tmp")
+  }
+
+  /** Compact a BUCKETED catalog table to ONE FILE PER BUCKET while
+    * preserving the bucket layout contract (so co-located joins stay
+    * shuffle-free afterwards — the whole point of the table). Each
+    * append/incremental write leaves one file per (task, bucket) pair;
+    * repartitioning on the bucket key with the bucket count routes
+    * every bucket to exactly one task — `repartition(n, key)` and
+    * `bucketBy(n, key)` share Spark's Murmur3 hash-partitioning, so
+    * task boundaries align with bucket boundaries. The directory swap
+    * protocol can't cover catalog metadata, so the swap here is
+    * catalog-level: write `<table>__compact_tmp`, DROP the original,
+    * RENAME tmp into place; [[recoverBucketedCompact]] closes both
+    * crash windows. */
+  def compactBucketed(spark: SparkSession, table: String): CompactStats = {
+    recoverBucketedCompact(spark, table)
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed — use compact()"))
+    val before = parquetFiles(spark, meta.location.toString)
+    val bCols = spec.bucketColumnNames
+    val tmp = table + "__compact_tmp"
+    // read by PATH, not spark.table: the catalog scan claims the
+    // bucket HashPartitioning, which makes the planner elide the
+    // repartition below — while the actual read stays file-based
+    // (auto-bucketed-scan disables it), so write tasks would hold
+    // mixed buckets and emit one file per (task, bucket) pair again
+    // (measured: 16 files instead of 4). The path read carries no
+    // layout claim, so the aligning shuffle survives.
+    val writer = spark.read.parquet(meta.location.toString)
+      .repartition(spec.numBuckets, bCols.map(col): _*)
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+    (if (spec.sortColumnNames.nonEmpty)
+       writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else writer).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    val after = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    CompactStats(before.length,
+      parquetFiles(spark, after.location.toString).length,
+      before.map(_._2).sum)
+  }
+
   case class VacuumStats(filesDeleted: Int, bytesReclaimed: Long,
                          dryRun: Boolean, deleted: Seq[String])
 

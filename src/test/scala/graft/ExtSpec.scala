@@ -808,6 +808,48 @@ class ExtSpec extends AnyFunSuite {
     assert(!tTwo.exists(_._2 == "ghost"))
   }
 
+  test("bucketed compaction: one file per bucket, layout contract survives, crash windows recover") {
+    import graft.ext.Maintenance
+    import graft.operators.Bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val df = spark.range(2000).select($"id".as("k"), ($"id" % 97).as("v"))
+      // fragmented write: 10 tasks × up-to-4 buckets each → many files
+      df.repartition(10).write.format("parquet").bucketBy(4, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("bc_t")
+      Bucketing.saveBucketed(df.select($"k", ($"v" * 2).as("w")), "bc_dim", "k", 4)
+      val s = Maintenance.compactBucketed(spark, "bc_t")
+      assert(s.filesBefore > 4 && s.filesAfter == 4, s"got $s")
+      // data intact
+      assert(spark.table("bc_t").orderBy("k").as[(Long, Long)].collect().toSeq ==
+        (0L until 2000L).map(i => (i, i % 97)))
+      // the layout CONTRACT survives: a co-located join still plans
+      // with zero exchanges after compaction
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, "bc_t", "bc_dim", "k")
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Exchange"), s"expected shuffle-free join after compaction:\n$plan")
+      assert(joined.count() == 2000)
+      // crash window 1: tmp beside live → recovery drops tmp, keeps live
+      spark.table("bc_t").limit(1).write.format("parquet").bucketBy(4, "k")
+        .mode("overwrite").saveAsTable("bc_t__compact_tmp")
+      Maintenance.recoverBucketedCompact(spark, "bc_t")
+      assert(spark.catalog.tableExists("bc_t") &&
+        !spark.catalog.tableExists("bc_t__compact_tmp"))
+      assert(spark.table("bc_t").count() == 2000)
+      // crash window 2: live dropped, tmp complete → recovery renames
+      spark.sql("ALTER TABLE bc_t RENAME TO bc_t__compact_tmp")
+      Maintenance.recoverBucketedCompact(spark, "bc_t")
+      assert(spark.catalog.tableExists("bc_t") && spark.table("bc_t").count() == 2000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bc_t")
+      spark.sql("DROP TABLE IF EXISTS bc_dim")
+      spark.sql("DROP TABLE IF EXISTS bc_t__compact_tmp")
+    }
+  }
+
   test("vacuum: swap leftovers and write artifacts go, live data and in-horizon files stay") {
     import graft.ext.Maintenance
     val base = java.nio.file.Files.createTempDirectory("graft_vacuum").toString

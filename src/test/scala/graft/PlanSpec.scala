@@ -224,6 +224,32 @@ class PlanSpec extends AnyFunSuite {
       s"q69 must materialize survivors via anti-join, got:\n$keepPlan")
   }
 
+  test("two-phase cap plans: histogram partial-aggregates, prefilter sits below the window (q78)") {
+    val plan = executedPlanOf(SparkEntry.queries("q78_cap_two_phase")(spark, d))
+    // phase 1 must be a partial-aggregating groupBy (the hot-key
+    // crusher), not a window
+    assert(plan.contains("partial_"),
+      s"expected map-side partial aggregation in the histogram, got:\n$plan")
+    // the bucket prefilter must sit BELOW the Window node — plans
+    // print top-down, so "__thr" must appear in the window's input
+    // subtree (here Catalyst folds it into the threshold join's
+    // condition, even better than a standalone Filter)
+    val winIdx = plan.indexOf("Window [")
+    assert(winIdx >= 0, s"expected a ranking window in:\n$plan")
+    assert(plan.indexOf("__thr", winIdx) >= 0,
+      s"threshold prefilter must bound the window input, got:\n$plan")
+  }
+
+  test("BPE tokenization stays map-side: scan → project, no exchange before the sort (q72)") {
+    val plan = planOf(SparkEntry.queries("q72_bpe_tokens")(spark, d))
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0,
+      s"BPE tokenization must not shuffle data, got:\n$plan")
+    // and it reads only the two columns it needs from documents
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned ReadSchema in:\n$plan")
+  }
+
   test("multimodal stub pipeline stays in codegen: no UDF node in the q49 plan (q49)") {
     // resize/frameSample are pure byte arithmetic — built-ins, not
     // UDFs; the imperative *Udf forms exist only as the real-codec seam
