@@ -950,6 +950,30 @@ object SparkEntry {
         k = 10, nProbe = 4)
     },
 
+    // the composed curation recipe — the C4/RefinedWeb pipeline shape
+    // run END TO END as one query: language gate → quality gate →
+    // exact-dedup winners → benchmark decontamination → per-source
+    // token budget. Every stage is an already-verified operator; this
+    // row verifies they COMPOSE (one oracle replays the whole recipe)
+    "q83_curation_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lang = TextStats.langId(docs, "text", "doc_id")
+        .filter(col("predicted_lang") === "en").select("doc_id")
+      val qual = TextStats.qualityScore(docs, "text", "doc_id")
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") > 0).select("doc_id")
+      val keep = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val eval = docs.filter(col("doc_id") % 10 === 3)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+      val gated = Dedup.decontaminate(corpus, eval, "text", "doc_id")
+        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).as("n_tokens"))
+      Sampling.capTokensPerStratum(gated, "doc_id", "source", "n_tokens",
+        (0 until 20).map(i => s"src$i" -> 500L).toMap)
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // REAL image codec end to end: synthesize standards-conformant
     // 24-bit BMPs (pixels = md5(id:i) bytes — a closed form), then
     // decode them back through genuine header/padding/bottom-up
@@ -1496,6 +1520,48 @@ object SparkEntry {
         | CAST(MAX(ABS(v)) AS INT) AS peak_abs,
         | ROUND(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*)), 6) AS rms
         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q83_curation_pipeline" -> {
+      def hits(lang: String) = {
+        val words = graft.ext.TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(t, x -> x IN ($words)))"
+      }
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |win AS (
+        | SELECT doc_id,
+        |  md5(array_to_string(t[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 8)], ' ')) AS wh
+        | FROM toks, unnest(range(0, len(t) - 7)) AS u(i)),
+        |bw AS (SELECT DISTINCT wh FROM win WHERE doc_id % 10 = 3),
+        |contaminated AS (
+        | SELECT DISTINCT doc_id FROM win JOIN bw USING (wh) WHERE doc_id % 10 <> 3),
+        |lang AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, ${hits("en")} AS he, ${hits("de")} AS hd,
+        |         ${hits("fr")} AS hf, ${hits("es")} AS hs
+        |  FROM toks)
+        | WHERE NOT (he = 0 AND hd = 0 AND hf = 0 AND hs = 0)
+        |  AND he >= hd AND he >= hf AND he >= hs),
+        |qual AS (SELECT doc_id FROM toks WHERE len(t) >= 20 AND ${hits("en")} >= 1),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |gated AS (
+        | SELECT d.doc_id, d.source, CAST(len(tk.t) AS INT) AS n_tokens
+        | FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+        | WHERE d.doc_id % 10 <> 3
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |  AND d.doc_id IN (SELECT doc_id FROM lang)
+        |  AND d.doc_id IN (SELECT doc_id FROM qual)
+        |  AND d.doc_id IN (SELECT doc_id FROM keep)),
+        |f AS (SELECT gated.*,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM gated),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM f)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 500 ORDER BY source, doc_id""".stripMargin
+    },
 
     "q78_cap_two_phase" ->
       """WITH f AS (
