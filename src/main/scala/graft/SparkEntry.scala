@@ -791,6 +791,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // q60's runtime-filter twin: identical output through the
+    // Bloom-gated store scan (no false negatives ⇒ same anti-join
+    // result; the gate exists for the 100 TB store-side scan cost).
+    // Shares q60's oracle SQL verbatim.
+    "q84_incremental_bloom" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") < 250)
+        .select(TextStats.fingerprint(col("text")).as("fp"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .union(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000))
+      Dedup.incrementalNewBloom(batch, "text", "doc_id", history)
+        .orderBy(col("doc_id"))
+    },
+
+    // SemDeDup-style semantic dedup: IVF-cluster the embeddings,
+    // drop vectors with a smaller-id same-cluster neighbor at
+    // round(cos, 6) >= tau. Oracle is dynamic (centroids inlined at
+    // Verify time, like q45/q66 — it reuses the nLists=8 training).
+    "q85_semantic_dedup" -> { (s, d) =>
+      // vec_id 0 is the ANN probe row, not corpus — excluded so the
+      // oracle shares q82's nLists=8 full-corpus centroid training
+      Similarity.semanticDedup(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        nLists = 8, tau = 0.30, iters = 2, maxPerList = 10000)
+        .orderBy(col("vec_id"))
+    },
+
     // unigram-rarity stats — the integer-exact perplexity stand-in:
     // vocab build + token-keyed join back (the TF-IDF shuffle shape)
     "q58_token_rarity" -> ((s, d) =>
@@ -1135,6 +1163,23 @@ object SparkEntry {
 
   // cosine spelled out with list_dot_product so the accumulation order
   // matches the codegen'd vec_dot exactly (see the q25 oracle note)
+  /** Shared by q60 (plain anti-join) and q84 (Bloom-gated scan): the
+    * two queries are contractually row-identical. */
+  private val incrementalDedupSql: String =
+    """WITH fps AS (
+      | SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+      | FROM documents),
+      |history AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
+      |batch AS (
+      | SELECT doc_id, fp FROM fps WHERE doc_id >= 250
+      | UNION ALL
+      | SELECT doc_id + 1000 AS doc_id, fp FROM fps WHERE doc_id < 50),
+      |winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp)
+      |SELECT fp, doc_id FROM winners
+      |WHERE fp NOT IN (SELECT fp FROM history)
+      |ORDER BY doc_id""".stripMargin
+
   private def cosineSql(a: String, b: String): String =
     s"""list_dot_product($a, $b) /
        |   (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
@@ -1245,9 +1290,43 @@ object SparkEntry {
       nLists = 8, iters = 2)
     // the indexed path (q66) materializes the same assignment the
     // oracle recomputes, so one SQL text verifies both query shapes
+    // q85 replays semanticDedup against the SAME nLists=8 full-corpus
+    // centroids as q82: assignment (lexicographic [dist, id] argmin),
+    // occupancy gate, within-cluster pairing at round(cos,6) >= tau,
+    // keep = anti-join of the smaller-id-neighbor loser set.
+    def semSql(cents: Seq[Array[Double]], tau: Double, maxPerList: Int): String = {
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        val lit = c.map(java.lang.Double.toString).mkString("[", ", ", "]")
+        val nrm = java.lang.Double.toString(c.foldLeft(0.0)((acc, x) => acc + x * x))
+        s"($i, $lit, $nrm)"
+      }.mkString(",\n  ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0),
+         |cents(list_id, c, nrm) AS (VALUES
+         |  $rows),
+         |asg AS (
+         |  SELECT vec_id,
+         |   CAST(MIN([list_dot_product(e, c) * -2 + nrm, CAST(list_id AS DOUBLE)])[2] AS INT) AS list_id
+         |  FROM v CROSS JOIN cents GROUP BY vec_id),
+         |av AS (
+         |  SELECT v.vec_id, v.e, asg.list_id, sqrt(list_dot_product(v.e, v.e)) AS nrm
+         |  FROM v JOIN asg USING (vec_id)),
+         |occ AS (SELECT list_id, COUNT(*) AS n FROM av GROUP BY list_id),
+         |keep AS (
+         |  SELECT av.* FROM av JOIN occ USING (list_id)
+         |  WHERE occ.n >= 2 AND occ.n <= $maxPerList),
+         |losers AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM keep a JOIN keep b2
+         |    ON a.list_id = b2.list_id AND a.vec_id < b2.vec_id
+         |  WHERE ROUND(list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm), 6) >= $tau)
+         |SELECT av.vec_id, av.list_id FROM av
+         |WHERE av.vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY av.vec_id""".stripMargin
+    }
     Map("q45_ann_ivf" -> ivfSql(cents), "q66_ann_ivf_indexed" -> ivfSql(cents),
       "q74_ivf_append_serve" -> ivfSql(centsHalf),
-      "q82_ivf_retrain_serve" -> ivfSql(centsFull8))
+      "q82_ivf_retrain_serve" -> ivfSql(centsFull8),
+      "q85_semantic_dedup" -> semSql(centsFull8, tau = 0.30, maxPerList = 10000))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1336,20 +1415,11 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
-    "q60_incremental_dedup" ->
-      """WITH fps AS (
-        | SELECT doc_id,
-        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
-        | FROM documents),
-        |history AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
-        |batch AS (
-        | SELECT doc_id, fp FROM fps WHERE doc_id >= 250
-        | UNION ALL
-        | SELECT doc_id + 1000 AS doc_id, fp FROM fps WHERE doc_id < 50),
-        |winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp)
-        |SELECT fp, doc_id FROM winners
-        |WHERE fp NOT IN (SELECT fp FROM history)
-        |ORDER BY doc_id""".stripMargin,
+    "q60_incremental_dedup" -> incrementalDedupSql,
+
+    // the Bloom gate never drops a true match (no false negatives), so
+    // the oracle is EXACTLY q60's: identical output, different plan.
+    "q84_incremental_bloom" -> incrementalDedupSql,
 
     "q63_source_cap" ->
       """WITH f AS (

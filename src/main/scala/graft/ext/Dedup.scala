@@ -499,6 +499,49 @@ object Dedup {
     winners.join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
+  /** [[incrementalNew]] with a Bloom gate on the historical store scan
+    * — the runtime-filter shape for dedup-vs-history at 100 TB, where
+    * the store dwarfs the batch and a plain anti-join would shuffle
+    * the ENTIRE store on `fp` just to discard almost all of it.
+    *
+    * The filter is built over the batch's distinct fingerprints
+    * (small by definition) via `stat.bloomFilter` — one bounded sketch
+    * to the driver (~1.2 MB at 1 M items / 3% fpp; the same
+    * bounded-sketch-collect pattern as MLlib's k-means centroids) —
+    * and applied to the store scan through Spark's own codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over `xxhash64(fp)` (the exact mechanism of Spark's injected
+    * runtime bloom filters, constructed explicitly because the
+    * optimizer only injects them under shuffle-join heuristics it
+    * can't see through a `left_anti` against a pre-aggregated batch).
+    *
+    * Store rows surviving the gate ≈ true matches + fpp·|store|, so
+    * pick `fpp` ≲ k/|store| for a constant-size survivor set; AQE then
+    * broadcasts the gated side into the anti-join. No false negatives
+    * (Bloom guarantee) ⇒ output is row-identical to [[incrementalNew]]
+    * (asserted differentially in ExtSpec; q84 shares q60's oracle). */
+  def incrementalNewBloom(newDocs: DataFrame, textCol: String, idCol: String,
+                          seenFps: DataFrame,
+                          expectedItems: Long = 1L << 20,
+                          fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val winners = newDocs
+      .groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+    val bloom = winners.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val ser = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val gate = ColumnShim.column(BloomFilterMightContain(
+      Literal.create(ser, org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(xxhash64(col("fp")))))
+    val gatedSeen = seenFps.select(col("fp")).filter(gate)
+    winners.join(gatedSeen, Seq("fp"), "left_anti")
+  }
+
   /** 32-bit SimHash over whitespace tokens: per token take the first 8
     * hex chars of md5 as a 32-bit value; each fingerprint bit is the
     * sign of the per-bit vote sum (+1 if set, −1 if not) across tokens.

@@ -352,4 +352,47 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): cluster
+    * embeddings with the Lloyd-trained IVF centroids, compare cosine
+    * similarity ONLY within a cluster, and drop every vector that has a
+    * smaller-id neighbor at `round(cos, 6) >= tau` — the deterministic
+    * keep-the-canonical-representative rule. Returns kept
+    * `(idCol, list_id)` rows.
+    *
+    * Scale shape: assignment is map-only (the centroid matrix is one
+    * literal, [[assignArrays]]); the quadratic pair comparison is
+    * confined to one cluster and gated by the same occupancy cap as
+    * [[nearDupPairs]] — a cluster larger than `maxPerList` skips
+    * pairing entirely and keeps all its rows (conservative, never
+    * drops on unverified similarity). The cap count is a
+    * `groupBy(list_id)` — map-side partial aggregation crushes a hot
+    * cluster key (the q64 lesson: no window over the data key). At
+    * 100 TB the cluster count scales with the corpus so per-cluster
+    * occupancy stays bounded; the loser set is a distinct id column
+    * (8-byte shuffle rows) and the final anti-join is AQE-broadcastable
+    * when the drop rate is low. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    nLists: Int = 8, tau: Double = 0.30, iters: Int = 2,
+                    maxPerList: Int = 10000): DataFrame = {
+    val cents = ivfCentroids(vectors, idCol, vecCol, nLists, iters)
+    val assigned = vectors.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"),
+      assignedList(col(vecCol), cents).as("list_id"))
+    val pairable = assigned
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxPerList)
+      .select(col("list_id"))
+    val capped = assigned.join(pairable, Seq("list_id"), "left_semi")
+    val a = capped.select(col("list_id"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
+    val b = capped.select(col("list_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
+    val losers = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("list_id"))
+  }
 }

@@ -547,6 +547,59 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Set(10L))
   }
 
+  test("incrementalNewBloom: row-identical to the plain anti-join, even at a hostile fpp") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter($"doc_id" < 100)
+      .select(TextStats.fingerprint($"text").as("fp"))
+    val batch = docs.filter($"doc_id" >= 100)
+      .union(docs.filter($"doc_id" < 20).withColumn("doc_id", $"doc_id" + 1000))
+    def rows(df: DataFrame) = df.select("fp", "doc_id").as[(String, Long)].collect().toSet
+    val plain = rows(Dedup.incrementalNew(batch, "text", "doc_id", history))
+    // default fpp: exact equality (Bloom may pass extra store rows to
+    // the anti-join, never skip a true match — output can't differ)
+    assert(rows(Dedup.incrementalNewBloom(batch, "text", "doc_id", history)) == plain)
+    // near-saturated filter (tiny capacity, high fpp): the gate passes
+    // almost everything — correctness must not depend on selectivity
+    assert(rows(Dedup.incrementalNewBloom(batch, "text", "doc_id", history,
+      expectedItems = 8L, fpp = 0.5)) == plain)
+  }
+
+  test("semanticDedup: kept set is maximal-by-min-id — no kept pair above tau, every drop justified") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" =!= 0)
+    val tau = 0.30
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      nLists = 4, tau = tau, iters = 2, maxPerList = 10000)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty && keptIds.size < vecs.count())
+    // recompute the within-cluster pair similarities independently of
+    // the operator's join: kept×kept pairs in one cluster must all sit
+    // below tau, and every dropped id must have a smaller-id
+    // same-cluster neighbor at or above tau
+    val assigned = kept.select($"vec_id", $"list_id")
+      .join(vecs, "vec_id")
+    val all = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      nLists = 4, tau = 2.0 /* nothing drops */, iters = 2, maxPerList = 10000)
+    val clusterOf = all.select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    val vecMap = vecs.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (n(a) * n(b))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = vecMap.keys.groupBy(clusterOf)
+    for ((_, ids) <- byCluster; s = ids.toSeq.sorted) {
+      for (i <- s.indices; j <- (i + 1) until s.size) {
+        val similar = cos(vecMap(s(i)), vecMap(s(j))) >= tau
+        if (keptIds(s(i)) && keptIds(s(j)))
+          assert(!similar, s"kept pair ${s(i)},${s(j)} is above tau")
+      }
+      for (id <- s if !keptIds(id))
+        assert(s.filter(_ < id).exists(o => cos(vecMap(o), vecMap(id)) >= tau),
+          s"dropped $id has no smaller-id neighbor above tau")
+    }
+  }
+
   test("capPerStratum: per-source cap enforced, selection deterministic and hash-ordered") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val capped = Sampling.capPerStratum(docs, "doc_id", "source", maxRows = 10)

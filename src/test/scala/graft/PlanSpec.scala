@@ -224,6 +224,18 @@ class PlanSpec extends AnyFunSuite {
       s"q69 must materialize survivors via anti-join, got:\n$keepPlan")
   }
 
+  test("bloom-gated incremental dedup: codegen'd gate on the store scan, then anti-join (q84)") {
+    val plan = executedPlanOf(SparkEntry.queries("q84_incremental_bloom")(spark, d))
+    // the store side must pass through Spark's native bloom predicate
+    // (BloomFilterMightContain — codegen'd, not a UDF) before the join:
+    // at 100 TB the gate is what keeps the anti-join's right side at
+    // ~|batch|·(1+fpp) instead of the whole history
+    assert(plan.contains("might_contain"),
+      s"q84 must gate the store scan with might_contain, got:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"q84 must remove seen fingerprints via anti-join, got:\n$plan")
+  }
+
   test("two-phase cap plans: histogram partial-aggregates, prefilter sits below the window (q78)") {
     val plan = executedPlanOf(SparkEntry.queries("q78_cap_two_phase")(spark, d))
     // phase 1 must be a partial-aggregating groupBy (the hot-key
