@@ -247,6 +247,21 @@ object SparkEntry {
       Upsert.merge(target, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
     },
 
+    // S8 closed for real: MERGE with Delta-style schema evolution —
+    // updates bring a NEW column (priority), target keeps one the
+    // updates lack (status); each side reads NULL in the other's rows
+    "q87_merge_evolve" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus").as("status"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"),
+          col("o_orderpriority").as("priority"))
+      Upsert.mergeEvolve(target, updates, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // §2.7 F1–F3 + §2.2 P5 string-cleaning chain
     "q07_clean_strings" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
@@ -436,6 +451,19 @@ object SparkEntry {
         Tables.eventsWithTs(s, d).select(col("event_id"), col("event_ts"),
           col("user_id"), col("event_type"), col("value")))
         .orderBy(col("window_start"), col("event_type"))),
+
+    // stream-stream interval join, batch twin (StreamingSpec runs the
+    // same code as a real two-sided watermarked stream): purchases
+    // attribute to same-user clicks within the preceding 2 h
+    "q86_stream_interval_join" -> { (s, d) =>
+      val e = Tables.eventsWithTs(s, d)
+        .select(col("event_id"), col("event_ts"), col("user_id"), col("event_type"))
+      graft.streaming.Streams.intervalJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        windowMinutes = 120)
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
 
     // gap-based sessionization (lag + running sum, per-user window)
     "q34_sessionize" -> ((s, d) =>
@@ -1815,6 +1843,21 @@ object SparkEntry {
         | UNION ALL SELECT o_orderkey, price FROM updates)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q87_merge_evolve" ->
+      """WITH target AS (
+        | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderstatus AS status
+        | FROM orders WHERE o_orderstatus = 'F'),
+        |updates AS (
+        | SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price, o_orderpriority AS priority
+        | FROM orders WHERE o_totalprice > 150000)
+        |SELECT * FROM (
+        | SELECT t.o_orderkey, t.price, t.status, CAST(NULL AS VARCHAR) AS priority
+        | FROM target t
+        | WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+        | UNION ALL
+        | SELECT o_orderkey, price, CAST(NULL AS VARCHAR) AS status, priority FROM updates)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q07_clean_strings" ->
       """WITH cleaned AS (
         | SELECT event_id,
@@ -2005,6 +2048,16 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
         | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q86_stream_interval_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, click_id, user_id, pus - cus AS delay_us
+        |FROM c JOIN p USING (user_id)
+        |WHERE cus <= pus AND cus >= pus - 7200000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q34_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),

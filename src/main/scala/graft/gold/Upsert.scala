@@ -26,6 +26,48 @@ object Upsert {
     target.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*), keys, "left_anti")
       .unionByName(updates)
 
+  /** [[merge]] with Delta-style schema evolution
+    * (`mergeSchema`/`spark.databricks.delta.schema.autoMerge` role —
+    * the reference gets this from Delta for free, SURVEY §2.1 S8):
+    * columns only in `updates` are ADDED to the result (pre-existing
+    * target rows read NULL there), columns only in `target` are KEPT
+    * (inserted/updated rows read NULL there — Delta's
+    * `whenNotMatchedInsertAll` with a missing source column), and
+    * columns present on both sides keep the TARGET's type, with the
+    * updates side cast to it (Delta's implicit-cast-on-write rule —
+    * an incompatible cast fails analysis loudly rather than silently
+    * widening the table's type). Pure column algebra on the plan —
+    * no shuffle beyond [[merge]]'s own. */
+  def mergeEvolve(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tCols = target.columns.toSeq
+    val uCols = updates.columns.toSeq
+    val evolvedTarget = uCols.filterNot(tCols.contains).foldLeft(target)((df, c) =>
+      df.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+    val aligned = tCols.filter(uCols.contains).filterNot(keys.contains)
+      .foldLeft(updates)((df, c) => df.withColumn(c, col(c).cast(target.schema(c).dataType)))
+    val evolvedUpdates = tCols.filterNot(uCols.contains).foldLeft(aligned)((df, c) =>
+      df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
+    merge(evolvedTarget, evolvedUpdates, keys)
+  }
+
+  /** Path-based [[mergeEvolve]]: the schema-evolving upsert through
+    * the same crash-safe [[atomicRewrite]] swap as [[upsertParquet]].
+    * After the swap the live table carries the union schema. */
+  def upsertParquetEvolve(spark: SparkSession, path: String, updates: DataFrame,
+                          keys: Seq[String]): Unit = {
+    recoverSwap(path)
+    val deduped = dedupByKeys(updates, keys)
+    if (!Files.exists(Paths.get(path))) {
+      deduped.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      atomicRewrite(path) { tmp =>
+        val target = spark.read.parquet(path)
+        mergeEvolve(target, deduped, keys).write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+    }
+  }
+
   /** Deterministically keep one row per key: rows ordered by every
     * non-key column, first wins. Delta MERGE would ERROR on duplicate
     * update keys; resolving deterministically keeps re-delivered

@@ -74,6 +74,39 @@ object Streams {
                     dimKey: String): DataFrame =
     events.join(broadcast(dim), events(eventKey) === dim(dimKey))
 
+  /** Stream-stream interval join — click→purchase attribution
+    * candidates: every purchase pairs with the same user's clicks in
+    * the preceding `windowMinutes`. On streaming inputs both sides
+    * carry watermarks and the two-sided time-range predicate is what
+    * lets Spark EXPIRE buffered join state (a click older than
+    * `watermark + windowMinutes` behind the purchase-side watermark can
+    * never match again and is evicted — bounded state, the
+    * stream-stream join admission requirement). Inner joins emit
+    * eagerly on match, so results don't wait for watermark advance.
+    * On batch inputs the identical code is a plain equi+range join
+    * (SortMergeJoin on user_id, range as post-filter — the time
+    * predicates are timestamp-typed and conjoined with the equality,
+    * so RangeJoinRewrite's numeric point-in-interval pattern
+    * deliberately does not fire). Output carries ids + the
+    * click→purchase delay in microseconds (integer-exact, no
+    * timestamp rendering in the hash path). */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   windowMinutes: Int = 120,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("event_ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("event_ts").as("purchase_ts"))
+    val c = if (c0.isStreaming) c0.withWatermark("click_ts", watermark) else c0
+    val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", watermark) else p0
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+  }
+
   /** Streaming dedup on event id with a watermark bound on state:
     * `dropDuplicatesWithinWatermark` evicts a key's state once the
     * watermark passes its event time, so long-running streams don't

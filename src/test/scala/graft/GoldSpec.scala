@@ -67,6 +67,34 @@ class GoldSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("mergeEvolve: added column null-backfills, dropped column null-forwards, types align") {
+    val target = Seq((1, "old", 10.0), (2, "keep", 20.0)).toDF("id", "v", "x")
+    // updates add `y`, lack `x`, and carry `v` as an int (must cast to
+    // the target's string type, not widen the table)
+    val updates = Seq((1, 7, "Y1"), (3, 9, "Y3")).toDF("id", "v", "y")
+    val got = Upsert.mergeEvolve(target, updates, Seq("id"))
+    assert(got.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    val rows = got.orderBy("id")
+      .select("id", "v", "x", "y")
+      .as[(Int, String, Option[Double], Option[String])].collect()
+    assert(rows.toSeq == Seq(
+      (1, "7", None, Some("Y1")),       // updated: x nulls, y arrives
+      (2, "keep", Some(20.0), None),    // untouched: y backfills null
+      (3, "9", None, Some("Y3"))))      // inserted: x nulls
+  }
+
+  test("upsertParquetEvolve: live table schema grows across upserts through the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_evolve").toString + "/t"
+    Upsert.upsertParquetEvolve(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"))
+    Upsert.upsertParquetEvolve(spark, dir, Seq((2, "B", 5L), (3, "c", 6L)).toDF("id", "v", "n"), Seq("id"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select("id", "v", "n").as[(Int, String, Option[Long])].collect()
+    assert(got.toSeq == Seq((1, "a", None), (2, "B", Some(5L)), (3, "c", Some(6L))))
+    // re-run is idempotent on the evolved schema
+    Upsert.upsertParquetEvolve(spark, dir, Seq((2, "B", 5L), (3, "c", 6L)).toDF("id", "v", "n"), Seq("id"))
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("atomic swap: every crash window recovers on the next call") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def freshTable(): String = {

@@ -39,6 +39,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join: two watermarked sides, streaming equals batch") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    val batchIn = normalizedEvents("/root/testdata/sf0.001")
+    batchIn.write.mode("overwrite").parquet(dir)
+
+    // two streams carved from one file source — a genuine two-sided
+    // streaming join (each side gets its own watermark and state store)
+    val src = Streams.eventsStream(spark, dir)
+    val q = Streams.intervalJoin(
+      src.filter($"event_type" === "click"),
+      src.filter($"event_type" === "purchase"),
+      windowMinutes = 120)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("purchase_id", "click_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val streamed = rows(spark.table("ssj_out"))
+    val batch = rows(Streams.intervalJoin(
+      batchIn.filter($"event_type" === "click"),
+      batchIn.filter($"event_type" === "purchase"),
+      windowMinutes = 120))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-static join and watermarked dedup run as a real stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batchIn = normalizedEvents("/root/testdata/sf0.001")
