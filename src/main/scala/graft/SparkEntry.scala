@@ -262,6 +262,14 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // Morton key under zorderWrite (Delta OPTIMIZE ZORDER role) —
+    // the key computation is the oracled part; the file-layout
+    // bounding-box property is asserted in ExtSpec
+    "q88_zorder_key" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.ext.Maintenance.zKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // §2.7 F1–F3 + §2.2 P5 string-cleaning chain
     "q07_clean_strings" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
@@ -1842,6 +1850,17 @@ object SparkEntry {
         | WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
         | UNION ALL SELECT o_orderkey, price FROM updates)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q88_zorder_key" -> {
+      // 16-bit Morton interleave spelled out as 32 shift/mask terms —
+      // the same disjoint-bit OR the Spark expression computes
+      val terms =
+        (0 until 16).map(i => s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i})") ++
+          (0 until 16).map(i => s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${terms.mkString(" | ")} AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "q87_merge_evolve" ->
       """WITH target AS (

@@ -200,4 +200,46 @@ object Maintenance {
     }
     CompactStats(before.length, parquetFiles(spark, path).length, totalBytes)
   }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at result bit 2i,
+    * bit i of `b` at 2i+1. Pure built-ins (shift/and/or), disjoint
+    * target bits so the OR-reduction is order-free — one codegen'd
+    * projection, no UDF. Values are taken mod 2^bits (callers with
+    * unbounded or skewed domains should quantile-rank into
+    * [0, 2^bits) first — the standard Delta/Databricks Z-order
+    * preprocessing; raw low bits keep the key oracle-checkable). */
+  def zKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+           bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Delta `OPTIMIZE … ZORDER BY (colA, colB)` role: rewrite a table
+    * range-partitioned and sorted on the Morton key, so each output
+    * file covers a compact RECTANGLE in (colA, colB) space. Parquet
+    * footer min/max on BOTH columns then stay tight per file, and a
+    * selective predicate on EITHER column skips most files — the
+    * multi-dimensional data-skipping a single-column sort cannot give
+    * (lexicographic (a,b) order leaves every file spanning b's full
+    * range; ExtSpec asserts the bounding-box contrast directly).
+    *
+    * Scale shape: one `repartitionByRange` (sampled boundaries — the
+    * extra sampling job is RangePartitioner's own, deterministic seed)
+    * + in-partition sort; no global sort, no driver collection. At
+    * 100 TB this is the same shuffle a compaction rewrite pays anyway,
+    * buying file-level pruning on every subsequent scan. */
+  def zorderWrite(df: org.apache.spark.sql.DataFrame, colA: String, colB: String,
+                  path: String, nFiles: Int, bits: Int = 16): Unit = {
+    df.withColumn("__zkey", zKey(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

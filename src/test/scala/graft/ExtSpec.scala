@@ -600,6 +600,43 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("zKey: hand-checked Morton interleave, disjoint bits, mod-2^bits wrap") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65536L + 2L, 0L))
+      .toDF("a", "b")
+    val got = df.select(graft.ext.Maintenance.zKey($"a", $"b").as("z"))
+      .as[Long].collect().toSeq
+    // interleave(3=0b11, 5=0b101): a-bits at 0,2 → 0b101; b-bits at
+    // 1,5 → 0b100010; OR = 0b100111 = 39
+    assert(got == Seq(0L, 1L, 2L, 39L, 4L /* 65538 wraps to a=2 → z bit 2 */))
+  }
+
+  test("zorderWrite: file bounding boxes prune BOTH dims; lexicographic sort can't prune the second") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val n = 64L
+    val grid = spark.range(n * n)
+      .select((col("id") % n).as("a"), (col("id") / n).cast("long").as("b"))
+    graft.ext.Maintenance.zorderWrite(grid, "a", "b", dir + "/z", nFiles = 16, bits = 6)
+    grid.repartitionByRange(16, $"a", $"b").sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet(dir + "/lex")
+    def avgSpan(path: String, c: String): Double = {
+      val s = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("span"))
+        .select("span").as[Long].collect()
+      s.sum.toDouble / s.length
+    }
+    // z-order: every file is a compact rectangle — BOTH per-file spans
+    // sit far below the 63-wide domain (ideal 16×16 blocks span 15;
+    // unaligned range boundaries can straddle quadrants, hence the
+    // generous 32 bound on the average)
+    assert(avgSpan(dir + "/z", "a") <= 32.0, s"zorder a-span ${avgSpan(dir + "/z", "a")}")
+    assert(avgSpan(dir + "/z", "b") <= 32.0, s"zorder b-span ${avgSpan(dir + "/z", "b")}")
+    // lexicographic: tight on the leading column, but every file spans
+    // essentially ALL of b — a predicate on b alone skips nothing
+    assert(avgSpan(dir + "/lex", "b") >= 50.0, s"lex b-span ${avgSpan(dir + "/lex", "b")}")
+    // same rows either way
+    assert(spark.read.parquet(dir + "/z").count() == n * n)
+  }
+
   test("capPerStratum: per-source cap enforced, selection deterministic and hash-ordered") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val capped = Sampling.capPerStratum(docs, "doc_id", "source", maxRows = 10)
