@@ -861,6 +861,14 @@ object SparkEntry {
       TextStats.rarityStats(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // bigram-LM perplexity scoring (CCNet-style): LM trained on the
+    // doc_id % 5 != 0 slice, every doc scored — add-one smoothing,
+    // deterministic position-ordered log-prob fold
+    "q89_lm_perplexity" -> ((s, d) =>
+      TextStats.lmScore(Tables.documents(s, d), "text", "doc_id",
+        col("doc_id") % 5 =!= 0)
+        .orderBy(col("doc_id"))),
+
     // C4-style boilerplate removal: lines repeated across documents
     // are stripped, docs reassembled in order. A shared footer is
     // injected (synthetic corpus has no real boilerplate) and must
@@ -1769,6 +1777,40 @@ object SparkEntry {
         | ROUND(CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq
         |FROM toked JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the LM replay: same smoothing integers, ln() folded in position
+    // order via list_reduce so the double sum matches Spark's
+    // sequential aggregate() fold (engine ln differs ~1 ulp; round(6)
+    // absorbs it)
+    "q89_lm_perplexity" ->
+      s"""WITH toked AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |big AS (
+        | SELECT doc_id, u.pos, u.prev, u.cur FROM (
+        |  SELECT doc_id, unnest(list_transform(t, (x, i) -> {'pos': i,
+        |    'prev': CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END,
+        |    'cur': x})) AS u
+        |  FROM toked) z),
+        |train AS (SELECT * FROM big WHERE doc_id % 5 <> 0),
+        |bc AS (SELECT prev, cur, COUNT(*) AS c_big FROM train GROUP BY 1, 2),
+        |cc AS (SELECT prev, COUNT(*) AS c_ctx FROM train GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT cur) + 1 AS vsz FROM train),
+        |p AS (
+        | SELECT b.doc_id, b.pos,
+        |  CASE WHEN c_big IS NULL THEN 1 ELSE 0 END AS unseen,
+        |  ln(CAST(COALESCE(c_big, 0) + 1 AS DOUBLE) /
+        |     (COALESCE(c_ctx, 0) + vsz)) AS lnp
+        | FROM big b LEFT JOIN bc USING (prev, cur)
+        |  LEFT JOIN cc USING (prev) CROSS JOIN v),
+        |agg AS (
+        | SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+        |  list_reduce(list_prepend(0.0, list(lnp ORDER BY pos)),
+        |    (acc, x) -> acc + x) AS lp_sum
+        | FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_unseen,
+        | ROUND(-lp_sum / n_bigrams, 6) AS avg_nll,
+        | ROUND(exp(-lp_sum / n_bigrams), 3) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q59_strip_boilerplate" ->
       """WITH aug AS (

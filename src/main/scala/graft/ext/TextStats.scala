@@ -180,6 +180,67 @@ object TextStats {
         round(sum(col("tok_freq")).cast("double") / count(lit(1)), 6).as("mean_freq"))
   }
 
+  /** Bigram-LM quality scoring — the CCNet-style perplexity filter
+    * (Wenzek et al.: score web text under a LM trained on a trusted
+    * slice; high perplexity = junk, low = boilerplate-ish). The LM is
+    * add-one-smoothed over bigrams with a `<s>` BOS context:
+    *
+    *   P(w | prev) = (c(prev, w) + 1) / (c(prev) + V + 1)
+    *
+    * where counts come from the `trainPred` slice of the corpus and
+    * V = distinct train tokens (+1 reserves mass for unseen words).
+    * Every document (train and held-out) is scored with its bigram
+    * count, unseen-bigram count, mean negative log-likelihood and
+    * perplexity.
+    *
+    * Determinism: the per-document log-prob sum is a sequential fold
+    * over the POSITION-SORTED probability list (`aggregate` over
+    * `array_sort(collect_list(struct(pos, lnp)))`), not a float SUM
+    * whose addition order varies with shuffle arrival — so the score
+    * is bit-stable run to run, and an engine-independent oracle can
+    * replay the same fold (ln() engines differ by ~1 ulp; the
+    * round(6) grain absorbs that).
+    *
+    * Scale shape: bigram extraction is map-side (one posexplode); LM
+    * counts are two groupBys with partial aggregation; scoring is two
+    * token-keyed joins (Catalyst broadcasts the LM when it is small,
+    * shuffle-joins when corpus-sized) plus one doc-keyed groupBy. The
+    * vocab size is a one-row aggregate broadcast-cross-joined — no
+    * driver collect anywhere. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+              trainPred: Column): DataFrame = {
+    val big = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      // SQL-parsed lambda: struct field building + toks[i-1] indexing
+      // inside Column-API lambdas does not resolve (round-1 gotcha)
+      .select(col(idCol), posexplode(expr(
+        "transform(toks, (x, i) -> named_struct(" +
+          "'prev', if(i = 0, '<s>', toks[i - 1]), 'cur', x))")).as(Seq("pos0", "b")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+        col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val train = big.filter(trainPred)
+    val bigramCounts = train.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_big"))
+    val ctxCounts = train.groupBy(col("prev")).agg(count(lit(1)).as("c_ctx"))
+    val vocab = train.agg((countDistinct(col("cur")) + 1).as("vsz"))
+    big
+      .join(bigramCounts, Seq("prev", "cur"), "left")
+      .join(ctxCounts, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"),
+        when(col("c_big").isNull, 1).otherwise(0).as("unseen"),
+        log((coalesce(col("c_big"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c_ctx"), lit(0L)) + col("vsz"))).as("lnp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, lnp)))," +
+          " x -> x.lnp), 0.0D, (acc, x) -> acc + x)").as("lp_sum"))
+      .select(col(idCol), col("n_bigrams"), col("n_unseen"),
+        round(-col("lp_sum") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(-col("lp_sum") / col("n_bigrams")), 3).as("ppl"))
+  }
+
   /** C4-style boilerplate removal: drop every LINE (sentence) that
     * occurs in more than `maxDocFreq` distinct documents, and
     * reassemble each document from its surviving lines in original

@@ -1059,4 +1059,21 @@ class ExtSpec extends AnyFunSuite {
     // empty (non-null) payload: no frames from either form
     assert(Multimodal.frameSample(media.filter($"media_id" === 4), 16, 2).isEmpty)
   }
+
+  test("lmScore: add-one bigram smoothing, hand-computed; unseen counted") {
+    // train = doc 1 only ("a b a"): bigrams (<s>,a),(a,b),(b,a);
+    // contexts <s>:1 a:1 b:1; vocab {a,b} → V+1 = 3
+    val docs = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs, "text", "doc_id", $"doc_id" === 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // doc 2: p(<s>,a)=(1+1)/(1+3)=.5, p(a,b)=(1+1)/(1+3)=.5,
+    //        p(b,c)=(0+1)/(1+3)=.25 → one unseen bigram
+    val nll2 = -(math.log(0.5) + math.log(0.5) + math.log(0.25)) / 3
+    assert(got(1) == (2L, 3L, 1L,
+      BigDecimal(nll2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(math.exp(nll2)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // doc 1 is in-train: every bigram seen, nll strictly lower
+    assert(got(0)._3 == 0L && got(0)._4 < got(1)._4)
+  }
 }
