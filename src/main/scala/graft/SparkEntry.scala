@@ -861,6 +861,14 @@ object SparkEntry {
       TextStats.rarityStats(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // DSIR-style hashed importance resampling: target = the English
+    // slice, raw = everything else; top-50 raw docs whose hashed-
+    // unigram profile looks most target-like. 64 feature bins,
+    // broadcast score lookup, global top-k
+    "q90_importance_resample" -> ((s, d) =>
+      Sampling.importanceResample(Tables.documents(s, d), "text", "doc_id",
+        col("lang") === "en", buckets = 64, k = 50)),
+
     // bigram-LM perplexity scoring (CCNet-style): LM trained on the
     // doc_id % 5 != 0 slice, every doc scored — add-one smoothing,
     // deterministic position-ordered log-prob fold
@@ -1777,6 +1785,37 @@ object SparkEntry {
         | ROUND(CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq
         |FROM toked JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: identical md5 bin hash, add-one bin frequencies,
+    // ln-ratio folded in position order (the q89 determinism
+    // argument), rank over the rounded weight
+    "q90_importance_resample" ->
+      s"""WITH toked AS (
+        | SELECT doc_id, lang = 'en' AS is_target, u.pos, u.f FROM (
+        |  SELECT doc_id, lang, unnest(list_transform($sqlToks, (x, i) ->
+        |    {'pos': i,
+        |     'f': CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 64})) AS u
+        |  FROM documents) z),
+        |bins AS (
+        | SELECT f,
+        |  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |  CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+        | FROM toked GROUP BY f),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS tt,
+        |               CAST(SUM(c_r) AS BIGINT) AS rt FROM bins),
+        |scores AS (
+        | SELECT f, ln(CAST(c_t + 1 AS DOUBLE) / (tt + 64)) -
+        |           ln(CAST(c_r + 1 AS DOUBLE) / (rt + 64)) AS lr
+        | FROM bins CROSS JOIN tot),
+        |w AS (
+        | SELECT doc_id,
+        |  ROUND(list_reduce(list_prepend(0.0, list(lr ORDER BY pos)),
+        |    (acc, x) -> acc + x), 6) AS logw
+        | FROM toked JOIN scores USING (f)
+        | WHERE NOT is_target GROUP BY doc_id)
+        |SELECT doc_id, logw,
+        | CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS INT) AS rank
+        |FROM w ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin,
 
     // the LM replay: same smoothing integers, ln() folded in position
     // order via list_reduce so the double sum matches Spark's

@@ -193,4 +193,60 @@ object Sampling {
     }
     df.filter(hashFraction(col(idCol)) < frac)
   }
+
+  /** DSIR-style hashed importance resampling (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW document by how much more likely its hashed-unigram
+    * features are under the TARGET distribution than under the raw
+    * one, and keep the top `k`.
+    *
+    * Features: each token hashes to one of `buckets` bins (md5 → first
+    * 8 hex chars → mod, the engine-portable hash this module already
+    * keys on). Both distributions are add-one smoothed bin frequencies:
+    *
+    *   log w(doc) = Σ_tokens [ ln((t_f+1)/(T+B)) − ln((r_f+1)/(R+B)) ]
+    *
+    * with t/r the bin counts over target/raw token occurrences, T/R
+    * the totals and B = `buckets`. The per-document sum is a
+    * sequential fold over the position-sorted per-token ratio list
+    * (bit-stable; same determinism argument as
+    * [[TextStats.lmScore]]), rounded to 6 before ranking so both
+    * engines rank identical keys; ties break on id.
+    *
+    * Scale shape: token explode + bin hash are map-side; the two bin
+    * histograms are partial-agg groupBys onto B rows; the per-token
+    * score lookup is a BROADCAST join (B rows by construction — never
+    * a shuffle); one doc-keyed groupBy, then a global top-k
+    * (TakeOrdered — no single-task global sort). The rank window runs
+    * AFTER the limit, over k rows. */
+  def importanceResample(df: DataFrame, textCol: String, idCol: String,
+                         targetPred: Column, buckets: Int, k: Int): DataFrame = {
+    require(buckets > 0 && k > 0, "need positive buckets and k")
+    val toked = df
+      .select(col(idCol), targetPred.as("is_target"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("is_target"), col("pos"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("f"))
+    // both histograms in ONE pass over the token stream (partial agg
+    // crushes each bin map-side; the result is exactly `buckets` rows)
+    val bins = toked.groupBy(col("f")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
+    val totals = bins.agg(sum(col("c_t")).as("tt"), sum(col("c_r")).as("rt"))
+    val binScores = bins.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((col("c_t") + 1).cast("double") / (col("tt") + buckets)) -
+         log((col("c_r") + 1).cast("double") / (col("rt") + buckets))).as("lr"))
+    toked.filter(!col("is_target"))
+      .join(broadcast(binScores), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(pos, lr)))," +
+        " x -> x.lr), 0.0D, (acc, x) -> acc + x)").as("w"))
+      .select(col(idCol), round(col("w"), 6).as("logw"))
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("logw").desc, col(idCol))))
+  }
 }

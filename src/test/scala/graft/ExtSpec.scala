@@ -1076,4 +1076,20 @@ class ExtSpec extends AnyFunSuite {
     // doc 1 is in-train: every bigram seen, nll strictly lower
     assert(got(0)._3 == 0L && got(0)._4 < got(1)._4)
   }
+
+  test("importanceResample: target-like raw doc outranks disjoint-vocab doc; k caps") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "t"), (2L, "alpha beta gamma", "t"),
+      (10L, "alpha beta gamma", "r"),          // raw, identical to target
+      (11L, "zeta eta theta iota", "r"),       // raw, disjoint vocab
+      (12L, "alpha zeta", "r")                 // raw, mixed
+    ).toDF("doc_id", "text", "grp")
+    val got = Sampling.importanceResample(docs, "text", "doc_id",
+      $"grp" === "t", buckets = 64, k = 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect()
+    // only raw docs are scored, top-2 of 3; the target-identical doc wins
+    assert(got.length == 2 && got(0) == (10L, 1))
+    // the disjoint-vocab doc must not beat the mixed one
+    assert(got(1)._1 == 12L)
+  }
 }
