@@ -188,6 +188,51 @@ object SparkEntry {
        |doctok AS (SELECT d.doc_id, d.source, COALESCE(b.n, 0) AS n_tokens
        |  FROM documents d LEFT JOIN bpecnt b ON d.doc_id = b.doc_id)""".stripMargin
 
+  /** q91's twin: replay BPE TRAINING itself in SQL. One stage per
+    * learned rule — pair counts over the previous histogram, argmax
+    * with the (count desc, lhs, rhs) tie-break, then a recursive CTE
+    * applying the winner by repeated leftmost merge (≡ the engine's
+    * one-pass greedy fold: a merge is strictly longer than either
+    * side, so it can never create a new match at or before itself). */
+  private def bpeTrainSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE wh AS (
+      | SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |  SELECT unnest($sqlBpeWords) AS w FROM documents
+      |  WHERE lang = 'en') GROUP BY w),
+      |h0 AS (SELECT list_transform(range(1, len(w) + 1),
+      |  i -> substr(w, CAST(i AS INT), 1)) AS syms, freq FROM wh)""".stripMargin
+    for (r <- 1 to nMerges) {
+      sb ++= s""",
+        |pc$r AS (
+        | SELECT z.p.lhs AS lhs, z.p.rhs AS rhs, CAST(SUM(freq) AS BIGINT) AS c
+        | FROM (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    i -> {'lhs': syms[CAST(i AS INT)],
+        |          'rhs': syms[CAST(i AS INT) + 1]})) AS p
+        |  FROM h${r - 1}) z GROUP BY 1, 2),
+        |best$r AS (SELECT lhs, rhs, c FROM pc$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |hr$r AS (
+        | SELECT syms, freq, 0 AS fin FROM h${r - 1}
+        | UNION ALL
+        | SELECT CASE WHEN idx IS NULL THEN syms
+        |   ELSE list_slice(syms, 1, CAST(idx AS INT) - 1) || [lhs || rhs] ||
+        |        list_slice(syms, CAST(idx AS INT) + 2, len(syms)) END,
+        |  freq, CASE WHEN idx IS NULL THEN 1 ELSE 0 END
+        | FROM (
+        |  SELECT syms, freq, b.lhs, b.rhs,
+        |   list_min(list_filter(range(1, len(syms)),
+        |     i -> syms[CAST(i AS INT)] = b.lhs
+        |      AND syms[CAST(i AS INT) + 1] = b.rhs)) AS idx
+        |  FROM hr$r, best$r b WHERE fin = 0) s),
+        |h$r AS (SELECT syms, freq FROM hr$r WHERE fin = 1)""".stripMargin
+    }
+    sb ++= "\n" + (1 to nMerges)
+      .map(r => s"SELECT $r AS rank, lhs, rhs, c AS pair_count FROM best$r")
+      .mkString(" UNION ALL ") + " ORDER BY rank"
+    sb.toString
+  }
+
   // SQL fragment: 3-token shingles (mirrors Dedup.shingles w=3).
   private val sqlShingles =
     s"""CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -860,6 +905,13 @@ object SparkEntry {
     "q58_token_rarity" -> ((s, d) =>
       TextStats.rarityStats(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // BPE TRAINING at corpus scale: learn 8 merge rules from the
+    // English slice (tokenizers train on their target distribution;
+    // word-histogram rounds, TakeOrdered(1) argmax)
+    "q91_bpe_train" -> ((s, d) =>
+      TextStats.bpeTrain(Tables.documents(s, d).filter(col("lang") === "en"),
+        "text", nMerges = 8)),
 
     // DSIR-style hashed importance resampling: target = the English
     // slice, raw = everything else; top-50 raw docs whose hashed-
@@ -1785,6 +1837,9 @@ object SparkEntry {
         | ROUND(CAST(SUM(tok_freq) AS DOUBLE) / COUNT(*), 6) AS mean_freq
         |FROM toked JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // learned-merge replay: training unrolled stage by stage in SQL
+    "q91_bpe_train" -> bpeTrainSql(8),
 
     // DSIR replay: identical md5 bin hash, add-one bin frequencies,
     // ln-ratio folded in position order (the q89 determinism

@@ -62,6 +62,77 @@ object TextStats {
         })))
   }
 
+  /** Distributed BPE TRAINING (Sennrich et al.): learn `nMerges`
+    * byte-pair merge rules from the corpus itself — the other half of
+    * the tokenizer story next to [[bpeTokens]]'s fixed checked-in
+    * table.
+    *
+    * The classic trainer optimization makes this tractable at corpus
+    * scale: pair counting and merge application run over the DISTINCT
+    * pre-tokenized WORD HISTOGRAM weighted by occurrence count, never
+    * over the corpus again — one token shuffle up front, then every
+    * round touches only |vocab| rows. Per round:
+    *
+    *   1. adjacent symbol pairs explode map-side from each histogram
+    *      row (freq-weighted, every adjacent position counted);
+    *   2. pair counts partial-aggregate into a tiny table, and the
+    *      argmax — tie-broken (count desc, lhs asc, rhs asc) for
+    *      determinism — arrives via TakeOrdered(1): ONE driver row
+    *      per round, the same bounded pull as connected components'
+    *      per-level head();
+    *   3. the winning rule applies to the histogram as a map-side
+    *      greedy left-to-right fold (same kernel shape as
+    *      [[bpeTokensHof]]; a merge can never create a NEW match at or
+    *      before its own position — merged = lhs+rhs is strictly
+    *      longer than either side — so the fold equals repeated
+    *      leftmost merging, which is what the oracle replays).
+    *
+    * Returns the learned table: (rank, lhs, rhs, pair_count), rank
+    * 1-based in learn order. Stops early if no pair remains. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "need nMerges > 0")
+    val spark = df.sparkSession
+    var hist = df.select(explode(bpeishTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("freq"))
+      .persist()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    try {
+      for (rank <- 1 to nMerges if learned.size == rank - 1) {
+        // slice-based pair builder: slice(…, 1, size-1) is empty for
+        // 1-symbol rows (sequence(0, size-2) would DESCEND there)
+        val pairs = hist
+          .select(col("freq"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), (x, i) -> " +
+              "named_struct('lhs', x, 'rhs', syms[i + 1]))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        pairs.headOption.foreach { row =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          learned += ((rank, l, r, c))
+          val (ll, rl, ml) = (lit(l), lit(r), lit(l + r))
+          val prev = hist
+          hist = prev.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === ll && x === rl,
+                concat(slice(acc, lit(1), size(acc) - 1), array(ml)))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("freq"))
+            .persist()
+          // materialize the new round before dropping its parent
+          hist.count()
+          prev.unpersist(false)
+        }
+      }
+    } finally hist.unpersist(false)
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "lhs", "rhs", "pair_count").orderBy(col("rank"))
+  }
+
   /** Language-ID stopword lists (hit-count-argmax heuristic). */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),

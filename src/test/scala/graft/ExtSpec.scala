@@ -1077,6 +1077,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got(0)._3 == 0L && got(0)._4 < got(1)._4)
   }
 
+  test("bpeTrain: freq-weighted argmax, early stop when no pair remains") {
+    // words: aa x3, ab x2 → round 1 learns (a,a) count 3; after the
+    // merge only ab still pairs → round 2 learns (a,b) count 2; then
+    // nothing remains and training stops short of nMerges=5
+    val docs = Seq("aa ab aa", "ab aa").toDF("text")
+    val got = TextStats.bpeTrain(docs, "text", nMerges = 5)
+      .as[(Int, String, String, Long)].collect()
+    assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "a", "b", 2L)))
+  }
+
+  test("bpeTrain: overlapping pairs count every position; greedy leaves the tail") {
+    // "aaa": (a,a) counts positions 1 AND 2; greedy application takes
+    // the left one → [aa, a] → round 2 learns (aa, a)
+    val docs = Seq("aaa").toDF("text")
+    val got = TextStats.bpeTrain(docs, "text", nMerges = 2)
+      .as[(Int, String, String, Long)].collect()
+    assert(got.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("importanceResample: target-like raw doc outranks disjoint-vocab doc; k caps") {
     val docs = Seq(
       (1L, "alpha beta gamma", "t"), (2L, "alpha beta gamma", "t"),
