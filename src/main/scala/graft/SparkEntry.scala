@@ -906,6 +906,21 @@ object SparkEntry {
       TextStats.rarityStats(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // streaming near-dup LSH gate, batch twin (StreamingSpec runs the
+    // same code as a real MemoryStream): incoming docs sharing any
+    // LSH band bucket with the historical index are refused at ingest
+    // — the q60 incremental-dedup fixture shape, near-dup semantics
+    "q92_neardup_gate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val index = Dedup.lshBandIndex(docs.filter(col("doc_id") < 250), "text", "doc_id")
+      val incoming = docs.filter(col("doc_id") >= 250)
+        .union(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000))
+      Dedup.nearDupGate(incoming, index, "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE TRAINING at corpus scale: learn 8 merge rules from the
     // English slice (tokenizers train on their target distribution;
     // word-histogram rounds, TakeOrdered(1) argmax)
@@ -1840,6 +1855,34 @@ object SparkEntry {
 
     // learned-merge replay: training unrolled stage by stage in SQL
     "q91_bpe_train" -> bpeTrainSql(8),
+
+    // gate replay: history band keys (distinct) vs incoming band keys,
+    // any collision marks the doc dirty; survivors pass untouched
+    "q92_neardup_gate" -> {
+      val sigCols = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS sig$i").mkString(", ")
+      def bandSel(from: String, withId: Boolean) = (0 until 4).map(b =>
+        s"SELECT ${if (withId) "doc_id, " else ""}$b AS band, " +
+          s"md5(sig${2 * b} || '|' || sig${2 * b + 1}) AS bucket FROM $from")
+        .mkString(" UNION ALL ")
+      s"""WITH inc AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        | UNION ALL
+        | SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |ht AS (SELECT doc_id, $sqlToks AS t FROM documents WHERE doc_id < 250),
+        |hsh AS (SELECT doc_id, $sqlShingles AS shingles FROM ht),
+        |hx AS (SELECT doc_id, u.sh FROM hsh, unnest(hsh.shingles) AS u(sh)),
+        |hsig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
+        |hist AS (SELECT DISTINCT band, bucket FROM (${bandSel("hsig", withId = false)})),
+        |it AS (SELECT doc_id, $sqlToks AS t FROM inc),
+        |ish AS (SELECT doc_id, $sqlShingles AS shingles FROM it),
+        |ix AS (SELECT doc_id, u.sh FROM ish, unnest(ish.shingles) AS u(sh)),
+        |isig AS (SELECT doc_id, $sigCols FROM ix GROUP BY doc_id),
+        |ib AS (${bandSel("isig", withId = true)}),
+        |dirty AS (SELECT DISTINCT ib.doc_id FROM ib JOIN hist USING (band, bucket))
+        |SELECT i.doc_id, md5(i.text) AS text_md5 FROM inc i
+        |WHERE i.text IS NOT NULL AND i.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // DSIR replay: identical md5 bin hash, add-one bin frequencies,
     // ln-ratio folded in position order (the q89 determinism

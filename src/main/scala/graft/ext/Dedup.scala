@@ -93,10 +93,20 @@ object Dedup {
     require(k % rowsPerBand == 0,
       s"k=$k must be divisible by rowsPerBand=$rowsPerBand — truncating would " +
         "silently drop trailing signature columns from every band")
+    bandKeys(sig, idCol, k, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+  }
+
+  /** One (band, bucket) row per band of each row's signature — the
+    * unit [[minhashBuckets]] groups and [[lshBandIndex]] indexes. One
+    * projection + one explode produces all bands in a single pass (a
+    * per-band union would recompute the signature pipeline nBands
+    * times). */
+  private[graft] def bandKeys(sig: DataFrame, idCol: String, k: Int,
+                              rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    // One projection + one explode produces all bands in a single pass
-    // (a per-band union would recompute the signature pipeline nBands
-    // times).
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
@@ -104,9 +114,57 @@ object Dedup {
     sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+  }
+
+  /** The historical corpus's LSH membership index: every DISTINCT
+    * (band, bucket) key any historical document occupies. This is what
+    * [[nearDupGate]] checks incoming documents against — build it once
+    * from the corpus, persist it as a table, rebuild on corpus
+    * growth (or append new docs' keys incrementally: distinct-union
+    * is idempotent). */
+  def lshBandIndex(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    bandKeys(minhashSignatures(df, textCol, idCol, k), idCol, k, rowsPerBand)
+      .select(col("band"), col("bucket")).distinct()
+
+  /** Near-dup LSH GATE — admission control for a training corpus:
+    * drop any incoming document that shares at least one LSH band
+    * bucket with the historical index ([[lshBandIndex]]), keeping the
+    * rest untouched. The streaming counterpart of [[minhashCandidates]]
+    * — instead of pairing candidates after the fact, candidates are
+    * refused at ingest.
+    *
+    * Works identically on a BATCH or a STREAMING `docs` frame: the
+    * signature and band keys are map-side expressions (the one-pass
+    * [[graft.functions.MinHashSignature]] kernel — no state), and the
+    * membership check is nBands stream-static LEFT joins against the
+    * per-band bucket sets, each at most one match per row (the index
+    * is distinct by construction — a non-distinct index would fan
+    * rows out), so the gate is stateless, append-mode safe, and needs
+    * no watermark. At 100 TB the index side shuffle-joins (per-band
+    * broadcast when it fits); a skew-prone deployment would bucket
+    * the index table on `bucket` to keep the join exchange one-sided. */
+  def nearDupGate(docs: DataFrame, index: DataFrame, textCol: String,
+                  idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k must divide into rowsPerBand=$rowsPerBand bands")
+    val nBands = k / rowsPerBand
+    // signature array materialized once per row (multiply referenced
+    // below — same CollapseProject note as minhashSignatures)
+    val withSig = docs.filter(col(textCol).isNotNull).withColumn("__sigs",
+      graft.functions.TextFunctions.minhashSigs(
+        TextStats.tokens(col(textCol)), 3, k))
+    val withKeys = (0 until nBands).foldLeft(withSig) { (acc, b) =>
+      val cols = (0 until rowsPerBand)
+        .map(r => element_at(col("__sigs"), b * rowsPerBand + r + 1))
+      acc.withColumn(s"__bk$b", md5(concat_ws("|", cols: _*)))
+    }
+    val joined = (0 until nBands).foldLeft(withKeys) { (acc, b) =>
+      val idxB = index.filter(col("band") === b).select(col("bucket").as(s"__hit$b"))
+      acc.join(idxB, col(s"__bk$b") === col(s"__hit$b"), "left")
+    }
+    joined
+      .filter((0 until nBands).map(b => col(s"__hit$b").isNull).reduce(_ && _))
+      .select(docs.columns.map(col): _*)
   }
 
   /** LSH candidate pairs: band the k-wide signature into bands of

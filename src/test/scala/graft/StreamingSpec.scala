@@ -232,6 +232,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup LSH gate: streaming run equals batch; exact dup refused, clean passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val histText = "the quick brown fox jumps over the lazy dog again and again"
+    val history = Seq((1L, histText),
+      (2L, "entirely different historical content about databases and queries"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.Dedup.lshBandIndex(history, "text", "doc_id")
+    val incoming = Seq(
+      (10L, histText), // exact dup of history: identical signature, refused
+      (11L, "fresh unseen document with completely novel words throughout today"),
+      (12L, "entirely different historical content about databases and queries"))
+    val batch = incoming.toDF("doc_id", "text")
+    val expected = graft.ext.Dedup.nearDupGate(batch, index, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(expected.toSeq == Seq(11L))
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.ext.Dedup.nearDupGate(
+      mem.toDF.toDF("doc_id", "text"), index, "text", "doc_id")
+    // stateless contract: append mode, no watermark, no state store —
+    // the membership check is nBands stream-static left joins
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream").start()
+    try {
+      mem.addData(incoming.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").select($"doc_id").as[Long]
+        .collect().sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
