@@ -912,7 +912,11 @@ object SparkEntry {
     // — the q60 incremental-dedup fixture shape, near-dup semantics
     "q92_neardup_gate" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // persisted: the gate's per-band filters push below the distinct
+      // and would re-derive the history minhash pipeline once per band
+      // otherwise (in production the index is a materialized table)
       val index = Dedup.lshBandIndex(docs.filter(col("doc_id") < 250), "text", "doc_id")
+        .persist()
       val incoming = docs.filter(col("doc_id") >= 250)
         .union(docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 1000))

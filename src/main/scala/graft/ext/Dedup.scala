@@ -143,7 +143,11 @@ object Dedup {
     * rows out), so the gate is stateless, append-mode safe, and needs
     * no watermark. At 100 TB the index side shuffle-joins (per-band
     * broadcast when it fits); a skew-prone deployment would bucket
-    * the index table on `bucket` to keep the join exchange one-sided. */
+    * the index table on `bucket` to keep the join exchange one-sided.
+    *
+    * Pass a MATERIALIZED index (a table read, or `.persist()`ed): the
+    * per-band filters push below [[lshBandIndex]]'s distinct and would
+    * re-derive the history minhash pipeline once per band otherwise. */
   def nearDupGate(docs: DataFrame, index: DataFrame, textCol: String,
                   idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k must divide into rowsPerBand=$rowsPerBand bands")

@@ -289,10 +289,18 @@ object TextStats {
       .select(col(idCol), (col("pos0") + 1).as("pos"),
         col("b.prev").as("prev"), col("b.cur").as("cur"))
     val train = big.filter(trainPred)
+    // context counts and vocab size derive from the BIGRAM counts
+    // (c(prev) = Σ_w c(prev,w); V = |distinct cur|), and the bigram
+    // table is PERSISTED: column pruning would otherwise specialize
+    // each consumer's exchange (vocab needs only `cur`) and defeat
+    // exchange reuse, re-tokenizing the corpus three times. With the
+    // cache there are exactly two corpus passes in the plan — LM
+    // build + scoring (PlanSpec asserts it). The persisted table is
+    // vocab²-bounded, tiny next to the corpus.
     val bigramCounts = train.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("c_big"))
-    val ctxCounts = train.groupBy(col("prev")).agg(count(lit(1)).as("c_ctx"))
-    val vocab = train.agg((countDistinct(col("cur")) + 1).as("vsz"))
+      .agg(count(lit(1)).as("c_big")).persist()
+    val ctxCounts = bigramCounts.groupBy(col("prev")).agg(sum(col("c_big")).as("c_ctx"))
+    val vocab = bigramCounts.agg((countDistinct(col("cur")) + 1).as("vsz"))
     big
       .join(bigramCounts, Seq("prev", "cur"), "left")
       .join(ctxCounts, Seq("prev"), "left")

@@ -252,6 +252,65 @@ class PlanSpec extends AnyFunSuite {
       s"threshold prefilter must bound the window input, got:\n$plan")
   }
 
+  /** Every node of the FINAL adaptive plan, query stages expanded,
+    * WITHOUT descending into InMemoryRelation cached plans — the
+    * string form nests a whole child AdaptiveSparkPlan under each
+    * cache read, which breaks structural counting. */
+  private def finalPlanNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+  private def countNodes(nodes: Seq[org.apache.spark.sql.execution.SparkPlan],
+                         name: String): Int =
+    nodes.count(_.getClass.getSimpleName.contains(name))
+
+  test("LM scoring reuses one corpus tokenization for all three LM tables (q89)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q89_lm_perplexity")(spark, d))
+    // context and vocab counts derive from the PERSISTED bigram table
+    // (column pruning would otherwise specialize each consumer's
+    // exchange and defeat reuse, re-tokenizing the corpus per table).
+    assert(countNodes(nodes, "InMemoryTableScan") >= 2,
+      "q89 LM tables must read the persisted bigram counts")
+    // exactly two explode passes remain: LM build (inside the cache,
+    // not counted here) + scoring
+    assert(countNodes(nodes, "GenerateExec") <= 2,
+      "q89 must tokenize the corpus at most twice (build + score)")
+  }
+
+  test("DSIR bin-score lookup broadcasts; top-k is TakeOrdered (q90)") {
+    val plan = executedPlanOf(SparkEntry.queries("q90_importance_resample")(spark, d))
+    // the per-token score join must NEVER shuffle the token stream —
+    // the bin table is `buckets` rows by construction
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q90 bin lookup must broadcast, got:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q90 global top-k must plan as TakeOrdered, not a global sort, got:\n$plan")
+  }
+
+  test("near-dup gate: index pipeline computes once, membership joins broadcast (q92)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q92_neardup_gate")(spark, d))
+    // four per-band filters sit over ONE persisted distinct(band,
+    // bucket) build — the history minhash pipeline must not run four
+    // times (the filters would push below the distinct and re-derive
+    // it per band on an unmaterialized index)
+    assert(countNodes(nodes, "InMemoryTableScan") >= 4,
+      "q92 index build must be computed once and cache-read per band")
+    assert(countNodes(nodes, "BroadcastHashJoin") == 4,
+      "q92 gate must be 4 broadcast membership joins")
+    assert(countNodes(nodes, "WindowExec") == 0,
+      "q92 gate must stay window-free (stateless at ingest)")
+  }
+
   test("BPE tokenization stays map-side: scan → project, no exchange before the sort (q72)") {
     val plan = planOf(SparkEntry.queries("q72_bpe_tokens")(spark, d))
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).length
