@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ext.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextStats, Versioned}
 import graft.gold.Upsert
 
 /** Driver contract: every operator from SURVEY.md §2 (plus the
@@ -924,6 +924,70 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
     },
+
+    // BM25 keyword search (Robertson; the Lucene idf form): retrieval
+    // scoring for query-driven curation/decontamination triage. Exact
+    // integer tf/df/dl; the per-doc score folds per-term contributions
+    // in term order so the DuckDB twin replays the identical double sum
+    "q93_bm25_search" -> ((s, d) =>
+      TextStats.bm25(Tables.documents(s, d), "text", "doc_id",
+        Seq("spark", "join", "window", "vector"), topK = 15)),
+
+    // Delta time travel's role: three versioned commits (overwrite,
+    // append, overwrite) into process scratch, each read back VERSION
+    // AS OF — append must see v0∪v1 from immutable files, the second
+    // overwrite must reset. Versions pin to the ids the writes
+    // returned, so repeated bench passes extend the dir without
+    // changing any read
+    "q94_time_travel" -> { (s, d) =>
+      val dir = scratchPath("versioned", d)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val v0 = Versioned.writeVersion(orders.filter(col("o_orderkey") % 4 === 0), dir)
+      val v1 = Versioned.writeVersion(orders.filter(col("o_orderkey") % 4 === 1), dir,
+        org.apache.spark.sql.SaveMode.Append)
+      val v2 = Versioned.writeVersion(orders.filter(col("o_orderkey") % 4 === 2), dir)
+      Seq(v0, v1, v2).zipWithIndex.map { case (v, i) =>
+        Versioned.readVersion(s, dir, v).withColumn("version", lit(i))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("o_orderkey"), col("price"))
+        .orderBy(col("version"), col("o_orderkey"))
+    },
+
+    // Delta Change Data Feed's role: the change rows a MERGE emits
+    // (insert / update_preimage / update_postimage / delete with the
+    // not-matched-by-source clause), from ONE full-outer join — the
+    // q06 fixture, CDC semantics
+    "q95_merge_cdf" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"))
+      Upsert.mergeChanges(target, updates, Seq("o_orderkey"), deleteUnmatched = true)
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    },
+
+    // Johnson–Lindenstrauss sign random projection: 64-dim embeddings
+    // compressed to 8 via the md5-derived ±1 matrix — map-side only.
+    // Components surface as flat columns (the oracle inlines the same
+    // matrix, the q30 inline-the-constants pattern)
+    "q96_random_project" -> ((s, d) =>
+      Similarity.randomProject(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", outDims = 8)
+        .select(col("vec_id") +:
+          (1 to 8).map(i => element_at(col("rp"), i).as(s"rp$i")): _*)
+        .orderBy(col("vec_id"))),
+
+    // Misra-Gries-gated EXACT heavy hitters: per-partition sketch →
+    // candidate superset → exact recount & threshold (the two-pass
+    // production shape; the oracle is plain GROUP BY/HAVING because
+    // the output is exact). The synthetic vocab (31 near-uniform
+    // tokens) passes 29 at k=32; ExtSpec's skewed fixture exercises
+    // the eviction path the uniform corpus can't
+    "q97_heavy_hitters" -> ((s, d) =>
+      TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
 
     // BPE TRAINING at corpus scale: learn 8 merge rules from the
     // English slice (tokenizers train on their target distribution;
@@ -1952,6 +2016,93 @@ object SparkEntry {
         | ROUND(-lp_sum / n_bigrams, 6) AS avg_nll,
         | ROUND(exp(-lp_sum / n_bigrams), 3) AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: same integer tf/df/dl, constants interpolated from
+    // the Scala doubles (round-trip exact), per-term contributions
+    // folded in term order via list_reduce (the q89 determinism
+    // argument), rank over the rounded score
+    "q93_bm25_search" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH docs AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
+        |postings AS (
+        | SELECT doc_id, len(t) AS dl, u.tok FROM docs, unnest(docs.t) AS u(tok)
+        | WHERE u.tok IN ('spark', 'join', 'window', 'vector')),
+        |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT tok, COUNT(*) AS df_t
+        | FROM (SELECT DISTINCT doc_id, tok FROM postings) GROUP BY tok),
+        |scored AS (
+        | SELECT doc_id, tok,
+        |  ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * ${k1 + 1.0}) /
+        |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS ts
+        | FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+        |agg AS (
+        | SELECT doc_id, COUNT(*) AS n_terms,
+        |  ROUND(list_reduce(list_prepend(0.0, list(ts ORDER BY tok)),
+        |    (acc, x) -> acc + x), 6) AS score
+        | FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_terms, score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+
+    // time-travel replay: version 0 = the first overwrite slice,
+    // version 1 = v0 plus the append slice, version 2 = the reset
+    "q94_time_travel" ->
+      """WITH o AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders)
+        |SELECT 0 AS version, o_orderkey, price FROM o WHERE o_orderkey % 4 = 0
+        |UNION ALL SELECT 1 AS version, o_orderkey, price FROM o WHERE o_orderkey % 4 <= 1
+        |UNION ALL SELECT 2 AS version, o_orderkey, price FROM o WHERE o_orderkey % 4 = 2
+        |ORDER BY version, o_orderkey""".stripMargin,
+
+    // CDF replay: the four change classes as explicit joins/anti-joins
+    // over the q06 fixture
+    "q95_merge_cdf" ->
+      """WITH target AS (
+        | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus = 'F'),
+        |updates AS (
+        | SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price FROM orders WHERE o_totalprice > 150000),
+        |feed AS (
+        | SELECT u.o_orderkey, u.price, 'insert' AS _change_type FROM updates u
+        |  WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = u.o_orderkey)
+        | UNION ALL
+        | SELECT t.o_orderkey, t.price, 'update_preimage' AS _change_type
+        |  FROM target t JOIN updates u ON t.o_orderkey = u.o_orderkey
+        | UNION ALL
+        | SELECT t.o_orderkey, u.price, 'update_postimage' AS _change_type
+        |  FROM target t JOIN updates u ON t.o_orderkey = u.o_orderkey
+        | UNION ALL
+        | SELECT t.o_orderkey, t.price, 'delete' AS _change_type FROM target t
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey))
+        |SELECT o_orderkey, price, _change_type FROM feed
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // JL replay: the identical md5-derived ±1 matrix inlined as list
+    // literals (the q30 pattern), same scale constant, same round
+    "q96_random_project" -> {
+      val scale = 1.0 / math.sqrt(8.0)
+      val comps = Similarity.hyperplanes(8, 64).zipWithIndex.map { case (h, j) =>
+        s"ROUND(list_dot_product(e, [${h.mkString(", ")}]) * $scale, 6) AS rp${j + 1}"
+      }.mkString(",\n ")
+      s"""SELECT vec_id,
+        | $comps
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings WHERE vec_id <> 0)
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    // heavy hitters: the output is EXACT (the MG sketch only gates
+    // which candidates get recounted), so the oracle is the plain
+    // histogram threshold
+    "q97_heavy_hitters" ->
+      s"""WITH t AS (
+        | SELECT u.tok FROM (SELECT $sqlToks AS tk FROM documents) x,
+        |  unnest(x.tk) AS u(tok)),
+        |n AS (SELECT COUNT(*) AS n_tokens FROM t),
+        |c AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok)
+        |SELECT tok, freq, ROUND(CAST(freq AS DOUBLE) / n_tokens, 6) AS share
+        |FROM c, n WHERE freq * 32 > n_tokens
+        |ORDER BY freq DESC, tok""".stripMargin,
 
     "q59_strip_boilerplate" ->
       """WITH aug AS (

@@ -395,4 +395,27 @@ object Similarity {
     assigned.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("list_id"))
   }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2001,
+    * public): compress each embedding to `outDims` dimensions as
+    * rp[j] = ⟨v, s_j⟩ / √outDims with s_j the deterministic ±1 rows of
+    * [[hyperplanes]] — the cheap dimensionality-reduction pass before
+    * storing or clustering 100 TB of vectors (pairwise distances are
+    * preserved to (1±ε) with outDims = O(ln n / ε²)).
+    *
+    * Purely map-side: the projection matrix is outDims literal arrays
+    * baked into the plan, each output component one codegen'd
+    * [[dot]] — no shuffle, no driver state, no RNG (the matrix derives
+    * from md5 like the LSH planes, so an engine-independent oracle
+    * inlines the same constants). Components round to 6dp, absorbing
+    * the ulp skew of the engines' float→double promotion order. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDims: Int, dim: Int = 64): DataFrame = {
+    require(outDims > 0 && outDims <= dim, "need 0 < outDims <= dim")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = hyperplanes(outDims, dim).map { h =>
+      round(dot(col(vecCol), array(h.map(lit): _*)) * lit(scale), 6)
+    }
+    df.select(col(idCol), array(comps: _*).as("rp"))
+  }
 }

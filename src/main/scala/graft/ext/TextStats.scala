@@ -376,6 +376,122 @@ object TextStats {
           .as("chunk_tokens"))
   }
 
+  /** BM25 keyword search (Robertson/Sparck-Jones; the Lucene-form
+    * idf) — the retrieval scorer a curation pipeline uses for
+    * quality-by-query filtering and decontamination triage:
+    *
+    *   score(d, Q) = Σ_{t∈Q} ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+    *                 · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * Scale shape: the corpus is scanned twice, both map-side — once
+    * for the one-row (N, avgdl) aggregate, once exploding tokens with
+    * the query-term `isin` filter applied AT the explode (only rows
+    * mentioning a query term survive to the first shuffle). Document
+    * frequencies aggregate over the filtered term postings (≤|Q|
+    * rows) and broadcast back, as does the stats row — the only
+    * corpus-sized shuffle is the (doc, term) tf groupBy over matching
+    * postings. Top-k plans as TakeOrderedAndProject.
+    *
+    * Determinism: tf/df/dl/N are exact integers; avgdl is one exact
+    * long sum over one long count; the per-document score folds its
+    * per-term contributions in term order (`aggregate` over
+    * `array_sort(collect_list(struct(tok, ts)))`), never a
+    * shuffle-order float SUM — so an engine-independent oracle replays
+    * the identical fold and round(6) absorbs ln() ulp skew. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // one-row corpus stats; exact-int avg so every engine divides the
+    // same two integers
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val postings = docs
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+    val tf = postings.groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("tok"),
+        (log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
+          (col("df_t") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("ts"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        expr("aggregate(transform(array_sort(collect_list(struct(tok, ts))), " +
+          "x -> x.ts), 0.0D, (acc, x) -> acc + x)").as("raw"))
+      .select(col(idCol), col("n_terms"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Exact corpus heavy hitters through a Misra-Gries candidate gate —
+    * the two-pass production shape for "which tokens dominate the
+    * corpus" at a scale where the full token histogram is itself too
+    * large to shuffle cheaply.
+    *
+    * Pass 1 runs a Misra-Gries summary of `sketchSize` counters over
+    * each partition's token stream (mapPartitions — genuinely
+    * imperative per-partition state) and emits only each partition's
+    * surviving candidates: ≤ sketchSize rows per partition instead of
+    * one row per token occurrence. The MG guarantee makes the union a
+    * SUPERSET of every token with global frequency > N/sketchSize —
+    * if freq(x) > Σᵢ nᵢ/k then freq_i(x) > nᵢ/k in some partition i
+    * (pigeonhole), and an item seen more than nᵢ/k times cannot be
+    * decremented to zero by nᵢ total arrivals.
+    *
+    * Pass 2 recounts the candidates EXACTLY (broadcast semi-join gate
+    * on the same token stream, then a partial-agg groupBy whose input
+    * is already candidate-only) and keeps those with freq > N/
+    * sketchSize. Sketch internals (partition boundaries, decrement
+    * order) affect only which FALSE candidates get recounted and
+    * discarded — the output is the exact deterministic heavy-hitter
+    * set, which is why it can face a plain GROUP-BY/HAVING oracle.
+    * Same gate-then-exact pattern as the Bloom-gated incremental
+    * dedup (q84). */
+  def heavyHitters(df: DataFrame, textCol: String,
+                   sketchSize: Int = 64): DataFrame = {
+    require(sketchSize > 1, "need sketchSize > 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toked = df.select(explode(tokens(col(textCol))).as("tok"))
+    val candidates = toked.as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < sketchSize - 1) counters(t) = 1L
+        else {
+          // decrement-all step: drop every counter by one, evict zeros
+          val dead = List.newBuilder[String]
+          counters.keysIterator.foreach { k =>
+            val c = counters(k) - 1L
+            if (c == 0L) dead += k else counters(k) = c
+          }
+          dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val total = toked.agg(count(lit(1)).as("n_tokens"))
+    toked
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * sketchSize > col("n_tokens"))
+      .select(col("tok"), col("freq"),
+        round(col("freq").cast("double") / col("n_tokens"), 6).as("share"))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,
     * punctuation-stripped text — the cheap exact-after-normalization
     * dedup key. Backed by the fused single-pass

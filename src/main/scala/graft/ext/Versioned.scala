@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Delta time travel's role for plain parquet: a versioned table whose
+  * every write is a new immutable VERSION, readable forever (until
+  * pruned) via `readVersion(dir, v)` — `SELECT … VERSION AS OF n`.
+  *
+  * Layout (ref: the reference gets this from Delta's `_delta_log`,
+  * `mnt/spark-conf/spark-defaults.conf:13`):
+  *
+  * {{{
+  *   dir/_versions/00000000.manifest   one line per live data dir
+  *   dir/v00000000_data/part-*.parquet immutable; never rewritten
+  * }}}
+  *
+  * Each write lands its rows in a fresh `v<N>_data` directory, then
+  * commits by renaming a tmp manifest to `_versions/<N>.manifest` —
+  * the rename IS the commit point (atomic on HDFS-like stores; the
+  * same local-FS caveat as the upsert swap applies to raw object
+  * stores). An overwrite manifest lists only its own data dir; an
+  * append manifest lists the previous version's dirs plus its own —
+  * so old versions stay readable from the SAME immutable files and an
+  * append never rewrites history (storage cost is one copy per
+  * distinct file, like Delta's add-file actions, NOT one copy per
+  * version). A crash before the manifest rename leaves an orphaned
+  * data dir no reader references; [[pruneVersions]] reclaims those
+  * along with expired versions.
+  *
+  * Concurrency: version numbers are claimed by the manifest rename —
+  * rename-to-existing fails on HDFS semantics, surfacing concurrent
+  * writers instead of silently dropping one (single-writer is the
+  * expectation, as in the reference's Airflow `max_active_runs=1`,
+  * `mnt/airflow/dags/yelp_pipeline.py:21`).
+  *
+  * Scale shape: manifests are line lists of directories (bytes per
+  * version); reads plan ONE multi-path parquet scan over the listed
+  * dirs — partition pruning, pushdown, and vectorized read all apply
+  * unchanged. No driver state beyond the manifest read.
+  */
+object Versioned {
+
+  private val VDIR = "_versions"
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(dir: String, v: Int) =
+    new Path(dir, f"$VDIR/$v%08d.manifest")
+
+  /** Versions committed so far, ascending (empty for a fresh dir). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val (fs, root) = fsFor(spark, dir)
+    val vdir = new Path(root, VDIR)
+    if (!fs.exists(vdir)) Seq.empty
+    else fs.listStatus(vdir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toInt).sorted.toSeq
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] =
+    versions(spark, dir).lastOption
+
+  private def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val (fs, _) = fsFor(spark, dir)
+    val mp = manifestPath(dir, v)
+    require(fs.exists(mp), s"no version $v at $dir")
+    val in = fs.open(mp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
+    * table state from this write alone; `SaveMode.Append` extends the
+    * previous version's file set. Returns the committed version. */
+  def writeVersion(df: DataFrame, dir: String,
+                   mode: SaveMode = SaveMode.Overwrite): Int = {
+    require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
+      s"versioned writes are Overwrite or Append, got $mode")
+    val spark = df.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    val prev = latestVersion(spark, dir)
+    val v = prev.map(_ + 1).getOrElse(0)
+    require(mode == SaveMode.Overwrite || prev.nonEmpty,
+      "cannot Append to a table with no versions")
+    val dataDir = f"v$v%08d_data"
+    // data first (invisible until the manifest lands) …
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dataDir).toString)
+    val dirs = mode match {
+      case SaveMode.Append => readManifest(spark, dir, prev.get) :+ dataDir
+      case _               => Seq(dataDir)
+    }
+    // … then the atomic manifest rename is the commit
+    commitManifest(spark, dir, v, dirs)
+    v
+  }
+
+  /** The commit point, factored so the conflict guard is directly
+    * testable: stage the manifest, then rename it into place. An
+    * HDFS-semantics rename fails on an existing destination (the
+    * atomic version claim); POSIX rename overwrites, so the local-FS
+    * path also gets an explicit pre-check — best-effort there, same
+    * single-writer caveat as the upsert swap. */
+  private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
+                                  dirs: Seq[String]): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    fs.mkdirs(new Path(root, VDIR))
+    val tmp = new Path(root, f"$VDIR/.tmp-commit-$v%08d")
+    val out = fs.create(tmp, true)
+    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = manifestPath(dir, v)
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"version $v at $dir was committed concurrently — retry the write")
+    }
+  }
+
+  /** `VERSION AS OF v`: one multi-path parquet scan over the dirs the
+    * manifest lists. */
+  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val paths = readManifest(spark, dir, v)
+      .map(rel => new Path(new Path(dir), rel).toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    readVersion(spark, dir, v)
+  }
+
+  case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String])
+
+  /** Delta `VACUUM`'s retention half for the versioned store: drop all
+    * but the newest `keepLast` manifests, then delete every data dir
+    * no SURVIVING manifest references — which also reclaims orphans
+    * from writes that crashed before their commit rename. Append-chain
+    * dirs shared with a kept version survive. Idempotent. */
+  def pruneVersions(spark: SparkSession, dir: String, keepLast: Int): PruneStats = {
+    require(keepLast >= 1, "must keep at least one version")
+    val (fs, root) = fsFor(spark, dir)
+    val all = versions(spark, dir)
+    val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
+    val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    val dead = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith("_data") &&
+        !live.contains(p.getName))
+    dead.foreach(fs.delete(_, true))
+    PruneStats(drop, dead.map(_.getName).toSeq)
+  }
+}

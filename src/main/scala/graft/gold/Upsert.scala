@@ -68,6 +68,57 @@ object Upsert {
     }
   }
 
+  /** Delta Change Data Feed's role for [[merge]]: the row-level change
+    * stream a MERGE produces, for downstream incremental consumers
+    * (gold→serving syncs, cache invalidation, audit). Delta emits CDF
+    * rows tagged `insert` / `update_preimage` / `update_postimage` /
+    * `delete` (public semantics; the reference's Delta 2.3 ships it
+    * behind `delta.enableChangeDataFeed`). Here:
+    *
+    *   - unmatched `updates` key → one `insert` row;
+    *   - matched key → `update_preimage` (target row) AND
+    *     `update_postimage` (updates row) — Delta's
+    *     whenMatchedUpdateAll updates every matched row, changed or
+    *     not, and so do we;
+    *   - target key absent from `updates` → `delete` row when
+    *     `deleteUnmatched` (the whenNotMatchedBySourceDelete clause),
+    *     else no change row (plain MERGE leaves it untouched).
+    *
+    * ONE full outer join on the keys, fanned into change rows by a
+    * per-row change-struct ARRAY + explode — matched keys emit two
+    * structs (pre, post), unmatched one. The naive alternative (a
+    * union of four filters over the join) looks like plan reuse but
+    * is not: Catalyst specializes the outer join per branch (inner /
+    * left / right) and re-scans both tables once per change class —
+    * eight scans and four joins at 100 TB. The explode form is one
+    * join, one scan per side, map-side fan-out (PlanSpec asserts it).
+    * Columns: target/updates columns + `_change_type`. Apply the
+    * post-state with [[merge]] (`deleteUnmatched = true`'s post-state
+    * is just `updates`); this op only derives the feed. */
+  def mergeChanges(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                   deleteUnmatched: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    val t = dataCols.foldLeft(target)((df, c) => df.withColumnRenamed(c, s"__t_$c"))
+      .withColumn("__in_t", lit(1))
+    val u = dataCols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"__u_$c"))
+      .withColumn("__in_u", lit(1))
+    def chg(side: String, tag: String) =
+      struct(dataCols.map(c => col(s"__${side}_$c").as(c)) :+
+        lit(tag).as("_change_type"): _*)
+    val changes =
+      when(col("__in_t").isNull, array(chg("u", "insert")))
+        .when(col("__in_u").isNull, array(chg("t", "delete")))
+        .otherwise(array(chg("t", "update_preimage"), chg("u", "update_postimage")))
+    t.join(u, keys, "full_outer")
+      .select(keys.map(col) :+ explode(changes).as("__chg"): _*)
+      // constant-folds away when deleteUnmatched; plain MERGE has no
+      // delete clause, so by-source-unmatched target rows emit nothing
+      .filter(lit(deleteUnmatched) || col("__chg._change_type") =!= "delete")
+      .select(keys.map(col) ++
+        (dataCols :+ "_change_type").map(c => col(s"__chg.$c")): _*)
+  }
+
   /** Deterministically keep one row per key: rows ordered by every
     * non-key column, first wins. Delta MERGE would ERROR on duplicate
     * update keys; resolving deterministically keeps re-delivered

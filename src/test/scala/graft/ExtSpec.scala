@@ -1096,6 +1096,142 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bm25: hand-computed scores; tf and length normalization behave") {
+    // corpus: 3 docs, query = {x}. df(x)=2, N=3, avgdl=(2+4+2)/3
+    // doc 1: tf=1 dl=2; doc 2: tf=2 dl=4; doc 3: no hit → absent
+    val docs = Seq((1L, "x y"), (2L, "x x y y"), (3L, "y z")).toDF("doc_id", "text")
+    val got = TextStats.bm25(docs, "text", "doc_id", Seq("x"), topK = 10)
+      .as[(Long, Long, Double)].collect()
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val avgdl = 8.0 / 3
+    def s(tf: Long, dl: Long) =
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((2L, 1L, s(2, 4)), (1L, 1L, s(1, 2))))
+    // higher tf at equal dl must outscore (score 2 ranked first above)
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("bm25: multi-term scores sum per matched term; rarer term weighs more") {
+    // q={a,b}: df(a)=3 (every doc), df(b)=1 — doc 30's b-hit must
+    // outweigh a same-tf a-hit (idf(b) > idf(a))
+    val docs = Seq((10L, "a c"), (20L, "a c"), (30L, "a b")).toDF("doc_id", "text")
+    val got = TextStats.bm25(docs, "text", "doc_id", Seq("a", "b"), topK = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.head._1 == 30L && got.head._2 == 2L) // both terms matched
+    assert(got.map(_._1).toSeq == Seq(30L, 10L, 20L)) // ties break by id
+  }
+
+  test("heavyHitters: skewed stream exercises MG eviction; exact counts survive the gate") {
+    // 60 'hot' + 120 distinct cold tokens, sketchSize=4 → constant
+    // eviction pressure; hot (33% > 1/4... no: 60/180=33% > 25%) must
+    // survive with its EXACT count; no cold token (freq 1) can pass
+    val text = (Seq.fill(60)("hot") ++ (0 until 120).map(i => s"cold$i"))
+      .mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val got = TextStats.heavyHitters(docs, "text", sketchSize = 4)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("hot", 60L,
+      BigDecimal(60.0 / 180).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // partitioned the other way (many rows, many partitions) — same answer
+    val spread = (Seq.fill(60)("hot") ++ (0 until 120).map(i => s"cold$i"))
+      .map(t => Tuple1(t)).toDF("text").repartition(8)
+    val got2 = TextStats.heavyHitters(spread, "text", sketchSize = 4)
+      .as[(String, Long, Double)].collect()
+    assert(got2.toSeq == got.toSeq)
+  }
+
+  test("heavyHitters: threshold is strict; at-threshold token excluded") {
+    // 4 tokens × freq 2, N=8, k=4 → need freq*4 > 8 i.e. freq > 2: none pass
+    val docs = Seq("a a b b c c d d").toDF("text")
+    assert(TextStats.heavyHitters(docs, "text", sketchSize = 4).isEmpty)
+  }
+
+  test("randomProject: linear, deterministic, first component = scaled dot with plane 0") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(2.0f)),
+      (3L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(vecs, "vec_id", "embedding", outDims = 8)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    assert(got.forall(_._2.length == 8))
+    // zero vector → zero projection
+    assert(got(2)._2.forall(_ == 0.0))
+    // doubling the input doubles every component (within the 6dp round)
+    got(0)._2.zip(got(1)._2).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 2e-6) }
+    // component 0 equals the hand-computed scaled plane-0 dot
+    val h0 = Similarity.hyperplanes(8, 64).head
+    val expected = BigDecimal(h0.sum * (1.0 / math.sqrt(8.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._2.head == expected)
+  }
+
+  test("versioned: overwrite/append chains, version-pinned reads, immutable history") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned").toString + "/t"
+    val v0 = graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    val v1 = graft.ext.Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    val v2 = graft.ext.Versioned.writeVersion(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert((v0, v1, v2) == (0, 1, 2))
+    def ids(v: Int) = graft.ext.Versioned.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().toSet
+    assert(ids(0) == Set(1L))            // still readable after later writes
+    assert(ids(1) == Set(1L, 2L))        // append = v0 ∪ new, same files
+    assert(ids(2) == Set(9L))            // overwrite resets
+    assert(graft.ext.Versioned.latestVersion(spark, dir).contains(2))
+    // append to a fresh table refuses
+    intercept[IllegalArgumentException] {
+      graft.ext.Versioned.writeVersion(Seq((1L, "x")).toDF("id", "v"),
+        dir + "_none", SaveMode.Append)
+    }
+  }
+
+  test("versioned: uncommitted data dir is invisible; prune reclaims it and expired versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned2").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    graft.ext.Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    // simulate a write that crashed before its manifest rename: the
+    // orphan data dir must not change any read or version listing
+    Seq((99L, "junk")).toDF("id", "v").write
+      .parquet(new org.apache.hadoop.fs.Path(dir, "v00000002_data").toString)
+    assert(graft.ext.Versioned.versions(spark, dir) == Seq(0, 1))
+    assert(graft.ext.Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // prune to the newest version: v0's manifest goes, but its data
+    // dir SURVIVES (v1's append chain references it); the orphan dies
+    val stats = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    assert(stats.versionsDropped == Seq(0))
+    assert(stats.dirsDeleted == Seq("v00000002_data"))
+    assert(graft.ext.Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "v00000000_data")))
+    intercept[IllegalArgumentException] {
+      graft.ext.Versioned.readVersion(spark, dir, 0)
+    }
+    // idempotent
+    val again = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    assert(again.versionsDropped.isEmpty && again.dirsDeleted.isEmpty)
+  }
+
+  test("versioned: concurrent commit of the same version surfaces, never silently drops") {
+    // two writers that both computed v=1 race to the commit rename:
+    // the loser must get a conflict error, and the winner's manifest
+    // must survive untouched (a silent overwrite would lose a commit)
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned3").toString + "/t"
+    graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v00000000_data"))
+    intercept[IllegalStateException] {
+      graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v_loser_data"))
+    }
+    // winner's chain intact: v1 still reads v0's files
+    assert(graft.ext.Versioned.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("importanceResample: target-like raw doc outranks disjoint-vocab doc; k caps") {
     val docs = Seq(
       (1L, "alpha beta gamma", "t"), (2L, "alpha beta gamma", "t"),

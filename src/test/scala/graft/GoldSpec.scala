@@ -95,6 +95,31 @@ class GoldSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("mergeChanges: CDF classes are exact and consistent with the merge post-state") {
+    val target = Seq((1, "old", 10.0), (2, "keep", 20.0)).toDF("id", "v", "x")
+    val updates = Seq((1, "new", 11.0), (3, "ins", 30.0)).toDF("id", "v", "x")
+    val feed = Upsert.mergeChanges(target, updates, Seq("id"), deleteUnmatched = true)
+      .orderBy("id", "_change_type")
+      .as[(Int, String, Double, String)].collect()
+    assert(feed.toSeq == Seq(
+      (1, "new", 11.0, "update_postimage"),
+      (1, "old", 10.0, "update_preimage"),
+      (2, "keep", 20.0, "delete"),
+      (3, "ins", 30.0, "insert")))
+    // without the not-matched-by-source clause no delete row appears,
+    // and applying {insert ∪ postimage} to the untouched target rows
+    // reproduces merge()'s post-state exactly
+    val noDel = Upsert.mergeChanges(target, updates, Seq("id"))
+    assert(!noDel.select("_change_type").as[String].collect().contains("delete"))
+    val applied = noDel
+      .filter($"_change_type".isin("insert", "update_postimage")).drop("_change_type")
+      .unionByName(target.join(noDel.select("id").distinct(), Seq("id"), "left_anti"))
+      .orderBy("id").as[(Int, String, Double)].collect()
+    val merged = Upsert.merge(target, updates, Seq("id"))
+      .orderBy("id").as[(Int, String, Double)].collect()
+    assert(applied.toSeq == merged.toSeq)
+  }
+
   test("atomic swap: every crash window recovers on the next call") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def freshTable(): String = {

@@ -311,6 +311,63 @@ class PlanSpec extends AnyFunSuite {
       "q92 gate must stay window-free (stateless at ingest)")
   }
 
+  test("BM25: df/stats broadcast back, term filter below the first shuffle, top-k is TakeOrdered (q93)") {
+    val df = SparkEntry.queries("q93_bm25_search")(spark, d)
+    val plan = planOf(df)
+    // the query-term isin must run map-side (inside the generate/
+    // filter stage), so only postings that mention a query term reach
+    // the tf groupBy's exchange — `tok IN …` must appear as a Filter,
+    // not as a post-shuffle HashAggregate condition
+    assert(plan.contains("Filter") && plan.contains("tok"),
+      s"expected a map-side term filter in:\n$plan")
+    val nodes = finalPlanNodes(df)
+    assert(countNodes(nodes, "BroadcastHashJoin") >= 1 &&
+      countNodes(nodes, "BroadcastNestedLoopJoin") >= 1,
+      "df lookup must broadcast-hash-join; the one-row stats must broadcast-cross-join")
+    assert(countNodes(nodes, "TakeOrderedAndProject") == 1,
+      "BM25 top-k must plan as TakeOrderedAndProject, not a global sort")
+    assert(countNodes(nodes, "WindowExec") == 0, "no window over data keys")
+  }
+
+  test("heavy hitters: candidate gate broadcasts; recount partial-aggregates below its exchange (q97)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q97_heavy_hitters")(spark, d))
+    // the exact recount must be gated by a broadcast semi-join on the
+    // MG candidates (plus the broadcast one-row total) — never a
+    // shuffle of the raw token stream against the candidate set
+    assert(countNodes(nodes, "BroadcastHashJoin") >= 1,
+      "candidate gate must be a broadcast semi-join")
+    // partial aggregation before the exchange: the hot token arrives
+    // at its reducer as one row per map task (the q64 lesson)
+    val aggs = countNodes(nodes, "HashAggregate")
+    assert(aggs >= 2, s"expected partial+final recount aggregates, got $aggs")
+    assert(countNodes(nodes, "WindowExec") == 0, "no window over the token key")
+  }
+
+  test("random projection is one map-side projection: no exchange, no UDF (q96)") {
+    // sort comes from the catalog ORDER BY; everything below it must
+    // be scan → project (the 8 dots are literal-matrix expressions)
+    val plan = planOf(SparkEntry.queries("q96_random_project")(spark, d))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("SQLAppliedFunction"),
+      "projection must stay in codegen built-ins")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"expected pruned ReadSchema in:\n$plan")
+  }
+
+  test("merge CDF: ONE join + explode fan-out — never a join or scan per change class (q95)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q95_merge_cdf")(spark, d))
+    // the union-of-filters formulation looks reusable but Catalyst
+    // specializes the outer join per branch: 4 joins, 8 scans. The
+    // change-array explode keeps it at exactly one join and one scan
+    // per side at any scale
+    val joins = nodes.count(n => n.getClass.getSimpleName.contains("Join"))
+    assert(joins == 1, s"CDF must be ONE full-outer join, got $joins")
+    val scans = nodes.count(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans == 2, s"CDF must scan each side once, got $scans")
+    assert(countNodes(nodes, "Generate") == 1, "change fan-out must be one explode")
+  }
+
   test("BPE tokenization stays map-side: scan → project, no exchange before the sort (q72)") {
     val plan = planOf(SparkEntry.queries("q72_bpe_tokens")(spark, d))
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).length
