@@ -989,6 +989,43 @@ object SparkEntry {
     "q97_heavy_hitters" -> ((s, d) =>
       TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
 
+    // the reference's ASPIRATIONAL Great Expectations gate (declared
+    // in its README, never shipped) as an in-engine op: 5 row-level
+    // rules evaluated in ONE corpus pass (conditional aggregates —
+    // rule count never adds scans); two rules fail on real rows
+    "q98_expectations" -> { (s, d) =>
+      import graft.ext.Quality.Expectation
+      graft.ext.Quality.check(Tables.documents(s, d), Seq(
+        Expectation("text_not_null", col("text").isNotNull),
+        Expectation("n_chars_consistent", col("n_chars") === length(col("text"))),
+        Expectation("n_chars_at_least_100", col("n_chars") >= 100),
+        Expectation("lang_latin_script", col("lang").isin("en", "de", "fr", "es")),
+        Expectation("doc_id_non_negative", col("doc_id") >= 0)))
+        .orderBy(col("expectation"))
+    },
+
+    // ANALYZE TABLE … FOR COLUMNS role: per-column null/ndv/min/max —
+    // the CBO and data-skipping inputs. Exact ndv through Catalyst's
+    // Expand (the oracle-checkable form; approx_count_distinct is the
+    // 100 TB flip on the same shape)
+    "q99_column_stats" -> ((s, d) =>
+      graft.ext.Quality.columnStats(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
+    // APPLY CHANGES INTO role: the q95 feed consumed back into the
+    // q06 target — derive-feed → apply-feed must round-trip to the
+    // direct MERGE (the oracle IS q06's SQL)
+    "q100_apply_changes" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"))
+      val feed = Upsert.mergeChanges(target, updates, Seq("o_orderkey"))
+      Upsert.applyChanges(target, feed, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    },
+
     // BPE TRAINING at corpus scale: learn 8 merge rules from the
     // English slice (tokenizers train on their target distribution;
     // word-histogram rounds, TakeOrdered(1) argmax)
@@ -1352,6 +1389,17 @@ object SparkEntry {
   // matches the codegen'd vec_dot exactly (see the q25 oracle note)
   /** Shared by q60 (plain anti-join) and q84 (Bloom-gated scan): the
     * two queries are contractually row-identical. */
+  private val mergeUpsertSql: String =
+    """WITH target AS (
+      | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus = 'F'),
+      |updates AS (
+      | SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price FROM orders WHERE o_totalprice > 150000)
+      |SELECT * FROM (
+      | SELECT t.o_orderkey, t.price FROM target t
+      | WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+      | UNION ALL SELECT o_orderkey, price FROM updates)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val incrementalDedupSql: String =
     """WITH fps AS (
       | SELECT doc_id,
@@ -2091,6 +2139,40 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin
     },
 
+    // expectations replay: each rule is a SUM(CASE) over the same
+    // failure predicates (NULL predicate = failure, as the op pins)
+    "q98_expectations" -> {
+      val rules = Seq(
+        "text_not_null" -> "text IS NOT NULL",
+        "n_chars_consistent" -> "n_chars = len(text)",
+        "n_chars_at_least_100" -> "n_chars >= 100",
+        "lang_latin_script" -> "lang IN ('en', 'de', 'fr', 'es')",
+        "doc_id_non_negative" -> "doc_id >= 0")
+      val branches = rules.map { case (n, p) =>
+        s"""SELECT '$n' AS expectation, COUNT(*) AS n_rows,
+           | CAST(SUM(CASE WHEN COALESCE($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""SELECT expectation, n_rows, n_fail,
+         | ROUND(CAST(n_rows - n_fail AS DOUBLE) / n_rows, 6) AS pass_rate
+         |FROM ($branches)
+         |ORDER BY expectation""".stripMargin
+    },
+
+    // ANALYZE replay: one UNION ALL branch per column, exact
+    // aggregates, min/max rendered as strings
+    "q99_column_stats" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val branches = cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           | CAST(MIN($c) AS VARCHAR) AS min_str,
+           | CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin).mkString("\nUNION ALL ")
+      s"SELECT * FROM ($branches) ORDER BY col_name"
+    },
+
     // heavy hitters: the output is EXACT (the MG sketch only gates
     // which candidates get recounted), so the oracle is the plain
     // histogram threshold
@@ -2174,16 +2256,10 @@ object SparkEntry {
         |FROM orders LEFT JOIN dim ON CAST(o_orderdate AS DATE) = dim.order_date
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q06_merge_upsert" ->
-      """WITH target AS (
-        | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus = 'F'),
-        |updates AS (
-        | SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price FROM orders WHERE o_totalprice > 150000)
-        |SELECT * FROM (
-        | SELECT t.o_orderkey, t.price FROM target t
-        | WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
-        | UNION ALL SELECT o_orderkey, price FROM updates)
-        |ORDER BY o_orderkey""".stripMargin,
+    "q06_merge_upsert" -> mergeUpsertSql,
+    // derive-feed → apply-feed round-trips to the direct MERGE:
+    // q100's oracle IS q06's SQL verbatim
+    "q100_apply_changes" -> mergeUpsertSql,
 
     "q88_zorder_key" -> {
       // 16-bit Morton interleave spelled out as 32 shift/mask terms —

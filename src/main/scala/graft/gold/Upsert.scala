@@ -119,6 +119,26 @@ object Upsert {
         (dataCols :+ "_change_type").map(c => col(s"__chg.$c")): _*)
   }
 
+  /** Consume a change feed back into a table — the DLT `APPLY CHANGES
+    * INTO` role, the other half of CDC next to [[mergeChanges]]:
+    * `insert`/`update_postimage` rows upsert, `delete` rows remove,
+    * `update_preimage` rows are audit-only and ignored. One anti-join
+    * on every touched key (delete and update alike — updates re-enter
+    * from their postimage), then the upserts append: the same
+    * two-shuffle shape as [[merge]]. Deriving a feed with
+    * [[mergeChanges]] and applying it here reproduces [[merge]]'s
+    * post-state exactly (the q100 round-trip oracle). */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val upserts = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    val touched = changes
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(keys.map(col): _*).distinct()
+    target.join(touched, keys, "left_anti").unionByName(upserts)
+  }
+
   /** Deterministically keep one row per key: rows ordered by every
     * non-key column, first wins. Delta MERGE would ERROR on duplicate
     * update keys; resolving deterministically keeps re-delivered

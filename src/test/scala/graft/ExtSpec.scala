@@ -1232,6 +1232,51 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("expectations: NULL predicate counts as failure; rates exact; rule order kept") {
+    import graft.ext.Quality
+    import graft.ext.Quality.Expectation
+    val df = Seq(
+      (1, Some(5)), (2, Some(-1)), (3, None) // NULL x: `x > 0` is NULL, must FAIL
+    ).toDF("id", "x")
+    val got = Quality.check(df, Seq(
+      Expectation("x_positive", $"x" > 0),
+      Expectation("id_small", $"id" <= 2)))
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("x_positive", 3L, 2L, 0.333333), // -1 fails, NULL fails
+      ("id_small", 3L, 1L, 0.666667)))
+  }
+
+  test("quarantine: any-rule failure splits; failing rule names in rule order") {
+    import graft.ext.Quality
+    import graft.ext.Quality.Expectation
+    val df = Seq((1, 4), (2, 5), (3, -1), (4, 0)).toDF("id", "x")
+    val (good, bad) = Quality.quarantine(df, Seq(
+      Expectation("x_positive", $"x" > 0),
+      Expectation("x_even", $"x" % 2 === 0)))
+    // 4: both pass; 5: odd; -1: negative AND odd; 0: not positive
+    assert(good.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(good.columns.toSeq == Seq("id", "x"), "passed rows carry no audit column")
+    val badRows = bad.orderBy("id")
+      .select($"id", $"failed_expectations").as[(Int, Seq[String])].collect()
+    assert(badRows.toSeq == Seq(
+      (2, Seq("x_even")),
+      (3, Seq("x_positive", "x_even")),
+      (4, Seq("x_positive"))))
+  }
+
+  test("columnStats: nulls, exact ndv, min/max as strings") {
+    import graft.ext.Quality
+    val df = Seq(
+      (Some(1), Some("b")), (Some(2), None), (Some(2), Some("a"))
+    ).toDF("n", "s")
+    val got = Quality.columnStats(df, Seq("n", "s")).orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(got.toSeq == Seq(
+      ("n", 3L, 0L, 2L, "1", "2"),
+      ("s", 3L, 1L, 2L, "a", "b")))
+  }
+
   test("importanceResample: target-like raw doc outranks disjoint-vocab doc; k caps") {
     val docs = Seq(
       (1L, "alpha beta gamma", "t"), (2L, "alpha beta gamma", "t"),

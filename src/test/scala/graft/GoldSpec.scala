@@ -120,6 +120,26 @@ class GoldSpec extends AnyFunSuite {
     assert(applied.toSeq == merged.toSeq)
   }
 
+  test("applyChanges: upserts land, deletes remove, preimages are audit-only") {
+    val target = Seq((1, "old"), (2, "keep"), (3, "gone")).toDF("id", "v")
+    val changes = Seq(
+      (1, "new", "update_postimage"),
+      (1, "old", "update_preimage"),   // must NOT resurrect the old value
+      (3, "gone", "delete"),
+      (9, "ins", "insert")).toDF("id", "v", "_change_type")
+    val got = Upsert.applyChanges(target, changes, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(got.toSeq == Seq((1, "new"), (2, "keep"), (9, "ins")))
+    // round-trip law: applying mergeChanges' feed = merge itself
+    val updates = Seq((1, "NEW"), (7, "INS")).toDF("id", "v")
+    val feed = Upsert.mergeChanges(target, updates, Seq("id"))
+    val applied = Upsert.applyChanges(target, feed, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect()
+    val merged = Upsert.merge(target, updates, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(applied.toSeq == merged.toSeq)
+  }
+
   test("atomic swap: every crash window recovers on the next call") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def freshTable(): String = {

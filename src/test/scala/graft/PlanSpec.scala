@@ -368,6 +368,22 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(nodes, "Generate") == 1, "change fan-out must be one explode")
   }
 
+  test("expectations: 5 rules = ONE scan and one partial+final aggregate (q98)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q98_expectations")(spark, d))
+    val scans = nodes.count(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans == 1, s"rule count must never add scans, got $scans")
+    assert(countNodes(nodes, "HashAggregate") +
+      countNodes(nodes, "SortAggregate") >= 2, "expected partial+final aggregation")
+  }
+
+  test("column stats: exact multi-distinct plans via Expand over one scan (q99)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q99_column_stats")(spark, d))
+    assert(nodes.count(_.getClass.getSimpleName.contains("FileSourceScan")) == 1,
+      "ANALYZE must read the table once")
+    assert(countNodes(nodes, "Expand") >= 1,
+      "multiple exact COUNT(DISTINCT)s should plan through Expand, not per-column scans")
+  }
+
   test("BPE tokenization stays map-side: scan → project, no exchange before the sort (q72)") {
     val plan = planOf(SparkEntry.queries("q72_bpe_tokens")(spark, d))
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).length
