@@ -989,6 +989,26 @@ object SparkEntry {
     "q97_heavy_hitters" -> ((s, d) =>
       TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
 
+    // hybrid search: dense cosine top-20 (q25's ranking) fused with
+    // sparse BM25 top-20 (q93's) by reciprocal-rank fusion — rank
+    // arithmetic over two tiny cuts, the production hybrid-retrieval
+    // combiner (no cross-scale score normalization)
+    "q101_hybrid_search" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe,
+          "vec_id", "embedding", k = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      val sparse = TextStats.bm25(Tables.documents(s, d), "text", "doc_id",
+          Seq("spark", "join", "window", "vector"), topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      Similarity.rrfFuse(dense, sparse, "doc_id", kRank = 60, topK = 10)
+    },
+
     // the reference's ASPIRATIONAL Great Expectations gate (declared
     // in its README, never shipped) as an in-engine op: 5 row-level
     // rules evaluated in ONE corpus pass (conditional aggregates —
@@ -1389,6 +1409,33 @@ object SparkEntry {
   // matches the codegen'd vec_dot exactly (see the q25 oracle note)
   /** Shared by q60 (plain anti-join) and q84 (Bloom-gated scan): the
     * two queries are contractually row-identical. */
+  /** The q93 BM25 pipeline as CTEs ending in `agg(doc_id, n_terms,
+    * score)` — shared by the standalone ranking (q93) and the hybrid
+    * RRF fusion (q101). Constants interpolate from the same Scala
+    * doubles the operator uses (round-trip exact). */
+  private val bm25Ctes: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""docs AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
+      |postings AS (
+      | SELECT doc_id, len(t) AS dl, u.tok FROM docs, unnest(docs.t) AS u(tok)
+      | WHERE u.tok IN ('spark', 'join', 'window', 'vector')),
+      |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT tok, COUNT(*) AS df_t
+      | FROM (SELECT DISTINCT doc_id, tok FROM postings) GROUP BY tok),
+      |scored AS (
+      | SELECT doc_id, tok,
+      |  ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * ${k1 + 1.0}) /
+      |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS ts
+      | FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+      |agg AS (
+      | SELECT doc_id, COUNT(*) AS n_terms,
+      |  ROUND(list_reduce(list_prepend(0.0, list(ts ORDER BY tok)),
+      |    (acc, x) -> acc + x), 6) AS score
+      | FROM scored GROUP BY doc_id)""".stripMargin
+  }
+
   private val mergeUpsertSql: String =
     """WITH target AS (
       | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus = 'F'),
@@ -2069,30 +2116,33 @@ object SparkEntry {
     // the Scala doubles (round-trip exact), per-term contributions
     // folded in term order via list_reduce (the q89 determinism
     // argument), rank over the rounded score
-    "q93_bm25_search" -> {
-      val k1 = 1.2; val b = 0.75
-      s"""WITH docs AS (SELECT doc_id, $sqlToks AS t FROM documents),
-        |stats AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
-        |postings AS (
-        | SELECT doc_id, len(t) AS dl, u.tok FROM docs, unnest(docs.t) AS u(tok)
-        | WHERE u.tok IN ('spark', 'join', 'window', 'vector')),
-        |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT tok, COUNT(*) AS df_t
-        | FROM (SELECT DISTINCT doc_id, tok FROM postings) GROUP BY tok),
-        |scored AS (
-        | SELECT doc_id, tok,
-        |  ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * ${k1 + 1.0}) /
-        |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS ts
-        | FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
-        |agg AS (
-        | SELECT doc_id, COUNT(*) AS n_terms,
-        |  ROUND(list_reduce(list_prepend(0.0, list(ts ORDER BY tok)),
-        |    (acc, x) -> acc + x), 6) AS score
-        | FROM scored GROUP BY doc_id)
+    "q93_bm25_search" ->
+      s"""WITH $bm25Ctes
         |SELECT doc_id, n_terms, score FROM agg
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
-    },
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // hybrid-search replay: the q93 BM25 CTEs and the q25 cosine body
+    // re-ranked to top-20 cuts, fused with the same rank arithmetic —
+    // integer-derived doubles, two-term commutative add, no rounding
+    "q101_hybrid_search" ->
+      s"""WITH $bm25Ctes,
+        |sp0 AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20),
+        |sp AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank FROM sp0),
+        |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0),
+        |d0 AS (SELECT vec_id AS doc_id,
+        |  ROUND(list_dot_product(e, pv) /
+        |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pv, pv))), 6) AS cos_sim
+        | FROM v, p ORDER BY cos_sim DESC, vec_id LIMIT 20),
+        |dr AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank FROM d0),
+        |f AS (SELECT COALESCE(dr.doc_id, sp.doc_id) AS doc_id,
+        |  COALESCE(1.0 / (60 + dr.rank), 0.0) + COALESCE(1.0 / (60 + sp.rank), 0.0) AS rrf_score,
+        |  CAST(dr.rank IS NOT NULL AS INT) + CAST(sp.rank IS NOT NULL AS INT) AS n_sources
+        | FROM dr FULL OUTER JOIN sp ON dr.doc_id = sp.doc_id)
+        |SELECT doc_id, rrf_score, n_sources FROM f
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
 
     // time-travel replay: version 0 = the first overwrite slice,
     // version 1 = v0 plus the append slice, version 2 = the reset

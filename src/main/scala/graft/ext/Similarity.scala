@@ -396,6 +396,30 @@ object Similarity {
       .select(col(idCol), col("list_id"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, public) —
+    * the standard hybrid-search combiner: fuse two rankings (dense
+    * ANN cosine, sparse BM25) as Σ 1/(k + rank) per document. Rank
+    * arithmetic only — no score normalization across incomparable
+    * scales, which is why RRF is the production default.
+    *
+    * Inputs are `(idCol, rank)` tables (rank 1-based). One full-outer
+    * join on the id; both contributions are exact doubles of integer
+    * ranks and the two-term add is order-free (IEEE addition is
+    * commutative), so the result is engine-exact without rounding.
+    * Scale: the fused lists are top-k cuts (tiny) — the join
+    * broadcasts; never a corpus-sized operation. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              kRank: Int = 60, topK: Int = 10): DataFrame = {
+    val wa = a.select(col(idCol), (lit(1.0) / (lit(kRank) + col("rank"))).as("w_a"))
+    val wb = b.select(col(idCol), (lit(1.0) / (lit(kRank) + col("rank"))).as("w_b"))
+    wa.join(wb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(col("w_a"), lit(0.0)) + coalesce(col("w_b"), lit(0.0))).as("rrf_score"),
+        (col("w_a").isNotNull.cast("int") + col("w_b").isNotNull.cast("int")).as("n_sources"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Johnson–Lindenstrauss sign random projection (Achlioptas 2001,
     * public): compress each embedding to `outDims` dimensions as
     * rp[j] = ⟨v, s_j⟩ / √outDims with s_j the deterministic ±1 rows of

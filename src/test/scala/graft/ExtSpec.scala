@@ -1232,6 +1232,23 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("rrfFuse: both-list docs outrank single-list; weights are 1/(k+rank); ties break by id") {
+    val dense = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sparse = Seq((20L, 1), (40L, 2), (30L, 3)).toDF("id", "rank")
+    val got = graft.ext.Similarity.rrfFuse(dense, sparse, "id", kRank = 60, topK = 10)
+      .as[(Long, Double, Int)].collect()
+    // 20: 1/62 + 1/61 tops; 30 in both at rank 3 beats any single list
+    assert(got.map(_._1).toSeq == Seq(20L, 30L, 10L, 40L))
+    assert(got(0)._2 == 1.0 / 62 + 1.0 / 61 && got(0)._3 == 2)
+    assert(got(2) == ((10L, 1.0 / 61, 1)))
+    // symmetric single-list docs tie exactly → id breaks it
+    val a = Seq((5L, 1)).toDF("id", "rank")
+    val b = Seq((3L, 1)).toDF("id", "rank")
+    val tied = graft.ext.Similarity.rrfFuse(a, b, "id", 60, 10)
+      .as[(Long, Double, Int)].collect()
+    assert(tied.map(_._1).toSeq == Seq(3L, 5L) && tied(0)._2 == tied(1)._2)
+  }
+
   test("expectations: NULL predicate counts as failure; rates exact; rule order kept") {
     import graft.ext.Quality
     import graft.ext.Quality.Expectation
