@@ -29,6 +29,10 @@ object Quality {
     * `(expectation, n_rows, n_fail, pass_rate)`, in rule order. */
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "need at least one expectation")
+    // rule names are spliced into a stack() SQL literal and a backtick
+    // identifier — keep them word-shaped rather than escaping edge cases
+    expectations.foreach(e => require(e.name.matches("[A-Za-z0-9_]+"),
+      s"expectation name must be [A-Za-z0-9_]+, got '${e.name}'"))
     val aggs = count(lit(1)).as("n_rows") +:
       expectations.map(e =>
         sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)).as(s"__fail_${e.name}"))
@@ -71,6 +75,8 @@ object Quality {
     * pre-round; the catalog query sticks to int/string columns. */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"column name must be [A-Za-z0-9_]+ for the stack() splice, got '$c'"))
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
       countDistinct(col(c)).as(s"__ndv_$c"),
