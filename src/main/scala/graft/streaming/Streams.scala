@@ -301,4 +301,51 @@ object Streams {
           sessions.reverseIterator
       }
   }
+
+  /** Streaming CDC hand-off: a stream of key-addressed updates drives
+    * a gold parquet table AND a change-data-feed audit log — the
+    * streaming face of [[graft.gold.Upsert.mergeChanges]] (q95) /
+    * `applyChanges` (q100). Per micro-batch:
+    *
+    *   1. derive the change feed against the CURRENT table state
+    *      (insert / update_preimage / update_postimage — a plain
+    *      upsert stream has no delete clause);
+    *   2. land it at `logPath/batch_id=N` via dynamic partition
+    *      overwrite — a REPLAYED batch overwrites its own partition
+    *      instead of duplicating (the reference's own idempotent-
+    *      rerun mechanism, SURVEY §2.1 S7);
+    *   3. apply the updates through the crash-safe idempotent
+    *      [[graft.gold.Upsert.upsertParquet]] swap (applying a
+    *      mergeChanges feed ≡ the direct merge — the q100 law — so
+    *      the apply step needs no second feed pass).
+    *
+    * Log-before-apply ordering makes the common crash window exact: a
+    * failure between 2 and 3 replays into identical log rows (the
+    * table hasn't moved). The residual window — crash after 3, before
+    * the checkpoint commit — replays against the already-updated
+    * table, degrading that batch's update rows to preimage==postimage
+    * no-ops; the TABLE stays exact (the upsert is idempotent). Delta
+    * closes that window with a transaction log spanning both writes;
+    * one parquet table plus one log directory cannot, so it is
+    * documented instead (and pinned by spec). */
+  def upsertsToGoldCdc(updates: DataFrame, path: String, logPath: String,
+                       keys: Seq[String], checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val deduped = graft.gold.Upsert.dedupByKeys(batch, keys)
+        val feed =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+            graft.gold.Upsert.mergeChanges(spark.read.parquet(path), deduped, keys)
+          else deduped.withColumn("_change_type", lit("insert")) // bootstrap
+        feed.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(logPath)
+        graft.gold.Upsert.upsertParquet(spark, path, deduped, keys)
+      }
+      .start()
 }

@@ -266,6 +266,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC: per-batch change log partitions + exact table; replay overwrites its own log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_cdc").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.upsertsToGoldCdc(mem.toDF.toDF("id", "v"),
+      s"$base/gold", s"$base/cdf", Seq("id"), s"$base/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      // table = the merge of both batches
+      val gold = spark.read.parquet(s"$base/gold").orderBy("id")
+        .as[(Long, String)].collect()
+      assert(gold.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // log: batch 0 bootstrap inserts; batch 1 insert + pre/post pair
+      val log = spark.read.parquet(s"$base/cdf")
+        .select($"batch_id".cast("long"), $"id", $"v", $"_change_type")
+        .orderBy("batch_id", "id", "_change_type")
+        .as[(Long, Long, String, String)].collect()
+      assert(log.toSeq == Seq(
+        (0L, 1L, "a", "insert"),
+        (0L, 2L, "b", "insert"),
+        (1L, 2L, "B", "update_postimage"),
+        (1L, 2L, "b", "update_preimage"),
+        (1L, 3L, "c", "insert")))
+      // the replay mechanics: a re-delivered batch rewrites ITS OWN
+      // log partition (dynamic overwrite), never duplicates into it
+      Seq((1L, "a", "insert", 0L), (2L, "b", "insert", 0L))
+        .toDF("id", "v", "_change_type", "batch_id")
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$base/cdf")
+      assert(spark.read.parquet(s"$base/cdf").count() == 5,
+        "replayed batch-0 write must replace partition batch_id=0, not append or wipe others")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
