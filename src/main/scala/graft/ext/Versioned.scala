@@ -88,8 +88,14 @@ object Versioned {
     require(mode == SaveMode.Overwrite || prev.nonEmpty,
       "cannot Append to a table with no versions")
     val dataDir = f"v$v%08d_data"
+    // a data dir for an UNCOMMITTED version is a previous attempt that
+    // crashed before its manifest rename (no manifest can reference it
+    // — manifests only land after their data dir completes): clear it
+    // so the retry isn't blocked by its own wreckage
+    val dataPath = new Path(root, dataDir)
+    if (fs.exists(dataPath)) fs.delete(dataPath, true)
     // data first (invisible until the manifest lands) …
-    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dataDir).toString)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataPath.toString)
     val dirs = mode match {
       case SaveMode.Append => readManifest(spark, dir, prev.get) :+ dataDir
       case _               => Seq(dataDir)

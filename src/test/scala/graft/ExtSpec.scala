@@ -1217,6 +1217,21 @@ class ExtSpec extends AnyFunSuite {
     assert(again.versionsDropped.isEmpty && again.dirsDeleted.isEmpty)
   }
 
+  test("versioned: a crashed write's orphan dir never blocks the retry of that version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned4").toString + "/t"
+    graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate a v1 write that crashed mid-data-write: partial dir,
+    // no manifest
+    Seq((99L, "partial")).toDF("id", "v").write
+      .parquet(new org.apache.hadoop.fs.Path(dir, "v00000001_data").toString)
+    // the retry must clear the wreckage and commit v1 cleanly
+    val v = graft.ext.Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(v == 1)
+    assert(graft.ext.Versioned.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("versioned: concurrent commit of the same version surfaces, never silently drops") {
     // two writers that both computed v=1 race to the commit rename:
     // the loser must get a conflict error, and the winner's manifest
