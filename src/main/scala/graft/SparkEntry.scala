@@ -989,6 +989,15 @@ object SparkEntry {
     "q97_heavy_hitters" -> ((s, d) =>
       TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
 
+    // FineWeb-style distribution trim: keep documents inside the
+    // [5%, 95%] interpolated-quantile band of n_chars — one broadcast
+    // threshold row, map-side filter
+    "q102_quantile_band" -> ((s, d) =>
+      Sampling.quantileBandFilter(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", loQ = 0.05, hiQ = 0.95)
+        .orderBy(col("doc_id"))),
+
     // hybrid search: dense cosine top-20 (q25's ranking) fused with
     // sparse BM25 top-20 (q93's) by reciprocal-rank fusion — rank
     // arithmetic over two tiny cuts, the production hybrid-retrieval
@@ -2222,6 +2231,17 @@ object SparkEntry {
            |FROM documents""".stripMargin).mkString("\nUNION ALL ")
       s"SELECT * FROM ($branches) ORDER BY col_name"
     },
+
+    // distribution trim: Spark's exact interpolated percentile maps
+    // to DuckDB quantile_cont (the q43 mapping); integer scores vs
+    // interpolated double thresholds compare identically
+    "q102_quantile_band" ->
+      """WITH band AS (
+        | SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |        quantile_cont(n_chars, 0.95) AS hi FROM documents)
+        |SELECT doc_id, n_chars FROM documents, band
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |ORDER BY doc_id""".stripMargin,
 
     // heavy hitters: the output is EXACT (the MG sketch only gates
     // which candidates get recounted), so the oracle is the plain

@@ -249,4 +249,24 @@ object Sampling {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("logw").desc, col(idCol))))
   }
+
+  /** Distribution-trim quality gate (the FineWeb-style "drop both
+    * extremes" recipe): keep rows whose `scoreCol` lies within the
+    * corpus's [loQ, hiQ] interpolated-quantile band. The thresholds
+    * are ONE aggregate row broadcast-cross-joined back; the filter
+    * itself is map-side, so the gate costs one column aggregate plus
+    * one scan. Exact `percentile` is the oracle-checkable form (it
+    * buffers the column per aggregate — corpus-global here, the same
+    * documented trade as q43/q47); at 100 TB flip to
+    * `approx_percentile` on the identical shape. */
+  def quantileBandFilter(df: DataFrame, scoreCol: String,
+                         loQ: Double, hiQ: Double): DataFrame = {
+    require(scoreCol.matches("[A-Za-z0-9_]+"), s"scoreCol must be word-shaped, got '$scoreCol'")
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"need 0 <= loQ < hiQ <= 1, got [$loQ, $hiQ]")
+    val band = df.agg(expr(s"percentile($scoreCol, array($loQ, $hiQ))").as("__band"))
+    df.crossJoin(broadcast(band))
+      .filter(col(scoreCol) >= element_at(col("__band"), 1) &&
+        col(scoreCol) <= element_at(col("__band"), 2))
+      .drop("__band")
+  }
 }

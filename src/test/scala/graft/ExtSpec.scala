@@ -1247,6 +1247,19 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("quantileBandFilter: interpolated band, inclusive edges, NULL scores drop") {
+    // scores 10,20,30,40,50: p25 = 20 exactly, p75 = 40 exactly
+    // (rank p*(n-1) lands on integers) — edge rows are KEPT
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (4L, Some(40L)), (5L, Some(50L)), (6L, None)).toDF("id", "score")
+    val got = Sampling.quantileBandFilter(df, "score", 0.25, 0.75)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBandFilter(df, "score", 0.9, 0.1)
+    }
+  }
+
   test("rrfFuse: both-list docs outrank single-list; weights are 1/(k+rank); ties break by id") {
     val dense = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val sparse = Seq((20L, 1), (40L, 2), (30L, 3)).toDF("id", "rank")
