@@ -408,10 +408,15 @@ object TextStats {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    // persisted: tf and df both consume the matched postings; without
+    // the cache each re-tokenizes the corpus (the q89 exchange-reuse
+    // lesson). The cached table holds only query-term matches — tiny
+    // next to the corpus at any scale
     val postings = docs
       .select(col(idCol), size(col("toks")).as("dl"),
         explode(col("toks")).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
+      .persist()
     val tf = postings.groupBy(col(idCol), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = postings.select(col(idCol), col("tok")).distinct()

@@ -327,6 +327,10 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(nodes, "TakeOrderedAndProject") == 1,
       "BM25 top-k must plan as TakeOrderedAndProject, not a global sort")
     assert(countNodes(nodes, "WindowExec") == 0, "no window over data keys")
+    // tf and df both read the PERSISTED matched postings — the corpus
+    // must not be re-tokenized per consumer (q89 lesson)
+    assert(countNodes(nodes, "InMemoryTableScan") >= 2,
+      "matched postings must compute once and cache-read for tf and df")
   }
 
   test("heavy hitters: candidate gate broadcasts; recount partial-aggregates below its exchange (q97)") {
