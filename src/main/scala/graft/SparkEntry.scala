@@ -989,6 +989,25 @@ object SparkEntry {
     "q97_heavy_hitters" -> ((s, d) =>
       TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
 
+    // incremental materialized-view refresh: the per-customer rollup
+    // built from pre-1997 history, refreshed with the 1997+ delta —
+    // history is never rescanned (agg(old ∪ Δ) = agg(old) ⊕ agg(Δ));
+    // the oracle recomputes from scratch, so the delta algebra must
+    // land exactly
+    "q103_mv_refresh" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val view = graft.ext.Materialized.aggregate(
+        orders.filter(col("o_orderdate") < "1997-01-01"),
+        Seq("o_custkey"), "n_orders", Seq("o_totalprice"))
+      graft.ext.Materialized.refreshAdditive(view,
+        orders.filter(col("o_orderdate") >= "1997-01-01"),
+        Seq("o_custkey"), "n_orders", Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("o_custkey"))
+    },
+
     // FineWeb-style distribution trim: keep documents inside the
     // [5%, 95%] interpolated-quantile band of n_chars — one broadcast
     // threshold row, map-side filter
@@ -2231,6 +2250,14 @@ object SparkEntry {
            |FROM documents""".stripMargin).mkString("\nUNION ALL ")
       s"SELECT * FROM ($branches) ORDER BY col_name"
     },
+
+    // MV-refresh replay: the oracle aggregates the WHOLE table in one
+    // pass — the incremental path must reproduce it exactly (2-dec
+    // money sums stay within 1e-10 ≪ the round(2) lattice)
+    "q103_mv_refresh" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // distribution trim: Spark's exact interpolated percentile maps
     // to DuckDB quantile_cont (the q43 mapping); integer scores vs

@@ -1247,6 +1247,26 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("mv refresh: delta algebra equals full recompute across chained refreshes") {
+    import graft.ext.Materialized
+    val b1 = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "x")
+    val b2 = Seq((2L, 7.0), (3L, 1.0)).toDF("k", "x")   // grows a group, adds one
+    val b3 = Seq((1L, 2.0)).toDF("k", "x")
+    val keys = Seq("k")
+    var view = Materialized.aggregate(b1, keys, "n", Seq("x"))
+    view = Materialized.refreshAdditive(view, b2, keys, "n", Seq("x"))
+    view = Materialized.refreshAdditive(view, b3, keys, "n", Seq("x"))
+    val got = view.orderBy("k").as[(Long, Long, Double)].collect()
+    val full = Materialized.aggregate(b1.union(b2).union(b3), keys, "n", Seq("x"))
+      .orderBy("k").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == full.toSeq)
+    assert(got.toSeq == Seq((1L, 3L, 32.0), (2L, 2L, 12.0), (3L, 1L, 1.0)))
+    // empty delta is the identity
+    val same = Materialized.refreshAdditive(view, b1.limit(0), keys, "n", Seq("x"))
+      .orderBy("k").as[(Long, Long, Double)].collect()
+    assert(same.toSeq == got.toSeq)
+  }
+
   test("quantileBandFilter: interpolated band, inclusive edges, NULL scores drop") {
     // scores 10,20,30,40,50: p25 = 20 exactly, p75 = 40 exactly
     // (rank p*(n-1) lands on integers) — edge rows are KEPT

@@ -388,6 +388,18 @@ class PlanSpec extends AnyFunSuite {
       "multiple exact COUNT(DISTINCT)s should plan through Expand, not per-column scans")
   }
 
+  test("mv refresh: delta partial-aggregates; one group-keyed join; no window (q103)") {
+    val nodes = finalPlanNodes(SparkEntry.queries("q103_mv_refresh")(spark, d))
+    // both sides aggregate with partial+final (map-side combine), the
+    // merge is ONE full-outer join on the group key — at scale the
+    // join carries group-cardinality rows, never raw history
+    assert(countNodes(nodes, "HashAggregate") >= 4,
+      "view + delta aggregations must each be partial+final")
+    val joins = nodes.count(_.getClass.getSimpleName.contains("Join"))
+    assert(joins == 1, s"refresh must be one group-keyed join, got $joins")
+    assert(countNodes(nodes, "WindowExec") == 0)
+  }
+
   test("BPE tokenization stays map-side: scan → project, no exchange before the sort (q72)") {
     val plan = planOf(SparkEntry.queries("q72_bpe_tokens")(spark, d))
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).length
