@@ -348,4 +348,39 @@ object Streams {
         graft.gold.Upsert.upsertParquet(spark, path, deduped, keys)
       }
       .start()
+
+  /** Streaming incremental view maintenance: each micro-batch of raw
+    * rows folds into a materialized additive-aggregate table via
+    * [[graft.ext.Materialized.refreshAdditive]] (q103's delta
+    * algebra) — the view refresh reads the batch plus the
+    * group-sized view, never the accumulated history. The refreshed
+    * view lands through the crash-safe atomic swap. This is what
+    * Spark's own streaming aggregation state does, externalized to a
+    * plain parquet table any engine can read.
+    *
+    * Replay caveat (same class as the CDC log): re-delivery of a
+    * batch after a crash between swap and checkpoint commit would
+    * fold it twice. Delta closes this with txn metadata; plain
+    * parquet cannot, so EXACTLY-once here relies on the checkpoint
+    * committing (Spark's normal guarantee) — a stricter deployment
+    * keys batches idempotently via [[upsertsToGoldCdc]] instead. */
+  def aggregateToGold(rows: DataFrame, path: String, keys: Seq[String],
+                      countCol: String, sumCols: Seq[String], checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          graft.ext.Materialized.aggregate(batch, keys, countCol, sumCols)
+            .write.parquet(path)
+        else
+          graft.gold.Upsert.atomicRewrite(path) { tmp =>
+            graft.ext.Materialized.refreshAdditive(
+              spark.read.parquet(path), batch, keys, countCol, sumCols)
+              .write.parquet(tmp)
+          }
+      }
+      .start()
 }

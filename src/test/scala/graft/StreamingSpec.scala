@@ -305,6 +305,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MV: batches fold into the aggregate view; equals direct aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_mv").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.aggregateToGold(mem.toDF.toDF("k", "x"),
+      s"$base/view", Seq("k"), "n", Seq("x"), s"$base/ckpt")
+    try {
+      mem.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((2L, 7.0), (3L, 1.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/view").orderBy("k")
+        .as[(Long, Long, Double)].collect()
+      assert(got.toSeq == Seq((1L, 2L, 30.0), (2L, 2L, 12.0), (3L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer equals declarative gap sessionizer") {
     val ev = normalizedEvents("/root/testdata/sf0.001")
     val typed = ev.select($"event_id", $"user_id",
