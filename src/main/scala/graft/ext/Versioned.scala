@@ -141,6 +141,18 @@ object Versioned {
     readVersion(spark, dir, v)
   }
 
+  /** Delta `RESTORE TABLE … TO VERSION AS OF v` role: commit version
+    * v's FILE LIST as the newest version — no data is copied or
+    * rewritten (the manifest re-references v's immutable dirs), and
+    * the restore itself is a new version, so it is also undoable.
+    * Returns the new version id. */
+  def restoreVersion(spark: SparkSession, dir: String, v: Int): Int = {
+    val dirs = readManifest(spark, dir, v) // validates v exists
+    val next = latestVersion(spark, dir).get + 1
+    commitManifest(spark, dir, next, dirs)
+    next
+  }
+
   case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String])
 
   /** Delta `VACUUM`'s retention half for the versioned store: drop all

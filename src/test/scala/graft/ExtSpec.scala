@@ -1232,6 +1232,24 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("versioned: restore re-references old files as a NEW version; restore is undoable") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned5").toString + "/t"
+    graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)          // v0
+    graft.ext.Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append) // v1
+    graft.ext.Versioned.writeVersion(Seq((9L, "oops")).toDF("id", "v"), dir)       // v2: bad overwrite
+    val restored = graft.ext.Versioned.restoreVersion(spark, dir, 1)
+    assert(restored == 3)
+    def ids(v: Int) = graft.ext.Versioned.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().toSet
+    assert(ids(3) == Set(1L, 2L))              // v1's content is live again
+    assert(ids(2) == Set(9L))                  // the bad version remains readable (undo of the undo)
+    // prune keeps the restored chain's dirs alive even though v0/v1 manifests drop
+    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    assert(graft.ext.Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("versioned: concurrent commit of the same version surfaces, never silently drops") {
     // two writers that both computed v=1 race to the commit rename:
     // the loser must get a conflict error, and the winner's manifest
