@@ -98,6 +98,8 @@ object Upsert {
   def mergeChanges(target: DataFrame, updates: DataFrame, keys: Seq[String],
                    deleteUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    require(!target.columns.contains("_change_type") && !updates.columns.contains("_change_type"),
+      "_change_type is reserved for the change feed (Delta reserves it too)")
     val dataCols = target.columns.filterNot(keys.contains).toSeq
     val t = dataCols.foldLeft(target)((df, c) => df.withColumnRenamed(c, s"__t_$c"))
       .withColumn("__in_t", lit(1))
