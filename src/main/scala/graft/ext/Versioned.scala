@@ -171,6 +171,11 @@ object Versioned {
       .filter(p => p.getName.startsWith("v") && p.getName.endsWith("_data") &&
         !live.contains(p.getName))
     dead.foreach(fs.delete(_, true))
+    // staging files from commits that crashed between create and
+    // rename are invisible to readers but never self-clean
+    fs.listStatus(new Path(root, VDIR)).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(fs.delete(_, false))
     PruneStats(drop, dead.map(_.getName).toSeq)
   }
 }

@@ -1215,6 +1215,13 @@ class ExtSpec extends AnyFunSuite {
     // idempotent
     val again = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
     assert(again.versionsDropped.isEmpty && again.dirsDeleted.isEmpty)
+    // a commit that crashed between staging and rename leaves a
+    // .tmp-commit file — invisible to readers, reclaimed by prune
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_versions/.tmp-commit-00000009"), false)
+    out.write("junk\n".getBytes("UTF-8")); out.close()
+    assert(graft.ext.Versioned.versions(spark, dir) == Seq(1))
+    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_versions/.tmp-commit-00000009")))
   }
 
   test("versioned: a crashed write's orphan dir never blocks the retry of that version") {
