@@ -372,10 +372,24 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        // recover any interrupted swap BEFORE the existence check, so
+        // a live dir parked at __old is restored rather than
+        // re-bootstrapped over
+        graft.gold.Upsert.recoverSwap(path)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+          // bootstrap must be all-or-nothing: a plain write that
+          // crashed mid-flight would leave a partial dir the next
+          // batch's refresh branch would read as the view — stage to
+          // the swap tmp (recoverSwap just cleared any stale one) and
+          // move into place atomically
+          val tmp = path.stripSuffix("/") + "__upsert_tmp"
           graft.ext.Materialized.aggregate(batch, keys, countCol, sumCols)
-            .write.parquet(path)
-        else
+            .write.mode("overwrite").parquet(tmp)
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(path),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        } else
           graft.gold.Upsert.atomicRewrite(path) { tmp =>
             graft.ext.Materialized.refreshAdditive(
               spark.read.parquet(path), batch, keys, countCol, sumCols)

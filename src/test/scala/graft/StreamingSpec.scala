@@ -321,6 +321,21 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect()
       assert(got.toSeq == Seq((1L, 2L, 30.0), (2L, 2L, 12.0), (3L, 1L, 1.0)))
     } finally q.stop()
+    // crash window: a bootstrap that died mid-write leaves only the
+    // swap tmp — the next stream must restore/refresh correctly, not
+    // read a partial dir as the view
+    val base2 = Files.createTempDirectory("graft_mv2").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$base2/view__upsert_tmp"))
+    Files.writeString(java.nio.file.Paths.get(s"$base2/view__upsert_tmp/garbage"), "partial")
+    val mem2 = MemoryStream[(Long, Double)]
+    val q2 = Streams.aggregateToGold(mem2.toDF.toDF("k", "x"),
+      s"$base2/view", Seq("k"), "n", Seq("x"), s"$base2/ckpt")
+    try {
+      mem2.addData((7L, 3.0))
+      q2.processAllAvailable()
+      val got2 = spark.read.parquet(s"$base2/view").as[(Long, Long, Double)].collect()
+      assert(got2.toSeq == Seq((7L, 1L, 3.0)))
+    } finally q2.stop()
   }
 
   test("stateful sessionizer equals declarative gap sessionizer") {
