@@ -475,13 +475,12 @@ object TextStats {
         if (counters.contains(t)) counters(t) += 1L
         else if (counters.size < sketchSize - 1) counters(t) = 1L
         else {
-          // decrement-all step: drop every counter by one, evict zeros
-          val dead = List.newBuilder[String]
-          counters.keysIterator.foreach { k =>
+          // decrement-all step: drop every counter by one, evict
+          // zeros (keys snapshotted — no mutation mid-iteration)
+          counters.keys.toArray.foreach { k =>
             val c = counters(k) - 1L
-            if (c == 0L) dead += k else counters(k) = c
+            if (c == 0L) counters.remove(k) else counters(k) = c
           }
-          dead.result().foreach(counters.remove)
         }
       }
       counters.keysIterator
