@@ -989,6 +989,21 @@ object SparkEntry {
     "q97_heavy_hitters" -> ((s, d) =>
       TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
 
+    // D4-style novelty scoring: the q60 incremental fixture (history
+    // = docs < 250; batch = the rest plus 50 re-ingested under new
+    // ids) — re-ingested docs must score novelty 0, genuinely new
+    // ones near 1; the membership probe is a shuffle join (history is
+    // corpus-sized, never broadcast by construction)
+    "q104_novelty" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .union(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000))
+      Dedup.noveltyStats(batch, history, "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // incremental materialized-view refresh: the per-customer rollup
     // built from pre-1997 history, refreshed with the 1997+ delta —
     // history is never rescanned (agg(old ∪ Δ) = agg(old) ⊕ agg(Δ));
@@ -2250,6 +2265,32 @@ object SparkEntry {
            |FROM documents""".stripMargin).mkString("\nUNION ALL ")
       s"SELECT * FROM ($branches) ORDER BY col_name"
     },
+
+    // novelty replay: same window scheme as q68's twin (each engine
+    // uses its own window hash; set membership is hash-agnostic),
+    // left join + conditional sum over the distinct batch windows
+    "q104_novelty" ->
+      s"""WITH inc AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        | UNION ALL
+        | SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |ht AS (SELECT doc_id, $sqlToks AS t FROM documents WHERE doc_id < 250),
+        |hw0 AS (
+        | SELECT md5(array_to_string(t[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 8)], ' ')) AS wh
+        | FROM ht, unnest(range(0, len(t) - 7)) AS u(i)),
+        |hw AS (SELECT DISTINCT wh FROM hw0),
+        |it AS (SELECT doc_id, $sqlToks AS t FROM inc),
+        |iw AS (
+        | SELECT DISTINCT doc_id,
+        |  md5(array_to_string(t[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 8)], ' ')) AS wh
+        | FROM it, unnest(range(0, len(t) - 7)) AS u(i)),
+        |sj AS (
+        | SELECT iw.doc_id, CASE WHEN hw.wh IS NULL THEN 0 ELSE 1 END AS seen
+        | FROM iw LEFT JOIN hw ON iw.wh = hw.wh)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        | CAST(SUM(seen) AS BIGINT) AS n_seen,
+        | ROUND(CAST(COUNT(*) - SUM(seen) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sj GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // MV-refresh replay: the oracle aggregates the WHOLE table in one
     // pass — the incremental path must reproduce it exactly (2-dec

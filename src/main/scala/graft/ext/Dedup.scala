@@ -535,6 +535,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_windows"))
   }
 
+  /** Per-document NOVELTY vs a historical corpus — the dedup-aware
+    * sampling signal (the D4/SemDeDup-era recipe scores how much of a
+    * document is already in the training set and down-weights the
+    * stale ones): for each batch document, the fraction of its
+    * distinct k-token windows NOT present in the history.
+    *
+    * Unlike [[contaminationHits]] (eval side small by definition →
+    * broadcast), the history here is corpus-sized, so the membership
+    * probe is a shuffle join on the 8-byte window hash — partial-agg
+    * distinct on both sides first, AQE broadcasts if the history turns
+    * out small. Documents shorter than k tokens have no windows and
+    * are absent (same contract as the span ops). Exact integer
+    * counts; one rounded ratio. */
+  def noveltyStats(batch: DataFrame, history: DataFrame,
+                   textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val hw = windowHashes(history, textCol, idCol, k).select(col("wh")).distinct()
+    windowHashes(batch, textCol, idCol, k)
+      .select(col(idCol), col("wh")).distinct()
+      .join(hw.withColumn("__seen", lit(1)), Seq("wh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__seen"), lit(0))).cast("long").as("n_seen"))
+      .select(col(idCol), col("n_windows"), col("n_seen"),
+        round((col("n_windows") - col("n_seen")).cast("double") / col("n_windows"), 6)
+          .as("novelty"))
+  }
+
   /** The removal form of [[contaminationHits]]: corpus rows whose
     * distinct shared-window count is below `minHits` (anti-join on the
     * hit list — clean docs stream through untouched). */

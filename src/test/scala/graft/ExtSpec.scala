@@ -1272,6 +1272,21 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("noveltyStats: seen windows score 0, disjoint 1, overlap exact; short docs absent") {
+    // k=2 windows. history doc: "a b c d" → windows {ab, bc, cd}
+    val history = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d"),     // all 3 windows seen → novelty 0
+      (11L, "x y z"),       // {xy, yz} both new → novelty 1
+      (12L, "c d e"),       // {cd seen, de new} → 0.5
+      (13L, "q")            // shorter than k → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyStats(batch, history, "text", "doc_id", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (10L, 3L, 3L, 0.0), (11L, 2L, 0L, 1.0), (12L, 2L, 1L, 0.5)))
+  }
+
   test("mv refresh: delta algebra equals full recompute across chained refreshes") {
     import graft.ext.Materialized
     val b1 = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "x")
