@@ -110,6 +110,56 @@ object PropertySpec extends Properties("graft") {
       bins.forall { case (_, _, tot, n) => n == 1 || tot <= 5 }
     }
 
+  property("mv refresh over random batch splits == one-shot aggregation") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0, 50))),
+      Gen.chooseNum(0, 10)) { (rows, cut) =>
+      // integer-valued doubles: sums are exact, equality is legitimate
+      val all = rows.map { case (k, x) => (k, x.toDouble) }
+      val (a, b) = all.splitAt(cut min all.length)
+      val keys = Seq("k")
+      val direct = graft.ext.Materialized.aggregate(
+        all.toDF("k", "x"), keys, "n", Seq("x"))
+        .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+      val incremental = {
+        val base = graft.ext.Materialized.aggregate(
+          (if (a.isEmpty) all.take(0) else a).toDF("k", "x"), keys, "n", Seq("x"))
+        (if (b.isEmpty) base
+         else graft.ext.Materialized.refreshAdditive(base, b.toDF("k", "x"), keys, "n", Seq("x")))
+          .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+      }
+      Prop(incremental == direct) :| s"inc=$incremental direct=$direct"
+    }
+
+  property("rrf fusion: scores decrease with rank; both-list membership dominates") =
+    forAll(Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) { (nA, nB) =>
+      val a = (1 to nA).map(r => (r.toLong * 10, r)).toDF("id", "rank")
+      val b = (1 to nB).map(r => (r.toLong * 10, r)).toDF("id", "rank")
+      val got = graft.ext.Similarity.rrfFuse(a, b, "id", kRank = 60, topK = 100)
+        .as[(Long, Double, Int)].collect()
+      // output ordered by score desc (id tiebreak): scores non-increasing
+      got.sliding(2).forall { case Array((_, s1, _), (_, s2, _)) => s1 >= s2
+        case _ => true } &&
+        // ids in both lists share the rank, so their fused score must
+        // strictly exceed any single-list id at the same rank
+        got.forall { case (id, s, n) =>
+          val r = (id / 10).toInt
+          val expect = (if (r <= nA) 1.0 / (60 + r) else 0.0) +
+            (if (r <= nB) 1.0 / (60 + r) else 0.0)
+          s == expect && n == (if (r <= nA) 1 else 0) + (if (r <= nB) 1 else 0)
+        }
+    }
+
+  property("quantile band: trimmed set is contiguous in score order and within bounds") =
+    forAll(Gen.listOfN(9, Gen.chooseNum(0L, 100L))) { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "s")
+      val kept = graft.ext.Sampling.quantileBandFilter(df, "s", 0.25, 0.75)
+        .select("s").as[Long].collect().sorted.toSeq
+      val sorted = xs.sorted
+      // kept values form a contiguous value-range slice of the sorted
+      // multiset: everything strictly between min-kept and max-kept is kept
+      kept.nonEmpty && sorted.filter(v => v >= kept.head && v <= kept.last) == kept
+    }
+
   property("identical texts are always MinHash-LSH candidates") =
     forAll(Gen.chooseNum(2, 4), Gen.alphaStr.suchThat(_.nonEmpty)) { (copies, text) =>
       val docs = (0 until copies).map(i => (i.toLong, s"$text $text $text"))
