@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions.col
   *
   * File listing goes through the Hadoop FileSystem API (not java.nio),
   * so the size accounting works on any supported storage; the rewrite
-  * itself reuses [[graft.gold.Upsert.atomicRewrite]]'s crash-safe swap
-  * (local-FS moves — object stores need their own committer, same
-  * caveat as upsert).
+  * publishes through a [[TableStore]] — [[SwapStore]]'s crash-safe
+  * dir swap by default (holds where rename is atomic: HDFS/POSIX), or
+  * [[ManifestStore]] + [[PutIfAbsentCommit]] on object stores, where
+  * the commit is a conditional manifest create with no rename on the
+  * path.
   */
 object Maintenance {
 
@@ -36,17 +38,24 @@ object Maintenance {
   /** Compact an UNPARTITIONED parquet table to
     * ceil(totalBytes / targetFileBytes) files. Row content is
     * preserved exactly (one repartition, no ordering contract —
-    * parquet tables carry none). */
+    * parquet tables carry none). `store` picks the publish protocol:
+    * [[SwapStore]] (default — dir swap, holds on HDFS/POSIX rename)
+    * or [[ManifestStore.conditionalPut]] for object stores, where
+    * the compacted state lands as a new immutable version and old
+    * files are reclaimed by [[Versioned.pruneVersions]] — Delta
+    * OPTIMIZE's own shape. */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
-    val before = parquetFiles(spark, path)
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              store: TableStore = SwapStore): CompactStats = {
+    store.recover(spark, path)
+    val before = store.liveFiles(spark, path)
     val totalBytes = before.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    graft.gold.Upsert.atomicRewrite(path) { tmp =>
-      spark.read.parquet(path).repartition(nOut)
+    store.rewrite(spark, path) { tmp =>
+      store.readLive(spark, path).repartition(nOut)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    CompactStats(before.length, parquetFiles(spark, path).length, totalBytes)
+    CompactStats(before.length, store.liveFiles(spark, path).length, totalBytes)
   }
 
   /** Recover an interrupted [[compactBucketed]]: a missing live table

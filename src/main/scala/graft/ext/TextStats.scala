@@ -296,7 +296,13 @@ object TextStats {
     // exchange reuse, re-tokenizing the corpus three times. With the
     // cache there are exactly two corpus passes in the plan — LM
     // build + scoring (PlanSpec asserts it). The persisted table is
-    // vocab²-bounded, tiny next to the corpus.
+    // vocab²-bounded, tiny next to the corpus. KNOWN CACHE RESIDUE:
+    // the returned frame is lazy and corpus-sized, so there is no
+    // safe point inside this function to unpersist (bm25's eager
+    // trick needs a result-sized output); the blocks are
+    // observed-bigram-bounded and evictable (MEMORY_AND_DISK), and a
+    // caller looping over lmScore should spark.catalog.clearCache()
+    // between runs.
     val bigramCounts = train.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c_big")).persist()
     val ctxCounts = bigramCounts.groupBy(col("prev")).agg(sum(col("c_big")).as("c_ctx"))
@@ -400,7 +406,7 @@ object TextStats {
     * the identical fold and round(6) absorbs ln() ulp skew. */
   def bm25(df: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-           topK: Int = 10): DataFrame = {
+           topK: Int = 10, eager: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     val docs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
     // one-row corpus stats; exact-int avg so every engine divides the
@@ -421,7 +427,7 @@ object TextStats {
       .agg(count(lit(1)).as("tf"))
     val dfreq = postings.select(col(idCol), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
-    tf.join(broadcast(dfreq), Seq("tok"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("tok"),
         (log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
@@ -437,6 +443,22 @@ object TextStats {
       .select(col(idCol), col("n_terms"), round(col("raw"), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
+    if (!eager) scored // lazy form: caller owns the postings cache
+    else {
+      // eagerly materialize the top-k (bounded: ≤ topK rows — a
+      // deliberate driver pull of result-sized, not corpus-sized,
+      // data) so the postings cache can be RELEASED before returning;
+      // without this, repeated bm25 calls (q93, q101, bench loops)
+      // accumulate cached blocks with no handle for the caller to
+      // free them. eager=false keeps the full lazy plan for the
+      // PlanSpec shape contract — the eager path executes that exact
+      // plan via collect().
+      val out = scored.collect()
+      postings.unpersist(blocking = false)
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1), scored.schema)
+    }
   }
 
   /** Exact corpus heavy hitters through a Misra-Gries candidate gate —

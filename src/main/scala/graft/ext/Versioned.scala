@@ -16,10 +16,16 @@ import org.apache.hadoop.fs.Path
   * }}}
   *
   * Each write lands its rows in a fresh `v<N>_data` directory, then
-  * commits by renaming a tmp manifest to `_versions/<N>.manifest` —
-  * the rename IS the commit point (atomic on HDFS-like stores; the
-  * same local-FS caveat as the upsert swap applies to raw object
-  * stores). An overwrite manifest lists only its own data dir; an
+  * commits by publishing `_versions/<N>.manifest` through a
+  * [[CommitProtocol]] — the manifest's appearance IS the commit
+  * point. [[RenameCommit]] (default) stages and renames: atomic on
+  * HDFS semantics, best-effort pre-check on POSIX. On object stores
+  * — the reference's own substrate (S3A/MinIO,
+  * ref: mnt/spark-conf/spark-defaults.conf:4-10), where rename is
+  * copy+delete — pass [[PutIfAbsentCommit]]: the manifest is
+  * published by a conditional create with NO rename on the commit
+  * path, so the crash-window guarantees hold there too.
+  * An overwrite manifest lists only its own data dir; an
   * append manifest lists the previous version's dirs plus its own —
   * so old versions stay readable from the SAME immutable files and an
   * append never rewrites history (storage cost is one copy per
@@ -28,9 +34,10 @@ import org.apache.hadoop.fs.Path
   * data dir no reader references; [[pruneVersions]] reclaims those
   * along with expired versions.
   *
-  * Concurrency: version numbers are claimed by the manifest rename —
-  * rename-to-existing fails on HDFS semantics, surfacing concurrent
-  * writers instead of silently dropping one (single-writer is the
+  * Concurrency: version numbers are claimed by the manifest commit —
+  * put-if-absent fails on an existing destination under BOTH
+  * protocols, surfacing concurrent writers instead of silently
+  * dropping one (single-writer is the
   * expectation, as in the reference's Airflow `max_active_runs=1`,
   * `mnt/airflow/dags/yelp_pipeline.py:21`).
   *
@@ -76,12 +83,28 @@ object Versioned {
 
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
-    * previous version's file set. Returns the committed version. */
+    * previous version's file set. Returns the committed version.
+    * `protocol` picks the commit primitive for the storage:
+    * [[RenameCommit]] (HDFS/POSIX, the default) or
+    * [[PutIfAbsentCommit]] (object stores — conditional put, no
+    * rename anywhere on the commit path). */
   def writeVersion(df: DataFrame, dir: String,
-                   mode: SaveMode = SaveMode.Overwrite): Int = {
+                   mode: SaveMode = SaveMode.Overwrite,
+                   protocol: CommitProtocol = RenameCommit): Int =
+    writeVersionWith(df.sparkSession, dir, protocol, mode)(tmp =>
+      df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+
+  /** [[writeVersion]] with a caller-supplied data writer — the
+    * [[ManifestStore]] rewrite hook: `write` receives the immutable
+    * data-dir path for the new version and must produce the complete
+    * parquet state there; the version becomes visible only when the
+    * manifest commits through `protocol` afterwards. */
+  def writeVersionWith(spark: SparkSession, dir: String,
+                       protocol: CommitProtocol = RenameCommit,
+                       mode: SaveMode = SaveMode.Overwrite)
+                      (write: String => Unit): Int = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
-    val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
     val prev = latestVersion(spark, dir)
     val v = prev.map(_ + 1).getOrElse(0)
@@ -89,42 +112,47 @@ object Versioned {
       "cannot Append to a table with no versions")
     val dataDir = f"v$v%08d_data"
     // a data dir for an UNCOMMITTED version is a previous attempt that
-    // crashed before its manifest rename (no manifest can reference it
+    // crashed before its manifest commit (no manifest can reference it
     // — manifests only land after their data dir completes): clear it
     // so the retry isn't blocked by its own wreckage
     val dataPath = new Path(root, dataDir)
     if (fs.exists(dataPath)) fs.delete(dataPath, true)
     // data first (invisible until the manifest lands) …
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataPath.toString)
+    write(dataPath.toString)
     val dirs = mode match {
       case SaveMode.Append => readManifest(spark, dir, prev.get) :+ dataDir
       case _               => Seq(dataDir)
     }
-    // … then the atomic manifest rename is the commit
-    commitManifest(spark, dir, v, dirs)
+    // … then the atomic manifest commit publishes it
+    commitManifest(spark, dir, v, dirs, protocol)
     v
   }
 
   /** The commit point, factored so the conflict guard is directly
-    * testable: stage the manifest, then rename it into place. An
-    * HDFS-semantics rename fails on an existing destination (the
-    * atomic version claim); POSIX rename overwrites, so the local-FS
-    * path also gets an explicit pre-check — best-effort there, same
-    * single-writer caveat as the upsert swap. */
+    * testable: publish the manifest through the protocol's atomic
+    * put-if-absent. Losing the claim (an existing manifest for `v`)
+    * surfaces the concurrent writer instead of silently dropping one
+    * — under [[RenameCommit]] via the HDFS rename-to-existing
+    * failure (best-effort pre-check on POSIX), under
+    * [[PutIfAbsentCommit]] via the conditional create itself. */
   private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
-                                  dirs: Seq[String]): Unit = {
+                                    dirs: Seq[String],
+                                    protocol: CommitProtocol = RenameCommit): Unit = {
     val (fs, root) = fsFor(spark, dir)
     fs.mkdirs(new Path(root, VDIR))
-    val tmp = new Path(root, f"$VDIR/.tmp-commit-$v%08d")
-    val out = fs.create(tmp, true)
-    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = manifestPath(dir, v)
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
+    val bytes = (dirs.mkString("\n") + "\n").getBytes("UTF-8")
+    if (!protocol.putIfAbsent(fs, manifestPath(dir, v), bytes))
       throw new IllegalStateException(
         s"version $v at $dir was committed concurrently — retry the write")
-    }
+  }
+
+  /** Absolute data-dir paths of the NEWEST version — the live file
+    * set a [[ManifestStore]] resolves (older versions' dirs coexist
+    * on disk until pruned and are not part of the live state). */
+  def liveDataDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    readManifest(spark, dir, v).map(rel => new Path(new Path(dir), rel).toString)
   }
 
   /** `VERSION AS OF v`: one multi-path parquet scan over the dirs the
@@ -163,6 +191,11 @@ object Versioned {
   def pruneVersions(spark: SparkSession, dir: String, keepLast: Int): PruneStats = {
     require(keepLast >= 1, "must keep at least one version")
     val (fs, root) = fsFor(spark, dir)
+    // a never-written table (or bare root with no _versions) has
+    // nothing to prune — listing it would throw FileNotFoundException,
+    // contradicting the idempotent/safe-any-time contract
+    if (!fs.exists(root) || !fs.exists(new Path(root, VDIR)))
+      return PruneStats(Seq.empty, Seq.empty)
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
     val live = keep.flatMap(readManifest(spark, dir, _)).toSet

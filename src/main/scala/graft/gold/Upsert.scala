@@ -161,26 +161,44 @@ object Upsert {
     * overwrite (the reference's `DeltaTable.isDeltaTable` branch,
     * ref: silver_to_gold_on_minio.py:131-144).
     *
-    * Crash-safe swap protocol (local FS; object stores need their own
-    * committer): write merged → `__upsert_tmp`, move live → `__old`,
-    * move tmp → live, delete `__old`. Every crash window is recovered
-    * on the next call: a missing live dir with `__old` present is
-    * restored (the interrupted merge simply re-runs), a leftover
-    * `__old` beside a live dir is garbage-collected, and a stale tmp
-    * is cleared before writing. The previous delete-then-move protocol
-    * had a window where the table vanished and the next run's
-    * bootstrap branch silently re-created it from one month's rows. */
-  def upsertParquet(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Unit = {
-    recoverSwap(path)
+    * Crash-safe swap protocol — holds under
+    * [[graft.ext.SwapStore]]'s substrate (HDFS/POSIX, where directory
+    * rename is atomic; for object stores use [[upsertTable]] with
+    * [[graft.ext.ManifestStore.conditionalPut]]): write merged →
+    * `__upsert_tmp`, move live → `__old`, move tmp → live, delete
+    * `__old`. Every crash window is recovered on the next call: a
+    * missing live dir with `__old` present is restored (the
+    * interrupted merge simply re-runs), a leftover `__old` beside a
+    * live dir is garbage-collected, and a stale tmp is cleared before
+    * writing. The previous delete-then-move protocol had a window
+    * where the table vanished and the next run's bootstrap branch
+    * silently re-created it from one month's rows. */
+  def upsertParquet(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Unit =
+    upsertTable(spark, path, updates, keys, graft.ext.SwapStore)
+
+  /** [[upsertParquet]] over any [[graft.ext.TableStore]] — the commit
+    * seam. With [[graft.ext.SwapStore]] (the default entry above)
+    * the publish is the directory swap: fast, zero indirection,
+    * guaranteed where rename is atomic (HDFS/POSIX). With
+    * [[graft.ext.ManifestStore]] over [[graft.ext.PutIfAbsentCommit]]
+    * the merged state lands in an immutable uniquely-named data dir
+    * and becomes visible via ONE conditional manifest create — no
+    * rename on any commit path, which is what object stores
+    * (S3A/MinIO, the reference's actual storage) require for the
+    * crash-window guarantees to hold. Same merge semantics either
+    * way; read the live state back with `store.readLive`. */
+  def upsertTable(spark: SparkSession, path: String, updates: DataFrame,
+                  keys: Seq[String], store: graft.ext.TableStore): Unit = {
+    store.recover(spark, path)
     val deduped = dedupByKeys(updates, keys)
-    if (!Files.exists(Paths.get(path))) {
-      deduped.write.mode(SaveMode.Overwrite).parquet(path)
-    } else {
-      atomicRewrite(path) { tmp =>
-        val target = spark.read.parquet(path)
+    if (!store.exists(spark, path))
+      store.rewrite(spark, path)(tmp =>
+        deduped.write.mode(SaveMode.Overwrite).parquet(tmp))
+    else
+      store.rewrite(spark, path) { tmp =>
+        val target = store.readLive(spark, path)
         merge(target, deduped, keys).write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-    }
   }
 
   /** Recover from a previous interrupted [[atomicRewrite]]: a missing
@@ -203,7 +221,11 @@ object Upsert {
     * handed — reading the CURRENT live dir is safe inside it, nothing
     * has moved yet — then live → `__old`, tmp → live, delete `__old`.
     * Every crash window is recovered by [[recoverSwap]] on the next
-    * call (local FS; object stores need their own committer). */
+    * call. Holds where directory rename is atomic (HDFS/POSIX — the
+    * [[graft.ext.SwapStore]] substrate); on object stores the same
+    * rewrite goes through [[graft.ext.ManifestStore]] +
+    * [[graft.ext.PutIfAbsentCommit]] instead, where no rename is on
+    * the commit path. */
   def atomicRewrite(path: String)(write: String => Unit): Unit = {
     recoverSwap(path)
     val dir = Paths.get(path)

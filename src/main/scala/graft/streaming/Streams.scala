@@ -336,6 +336,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // recover any interrupted swap BEFORE the existence check
+        // (mirrors aggregateToGold): a prior batch that crashed
+        // mid-swap leaves the live dir parked at __old and `path`
+        // missing — without recovery the replay would take the
+        // bootstrap branch and mislabel every row 'insert' in the
+        // CDC log before upsertParquet restored the table.
+        graft.gold.Upsert.recoverSwap(path)
         val deduped = graft.gold.Upsert.dedupByKeys(batch, keys)
         val feed =
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))

@@ -1397,4 +1397,109 @@ class ExtSpec extends AnyFunSuite {
     // the disjoint-vocab doc must not beat the mixed one
     assert(got(1)._1 == 12L)
   }
+
+  // ─── commit-protocol seam: every crash-window case under BOTH ───
+  // protocols (rename = HDFS/POSIX semantics; put-if-absent =
+  // object-store conditional-put semantics, no rename on the commit
+  // path)
+  for (proto <- Seq(graft.ext.RenameCommit, graft.ext.PutIfAbsentCommit)) {
+
+    test(s"commit[${proto.name}]: put-if-absent publishes whole content once; loser keeps winner intact") {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_commit_${proto.name.filter(_.isLetter)}").toString
+      val p = new org.apache.hadoop.fs.Path(dir, "claim.manifest")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(proto.putIfAbsent(fs, p, "winner\n".getBytes("UTF-8")))
+      // second writer must LOSE, and the winner's content must survive
+      assert(!proto.putIfAbsent(fs, p, "loser\n".getBytes("UTF-8")))
+      val in = fs.open(p)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(got == "winner\n")
+      // no staging residue left behind by either the win or the loss
+      val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filterNot(_ == "claim.manifest")
+      assert(residue.isEmpty, s"staging residue: ${residue.mkString(",")}")
+    }
+
+    test(s"commit[${proto.name}]: versioned concurrent commit surfaces, never silently drops") {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_vc_${proto.name.filter(_.isLetter)}").toString + "/t"
+      graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir, protocol = proto)
+      graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v00000000_data"), proto)
+      intercept[IllegalStateException] {
+        graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v_loser_data"), proto)
+      }
+      assert(graft.ext.Versioned.readVersion(spark, dir, 1)
+        .select("id").as[Long].collect().toSet == Set(1L))
+    }
+
+    test(s"commit[${proto.name}]: manifest-store upsert crash windows — orphan invisible, table never missing, retry clean") {
+      val store = new graft.ext.ManifestStore(proto)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ms_${proto.name.filter(_.isLetter)}").toString + "/t"
+      val t0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      graft.gold.Upsert.upsertTable(spark, dir, t0, Seq("id"), store)
+      assert(store.exists(spark, dir))
+      // crash window: a v1 rewrite dies mid-data-write (partial dir,
+      // no manifest). The live table must be EXACTLY the pre-crash
+      // state — present, complete, unchanged — with zero recovery work
+      Seq((99L, "junk")).toDF("id", "v").write
+        .parquet(new org.apache.hadoop.fs.Path(dir, "v00000001_data").toString)
+      assert(store.exists(spark, dir), "live table must never be missing mid-crash")
+      assert(store.readLive(spark, dir).select("id").as[Long].collect().toSet == Set(1L, 2L))
+      // the retry does not trip on the wreckage and merges correctly
+      graft.gold.Upsert.upsertTable(spark, dir,
+        Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"), store)
+      val live = store.readLive(spark, dir).as[(Long, String)].collect().toMap
+      assert(live == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+      // time travel survives the upserts: v0 still reads pre-merge
+      assert(graft.ext.Versioned.readVersion(spark, dir, 0)
+        .select("v").as[String].collect().toSet == Set("a", "b"))
+    }
+
+    test(s"commit[${proto.name}]: manifest-store compact shrinks the LIVE file set; history intact; prune reclaims") {
+      val store = new graft.ext.ManifestStore(proto)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_mc_${proto.name.filter(_.isLetter)}").toString + "/t"
+      graft.ext.Versioned.writeVersionWith(spark, dir, proto)(tmp =>
+        spark.range(1000).toDF("id").repartition(8)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp))
+      val before = store.liveFiles(spark, dir)
+      assert(before.length == 8)
+      val stats = graft.ext.Maintenance.compact(spark, dir,
+        targetFileBytes = Long.MaxValue, store = store)
+      assert(stats.filesBefore == 8 && stats.filesAfter == 1)
+      assert(store.readLive(spark, dir).count() == 1000)
+      // the pre-compaction version is still time-travel readable …
+      assert(graft.ext.Versioned.readVersion(spark, dir, 0).count() == 1000)
+      // … until prune drops it along with its now-dead files
+      graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+      intercept[IllegalArgumentException] {
+        graft.ext.Versioned.readVersion(spark, dir, 0)
+      }
+      assert(store.readLive(spark, dir).count() == 1000)
+    }
+  }
+
+  test("commit seam: swap-store and manifest-store upserts produce identical tables") {
+    val base = java.nio.file.Files.createTempDirectory("graft_seam").toString
+    val batches = Seq(
+      Seq((1L, "a"), (2L, "b")), Seq((2L, "B"), (3L, "c")), Seq((1L, "A"), (4L, "d")))
+    val stores: Seq[(String, graft.ext.TableStore)] =
+      Seq(("swap", graft.ext.SwapStore),
+          ("manifest", graft.ext.ManifestStore.conditionalPut))
+    val results = stores.map { case (nm, store) =>
+      val dir = s"$base/$nm"
+      batches.foreach(b =>
+        graft.gold.Upsert.upsertTable(spark, dir, b.toDF("id", "v"), Seq("id"), store))
+      store.readLive(spark, dir).as[(Long, String)].collect().toMap
+    }
+    assert(results(0) == results(1))
+    assert(results(0) == Map(1L -> "A", 2L -> "B", 3L -> "c", 4L -> "d"))
+  }
+
+  test("pruneVersions: never-written table is a safe no-op (idempotent contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_fresh").toString
+    val stats = graft.ext.Versioned.pruneVersions(spark, dir + "/never_written", keepLast = 1)
+    assert(stats.versionsDropped.isEmpty && stats.dirsDeleted.isEmpty)
+    // bare existing dir with no _versions: same contract
+    val stats2 = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    assert(stats2.versionsDropped.isEmpty && stats2.dirsDeleted.isEmpty)
+  }
 }

@@ -312,7 +312,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("BM25: df/stats broadcast back, term filter below the first shuffle, top-k is TakeOrdered (q93)") {
-    val df = SparkEntry.queries("q93_bm25_search")(spark, d)
+    // eager=false: the catalog entry materializes eagerly (to release
+    // the postings cache); the shape contract needs the lazy plan,
+    // which is exactly what the eager path executes via collect()
+    val df = graft.ext.TextStats.bm25(
+      graft.Tables.documents(spark, d), "text", "doc_id",
+      Seq("spark", "join", "window", "vector"), topK = 15, eager = false)
     val plan = planOf(df)
     // the query-term isin must run map-side (inside the generate/
     // filter stage), so only postings that mention a query term reach
