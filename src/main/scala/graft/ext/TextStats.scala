@@ -479,21 +479,34 @@ object TextStats {
     * Pass 2 recounts the candidates EXACTLY (broadcast semi-join gate
     * on the same token stream, then a partial-agg groupBy whose input
     * is already candidate-only) and keeps those with freq > N/
-    * sketchSize. Sketch internals (partition boundaries, decrement
-    * order) affect only which FALSE candidates get recounted and
-    * discarded — the output is the exact deterministic heavy-hitter
-    * set, which is why it can face a plain GROUP-BY/HAVING oracle.
-    * Same gate-then-exact pattern as the Bloom-gated incremental
-    * dedup (q84). */
+    * sketchSize. N comes from the SKETCH pass: each partition's MG
+    * summary also emits its token count (one extra row per
+    * partition), and N is their sum — so the corpus is tokenized
+    * exactly TWICE (sketch + recount), never a third time for the
+    * global count (PlanSpec pins the two-scan shape). The sketch
+    * output is persisted — ≤ sketchSize+1 rows per partition, nothing
+    * next to the corpus — so its two consumers (candidate set, N)
+    * don't each re-run the pass. Sketch internals (partition
+    * boundaries, decrement order) affect only which FALSE candidates
+    * get recounted and discarded — the output is the exact
+    * deterministic heavy-hitter set, which is why it can face a plain
+    * GROUP-BY/HAVING oracle. Same gate-then-exact pattern as the
+    * Bloom-gated incremental dedup (q84). `eager` materializes the
+    * (≤ sketchSize rows) result and releases the sketch cache —
+    * eager=false keeps the lazy plan for shape contracts. */
   def heavyHitters(df: DataFrame, textCol: String,
-                   sketchSize: Int = 64): DataFrame = {
+                   sketchSize: Int = 64, eager: Boolean = true): DataFrame = {
     require(sketchSize > 1, "need sketchSize > 1")
     val spark = df.sparkSession
     import spark.implicits._
     val toked = df.select(explode(tokens(col(textCol))).as("tok"))
-    val candidates = toked.as[String].mapPartitions { it =>
+    // sketch pass: per-partition MG candidates (is_total=false, cnt
+    // unused) plus ONE per-partition token-count row (is_total=true)
+    val sketch = toked.as[String].mapPartitions { it =>
+      var n = 0L
       val counters = new scala.collection.mutable.HashMap[String, Long]
       it.foreach { t =>
+        n += 1L
         if (counters.contains(t)) counters(t) += 1L
         else if (counters.size < sketchSize - 1) counters(t) = 1L
         else {
@@ -505,10 +518,11 @@ object TextStats {
           }
         }
       }
-      counters.keysIterator
-    }.toDF("tok").distinct()
-    val total = toked.agg(count(lit(1)).as("n_tokens"))
-    toked
+      counters.keysIterator.map(k => (k, 0L, false)) ++ Iterator(("", n, true))
+    }.toDF("tok", "cnt", "is_total").persist()
+    val candidates = sketch.filter(!col("is_total")).select(col("tok")).distinct()
+    val total = sketch.filter(col("is_total")).agg(sum(col("cnt")).as("n_tokens"))
+    val result = toked
       .join(broadcast(candidates), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))
@@ -516,6 +530,15 @@ object TextStats {
       .select(col("tok"), col("freq"),
         round(col("freq").cast("double") / col("n_tokens"), 6).as("share"))
       .orderBy(col("freq").desc, col("tok"))
+    if (!eager) result
+    else {
+      // result is ≤ sketchSize rows by the MG bound — a result-sized
+      // driver pull, releasing the sketch cache (the bm25 pattern)
+      val out = result.collect()
+      sketch.unpersist(blocking = false)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1), result.schema)
+    }
   }
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased,

@@ -125,25 +125,58 @@ object Streams {
   /** Streaming decontamination gate — [[graft.ext.Dedup.decontaminate]]
     * applied at INGEST time, so benchmark text never reaches the
     * training corpus in the first place. The evaluation suite's
-    * distinct k-token window hashes are computed ONCE (batch side,
-    * driver-collected — bounded by construction: an eval suite, not a
-    * second corpus; same asymmetry argument as q68) and inlined as an
-    * array literal, so the stream-side check is a stateless
-    * `arrays_overlap` between each document's rolling window hashes
-    * and the eval set: codegen'd built-ins, no UDF, no state store, no
-    * stream-static join shuffle — a map-side filter that works in any
-    * output mode and costs nothing when the document is clean. */
+    * distinct k-token window hashes are computed ONCE (batch side —
+    * an eval suite, not a second corpus; same asymmetry argument as
+    * q68); the stream-side check is stateless either way: no UDF, no
+    * state store, no stream-static join shuffle — a map-side filter
+    * that works in any output mode and costs nothing when the
+    * document is clean.
+    *
+    * Two regimes on the eval set's size (the plan-literal guard):
+    *
+    *   - ≤ `maxExactWindows` distinct windows: the hashes inline as
+    *     an array literal and the gate is an EXACT
+    *     `arrays_overlap` — zero false drops.
+    *   - above it (a mega benchmark collection — MMLU+BBH+…, ~10⁶
+    *     windows): a typedlit array would bloat the plan by
+    *     megabytes and blow up codegen, so the gate flips to a
+    *     broadcast-able Bloom filter over the window hashes
+    *     (`might_contain` inside an `exists` over the document's
+    *     windows — the q84 runtime-filter shape). Bloom false
+    *     positives only ever drop EXTRA documents (conservative for
+    *     decontamination — no contaminated doc survives either
+    *     regime); at the default `bloomFpp` = 1e-6 the expected
+    *     false-drop rate is ~1e-6 per window, and the filter is
+    *     ~3.5 MB at 10⁶ windows vs a multi-MB expression tree. */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
-                          textCol: String, idCol: String, k: Int = 8): DataFrame = {
-    val evalHashes = graft.ext.Dedup.windowHashes(benchmark, textCol, idCol, k)
+                          textCol: String, idCol: String, k: Int = 8,
+                          maxExactWindows: Long = 65536,
+                          bloomFpp: Double = 1e-6): DataFrame = {
+    require(maxExactWindows >= 0, "maxExactWindows must be >= 0")
+    val evalWh = graft.ext.Dedup.windowHashes(benchmark, textCol, idCol, k)
       .select(col("wh")).distinct()
-      .collect().map(_.getLong(0)).toSeq
     val toks = graft.ext.TextStats.tokens(col(textCol))
     val docHashes = when(size(toks) >= k,
         graft.functions.TextFunctions.tokenWindowHashes(toks, k))
       .otherwise(array().cast("array<long>"))
-    if (evalHashes.isEmpty) docs
-    else docs.filter(!arrays_overlap(docHashes, typedlit(evalHashes)))
+    val nWindows = evalWh.count()
+    if (nWindows == 0) docs
+    else if (nWindows <= maxExactWindows) {
+      val evalHashes = evalWh.collect().map(_.getLong(0)).toSeq
+      docs.filter(!arrays_overlap(docHashes, typedlit(evalHashes)))
+    } else {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graftshim.ColumnShim
+      val bloom = evalWh.stat.bloomFilter("wh", nWindows, bloomFpp)
+      val ser = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos); bos.toByteArray
+      }
+      val hit = exists(docHashes, h => ColumnShim.column(BloomFilterMightContain(
+        Literal.create(ser, org.apache.spark.sql.types.BinaryType),
+        ColumnShim.expression(h))))
+      docs.filter(!hit)
+    }
   }
 
   case class SessionEvent(event_id: Long, user_id: Long, tsMicros: Long, value: Double)

@@ -338,8 +338,12 @@ class PlanSpec extends AnyFunSuite {
       "matched postings must compute once and cache-read for tf and df")
   }
 
-  test("heavy hitters: candidate gate broadcasts; recount partial-aggregates below its exchange (q97)") {
-    val nodes = finalPlanNodes(SparkEntry.queries("q97_heavy_hitters")(spark, d))
+  test("heavy hitters: candidate gate broadcasts; recount partial-aggregates; TWO corpus scans (q97)") {
+    // eager=false: the catalog entry materializes eagerly (to release
+    // the sketch cache); the shape contract needs the lazy plan,
+    // which is what the eager path executes via collect()
+    val nodes = finalPlanNodes(graft.ext.TextStats.heavyHitters(
+      graft.Tables.documents(spark, d), "text", sketchSize = 32, eager = false))
     // the exact recount must be gated by a broadcast semi-join on the
     // MG candidates (plus the broadcast one-row total) — never a
     // shuffle of the raw token stream against the candidate set
@@ -350,6 +354,14 @@ class PlanSpec extends AnyFunSuite {
     val aggs = countNodes(nodes, "HashAggregate")
     assert(aggs >= 2, s"expected partial+final recount aggregates, got $aggs")
     assert(countNodes(nodes, "WindowExec") == 0, "no window over the token key")
+    // genuinely two-pass: the corpus is tokenized in the sketch pass
+    // and the gated recount, and NOWHERE else — N rides out of the
+    // sketch as per-partition counts, not a third scan
+    val scans = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans <= 2, s"documents must be scanned at most twice, got $scans")
+    // both sketch consumers (candidates, N) read the persisted sketch
+    assert(countNodes(nodes, "InMemoryTableScan") >= 2,
+      "sketch output must compute once and cache-read for candidates and N")
   }
 
   test("random projection is one map-side projection: no exchange, no UDF (q96)") {

@@ -232,6 +232,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination gate Bloom regime: same verdicts, bounded plan (no literal hash array)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val probe1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val probe2 = "one two three four five six seven eight"
+    val bench = Seq((100L, probe1), (101L, probe2)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean text with nothing shared at all here truly"),
+      (2L, s"prefix words then $probe1 and a suffix"),
+      (3L, "short doc"),
+      (4L, s"$probe2 leaked right at the start of this document"),
+      (5L, "another clean document that talks about something else entirely"))
+    // maxExactWindows = 0 forces the Bloom regime on the same fixture;
+    // at fpp 1e-8 the (deterministic) filter has no false positive on
+    // these windows, so the verdicts must be IDENTICAL to the exact
+    // regime — the Bloom guarantee (no false negatives) plus measured
+    // absence of false positives here
+    val batchGate = Streams.decontaminateStream(
+      docs.toDF("doc_id", "text"), bench, "text", "doc_id",
+      maxExactWindows = 0, bloomFpp = 1e-8)
+    assert(batchGate.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // the plan must carry the Bloom binary, not a typedlit of every
+    // window hash: no array literal of the eval set in the tree
+    val plan = batchGate.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), s"expected a Bloom gate in:\n$plan")
+    assert(!plan.contains("arrays_overlap"), "Bloom regime must not inline the hash array")
+    // and the stream form still runs stateless end-to-end
+    val mem = MemoryStream[(Long, String)]
+    val gated = Streams.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text"), bench, "text", "doc_id",
+      maxExactWindows = 0, bloomFpp = 1e-8)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("decon_stream_bloom").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("decon_stream_bloom").select($"doc_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("near-dup LSH gate: streaming run equals batch; exact dup refused, clean passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
