@@ -142,22 +142,24 @@ object SparkEntry {
   // SQL fragment shared by the text queries: whitespace tokens.
   private val sqlToks = "string_split_regex(trim(lower(text)), '\\s+')"
   // SQL fragments for the BPE oracles (q55/q67/q72): the merge table
-  // inlines as two parallel list literals (the q30 inline-the-constants
-  // pattern) and the subword derivation is a recursive CTE over the
-  // DISTINCT words — state (word, symbols, rule r); each step merges
-  // the LEFTMOST occurrence of rule r or, when none remains, advances
-  // to rule r+1; rows finishing all rules are the vocabulary. Repeated
-  // leftmost merging equals the engine kernel's one-pass greedy scan
-  // (a merged symbol can never re-match its own rule). Every query
-  // then joins occurrences against the vocabulary — cheap, because
-  // distinct words ≪ occurrences.
+  // inlines as a VALUES relation (1100 rows — a per-row list literal
+  // would materialize the whole table per recursive step) and the
+  // subword derivation is a recursive CTE over the DISTINCT words —
+  // state (word, symbols, rule r); each step merges the LEFTMOST
+  // occurrence of rule r (looked up by joining the rules relation) or,
+  // when none remains, advances to rule r+1; rows finishing all rules
+  // are the vocabulary. Repeated leftmost merging equals the engine
+  // kernel's one-pass greedy scan (a merged symbol can never re-match
+  // its own rule). Every query then joins occurrences against the
+  // vocabulary — cheap, because distinct words ≪ occurrences.
   private val sqlBpeWords = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
   private val sqlBpeVocab: String = {
     val merges = graft.ext.TextStats.bpeMerges
-    val a = merges.map(m => s"'${m._1}'").mkString("[", ", ", "]")
-    val b = merges.map(m => s"'${m._2}'").mkString("[", ", ", "]")
+    val vals = merges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
     val n = merges.length
-    s"""words AS (SELECT DISTINCT w FROM (
+    s"""rules AS (SELECT * FROM (VALUES $vals) t(r, lhs, rhs)),
+       |words AS (SELECT DISTINCT w FROM (
        |  SELECT unnest($sqlBpeWords) AS w FROM documents)),
        |bpe AS (
        |  SELECT w, list_transform(range(1, len(w) + 1),
@@ -167,15 +169,16 @@ object SparkEntry {
        |  SELECT w,
        |    CASE WHEN idx IS NULL THEN syms
        |         ELSE list_slice(syms, 1, CAST(idx AS INT) - 1) ||
-       |              [$a[CAST(r AS INT) + 1] || $b[CAST(r AS INT) + 1]] ||
+       |              [lhs || rhs] ||
        |              list_slice(syms, CAST(idx AS INT) + 2, len(syms)) END AS syms,
        |    CASE WHEN idx IS NULL THEN r + 1 ELSE r END AS r
        |  FROM (
-       |    SELECT w, syms, r,
-       |      list_min(list_filter(range(1, len(syms)),
-       |        i -> syms[CAST(i AS INT)] = $a[CAST(r AS INT) + 1]
-       |         AND syms[CAST(i AS INT) + 1] = $b[CAST(r AS INT) + 1])) AS idx
-       |    FROM bpe WHERE r < $n) s
+       |    SELECT b.w, b.syms, b.r, ru.lhs, ru.rhs,
+       |      list_min(list_filter(range(1, len(b.syms)),
+       |        i -> b.syms[CAST(i AS INT)] = ru.lhs
+       |         AND b.syms[CAST(i AS INT) + 1] = ru.rhs)) AS idx
+       |    FROM bpe b JOIN rules ru ON ru.r = b.r + 1
+       |    WHERE b.r < $n) s
        |),
        |vocab AS (SELECT w, syms FROM bpe WHERE r = $n)""".stripMargin
   }
@@ -697,33 +700,59 @@ object SparkEntry {
 
     // approximate distinct-count sketch (HLL++) side-by-side with the
     // exact count — the 100 TB cardinality-estimation path (one pass,
-    // fixed memory, mergeable partials). Approx values are
-    // implementation-defined → rows-only here; the error bound is
-    // asserted in ExtSpec.
+    // fixed memory, mergeable partials). The HLL VALUE is
+    // implementation-defined, but its error BOUND is not: the query
+    // emits the exact ndv plus a Spark-computed verdict that the
+    // estimate sits within 3·rsd (rsd=0.05 default ⇒ 15%), and the
+    // oracle replays the exact ndv and hard-codes TRUE — so a
+    // drifting estimator hash-mismatches. (Tighter per-datum bounds
+    // live in ExtSpec.)
     "q46_approx_distinct" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        .agg(approx_count_distinct(col("o_custkey")).as("approx"),
           countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("o_orderstatus"), col("exact_customers"),
+          (abs(col("approx") - col("exact_customers")) <=
+            col("exact_customers") * lit(0.15)).as("hll_within_3rsd"))
         .orderBy(col("o_orderstatus"))),
 
     // approximate quantiles (Greenwald-Khanna) vs exact percentile —
-    // same single-pass/mergeable story for order statistics. The array
-    // aggregate is flattened to scalar columns (approx values are
-    // implementation-defined → still rows-only, but scorable: the
-    // driver's comparator sorts every output column, and raw arrays
-    // crash its pandas sort).
-    "q47_approx_quantiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // same single-pass/mergeable story for order statistics. The GK
+    // VALUES are implementation-defined, but the rank guarantee is
+    // not: a returned quantile must sit within ε·N ranks of its
+    // target (ε = 1/accuracy = 1e-4). The query re-ranks each
+    // approximate quantile against the data (broadcast join of the
+    // 3-row approx result back to the group) and emits the verdict —
+    // the interval [lt+1, le] of ranks the value occupies must
+    // intersect [target − εN, target + εN] (±1 slack for rank
+    // conventions); the oracle replays N and the exact p50 and
+    // hard-codes TRUE for both verdicts.
+    "q47_approx_quantiles" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
+      def rankOk(lt: Column, le: Column, n: Column, p: Double): Column = {
+        val target = n * lit(p)
+        val eps = n * lit(1e-4)
+        (lt < target + eps + 1) && (le >= target - eps - 1)
+      }
+      li.join(broadcast(approx), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("approx_p"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
-        .select(col("l_returnflag"),
-          round(element_at(col("approx_p"), 1), 4).as("approx_p50"),
-          round(element_at(col("approx_p"), 2), 4).as("approx_p90"),
-          col("exact_p50"))
-        .orderBy(col("l_returnflag"))),
+          count(lit(1)).as("n_rows"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("l_returnflag"), col("n_rows"), col("exact_p50"),
+          rankOk(col("lt50"), col("le50"), col("n_rows"), 0.5).as("p50_within_rank_tol"),
+          rankOk(col("lt90"), col("le90"), col("n_rows"), 0.9).as("p90_within_rank_tol"))
+        .orderBy(col("l_returnflag"))
+    },
 
     // IVF ANN: Lloyd-trained inverted lists; probe scans nProbe/nLists
     // of the corpus (the partition-prunable scale path). Oracle is
@@ -2559,6 +2588,26 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q26_minhash_pairs" -> s"$minhashPairsSqlBody\nORDER BY id_a, id_b",
+
+    // q46/q47 are assertion-as-data oracles: the approx VALUES are
+    // implementation-defined (HLL register layout, GK compression
+    // schedule), but their error BOUNDS are contractual — so the
+    // Spark side emits exact statistics plus a bound-check verdict,
+    // and the oracle replays the exact parts and hard-codes TRUE.
+    // A drifting estimator flips the boolean and hash-mismatches.
+    "q46_approx_distinct" ->
+      """SELECT o_orderstatus,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+        | TRUE AS hll_within_3rsd
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q47_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | TRUE AS p50_within_rank_tol,
+        | TRUE AS p90_within_rank_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // connected components over the q26 candidate pairs: transitive
     // closure (recursive CTE) → min reachable id = the same fixpoint

@@ -164,26 +164,19 @@ object TextHash {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Checked-in byte-pair merge table — a small deterministic
-    * demonstration vocabulary of common English merges in priority
-    * order (the public-knowledge BPE shape of Sennrich et al., 2016;
-    * a deployment substitutes its model's merge list, same format).
+  /** Checked-in byte-pair merge table — 1100 rules trained over the
+    * repo's own documentation by tools/bpe_train_table.py (the
+    * public-knowledge BPE shape of Sennrich et al., 2016, with this
+    * engine's exact merge conventions; a deployment substitutes its
+    * model's merge list, same format). A four-digit table exercises
+    * the bounded word cache and makes the token-denominated budgets
+    * (q55/q67/q79) meaningful, unlike a toy demo vocabulary.
     * Invariant (spec-asserted): each side of a rule is a single
     * character or the OUTPUT of an earlier rule. That ordering makes
     * sequential rule-at-a-time application exact BPE inference: a
     * merge's output can only ever pair under LATER rules, so applying
     * rule r greedily can never create a match for a rule < r. */
-  val bpeMergeTable: Array[(String, String)] = Array(
-    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
-    ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
-    ("s", "t"), ("a", "r"), ("o", "u"), ("i", "s"), ("i", "t"),
-    ("a", "l"), ("e", "d"), ("n", "g"), ("t", "o"), ("l", "e"),
-    ("c", "o"), ("d", "e"), ("s", "e"), ("m", "e"), ("h", "a"),
-    ("o", "t"), ("a", "s"), ("r", "o"), ("l", "y"), ("t", "i"),
-    ("c", "h"), ("s", "h"), ("w", "h"), ("q", "u"),
-    ("th", "e"), ("i", "ng"), ("an", "d"), ("er", "s"), ("f", "or"),
-    ("th", "at"), ("th", "is"), ("w", "as"), ("w", "it"), ("wit", "h"),
-    ("a", "re"), ("n", "ot"), ("y", "ou"), ("ti", "on"))
+  val bpeMergeTable: Array[(String, String)] = BpeMergeTable1k.rules
 
   // Per-word results memoized across rows: natural-language vocabularies
   // are Zipfian, so the same words recur millions of times at 100 TB.

@@ -301,26 +301,33 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("bpeTokens kernel == nested-fold HOF twin; hand-checked merges") {
+    // expectations independently derived by tools/bpe_train_table.py's
+    // Python replica of the greedy kernel over the checked-in
+    // 1100-rule trained table
     val hand = Seq(
-      (1L, "the cat"),            // t+h→th, th+e→the; c,a,t: a+t→at → [c,at]
+      (1L, "the cat"),            // both fully merge under the trained table
       (2L, "qqq zz"),             // no rule applies → chars
       (3L, "this, that and 42!"), // punctuation marks + digit run
       (4L, ""),                   // empty → no tokens
-      (5L, "With WITH with")      // case-folded before merging
+      (5L, "With WITH with"),     // case-folded before merging
+      (6L, "merge the small batch") // partial merge: s·m·all
     ).toDF("doc_id", "text")
     val got = hand.select($"doc_id", TextStats.bpeTokens($"text").as("t"))
       .as[(Long, Seq[String])].collect().toMap
-    assert(got(1L) == Seq("the", "c", "at"))
+    assert(got(1L) == Seq("the", "cat"))
     assert(got(2L) == Seq("q", "q", "q", "z", "z"))
-    // digits have no merges → char tokens; this/that/and fully merge
+    // digits have no merges in this table → char tokens
     assert(got(3L) == Seq("this", ",", "that", "and", "4", "2", "!"))
     assert(got(4L) == Seq.empty)
-    // (t,h) outranks (i,t), so "with" resolves w·i·th — the (w,it)
-    // and (wit,h) rules are shadowed for this word, as priority demands
-    assert(got(5L) == Seq("w", "i", "th", "w", "i", "th", "w", "i", "th"))
+    assert(got(5L) == Seq("with", "with", "with"))
+    // "small" is not a whole vocab entry: earlier (a,l)(al,l) rules
+    // consume the tail before any (s,m…) pair ranks — priority order
+    assert(got(6L) == Seq("merge", "the", "s", "m", "all", "batch"))
     // differential vs the built-in-only nested-fold formulation, on
-    // hand cases AND real data
-    for (df <- Seq(hand, Tables.documents(spark, "/root/testdata/sf0.001"))) {
+    // hand cases AND real data. The HOF twin re-folds all 1100 rules
+    // per word with no cache (its cost is the reason the kernel
+    // exists), so the real-data leg runs on a slice
+    for (df <- Seq(hand, Tables.documents(spark, "/root/testdata/sf0.001").limit(20))) {
       val diff = df.select(
         TextStats.bpeTokens($"text").as("a"),
         TextStats.bpeTokensHof($"text").as("b"))
