@@ -1033,6 +1033,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // bucketed compaction as a metered lifecycle query (q73's shape
+    // for the BUCKETED store): fragment documents across a 4-bucket
+    // catalog table (10 tasks × buckets ⇒ >4 files), OPTIMIZE-compact
+    // to exactly one file per bucket, then PROVE the layout contract
+    // survived — the co-located join against a bucketed dim plans
+    // with zero Exchange nodes (broadcast disabled so a shuffle
+    // can't hide) — and that no row was lost (order-insensitive
+    // content sum the oracle re-derives from the source table)
+    "q105_compact_bucketed" -> { (s, d) =>
+      val fact = "graft_q105_fact"
+      val dim = "graft_q105_dim"
+      graft.ext.Maintenance.recoverBucketedCompact(s, fact)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.repartition(10).write.format("parquet").bucketBy(4, "doc_id")
+        .sortBy("doc_id").mode("overwrite").saveAsTable(fact)
+      graft.operators.Bucketing.saveBucketed(
+        docs.select(col("doc_id"), length(col("text")).as("text_len")),
+        dim, "doc_id", 4)
+      val stats = graft.ext.Maintenance.compactBucketed(s, fact)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (nJoined, shuffleFree) =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = graft.operators.Bucketing.colocatedJoin(s, fact, dim, "doc_id")
+          val plan = j.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          (j.count(), !plan.contains("Exchange"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.table(fact).agg(
+        lit(stats.filesBefore > 4).as("files_before_fragmented"),
+        lit(stats.filesAfter).as("files_after"),
+        count(lit(1)).as("n_rows"),
+        lit(nJoined).as("n_joined"),
+        lit(shuffleFree).as("join_shuffle_free"),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))),
+          1, 8), 16, 10).cast("long")).as("content_sum"))
+    },
+
     // incremental materialized-view refresh: the per-customer rollup
     // built from pre-1997 history, refreshed with the 1997+ delta —
     // history is never rescanned (agg(old ∪ Δ) = agg(old) ⊕ agg(Δ));
@@ -1061,24 +1099,21 @@ object SparkEntry {
         "n_chars", loQ = 0.05, hiQ = 0.95)
         .orderBy(col("doc_id"))),
 
-    // hybrid search: dense cosine top-20 (q25's ranking) fused with
-    // sparse BM25 top-20 (q93's) by reciprocal-rank fusion — rank
-    // arithmetic over two tiny cuts, the production hybrid-retrieval
-    // combiner (no cross-scale score normalization)
+    // hybrid search END-TO-END through the single library operator:
+    // dense cosine top-20 (q25's ranking) fused with sparse BM25
+    // top-20 (q93's) by reciprocal-rank fusion — rank arithmetic over
+    // two tiny cuts, the production hybrid-retrieval combiner (no
+    // cross-scale score normalization). Same oracle as the pre-
+    // composed form: the operator must reproduce the two retrievers'
+    // rankings exactly.
     "q101_hybrid_search" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_vec"))
-      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), probe,
-          "vec_id", "embedding", k = 20)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
-        .select(col("vec_id").as("doc_id"), col("rank"))
-      val sparse = TextStats.bm25(Tables.documents(s, d), "text", "doc_id",
-          Seq("spark", "join", "window", "vector"), topK = 20)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-        .select(col("doc_id"), col("rank"))
-      Similarity.rrfFuse(dense, sparse, "doc_id", kRank = 60, topK = 10)
+      Similarity.hybridSearch(
+        emb.filter(col("vec_id") =!= 0), probe, Tables.documents(s, d),
+        "vec_id", "embedding", "text", "doc_id",
+        Seq("spark", "join", "window", "vector"),
+        kDense = 20, kSparse = 20, kRank = 60, topK = 10)
     },
 
     // the reference's ASPIRATIONAL Great Expectations gate (declared
@@ -2320,6 +2355,18 @@ object SparkEntry {
         | CAST(SUM(seen) AS BIGINT) AS n_seen,
         | ROUND(CAST(COUNT(*) - SUM(seen) AS DOUBLE) / COUNT(*), 6) AS novelty
         |FROM sj GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // compaction to one-file-per-bucket is exact (4 buckets → 4
+    // files); the zero-Exchange verdict and the fragmentation check
+    // are Spark-computed plan facts the oracle pins to TRUE; the
+    // content sum re-derives from the source table so a lost or
+    // duplicated row hash-mismatches (q73's pattern)
+    "q105_compact_bucketed" ->
+      """SELECT TRUE AS files_before_fragmented, CAST(4 AS INT) AS files_after,
+        | COUNT(*) AS n_rows, COUNT(*) AS n_joined, TRUE AS join_shuffle_free,
+        | CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8))
+        |   AS BIGINT)) AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
 
     // MV-refresh replay: the oracle aggregates the WHOLE table in one
     // pass — the incremental path must reproduce it exactly (2-dec

@@ -420,6 +420,31 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Hybrid search as ONE operator a user can call: the exact dense
+    * retriever ([[bruteForceTopK]] — q25/q30's ranking) and the BM25
+    * sparse retriever ([[graft.ext.TextStats.bm25]] — q93) each
+    * produce a top-k cut, and [[rrfFuse]] combines them. The two
+    * retrievals are independent scans fused on tiny rank tables —
+    * composing them changes nothing about either retriever's scale
+    * shape (probe broadcast + TakeOrdered dense; term-filtered
+    * postings + TakeOrdered sparse; broadcast-sized fusion). */
+  def hybridSearch(vectors: DataFrame, probe: DataFrame, docs: DataFrame,
+                   idCol: String, vecCol: String, textCol: String, docIdCol: String,
+                   queryTerms: Seq[String], kDense: Int = 20, kSparse: Int = 20,
+                   kRank: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = bruteForceTopK(vectors, probe, idCol, vecCol, kDense)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col(idCol))))
+      .select(col(idCol).as(docIdCol), col("rank"))
+    val sparse = graft.ext.TextStats.bm25(docs, textCol, docIdCol, queryTerms,
+        topK = kSparse)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(docIdCol))))
+      .select(col(docIdCol), col("rank"))
+    rrfFuse(dense, sparse, docIdCol, kRank, topK)
+  }
+
   /** Johnson–Lindenstrauss sign random projection (Achlioptas 2001,
     * public): compress each embedding to `outDims` dimensions as
     * rp[j] = ⟨v, s_j⟩ / √outDims with s_j the deterministic ±1 rows of

@@ -42,6 +42,28 @@ class ExtSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("connected components: reliable-checkpoint flag persists levels to the DFS dir, same labels") {
+    // executor loss after a localCheckpoint is job-fatal (lineage is
+    // truncated, blocks are executor-local); the flag flips level
+    // finalization to reliable checkpoint() under the configured dir
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L), (9L, 8L)).toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val got = Dedup.connectedComponents(pairs).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == expected)
+      // proof the reliable path ran: checkpoint data landed under the
+      // configured dir (localCheckpoint writes nothing there)
+      val entries = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .count()
+      assert(entries > 1, s"expected reliable checkpoint data under $ckpt")
+    } finally spark.conf.unset("spark.graft.cc.reliableCheckpoint")
+  }
+
   test("componentsFromBuckets: cross-bucket chains merge; same fixpoint as pair CC") {
     // synthetic buckets with a cross-bucket chain: {1,2,3} ∪ {3,9} and
     // an isolated {5,6} — star edges + clique seeds must still merge
@@ -1403,6 +1425,30 @@ class ExtSpec extends AnyFunSuite {
     assert(got.length == 2 && got(0) == (10L, 1))
     // the disjoint-vocab doc must not beat the mixed one
     assert(got(1)._1 == 12L)
+  }
+
+  test("hybridSearch operator == manual dense+sparse+RRF composition") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val vectors = emb.filter($"vec_id" =!= 0)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))
+    val docs = Tables.documents(spark, d)
+    val terms = Seq("spark", "join")
+    val dense = Similarity.bruteForceTopK(vectors, probe, "vec_id", "embedding", 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"vec_id")))
+      .select($"vec_id".as("doc_id"), $"rank")
+    val sparse = TextStats.bm25(docs, "text", "doc_id", terms, topK = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .select($"doc_id", $"rank")
+    val manual = Similarity.rrfFuse(dense, sparse, "doc_id")
+      .as[(Long, Double, Int)].collect().toSeq
+    val op = Similarity.hybridSearch(vectors, probe, docs,
+      "vec_id", "embedding", "text", "doc_id", terms)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(op == manual && op.nonEmpty)
   }
 
   // ─── commit-protocol seam: every crash-window case under BOTH ───
