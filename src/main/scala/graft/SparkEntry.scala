@@ -1045,6 +1045,16 @@ object SparkEntry {
       val fact = "graft_q105_fact"
       val dim = "graft_q105_dim"
       graft.ext.Maintenance.recoverBucketedCompact(s, fact)
+      // a session with a NON-persistent catalog (tests) forgets these
+      // managed tables between JVMs while their warehouse dirs
+      // survive — saveAsTable then refuses the orphaned location, so
+      // drop both table and location explicitly
+      for (t <- Seq(fact, dim, fact + "__compact_tmp")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath, t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       docs.repartition(10).write.format("parquet").bucketBy(4, "doc_id")
         .sortBy("doc_id").mode("overwrite").saveAsTable(fact)

@@ -126,9 +126,15 @@ object Sampling {
     * ~maxRows + |stratum|/nBuckets — instead of the full stratum.
     * Correctness: the N hash-smallest rows all live in buckets ≤ the
     * threshold bucket (its running count reaches N), and the window
-    * ranks survivors exactly as before. The threshold join is a
-    * per-stratum single row — AQE broadcasts it at sane stratum
-    * counts, and probe-side skew splits since the hot key streams. */
+    * ranks survivors exactly as before. The threshold join MUST be an
+    * explicit broadcast (one row per stratum — always tiny): left to
+    * the planner, the join and the downstream window share the
+    * stratum clustering, so Catalyst keeps a sort-merge join to reuse
+    * the exchange — which shuffles and SORTS the ENTIRE input on the
+    * stratum key before the prefilter can drop anything, resurrecting
+    * the exact hot-task serialization this operator exists to avoid
+    * (SKEWBENCH measured 95 s vs 5 s single-phase at 32M rows before
+    * the broadcast was forced; 2.4 s after). */
   def capPerStratumTwoPhase(df: DataFrame, idCol: String, stratumCol: String,
                             maxRows: Int, nBuckets: Int = 1024): DataFrame = {
     require(maxRows > 0 && nBuckets > 0, "maxRows and nBuckets must be positive")
@@ -137,7 +143,7 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(hashFraction(col(idCol)), col(idCol))
-    df.join(thr, Seq(stratumCol))
+    df.join(broadcast(thr), Seq(stratumCol))
       .filter(floor(hashFraction(col(idCol)) * nBuckets).cast("int") <= col("__thr"))
       .drop("__thr")
       .withColumn("cap_rank", row_number().over(w))
@@ -166,7 +172,10 @@ object Sampling {
       .partitionBy(col(stratumCol))
       .orderBy(hashFraction(col(idCol)), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.join(thr, Seq(stratumCol))
+    // explicit broadcast for the same reason as capPerStratumTwoPhase:
+    // an exchange-reusing sort-merge join would sort the full input on
+    // the stratum key ahead of the prefilter
+    df.join(broadcast(thr), Seq(stratumCol))
       .filter(floor(hashFraction(col(idCol)) * nBuckets).cast("int") <= col("__thr"))
       .drop("__thr")
       .withColumn("cum_tokens", sum(col(tokenCol)).over(w))

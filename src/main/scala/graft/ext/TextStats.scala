@@ -520,6 +520,12 @@ object TextStats {
       }
       counters.keysIterator.map(k => (k, 0L, false)) ++ Iterator(("", n, true))
     }.toDF("tok", "cnt", "is_total").persist()
+    // materialize the cache NOW: the candidate and total consumers
+    // below both land in broadcast subqueries, and Spark runs
+    // broadcast exchanges concurrently — two cache misses racing
+    // would each run the sketch pass (SKEWBENCH measured the corpus
+    // tokenized twice for it). One cheap job, then both hit cache.
+    sketch.count()
     val candidates = sketch.filter(!col("is_total")).select(col("tok")).distinct()
     val total = sketch.filter(col("is_total")).agg(sum(col("cnt")).as("n_tokens"))
     val result = toked
