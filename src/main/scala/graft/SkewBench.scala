@@ -211,7 +211,8 @@ object SkewBench {
               () => dedupSpansWindowShape(docs, 8)),
       ("q78", () => Sampling.capPerStratumTwoPhase(rows, "doc_id", "source", maxRows = 1000),
               () => Sampling.capPerStratum(rows, "doc_id", "source", maxRows = 1000)),
-      ("q97", () => TextStats.heavyHitters(longDocs, "text", sketchSize = 32),
+      ("q97", () => TextStats.heavyHitters(longDocs, "text", sketchSize = 32,
+                eager = true),
               () => heavyHittersThreeScan(longDocs, 32)))
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
       .withDefaultValue(Nil)

@@ -960,7 +960,7 @@ object SparkEntry {
     // in term order so the DuckDB twin replays the identical double sum
     "q93_bm25_search" -> ((s, d) =>
       TextStats.bm25(Tables.documents(s, d), "text", "doc_id",
-        Seq("spark", "join", "window", "vector"), topK = 15)),
+        Seq("spark", "join", "window", "vector"), topK = 15, eager = true)),
 
     // Delta time travel's role: three versioned commits (overwrite,
     // append, overwrite) into process scratch, each read back VERSION
@@ -1016,7 +1016,8 @@ object SparkEntry {
     // tokens) passes 29 at k=32; ExtSpec's skewed fixture exercises
     // the eviction path the uniform corpus can't
     "q97_heavy_hitters" -> ((s, d) =>
-      TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32)),
+      TextStats.heavyHitters(Tables.documents(s, d), "text", sketchSize = 32,
+        eager = true)),
 
     // D4-style novelty scoring: the q60 incremental fixture (history
     // = docs < 250; batch = the rest plus 50 re-ingested under new

@@ -49,7 +49,11 @@ object RenameCommit extends CommitProtocol {
   val name = "rename"
 
   def putIfAbsent(fs: FileSystem, dst: Path, content: Array[Byte]): Boolean = {
-    val tmp = new Path(dst.getParent, s".tmp-${dst.getName}")
+    // staging name must NOT share dst's extension: a directory lister
+    // keyed on the suffix (Versioned.versions() matches *.manifest)
+    // would otherwise see the in-flight stage — or, after a crash
+    // mid-commit, a permanent stray — as a (malformed) committed name
+    val tmp = new Path(dst.getParent, s".tmp-${dst.getName}.staging")
     val out = fs.create(tmp, true)
     try out.write(content)
     finally out.close()
@@ -66,10 +70,14 @@ object RenameCommit extends CommitProtocol {
   * whole object atomically with the existence check; HDFS
   * create-no-overwrite claims the name atomically at create time.
   *
-  * The generic Hadoop path uses `fs.create(dst, overwrite = false)`:
-  * atomic claim on HDFS; on a true object-store connector the create/
-  * close maps to a single whole-object PUT (an object store has no
-  * partial-file state for readers to observe). On `file://` we
+  * On a known object-store scheme the direct
+  * `fs.create(dst, overwrite = false)` + close maps to a single
+  * whole-object PUT (an object store has no partial-file state for
+  * readers to observe). On every OTHER remote scheme — HDFS above
+  * all — that create would claim the name atomically but stream the
+  * content afterwards, so a crash mid-write leaves a visible partial
+  * manifest; those delegate to [[RenameCommit]], whose rename is
+  * atomic AND claim-checking on HDFS semantics. On `file://` we
   * emulate the conditional put EXACTLY — content is written to a
   * uniquely-named sibling and then hard-linked into place
   * (`link(2)` is atomic and fails on an existing destination), so a
@@ -78,18 +86,35 @@ object RenameCommit extends CommitProtocol {
 object PutIfAbsentCommit extends CommitProtocol {
   val name = "put-if-absent"
 
+  /** Schemes where create/close maps to ONE whole-object PUT, so the
+    * name claim and the content publish are the same atomic step. On
+    * anything else (HDFS above all), create-no-overwrite claims the
+    * NAME atomically but the content streams afterwards — a crash
+    * between create and close would leave a visible partial manifest,
+    * violating the trait contract — so those fall back to
+    * stage-and-rename, which on HDFS semantics is both atomic and
+    * claim-checking. */
+  private val wholeObjectPutSchemes =
+    Set("s3a", "s3n", "s3", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
   def putIfAbsent(fs: FileSystem, dst: Path, content: Array[Byte]): Boolean = {
     val scheme = Option(dst.toUri.getScheme).getOrElse(
       fs.getUri.getScheme)
     if (scheme == "file" || scheme == null) putIfAbsentLocal(dst, content)
-    else {
+    else if (wholeObjectPutSchemes.contains(scheme)) {
       val out =
         try fs.create(dst, false)
-        catch { case _: java.io.IOException => return false } // claim lost
+        catch {
+          // only a LOST CLAIM maps to false; genuine IO failures
+          // (permissions, quota, connectivity) must surface, not be
+          // masked as "committed concurrently"
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException        => return false
+        }
       try out.write(content)
       finally out.close()
       true
-    }
+    } else RenameCommit.putIfAbsent(fs, dst, content)
   }
 
   private def putIfAbsentLocal(dst: Path, content: Array[Byte]): Boolean = {

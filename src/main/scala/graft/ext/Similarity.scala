@@ -437,8 +437,11 @@ object Similarity {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cos_sim").desc, col(idCol))))
       .select(col(idCol).as(docIdCol), col("rank"))
+    // eager: the bm25 postings cache has no release handle once this
+    // composes into the RRF fusion — materialize the ≤ kSparse rows
+    // and free it here rather than leak it past the operator boundary
     val sparse = graft.ext.TextStats.bm25(docs, textCol, docIdCol, queryTerms,
-        topK = kSparse)
+        topK = kSparse, eager = true)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col(docIdCol))))
       .select(col(docIdCol), col("rank"))

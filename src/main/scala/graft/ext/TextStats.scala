@@ -406,7 +406,7 @@ object TextStats {
     * the identical fold and round(6) absorbs ln() ulp skew. */
   def bm25(df: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-           topK: Int = 10, eager: Boolean = true): DataFrame = {
+           topK: Int = 10, eager: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     val docs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
     // one-row corpus stats; exact-int avg so every engine divides the
@@ -495,7 +495,7 @@ object TextStats {
     * (≤ sketchSize rows) result and releases the sketch cache —
     * eager=false keeps the lazy plan for shape contracts. */
   def heavyHitters(df: DataFrame, textCol: String,
-                   sketchSize: Int = 64, eager: Boolean = true): DataFrame = {
+                   sketchSize: Int = 64, eager: Boolean = false): DataFrame = {
     require(sketchSize > 1, "need sketchSize > 1")
     val spark = df.sparkSession
     import spark.implicits._

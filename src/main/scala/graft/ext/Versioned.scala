@@ -58,14 +58,20 @@ object Versioned {
   private def manifestPath(dir: String, v: Int) =
     new Path(dir, f"$VDIR/$v%08d.manifest")
 
-  /** Versions committed so far, ascending (empty for a fresh dir). */
+  private val ManifestName = """(\d{1,10})\.manifest""".r
+
+  /** Versions committed so far, ascending (empty for a fresh dir).
+    * Only names that are EXACTLY `<digits>.manifest` count: staging
+    * files, editor droppings, or anything else a crashed writer left
+    * beside the manifests must not crash the lister or masquerade as
+    * a committed version. */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val (fs, root) = fsFor(spark, dir)
     val vdir = new Path(root, VDIR)
     if (!fs.exists(vdir)) Seq.empty
     else fs.listStatus(vdir).map(_.getPath.getName)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toInt).sorted.toSeq
+      .collect { case ManifestName(digits) => digits.toInt }
+      .sorted.toSeq
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] =

@@ -1253,6 +1253,46 @@ class ExtSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_versions/.tmp-commit-00000009")))
   }
 
+  test("versioned: staging residue and malformed names never poison the version listing") {
+    // the r5 regression: RenameCommit staged to `.tmp-<v>.manifest`,
+    // which versions()'s endsWith(".manifest") lister parsed with
+    // .toInt → NumberFormatException for any concurrent reader during
+    // the commit window, and PERMANENTLY after a crash mid-commit
+    // (ManifestStore.recover is a no-op by design). Two independent
+    // fixes, both asserted here: the staging name no longer carries
+    // the .manifest suffix, and versions() accepts only names that
+    // are exactly <digits>.manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned5").toString + "/t"
+    graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fix 1: the staging file RenameCommit writes must not itself
+    // match the manifest pattern (observe the name mid-"commit" by
+    // writing it the way putIfAbsent stages)
+    for (junk <- Seq(
+        ".tmp-00000001.manifest.staging", // current staging name, crashed
+        ".tmp-00000001.manifest",         // the OLD r5 staging name
+        "garbage.manifest",               // non-numeric
+        "00000001.manifest.bak")) {       // suffixed
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"_versions/$junk"), true)
+      out.write("junk\n".getBytes("UTF-8")); out.close()
+    }
+    // fix 2: the lister ignores ALL of it — no crash, no phantom version
+    assert(graft.ext.Versioned.versions(spark, dir) == Seq(0))
+    assert(graft.ext.Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // the next write claims v1 normally despite the residue
+    val v = graft.ext.Versioned.writeVersion(
+      Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(v == 1 && graft.ext.Versioned.versions(spark, dir) == Seq(0, 1))
+    // prune sweeps the .tmp-* residue (the non-dot junk names are
+    // inert but not prune's to delete — they are not commit residue)
+    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 2)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_versions"))
+      .map(_.getPath.getName).toSet
+    assert(!left.exists(_.startsWith(".tmp-")), s"tmp residue survived prune: $left")
+  }
+
   test("versioned: a crashed write's orphan dir never blocks the retry of that version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_versioned4").toString + "/t"
     graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
