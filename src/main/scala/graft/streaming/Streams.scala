@@ -283,21 +283,32 @@ object Streams {
 
   /** The streaming-to-serving hand-off: drive [[sessionizeStream]]'s
     * emitted sessions into a gold parquet table through `foreachBatch`
-    * → [[graft.gold.Upsert.upsertParquet]]. Each micro-batch upserts
+    * → [[graft.gold.Upsert.upsertTable]]. Each micro-batch upserts
     * on (user_id, startMicros) — the stable session identity (see the
     * identity contract above; session_no resets across state
     * lifetimes, so it must NOT key the sink) — making the sink
     * idempotent under micro-batch replay: a batch re-delivered after a
     * failure overwrites its own rows instead of duplicating them.
-    * Returns the started query; callers own its lifecycle. */
+    *
+    * `store` is the commit seam ([[graft.ext.TableStore]]): the
+    * default [[graft.ext.SwapStore]] publishes by directory rename
+    * (HDFS/POSIX); a continuous writer on an object store —
+    * the reference's own substrate (S3A/MinIO,
+    * ref: mnt/spark-conf/spark-defaults.conf:4-10) — passes
+    * [[graft.ext.ManifestStore.conditionalPut]] so every micro-batch
+    * publish is a conditional manifest create with no rename on the
+    * commit path. Returns the started query; callers own its
+    * lifecycle. */
   def sessionsToGold(sessions: Dataset[SessionOut], path: String,
-                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                     checkpointDir: String,
+                     store: graft.ext.TableStore = graft.ext.SwapStore)
+  : org.apache.spark.sql.streaming.StreamingQuery =
     sessions.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
-        graft.gold.Upsert.upsertParquet(batch.sparkSession, path,
-          batch.toDF(), Seq("user_id", "startMicros"))
+        graft.gold.Upsert.upsertTable(batch.sparkSession, path,
+          batch.toDF(), Seq("user_id", "startMicros"), store)
       }
       .start()
 
@@ -348,7 +359,7 @@ object Streams {
     *      instead of duplicating (the reference's own idempotent-
     *      rerun mechanism, SURVEY §2.1 S7);
     *   3. apply the updates through the crash-safe idempotent
-    *      [[graft.gold.Upsert.upsertParquet]] swap (applying a
+    *      [[graft.gold.Upsert.upsertTable]] publish (applying a
     *      mergeChanges feed ≡ the direct merge — the q100 law — so
     *      the apply step needs no second feed pass).
     *
@@ -360,32 +371,43 @@ object Streams {
     * no-ops; the TABLE stays exact (the upsert is idempotent). Delta
     * closes that window with a transaction log spanning both writes;
     * one parquet table plus one log directory cannot, so it is
-    * documented instead (and pinned by spec). */
+    * documented instead (and pinned by spec).
+    *
+    * `store` picks the table's commit primitive: [[graft.ext.SwapStore]]
+    * (default, directory-rename publish — HDFS/POSIX) or
+    * [[graft.ext.ManifestStore.conditionalPut]] for object stores,
+    * where the table resolves through manifests and every batch
+    * commit is a conditional put (the CDC LOG needs no seam: its
+    * dynamic partition overwrite into `batch_id=N` is already
+    * idempotent under replay — re-landing a partition wholesale is
+    * the object-store-safe write shape). */
   def upsertsToGoldCdc(updates: DataFrame, path: String, logPath: String,
-                       keys: Seq[String], checkpointDir: String)
+                       keys: Seq[String], checkpointDir: String,
+                       store: graft.ext.TableStore = graft.ext.SwapStore)
   : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // recover any interrupted swap BEFORE the existence check
-        // (mirrors aggregateToGold): a prior batch that crashed
-        // mid-swap leaves the live dir parked at __old and `path`
-        // missing — without recovery the replay would take the
-        // bootstrap branch and mislabel every row 'insert' in the
-        // CDC log before upsertParquet restored the table.
-        graft.gold.Upsert.recoverSwap(path)
+        // recover any interrupted publish BEFORE the existence check:
+        // under the swap store a prior batch that crashed mid-swap
+        // leaves the live dir parked at __old and `path` missing —
+        // without recovery the replay would take the bootstrap branch
+        // and mislabel every row 'insert' in the CDC log before the
+        // upsert restored the table. (Manifest-store recovery is a
+        // no-op by construction: an uncommitted version is invisible.)
+        store.recover(spark, path)
         val deduped = graft.gold.Upsert.dedupByKeys(batch, keys)
         val feed =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-            graft.gold.Upsert.mergeChanges(spark.read.parquet(path), deduped, keys)
+          if (store.exists(spark, path))
+            graft.gold.Upsert.mergeChanges(store.readLive(spark, path), deduped, keys)
           else deduped.withColumn("_change_type", lit("insert")) // bootstrap
         feed.withColumn("batch_id", lit(batchId))
           .write.partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(logPath)
-        graft.gold.Upsert.upsertParquet(spark, path, deduped, keys)
+        graft.gold.Upsert.upsertTable(spark, path, deduped, keys, store)
       }
       .start()
 
@@ -403,36 +425,39 @@ object Streams {
     * fold it twice. Delta closes this with txn metadata; plain
     * parquet cannot, so EXACTLY-once here relies on the checkpoint
     * committing (Spark's normal guarantee) — a stricter deployment
-    * keys batches idempotently via [[upsertsToGoldCdc]] instead. */
+    * keys batches idempotently via [[upsertsToGoldCdc]] instead.
+    *
+    * `store` is the commit seam: [[graft.ext.SwapStore]] (default)
+    * publishes each refreshed view by directory swap and stages the
+    * bootstrap all-or-nothing itself; [[graft.ext.ManifestStore]]
+    * over a conditional put makes the refresh object-store-safe —
+    * every batch's view is an immutable version, which also gives the
+    * materialization free time travel. */
   def aggregateToGold(rows: DataFrame, path: String, keys: Seq[String],
-                      countCol: String, sumCols: Seq[String], checkpointDir: String)
+                      countCol: String, sumCols: Seq[String], checkpointDir: String,
+                      store: graft.ext.TableStore = graft.ext.SwapStore)
   : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // recover any interrupted swap BEFORE the existence check, so
-        // a live dir parked at __old is restored rather than
-        // re-bootstrapped over
-        graft.gold.Upsert.recoverSwap(path)
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-          // bootstrap must be all-or-nothing: a plain write that
-          // crashed mid-flight would leave a partial dir the next
-          // batch's refresh branch would read as the view — stage to
-          // the swap tmp (recoverSwap just cleared any stale one) and
-          // move into place atomically
-          val tmp = path.stripSuffix("/") + "__upsert_tmp"
-          graft.ext.Materialized.aggregate(batch, keys, countCol, sumCols)
-            .write.mode("overwrite").parquet(tmp)
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-            java.nio.file.Paths.get(path),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          ()
-        } else
-          graft.gold.Upsert.atomicRewrite(path) { tmp =>
+        // recover any interrupted publish BEFORE the existence check,
+        // so a swap-store live dir parked at __old is restored rather
+        // than re-bootstrapped over; store.rewrite stages the
+        // bootstrap all-or-nothing (a plain write that crashed
+        // mid-flight would otherwise leave a partial dir the next
+        // batch's refresh branch would read as the view)
+        store.recover(spark, path)
+        if (!store.exists(spark, path))
+          store.rewrite(spark, path) { tmp =>
+            graft.ext.Materialized.aggregate(batch, keys, countCol, sumCols)
+              .write.mode("overwrite").parquet(tmp)
+          }
+        else
+          store.rewrite(spark, path) { tmp =>
             graft.ext.Materialized.refreshAdditive(
-              spark.read.parquet(path), batch, keys, countCol, sumCols)
+              store.readLive(spark, path), batch, keys, countCol, sumCols)
               .write.parquet(tmp)
           }
       }

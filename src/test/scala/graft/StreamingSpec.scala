@@ -141,16 +141,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming sessions land in a gold table via foreachBatch upsert and re-read") {
+  // the streaming sinks are the library's continuous writers — on the
+  // reference's own object-store substrate they need the manifest
+  // store's put-if-absent commit, so every differential below runs
+  // under BOTH table stores
+  private val sinkStores: Seq[(String, graft.ext.TableStore)] =
+    Seq(("swap", graft.ext.SwapStore),
+        ("manifest", graft.ext.ManifestStore.conditionalPut))
+
+  for ((storeName, store) <- sinkStores)
+  test(s"streaming sessions land in a gold table [$storeName] via foreachBatch upsert and re-read") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
-    val base = java.nio.file.Files.createTempDirectory("graft_sess_gold").toString
+    val base = java.nio.file.Files.createTempDirectory(s"graft_sess_gold_$storeName").toString
     val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
     val events = mem.toDF.toDF("event_id", "user_id", "event_ts", "value")
     val q = Streams.sessionsToGold(
       Streams.sessionizeStream(events, gapMinutes = 30, watermark = "10 minutes"),
-      s"$base/gold/sessions", s"$base/ckpt")
+      s"$base/gold/sessions", s"$base/ckpt", store)
     try {
       mem.addData(
         (1L, 1L, t("2024-01-01 10:00:00"), 1.0),
@@ -159,13 +168,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData((4L, 1L, t("2024-01-01 20:00:00"), 1.0))
       q.processAllAvailable()
-      // the sink table is a plain parquet dir: re-read it cold
-      val gold = spark.read.parquet(s"$base/gold/sessions")
+      // the sink table is plain parquet (direct or manifest-resolved):
+      // re-read it cold through the store
+      val gold = store.readLive(spark, s"$base/gold/sessions")
         .select($"user_id", $"session_no", $"n_events")
         .as[(Long, Long, Long)].collect().toSet
       assert(gold.contains((1L, 1L, 2L)), s"expected closed session 1 in gold, got $gold")
       // upsert keyed on (user_id, startMicros): no duplicate sessions
-      val keys = spark.read.parquet(s"$base/gold/sessions")
+      val keys = store.readLive(spark, s"$base/gold/sessions")
         .select($"user_id", $"startMicros").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(keys.length == keys.distinct.length)
     } finally q.stop()
@@ -307,20 +317,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming CDC: per-batch change log partitions + exact table; replay overwrites its own log") {
+  for ((storeName, store) <- sinkStores)
+  test(s"streaming CDC [$storeName]: per-batch change log partitions + exact table; replay overwrites its own log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val base = Files.createTempDirectory("graft_cdc").toString
+    val base = Files.createTempDirectory(s"graft_cdc_$storeName").toString
     val mem = MemoryStream[(Long, String)]
     val q = Streams.upsertsToGoldCdc(mem.toDF.toDF("id", "v"),
-      s"$base/gold", s"$base/cdf", Seq("id"), s"$base/ckpt")
+      s"$base/gold", s"$base/cdf", Seq("id"), s"$base/ckpt", store)
     try {
       mem.addData((1L, "a"), (2L, "b"))
       q.processAllAvailable()
       mem.addData((2L, "B"), (3L, "c"))
       q.processAllAvailable()
       // table = the merge of both batches
-      val gold = spark.read.parquet(s"$base/gold").orderBy("id")
+      val gold = store.readLive(spark, s"$base/gold").orderBy("id")
         .as[(Long, String)].collect()
       assert(gold.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
       // log: batch 0 bootstrap inserts; batch 1 insert + pre/post pair
@@ -346,35 +357,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming MV: batches fold into the aggregate view; equals direct aggregation") {
+  for ((storeName, store) <- sinkStores)
+  test(s"streaming MV [$storeName]: batches fold into the aggregate view; equals direct aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val base = Files.createTempDirectory("graft_mv").toString
+    val base = Files.createTempDirectory(s"graft_mv_$storeName").toString
     val mem = MemoryStream[(Long, Double)]
     val q = Streams.aggregateToGold(mem.toDF.toDF("k", "x"),
-      s"$base/view", Seq("k"), "n", Seq("x"), s"$base/ckpt")
+      s"$base/view", Seq("k"), "n", Seq("x"), s"$base/ckpt", store)
     try {
       mem.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
       q.processAllAvailable()
       mem.addData((2L, 7.0), (3L, 1.0))
       q.processAllAvailable()
-      val got = spark.read.parquet(s"$base/view").orderBy("k")
+      val got = store.readLive(spark, s"$base/view").orderBy("k")
         .as[(Long, Long, Double)].collect()
       assert(got.toSeq == Seq((1L, 2L, 30.0), (2L, 2L, 12.0), (3L, 1L, 1.0)))
     } finally q.stop()
-    // crash window: a bootstrap that died mid-write leaves only the
-    // swap tmp — the next stream must restore/refresh correctly, not
-    // read a partial dir as the view
-    val base2 = Files.createTempDirectory("graft_mv2").toString
-    Files.createDirectories(java.nio.file.Paths.get(s"$base2/view__upsert_tmp"))
-    Files.writeString(java.nio.file.Paths.get(s"$base2/view__upsert_tmp/garbage"), "partial")
+    // crash window: a bootstrap that died mid-write must not be read
+    // as the view by the next stream. Each store's residue differs:
+    // swap leaves the staged tmp dir; the manifest store leaves an
+    // orphaned uncommitted data dir (no manifest references it)
+    val base2 = Files.createTempDirectory(s"graft_mv2_$storeName").toString
+    val wreck = store match {
+      case graft.ext.SwapStore => s"$base2/view__upsert_tmp"
+      case _                   => s"$base2/view/v00000000_data"
+    }
+    Files.createDirectories(java.nio.file.Paths.get(wreck))
+    Files.writeString(java.nio.file.Paths.get(s"$wreck/garbage"), "partial")
     val mem2 = MemoryStream[(Long, Double)]
     val q2 = Streams.aggregateToGold(mem2.toDF.toDF("k", "x"),
-      s"$base2/view", Seq("k"), "n", Seq("x"), s"$base2/ckpt")
+      s"$base2/view", Seq("k"), "n", Seq("x"), s"$base2/ckpt", store)
     try {
       mem2.addData((7L, 3.0))
       q2.processAllAvailable()
-      val got2 = spark.read.parquet(s"$base2/view").as[(Long, Long, Double)].collect()
+      val got2 = store.readLive(spark, s"$base2/view").as[(Long, Long, Double)].collect()
       assert(got2.toSeq == Seq((7L, 1L, 3.0)))
     } finally q2.stop()
   }
