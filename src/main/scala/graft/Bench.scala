@@ -55,7 +55,13 @@ object Bench {
     // quiet-box reference).
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd}""")
+    // structural contention stamp (round-6 ask): a run started on a
+    // busy box (1-min loadavg > 1) is self-labelled so no reader ever
+    // has to re-derive from load_start whether the numbers are
+    // comparable — QUIET_BENCH.md holds the settled-box reference and
+    // contended artifacts are for failure-detection only
+    val contended = loadStart > 1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd,"contended":$contended}""")
     spark.stop()
   }
 }

@@ -42,13 +42,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` with the epoch-nanos `ts` long converted to a proper
-    * TimestampType column `event_ts` (microsecond precision — Spark's
-    * native resolution; DuckDB's nanos truncate identically when cast). */
+  /** `events` with `ts` normalized to a TimestampType `event_ts`
+    * column at microsecond precision (Spark's native resolution).
+    * The driver has shipped `events.parquet` with `ts` as both
+    * TIMESTAMP(NANOS) (surfacing as epoch-nanos LongType under the
+    * legacy flag) and TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ),
+    * so the conversion dispatches on the read schema; the oracle side
+    * needs no twin because DuckDB's `epoch_ns()` accepts either
+    * physical precision. */
   def eventsWithTs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // `div` = exact integral division; `/` would detour through double
-    // and lose low bits at 1e18-scale epoch nanos.
-    events(s, d).withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val raw = events(s, d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` = exact integral division; `/` would detour through
+        // double and lose low bits at 1e18-scale epoch nanos.
+        raw.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // NTZ wall-clock == UTC instant under the pinned UTC session
+        raw.withColumn("event_ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

@@ -204,9 +204,21 @@ object Similarity {
     * whose upstream can replay set `guardIds=true`: appended ids
     * anti-join the existing index first (an id-column-pruned scan of
     * the index — cheap relative to the write, and the same idempotence
-    * the repo's upsert sinks provide). */
+    * the repo's upsert sinks provide).
+    *
+    * Every append leaves one file per (write task, touched list) pair,
+    * so a continuous-ingest index accumulates small files without
+    * bound — at 100 TB the per-file open/footer overhead would come to
+    * dominate every probe's pruned scan. `maxFilesPerList` bounds
+    * that: when any list directory exceeds it after the append, the
+    * index is [[ivfCompact]]ed back to one file per list in place
+    * (same crash-safe swap as [[ivfRetrainSwap]]). Compaction rewrites
+    * layout only — assignments, row content, and serve results are
+    * unchanged (asserted in ExtSpec). Pass `Int.MaxValue` to manage
+    * compaction externally. */
   def ivfAppend(vectors: DataFrame, idCol: String, vecCol: String, path: String,
-                cents: Seq[Array[Double]], guardIds: Boolean = false): Unit = {
+                cents: Seq[Array[Double]], guardIds: Boolean = false,
+                maxFilesPerList: Int = 16): Unit = {
     val fresh =
       if (guardIds)
         vectors.join(vectors.sparkSession.read.parquet(path).select(col(idCol)),
@@ -215,7 +227,43 @@ object Similarity {
     fresh
       .withColumn("list_id", assignedList(col(vecCol), cents))
       .write.mode("append").partitionBy("list_id").parquet(path)
+    if (indexMaxFilesPerList(vectors.sparkSession, path) > maxFilesPerList)
+      ivfCompact(vectors.sparkSession, path)
   }
+
+  /** Max parquet-file count over a materialized index's list
+    * directories — the [[ivfAppend]] compaction trigger. One recursive
+    * Hadoop-FS listing (works on any supported storage), no Spark job. */
+  def indexMaxFilesPerList(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        counts(f.getPath.getParent.toString) += 1
+    }
+    if (counts.isEmpty) 0 else counts.values.max
+  }
+
+  /** Partition-preserving compaction of a materialized IVF index:
+    * rewrite to ONE file per list directory while keeping the
+    * `list_id=` layout probes prune on. [[Maintenance.compact]] is the
+    * wrong tool here — it repartitions by size and would flatten the
+    * partition dirs, turning every later probe's directory prune back
+    * into a full scan. Routing the rewrite through
+    * `repartition(col("list_id"))` puts each list in exactly one task,
+    * so the partitioned write emits exactly one file per list; the
+    * swap is the same crash-safe protocol as [[ivfRetrainSwap]]
+    * (readers see old layout until the atomic rename; every crash
+    * window recovers on the next call). */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.gold.Upsert.atomicRewrite(path) { tmp =>
+      spark.read.parquet(path)
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(tmp)
+    }
 
   /** Retrain-and-swap — the rebuild half of the IVF lifecycle:
     * [[ivfAppend]] keeps serving live between rebuilds, but appended

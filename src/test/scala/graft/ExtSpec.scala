@@ -838,6 +838,51 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx2).select("vec_id").distinct().count() == corpus.count())
   }
 
+  test("ivfAppend: crossing maxFilesPerList compacts to one file per list, serve unchanged") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString + "/idx"
+    val cents = Similarity.ivfWriteIndex(corpus.filter($"vec_id" <= 10),
+      "vec_id", "embedding", idx, nLists = 2)
+    // drip-feed appends one id at a time: each append adds one file to
+    // the id's list dir, so file counts grow without bound until the
+    // threshold trips
+    val ids = corpus.filter($"vec_id" > 10).select($"vec_id")
+      .as[Long].collect().sorted.take(6)
+    val afterCounts = ids.map { id =>
+      Similarity.ivfAppend(corpus.filter($"vec_id" === id), "vec_id", "embedding",
+        idx, cents, maxFilesPerList = 3)
+      Similarity.indexMaxFilesPerList(spark, idx)
+    }
+    // the post-append invariant: a list never ends a call above the
+    // threshold — either it stayed under, or compaction reset it
+    assert(afterCounts.forall(_ <= 3), s"threshold breached: $afterCounts")
+    // 6 single-id appends into 2 lists put >= 3 extra files on some
+    // list (pigeonhole), so compaction MUST have tripped at least
+    // once — observable as a post-append max of exactly 1 (an append
+    // always leaves >= 2 files on the touched list otherwise)
+    assert(afterCounts.contains(1), s"compaction never tripped: $afterCounts")
+    // compaction changed layout only: same rows, same serve results as
+    // an uncompacted control index built from the identical sequence
+    val ctl = java.nio.file.Files.createTempDirectory("graft_ivf_compact_ctl").toString + "/idx"
+    Similarity.ivfWriteIndex(corpus.filter($"vec_id" <= 10), "vec_id", "embedding", ctl,
+      nLists = 2)
+    ids.foreach { id =>
+      Similarity.ivfAppend(corpus.filter($"vec_id" === id), "vec_id", "embedding",
+        ctl, cents, maxFilesPerList = Int.MaxValue)
+    }
+    assert(spark.read.parquet(idx).count() == spark.read.parquet(ctl).count())
+    val gotC = Similarity.ivfTopKIndexed(spark, idx, cents, probe,
+      "vec_id", "embedding", k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val wantC = Similarity.ivfTopKIndexed(spark, ctl, cents, probe,
+      "vec_id", "embedding", k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(gotC.nonEmpty && gotC == wantC)
+    // no swap debris
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx + "__old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx + "__upsert_tmp")))
+  }
+
   test("ivfRetrainSwap: retrained index equals full-corpus training; rows survive the swap") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_vec"))

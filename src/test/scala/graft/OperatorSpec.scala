@@ -161,12 +161,15 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("as-of joins reject unit-unsafe key/time columns loudly") {
+    // an explicit epoch-long column (the shape the nanos-era events
+    // table used to surface natively) — LongType passes the per-column
+    // long-backed check but must be rejected when PAIRED with a
+    // timestamp column, since raw long comparison can't mix scales
     val events = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
-      .select($"event_id", $"user_id", $"event_ts", $"ts", $"event_type")
+      .select($"event_id", $"user_id", $"event_ts",
+        unix_micros($"event_ts").as("ts"), $"event_type")
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
       .select($"o_custkey", $"o_orderdate")
-    // native: epoch-nanos LongType vs TimestampType both pass the
-    // long-backed check but mix scales — must be rejected as a pair
     val e1 = intercept[IllegalArgumentException] {
       graft.plans.AsOfJoinNative.joinAsOfBackward(
         events, orders, "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderdate"))
