@@ -1082,6 +1082,27 @@ object SparkEntry {
           1, 8), 16, 10).cast("long")).as("content_sum"))
     },
 
+    // the object-store commit path under the hard oracle: q06's MERGE
+    // semantics executed THROUGH ManifestStore.conditionalPut — the
+    // bootstrap commits version 1 via a conditional manifest create
+    // (no rename on any commit path), the upsert commits version 2,
+    // and the served result is the manifest-RESOLVED live state. The
+    // oracle is q06's SQL verbatim: the versioned layout must be
+    // invisible in the data. Re-running converges (same upserts on the
+    // merged state reproduce it), so bench passes are stable.
+    "q106_upsert_manifest" -> { (s, d) =>
+      val store = graft.ext.ManifestStore.conditionalPut
+      val tbl = scratchPath("manifest_upsert", d)
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"))
+      Upsert.upsertTable(s, tbl, target, Seq("o_orderkey"), store)
+      Upsert.upsertTable(s, tbl, updates, Seq("o_orderkey"), store)
+      store.readLive(s, tbl).orderBy(col("o_orderkey"))
+    },
+
     // incremental materialized-view refresh: the per-customer rollup
     // built from pre-1997 history, refreshed with the 1997+ delta —
     // history is never rescanned (agg(old ∪ Δ) = agg(old) ⊕ agg(Δ));
@@ -1374,6 +1395,22 @@ object SparkEntry {
     "q80_image_decode" -> ((s, d) =>
       Multimodal.imageFeatures(Multimodal.synthesizeBmp(Tables.documents(s, d), "doc_id"))
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+          col("r00"), col("b_last"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("rs_mean_r"), 6).as("rs_mean_r"))
+        .orderBy(col("media_id"))),
+
+    // the COMPRESSED-image tier: synthesize real PNGs (zlib-deflated
+    // scanlines via the JDK's ImageIO — any browser opens them),
+    // decode, and report the same feature shape as q80. PNG is
+    // LOSSLESS, so the decoded pixels equal the md5 synthesis formula
+    // and the oracle replays it codec-free; compressed size is
+    // writer-dependent and deliberately not a feature
+    "q107_png_decode" -> ((s, d) =>
+      Multimodal.pngFeatures(Multimodal.synthesizePng(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("width"), col("height"),
           col("r00"), col("b_last"),
           round(col("mean_r"), 6).as("mean_r"),
           round(col("mean_g"), 6).as("mean_g"),
@@ -1976,6 +2013,28 @@ object SparkEntry {
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
     },
 
+    "q107_png_decode" -> {
+      // nearest-neighbor source indices for the 11×5 → 4×2 resize,
+      // from the SAME integer formula Codecs.resizeNearest uses
+      val rsIdx = (for (y <- 0 until 2; x <- 0 until 4)
+        yield (y * 5 / 2) * 11 + (x * 11 / 4)).mkString(", ")
+      def ch(off: Int) =
+        s"CAST(concat('0x', substr(md5('png:' || CAST(doc_id AS VARCHAR) || ':' || CAST(t.range AS VARCHAR)), $off, 2)) AS INT)"
+      s"""WITH px AS (
+        |  SELECT doc_id, CAST(t.range AS INT) AS i,
+        |    ${ch(1)} AS r, ${ch(3)} AS g, ${ch(5)} AS b
+        |  FROM documents, range(0, 55) t)
+        |SELECT doc_id AS media_id, CAST(11 AS INT) AS width, CAST(5 AS INT) AS height,
+        | CAST(MAX(CASE WHEN i = 0 THEN r END) AS INT) AS r00,
+        | CAST(MAX(CASE WHEN i = 54 THEN b END) AS INT) AS b_last,
+        | ROUND(CAST(SUM(r) AS DOUBLE) / 55.0, 6) AS mean_r,
+        | ROUND(CAST(SUM(g) AS DOUBLE) / 55.0, 6) AS mean_g,
+        | ROUND(CAST(SUM(b) AS DOUBLE) / 55.0, 6) AS mean_b,
+        | ROUND(CAST(SUM(CASE WHEN i IN ($rsIdx) THEN r ELSE 0 END) AS DOUBLE) / 8.0, 6)
+        |   AS rs_mean_r
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+    },
+
     "q81_audio_decode" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(t.range AS INT) AS j,
@@ -2485,6 +2544,10 @@ object SparkEntry {
     // derive-feed → apply-feed round-trips to the direct MERGE:
     // q100's oracle IS q06's SQL verbatim
     "q100_apply_changes" -> mergeUpsertSql,
+    // same MERGE, but committed through the object-store manifest
+    // protocol and read back via manifest resolution — the store must
+    // be invisible in the data, so q06's SQL is the oracle again
+    "q106_upsert_manifest" -> mergeUpsertSql,
 
     "q88_zorder_key" -> {
       // 16-bit Morton interleave spelled out as 32 shift/mask terms —

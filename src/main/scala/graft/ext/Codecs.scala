@@ -1,20 +1,24 @@
 package graft.ext
 
-/** REAL media codecs in pure JVM — no native libraries: BMP (24-bit
-  * uncompressed, BITMAPINFOHEADER) and WAV (PCM 16-bit LE). These are
-  * genuine interchange formats — a file produced here opens in any
-  * image viewer / audio player — so the multimodal pipeline's decode
-  * stage is demonstrated with real parsing (magic numbers, header
-  * layout, row padding, sample framing), not a stub. Compressed
-  * formats (JPEG/PNG/MP3) need codec libraries this container doesn't
-  * ship; [[Multimodal.StubDecoder]] remains the documented seam for
-  * those, and these codecs show the seam filled for the formats pure
-  * byte logic can honestly cover.
+/** REAL media codecs with no native libraries: BMP (24-bit
+  * uncompressed, BITMAPINFOHEADER) and WAV (PCM 16-bit LE) parsed by
+  * hand, and PNG through `javax.imageio.ImageIO` — part of every
+  * standard JDK, so the COMPRESSED-format tier is honestly covered
+  * without external codec dependencies. All are genuine interchange
+  * formats — a file produced here opens in any image viewer / audio
+  * player — so the multimodal pipeline's decode stage is demonstrated
+  * with real parsing (magic numbers, header layout, row padding,
+  * sample framing, zlib inflate via the JDK), not a stub. Formats the
+  * JDK cannot decode (JPEG is in ImageIO but lossy — features would
+  * not be oracle-replayable; MP3/video are absent entirely) keep
+  * [[Multimodal.StubDecoder]] as the documented seam.
   *
   * Layout references are the public format specs: BMP = 14-byte
   * BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + bottom-up rows padded
   * to 4 bytes, pixels B,G,R; WAV = 12-byte RIFF/WAVE + "fmt " chunk
-  * (PCM, mono here) + "data" chunk of little-endian int16 samples.
+  * (PCM, mono here) + "data" chunk of little-endian int16 samples;
+  * PNG = 8-byte signature + IHDR/IDAT(zlib)/IEND chunks (RFC 2083),
+  * handled by the JDK reader.
   */
 object Codecs {
 
@@ -134,6 +138,75 @@ object Codecs {
       y += 1
     }
     Image(newW, newH, out)
+  }
+
+  // ---- PNG (via javax.imageio — JDK-standard) --------------------------
+
+  private val PngSignature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode top-down RGB pixels as a PNG through the JDK's ImageIO
+    * writer. PNG is LOSSLESS, so a decode of the result returns the
+    * input pixels bit-exactly — the property the oracle leans on
+    * (compressed SIZE is writer-dependent and deliberately not a
+    * feature anywhere). */
+  def encodePng(img: Image): Array[Byte] = {
+    require(img.width > 0 && img.height > 0, "empty image")
+    require(img.rgb.length == img.width * img.height * 3,
+      s"rgb length ${img.rgb.length} != w*h*3")
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
+          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, "png", bos),
+      "no PNG writer in this JRE")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG via the JDK reader into the same top-down [[Image]]
+    * layout as [[decodeBmp]]. Malformed input fails LOUDLY: a missing
+    * 8-byte signature is rejected before the reader runs, and a
+    * corrupt stream (ImageIO returns null or throws) surfaces as an
+    * error — never garbage pixels. */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(bytes != null && bytes.length >= PngSignature.length,
+      "PNG too short for signature")
+    require(PngSignature.indices.forall(i => bytes(i) == PngSignature(i)),
+      "not a PNG (missing signature)")
+    val bi =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.imageio.IIOException =>
+          throw new IllegalArgumentException(s"corrupt PNG: ${e.getMessage}", e)
+      }
+    require(bi != null, "corrupt PNG: reader produced no image")
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    require(w > 0 && h > 0, s"unsupported PNG dims ${w}x$h")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = bi.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((px >> 16) & 0xff).toByte
+        rgb(d + 1) = ((px >> 8) & 0xff).toByte
+        rgb(d + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, rgb)
   }
 
   // ---- WAV (PCM 16-bit mono) -------------------------------------------

@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
   * metadata, plus the decode/feature-extract stage shape.
   *
   * Two tiers of "decode":
-  *  - REAL codecs for the formats pure byte logic honestly covers —
-  *    24-bit BMP and PCM-16 WAV via [[Codecs]]: genuine header
-  *    parsing, row padding, bottom-up un-flip, RIFF chunk walking,
+  *  - REAL codecs — 24-bit BMP and PCM-16 WAV parsed by hand, and
+  *    COMPRESSED PNG through the JDK's `javax.imageio`, all via
+  *    [[Codecs]]: genuine header parsing, row padding, bottom-up
+  *    un-flip, RIFF chunk walking, zlib-inflated scanlines,
   *    nearest-neighbor resampling on real pixels. Exercised end to
-  *    end by q80/q81, whose DuckDB oracles recompute the expected
-  *    decoded features from the synthesis formula with no codec.
+  *    end by q80/q81/q107, whose DuckDB oracles recompute the
+  *    expected decoded features from the synthesis formula with no
+  *    codec (PNG being lossless is what makes its features
+  *    replayable; compressed size is writer-dependent and never a
+  *    feature).
   *  - [[StubDecoder]] for formats that need native codec libraries
-  *    this container doesn't ship (JPEG/PNG/MP3/H.264) — a documented
-  *    deterministic fake behind the same `mapPartitions` seam; swap in
-  *    javacv / a Pandas-UDF sidecar in production.
+  *    this container doesn't ship (MP3/H.264; JPEG decodes in the JDK
+  *    but is lossy, so its features would not be oracle-replayable) —
+  *    a documented deterministic fake behind the same `mapPartitions`
+  *    seam; swap in javacv / a Pandas-UDF sidecar in production.
   */
 object Multimodal {
 
@@ -192,12 +197,61 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Synthesized PNG geometry: 11×5 (55 pixels) — deliberately
+    * different from the BMP tier so the two oracles can never mask
+    * each other. */
+  val PngW = 11
+  val PngH = 5
+
+  /** Pixel channels for the PNG tier: first three bytes of
+    * md5("png:id:i") — a distinct seed namespace from the BMP tier's
+    * md5("id:i"), replayed by the oracle with substr(md5(...)). */
+  private def pngPixelBytes(md: java.security.MessageDigest, id: Long, i: Int): Array[Byte] = {
+    md.reset()
+    md.update(s"png:$id:$i".getBytes("US-ASCII"))
+    md.digest()
+  }
+
+  /** Deterministic REAL PNG per document id, encoded through the JDK's
+    * ImageIO writer — a genuinely COMPRESSED interchange format
+    * (zlib-deflated scanlines; any browser opens the payload). PNG is
+    * lossless, so the decoded pixels equal the md5 formula exactly and
+    * the oracle stays codec-free. */
+  def synthesizePng(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val rgb = new Array[Byte](PngW * PngH * 3)
+        var i = 0
+        while (i < PngW * PngH) {
+          val dg = pngPixelBytes(md, id, i)
+          rgb(3 * i) = dg(0); rgb(3 * i + 1) = dg(1); rgb(3 * i + 2) = dg(2)
+          i += 1
+        }
+        val bytes = Codecs.encodePng(Codecs.Image(PngW, PngH, rgb))
+        Row(id, bytes, "image/png", Row("synthetic", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** REAL image features: parse the BMP (magic, headers, padding,
     * bottom-up un-flip), then per-channel means, the two orientation-
     * pinning corner samples, and the mean of a REAL nearest-neighbor
     * resize to `rsW`×`rsH` — decode → transform → featurize, the full
     * production pipeline shape. Malformed payloads fail loudly. */
-  def imageFeatures(media: DataFrame, rsW: Int = 5, rsH: Int = 3): DataFrame = {
+  def imageFeatures(media: DataFrame, rsW: Int = 5, rsH: Int = 3): DataFrame =
+    imageFeaturesWith(media, rsW, rsH, Codecs.decodeBmp _)
+
+  /** [[imageFeatures]] over the COMPRESSED tier: identical feature
+    * kernel, PNG decode (JDK ImageIO) instead of the hand parser. */
+  def pngFeatures(media: DataFrame, rsW: Int = 4, rsH: Int = 2): DataFrame =
+    imageFeaturesWith(media, rsW, rsH, Codecs.decodePng _)
+
+  private def imageFeaturesWith(media: DataFrame, rsW: Int, rsH: Int,
+                                decode: Array[Byte] => Codecs.Image): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -214,7 +268,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val img = Codecs.decodeBmp(bytes)
+        val img = decode(bytes)
         val n = img.width * img.height
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0

@@ -332,7 +332,7 @@ class ExtSpec extends AnyFunSuite {
       (3L, "this, that and 42!"), // punctuation marks + digit run
       (4L, ""),                   // empty → no tokens
       (5L, "With WITH with"),     // case-folded before merging
-      (6L, "merge the small batch") // partial merge: s·m·all
+      (6L, "merge the small batch") // all four are corpus vocabulary now
     ).toDF("doc_id", "text")
     val got = hand.select($"doc_id", TextStats.bpeTokens($"text").as("t"))
       .as[(Long, Seq[String])].collect().toMap
@@ -342,9 +342,9 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3L) == Seq("this", ",", "that", "and", "4", "2", "!"))
     assert(got(4L) == Seq.empty)
     assert(got(5L) == Seq("with", "with", "with"))
-    // "small" is not a whole vocab entry: earlier (a,l)(al,l) rules
-    // consume the tail before any (s,m…) pair ranks — priority order
-    assert(got(6L) == Seq("merge", "the", "s", "m", "all", "batch"))
+    // the corpus-first retrain makes every documents-corpus word a
+    // single token — "small" and "batch" merge whole now
+    assert(got(6L) == Seq("merge", "the", "small", "batch"))
     // differential vs the built-in-only nested-fold formulation, on
     // hand cases AND real data. The HOF twin re-folds all 1100 rules
     // per word with no cache (its cost is the reason the kernel
@@ -1085,6 +1085,30 @@ class ExtSpec extends AnyFunSuite {
     assert(px(up, 2, 0) == px(tiny, 1, 0) && px(up, 3, 3) == px(tiny, 1, 1))
   }
 
+  test("PNG codec: lossless round-trip through ImageIO, loud rejection of corrupt input") {
+    import graft.ext.Codecs
+    val rgb = Array.tabulate(11 * 5 * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val img = Codecs.Image(11, 5, rgb)
+    val bytes = Codecs.encodePng(img)
+    // a real PNG: signature + IHDR immediately after
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    assert(new String(bytes.slice(12, 16), "US-ASCII") == "IHDR")
+    // lossless: decoded pixels equal the input bit-exactly
+    val back = Codecs.decodePng(bytes)
+    assert(back.width == 11 && back.height == 5 && back.rgb.toSeq == rgb.toSeq)
+    // rejection tier 1: wrong/missing signature (a BMP, arbitrary text)
+    intercept[IllegalArgumentException] { Codecs.decodePng("definitely not a png".getBytes) }
+    intercept[IllegalArgumentException] {
+      Codecs.decodePng(Codecs.encodeBmp(Codecs.Image(2, 2, new Array[Byte](12))))
+    }
+    // rejection tier 2: valid signature, garbage stream — must error,
+    // never hand back garbage pixels
+    val corrupt = bytes.take(8) ++ Array.fill[Byte](64)(0x5a)
+    intercept[Exception] { Codecs.decodePng(corrupt) }
+    // rejection tier 3: truncated mid-IDAT
+    intercept[Exception] { Codecs.decodePng(bytes.dropRight(bytes.length / 2)) }
+  }
+
   test("WAV codec: round-trip identity, unknown-chunk skipping, loud rejection") {
     import graft.ext.Codecs
     val samples = Array.tabulate(333)(j => ((j * 91) % 65536 - 32768).toShort)
@@ -1114,6 +1138,19 @@ class ExtSpec extends AnyFunSuite {
     assert(af.forall(r => r.getInt(1) == 8000 &&
       r.getInt(2) == Multimodal.wavSampleCount(r.getLong(0)) &&
       r.getInt(6) <= 2048))
+    // PNG tier: decoded geometry matches, and one image's channel mean
+    // equals the synthesis formula recomputed here (lossless proof)
+    val png = Multimodal.synthesizePng(docs, "doc_id")
+    val pf = Multimodal.pngFeatures(png).orderBy("media_id").collect()
+    assert(pf.length == 20)
+    assert(pf.forall(r => r.getInt(1) == 11 && r.getInt(2) == 5))
+    val id0 = pf.head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantMeanR = (0 until 55).map { i =>
+      md.reset(); md.update(s"png:$id0:$i".getBytes("US-ASCII"))
+      md.digest()(0) & 0xff
+    }.sum.toDouble / 55.0
+    assert(math.abs(pf.head.getDouble(6) - wantMeanR) < 1e-9)
   }
 
   test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
