@@ -150,6 +150,41 @@ object Sampling {
       .filter(col("cap_rank") <= maxRows)
   }
 
+  /** Decision half of [[capPerStratumAdaptive]]: does any stratum hold
+    * more than `hotFactor × maxRows` rows? One groupBy-count whose key
+    * space is the strata (map-side partial aggregation crushes a hot
+    * key — counting CANNOT itself be skew-victimized the way the
+    * window can) and a single driver-side max. Exposed separately so
+    * callers (and the spec) can observe which plan the adaptive form
+    * picked; at 100 TB the same answer can come from catalog/ANALYZE
+    * statistics instead of this scan. */
+  def stratumCapNeedsTwoPhase(df: DataFrame, stratumCol: String,
+                              maxRows: Int, hotFactor: Int = 8): Boolean = {
+    require(maxRows > 0 && hotFactor > 0, "maxRows and hotFactor must be positive")
+    val top = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__max")).head()
+    !top.isNullAt(0) && top.getLong(0) > maxRows.toLong * hotFactor
+  }
+
+  /** Histogram-chooser stratum cap: picks [[capPerStratum]] (one
+    * shuffle, no extra pass) when every stratum is within
+    * `hotFactor × maxRows` rows — the window input is small, so the
+    * two-phase histogram pass would cost more than it saves — and
+    * [[capPerStratumTwoPhase]] (histogram prefilter, bounded window
+    * input) when some stratum is hot enough that the exact top-N
+    * window would serialize on one task. Both branches produce
+    * IDENTICAL rows (the two-phase construction's invariant, asserted
+    * again by the adaptive spec on both fixture shapes); only the plan
+    * differs. The decision costs one count-by-stratum scan — a small
+    * fraction of the phase-1 histogram it potentially avoids. */
+  def capPerStratumAdaptive(df: DataFrame, idCol: String, stratumCol: String,
+                            maxRows: Int, hotFactor: Int = 8,
+                            nBuckets: Int = 1024): DataFrame =
+    if (stratumCapNeedsTwoPhase(df, stratumCol, maxRows, hotFactor))
+      capPerStratumTwoPhase(df, idCol, stratumCol, maxRows, nBuckets)
+    else
+      capPerStratum(df, idCol, stratumCol, maxRows)
+
   /** Two-phase [[capTokensPerStratum]] — identical output, bounded
     * window input (same construction as [[capPerStratumTwoPhase]],
     * with token sums as the histogram weight). The kept prefix ends at

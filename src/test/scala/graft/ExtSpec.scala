@@ -972,6 +972,43 @@ class ExtSpec extends AnyFunSuite {
     assert(!tTwo.exists(_._2 == "ghost"))
   }
 
+  test("adaptive stratum cap: single-phase on uniform strata, two-phase on a hot one, outputs identical") {
+    import graft.ext.Sampling
+    // uniform fixture: 8 strata × 100 rows, maxRows 25 → no stratum
+    // beyond hotFactor × maxRows (8 × 25 = 200) — the histogram pass
+    // would cost more than it saves
+    val uniform = spark.range(800).select($"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 8)).as("source"))
+    assert(!Sampling.stratumCapNeedsTwoPhase(uniform, "source", maxRows = 25))
+    // hot fixture: one 20k-row stratum → the exact window would
+    // serialize it onto one task; the chooser must flip
+    val hot = spark.range(20000).select($"id".as("doc_id"), lit("hot").as("source"))
+      .union(spark.range(20000, 20020).select($"id".as("doc_id"), lit("cold").as("source")))
+    assert(Sampling.stratumCapNeedsTwoPhase(hot, "source", maxRows = 25))
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.select($"doc_id", $"source", $"cap_rank").as[(Long, String, Int)]
+        .collect().toSeq.sorted
+    // identical outputs on BOTH fixtures, whichever branch runs
+    for (df <- Seq(uniform, hot)) {
+      val want = rows(Sampling.capPerStratum(df, "doc_id", "source", maxRows = 25))
+      val got = rows(Sampling.capPerStratumAdaptive(df, "doc_id", "source",
+        maxRows = 25, nBuckets = 256))
+      assert(got == want && got.nonEmpty)
+    }
+    // the choice is visible in the plan: only the hot branch carries
+    // the phase-1 threshold join (__thr); the uniform branch is the
+    // plain window
+    val uniformPlan = Sampling.capPerStratumAdaptive(uniform, "doc_id", "source", 25)
+      .queryExecution.analyzed.toString
+    val hotPlan = Sampling.capPerStratumAdaptive(hot, "doc_id", "source", 25)
+      .queryExecution.analyzed.toString
+    assert(!uniformPlan.contains("__thr") && hotPlan.contains("__thr"))
+    // empty input: no strata → never "hot", single-phase, empty result
+    val empty = uniform.filter(lit(false))
+    assert(!Sampling.stratumCapNeedsTwoPhase(empty, "source", maxRows = 25))
+    assert(Sampling.capPerStratumAdaptive(empty, "doc_id", "source", 25).count() == 0)
+  }
+
   test("bucketed compaction: one file per bucket, layout contract survives, crash windows recover") {
     import graft.ext.Maintenance
     import graft.operators.Bucketing
