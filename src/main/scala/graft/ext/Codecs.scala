@@ -145,6 +145,15 @@ object Codecs {
   private val PngSignature =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode and
+  // decode creates (and fsyncs) a temp file. For whole-in-memory
+  // byte-array payloads that is pure overhead — measured 6.1 s for
+  // 5000 13x5 PNGs at sf0.1 before, dominated by temp-file churn that
+  // also bled into neighboring bench queries. Memory-cached streams
+  // are the correct mode for byte-array round-trips; set once, process
+  // wide (ImageIO reads the flag per call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode top-down RGB pixels as a PNG through the JDK's ImageIO
     * writer. PNG is LOSSLESS, so a decode of the result returns the
     * input pixels bit-exactly — the property the oracle leans on
