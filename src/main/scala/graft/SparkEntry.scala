@@ -1418,6 +1418,19 @@ object SparkEntry {
           round(col("rs_mean_r"), 6).as("rs_mean_r"))
         .orderBy(col("media_id"))),
 
+    // the MULTI-FRAME container tier: synthesize real animated GIFs
+    // (3-5 grayscale frames through the identity palette — lossless),
+    // decode EVERY frame through the JDK reader, and fan each clip out
+    // to per-frame rows — frame extraction from a genuine container,
+    // the honest stand-in for the video seam. The oracle replays the
+    // md5 gray formula per (frame, pixel), codec-free
+    "q108_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrameFeatures(Multimodal.synthesizeGif(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("frame_no"), col("n_frames"),
+          col("width"), col("height"), col("g00"), col("g_last"),
+          round(col("mean_gray"), 6).as("mean_gray"))
+        .orderBy(col("media_id"), col("frame_no"))),
+
     // REAL audio codec end to end: synthesize PCM-16 WAVs (samples
     // from integer arithmetic), decode through genuine RIFF chunk
     // walking, and report endpoint/peak/RMS features the oracle
@@ -2034,6 +2047,22 @@ object SparkEntry {
         |   AS rs_mean_r
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
     },
+
+    "q108_gif_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(t.range AS INT) AS fr, CAST(3 + doc_id % 3 AS INT) AS nf
+        |  FROM documents, range(0, 5) t WHERE t.range < 3 + doc_id % 3),
+        |px AS (
+        |  SELECT doc_id, fr, nf, CAST(p.range AS INT) AS i,
+        |    CAST(concat('0x', substr(md5('gif:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(fr AS VARCHAR) || ':' || CAST(p.range AS VARCHAR)), 1, 2)) AS INT) AS v
+        |  FROM f, range(0, 40) p)
+        |SELECT doc_id AS media_id, fr AS frame_no, nf AS n_frames,
+        | CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+        | CAST(MAX(CASE WHEN i = 0 THEN v END) AS INT) AS g00,
+        | CAST(MAX(CASE WHEN i = 39 THEN v END) AS INT) AS g_last,
+        | ROUND(CAST(SUM(v) AS DOUBLE) / 40.0, 6) AS mean_gray
+        |FROM px GROUP BY doc_id, fr, nf ORDER BY media_id, frame_no""".stripMargin,
 
     "q81_audio_decode" ->
       """WITH s AS (

@@ -218,6 +218,113 @@ object Codecs {
     Image(w, h, rgb)
   }
 
+  // ---- Animated GIF (multi-frame, via javax.imageio) -------------------
+
+  /** Decoded multi-frame grayscale clip: `frames(f)(y * width + x)` is
+    * the 0–255 gray value of pixel (x, y) in frame f. */
+  final case class Frames(width: Int, height: Int, frames: Seq[Array[Byte]])
+
+  /** The identity 256-gray palette: palette index i IS gray value i,
+    * so encoding through it is exact — GIF's 256-color limit costs
+    * nothing when the source is 8-bit grayscale, which is what makes
+    * the round-trip lossless and the features oracle-replayable. */
+  private def grayColorModel: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode grayscale frames as a REAL multi-frame animated GIF
+    * through the JDK's sequence writer — a genuine container format
+    * (any browser plays the result); the video-pipeline stand-in whose
+    * per-frame decode [[decodeGifFrames]] exercises for real. */
+  def encodeGifFrames(clip: Frames): Array[Byte] = {
+    require(clip.width > 0 && clip.height > 0, "empty frame geometry")
+    require(clip.frames.nonEmpty, "need at least one frame")
+    require(clip.frames.forall(_.length == clip.width * clip.height),
+      "every frame must be width*height gray bytes")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // the JDK GIF writer INTERLACES by default, and the interlaced
+      // round-trip corrupts rows for frames shorter than the first
+      // interlace stride (measured: every width at height 2-3 loses
+      // rows; heights 1 and >=6 survive). Plain row order is exact at
+      // every geometry — and frame features don't care about
+      // progressive rendering
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      clip.frames.foreach { data =>
+        val img = new java.awt.image.BufferedImage(clip.width, clip.height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayColorModel)
+        img.getRaster.setDataElements(0, 0, clip.width, clip.height, data)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF via the JDK reader. Each frame is
+    * read independently (the writer above emits full frames, so no
+    * disposal compositing applies) and flattened back to gray bytes
+    * through the color model — the round-trip inverse of
+    * [[encodeGifFrames]]. Malformed input fails LOUDLY: signature
+    * check first, reader errors surfaced. */
+  def decodeGifFrames(bytes: Array[Byte]): Frames = {
+    require(bytes != null && bytes.length >= 6, "GIF too short for signature")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF89a" || sig == "GIF87a", s"not a GIF (signature '$sig')")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)), false)
+      val n =
+        try reader.getNumImages(true)
+        catch {
+          case e: javax.imageio.IIOException =>
+            throw new IllegalArgumentException(s"corrupt GIF: ${e.getMessage}", e)
+        }
+      require(n > 0, "corrupt GIF: no frames")
+      var w = -1
+      var h = -1
+      val frames = (0 until n).map { i =>
+        val bi =
+          try reader.read(i)
+          catch {
+            case e: javax.imageio.IIOException =>
+              throw new IllegalArgumentException(s"corrupt GIF frame $i: ${e.getMessage}", e)
+          }
+        if (i == 0) { w = bi.getWidth; h = bi.getHeight }
+        // sub-rectangle frames would need disposal compositing — the
+        // full-frame writer above never emits them, and a decoder that
+        // silently treated a partial frame as full would return wrong
+        // pixels, so reject instead
+        require(bi.getWidth == w && bi.getHeight == h,
+          s"GIF frame $i is ${bi.getWidth}x${bi.getHeight}, expected ${w}x$h " +
+            "(sub-rectangle frames unsupported)")
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // gray = any channel of the palette entry (identity ramp)
+            out(y * w + x) = (bi.getRGB(x, y) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      Frames(w, h, frames)
+    } finally reader.dispose()
+  }
+
   // ---- WAV (PCM 16-bit mono) -------------------------------------------
 
   final case class Audio(sampleRate: Int, samples: Array[Short])

@@ -237,6 +237,74 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Synthesized GIF geometry: 8×5 frames, 3 + id%3 frames per clip —
+    * variable frame counts exercise the 1:N decode fan-out for real. */
+  val GifW = 8
+  val GifH = 5
+  def gifFrameCount(id: Long): Int = 3 + (id % 3).toInt
+
+  /** Gray value of (frame f, pixel i) of media `id`: first byte of
+    * md5("gif:id:f:i") — replayed by the oracle with substr(md5(...)). */
+  private def gifPixel(md: java.security.MessageDigest, id: Long, f: Int, i: Int): Byte = {
+    md.reset()
+    md.update(s"gif:$id:$f:$i".getBytes("US-ASCII"))
+    md.digest()(0)
+  }
+
+  /** Deterministic REAL animated GIF per document id — a genuine
+    * multi-frame container (any browser plays it), the honest stand-in
+    * for the video tier: frame EXTRACTION from a real container is
+    * exercised end to end, only the codec inside the container is
+    * simpler than H.264. Grayscale through the identity palette keeps
+    * the round-trip lossless and the oracle codec-free. */
+  def synthesizeGif(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val frames = (0 until gifFrameCount(id)).map(f =>
+          Array.tabulate(GifW * GifH)(i => gifPixel(md, id, f, i)))
+        val bytes = Codecs.encodeGifFrames(Codecs.Frames(GifW, GifH, frames))
+        Row(id, bytes, "image/gif", Row("synthetic", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL per-frame features off a decoded multi-frame container: one
+    * media row fans out to one row per frame (the video-pipeline
+    * frame-sample shape, with REAL frames instead of byte slices) with
+    * clip-level frame count and per-frame gray stats. Malformed
+    * payloads fail loudly. */
+  def gifFrameFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("g00", IntegerType, nullable = false),
+      StructField("g_last", IntegerType, nullable = false),
+      StructField("mean_gray", DoubleType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val clip = Codecs.decodeGifFrames(r.getAs[Array[Byte]](1))
+        val n = clip.width * clip.height
+        clip.frames.zipWithIndex.map { case (g, f) =>
+          var s = 0L
+          var i = 0
+          while (i < n) { s += g(i) & 0xff; i += 1 }
+          Row(id, f, clip.frames.length, clip.width, clip.height,
+            g(0) & 0xff, g(n - 1) & 0xff, s.toDouble / n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL image features: parse the BMP (magic, headers, padding,
     * bottom-up un-flip), then per-channel means, the two orientation-
     * pinning corner samples, and the mean of a REAL nearest-neighbor

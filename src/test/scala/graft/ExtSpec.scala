@@ -1146,6 +1146,30 @@ class ExtSpec extends AnyFunSuite {
     intercept[Exception] { Codecs.decodePng(bytes.dropRight(bytes.length / 2)) }
   }
 
+  test("GIF codec: lossless multi-frame round-trip, loud rejection of corrupt input") {
+    import graft.ext.Codecs
+    // 4 frames, 9x6, full gray range exercised
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(9 * 6)(i => ((f * 61 + i * 5) % 256).toByte))
+    val bytes = Codecs.encodeGifFrames(Codecs.Frames(9, 6, frames))
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val back = Codecs.decodeGifFrames(bytes)
+    assert(back.width == 9 && back.height == 6 && back.frames.length == 4)
+    // lossless through the identity gray palette: every frame bit-exact
+    (back.frames zip frames).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
+    // one frame round-trips too
+    val one = Codecs.decodeGifFrames(
+      Codecs.encodeGifFrames(Codecs.Frames(3, 2, Seq(Array[Byte](0, 127, -1, 5, 9, 13)))))
+    assert(one.frames.length == 1 && one.frames.head.toSeq == Seq[Byte](0, 127, -1, 5, 9, 13))
+    // rejection: wrong signature; valid signature with garbage body
+    intercept[IllegalArgumentException] { Codecs.decodeGifFrames("not a gif at all".getBytes) }
+    intercept[Exception] {
+      Codecs.decodeGifFrames("GIF89a".getBytes ++ Array.fill[Byte](40)(0x11))
+    }
+    // truncated mid-stream
+    intercept[Exception] { Codecs.decodeGifFrames(bytes.take(bytes.length / 2)) }
+  }
+
   test("WAV codec: round-trip identity, unknown-chunk skipping, loud rejection") {
     import graft.ext.Codecs
     val samples = Array.tabulate(333)(j => ((j * 91) % 65536 - 32768).toShort)
@@ -1188,6 +1212,23 @@ class ExtSpec extends AnyFunSuite {
       md.digest()(0) & 0xff
     }.sum.toDouble / 55.0
     assert(math.abs(pf.head.getDouble(6) - wantMeanR) < 1e-9)
+    // GIF tier: clip fan-out is 1:n_frames with the documented count,
+    // and one frame's mean equals the synthesis formula (lossless)
+    val gif = Multimodal.synthesizeGif(docs, "doc_id")
+    val gf = Multimodal.gifFrameFeatures(gif).orderBy("media_id", "frame_no").collect()
+    val byClip = gf.groupBy(_.getLong(0))
+    assert(byClip.size == 20)
+    assert(byClip.forall { case (id, rows) =>
+      rows.length == Multimodal.gifFrameCount(id) &&
+        rows.forall(r => r.getInt(2) == rows.length && r.getInt(3) == 8 && r.getInt(4) == 5)
+    })
+    val gRow = gf.head
+    val wantMeanG = (0 until 40).map { i =>
+      md.reset()
+      md.update(s"gif:${gRow.getLong(0)}:${gRow.getInt(1)}:$i".getBytes("US-ASCII"))
+      md.digest()(0) & 0xff
+    }.sum.toDouble / 40.0
+    assert(math.abs(gRow.getDouble(7) - wantMeanG) < 1e-9)
   }
 
   test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
