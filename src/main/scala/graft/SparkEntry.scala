@@ -1100,6 +1100,11 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"))
       Upsert.upsertTable(s, tbl, target, Seq("o_orderkey"), store)
       Upsert.upsertTable(s, tbl, updates, Seq("o_orderkey"), store)
+      // retention: each call commits two more versions; pruning to the
+      // last two bounds storage across repeated passes (bench) — the
+      // VACUUM half of the manifest lifecycle, exercised in the same
+      // query that exercises the commit half
+      graft.ext.Versioned.pruneVersions(s, tbl, keepLast = 2)
       store.readLive(s, tbl).orderBy(col("o_orderkey"))
     },
 
@@ -1430,6 +1435,20 @@ object SparkEntry {
           col("width"), col("height"), col("g00"), col("g_last"),
           round(col("mean_gray"), 6).as("mean_gray"))
         .orderBy(col("media_id"), col("frame_no"))),
+
+    // REAL DSP over the decoded PCM stream: a 3-coefficient Goertzel
+    // resonator bank (exact-binary-fraction coefficients — the
+    // engine-portable form; textbook bins swap in c = 2cos(2πk/N))
+    // folded sequentially per clip, with the oracle replaying the
+    // identical second-order recurrence in a recursive CTE
+    "q109_audio_resonance" -> ((s, d) =>
+      Multimodal.audioResonatorFeatures(
+        Multimodal.synthesizeWav(Tables.documents(s, d), "doc_id"))
+        .select(col("media_id"), col("n_samples"),
+          round(col("p0"), 6).as("p0"),
+          round(col("p1"), 6).as("p1"),
+          round(col("p2"), 6).as("p2"))
+        .orderBy(col("media_id"))),
 
     // REAL audio codec end to end: synthesize PCM-16 WAVs (samples
     // from integer arithmetic), decode through genuine RIFF chunk
@@ -2063,6 +2082,33 @@ object SparkEntry {
         | CAST(MAX(CASE WHEN i = 39 THEN v END) AS INT) AS g_last,
         | ROUND(CAST(SUM(v) AS DOUBLE) / 40.0, 6) AS mean_gray
         |FROM px GROUP BY doc_id, fr, nf ORDER BY media_id, frame_no""".stripMargin,
+
+    // the resonator recurrence replayed step-by-step: recursive CTE
+    // state (doc, j, [s1, s2] per coefficient), sample j derived
+    // inline from q81's synthesis formula; identical IEEE op order
+    // makes the fold bit-exact across engines (struct-accumulator
+    // list_reduce miscomputes multi-field folds in DuckDB 1.0 —
+    // measured — hence the CTE form)
+    "q109_audio_resonance" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 57 AS INT) AS n, 0 AS j,
+        |    CAST(0 AS DOUBLE) AS s1a, CAST(0 AS DOUBLE) AS s2a,
+        |    CAST(0 AS DOUBLE) AS s1b, CAST(0 AS DOUBLE) AS s2b,
+        |    CAST(0 AS DOUBLE) AS s1c, CAST(0 AS DOUBLE) AS s2c
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, n, j + 1,
+        |    v + 0.5*s1a - s2a, s1a,
+        |    v + 1.25*s1b - s2b, s1b,
+        |    v + 1.875*s1c - s2c, s1c
+        |  FROM (SELECT r.*,
+        |          CAST(((j * ((doc_id % 31) + 3) + 17) % 4096) - 2048 AS DOUBLE)/2048.0 AS v
+        |        FROM r WHERE j < n) t)
+        |SELECT doc_id AS media_id, n AS n_samples,
+        | ROUND(s1a*s1a + s2a*s2a - 0.5*s1a*s2a, 6) AS p0,
+        | ROUND(s1b*s1b + s2b*s2b - 1.25*s1b*s2b, 6) AS p1,
+        | ROUND(s1c*s1c + s2c*s2c - 1.875*s1c*s2c, 6) AS p2
+        |FROM r WHERE j = n ORDER BY media_id""".stripMargin,
 
     "q81_audio_decode" ->
       """WITH s AS (

@@ -417,6 +417,61 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** The engine-portable resonator coefficients: exact binary
+    * fractions, so c·s is a correctly-rounded IEEE product on every
+    * engine and the recursion replays bit-identically. Each c is a
+    * Goertzel kernel at ω = acos(c/2) — textbook DFT bins are the
+    * same recurrence with c = 2·cos(2πk/N), a constant swap whose
+    * transcendental value would differ across engines' cos in the
+    * last ulp (and a recursion amplifies last-ulp differences). */
+  val ResonatorCoeffs: Seq[Double] = Seq(0.5, 1.25, 1.875)
+
+  /** REAL DSP over decoded PCM — a Goertzel resonator bank: for each
+    * coefficient c the second-order recurrence
+    * s₁' = x + c·s₁ − s₂, s₂' = s₁ runs over the normalized samples
+    * (x = sample/2048 — a power-of-two scale, exact), and the
+    * reported energy is s₁² + s₂² − c·s₁·s₂ (the standard Goertzel
+    * power form). This is frequency-selective feature extraction the
+    * production audio-curation pass runs (voice-band energy,
+    * silence/tone detection) — not byte stats; it consumes the REAL
+    * decoded sample stream and its oracle replays the identical
+    * recurrence in a recursive CTE. Sequential per-clip fold inside
+    * one task: bit-stable, and clips parallelize across the corpus
+    * (the same shape as every decode stage here). */
+  def audioResonatorFeatures(media: DataFrame,
+                             coeffs: Seq[Double] = ResonatorCoeffs): DataFrame = {
+    require(coeffs.nonEmpty, "need at least one coefficient")
+    val spark = media.sparkSession
+    val outSchema = StructType(
+      StructField("media_id", LongType, nullable = false) +:
+      StructField("n_samples", IntegerType, nullable = false) +:
+      coeffs.indices.map(i =>
+        StructField(s"p$i", DoubleType, nullable = false)))
+    val cs = coeffs.toArray
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val audio = Codecs.decodeWav(r.getAs[Array[Byte]](1))
+        val s = audio.samples
+        val powers = cs.map { c =>
+          var s1 = 0.0
+          var s2 = 0.0
+          var j = 0
+          while (j < s.length) {
+            val x = s(j) / 2048.0
+            val next = x + c * s1 - s2
+            s2 = s1
+            s1 = next
+            j += 1
+          }
+          s1 * s1 + s2 * s2 - c * s1 * s2
+        }
+        Row.fromSeq(id +: s.length +: powers.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-source byte accounting over the opaque payloads — the kind of
     * manifest stat a 100 TB media crawl needs before any decode. */
   def byteStats(media: DataFrame): DataFrame =

@@ -1229,6 +1229,25 @@ class ExtSpec extends AnyFunSuite {
       md.digest()(0) & 0xff
     }.sum.toDouble / 40.0
     assert(math.abs(gRow.getDouble(7) - wantMeanG) < 1e-9)
+    // resonator bank: bit-exact against an independent replica of the
+    // recurrence over the synthesis formula (not the decode path)
+    val res = Multimodal.audioResonatorFeatures(wav).orderBy("media_id").collect()
+    assert(res.length == 20)
+    res.take(3).foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.wavSampleCount(id)
+      assert(r.getInt(1) == n)
+      Multimodal.ResonatorCoeffs.zipWithIndex.foreach { case (c, ci) =>
+        var s1 = 0.0; var s2 = 0.0
+        (0 until n).foreach { j =>
+          val x = Multimodal.wavSample(id, j) / 2048.0
+          val nx = x + c * s1 - s2
+          s2 = s1; s1 = nx
+        }
+        assert(r.getDouble(2 + ci) == s1 * s1 + s2 * s2 - c * s1 * s2,
+          s"resonator p$ci mismatch for id=$id")
+      }
+    }
   }
 
   test("multimodal built-in resize/frameSample match the UDF codec-seam forms") {
