@@ -13,6 +13,9 @@ import org.apache.hadoop.fs.Path
   * {{{
   *   dir/_versions/00000000.manifest   one line per live data dir
   *   dir/v00000000_data/part-*.parquet immutable; never rewritten
+  *   dir/v00000002_dv/part-*.parquet   deletion vector: keys masked
+  *                                     out of v2+ reads (line format
+  *                                     `dv:<keyCol>:<dirName>`)
   * }}}
   *
   * Each write lands its rows in a fresh `v<N>_data` directory, then
@@ -87,6 +90,25 @@ object Versioned {
     finally in.close()
   }
 
+  /** A manifest line is either a bare data-dir name or a deletion
+    * vector, `dv:<keyCol>:<dirName>` — a parquet dir of keys whose
+    * rows are masked out of every read of this version. */
+  private sealed trait Entry { def name: String }
+  private final case class DataEntry(name: String) extends Entry
+  private final case class DvEntry(keyCol: String, name: String) extends Entry
+
+  private def parseEntry(line: String): Entry =
+    if (line.startsWith("dv:")) {
+      val rest = line.drop(3)
+      val i = rest.indexOf(':')
+      require(i > 0 && i < rest.length - 1,
+        s"malformed deletion-vector manifest line: $line")
+      DvEntry(rest.substring(0, i), rest.substring(i + 1))
+    } else DataEntry(line)
+
+  private def entries(spark: SparkSession, dir: String, v: Int): Seq[Entry] =
+    readManifest(spark, dir, v).map(parseEntry)
+
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
     * previous version's file set. Returns the committed version.
@@ -152,21 +174,69 @@ object Versioned {
         s"version $v at $dir was committed concurrently — retry the write")
   }
 
-  /** Absolute data-dir paths of the NEWEST version — the live file
-    * set a [[ManifestStore]] resolves (older versions' dirs coexist
-    * on disk until pruned and are not part of the live state). */
+  /** Absolute paths of every dir the NEWEST version references — data
+    * dirs AND deletion-vector dirs (both are part of the live state a
+    * retention pass must not reclaim; older versions' dirs coexist on
+    * disk until pruned). */
   def liveDataDirs(spark: SparkSession, dir: String): Seq[String] = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
-    readManifest(spark, dir, v).map(rel => new Path(new Path(dir), rel).toString)
+    entries(spark, dir, v).map(e => new Path(new Path(dir), e.name).toString)
   }
 
-  /** `VERSION AS OF v`: one multi-path parquet scan over the dirs the
-    * manifest lists. */
+  /** Delta deletion vectors' role (public design: DELETE marks rows
+    * dead in a sidecar instead of rewriting data files): commit a new
+    * version that references the SAME immutable data dirs plus a
+    * small parquet dir of deleted KEYS. No data file is touched —
+    * DELETE costs one key-set write + one manifest commit regardless
+    * of table size, and time travel to any pre-delete version still
+    * sees the rows. Reads of this and later versions anti-join the
+    * key set (broadcast-sized against a 100 TB table). The mask is
+    * KEY-level, not positional: an append that re-introduces a
+    * deleted key stays masked until a physical rewrite — the contract
+    * erasure workloads (GDPR) actually want, where a re-crawled row
+    * must STAY deleted; Delta's positional vectors make the opposite
+    * choice. The next Overwrite version (upsert, compaction) applies
+    * the mask physically — its writer reads through [[readVersion]],
+    * which already subtracts the keys — and drops the dv references;
+    * [[pruneVersions]] then reclaims the dv dirs. Returns the new
+    * version id. */
+  def deleteByKeys(spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
+                   protocol: CommitProtocol = RenameCommit): Int = {
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"keyCol must be word-shaped (it is embedded in the manifest), got '$keyCol'")
+    val (fs, root) = fsFor(spark, dir)
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val v = prev + 1
+    val dvDir = f"v$v%08d_dv"
+    val dvPath = new Path(root, dvDir)
+    // same crashed-attempt rule as writeVersionWith: an uncommitted dv
+    // dir is invisible wreckage, clear it for the retry
+    if (fs.exists(dvPath)) fs.delete(dvPath, true)
+    keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
+      .write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
+    commitManifest(spark, dir, v,
+      readManifest(spark, dir, prev) :+ s"dv:$keyCol:$dvDir", protocol)
+    v
+  }
+
+  /** `VERSION AS OF v`: one multi-path parquet scan over the version's
+    * data dirs, minus the keys of its deletion vectors (one anti-join
+    * per distinct key column — key sets are tiny next to the data, so
+    * the join broadcasts). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
-    val paths = readManifest(spark, dir, v)
-      .map(rel => new Path(new Path(dir), rel).toString)
-    spark.read.parquet(paths: _*)
+    val es = entries(spark, dir, v)
+    def abs(name: String) = new Path(new Path(dir), name).toString
+    val base = spark.read.parquet(es.collect { case DataEntry(n) => abs(n) }: _*)
+    es.collect { case DvEntry(k, n) => (k, abs(n)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(base) { case (df, (k, dvs)) =>
+        df.join(
+          spark.read.parquet(dvs.map(_._2): _*)
+            .select(org.apache.spark.sql.functions.col(k)).distinct(),
+          Seq(k), "left_anti")
+      }
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -204,10 +274,14 @@ object Versioned {
       return PruneStats(Seq.empty, Seq.empty)
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
-    val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    // live names span BOTH dir kinds: a deletion-vector dir referenced
+    // by a surviving manifest is load-bearing (reclaiming it would
+    // resurrect deleted rows)
+    val live = keep.flatMap(entries(spark, dir, _)).map(_.name).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dead = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && p.getName.endsWith("_data") &&
+      .filter(p => p.getName.startsWith("v") &&
+        (p.getName.endsWith("_data") || p.getName.endsWith("_dv")) &&
         !live.contains(p.getName))
     dead.foreach(fs.delete(_, true))
     // staging files from commits that crashed between create and

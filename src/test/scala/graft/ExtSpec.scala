@@ -1395,6 +1395,59 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned deletion vectors: delete masks without rewriting; key-level across appends; overwrite applies; prune reclaims") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned_dv").toString + "/t"
+    def files(): Set[String] = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getAbsolutePath).filter(_.endsWith(".parquet")).toSet
+    }
+    val v0 = Versioned.writeVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"), dir)
+    val dataFilesBefore = files()
+    // DELETE ids 2 and 4: no data file is touched or added beyond the
+    // tiny key set; the live read masks them
+    val v1 = Versioned.deleteByKeys(spark, dir, Seq(2L, 4L).toDF("id"), "id")
+    assert((v0, v1) == (0, 1))
+    assert(dataFilesBefore.subsetOf(files()), "delete must not rewrite data files")
+    def ids(v: Int) = Versioned.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().toSet
+    assert(ids(1) == Set(1L, 3L))
+    // time travel: the pre-delete version still sees every row
+    assert(ids(0) == Set(1L, 2L, 3L, 4L))
+    // KEY-level contract: an append that re-introduces a deleted key
+    // stays masked (erasure semantics), new keys appear
+    Versioned.writeVersion(Seq((4L, "d2"), (5L, "e")).toDF("id", "v"), dir, SaveMode.Append)
+    assert(ids(2) == Set(1L, 3L, 5L))
+    // a second delete on the same key column composes
+    Versioned.deleteByKeys(spark, dir, Seq(5L).toDF("id"), "id")
+    assert(ids(3) == Set(1L, 3L))
+    // the next OVERWRITE applies the mask physically (its writer reads
+    // through the masked view) and drops the dv references…
+    Versioned.writeVersion(Versioned.readLatest(spark, dir), dir)
+    assert(ids(4) == Set(1L, 3L))
+    // …and pruning history reclaims every dv dir
+    Versioned.pruneVersions(spark, dir, keepLast = 1)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.exists(_.endsWith("_dv")), s"dv dirs not reclaimed: $left")
+    assert(ids(4) == Set(1L, 3L))
+    // dv dirs referenced by SURVIVING manifests are load-bearing and
+    // must survive a prune that keeps them
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_versioned_dv2").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir2)
+    Versioned.deleteByKeys(spark, dir2, Seq(2L).toDF("id"), "id")
+    Versioned.pruneVersions(spark, dir2, keepLast = 1)
+    assert(Versioned.readLatest(spark, dir2)
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // malformed key columns refuse up front (manifest embeds the name)
+    intercept[IllegalArgumentException] {
+      Versioned.deleteByKeys(spark, dir2, Seq(1L).toDF("id"), "id:evil")
+    }
+  }
+
   test("versioned: uncommitted data dir is invisible; prune reclaims it and expired versions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_versioned2").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(dir)
