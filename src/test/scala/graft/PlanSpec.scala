@@ -164,6 +164,27 @@ class PlanSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("deletion-vector read: one multi-dir scan, key mask is a broadcast anti-join (q110)") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_plan").toString + "/t"
+    val base = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Versioned.writeVersion(base, dir)
+    Versioned.deleteByKeys(spark, dir,
+      base.filter(col("o_totalprice") > 180000).select(col("o_orderkey")), "o_orderkey")
+    val served = Versioned.readLatest(spark, dir)
+    val plan = executedPlanOf(served)
+    // the mask must never shuffle the table: the key set broadcasts
+    // into a LeftAnti hash join (at 100 TB the keys are tiny next to
+    // the data; a sort-merge anti would re-sort the corpus per read)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$plan")
+    // and the data side is ONE parquet scan over the manifest's dirs
+    assert("Scan parquet".r.findAllIn(plan).length == 2, // data + dv key set
+      s"expected exactly data+dv scans in:\n$plan")
+  }
+
   test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
     // q62 chunking: scan → project → generate, no exchange at all
     // (formatted explain lists partitionings in the Arguments: lines)
