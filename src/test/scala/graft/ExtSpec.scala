@@ -1799,7 +1799,36 @@ class ExtSpec extends AnyFunSuite {
         graft.ext.Versioned.readVersion(spark, dir, 0)
       }
       assert(store.readLive(spark, dir).count() == 1000)
+      // deletion vectors thread through the SAME compaction: a DELETE
+      // then compact applies the mask physically (the compactor reads
+      // the masked live view) and drops the dv reference
+      graft.ext.Versioned.deleteByKeys(spark, dir,
+        spark.range(500).toDF("id"), "id", proto)
+      assert(store.readLive(spark, dir).count() == 500)
+      graft.ext.Maintenance.compact(spark, dir,
+        targetFileBytes = Long.MaxValue, store = store)
+      assert(store.readLive(spark, dir).count() == 500)
+      graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+      val leftover = new java.io.File(dir).listFiles().map(_.getName)
+      assert(!leftover.exists(_.endsWith("_dv")), s"dv survived apply+prune: ${leftover.toSeq}")
+      assert(store.readLive(spark, dir).count() == 500)
     }
+  }
+
+  test("versioned: RESTORE to a pre-delete version resurrects the rows (and is itself undoable)") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_restore").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.deleteByKeys(spark, dir, Seq(2L).toDF("id"), "id")
+    def live() = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet
+    assert(live() == Set(1L))
+    // RESTORE re-commits v0's manifest (no dv line) — Delta's restore
+    // semantics: the delete is undone, and the restore is a new
+    // version so IT can be undone too
+    val v2 = Versioned.restoreVersion(spark, dir, 0)
+    assert(v2 == 2 && live() == Set(1L, 2L))
+    val v3 = Versioned.restoreVersion(spark, dir, 1)
+    assert(v3 == 3 && live() == Set(1L))
   }
 
   test("commit seam: swap-store and manifest-store upserts produce identical tables") {
