@@ -52,8 +52,13 @@ object RenameCommit extends CommitProtocol {
     // staging name must NOT share dst's extension: a directory lister
     // keyed on the suffix (Versioned.versions() matches *.manifest)
     // would otherwise see the in-flight stage — or, after a crash
-    // mid-commit, a permanent stray — as a (malformed) committed name
-    val tmp = new Path(dst.getParent, s".tmp-${dst.getName}.staging")
+    // mid-commit, a permanent stray — as a (malformed) committed name.
+    // And it must be unique PER ATTEMPT: two writers racing the same
+    // destination with a shared staging name would truncate each
+    // other's half-written stage (measured: the racing-appender spec
+    // failed on exactly this before the nonce).
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val tmp = new Path(dst.getParent, s".tmp-${dst.getName}.$nonce.staging")
     val out = fs.create(tmp, true)
     try out.write(content)
     finally out.close()

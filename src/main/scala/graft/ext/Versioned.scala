@@ -138,13 +138,17 @@ object Versioned {
     val v = prev.map(_ + 1).getOrElse(0)
     require(mode == SaveMode.Overwrite || prev.nonEmpty,
       "cannot Append to a table with no versions")
-    val dataDir = f"v$v%08d_data"
-    // a data dir for an UNCOMMITTED version is a previous attempt that
-    // crashed before its manifest commit (no manifest can reference it
-    // — manifests only land after their data dir completes): clear it
-    // so the retry isn't blocked by its own wreckage
+    // the nonce makes the data dir unique PER ATTEMPT (Delta writes
+    // uniquely-named files for the same reason): two writers racing
+    // the same version number each write their own dir, the manifest
+    // claim picks the winner, and the loser's dir is an invisible
+    // orphan for [[pruneVersions]] — without it the loser would
+    // clobber the winner's in-flight data. A crashed attempt's dir is
+    // equally invisible (no manifest references it) and needs no
+    // clearing for the retry, which gets a fresh nonce.
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dataDir = f"v$v%08d_data_$nonce"
     val dataPath = new Path(root, dataDir)
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
     // data first (invisible until the manifest lands) …
     write(dataPath.toString)
     val dirs = mode match {
@@ -209,11 +213,11 @@ object Versioned {
     val prev = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val v = prev + 1
-    val dvDir = f"v$v%08d_dv"
+    // unique per attempt for the same racing-writer reason as
+    // writeVersionWith's data dirs
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dvDir = f"v$v%08d_dv_$nonce"
     val dvPath = new Path(root, dvDir)
-    // same crashed-attempt rule as writeVersionWith: an uncommitted dv
-    // dir is invisible wreckage, clear it for the retry
-    if (fs.exists(dvPath)) fs.delete(dvPath, true)
     keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
       .write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
     commitManifest(spark, dir, v,
@@ -244,6 +248,63 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $dir"))
     readVersion(spark, dir, v)
   }
+
+  /** Bounded optimistic retry for commits that lost a version-number
+    * race: re-reads the new latest state and re-attempts at the next
+    * number. Safe ONLY for COMMUTATIVE operations — append and
+    * delete-by-keys extend whatever the latest manifest is, so the
+    * retried commit means the same thing after the concurrent write
+    * as before it. */
+  private def withCommitRetry[T](maxAttempts: Int)(attempt: () => T): T = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var n = 1
+    while (true) {
+      try return attempt()
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("committed concurrently") &&
+              n < maxAttempts =>
+          n += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Multi-writer APPEND (Delta's optimistic-concurrency role,
+    * simplified honestly): appends commute with concurrent appends
+    * and deletes, so a lost manifest race retries at the next version
+    * — each attempt writes a fresh uniquely-named data dir, losers'
+    * dirs stay invisible until pruned, and no writer can clobber
+    * another's files. OVERWRITE deliberately has no retrying twin:
+    * it replaces state it has not seen, so a lost race must surface
+    * to the caller (who may no longer want the overwrite at all) —
+    * the same reason Delta fails conflicting non-commutative commits.
+    *
+    * Multi-writer safety holds exactly when the protocol's
+    * putIfAbsent is ATOMIC on the storage: [[PutIfAbsentCommit]]
+    * everywhere (conditional PUT / hardlink), [[RenameCommit]] only
+    * under HDFS semantics where rename-to-existing FAILS. On POSIX,
+    * RenameCommit's rename silently REPLACES, so two local racers can
+    * both "win" and one commit is lost — measured (the racing spec
+    * fails under local RenameCommit by design of POSIX, passes under
+    * PutIfAbsentCommit); local RenameCommit keeps its documented
+    * single-writer caveat. */
+  def appendVersionWithRetry(df: DataFrame, dir: String,
+                             protocol: CommitProtocol = RenameCommit,
+                             maxAttempts: Int = 16): Int =
+    withCommitRetry(maxAttempts)(() =>
+      writeVersion(df, dir, SaveMode.Append, protocol))
+
+  /** Multi-writer [[deleteByKeys]] — key-masking commutes with
+    * concurrent appends and other key deletes, so the same bounded
+    * retry applies. */
+  def deleteByKeysWithRetry(spark: SparkSession, dir: String,
+                            keys: DataFrame, keyCol: String,
+                            protocol: CommitProtocol = RenameCommit,
+                            maxAttempts: Int = 16): Int =
+    withCommitRetry(maxAttempts)(() =>
+      deleteByKeys(spark, dir, keys, keyCol, protocol))
 
   /** Delta `RESTORE TABLE … TO VERSION AS OF v` role: commit version
     * v's FILE LIST as the newest version — no data is copied or
@@ -280,8 +341,7 @@ object Versioned {
     val live = keep.flatMap(entries(spark, dir, _)).map(_.name).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dead = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") &&
-        (p.getName.endsWith("_data") || p.getName.endsWith("_dv")) &&
+      .filter(p => p.getName.matches("""v\d{8}_(data|dv)(_[0-9a-f]{8})?""") &&
         !live.contains(p.getName))
     dead.foreach(fs.delete(_, true))
     // staging files from commits that crashed between create and

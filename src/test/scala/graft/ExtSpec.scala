@@ -1469,7 +1469,8 @@ class ExtSpec extends AnyFunSuite {
     assert(stats.dirsDeleted == Seq("v00000002_data"))
     assert(graft.ext.Versioned.readLatest(spark, dir)
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "v00000000_data")))
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .exists(_.startsWith("v00000000_data")))
     intercept[IllegalArgumentException] {
       graft.ext.Versioned.readVersion(spark, dir, 0)
     }
@@ -1564,7 +1565,9 @@ class ExtSpec extends AnyFunSuite {
     // must survive untouched (a silent overwrite would lose a commit)
     val dir = java.nio.file.Files.createTempDirectory("graft_versioned3").toString + "/t"
     graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
-    graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v00000000_data"))
+    val v0dir = new java.io.File(dir).listFiles().map(_.getName)
+      .find(_.startsWith("v00000000_data")).get
+    graft.ext.Versioned.commitManifest(spark, dir, 1, Seq(v0dir))
     intercept[IllegalStateException] {
       graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v_loser_data"))
     }
@@ -1748,7 +1751,9 @@ class ExtSpec extends AnyFunSuite {
     test(s"commit[${proto.name}]: versioned concurrent commit surfaces, never silently drops") {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_vc_${proto.name.filter(_.isLetter)}").toString + "/t"
       graft.ext.Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir, protocol = proto)
-      graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v00000000_data"), proto)
+      val v0name = new java.io.File(dir).listFiles().map(_.getName)
+        .find(_.startsWith("v00000000_data")).get
+      graft.ext.Versioned.commitManifest(spark, dir, 1, Seq(v0name), proto)
       intercept[IllegalStateException] {
         graft.ext.Versioned.commitManifest(spark, dir, 1, Seq("v_loser_data"), proto)
       }
@@ -1813,6 +1818,45 @@ class ExtSpec extends AnyFunSuite {
       assert(!leftover.exists(_.endsWith("_dv")), s"dv survived apply+prune: ${leftover.toSeq}")
       assert(store.readLive(spark, dir).count() == 500)
     }
+  }
+
+  test("versioned: racing appenders all commit via retry; no writer clobbers another's data") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned_race").toString + "/t"
+    Versioned.writeVersion(Seq((0L, "base")).toDF("id", "v"), dir)
+    // 6 concurrent appenders race the version counter; every one must
+    // land (unique data dirs + ATOMIC manifest claim + bounded retry).
+    // PutIfAbsentCommit is required for the claim to be atomic on a
+    // local FS: under RenameCommit here, POSIX rename silently
+    // replaces and two racers both "win" — measured, one commit lost
+    // (the documented local-RenameCommit single-writer caveat)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (1 to 6).map { i =>
+      Future(Versioned.appendVersionWithRetry(
+        Seq((i.toLong, s"w$i")).toDF("id", "v"), dir,
+        protocol = graft.ext.PutIfAbsentCommit))
+    }
+    val committed = Await.result(Future.sequence(writers), 120.seconds)
+    // all six landed at distinct versions 1..6
+    assert(committed.toSet == (1 to 6).toSet, s"got versions $committed")
+    assert(Versioned.versions(spark, dir) == (0 to 6))
+    // no data loss: the latest version unions every writer's rows
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet ==
+      (0L to 6L).toSet)
+    // losers' orphan dirs (failed attempts) are reclaimed by prune
+    // without touching any referenced dir
+    Versioned.pruneVersions(spark, dir, keepLast = 7)
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet ==
+      (0L to 6L).toSet)
+    // a lost OVERWRITE race deliberately surfaces instead of retrying
+    val e = intercept[IllegalStateException] {
+      Versioned.commitManifest(spark, dir,
+        Versioned.latestVersion(spark, dir).get, Seq("vx_data"))
+    }
+    assert(e.getMessage.contains("committed concurrently"))
   }
 
   test("versioned: RESTORE to a pre-delete version resurrects the rows (and is itself undoable)") {
