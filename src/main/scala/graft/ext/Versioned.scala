@@ -228,11 +228,17 @@ object Versioned {
   /** `VERSION AS OF v`: one multi-path parquet scan over the version's
     * data dirs, minus the keys of its deletion vectors (one anti-join
     * per distinct key column — key sets are tiny next to the data, so
-    * the join broadcasts). */
+    * the join broadcasts). `mergeSchema` is on: an append chain may
+    * span schema evolution (a later append adds a column), and the
+    * default single-footer schema would SILENTLY drop the newer
+    * columns from a read — the union schema with null backfill is the
+    * only correct answer for a multi-version scan (Delta serves it
+    * from its log; plain parquet pays a footer read per file). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val es = entries(spark, dir, v)
     def abs(name: String) = new Path(new Path(dir), name).toString
-    val base = spark.read.parquet(es.collect { case DataEntry(n) => abs(n) }: _*)
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(es.collect { case DataEntry(n) => abs(n) }: _*)
     es.collect { case DvEntry(k, n) => (k, abs(n)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .foldLeft(base) { case (df, (k, dvs)) =>

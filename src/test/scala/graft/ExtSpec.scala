@@ -1393,6 +1393,18 @@ class ExtSpec extends AnyFunSuite {
       graft.ext.Versioned.writeVersion(Seq((1L, "x")).toDF("id", "v"),
         dir + "_none", SaveMode.Append)
     }
+    // schema evolution across an append chain: the newer column must
+    // surface (union schema, null backfill) — without mergeSchema the
+    // scan would silently drop it depending on footer order
+    graft.ext.Versioned.writeVersion(
+      Seq((10L, "n", 1.5)).toDF("id", "v", "score"), dir, SaveMode.Append)
+    val evolved = graft.ext.Versioned.readLatest(spark, dir)
+    assert(evolved.columns.toSet == Set("id", "v", "score"))
+    val scores = evolved.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(scores(10L).contains(1.5) && scores(9L).isEmpty)
+    // the pre-evolution version still reads its own narrower schema
+    assert(graft.ext.Versioned.readVersion(spark, dir, 2).columns.toSet == Set("id", "v"))
   }
 
   test("versioned deletion vectors: delete masks without rewriting; key-level across appends; overwrite applies; prune reclaims") {
