@@ -1113,6 +1113,30 @@ object SparkEntry {
       store.readLive(s, tbl).orderBy(col("o_orderkey"))
     },
 
+    // S8's evolution semantics through the OBJECT-STORE commit path:
+    // the bootstrap commits the narrow target schema, the evolving
+    // upsert commits the union schema (added column null-backfilled on
+    // old rows, dropped column null-forward on new ones) — all through
+    // conditional manifest creates, served via manifest resolution.
+    // q87's oracle verbatim: the store must be invisible in the data
+    "q111_evolve_manifest" -> { (s, d) =>
+      val store = graft.ext.ManifestStore.conditionalPut
+      val tbl = scratchPath("manifest_evolve", d)
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus").as("status"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("price"),
+          col("o_orderpriority").as("priority"))
+      Upsert.upsertTableEvolve(s, tbl, target, Seq("o_orderkey"), store)
+      Upsert.upsertTableEvolve(s, tbl, updates, Seq("o_orderkey"), store)
+      graft.ext.Versioned.pruneVersions(s, tbl, keepLast = 2)
+      store.readLive(s, tbl)
+        .select(col("o_orderkey"), col("price"), col("status"), col("priority"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // deletion vectors end to end: DELETE masks keys via a sidecar
     // key set (no data rewrite — the base files survive untouched),
     // the mask is KEY-level so an append re-introducing a deleted key
@@ -2653,6 +2677,22 @@ object SparkEntry {
     // protocol and read back via manifest resolution — the store must
     // be invisible in the data, so q06's SQL is the oracle again
     "q106_upsert_manifest" -> mergeUpsertSql,
+    // and the schema-evolving MERGE through the same path reuses
+    // q87's NULL-padded UNION twin
+    "q111_evolve_manifest" ->
+      """WITH target AS (
+        | SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderstatus AS status
+        | FROM orders WHERE o_orderstatus = 'F'),
+        |updates AS (
+        | SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS price, o_orderpriority AS priority
+        | FROM orders WHERE o_totalprice > 150000)
+        |SELECT * FROM (
+        | SELECT t.o_orderkey, t.price, t.status, CAST(NULL AS VARCHAR) AS priority
+        | FROM target t
+        | WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+        | UNION ALL
+        | SELECT o_orderkey, price, CAST(NULL AS VARCHAR) AS status, priority FROM updates)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // deletion vectors: F-rows ∪ appended P-rows minus the masked key
     // set — the key-level mask must hold for rows appended AFTER the

@@ -55,17 +55,27 @@ object Upsert {
     * the same crash-safe [[atomicRewrite]] swap as [[upsertParquet]].
     * After the swap the live table carries the union schema. */
   def upsertParquetEvolve(spark: SparkSession, path: String, updates: DataFrame,
-                          keys: Seq[String]): Unit = {
-    recoverSwap(path)
+                          keys: Seq[String]): Unit =
+    upsertTableEvolve(spark, path, updates, keys, graft.ext.SwapStore)
+
+  /** [[upsertParquetEvolve]] over any [[graft.ext.TableStore]] — the
+    * schema-evolving twin of [[upsertTable]]: same commit seam
+    * (directory swap or object-store manifest conditional-put), with
+    * [[mergeEvolve]]'s union-schema semantics on the matched rows.
+    * After the publish the live state carries the union schema either
+    * way. */
+  def upsertTableEvolve(spark: SparkSession, path: String, updates: DataFrame,
+                        keys: Seq[String], store: graft.ext.TableStore): Unit = {
+    store.recover(spark, path)
     val deduped = dedupByKeys(updates, keys)
-    if (!Files.exists(Paths.get(path))) {
-      deduped.write.mode(SaveMode.Overwrite).parquet(path)
-    } else {
-      atomicRewrite(path) { tmp =>
-        val target = spark.read.parquet(path)
+    if (!store.exists(spark, path))
+      store.rewrite(spark, path)(tmp =>
+        deduped.write.mode(SaveMode.Overwrite).parquet(tmp))
+    else
+      store.rewrite(spark, path) { tmp =>
+        val target = store.readLive(spark, path)
         mergeEvolve(target, deduped, keys).write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-    }
   }
 
   /** Delta Change Data Feed's role for [[merge]]: the row-level change

@@ -1902,6 +1902,20 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(results(0) == results(1))
     assert(results(0) == Map(1L -> "A", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // the schema-EVOLVING twin through the same seam: an update batch
+    // brings a new column; both stores land the identical union-schema
+    // table (old rows null-backfilled, updated row carries the value)
+    val evolved = stores.map { case (nm, store) =>
+      val dir = s"$base/${nm}_evolve"
+      graft.gold.Upsert.upsertTableEvolve(spark, dir,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), store)
+      graft.gold.Upsert.upsertTableEvolve(spark, dir,
+        Seq((2L, "B", 9.5)).toDF("id", "v", "w"), Seq("id"), store)
+      store.readLive(spark, dir).select("id", "v", "w")
+        .as[(Long, String, Option[Double])].collect().toSet
+    }
+    assert(evolved(0) == evolved(1))
+    assert(evolved(0) == Set((1L, "a", None), (2L, "B", Some(9.5))))
   }
 
   test("pruneVersions: never-written table is a safe no-op (idempotent contract)") {
