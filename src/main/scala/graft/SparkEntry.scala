@@ -73,6 +73,36 @@ object SparkEntry {
     * calls serve the same manifest-resolved state. */
   private val dvTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q110/q112 versioned-table-with-deletion-vectors fixture:
+    * overwrite (F slice) → delete keys (price > 180k) → append (P
+    * slice). Versions pin to 0/1/2 by construction; built once per
+    * (process, dataset), every later call serves the same chain. */
+  private def dvFixture(s: SparkSession, d: String): String =
+    dvTableCache.computeIfAbsent(d, { _ =>
+      val path = scratchPath("versioned_dv", d)
+      val orders = Tables.orders(s, d)
+      def slice(status: String) = orders.filter(col("o_orderstatus") === status)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice"), 2).as("price"))
+      Versioned.writeVersion(slice("F"), path)
+      Versioned.deleteByKeys(s, path,
+        orders.filter(col("o_totalprice") > 180000).select(col("o_orderkey")),
+        "o_orderkey")
+      Versioned.writeVersion(slice("P"), path, org.apache.spark.sql.SaveMode.Append)
+      path
+    })
+
+  /** q113's fixture: a delete-HEAVY chain (three key-batch deletes)
+    * compacted to one dv dir, then served. Built once per process. */
+  private val dvCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q114's fixture: three status-sliced appends — each version's data
+    * dir carries disjoint `status` values and its own price range in
+    * the manifest stats, so a selective read can prove dirs empty. */
+  private val skipTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: SparkSession, d: String): (String, Seq[Array[Double]]) =
     ivfIndexCache.computeIfAbsent("full:" + d, { _ =>
       val idx = scratchPath("ivf_index", d)
@@ -1144,20 +1174,88 @@ object SparkEntry {
     // manifest-resolved multi-dir scan minus one broadcast anti-join.
     // The oracle replays base ∪ append minus the key set in plain SQL
     "q110_versioned_delete" -> { (s, d) =>
-      val tbl = dvTableCache.computeIfAbsent(d, { _ =>
-        val path = scratchPath("versioned_dv", d)
+      val tbl = dvFixture(s, d)
+      Versioned.readLatest(s, tbl)
+        .select(col("o_orderkey"), col("status"), col("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // the SQL serving surface (Trino-over-Delta's role,
+    // ref: mnt/trino/etc/catalog/delta-lake.properties:1-3): the whole
+    // query text is spark.sql over the DSv2 VersionedCatalog — native
+    // time travel syntax resolves VERSION AS OF through the catalog,
+    // v0 reads pre-delete state, v1 serves THROUGH the deletion-vector
+    // mask at the DSv2 reader seam, the bare name resolves latest.
+    // Same fixture as q110; the oracle replays all three states in
+    // plain SQL over orders
+    "q112_sql_time_travel" -> { (s, d) =>
+      val tbl = dvFixture(s, d)
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      s.sql(
+        s"""SELECT 0 AS version, o_orderkey, status, price
+           |FROM versioned.`$tbl` VERSION AS OF 0
+           |UNION ALL
+           |SELECT 1 AS version, o_orderkey, status, price
+           |FROM versioned.`$tbl` VERSION AS OF 1
+           |UNION ALL
+           |SELECT 2 AS version, o_orderkey, status, price
+           |FROM versioned.`$tbl`
+           |ORDER BY version, o_orderkey""".stripMargin)
+    },
+
+    // deletion-vector compaction as a metered lifecycle query: three
+    // key-batch DELETEs accumulate three dv dirs; compaction merges
+    // them into ONE distinct key set committed as a new version over
+    // the same immutable data (bounding the dv chain without waiting
+    // for an overwrite); the serve read is then ONE anti-join instead
+    // of a three-dir union. The oracle is the plain set algebra —
+    // compaction must be invisible in the data
+    "q113_dv_compact" -> { (s, d) =>
+      val tbl = dvCompactCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_dvc", d)
+        val orders = Tables.orders(s, d)
+        Versioned.writeVersion(
+          orders.filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+              round(col("o_totalprice"), 2).as("price")), path)
+        def del(pred: org.apache.spark.sql.Column): Unit = {
+          Versioned.deleteByKeys(s, path,
+            orders.filter(pred).select(col("o_orderkey")), "o_orderkey")
+          ()
+        }
+        del(col("o_totalprice") > 190000)
+        del(col("o_totalprice") > 185000 && col("o_totalprice") <= 190000)
+        del(col("o_totalprice") > 180000 && col("o_totalprice") <= 185000)
+        Versioned.compactDeletionVectors(s, path)
+        path
+      })
+      Versioned.readLatest(s, tbl)
+        .select(col("o_orderkey"), col("status"), col("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // manifest data skipping end to end: three appends land three data
+    // dirs whose footer-harvested min/max (status, price) live in the
+    // manifest; the skipping read proves two of three dirs empty for
+    // the predicate FROM MANIFEST BYTES ALONE (ExtSpec pins the dir
+    // count) and the surviving scan re-applies the filters, so the
+    // oracle is the plain WHERE clause
+    "q114_skipping_read" -> { (s, d) =>
+      val tbl = skipTableCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_skip", d)
         val orders = Tables.orders(s, d)
         def slice(status: String) = orders.filter(col("o_orderstatus") === status)
           .select(col("o_orderkey"), col("o_orderstatus").as("status"),
             round(col("o_totalprice"), 2).as("price"))
         Versioned.writeVersion(slice("F"), path)
-        Versioned.deleteByKeys(s, path,
-          orders.filter(col("o_totalprice") > 180000).select(col("o_orderkey")),
-          "o_orderkey")
+        Versioned.writeVersion(slice("O"), path, org.apache.spark.sql.SaveMode.Append)
         Versioned.writeVersion(slice("P"), path, org.apache.spark.sql.SaveMode.Append)
         path
       })
-      Versioned.readLatest(s, tbl)
+      val v = Versioned.latestVersion(s, tbl).get
+      Versioned.readVersionSkipping(s, tbl, v, Seq(
+        org.apache.spark.sql.sources.EqualTo("status", "P"),
+        org.apache.spark.sql.sources.GreaterThan("price", 100000.0)))
         .select(col("o_orderkey"), col("status"), col("price"))
         .orderBy(col("o_orderkey"))
     },
@@ -2704,6 +2802,45 @@ object SparkEntry {
         |del AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 180000)
         |SELECT o_orderkey, status, price FROM base
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // SQL time travel over the same fixture: v0 = pre-delete F slice,
+    // v1 = F minus the masked keys (the dv served through the DSv2
+    // reader), latest = (F ∪ appended P) minus the keys
+    "q112_sql_time_travel" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |fp AS (
+        |  SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus IN ('F', 'P')),
+        |del AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 180000)
+        |SELECT 0 AS version, o_orderkey, status, price FROM f
+        |UNION ALL
+        |SELECT 1 AS version, o_orderkey, status, price FROM f
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL
+        |SELECT 2 AS version, o_orderkey, status, price FROM fp
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |ORDER BY version, o_orderkey""".stripMargin,
+
+    // dv compaction must be invisible in the data: three key-batch
+    // deletes ≡ one delete of their union
+    "q113_dv_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |del AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 180000)
+        |SELECT o_orderkey, status, price FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // manifest stats prune dirs, the surviving scan re-applies the
+    // predicate — so the oracle is the plain WHERE clause
+    "q114_skipping_read" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     "q88_zorder_key" -> {

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.hadoop.fs.Path
 
 /** Delta time travel's role for plain parquet: a versioned table whose
@@ -11,29 +12,54 @@ import org.apache.hadoop.fs.Path
   * `mnt/spark-conf/spark-defaults.conf:13`):
   *
   * {{{
-  *   dir/_versions/00000000.manifest   one line per live data dir
+  *   dir/_versions/00000000.manifest   control file, one line per fact
   *   dir/v00000000_data/part-*.parquet immutable; never rewritten
   *   dir/v00000002_dv/part-*.parquet   deletion vector: keys masked
   *                                     out of v2+ reads (line format
   *                                     `dv:<keyCol>:<dirName>`)
   * }}}
   *
+  * A manifest carries four line kinds (Delta's log actions, reduced to
+  * the minimum this store needs):
+  *
+  *   - `<dirName>` — a live data dir (Delta `add`).
+  *   - `dv:<keyCol>:<dirName>` — a deletion vector (key-mask sidecar).
+  *   - `schema:<StructType.json>` — the version's UNION schema,
+  *     recorded at commit time (Delta `metaData`). Reads apply it with
+  *     `.schema(...)`, so planning touches NO parquet footer — the
+  *     pre-round-8 `mergeSchema` read paid a plan-time footer-merge
+  *     job over every referenced file on every read, which at 100 TB /
+  *     10⁶ files is a cluster job before the first task of the actual
+  *     query. Manifests without a schema line (written before this
+  *     format) still read correctly via the mergeSchema fallback.
+  *   - `stats:<dirName>:{"rows":N,"cols":{…}}` — per-dir column
+  *     min/max/null-count, harvested from the parquet FOOTERS of the
+  *     just-written dir at commit time (the writer already paid for
+  *     those statistics; this lifts them one level so PLANNING can
+  *     skip whole dirs without opening a single footer — Delta's
+  *     data-skipping role). [[readVersionSkipping]] consults them.
+  *
   * Each write lands its rows in a fresh `v<N>_data` directory, then
   * commits by publishing `_versions/<N>.manifest` through a
   * [[CommitProtocol]] — the manifest's appearance IS the commit
-  * point. [[RenameCommit]] (default) stages and renames: atomic on
-  * HDFS semantics, best-effort pre-check on POSIX. On object stores
-  * — the reference's own substrate (S3A/MinIO,
-  * ref: mnt/spark-conf/spark-defaults.conf:4-10), where rename is
-  * copy+delete — pass [[PutIfAbsentCommit]]: the manifest is
-  * published by a conditional create with NO rename on the commit
-  * path, so the crash-window guarantees hold there too.
+  * point. [[PutIfAbsentCommit]] (the default) publishes by a
+  * conditional create: atomic on object stores (S3 `If-None-Match: *`
+  * — the reference's own substrate, S3A/MinIO,
+  * ref: mnt/spark-conf/spark-defaults.conf:4-10), emulated exactly on
+  * local POSIX via hardlink, and delegating to stage-and-rename on
+  * HDFS where that is the atomic primitive. [[RenameCommit]] remains
+  * the explicit opt-in for pure-HDFS deployments; it is no longer the
+  * default because POSIX rename silently replaces an existing
+  * destination, so two local racers could both "win" — a lost update
+  * the racing spec MEASURES. Safety is the default; the faster
+  * single-writer rename is the documented choice.
+  *
   * An overwrite manifest lists only its own data dir; an
   * append manifest lists the previous version's dirs plus its own —
   * so old versions stay readable from the SAME immutable files and an
   * append never rewrites history (storage cost is one copy per
   * distinct file, like Delta's add-file actions, NOT one copy per
-  * version). A crash before the manifest rename leaves an orphaned
+  * version). A crash before the manifest commit leaves an orphaned
   * data dir no reader references; [[pruneVersions]] reclaims those
   * along with expired versions.
   *
@@ -44,10 +70,12 @@ import org.apache.hadoop.fs.Path
   * expectation, as in the reference's Airflow `max_active_runs=1`,
   * `mnt/airflow/dags/yelp_pipeline.py:21`).
   *
-  * Scale shape: manifests are line lists of directories (bytes per
-  * version); reads plan ONE multi-path parquet scan over the listed
-  * dirs — partition pruning, pushdown, and vectorized read all apply
-  * unchanged. No driver state beyond the manifest read.
+  * Scale shape: manifests are line lists of directories plus one
+  * schema and per-dir stats (bytes per version); reads plan ONE
+  * multi-path parquet scan over the listed dirs — partition pruning,
+  * pushdown, and vectorized read all apply unchanged, and the
+  * recorded schema means planning reads no data at all. No driver
+  * state beyond the manifest read.
   */
 object Versioned {
 
@@ -90,15 +118,35 @@ object Versioned {
     finally in.close()
   }
 
-  /** A manifest line is either a bare data-dir name or a deletion
-    * vector, `dv:<keyCol>:<dirName>` — a parquet dir of keys whose
-    * rows are masked out of every read of this version. */
-  private sealed trait Entry { def name: String }
-  private final case class DataEntry(name: String) extends Entry
-  private final case class DvEntry(keyCol: String, name: String) extends Entry
+  /** One manifest line. Data and dv lines carry directory names; the
+    * schema line carries the version's union schema; a stats line
+    * carries one data dir's column statistics. */
+  private sealed trait Line
+  private final case class DataEntry(name: String) extends Line
+  private final case class DvEntry(keyCol: String, name: String) extends Line
+  private final case class SchemaEntry(schema: StructType) extends Line
+  private final case class StatsEntry(name: String, rows: Long,
+                                      cols: Map[String, ColStats]) extends Line
 
-  private def parseEntry(line: String): Entry =
-    if (line.startsWith("dv:")) {
+  /** Footer-aggregated statistics of one column over one data dir.
+    * `min`/`max` are canonical strings in the column's comparison
+    * domain ([[Skipping.canonicalOf]]); None when the dir holds no
+    * non-null value for the column. `nulls` is None when any footer
+    * lacked a null count (statistics unusable → never skip on it). */
+  private[ext] final case class ColStats(min: Option[String], max: Option[String],
+                                         nulls: Option[Long])
+
+  private def parseLine(line: String): Line =
+    if (line.startsWith("schema:"))
+      SchemaEntry(org.apache.spark.sql.types.DataType
+        .fromJson(line.drop(7)).asInstanceOf[StructType])
+    else if (line.startsWith("stats:")) {
+      val rest = line.drop(6)
+      val i = rest.indexOf(':')
+      require(i > 0, s"malformed stats manifest line: $line")
+      val (rows, cols) = StatsJson.parse(rest.substring(i + 1))
+      StatsEntry(rest.substring(0, i), rows, cols)
+    } else if (line.startsWith("dv:")) {
       val rest = line.drop(3)
       val i = rest.indexOf(':')
       require(i > 0 && i < rest.length - 1,
@@ -106,19 +154,31 @@ object Versioned {
       DvEntry(rest.substring(0, i), rest.substring(i + 1))
     } else DataEntry(line)
 
-  private def entries(spark: SparkSession, dir: String, v: Int): Seq[Entry] =
-    readManifest(spark, dir, v).map(parseEntry)
+  private def lines(spark: SparkSession, dir: String, v: Int): Seq[Line] =
+    readManifest(spark, dir, v).map(parseLine)
+
+  private def renderLine(l: Line): String = l match {
+    case DataEntry(n)      => n
+    case DvEntry(k, n)     => s"dv:$k:$n"
+    case SchemaEntry(s)    => s"schema:${s.json}"
+    case StatsEntry(n, r, c) => s"stats:$n:${StatsJson.render(r, c)}"
+  }
+
+  /** The recorded union schema of a version, if its manifest carries
+    * one (every manifest committed by this code does; manifests from
+    * the pre-schema format fall back to mergeSchema on read). */
+  def recordedSchema(spark: SparkSession, dir: String, v: Int): Option[StructType] =
+    lines(spark, dir, v).collectFirst { case SchemaEntry(s) => s }
 
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
     * previous version's file set. Returns the committed version.
     * `protocol` picks the commit primitive for the storage:
-    * [[RenameCommit]] (HDFS/POSIX, the default) or
-    * [[PutIfAbsentCommit]] (object stores — conditional put, no
-    * rename anywhere on the commit path). */
+    * [[PutIfAbsentCommit]] (the safe-everywhere default) or
+    * [[RenameCommit]] (opt-in for HDFS deployments). */
   def writeVersion(df: DataFrame, dir: String,
                    mode: SaveMode = SaveMode.Overwrite,
-                   protocol: CommitProtocol = RenameCommit): Int =
+                   protocol: CommitProtocol = PutIfAbsentCommit): Int =
     writeVersionWith(df.sparkSession, dir, protocol, mode)(tmp =>
       df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
 
@@ -126,9 +186,15 @@ object Versioned {
     * [[ManifestStore]] rewrite hook: `write` receives the immutable
     * data-dir path for the new version and must produce the complete
     * parquet state there; the version becomes visible only when the
-    * manifest commits through `protocol` afterwards. */
+    * manifest commits through `protocol` afterwards.
+    *
+    * The commit also records (a) the version's union schema and (b)
+    * the new dir's column min/max/null stats, both harvested from the
+    * parquet footers of the JUST-WRITTEN dir — cost O(files in this
+    * commit), never O(table) — so reads plan with zero footer access
+    * and selective reads can skip whole dirs. */
   def writeVersionWith(spark: SparkSession, dir: String,
-                       protocol: CommitProtocol = RenameCommit,
+                       protocol: CommitProtocol = PutIfAbsentCommit,
                        mode: SaveMode = SaveMode.Overwrite)
                       (write: String => Unit): Int = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
@@ -151,25 +217,64 @@ object Versioned {
     val dataPath = new Path(root, dataDir)
     // data first (invisible until the manifest lands) …
     write(dataPath.toString)
-    val dirs = mode match {
-      case SaveMode.Append => readManifest(spark, dir, prev.get) :+ dataDir
-      case _               => Seq(dataDir)
+    // footer harvest of the new dir only: schema + stats
+    val dirSchema = asNullable(spark.read.parquet(dataPath.toString).schema)
+    val (rows, colStats) = Skipping.collectDirStats(spark, dataPath, dirSchema)
+    val newSchema = mode match {
+      case SaveMode.Append => unionSchema(schemaOf(spark, dir, prev.get), dirSchema)
+      case _               => dirSchema
     }
+    val prevLines = mode match {
+      case SaveMode.Append => lines(spark, dir, prev.get)
+        .filterNot(_.isInstanceOf[SchemaEntry])
+      case _ => Seq.empty
+    }
+    val newLines = SchemaEntry(newSchema) +: (prevLines :+
+      DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats))
     // … then the atomic manifest commit publishes it
-    commitManifest(spark, dir, v, dirs, protocol)
+    commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
     v
+  }
+
+  /** A version's schema: the recorded one where present, else derived
+    * ONCE from the data dirs via mergeSchema (legacy manifests — the
+    * next commit records the union, upgrading the table in place). */
+  private def schemaOf(spark: SparkSession, dir: String, v: Int): StructType =
+    recordedSchema(spark, dir, v).getOrElse {
+      val dataDirs = lines(spark, dir, v).collect {
+        case DataEntry(n) => new Path(new Path(dir), n).toString }
+      asNullable(spark.read.option("mergeSchema", "true").parquet(dataDirs: _*).schema)
+    }
+
+  private def asNullable(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(f.name, f.dataType, nullable = true,
+      f.metadata)))
+
+  /** Union-with-null-backfill schema for an append chain: `a`'s fields
+    * in order, then `b`'s additions. Evolution in this store ADDS or
+    * DROPS columns (the S8/q111 semantics); a same-name field must
+    * keep its type — a type change needs a rewrite, not an append. */
+  private def unionSchema(a: StructType, b: StructType): StructType = {
+    val aNames = a.fieldNames.toSet
+    b.fields.filter(f => aNames.contains(f.name)).foreach { f =>
+      val prior = a(f.name).dataType
+      require(prior == f.dataType,
+        s"append changes type of column '${f.name}' ($prior -> ${f.dataType}); " +
+          "evolve by adding/dropping columns, or overwrite")
+    }
+    StructType(a.fields ++ b.fields.filterNot(f => aNames.contains(f.name)))
   }
 
   /** The commit point, factored so the conflict guard is directly
     * testable: publish the manifest through the protocol's atomic
     * put-if-absent. Losing the claim (an existing manifest for `v`)
     * surfaces the concurrent writer instead of silently dropping one
-    * — under [[RenameCommit]] via the HDFS rename-to-existing
-    * failure (best-effort pre-check on POSIX), under
-    * [[PutIfAbsentCommit]] via the conditional create itself. */
+    * — under [[PutIfAbsentCommit]] via the conditional create itself,
+    * under [[RenameCommit]] via the HDFS rename-to-existing failure
+    * (best-effort pre-check on POSIX). */
   private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
                                     dirs: Seq[String],
-                                    protocol: CommitProtocol = RenameCommit): Unit = {
+                                    protocol: CommitProtocol = PutIfAbsentCommit): Unit = {
     val (fs, root) = fsFor(spark, dir)
     fs.mkdirs(new Path(root, VDIR))
     val bytes = (dirs.mkString("\n") + "\n").getBytes("UTF-8")
@@ -185,7 +290,10 @@ object Versioned {
   def liveDataDirs(spark: SparkSession, dir: String): Seq[String] = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
-    entries(spark, dir, v).map(e => new Path(new Path(dir), e.name).toString)
+    lines(spark, dir, v).collect {
+      case DataEntry(n)  => new Path(new Path(dir), n).toString
+      case DvEntry(_, n) => new Path(new Path(dir), n).toString
+    }
   }
 
   /** Delta deletion vectors' role (public design: DELETE marks rows
@@ -206,7 +314,7 @@ object Versioned {
     * [[pruneVersions]] then reclaims the dv dirs. Returns the new
     * version id. */
   def deleteByKeys(spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
-                   protocol: CommitProtocol = RenameCommit): Int = {
+                   protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(keyCol.matches("[A-Za-z0-9_]+"),
       s"keyCol must be word-shaped (it is embedded in the manifest), got '$keyCol'")
     val (fs, root) = fsFor(spark, dir)
@@ -220,26 +328,125 @@ object Versioned {
     val dvPath = new Path(root, dvDir)
     keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
       .write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
+    // schema and stats lines ride along unchanged: a delete touches
+    // no data dir, so neither the union schema nor any dir's stats move
     commitManifest(spark, dir, v,
       readManifest(spark, dir, prev) :+ s"dv:$keyCol:$dvDir", protocol)
     v
   }
 
+  /** A delete-heavy table accumulates one dv dir per [[deleteByKeys]]
+    * until the next overwrite applies the mask physically. This bounds
+    * the chain WITHOUT waiting for that overwrite: merge all dv dirs
+    * of the same key column into one distinct key set and commit the
+    * result as a new version over the SAME data dirs. Masked reads are
+    * identical before and after (set union is the mask either way);
+    * pre-compaction versions still time-travel to the un-merged chain;
+    * the old dv dirs are reclaimed when those versions are pruned.
+    * Commutes with concurrent appends/deletes, so a lost manifest race
+    * retries against the refreshed chain. Returns the new version, or
+    * None when no key column had more than one dv dir. */
+  def compactDeletionVectors(spark: SparkSession, dir: String,
+                             protocol: CommitProtocol = PutIfAbsentCommit,
+                             maxAttempts: Int = 16): Option[Int] =
+    withCommitRetry(maxAttempts) { () =>
+      val (fs, root) = fsFor(spark, dir)
+      val prev = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $dir"))
+      val prevLines = lines(spark, dir, prev)
+      val dvByKey = prevLines.collect { case e: DvEntry => e }
+        .groupBy(_.keyCol).toSeq.sortBy(_._1)
+      if (!dvByKey.exists(_._2.length > 1)) None
+      else {
+        val v = prev + 1
+        val merged = dvByKey.map { case (k, es) =>
+          if (es.length == 1) es.head
+          else {
+            val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+            val dvDir = f"v$v%08d_dv_$nonce"
+            spark.read.parquet(es.map(e =>
+                new Path(root, e.name).toString): _*)
+              .select(org.apache.spark.sql.functions.col(k)).distinct()
+              .write.mode(SaveMode.ErrorIfExists)
+              .parquet(new Path(root, dvDir).toString)
+            DvEntry(k, dvDir)
+          }
+        }
+        val kept = prevLines.filterNot(_.isInstanceOf[DvEntry]) ++ merged
+        commitManifest(spark, dir, v, kept.map(renderLine), protocol)
+        Some(v)
+      }
+    }
+
   /** `VERSION AS OF v`: one multi-path parquet scan over the version's
     * data dirs, minus the keys of its deletion vectors (one anti-join
     * per distinct key column — key sets are tiny next to the data, so
-    * the join broadcasts). `mergeSchema` is on: an append chain may
-    * span schema evolution (a later append adds a column), and the
-    * default single-footer schema would SILENTLY drop the newer
-    * columns from a read — the union schema with null backfill is the
-    * only correct answer for a multi-version scan (Delta serves it
-    * from its log; plain parquet pays a footer read per file). */
-  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
-    val es = entries(spark, dir, v)
+    * the join broadcasts). When the manifest records the schema (every
+    * commit from this code), the scan applies it with `.schema(...)`
+    * and planning reads NO footer; an append chain spanning schema
+    * evolution null-backfills missing columns from the union schema
+    * exactly as mergeSchema would, without its per-read footer-merge
+    * job. Pre-schema manifests fall back to mergeSchema — correct,
+    * with the old plan-time cost, until their next commit records the
+    * union. */
+  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
+    readVersionFrom(spark, dir, lines(spark, dir, v), dataFilter = _ => true)
+
+  /** [[readVersion]] with manifest-level data skipping: dirs whose
+    * recorded min/max/null stats PROVE no row can satisfy `filters`
+    * (a conjunction) are dropped from the plan entirely — the
+    * file-pruning half of Delta data skipping, done on manifest bytes
+    * with zero footer reads. The same filters are then applied to the
+    * surviving scan (and pushed into parquet by Catalyst as usual),
+    * so the result is exact whether or not any dir could be skipped:
+    * stats only ever REMOVE provably-empty work. Dirs without stats
+    * (legacy) are always read. */
+  def readVersionSkipping(spark: SparkSession, dir: String, v: Int,
+                          filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val ls = lines(spark, dir, v)
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val keep: String => Boolean = name => stats.get(name) match {
+      case Some(st) if schema.nonEmpty =>
+        !filters.exists(f => Skipping.excludes(st.rows, st.cols, schema.get, f))
+      case _ => true
+    }
+    val pred = filters.map(Skipping.toColumn)
+      .reduceOption(_ && _)
+    pred.fold(readVersionFrom(spark, dir, ls, keep))(p =>
+      readVersionFrom(spark, dir, ls, keep).filter(p))
+  }
+
+  /** The dirs a skipping read of version `v` would plan — exposed so
+    * tests (and operators reporting skip effectiveness) can assert the
+    * prune without running the query. */
+  private[graft] def planDataDirs(spark: SparkSession, dir: String, v: Int,
+                                  filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    val ls = lines(spark, dir, v)
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    ls.collect { case DataEntry(n) => n }.filter { name =>
+      stats.get(name) match {
+        case Some(st) if schema.nonEmpty =>
+          !filters.exists(f => Skipping.excludes(st.rows, st.cols, schema.get, f))
+        case _ => true
+      }
+    }
+  }
+
+  private def readVersionFrom(spark: SparkSession, dir: String, ls: Seq[Line],
+                              dataFilter: String => Boolean): DataFrame = {
     def abs(name: String) = new Path(new Path(dir), name).toString
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(es.collect { case DataEntry(n) => abs(n) }: _*)
-    es.collect { case DvEntry(k, n) => (k, abs(n)) }
+    val recorded = ls.collectFirst { case SchemaEntry(s) => s }
+    val dataDirs = ls.collect { case DataEntry(n) if dataFilter(n) => abs(n) }
+    val base = recorded match {
+      case Some(s) if dataDirs.isEmpty =>
+        // every dir provably excluded: the empty relation, schema intact
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case Some(s) => spark.read.schema(s).parquet(dataDirs: _*)
+      case None    => spark.read.option("mergeSchema", "true").parquet(dataDirs: _*)
+    }
+    ls.collect { case DvEntry(k, n) => (k, abs(n)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .foldLeft(base) { case (df, (k, dvs)) =>
         df.join(
@@ -247,6 +454,24 @@ object Versioned {
             .select(org.apache.spark.sql.functions.col(k)).distinct(),
           Seq(k), "left_anti")
       }
+  }
+
+  /** Everything the SQL catalog needs to plan one version: the
+    * recorded schema (None for pre-schema manifests → mergeSchema
+    * fallback), the absolute data dirs, and the deletion vectors
+    * grouped by key column. */
+  private[graft] final case class VersionInfo(schema: Option[StructType],
+                                              dataDirs: Seq[String],
+                                              dvDirs: Seq[(String, Seq[String])])
+
+  private[graft] def versionInfo(spark: SparkSession, dir: String, v: Int): VersionInfo = {
+    val ls = lines(spark, dir, v)
+    def abs(n: String) = new Path(new Path(dir), n).toString
+    VersionInfo(
+      ls.collectFirst { case SchemaEntry(s) => s },
+      ls.collect { case DataEntry(n) => abs(n) },
+      ls.collect { case DvEntry(k, n) => (k, abs(n)) }.groupBy(_._1).toSeq
+        .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) })
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -257,10 +482,10 @@ object Versioned {
 
   /** Bounded optimistic retry for commits that lost a version-number
     * race: re-reads the new latest state and re-attempts at the next
-    * number. Safe ONLY for COMMUTATIVE operations — append and
-    * delete-by-keys extend whatever the latest manifest is, so the
-    * retried commit means the same thing after the concurrent write
-    * as before it. */
+    * number. Safe ONLY for COMMUTATIVE operations — append, delete-
+    * by-keys, and dv compaction extend whatever the latest manifest
+    * is, so the retried commit means the same thing after the
+    * concurrent write as before it. */
   private def withCommitRetry[T](maxAttempts: Int)(attempt: () => T): T = {
     require(maxAttempts >= 1, "need at least one attempt")
     var n = 1
@@ -289,15 +514,16 @@ object Versioned {
     *
     * Multi-writer safety holds exactly when the protocol's
     * putIfAbsent is ATOMIC on the storage: [[PutIfAbsentCommit]]
-    * everywhere (conditional PUT / hardlink), [[RenameCommit]] only
-    * under HDFS semantics where rename-to-existing FAILS. On POSIX,
+    * (the default) everywhere — conditional PUT on object stores,
+    * hardlink on local POSIX — and [[RenameCommit]] only under HDFS
+    * semantics where rename-to-existing FAILS. On POSIX,
     * RenameCommit's rename silently REPLACES, so two local racers can
     * both "win" and one commit is lost — measured (the racing spec
     * fails under local RenameCommit by design of POSIX, passes under
-    * PutIfAbsentCommit); local RenameCommit keeps its documented
-    * single-writer caveat. */
+    * the default); RenameCommit is therefore opt-in, with its
+    * documented single-writer caveat. */
   def appendVersionWithRetry(df: DataFrame, dir: String,
-                             protocol: CommitProtocol = RenameCommit,
+                             protocol: CommitProtocol = PutIfAbsentCommit,
                              maxAttempts: Int = 16): Int =
     withCommitRetry(maxAttempts)(() =>
       writeVersion(df, dir, SaveMode.Append, protocol))
@@ -307,31 +533,44 @@ object Versioned {
     * retry applies. */
   def deleteByKeysWithRetry(spark: SparkSession, dir: String,
                             keys: DataFrame, keyCol: String,
-                            protocol: CommitProtocol = RenameCommit,
+                            protocol: CommitProtocol = PutIfAbsentCommit,
                             maxAttempts: Int = 16): Int =
     withCommitRetry(maxAttempts)(() =>
       deleteByKeys(spark, dir, keys, keyCol, protocol))
 
   /** Delta `RESTORE TABLE … TO VERSION AS OF v` role: commit version
-    * v's FILE LIST as the newest version — no data is copied or
-    * rewritten (the manifest re-references v's immutable dirs), and
-    * the restore itself is a new version, so it is also undoable.
-    * Returns the new version id. */
-  def restoreVersion(spark: SparkSession, dir: String, v: Int): Int = {
-    val dirs = readManifest(spark, dir, v) // validates v exists
+    * v's manifest — file list, schema, and stats — as the newest
+    * version. No data is copied or rewritten (the manifest
+    * re-references v's immutable dirs), and the restore itself is a
+    * new version, so it is also undoable. Returns the new version id. */
+  def restoreVersion(spark: SparkSession, dir: String, v: Int,
+                     protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val raw = readManifest(spark, dir, v) // validates v exists
     val next = latestVersion(spark, dir).get + 1
-    commitManifest(spark, dir, next, dirs)
+    commitManifest(spark, dir, next, raw, protocol)
     next
   }
 
-  case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String])
+  case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String],
+                        dirsSkippedYoung: Seq[String] = Seq.empty)
 
   /** Delta `VACUUM`'s retention half for the versioned store: drop all
     * but the newest `keepLast` manifests, then delete every data dir
-    * no SURVIVING manifest references — which also reclaims orphans
-    * from writes that crashed before their commit rename. Append-chain
-    * dirs shared with a kept version survive. Idempotent. */
-  def pruneVersions(spark: SparkSession, dir: String, keepLast: Int): PruneStats = {
+    * no SURVIVING manifest references. Append-chain dirs shared with
+    * a kept version survive. Idempotent.
+    *
+    * Orphan dirs — nonce'd dirs NO manifest (kept or dropped) ever
+    * referenced — are reclaimed only once older than `orphanMinAgeMs`
+    * (Delta VACUUM's retention-window role): a young unreferenced dir
+    * may be an IN-FLIGHT writer between its data write and manifest
+    * commit, and reclaiming it would make that writer's version
+    * unreadable the moment it commits. Dirs referenced by a DROPPED
+    * manifest were committed history and are reclaimed regardless of
+    * age. Crashed staging files in `_versions/` (both protocols'
+    * prefixes) get the same age guard — a young one may be a commit
+    * in flight. */
+  def pruneVersions(spark: SparkSession, dir: String, keepLast: Int,
+                    orphanMinAgeMs: Long = 15 * 60 * 1000L): PruneStats = {
     require(keepLast >= 1, "must keep at least one version")
     val (fs, root) = fsFor(spark, dir)
     // a never-written table (or bare root with no _versions) has
@@ -344,17 +583,279 @@ object Versioned {
     // live names span BOTH dir kinds: a deletion-vector dir referenced
     // by a surviving manifest is load-bearing (reclaiming it would
     // resurrect deleted rows)
-    val live = keep.flatMap(entries(spark, dir, _)).map(_.name).toSet
+    def dirNames(v: Int) = lines(spark, dir, v).collect {
+      case DataEntry(n) => n
+      case DvEntry(_, n) => n
+    }
+    val live = keep.flatMap(dirNames).toSet
+    // names committed history once referenced — captured BEFORE the
+    // manifests holding the references are deleted
+    val droppedRefs = drop.flatMap(dirNames).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
-    val dead = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.matches("""v\d{8}_(data|dv)(_[0-9a-f]{8})?""") &&
-        !live.contains(p.getName))
-    dead.foreach(fs.delete(_, true))
+    val now = System.currentTimeMillis()
+    val candidates = fs.listStatus(root)
+      .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv)(_[0-9a-f]{8})?""") &&
+        !live.contains(st.getPath.getName))
+    val (dead, young) = candidates.partition(st =>
+      droppedRefs.contains(st.getPath.getName) ||
+        now - st.getModificationTime >= orphanMinAgeMs)
+    dead.foreach(st => fs.delete(st.getPath, true))
     // staging files from commits that crashed between create and
-    // rename are invisible to readers but never self-clean
-    fs.listStatus(new Path(root, VDIR)).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
-      .foreach(fs.delete(_, false))
-    PruneStats(drop, dead.map(_.getName).toSeq)
+    // publish are invisible to readers but never self-clean; both
+    // protocols' staging prefixes are swept (`.tmp-` = RenameCommit,
+    // `.put-` = PutIfAbsentCommit's local emulation)
+    fs.listStatus(new Path(root, VDIR))
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith(".tmp-") || n.startsWith(".put-")) &&
+          now - st.getModificationTime >= orphanMinAgeMs
+      }
+      .foreach(st => fs.delete(st.getPath, false))
+    PruneStats(drop, dead.map(_.getPath.getName).toSeq,
+      young.map(_.getPath.getName).toSeq)
+  }
+}
+
+/** Manifest-level data skipping: harvest parquet-footer statistics at
+  * commit time, decide dir-level exclusion at plan time. Pure
+  * metadata work — collection reads footers of the one new dir
+  * (O(delta), never O(table)); evaluation reads nothing.
+  *
+  * Exclusion is deliberately one-sided: a dir is skipped only when
+  * its stats PROVE the conjunction can match no row. Columns whose
+  * type has no canonical stats domain, footers that omit statistics
+  * (parquet-mr already drops stats it cannot trust, e.g. pre-1.8
+  * binary orderings), NaN bounds, and dirs without a stats line all
+  * evaluate to "cannot exclude" — the filters are re-applied to the
+  * surviving scan, so skipping can never change a result. */
+private[ext] object Skipping {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.functions.{col, lit}
+  import graft.ext.Versioned.ColStats
+  import scala.jdk.CollectionConverters._
+
+  /** (rows, per-column stats) of one just-written data dir, from its
+    * parquet footers. A column of unsupported type, or with any
+    * untrusted footer, is recorded as fully-unknown (present but no
+    * bounds) — distinguishing it from a column ABSENT from the dir's
+    * files, which under the union schema reads as all-null and is
+    * recorded by omission. */
+  def collectDirStats(spark: SparkSession, dataPath: Path,
+                      dirSchema: StructType): (Long, Map[String, ColStats]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dataPath.getFileSystem(conf)
+    val files = fs.listStatus(dataPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var rows = 0L
+    // per column: (min, max, nulls, valueCount, trusted)
+    val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
+    val supported = dirSchema.fields.map(f => f.name -> f.dataType)
+      .filter { case (_, dt) => comparableType(dt) }.toMap
+    for (file <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val footer = reader.getFooter
+        for (block <- footer.getBlocks.asScala) {
+          rows += block.getRowCount
+          for (chunk <- block.getColumns.asScala) {
+            val path = chunk.getPath
+            if (path.size == 1) {
+              val name = path.iterator.next()
+              supported.get(name).foreach { dt =>
+                val prior = acc.getOrElse(name, (None, None, 0L, 0L, true))
+                acc(name) = mergeChunk(prior, chunk, dt)
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val cols = dirSchema.fields.map { f =>
+      f.name -> (acc.get(f.name) match {
+        // value counts must cover every row, else some chunk was
+        // missing for this column and the bounds are partial
+        case Some((mn, mx, nulls, vc, true)) if vc == rows =>
+          ColStats(mn, mx, Some(nulls))
+        case _ => ColStats(None, None, None)
+      })
+    }.toMap
+    (rows, cols)
+  }
+
+  private def mergeChunk(prior: (Option[String], Option[String], Long, Long, Boolean),
+                         chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                         dt: DataType): (Option[String], Option[String], Long, Long, Boolean) = {
+    val (mn0, mx0, n0, vc0, ok0) = prior
+    if (!ok0) prior
+    else {
+      val stats = chunk.getStatistics
+      val vc = vc0 + chunk.getValueCount
+      if (stats == null || !stats.isNumNullsSet) (None, None, 0L, vc, false)
+      else {
+        val nulls = n0 + stats.getNumNulls
+        if (!stats.hasNonNullValue) {
+          // a chunk of pure nulls contributes no bounds; all-null is
+          // only provable when the null count covers the value count
+          if (stats.getNumNulls == chunk.getValueCount) (mn0, mx0, nulls, vc, true)
+          else (None, None, 0L, vc, false)
+        } else {
+          (statToCanonical(stats.genericGetMin, dt), statToCanonical(stats.genericGetMax, dt)) match {
+            case (Some(lo), Some(hi)) =>
+              (Some(mn0.fold(lo)(m => if (cmp(dt, lo, m) < 0) lo else m)),
+                Some(mx0.fold(hi)(m => if (cmp(dt, hi, m) > 0) hi else m)),
+                nulls, vc, true)
+            case _ => (None, None, 0L, vc, false)
+          }
+        }
+      }
+    }
+  }
+
+  private def comparableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         FloatType | DoubleType | StringType | BooleanType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Footer stat value → canonical string in the comparison domain.
+    * None (→ no skipping) for anything surprising, NaN above all:
+    * parquet min/max are undefined in the presence of NaN. */
+  private def statToCanonical(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (i: java.lang.Integer, ByteType | ShortType | IntegerType | DateType) =>
+      Some(i.longValue.toString)
+    case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) =>
+      Some(l.toString)
+    case (f: java.lang.Float, FloatType) =>
+      if (f.isNaN) None else Some(f.doubleValue.toString)
+    case (d: java.lang.Double, DoubleType) =>
+      if (d.isNaN) None else Some(d.toString)
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      Some(b.toStringUsingUTF8)
+    case (b: java.lang.Boolean, BooleanType) => Some(b.toString)
+    case _ => None
+  }
+
+  /** Filter literal → the same canonical domain. */
+  private def valueToCanonical(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (null, _) => None
+    case (n: Number, ByteType | ShortType | IntegerType | LongType) =>
+      Some(n.longValue.toString)
+    case (n: Number, FloatType | DoubleType) =>
+      val d = n.doubleValue; if (d.isNaN) None else Some(d.toString)
+    case (s: String, StringType) => Some(s)
+    case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toEpochDay.toString)
+    case (d: java.time.LocalDate, DateType) => Some(d.toEpochDay.toString)
+    case (t: java.sql.Timestamp, TimestampType | TimestampNTZType) =>
+      Some((t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L).toString)
+    case (t: java.time.Instant, TimestampType) =>
+      Some((t.getEpochSecond * 1000000L + t.getNano / 1000L).toString)
+    case (b: Boolean, BooleanType) => Some(b.toString)
+    case _ => None
+  }
+
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case StringType             => a.compareTo(b)
+    case BooleanType            => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case other => throw new IllegalStateException(s"no canonical order for $other")
+  }
+
+  /** True iff `stats` PROVE no row of the dir can satisfy `f`. A
+    * column with no entry at all is one the dir's files do not carry
+    * — under the union schema it reads as all-null (the evolution
+    * backfill), so value predicates and IsNotNull exclude the dir. */
+  def excludes(rows: Long, cols: Map[String, ColStats],
+               schema: StructType, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    def statsFor(attr: String): Option[(ColStats, DataType)] =
+      schema.fields.find(_.name == attr).map(_.dataType).map { dt =>
+        (cols.getOrElse(attr, ColStats(None, None, Some(rows))), dt)
+      }
+    def allNull(c: ColStats): Boolean = c.nulls.contains(rows)
+    def outside(attr: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
+      statsFor(attr).exists { case (c, dt) =>
+        if (allNull(c)) true // null never satisfies a value predicate
+        else (for { lo <- c.min; hi <- c.max; cv <- valueToCanonical(v, dt) }
+          yield test(cmp(dt, cv, lo), cmp(dt, cv, hi))).getOrElse(false)
+      }
+    f match {
+      case EqualTo(a, v)            => outside(a, v)((l, h) => l < 0 || h > 0)
+      case GreaterThan(a, v)        => outside(a, v)((_, h) => h >= 0)
+      case GreaterThanOrEqual(a, v) => outside(a, v)((_, h) => h > 0)
+      case LessThan(a, v)           => outside(a, v)((l, _) => l <= 0)
+      case LessThanOrEqual(a, v)    => outside(a, v)((l, _) => l < 0)
+      case In(a, vs)                => vs.nonEmpty &&
+        vs.forall(v => excludes(rows, cols, schema, EqualTo(a, v)))
+      case IsNull(a)    => statsFor(a).exists(_._1.nulls.contains(0L))
+      case IsNotNull(a) => statsFor(a).exists { case (c, _) => allNull(c) && rows > 0 }
+      case And(l, r) => excludes(rows, cols, schema, l) || excludes(rows, cols, schema, r)
+      case Or(l, r)  => excludes(rows, cols, schema, l) && excludes(rows, cols, schema, r)
+      case _ => false
+    }
+  }
+
+  /** The exact-semantics half: every accepted filter re-applied to the
+    * surviving scan as a Catalyst predicate (pushed into parquet by
+    * the optimizer as usual). Unsupported shapes fail fast — the
+    * caller asked for skipping semantics this module cannot honor. */
+  def toColumn(f: org.apache.spark.sql.sources.Filter): Column = f match {
+    case EqualTo(a, v)            => col(a) === lit(v)
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a)                => col(a).isNull
+    case IsNotNull(a)             => col(a).isNotNull
+    case And(l, r)                => toColumn(l) && toColumn(r)
+    case Or(l, r)                 => toColumn(l) || toColumn(r)
+    case other => throw new IllegalArgumentException(
+      s"unsupported skipping filter: $other")
+  }
+}
+
+/** JSON (de)serialization of one stats line's payload, via the Jackson
+  * already on Spark's classpath — strings are escaped, so a stats line
+  * stays a single manifest line whatever the column values contain. */
+private[ext] object StatsJson {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import graft.ext.Versioned.ColStats
+  private val mapper = new ObjectMapper()
+
+  def render(rows: Long, cols: Map[String, ColStats]): String = {
+    val root = mapper.createObjectNode()
+    root.put("rows", rows)
+    val cn = root.putObject("cols")
+    cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      val o = cn.putObject(name)
+      c.min.foreach(o.put("min", _))
+      c.max.foreach(o.put("max", _))
+      c.nulls.foreach(o.put("nulls", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def parse(json: String): (Long, Map[String, ColStats]) = {
+    val root = mapper.readTree(json)
+    val rows = root.get("rows").asLong()
+    val cols = Option(root.get("cols")).map { cn =>
+      val b = Map.newBuilder[String, ColStats]
+      val it = cn.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val o = e.getValue
+        b += e.getKey -> ColStats(
+          Option(o.get("min")).map(_.asText()),
+          Option(o.get("max")).map(_.asText()),
+          Option(o.get("nulls")).map(_.asLong()))
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+    (rows, cols)
   }
 }

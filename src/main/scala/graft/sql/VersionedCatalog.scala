@@ -1,0 +1,230 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ext.Versioned
+
+/** The SQL serving surface over [[graft.ext.Versioned]]'s manifest
+  * store — the role the reference's users get from Trino-over-Delta
+  * (ref: mnt/trino/etc/catalog/delta-lake.properties:1-3, which gives
+  * them `VERSION AS OF` and friends in plain SQL). A DataSource V2
+  * `TableCatalog`, registered on a LIVE session with one conf:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+  *   spark.sql("SELECT * FROM versioned.`/path/to/table` VERSION AS OF 2")
+  *   spark.sql("SELECT * FROM versioned.`/path/to/table`")   // latest
+  * }}}
+  *
+  * The table identifier IS the table path (Delta's `delta.`/path``
+  * idiom). Spark's own parser/analyzer handle the time-travel syntax
+  * — `VERSION AS OF n` resolves through [[loadTable(Identifier,String)]],
+  * the DSv2 seam built for exactly this.
+  *
+  * Plan quality, not a compatibility shim: a version with no deletion
+  * vectors is served as Spark's OWN `ParquetTable` over the manifest's
+  * file list with the manifest-recorded schema — every native path
+  * (vectorized columnar read, filter pushdown, column pruning,
+  * aggregate pushdown) applies unchanged, and planning reads no
+  * footer. A version with deletion vectors wraps that table with a
+  * row-level key-mask ([[DvMaskedTable]]): column pruning still
+  * reaches parquet (widened by the key columns, projected back after
+  * the mask), filters still push for row-group skipping, and the only
+  * surrendered optimization is aggregate pushdown — which MUST be
+  * surrendered, because a pushed count() would count masked rows.
+  *
+  * Read-only by design: writes go through the library's commit
+  * protocols ([[graft.ext.Versioned]], [[graft.gold.Upsert]]), which
+  * own the crash-safety story; a SQL INSERT bypassing them would not.
+  */
+class VersionedCatalog extends TableCatalog {
+  private var catName: String = "versioned"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+
+  override def name(): String = catName
+
+  /** Tables are paths; there is no namespace to enumerate. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF v` — the analyzer routes the parsed literal here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version))
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def load(ident: Identifier, version: Option[String]): Table = {
+    val spark = SparkSession.active
+    val dir = pathOf(ident)
+    val vs = Versioned.versions(spark, dir)
+    if (vs.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val v = version.map { raw =>
+      val n = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF wants an integer version, got '$raw'")
+      }
+      require(vs.contains(n), s"no version $n at $dir (have ${vs.mkString(",")})")
+      n
+    }.getOrElse(vs.last)
+    val info = Versioned.versionInfo(spark, dir, v)
+    // pre-schema manifests fall back to mergeSchema, exactly like the
+    // library read path — correct, with the legacy plan-time cost
+    val opts = new CaseInsensitiveStringMap(
+      if (info.schema.isEmpty) java.util.Map.of("mergeSchema", "true")
+      else java.util.Map.of())
+    val pt = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      s"$catName.$dir@v$v", spark, opts, info.dataDirs, info.schema,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    if (info.dvDirs.isEmpty) pt
+    else new DvMaskedTable(pt, info.schema.getOrElse(pt.schema), info.dvDirs)
+  }
+
+  private def readOnly(): Nothing = throw new UnsupportedOperationException(
+    s"catalog '$catName' is a read-only serving layer; write through " +
+      "graft.ext.Versioned / graft.gold.Upsert, whose commit protocols own crash safety")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = readOnly()
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+}
+
+/** A versioned table whose serve-version carries deletion vectors:
+  * the inner native parquet table, minus every row whose key is in a
+  * dv key set. The mask is applied ROW-level in the partition readers
+  * — the same semantics as the library read path's broadcast
+  * anti-join, expressed at the DSv2 seam so plain SQL gets it. */
+private[sql] class DvMaskedTable(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable,
+                                 fullSchema: StructType,
+                                 dvDirs: Seq[(String, Seq[String])])
+  extends Table with SupportsRead {
+
+  override def name(): String = inner.name
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs)
+}
+
+/** Forwards column pruning (widened by the mask's key columns so the
+  * reader can evaluate it, projected back afterwards) and filter
+  * pushdown to the native parquet builder. Deliberately does NOT
+  * forward aggregate pushdown: an aggregate computed inside parquet
+  * would see masked rows. */
+private[sql] class DvScanBuilder(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+                                 fullSchema: StructType,
+                                 dvDirs: Seq[(String, Seq[String])])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private val keyCols = dvDirs.map(_._1).distinct.toSet
+  private var requested: StructType = fullSchema
+
+  override def pruneColumns(req: StructType): Unit = {
+    requested = req
+    val names = req.fieldNames.toSet
+    inner.pruneColumns(StructType(fullSchema.fields.filter(f =>
+      names.contains(f.name) || keyCols.contains(f.name))))
+  }
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    inner.pushFilters(filters)
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def build(): Scan = new DvMaskedScan(inner.build(), requested, dvDirs)
+}
+
+private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
+                                dvDirs: Seq[(String, Seq[String])]) extends Scan {
+  override def readSchema(): StructType = requested
+  override def description(): String = s"DvMasked(${inner.description()})"
+
+  override def toBatch: Batch = new Batch {
+    private val innerBatch = inner.toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      innerBatch.planInputPartitions()
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val spark = SparkSession.active
+      val wide = inner.readSchema()
+      // driver pull of the key sets, in INTERNAL row representation
+      // (UTF8String etc.) so executor-side comparison is allocation-free.
+      // dv semantics guarantee the sets are broadcast-sized next to the
+      // table — same bound as the library path's broadcast anti-join.
+      val masks = dvDirs.flatMap { case (k, dirs) =>
+        if (!wide.fieldNames.contains(k)) None // key col absent from read: nothing to mask on
+        else {
+          val idx = wide.fieldIndex(k)
+          val dt = wide(idx).dataType
+          val keyRows = spark.read.parquet(dirs: _*)
+            .select(org.apache.spark.sql.functions.col(k)).distinct()
+            .queryExecution.toRdd.map(_.copy()).collect()
+          val set = new java.util.HashSet[Any]()
+          keyRows.foreach(r => if (!r.isNullAt(0)) set.add(r.get(0, dt)))
+          Some((idx, dt, set))
+        }
+      }
+      val projIdx = requested.fields.map(f => wide.fieldIndex(f.name))
+      new DvReaderFactory(innerBatch.createReaderFactory(), wide, masks.toArray, projIdx)
+    }
+  }
+}
+
+/** Row-based reader wrapper: skip rows whose key is masked, project
+  * the widened row back to the requested columns. Row-based (not
+  * columnar) because the mask is per-row — the price a dv-bearing
+  * version pays until overwrite/compaction applies it physically. */
+private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
+                                   wide: StructType,
+                                   masks: Array[(Int, DataType, java.util.HashSet[Any])],
+                                   projIdx: Array[Int])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      projIdx.toIndexedSeq.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, wide(i).dataType, wide(i).nullable)))
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          val masked = masks.exists { case (i, dt, set) =>
+            !row.isNullAt(i) && set.contains(row.get(i, dt))
+          }
+          if (!masked) { current = row; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(current)
+      override def close(): Unit = r.close()
+    }
+  }
+}

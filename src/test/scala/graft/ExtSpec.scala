@@ -338,8 +338,10 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Seq[String])].collect().toMap
     assert(got(1L) == Seq("the", "cat"))
     assert(got(2L) == Seq("q", "q", "q", "z", "z"))
-    // digits have no merges in this table → char tokens
-    assert(got(3L) == Seq("this", ",", "that", "and", "4", "2", "!"))
+    // the round-8 corpus (the driver's testdata drifts between rounds;
+    // the table header's corpus hash now records which one trained it)
+    // carries digit runs frequent enough to learn "42" as one merge
+    assert(got(3L) == Seq("this", ",", "that", "and", "42", "!"))
     assert(got(4L) == Seq.empty)
     assert(got(5L) == Seq("with", "with", "with"))
     // the corpus-first retrain makes every documents-corpus word a
@@ -1476,7 +1478,11 @@ class ExtSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
     // prune to the newest version: v0's manifest goes, but its data
     // dir SURVIVES (v1's append chain references it); the orphan dies
-    val stats = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    // (orphanMinAgeMs=0: the test's orphan is seconds old — production
+    // keeps the default retention window so an IN-FLIGHT writer's
+    // uncommitted dir is never reclaimed under it)
+    val stats = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1,
+      orphanMinAgeMs = 0L)
     assert(stats.versionsDropped == Seq(0))
     assert(stats.dirsDeleted == Seq("v00000002_data"))
     assert(graft.ext.Versioned.readLatest(spark, dir)
@@ -1494,7 +1500,7 @@ class ExtSpec extends AnyFunSuite {
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_versions/.tmp-commit-00000009"), false)
     out.write("junk\n".getBytes("UTF-8")); out.close()
     assert(graft.ext.Versioned.versions(spark, dir) == Seq(1))
-    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
+    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_versions/.tmp-commit-00000009")))
   }
 
@@ -1532,7 +1538,7 @@ class ExtSpec extends AnyFunSuite {
     assert(v == 1 && graft.ext.Versioned.versions(spark, dir) == Seq(0, 1))
     // prune sweeps the .tmp-* residue (the non-dot junk names are
     // inert but not prune's to delete — they are not commit residue)
-    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 2)
+    graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 2, orphanMinAgeMs = 0L)
     val left = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_versions"))
       .map(_.getPath.getName).toSet
     assert(!left.exists(_.startsWith(".tmp-")), s"tmp residue survived prune: $left")
@@ -1925,5 +1931,197 @@ class ExtSpec extends AnyFunSuite {
     // bare existing dir with no _versions: same contract
     val stats2 = graft.ext.Versioned.pruneVersions(spark, dir, keepLast = 1)
     assert(stats2.versionsDropped.isEmpty && stats2.dirsDeleted.isEmpty)
+  }
+
+  test("versioned: manifest-recorded schema serves evolved chains with ZERO plan-time jobs; legacy manifests fall back") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vschema").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    Versioned.writeVersion(Seq((2L, "b", 1.5)).toDF("id", "v", "score"), dir, SaveMode.Append)
+    // the commit recorded the UNION schema — Delta metaData's role
+    val rec = Versioned.recordedSchema(spark, dir, 1)
+    assert(rec.map(_.fieldNames.toSeq).contains(Seq("id", "v", "score")))
+    // job-count harness: the pre-round-8 mergeSchema read launched a
+    // footer-merge Spark job at PLAN time on every read (at 100 TB /
+    // 10^6 files, a cluster job before the query's first real task).
+    // Prove the harness sees jobs by running one, then prove the
+    // recorded-schema read plans with NONE.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Versioned.readLatest(spark, dir).count() // harness check: jobs ARE counted
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(jobs.get() > 0, "listener harness never saw the probe job")
+      jobs.set(0)
+      val df = Versioned.readVersion(spark, dir, 1) // plan only — no action
+      Thread.sleep(1500) // let any async job-start event land
+      assert(jobs.get() == 0,
+        s"recorded-schema read launched ${jobs.get()} plan-time job(s) — the mergeSchema cost is back")
+      // …and the plan is still the correct union-schema read
+      assert(df.columns.toSeq == Seq("id", "v", "score"))
+      assert(df.select("id", "score").as[(Long, Option[Double])].collect().toMap ==
+        Map(1L -> None, 2L -> Some(1.5)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a manifest WITHOUT a schema line (pre-round-8 format, or a raw
+    // commitManifest) still reads correctly via the mergeSchema fallback
+    val v0dir = new java.io.File(dir).listFiles().map(_.getName)
+      .find(_.startsWith("v00000000_data")).get
+    Versioned.commitManifest(spark, dir, 2, Seq(v0dir))
+    assert(Versioned.recordedSchema(spark, dir, 2).isEmpty)
+    assert(Versioned.readVersion(spark, dir, 2)
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // the next APPEND onto the legacy manifest derives the union once
+    // and records it — the table upgrades in place
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+    assert(Versioned.recordedSchema(spark, dir, 3).nonEmpty)
+    assert(Versioned.readVersion(spark, dir, 3)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // an append that CHANGES a column's type refuses up front (that
+    // needs a rewrite, not a silent union)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.writeVersion(Seq((4, 5)).toDF("id", "v"), dir, SaveMode.Append)
+    }
+    assert(e.getMessage.contains("changes type"))
+  }
+
+  test("versioned data skipping: manifest stats prune whole dirs at plan time; results exact; evolution-aware") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources._
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vskip").toString + "/t"
+    def batch(lo: Long, hi: Long, tag: String) =
+      spark.range(lo, hi).toDF("id").withColumn("tag", lit(tag))
+    Versioned.writeVersion(batch(0, 100, "alpha"), dir)
+    Versioned.writeVersion(batch(100, 200, "beta"), dir, SaveMode.Append)
+    val v = Versioned.writeVersion(batch(200, 300, "gamma"), dir, SaveMode.Append)
+    def planned(fs: Filter*) = Versioned.planDataDirs(spark, dir, v, fs.toSeq).length
+    assert(planned() == 3)
+    // range predicates prune to exactly the dirs whose [min,max] admit rows
+    assert(planned(GreaterThanOrEqual("id", 250L)) == 1)
+    assert(planned(EqualTo("id", 150L)) == 1)
+    assert(planned(LessThan("id", 100L)) == 1)
+    assert(planned(GreaterThan("id", 99L), LessThanOrEqual("id", 200L)) == 2)
+    // string stats prune too
+    assert(planned(EqualTo("tag", "beta")) == 1)
+    assert(planned(In("id", Array(10L, 20L))) == 1)
+    // a provably-empty read plans ZERO dirs and still returns the schema
+    assert(planned(GreaterThan("id", 1000L)) == 0)
+    val empty = Versioned.readVersionSkipping(spark, dir, v, Seq(GreaterThan("id", 1000L)))
+    assert(empty.columns.toSeq == Seq("id", "tag") && empty.count() == 0)
+    // exactness: the skipping read equals the full read + filter
+    val viaSkip = Versioned.readVersionSkipping(spark, dir, v,
+      Seq(GreaterThan("id", 120L), LessThan("id", 260L)))
+      .select("id").as[Long].collect().toSet
+    val viaFull = Versioned.readVersion(spark, dir, v)
+      .filter($"id" > 120L && $"id" < 260L).select("id").as[Long].collect().toSet
+    assert(viaSkip == viaFull && viaSkip.nonEmpty)
+    // evolution-aware: a later append introduces a column; IsNotNull on
+    // it excludes every pre-evolution dir (their rows are backfilled
+    // nulls — provable from the manifest alone)
+    val v2 = Versioned.writeVersion(
+      batch(300, 310, "delta").withColumn("score", $"id" * 2.0), dir, SaveMode.Append)
+    assert(Versioned.planDataDirs(spark, dir, v2, Seq(IsNotNull("score"))).length == 1)
+    assert(Versioned.planDataDirs(spark, dir, v2, Seq(IsNull("score"))).length == 3)
+    assert(Versioned.readVersionSkipping(spark, dir, v2, Seq(IsNotNull("score")))
+      .select("id").as[Long].collect().toSet == (300L until 310L).toSet)
+    // deletion vectors compose with skipping: masked keys stay masked
+    Versioned.deleteByKeys(spark, dir, Seq(150L, 305L).toDF("id"), "id")
+    val v3 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.readVersionSkipping(spark, dir, v3,
+      Seq(GreaterThanOrEqual("id", 140L), LessThan("id", 160L)))
+      .select("id").as[Long].collect().toSet == ((140L until 160L).toSet - 150L))
+    // stats only ever REMOVE provably-empty work: a dir-less manifest
+    // (raw commit, no stats lines) is always read
+    val anyData = new java.io.File(dir).listFiles().map(_.getName)
+      .find(_.startsWith("v00000000_data")).get
+    Versioned.commitManifest(spark, dir, v3 + 1, Seq(anyData))
+    assert(Versioned.planDataDirs(spark, dir, v3 + 1,
+      Seq(GreaterThan("id", 1000L))).length == 1)
+  }
+
+  test("versioned: dv compaction merges a delete-heavy chain to one dv dir per key column; masks identical; history intact") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvmerge").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 100).toDF("id")
+      .withColumn("v", concat(lit("r"), $"id")), dir)
+    Versioned.deleteByKeys(spark, dir, Seq(1L, 2L).toDF("id"), "id")
+    Versioned.deleteByKeys(spark, dir, Seq(2L, 3L).toDF("id"), "id")
+    Versioned.deleteByKeys(spark, dir, Seq(50L).toDF("id"), "id")
+    val preCompact = Versioned.latestVersion(spark, dir).get
+    val preIds = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet
+    assert(preIds == (0L until 100L).toSet -- Set(1L, 2L, 3L, 50L))
+    // 3 dv dirs live before compaction
+    assert(Versioned.liveDataDirs(spark, dir).count(_.split('/').last.contains("_dv")) == 3)
+    val compacted = Versioned.compactDeletionVectors(spark, dir)
+    assert(compacted.contains(preCompact + 1))
+    // exactly ONE dv dir per key column now; the mask is identical
+    assert(Versioned.liveDataDirs(spark, dir).count(_.split('/').last.contains("_dv")) == 1)
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet == preIds)
+    // pre-compaction versions still time-travel to the un-merged chain
+    assert(Versioned.readVersion(spark, dir, preCompact)
+      .select("id").as[Long].collect().toSet == preIds)
+    assert(Versioned.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == (0L until 100L).toSet -- Set(1L, 2L))
+    // idempotent: nothing left to merge
+    assert(Versioned.compactDeletionVectors(spark, dir).isEmpty)
+    // appends after compaction keep working (deleted keys stay masked)
+    Versioned.writeVersion(Seq((2L, "back"), (200L, "new")).toDF("id", "v"), dir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet ==
+      preIds + 200L)
+  }
+
+  test("pruneVersions retention window: a young unreferenced dir (possible in-flight writer) survives the default prune") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_age").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir)
+    // a dir an in-flight writer just wrote, manifest not yet committed
+    Seq((99L, "inflight")).toDF("id", "v").write
+      .parquet(new org.apache.hadoop.fs.Path(dir, "v00000002_data_deadbeef").toString)
+    // default prune: the EXPIRED version's dir (referenced by the
+    // dropped v0 manifest) is reclaimed — committed history ages out
+    // regardless — but the young never-referenced dir is NOT (the
+    // advisor's race: reclaiming it would break the writer's commit)
+    val stats = Versioned.pruneVersions(spark, dir, keepLast = 1)
+    assert(stats.versionsDropped == Seq(0))
+    assert(stats.dirsDeleted.exists(_.startsWith("v00000000_data")))
+    assert(stats.dirsSkippedYoung == Seq("v00000002_data_deadbeef"))
+    // the in-flight writer can now commit and its version reads fine
+    Versioned.commitManifest(spark, dir, 2, Seq("v00000002_data_deadbeef"))
+    assert(Versioned.readVersion(spark, dir, 2)
+      .select("id").as[Long].collect().toSet == Set(99L))
+    // a crashed PutIfAbsentCommit staging file (.put-*) is swept once
+    // old enough — the advisor's permanent-debris gap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val put = new org.apache.hadoop.fs.Path(dir, "_versions/.put-00000009.manifest12345678.tmp")
+    val out = fs.create(put, false); out.write("junk".getBytes("UTF-8")); out.close()
+    Versioned.pruneVersions(spark, dir, keepLast = 2) // young: survives
+    assert(fs.exists(put))
+    Versioned.pruneVersions(spark, dir, keepLast = 2, orphanMinAgeMs = 0L)
+    assert(!fs.exists(put), "crashed .put-* staging debris never reclaimed")
+  }
+
+  test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_restore_proto").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir,
+      protocol = graft.ext.PutIfAbsentCommit)
+    Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir,
+      protocol = graft.ext.PutIfAbsentCommit)
+    val v2 = Versioned.restoreVersion(spark, dir, 0, graft.ext.PutIfAbsentCommit)
+    assert(v2 == 2)
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet == Set(1L))
+    // the restore carried v0's schema and stats lines with it
+    assert(Versioned.recordedSchema(spark, dir, v2).nonEmpty)
+    assert(Versioned.planDataDirs(spark, dir, v2,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 5L))).isEmpty)
   }
 }

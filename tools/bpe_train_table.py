@@ -28,6 +28,7 @@ each rule side is a single character or the output of an earlier rule.
 Run from the repo root:  python3 tools/bpe_train_table.py
 """
 import collections
+import hashlib
 import re
 
 N_MERGES = 1100
@@ -35,6 +36,25 @@ PARQUET_SOURCES = ["/root/testdata/sf0.1/documents.parquet"]  # primary: the met
 SOURCES = ["SURVEY.md", "README.md", "PAPERS.md", "QUIET_BENCH.md", "TESTDATA.md"]
 OUT = "src/main/scala/graft/functions/BpeMergeTable1k.scala"
 WORD_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def corpus_hash():
+    """Content hash of the TEXT COLUMN of the primary corpus (not the
+    parquet bytes — re-encoding the same rows must not read as drift).
+    Recorded in the generated header so divergence between the
+    environment-shipped corpus and the checked-in table is DETECTABLE:
+    on regeneration, a changed hash with unchanged rules is re-encoding
+    noise; a changed hash with changed rules means the corpus moved and
+    every table consumer (kernel, specs, oracles) must move together."""
+    import pyarrow.parquet as pq
+    h = hashlib.sha256()
+    for f in PARQUET_SOURCES:
+        col = pq.read_table(f, columns=["text"]).column("text").to_pylist()
+        for x in col:
+            if x:
+                h.update(x.encode("utf-8"))
+                h.update(b"\x00")
+    return h.hexdigest()[:16]
 
 
 def word_hist():
@@ -94,6 +114,19 @@ def encode(rules, text):
 
 
 def main():
+    chash = corpus_hash()
+    # drift guard: warn when the corpus no longer matches the hash the
+    # checked-in table was trained on
+    try:
+        with open(OUT, encoding="utf-8") as fh:
+            head = fh.read(2000)
+        import re as _re
+        m = _re.search(r"corpus sha256/16: ([0-9a-f]{16})", head)
+        if m and m.group(1) != chash:
+            print(f"WARNING: corpus hash {chash} differs from the checked-in "
+                  f"table's {m.group(1)} — the corpus drifted; retraining now")
+    except FileNotFoundError:
+        pass
     hist = word_hist()
     rules = train(hist, N_MERGES)
     assert len(rules) >= 1000, f"only {len(rules)} merges learnable"
@@ -129,6 +162,9 @@ def main():
   * Invariant (spec-asserted): each rule side is a single character or
   * the OUTPUT of an earlier rule — which makes sequential
   * rule-at-a-time application exact BPE inference.
+  *
+  * corpus sha256/16: {chash} (text column of the primary corpus; the
+  * tool warns on regeneration if the shipped corpus drifted from it)
   */
 private[functions] object BpeMergeTable1k {{
   val rules: Array[(String, String)] = Array(
