@@ -185,6 +185,47 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly data+dv scans in:\n$plan")
   }
 
+  test("SQL catalog: dv-free VERSION AS OF plans the native DSv2 parquet scan, pruned and pushed; dv version masks in-reader with no join") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlcat_plan").toString + "/t"
+    val base = Tables.orders(spark, d).select(col("o_orderkey"), col("o_totalprice"))
+    Versioned.writeVersion(base, dir)
+    Versioned.deleteByKeys(spark, dir,
+      base.filter(col("o_totalprice") > 180000).select(col("o_orderkey")), "o_orderkey")
+    spark.conf.set("spark.sql.catalog.graft_vplan", "graft.sql.VersionedCatalog")
+    // dv-free version: Spark's OWN v2 parquet table serves it — the
+    // scan is a BatchScan with the filter pushed and the read schema
+    // pruned to the selected column (the whole point of delegating to
+    // the native source instead of shimming one)
+    val v0 = spark.sql(
+      s"SELECT o_orderkey FROM graft_vplan.`$dir` VERSION AS OF 0 WHERE o_orderkey > 100")
+    val p0 = planOf(v0)
+    assert(p0.contains("BatchScan"), s"expected native DSv2 scan in:\n$p0")
+    assert(p0.contains("PushedFilters") && p0.contains("GreaterThan(o_orderkey,100)"),
+      s"expected pushed filter in:\n$p0")
+    assert(p0.contains("ReadSchema") && !p0.contains("o_totalprice"),
+      s"expected o_orderkey-only read in:\n$p0")
+    assert(v0.count() == base.filter(col("o_orderkey") > 100).count())
+    // dv-bearing version: the mask is applied INSIDE the partition
+    // readers — no join node anywhere in the plan (the library path's
+    // broadcast anti-join is the DataFrame twin; at the DSv2 seam the
+    // mask rides the scan itself) — and the result equals the library
+    // read. Selecting only o_totalprice forces the widen-then-project
+    // path (the key column must be read for the mask, then dropped).
+    val v1 = spark.sql(s"SELECT o_totalprice FROM graft_vplan.`$dir` VERSION AS OF 1")
+    val p1 = planOf(v1)
+    assert(!p1.contains("Join"), s"dv mask must not plan a join:\n$p1")
+    val viaSql = v1.as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().sorted.toSeq
+    val viaLib = Versioned.readVersion(spark, dir, 1)
+      .select(col("o_totalprice")).as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().sorted.toSeq
+    assert(viaSql == viaLib && viaSql.nonEmpty)
+    // latest (no AS OF) resolves through the same catalog
+    assert(spark.sql(s"SELECT count(*) FROM graft_vplan.`$dir`").head().getLong(0) ==
+      viaLib.length)
+  }
+
   test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
     // q62 chunking: scan → project → generate, no exchange at all
     // (formatted explain lists partitionings in the Arguments: lines)
