@@ -98,6 +98,11 @@ object SparkEntry {
   private val dvCompactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q116's fixture: two versions whose diff carries all three change
+    * classes. Built once per process. */
+  private val changesTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q114's fixture: three status-sliced appends — each version's data
     * dir carries disjoint `status` values and its own price range in
     * the manifest stats, so a selective read can prove dirs empty. */
@@ -1258,6 +1263,43 @@ object SparkEntry {
         org.apache.spark.sql.sources.GreaterThan("price", 100000.0)))
         .select(col("o_orderkey"), col("status"), col("price"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // TRAINED language ID (Cavnar–Trenkle character-trigram profiles,
+    // integer per-million weights — the q91/BPE "trained table +
+    // checked-in generator" playbook): per-language exact integer
+    // scores + argmax. The oracle inlines the same 1.4k-entry table
+    // and replays normalization, trigram explode, and the argmax
+    // chain verbatim — hash-exact because every score is an integer
+    "q115_lang_id_ngram" -> ((s, d) =>
+      TextStats.langIdNgram(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Delta table_changes between versions, DERIVED on read (our
+    // manifest keeps no change log — every version is a full state):
+    // v0 = F slice; v1 = overwrite dropping keys ≡3 (mod 10), bumping
+    // prices > 150k, and adding the P slice. The diff must classify
+    // delete / update pre+post / insert and emit NOTHING for the
+    // untouched rows; the oracle derives each class directly
+    "q116_version_changes" -> { (s, d) =>
+      val tbl = changesTableCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_changes", d)
+        val orders = Tables.orders(s, d)
+        Versioned.writeVersion(
+          orders.filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")), path)
+        Versioned.writeVersion(
+          orders.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 =!= 3)
+            .select(col("o_orderkey"),
+              when(col("o_totalprice") > 150000, round(col("o_totalprice") + 1000, 2))
+                .otherwise(round(col("o_totalprice"), 2)).as("price"))
+            .unionByName(orders.filter(col("o_orderstatus") === "P")
+              .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+          path)
+        path
+      })
+      Versioned.changesBetween(s, tbl, 0, 1, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("_change_type"))
     },
 
     // incremental materialized-view refresh: the per-customer rollup
@@ -2842,6 +2884,68 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // trained trigram language ID: the model table inlined as VALUES
+    // (grams are [a-z ] only — no escaping needed), normalization /
+    // trigram explode / integer sums / argmax chain replayed verbatim.
+    // SUM(BIGINT) is HUGEINT in DuckDB → cast back
+    "q115_lang_id_ngram" -> {
+      val langs = graft.functions.LangIdTrigramTable.languages
+      val values = graft.functions.LangIdTrigramTable.entries
+        .map { case (l, g, w) => s"('$l', '$g', $w)" }.mkString(", ")
+      val sums = langs.map(l =>
+        s"CAST(COALESCE(SUM(CASE WHEN m.lang = '$l' THEN m.w END), 0) AS BIGINT) AS ${l}_score")
+        .mkString(",\n |    ")
+      val zeros = langs.map(l => s"${l}_score = 0").mkString(" AND ")
+      val argmax = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN ${rest.map(r => s"${l}_score >= ${r}_score").mkString(" AND ")} THEN '$l'"
+      }.mkString("\n |  ")
+      val outCols = langs.map(l => s"COALESCE(s.${l}_score, 0) AS ${l}_score")
+        .mkString(", ")
+      s"""WITH model(lang, gram, w) AS (VALUES $values),
+         |norm AS (
+         |  SELECT doc_id, ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+         |  FROM norm, UNNEST(generate_series(1, GREATEST(length(t) - 2, 0))) AS u(i)),
+         |scores AS (
+         |  SELECT g.doc_id,
+         |    $sums
+         |  FROM grams g LEFT JOIN model m ON g.gram = m.gram
+         |  GROUP BY g.doc_id),
+         |filled AS (
+         |  SELECT d.doc_id, $outCols
+         |  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id)
+         |SELECT *,
+         |  CASE WHEN $zeros THEN 'unknown'
+         |  $argmax
+         |  ELSE '${langs.last}' END AS predicted_lang
+         |FROM filled ORDER BY doc_id""".stripMargin
+    },
+
+    // version-diff CDF: each change class derived directly; untouched
+    // rows (key kept, price unchanged) appear in NO branch
+    "q116_version_changes" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_totalprice AS tot
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_orderkey, price, _change_type FROM (
+        |  SELECT o_orderkey, price, 'delete' AS _change_type FROM f
+        |  WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 'insert' AS _change_type FROM p
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 'update_preimage' AS _change_type FROM f
+        |  WHERE o_orderkey % 10 <> 3 AND tot > 150000
+        |  UNION ALL
+        |  SELECT o_orderkey, ROUND(tot + 1000, 2) AS price, 'update_postimage' AS _change_type FROM f
+        |  WHERE o_orderkey % 10 <> 3 AND tot > 150000)
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     "q88_zorder_key" -> {
       // 16-bit Morton interleave spelled out as 32 shift/mask terms —

@@ -165,6 +165,63 @@ object TextStats {
           .otherwise(lit("es")))
   }
 
+  /** TRAINED character-trigram language ID (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization" — the public n-gram design;
+    * fastText's character n-grams carry the same signal). Each
+    * language's profile is its top trigrams with integer per-million
+    * frequency weights ([[graft.functions.LangIdTrigramTable]],
+    * generated by `tools/langid_train_table.py` with the training
+    * corpus embedded); a document's score per language is the exact
+    * integer sum of profile weights over its trigrams, argmax wins
+    * with declaration-order tie-break, all-zero → "unknown".
+    *
+    * Differential vs [[langId]] (the stopword argmax kept for its S-row
+    * parity): trigrams see MORPHOLOGY, not just function words — a
+    * document with few or misspelled stopwords still scores on
+    * characteristic letter sequences, and close language pairs
+    * (es/pt/it) separate on sequences stopword lists share. ExtSpec
+    * pins fixtures where the stopword form returns "unknown" or
+    * misattributes and the trigram form is right.
+    *
+    * Plan shape: normalize + trigram explode are map-side; the model
+    * (~1.4k rows) BROADCASTS into the join, so the only shuffle is the
+    * per-document aggregation, map-side-combined to one row per doc
+    * before it moves. Exact integer arithmetic end to end — the DuckDB
+    * oracle inlines the same table and must hash-match. */
+  def langIdNgram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val langs = graft.functions.LangIdTrigramTable.languages
+    val model = broadcast(
+      graft.functions.LangIdTrigramTable.entries.toDF("lang", "gram", "w"))
+    val grams = df
+      .select(col(idCol), concat(lit(" "),
+        regexp_replace(lower(col(textCol)), "[^a-z]+", " "), lit(" ")).as("t"))
+      // guard: Spark's sequence(1, n) steps BACKWARDS for n < 1, so
+      // short strings need the explicit empty array
+      .select(col(idCol), explode_outer(
+        when(length(col("t")) >= lit(3),
+          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .otherwise(array())).as("gram"))
+    val scored = grams.join(model, Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(when(col("lang") === langs.head, col("w"))), lit(0L))
+          .as(s"${langs.head}_score"),
+        langs.tail.map(l =>
+          coalesce(sum(when(col("lang") === l, col("w"))), lit(0L))
+            .as(s"${l}_score")): _*)
+    def pick(rem: List[String]): Column = rem match {
+      case l :: Nil => lit(l)
+      case l :: rest =>
+        when(rest.map(r => col(s"${l}_score") >= col(s"${r}_score")).reduce(_ && _),
+          lit(l)).otherwise(pick(rest))
+      case Nil => lit("unknown")
+    }
+    scored.withColumn("predicted_lang",
+      when(langs.map(l => col(s"${l}_score") === 0L).reduce(_ && _), lit("unknown"))
+        .otherwise(pick(langs.toList)))
+  }
+
   /** Quality signals: char/token counts, punctuation ratio, English
     * stopword ratio. Ratios of exact integer counts produce identical
     * IEEE doubles in any engine, so rounding is oracle-safe. */

@@ -480,6 +480,61 @@ object Versioned {
     readVersion(spark, dir, v)
   }
 
+  /** Delta `table_changes(tab, vFrom, vTo)` role, DERIVED on read: the
+    * manifest store keeps no change log (every version is a full
+    * state), so the change feed between two versions is recomputed
+    * from the versions themselves — one full-outer join on the keys,
+    * one explode, the [[graft.gold.Upsert.mergeChanges]] plan shape
+    * (never a join per change class). Differences from mergeChanges'
+    * MERGE-feed semantics: rows present in both versions with EQUAL
+    * values emit NOTHING (a version diff has no "touched but
+    * unchanged" notion), and schema evolution between the versions is
+    * tolerated — the feed carries the union columns, null-padded per
+    * side. Change classes: `insert` (key only in vTo), `delete` (key
+    * only in vFrom), `update_preimage`/`update_postimage` (key in
+    * both, any value column differs under null-safe equality).
+    *
+    * At 100 TB this is two manifest-planned scans + one key-partitioned
+    * join — the price of not storing a log; tables whose writes go
+    * through [[graft.gold.Upsert]] can capture the feed at WRITE time
+    * with mergeChanges instead (q95), which is the cheap path. */
+  def changesBetween(spark: SparkSession, dir: String, vFrom: Int, vTo: Int,
+                     keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    require(vFrom <= vTo, s"vFrom $vFrom must be <= vTo $vTo")
+    val oldV = readVersion(spark, dir, vFrom)
+    val newV = readVersion(spark, dir, vTo)
+    keys.foreach(k => require(oldV.columns.contains(k) && newV.columns.contains(k),
+      s"key column '$k' must exist in both versions"))
+    // union value columns (evolution-tolerant): vFrom's order, then
+    // vTo's additions; each side null-pads what it lacks
+    val dataCols = (oldV.columns.filterNot(keys.contains) ++
+      newV.columns.filterNot(c => keys.contains(c) || oldV.columns.contains(c))).toSeq
+    def pad(df: DataFrame, side: String) = dataCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumnRenamed(c, s"__${side}_$c")
+      else d.withColumn(s"__${side}_$c", lit(null))
+    }
+    val t = pad(oldV, "t").withColumn("__in_t", lit(1))
+    val u = pad(newV, "u").withColumn("__in_u", lit(1))
+    def img(side: String, tag: String) =
+      struct(dataCols.map(c => col(s"__${side}_$c").as(c)) :+
+        lit(tag).as("_change_type"): _*)
+    val same = dataCols.map(c => col(s"__t_$c") <=> col(s"__u_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val changes =
+      when(col("__in_t").isNull, array(img("u", "insert")))
+        .when(col("__in_u").isNull, array(img("t", "delete")))
+        .otherwise(array(img("t", "update_preimage"), img("u", "update_postimage")))
+    t.join(u, keys, "full_outer")
+      // matched-and-EQUAL rows emit nothing: the flag rides beside the
+      // explode (an empty-array branch would need a typed empty
+      // literal; the filter folds into the same projection)
+      .select(keys.map(col) :+ same.as("__same") :+ explode(changes).as("__chg"): _*)
+      .filter(!(col("__same") && col("__chg._change_type").startsWith("update")))
+      .select(keys.map(col) ++
+        (dataCols :+ "_change_type").map(c => col(s"__chg.$c")): _*)
+  }
+
   /** Bounded optimistic retry for commits that lost a version-number
     * race: re-reads the new latest state and re-attempts at the next
     * number. Safe ONLY for COMMUTATIVE operations — append, delete-

@@ -360,6 +360,53 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("langIdNgram: trained trigram profiles identify 7 languages; beats stopword argmax where stopwords are absent or unlisted") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, "der hund und die katze spielen in dem garten mit den kindern"),
+      (3L, "le chien et le chat jouent dans le jardin avec les enfants"),
+      (4L, "el perro y el gato juegan en el jardin con los ninos"),
+      (5L, "il cane e il gatto giocano nel giardino con i bambini"),
+      (6L, "o cachorro e o gato brincam no jardim com as criancas"),
+      (7L, "de hond en de kat spelen in de tuin met de kinderen"),
+      (8L, "12345 !!! ???"),
+      // the DIFFERENTIAL fixtures: no stopword from any list appears,
+      // so the stopword argmax returns "unknown" — morphology alone
+      // (characteristic trigrams of content words) still identifies
+      (9L, "strong winds swept through tall thick forests yesterday"),
+      (10L, "")
+    ).toDF("doc_id", "text")
+    val got = TextStats.langIdNgram(docs, "text", "doc_id")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" &&
+      got(4L) == "es" && got(5L) == "it" && got(6L) == "pt" && got(7L) == "nl",
+      s"language fixtures misclassified: $got")
+    assert(got(8L) == "unknown" && got(10L) == "unknown")
+    assert(got(9L) == "en")
+    // the stopword form's limits, measured on the same fixtures: it
+    // cannot name it/pt/nl (not in its lists) and calls the
+    // stopword-free English sentence unknown — the trained trigram
+    // table covers both failure modes
+    val stopword = TextStats.langId(docs, "text", "doc_id")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(stopword(9L) == "unknown" && got(9L) == "en")
+    assert(!Set("it", "pt", "nl").contains(stopword(5L)))
+    assert(!Set("it", "pt", "nl").contains(stopword(6L)))
+    // scores are exact integers and every language column is present
+    val cols = TextStats.langIdNgram(docs, "text", "doc_id").columns.toSeq
+    assert(cols == Seq("doc_id", "en_score", "de_score", "fr_score", "es_score",
+      "it_score", "pt_score", "nl_score", "predicted_lang"))
+  }
+
+  test("langIdNgram plan: model broadcasts, the only wide move is the per-doc aggregation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val df = TextStats.langIdNgram(docs, "text", "doc_id")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), s"model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"trigram join must not sort-merge:\n$plan")
+  }
+
   test("langId predicts via stopword hits with tie-break") {
     val docs = Seq((1L, "the cat of the house"), (2L, "der hund und die katze ist"),
       (3L, "zzz qqq")).toDF("doc_id", "text")
@@ -2107,6 +2154,43 @@ class ExtSpec extends AnyFunSuite {
     assert(fs.exists(put))
     Versioned.pruneVersions(spark, dir, keepLast = 2, orphanMinAgeMs = 0L)
     assert(!fs.exists(put), "crashed .put-* staging debris never reclaimed")
+  }
+
+  test("changesBetween: version diff classifies insert/delete/update, suppresses unchanged, tolerates evolution") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vchanges").toString + "/t"
+    Versioned.writeVersion(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("id", "v", "x"), dir)
+    // v1: 1 unchanged, 2 updated, 3 deleted, 5 inserted
+    Versioned.writeVersion(Seq(
+      (1L, "a", 10.0), (2L, "B2", 20.0), (4L, "d", 40.0), (5L, "e", 50.0)
+    ).toDF("id", "v", "x"), dir)
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed == Set(
+      (2L, "b", "update_preimage"), (2L, "B2", "update_postimage"),
+      (3L, "c", "delete"), (5L, "e", "insert")),
+      s"wrong feed: $feed") // ids 1 and 4 unchanged → absent
+    // evolution between the versions: v2 adds a column; the feed pads
+    // the old side with nulls and a value-only change on the NEW
+    // column still classifies as an update
+    Versioned.writeVersion(Seq((1L, "a", 10.0, 7L)).toDF("id", "v", "x", "extra"),
+      dir, SaveMode.Append)
+    val evolved = Versioned.changesBetween(spark, dir, 1, 2, Seq("id"))
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    // append kept every v1 row identical and re-added id 1 with the
+    // extra column: id 1 appears twice in v2 — a duplicate-key state
+    // changesBetween surfaces as updates on the joined values
+    assert(evolved.forall(_._2.startsWith("update")) &&
+      evolved.map(_._1) == Set(1L), s"evolved feed: $evolved")
+    val cols = Versioned.changesBetween(spark, dir, 1, 2, Seq("id")).columns.toSeq
+    assert(cols == Seq("id", "v", "x", "extra", "_change_type"))
+    intercept[IllegalArgumentException] {
+      Versioned.changesBetween(spark, dir, 2, 1, Seq("id"))
+    }
   }
 
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
