@@ -58,6 +58,29 @@ object Maintenance {
     CompactStats(before.length, store.liveFiles(spark, path).length, totalBytes)
   }
 
+  case class VersionedMaintStats(dvCompactedVersion: Option[Int],
+                                 prune: Versioned.PruneStats)
+
+  /** The manifest store's routine maintenance pass — Delta's
+    * OPTIMIZE-adjacent housekeeping in one call: (1) merge a
+    * delete-heavy chain's deletion-vector dirs into one per key
+    * column ([[Versioned.compactDeletionVectors]] — bounds the dv
+    * chain without waiting for an overwrite to apply the mask
+    * physically), then (2) apply retention
+    * ([[Versioned.pruneVersions]] — expired manifests dropped, their
+    * unshared dirs reclaimed, in-flight writers protected by the
+    * orphan age window). Data-file compaction composes separately via
+    * [[compact]] with a [[ManifestStore]]. Safe to run any time,
+    * concurrent-append tolerant (the dv merge retries through the
+    * commit race like any commutative commit). */
+  def maintainVersioned(spark: SparkSession, path: String, keepLast: Int,
+                        orphanMinAgeMs: Long = 15 * 60 * 1000L,
+                        protocol: CommitProtocol = PutIfAbsentCommit): VersionedMaintStats = {
+    val compacted = Versioned.compactDeletionVectors(spark, path, protocol)
+    VersionedMaintStats(compacted,
+      Versioned.pruneVersions(spark, path, keepLast, orphanMinAgeMs))
+  }
+
   /** Recover an interrupted [[compactBucketed]]: a missing live table
     * with the tmp table present means the crash hit between DROP and
     * RENAME — the tmp table holds the complete compacted data, so the

@@ -27,17 +27,27 @@ import graft.ext.Versioned
   * — `VERSION AS OF n` resolves through [[loadTable(Identifier,String)]],
   * the DSv2 seam built for exactly this.
   *
-  * Plan quality, not a compatibility shim: a version with no deletion
-  * vectors is served as Spark's OWN `ParquetTable` over the manifest's
-  * file list with the manifest-recorded schema — every native path
-  * (vectorized columnar read, filter pushdown, column pruning,
-  * aggregate pushdown) applies unchanged, and planning reads no
-  * footer. A version with deletion vectors wraps that table with a
-  * row-level key-mask ([[DvMaskedTable]]): column pruning still
-  * reaches parquet (widened by the key columns, projected back after
-  * the mask), filters still push for row-group skipping, and the only
-  * surrendered optimization is aggregate pushdown — which MUST be
-  * surrendered, because a pushed count() would count masked rows.
+  * Plan quality, not a compatibility shim — three tiers by what the
+  * manifest carries:
+  *
+  *   1. schema+stats manifest (every commit from this code), no dv:
+  *      [[SkippingTable]] — a WHERE clause's pushed conjuncts are
+  *      evaluated against the manifest's per-dir min/max/null stats
+  *      and provably-empty dirs drop out of the scan BEFORE any file
+  *      listing (Delta data skipping, at the DSv2 pushdown seam); the
+  *      surviving dirs are served by Spark's own ParquetTable, so
+  *      vectorized read, row-group pushdown, and column pruning all
+  *      stay native.
+  *   2. deletion vectors present: [[DvMaskedTable]] wraps tier 1 —
+  *      dir skipping and pushdown still apply under the mask (the
+  *      mask only REMOVES rows, so a dir the stats prove empty stays
+  *      empty); the mask itself is applied row-level in the partition
+  *      readers, with column pruning widened by the key columns and
+  *      projected back. Aggregate pushdown is deliberately
+  *      surrendered here — a pushed count() would count masked rows.
+  *   3. pre-schema manifests: Spark's ParquetTable with mergeSchema —
+  *      correct, with the legacy plan-time cost, until the table's
+  *      next commit records schema+stats.
   *
   * Read-only by design: writes go through the library's commit
   * protocols ([[graft.ext.Versioned]], [[graft.gold.Upsert]]), which
@@ -80,16 +90,19 @@ class VersionedCatalog extends TableCatalog {
       n
     }.getOrElse(vs.last)
     val info = Versioned.versionInfo(spark, dir, v)
-    // pre-schema manifests fall back to mergeSchema, exactly like the
-    // library read path — correct, with the legacy plan-time cost
-    val opts = new CaseInsensitiveStringMap(
-      if (info.schema.isEmpty) java.util.Map.of("mergeSchema", "true")
-      else java.util.Map.of())
-    val pt = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      s"$catName.$dir@v$v", spark, opts, info.dataDirs, info.schema,
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-    if (info.dvDirs.isEmpty) pt
-    else new DvMaskedTable(pt, info.schema.getOrElse(pt.schema), info.dvDirs)
+    val tableName = s"$catName.$dir@v$v"
+    val base: Table with SupportsRead = info.schema match {
+      case Some(schema) =>
+        new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema)
+      case None =>
+        // pre-schema manifest: mergeSchema fallback, exactly like the
+        // library read path — correct, with the legacy plan-time cost
+        VersionedSqlUtil.parquetTable(tableName, spark,
+          new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
+          info.dataDirs, None)
+    }
+    if (info.dvDirs.isEmpty) base
+    else new DvMaskedTable(base, base.schema(), info.dvDirs)
   }
 
   private def readOnly(): Nothing = throw new UnsupportedOperationException(
@@ -107,17 +120,107 @@ class VersionedCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
 }
 
-/** A versioned table whose serve-version carries deletion vectors:
-  * the inner native parquet table, minus every row whose key is in a
-  * dv key set. The mask is applied ROW-level in the partition readers
-  * — the same semantics as the library read path's broadcast
-  * anti-join, expressed at the DSv2 seam so plain SQL gets it. */
-private[sql] class DvMaskedTable(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable,
+private[sql] object VersionedSqlUtil {
+  def parquetTable(name: String, spark: SparkSession,
+                   options: CaseInsensitiveStringMap, paths: Seq[String],
+                   schema: Option[StructType])
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name, spark, options, paths, schema,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+}
+
+/** Tier-1 serving: Spark's native parquet v2 table, gated by manifest
+  * data skipping — see [[SkippingScanBuilder]]. */
+private[sql] class SkippingTable(tableName: String, spark: SparkSession,
+                                 dir: String, v: Int, dataDirs: Seq[String],
+                                 fullSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SkippingScanBuilder(spark, tableName, options, dir, v, dataDirs, fullSchema)
+}
+
+/** Delegates pushdown/pruning to Spark's own ParquetScanBuilder, but
+  * at `build()` time first evaluates the PUSHED conjuncts against the
+  * manifest's per-dir stats ([[Versioned.planDataDirs]]) and rebuilds
+  * the parquet scan over only the surviving dirs — whole directories
+  * of a 100 TB table drop out of the plan from manifest bytes alone,
+  * before any file listing or footer read. One-sided as always:
+  * untranslatable conjuncts simply skip nothing, and every pushed
+  * filter is still evaluated by parquet/Spark on the surviving scan,
+  * so skipping can never change a result. */
+private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
+                                       options: CaseInsensitiveStringMap,
+                                       dir: String, v: Int, dataDirs: Seq[String],
+                                       fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private def parquetBuilder(paths: Seq[String]) =
+    VersionedSqlUtil.parquetTable(tableName, spark, options, paths, Some(fullSchema))
+      .newScanBuilder(options)
+
+  // the probe answers Spark's pushdown negotiation over the FULL dir
+  // set; if skipping prunes dirs, an identical builder is replayed
+  // over the survivors at build() time
+  private val probe = parquetBuilder(dataDirs)
+  private var pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  private var translated: Seq[org.apache.spark.sql.sources.Filter] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    pushedExprs = filters
+    // the optimizer pushes a WHERE clause as its And-split conjuncts,
+    // so each translated filter may independently prove a dir empty
+    translated = filters.flatMap(f =>
+      org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+    probe.pushFilters(filters)
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    probe.pushedFilters
+
+  override def pruneColumns(req: StructType): Unit = {
+    required = Some(req)
+    probe.pruneColumns(req)
+  }
+
+  override def build(): Scan = {
+    val surviving =
+      if (translated.isEmpty) dataDirs
+      else {
+        val keep = Versioned.planDataDirs(spark, dir, v, translated).toSet
+        dataDirs.filter(p => keep.contains(p.substring(p.lastIndexOf('/') + 1)))
+      }
+    if (surviving.length == dataDirs.length) probe.build()
+    else {
+      val b = parquetBuilder(surviving)
+      b.pushFilters(pushedExprs)
+      required.foreach(b.pruneColumns)
+      b.build()
+    }
+  }
+}
+
+/** Tier-2 serving — a version carrying deletion vectors: the inner
+  * table (tier 1, so dir skipping still applies), minus every row
+  * whose key is in a dv key set. The mask is applied ROW-level in the
+  * partition readers — the same semantics as the library read path's
+  * broadcast anti-join, expressed at the DSv2 seam so plain SQL gets
+  * it. */
+private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])])
   extends Table with SupportsRead {
 
-  override def name(): String = inner.name
+  override def name(): String = inner.name()
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -128,10 +231,10 @@ private[sql] class DvMaskedTable(inner: org.apache.spark.sql.execution.datasourc
 
 /** Forwards column pruning (widened by the mask's key columns so the
   * reader can evaluate it, projected back afterwards) and filter
-  * pushdown to the native parquet builder. Deliberately does NOT
-  * forward aggregate pushdown: an aggregate computed inside parquet
-  * would see masked rows. */
-private[sql] class DvScanBuilder(inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+  * pushdown to the inner builder. Deliberately does NOT forward
+  * aggregate pushdown: an aggregate computed inside the scan would
+  * see masked rows. */
+private[sql] class DvScanBuilder(inner: ScanBuilder,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])])
   extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -143,16 +246,27 @@ private[sql] class DvScanBuilder(inner: org.apache.spark.sql.execution.datasourc
   override def pruneColumns(req: StructType): Unit = {
     requested = req
     val names = req.fieldNames.toSet
-    inner.pruneColumns(StructType(fullSchema.fields.filter(f =>
-      names.contains(f.name) || keyCols.contains(f.name))))
+    val widened = StructType(fullSchema.fields.filter(f =>
+      names.contains(f.name) || keyCols.contains(f.name)))
+    inner match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(widened)
+      case _ =>
+    }
   }
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    inner.pushFilters(filters)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = inner match {
+    case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      p.pushFilters(filters)
+    case _ => filters
+  }
 
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    inner.pushedFilters
+    inner match {
+      case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        p.pushedFilters
+      case _ => Array.empty
+    }
 
   override def build(): Scan = new DvMaskedScan(inner.build(), requested, dvDirs)
 }

@@ -2122,6 +2122,14 @@ class ExtSpec extends AnyFunSuite {
     Versioned.writeVersion(Seq((2L, "back"), (200L, "new")).toDF("id", "v"), dir, SaveMode.Append)
     assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet ==
       preIds + 200L)
+    // the one-call maintenance pass: another delete re-fragments the
+    // chain; maintainVersioned merges it AND applies retention
+    Versioned.deleteByKeys(spark, dir, Seq(200L).toDF("id"), "id")
+    val maint = graft.ext.Maintenance.maintainVersioned(spark, dir, keepLast = 2,
+      orphanMinAgeMs = 0L)
+    assert(maint.dvCompactedVersion.nonEmpty && maint.prune.versionsDropped.nonEmpty)
+    assert(Versioned.liveDataDirs(spark, dir).count(_.split('/').last.contains("_dv")) == 1)
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet == preIds)
   }
 
   test("pruneVersions retention window: a young unreferenced dir (possible in-flight writer) survives the default prune") {

@@ -226,6 +226,42 @@ class PlanSpec extends AnyFunSuite {
       viaLib.length)
   }
 
+  test("SQL catalog data skipping: a pushed WHERE drops provably-empty dirs from the planned scan") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlskip_plan").toString + "/t"
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).toDF("id").repartition(1)
+    Versioned.writeVersion(batch(0, 100), dir)
+    Versioned.writeVersion(batch(100, 200), dir, SaveMode.Append)
+    Versioned.writeVersion(batch(200, 300), dir, SaveMode.Append)
+    spark.conf.set("spark.sql.catalog.graft_vskip", "graft.sql.VersionedCatalog")
+    def filesPlanned(sql: String): Int = {
+      val df = spark.sql(sql)
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.fileIndex.inputFiles.length
+          }
+      }.sum
+    }
+    // unfiltered: every dir's file is in the plan
+    assert(filesPlanned(s"SELECT id FROM graft_vskip.`$dir`") == 3)
+    // one conjunct proves two dirs empty from manifest stats alone —
+    // BEFORE any listing: the scan's file index holds ONE file
+    assert(filesPlanned(s"SELECT id FROM graft_vskip.`$dir` WHERE id >= 250") == 1)
+    assert(filesPlanned(
+      s"SELECT id FROM graft_vskip.`$dir` WHERE id > 99 AND id <= 200") == 2)
+    // provably-empty predicate: zero files planned, zero rows, no error
+    assert(filesPlanned(s"SELECT id FROM graft_vskip.`$dir` WHERE id > 1000") == 0)
+    assert(spark.sql(s"SELECT id FROM graft_vskip.`$dir` WHERE id > 1000").count() == 0)
+    // exactness: the pruned plan returns the same rows as the predicate
+    val got = spark.sql(s"SELECT id FROM graft_vskip.`$dir` WHERE id >= 250")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(got == (250L until 300L).toSet)
+  }
+
   test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
     // q62 chunking: scan → project → generate, no exchange at all
     // (formatted explain lists partitionings in the Arguments: lines)
