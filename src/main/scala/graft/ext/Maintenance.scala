@@ -75,7 +75,11 @@ object Maintenance {
     * commit race like any commutative commit). */
   def maintainVersioned(spark: SparkSession, path: String, keepLast: Int,
                         orphanMinAgeMs: Long = 15 * 60 * 1000L,
-                        protocol: CommitProtocol = PutIfAbsentCommit): VersionedMaintStats = {
+                        protocol: CommitProtocol = PutIfAbsentCommit,
+                        backfillStats: Boolean = false): VersionedMaintStats = {
+    // opt-in because the footer sweep of un-statted dirs, while
+    // one-time, is real IO a routine maintenance tick shouldn't imply
+    if (backfillStats) Versioned.backfillStats(spark, path, protocol)
     val compacted = Versioned.compactDeletionVectors(spark, path, protocol)
     VersionedMaintStats(compacted,
       Versioned.pruneVersions(spark, path, keepLast, orphanMinAgeMs))

@@ -378,6 +378,43 @@ object Versioned {
       }
     }
 
+  /** Upgrade a pre-round-8 table to the full skipping/schema read path
+    * WITHOUT rewriting a byte of data: harvest footer stats for every
+    * data dir the current manifest lacks them for, derive-and-record
+    * the union schema if absent, and commit the enriched manifest as a
+    * new version over the SAME dirs. Cost: one footer sweep of the
+    * un-statted dirs (once, ever), one commutative commit — after
+    * which reads plan with zero footer access and selective reads
+    * skip. Returns the new version, or None when the manifest already
+    * carries schema + full stats. */
+  def backfillStats(spark: SparkSession, dir: String,
+                    protocol: CommitProtocol = PutIfAbsentCommit,
+                    maxAttempts: Int = 16): Option[Int] =
+    withCommitRetry(maxAttempts) { () =>
+      val (_, root) = fsFor(spark, dir)
+      val prev = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $dir"))
+      val ls = lines(spark, dir, prev)
+      val statted = ls.collect { case s: StatsEntry => s.name }.toSet
+      val missing = ls.collect { case DataEntry(n) if !statted.contains(n) => n }
+      val hasSchema = ls.exists(_.isInstanceOf[SchemaEntry])
+      if (missing.isEmpty && hasSchema) None
+      else {
+        val v = prev + 1
+        val schema = schemaOf(spark, dir, prev) // derives once when absent
+        val harvested = missing.map { n =>
+          val p = new Path(root, n)
+          val dirSchema = asNullable(spark.read.parquet(p.toString).schema)
+          val (rows, cols) = Skipping.collectDirStats(spark, p, dirSchema)
+          StatsEntry(n, rows, cols)
+        }
+        val kept = ls.filterNot(_.isInstanceOf[SchemaEntry])
+        commitManifest(spark, dir, v,
+          (SchemaEntry(schema) +: (kept ++ harvested)).map(renderLine), protocol)
+        Some(v)
+      }
+    }
+
   /** `VERSION AS OF v`: one multi-path parquet scan over the version's
     * data dirs, minus the keys of its deletion vectors (one anti-join
     * per distinct key column — key sets are tiny next to the data, so

@@ -2090,6 +2090,18 @@ class ExtSpec extends AnyFunSuite {
     Versioned.commitManifest(spark, dir, v3 + 1, Seq(anyData))
     assert(Versioned.planDataDirs(spark, dir, v3 + 1,
       Seq(GreaterThan("id", 1000L))).length == 1)
+    // …and backfillStats upgrades exactly that legacy manifest in
+    // place: schema + footer stats committed over the SAME dir, after
+    // which the impossible predicate plans zero dirs
+    val bv = Versioned.backfillStats(spark, dir)
+    assert(bv.contains(v3 + 2))
+    assert(Versioned.recordedSchema(spark, dir, v3 + 2).nonEmpty)
+    assert(Versioned.planDataDirs(spark, dir, v3 + 2,
+      Seq(GreaterThan("id", 1000L))).isEmpty)
+    assert(Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == (0L until 100L).toSet)
+    // idempotent: fully-statted manifests decline
+    assert(Versioned.backfillStats(spark, dir).isEmpty)
   }
 
   test("versioned: dv compaction merges a delete-heavy chain to one dv dir per key column; masks identical; history intact") {
