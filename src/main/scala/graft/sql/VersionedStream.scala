@@ -1,0 +1,135 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ext.Versioned
+
+/** Delta's STREAMING SOURCE role for the manifest store: treat a
+  * versioned table as an unbounded stream of its appends —
+  *
+  * {{{
+  *   spark.readStream.format("graft.sql.VersionedStreamProvider")
+  *     .option("path", dir).load()
+  * }}}
+  *
+  * Offsets are VERSION NUMBERS; a micro-batch serves exactly the data
+  * dirs that manifests (start, end] added. Commit atomicity does the
+  * heavy lifting: a writer's files are invisible until its manifest
+  * lands, so the stream can NEVER observe half a commit — the exact
+  * property a raw file-watcher source over the same directory lacks
+  * (it would stream uncommitted and orphaned writer files; measured
+  * in StreamingSpec).
+  *
+  * Semantics mirror Delta's source contract:
+  *   - the FIRST batch serves the full table as of stream start
+  *     (every data dir of the then-latest version);
+  *   - subsequent batches serve appended dirs only;
+  *   - a non-append commit in the offset range — overwrite or restore,
+  *     i.e. a version that DROPPED dirs — fails the stream (the
+  *     appends-only premise broke; Delta raises the same);
+  *   - a DELETE (new deletion-vector entry) fails unless
+  *     `.option("ignoreDeletes", "true")` — masked rows already
+  *     served cannot be unserved, which is precisely Delta's
+  *     ignoreDeletes contract. With the option set, dv additions are
+  *     skipped and appended data keeps flowing (note the RAW appended
+  *     rows flow, pre-mask — the stream is an append feed, not a
+  *     snapshot serve).
+  *
+  * The schema is FROZEN at stream start (recorded manifest schema);
+  * later evolved dirs read through it — extra columns ignored,
+  * missing columns null-backfilled — the streaming-contract behavior.
+  *
+  * Scale shape: getOffset is one manifest listing; each batch is one
+  * multi-path parquet scan over only the NEW dirs, planned with the
+  * frozen schema (zero footer reads). No state beyond the offset. */
+class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def resolveSchema(spark: SparkSession, dir: String): StructType = {
+    val v = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no versions at $dir — commit one before streaming from it"))
+    Versioned.versionInfo(spark, dir, v).schema
+      .getOrElse(Versioned.readVersion(spark, dir, v).schema)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    (shortName(), schema.getOrElse(resolveSchema(sqlContext.sparkSession, dir)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    new VersionedStreamSource(spark, dir,
+      schema.getOrElse(resolveSchema(spark, dir)),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+  }
+}
+
+private[sql] case class VersionOffset(v: Long)
+  extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
+                                         frozenSchema: StructType,
+                                         ignoreDeletes: Boolean) extends Source {
+
+  override def schema: StructType = frozenSchema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    Versioned.latestVersion(spark, dir).map(v => VersionOffset(v.toLong))
+
+  private def versionOf(o: org.apache.spark.sql.execution.streaming.Offset): Int =
+    o match {
+      case VersionOffset(v) => v.toInt
+      case other            => other.json().trim.toInt // restart: SerializedOffset
+    }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val endV = versionOf(end)
+    val endInfo = Versioned.versionInfo(spark, dir, endV)
+    val endDirs = endInfo.dataDirs.toSet
+    val newDirs = start.map(versionOf) match {
+      case None => endInfo.dataDirs // first batch: full table as of stream start
+      case Some(startV) =>
+        val startInfo = Versioned.versionInfo(spark, dir, startV)
+        val startDirs = startInfo.dataDirs.toSet
+        val dropped = startDirs -- endDirs
+        if (dropped.nonEmpty) throw new IllegalStateException(
+          s"versioned stream at $dir hit a non-append commit between v$startV and " +
+            s"v$endV (${dropped.size} data dir(s) dropped — overwrite or restore). " +
+            "Streaming serves appends only; restart the stream from the new state.")
+        if (!ignoreDeletes && startInfo.dvDirs.toSet != endInfo.dvDirs.toSet)
+          throw new IllegalStateException(
+            s"versioned stream at $dir hit a DELETE between v$startV and v$endV; " +
+              "rows already served cannot be unserved. Pass " +
+              "option ignoreDeletes=true to keep streaming appends past deletes.")
+        endInfo.dataDirs.filterNot(startDirs.contains)
+    }
+    val batch =
+      if (newDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
+      else spark.read.schema(frozenSchema).parquet(newDirs: _*)
+    // the engine asserts isStreaming on the returned plan — stamp it
+    // the way FileStreamSource does
+    org.apache.spark.sql.classic.GraftStreamShim.streamingFrom(spark, batch, frozenSchema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedStreamSource[$dir]"
+}

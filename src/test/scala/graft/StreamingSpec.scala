@@ -414,4 +414,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.nonEmpty)
     assert(stateful.toSeq == declarative.toSeq)
   }
+
+  test("versioned streaming source: commits become micro-batches; uncommitted files invisible; overwrite fails; ignoreDeletes") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vstream").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+
+    def startStream(name: String, ignoreDeletes: Boolean = false) =
+      spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir)
+        .option("ignoreDeletes", ignoreDeletes.toString)
+        .load()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+
+    // batch 1: the full table as of stream start
+    val q1 = startStream("vstream_out"); q1.awaitTermination(120000)
+    def got(name: String) = spark.table(name).as[(Long, String)].collect().toSet
+    assert(got("vstream_out") == Set((1L, "a"), (2L, "b")))
+
+    // an UNCOMMITTED writer dir (data written, manifest not landed)
+    // must be invisible to the stream — the property a raw file
+    // watcher over the same tree lacks
+    Seq((99L, "junk")).toDF("id", "v").write
+      .parquet(new org.apache.hadoop.fs.Path(dir, "v00000001_data_deadbeef").toString)
+    val q2 = startStream("vstream_out2"); q2.awaitTermination(120000)
+    assert(got("vstream_out2") == Set((1L, "a"), (2L, "b")),
+      "uncommitted dir leaked into the stream")
+
+    // appends arrive as new batches; restart-with-checkpoint serves
+    // ONLY the appended dirs after the recorded offset (the memory
+    // sink cannot recover a checkpoint, so these legs sink to parquet)
+    val ckpt = Files.createTempDirectory("graft_vstream_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_vstream_sink").toString + "/out"
+    def runCk(ignoreDeletes: Boolean = false) = {
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir).option("ignoreDeletes", ignoreDeletes.toString)
+        .load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def sunk() = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
+    runCk()
+    assert(sunk() == Set((1L, "a"), (2L, "b")))
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+    runCk()
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"restart must serve only the append, got ${sunk()}")
+
+    // a DELETE fails the checkpointed stream unless ignoreDeletes
+    Versioned.deleteByKeys(spark, dir, Seq(2L).toDF("id"), "id")
+    Versioned.writeVersion(Seq((4L, "d")).toDF("id", "v"), dir, SaveMode.Append)
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    val eDel = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCk()
+    }
+    assert(rootMsg(eDel).contains("DELETE"), s"wrong failure: ${rootMsg(eDel)}")
+    runCk(ignoreDeletes = true)
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // an OVERWRITE breaks the appends-only premise and must fail
+    Versioned.writeVersion(Seq((9L, "z")).toDF("id", "v"), dir)
+    val eOw = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCk(ignoreDeletes = true)
+    }
+    assert(rootMsg(eOw).contains("non-append"), s"wrong failure: ${rootMsg(eOw)}")
+  }
 }
