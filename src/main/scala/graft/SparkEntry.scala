@@ -1275,6 +1275,31 @@ object SparkEntry {
       TextStats.langIdNgram(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // SQL WRITES through the catalog: INSERT OVERWRITE commits a fresh
+    // version (resetting makes the query idempotent across bench
+    // passes), INSERT INTO appends via the OCC retry path, the read
+    // back is the manifest-resolved state — every statement plain
+    // spark.sql, every commit through the manifest protocol. Retention
+    // in-query bounds versions across passes (q106's pattern)
+    "q117_sql_insert" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_insert", d)
+      // the catalog serves EXISTING tables; first call seeds the schema
+      if (Versioned.latestVersion(s, tbl).isEmpty)
+        Versioned.writeVersion(Tables.orders(s, d).limit(0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price")), tbl)
+      Tables.orders(s, d).createOrReplaceTempView("orders_q117")
+      s.sql(s"INSERT OVERWRITE versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q117 WHERE o_orderstatus = 'F'")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q117 WHERE o_orderstatus = 'P'")
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // Delta table_changes between versions, DERIVED on read (our
     // manifest keeps no change log — every version is a full state):
     // v0 = F slice; v1 = overwrite dropping keys ≡3 (mod 10), bumping
@@ -2924,6 +2949,13 @@ object SparkEntry {
          |  ELSE '${langs.last}' END AS predicted_lang
          |FROM filled ORDER BY doc_id""".stripMargin
     },
+
+    // SQL INSERT OVERWRITE + INSERT INTO land F then P through the
+    // manifest; the read back is their union
+    "q117_sql_insert" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
 
     // version-diff CDF: each change class derived directly; untouched
     // rows (key kept, price unchanged) appear in NO branch

@@ -49,9 +49,12 @@ import graft.ext.Versioned
   *      correct, with the legacy plan-time cost, until the table's
   *      next commit records schema+stats.
   *
-  * Read-only by design: writes go through the library's commit
-  * protocols ([[graft.ext.Versioned]], [[graft.gold.Upsert]]), which
-  * own the crash-safety story; a SQL INSERT bypassing them would not.
+  * SQL WRITES keep the commit-protocol story ([[VersionedWriteBuilder]]):
+  * `INSERT INTO` = commutative append with OCC retry, `INSERT
+  * OVERWRITE` = fresh version that surfaces a lost race — both publish
+  * through the manifest commit, so a crashed SQL insert leaves only an
+  * invisible orphan dir. DDL (create/alter/drop) stays with the
+  * library, which owns table lifecycle.
   */
 class VersionedCatalog extends TableCatalog {
   private var catName: String = "versioned"
@@ -96,18 +99,24 @@ class VersionedCatalog extends TableCatalog {
         new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema)
       case None =>
         // pre-schema manifest: mergeSchema fallback, exactly like the
-        // library read path — correct, with the legacy plan-time cost
-        VersionedSqlUtil.parquetTable(tableName, spark,
+        // library read path — correct, with the legacy plan-time cost.
+        // WRAPPED rather than returned raw: ParquetTable implements
+        // SupportsWrite with a DIRECT file write into its paths, which
+        // against this store would add files to an immutable data dir
+        // — visible to every version referencing it, history rewritten.
+        // The wrapper serves reads through the native table and routes
+        // writes through the manifest commit like every other tier.
+        new LegacyVersionedTable(VersionedSqlUtil.parquetTable(tableName, spark,
           new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
-          info.dataDirs, None)
+          info.dataDirs, None), spark, dir)
     }
     if (info.dvDirs.isEmpty) base
-    else new DvMaskedTable(base, base.schema(), info.dvDirs)
+    else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir)
   }
 
   private def readOnly(): Nothing = throw new UnsupportedOperationException(
-    s"catalog '$catName' is a read-only serving layer; write through " +
-      "graft.ext.Versioned / graft.gold.Upsert, whose commit protocols own crash safety")
+    s"catalog '$catName' serves existing versioned tables; create/alter/drop " +
+      "through graft.ext.Versioned / graft.gold.Upsert, whose commit protocols own crash safety")
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -135,15 +144,83 @@ private[sql] object VersionedSqlUtil {
 private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  dir: String, v: Int, dataDirs: Seq[String],
                                  fullSchema: StructType)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    VersionedWrite.capabilities
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SkippingScanBuilder(spark, tableName, options, dir, v, dataDirs, fullSchema)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VersionedWriteBuilder(spark, dir)
+}
+
+/** SQL writes that keep the store's crash-safety story: `INSERT INTO`
+  * is a COMMUTATIVE append (bounded OCC retry — concurrent SQL
+  * inserters all land, the racing-appender guarantee); `INSERT
+  * OVERWRITE` commits a fresh single-dir version and deliberately
+  * SURFACES a lost race instead of retrying (it replaces state it has
+  * not seen — the library's overwrite contract). Both publish through
+  * the manifest commit protocol: a crashed INSERT leaves only an
+  * invisible orphan dir, never a partial table. Served through the
+  * V1Write seam — the insert IS a DataFrame write, so the whole
+  * existing commit path (schema recording, footer stats harvest,
+  * nonce'd dirs) applies verbatim. */
+private[sql] object VersionedWrite {
+  val capabilities: java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+}
+
+private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+                              overwriteFlag: Boolean): Unit = {
+            if (overwrite || overwriteFlag)
+              Versioned.writeVersion(data, dir, org.apache.spark.sql.SaveMode.Overwrite)
+            else
+              Versioned.appendVersionWithRetry(data, dir)
+            ()
+          }
+        }
+    }
+}
+
+/** Legacy-manifest tier: reads delegate to the native mergeSchema
+  * parquet table; writes route through the manifest commit (see the
+  * catalog's load() for why the raw ParquetTable must not leak). */
+private[sql] class LegacyVersionedTable(inner: Table with SupportsRead,
+                                        spark: SparkSession, dir: String)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): java.util.Set[TableCapability] =
+    VersionedWrite.capabilities
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VersionedWriteBuilder(spark, dir)
 }
 
 /** Delegates pushdown/pruning to Spark's own ParquetScanBuilder, but
@@ -217,16 +294,23 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
   * it. */
 private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
-                                 dvDirs: Seq[(String, Seq[String])])
-  extends Table with SupportsRead {
+                                 dvDirs: Seq[(String, Seq[String])],
+                                 spark: SparkSession, dir: String)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = inner.name()
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    VersionedWrite.capabilities
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs)
+
+  // appends to a delete-bearing table are routine; the KEY-level mask
+  // keeps deleted keys masked through them (the erasure contract)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VersionedWriteBuilder(spark, dir)
 }
 
 /** Forwards column pruning (widened by the mask's key columns so the

@@ -2213,6 +2213,51 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL INSERT commits through the manifest on every tier; raw parquet write can never leak into immutable dirs") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlwrite").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    spark.conf.set("spark.sql.catalog.graft_vw", "graft.sql.VersionedCatalog")
+    // INSERT INTO = a new APPEND version through the OCC path
+    spark.sql(s"INSERT INTO graft_vw.`$dir` VALUES (2, 'b')")
+    assert(Versioned.versions(spark, dir) == Seq(0, 1))
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // time travel still serves the pre-insert state — SQL writes are
+    // versions like any other
+    assert(spark.sql(s"SELECT id FROM graft_vw.`$dir` VERSION AS OF 0")
+      .as[Long].collect().toSet == Set(1L))
+    // INSERT OVERWRITE = a fresh version, history intact
+    spark.sql(s"INSERT OVERWRITE graft_vw.`$dir` VALUES (9, 'z')")
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    assert(spark.sql(s"SELECT count(*) FROM graft_vw.`$dir` VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // LEGACY tier: a raw data-dir-only manifest. The wrapper must route
+    // the insert through a NEW manifest version — the naked ParquetTable
+    // would write files INTO the referenced dir, rewriting history
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft_sqlwrite_legacy").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), legacyDir)
+    val v0name = new java.io.File(legacyDir).listFiles().map(_.getName)
+      .find(_.startsWith("v00000000_data")).get
+    Versioned.commitManifest(spark, legacyDir, 1, Seq(v0name)) // schema-less manifest
+    def filesIn(d: String) = new java.io.File(legacyDir, d).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = filesIn(v0name)
+    spark.sql(s"INSERT INTO graft_vw.`$legacyDir` VALUES (2, 'b')")
+    assert(filesIn(v0name) == before, "insert leaked files into an immutable dir")
+    assert(Versioned.versions(spark, legacyDir) == Seq(0, 1, 2))
+    assert(Versioned.readLatest(spark, legacyDir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // dv tier: an insert that re-introduces a deleted key stays masked
+    Versioned.deleteByKeys(spark, dir, Seq(9L).toDF("id"), "id")
+    spark.sql(s"INSERT INTO graft_vw.`$dir` VALUES (9, 'back'), (10, 'new')")
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((10L, "new")))
+    assert(spark.sql(s"SELECT id FROM graft_vw.`$dir`").as[Long].collect().toSet ==
+      Set(10L))
+  }
+
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_restore_proto").toString + "/t"
