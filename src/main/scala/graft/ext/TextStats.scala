@@ -183,12 +183,44 @@ object TextStats {
     * pins fixtures where the stopword form returns "unknown" or
     * misattributes and the trigram form is right.
     *
-    * Plan shape: normalize + trigram explode are map-side; the model
-    * (~1.4k rows) BROADCASTS into the join, so the only shuffle is the
-    * per-document aggregation, map-side-combined to one row per doc
-    * before it moves. Exact integer arithmetic end to end — the DuckDB
-    * oracle inlines the same table and must hash-match. */
+    * Plan shape: ONE fused codegen kernel per row
+    * ([[graft.functions.LangIdScores]] — normalize + trigrams + table
+    * lookups in a single pass over a direct-indexed 32768-slot packed
+    * table), so the whole operator is a shuffle-free projection
+    * (PlanSpec-pinned). [[langIdNgramJoined]] is the built-in-only
+    * declarative twin — trigram explode → broadcast model join →
+    * per-doc aggregation — kept for the ExtSpec equality differential
+    * (the windowHashesHof pattern). Exact integer arithmetic end to
+    * end — the DuckDB oracle inlines the same table and must
+    * hash-match. */
   def langIdNgram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val langs = graft.functions.LangIdTrigramTable.languages
+    val scored = df.select(col(idCol),
+      graft.functions.TextFunctions.langIdScores(col(textCol)).as("__s"))
+      .select(col(idCol) +: langs.zipWithIndex.map { case (l, i) =>
+        element_at(col("__s"), i + 1).as(s"${l}_score") }: _*)
+    withPredictedLang(scored, langs)
+  }
+
+  private def withPredictedLang(scored: DataFrame, langs: Seq[String]): DataFrame = {
+    def pick(rem: List[String]): Column = rem match {
+      case l :: Nil => lit(l)
+      case l :: rest =>
+        when(rest.map(r => col(s"${l}_score") >= col(s"${r}_score")).reduce(_ && _),
+          lit(l)).otherwise(pick(rest))
+      case Nil => lit("unknown")
+    }
+    scored.withColumn("predicted_lang",
+      when(langs.map(l => col(s"${l}_score") === 0L).reduce(_ && _), lit("unknown"))
+        .otherwise(pick(langs.toList)))
+  }
+
+  /** The built-in-only declarative twin of [[langIdNgram]] (ExtSpec
+    * asserts row equality): per-trigram explode, broadcast join of the
+    * model, one per-document aggregation shuffle. Correct and
+    * distributed, but it fans every document out to ~one row per
+    * CHARACTER — the fan-out the fused kernel exists to avoid. */
+  private[graft] def langIdNgramJoined(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val langs = graft.functions.LangIdTrigramTable.languages

@@ -334,6 +334,106 @@ object TextHash {
   * trim → md5 chain (two full regex passes over every document) with
   * one linear scan; results are byte-identical, so the DuckDB oracle
   * keeps the regex formulation. */
+/** Imperative kernel behind `langid_scores` — the trained trigram
+  * language-ID table applied in ONE pass per row. The declarative twin
+  * (normalize → trigram explode → broadcast-join the 1.4k-row model →
+  * per-doc aggregation, kept as [[graft.ext.TextStats.langIdNgramJoined]]
+  * for the ExtSpec differential) fans every document out to one row
+  * per character and pays an aggregation shuffle; this computes the
+  * same exact integer sums row-locally — no explode, no join, no
+  * shuffle.
+  *
+  * The trigram alphabet after normalization is exactly {a..z, space},
+  * so a trigram packs into 15 bits (27 < 32 values per char) and the
+  * model lives in a direct-indexed 32768-slot array — O(1) lookup,
+  * zero allocation per trigram.
+  *
+  * Normalization replicates `' ' || regexp_replace(lower(s), '[^a-z]+', ' ') || ' '`
+  * byte-exactly: lowering first (UTF8String.toLowerCase — the same
+  * call Spark's `lower()` makes), then every maximal run of non-[a-z]
+  * BYTES collapses to one space. Byte-level is exact because every
+  * byte of a multi-byte UTF-8 code point is ≥ 0x80 — non-letter — so
+  * a code-point run and its byte run collapse identically. */
+object LangIdKernel {
+  val languages: Seq[String] = LangIdTrigramTable.languages
+  private val nLangs = languages.length
+
+  private val table: Array[Array[Long]] = {
+    val t = new Array[Array[Long]](32 * 32 * 32)
+    val idx = languages.zipWithIndex.toMap
+    def code(c: Char): Int = if (c == ' ') 26 else c - 'a'
+    LangIdTrigramTable.entries.foreach { case (lang, gram, w) =>
+      val slot = (code(gram(0)) << 10) | (code(gram(1)) << 5) | code(gram(2))
+      if (t(slot) == null) t(slot) = new Array[Long](nLangs)
+      t(slot)(idx(lang)) = w
+    }
+    t
+  }
+
+  def scores(s: UTF8String): ArrayData = {
+    val lower = s.toLowerCase.getBytes
+    // normalized buffer: leading pad + collapsed text + trailing pad
+    val buf = new Array[Byte](lower.length + 2)
+    buf(0) = ' '
+    var n = 1
+    var pendingGap = false
+    var i = 0
+    while (i < lower.length) {
+      val b = lower(i)
+      if (b >= 'a' && b <= 'z') {
+        if (pendingGap) { buf(n) = ' '; n += 1; pendingGap = false }
+        buf(n) = b
+        n += 1
+      } else pendingGap = true
+      i += 1
+    }
+    if (pendingGap) { buf(n) = ' '; n += 1 }
+    buf(n) = ' '
+    n += 1
+    val acc = new Array[Long](nLangs)
+    // rolling 15-bit pack: shift in one char code per step
+    if (n >= 3) {
+      def code(b: Byte): Int = if (b == ' ') 26 else b - 'a'
+      var packed = (code(buf(0)) << 5) | code(buf(1))
+      i = 2
+      while (i < n) {
+        packed = ((packed << 5) | code(buf(i))) & 0x7fff
+        val w = table(packed)
+        if (w != null) {
+          var j = 0
+          while (j < nLangs) { acc(j) += w(j); j += 1 }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(acc)
+  }
+}
+
+/** `langid_scores(text)`: exact per-language trigram scores as
+  * `array<long>` in [[LangIdKernel]]'s language order — one fused
+  * pass, shuffle-free (see the kernel doc for the declarative twin
+  * it replaces). */
+case class LangIdScores(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"langid_scores requires a string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    LangIdKernel.scores(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdKernel.scores($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NormalizedFingerprint(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -483,6 +583,7 @@ object TextFunctions {
       exprs(0),
       requireIntLiteral(exprs, 1, "token_window_hashes", "k")))
     ifAbsent("bpe_encode")(exprs => BpeEncode(exprs(0)))
+    ifAbsent("langid_scores")(exprs => LangIdScores(exprs(0)))
   }
 
   /** w/k are structural parameters (they shape the produced expression
@@ -518,4 +619,7 @@ object TextFunctions {
 
   def bpeEncode(words: Column): Column =
     column(BpeEncode(expression(words)))
+
+  def langIdScores(text: Column): Column =
+    column(LangIdScores(expression(text)))
 }

@@ -398,13 +398,34 @@ class ExtSpec extends AnyFunSuite {
       "it_score", "pt_score", "nl_score", "predicted_lang"))
   }
 
-  test("langIdNgram plan: model broadcasts, the only wide move is the per-doc aggregation") {
+  test("langIdNgram plan: fused kernel keeps the operator a shuffle-free projection; joined twin broadcasts") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
-    val df = TextStats.langIdNgram(docs, "text", "doc_id")
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(plan.contains("BroadcastHashJoin"), s"model must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"trigram join must not sort-merge:\n$plan")
+    val plan = TextStats.langIdNgram(docs, "text", "doc_id").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"kernel path must be a pure projection:\n$plan")
+    assert(plan.contains("langidscores") || plan.contains("LangIdScores") ||
+      plan.contains("langid_scores"), s"expected the kernel expression in:\n$plan")
+    val joined = TextStats.langIdNgramJoined(docs, "text", "doc_id").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(joined.contains("BroadcastHashJoin"), s"twin must broadcast:\n$joined")
+    assert(!joined.contains("SortMergeJoin"), s"twin must not sort-merge:\n$joined")
+  }
+
+  test("langIdNgram: fused kernel == explode/join/aggregate twin, fixtures AND real corpus") {
+    val hand = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "der hund und die katze spielen in dem garten"),
+      (3L, "12345 !!! ???"), (4L, ""), (5L, "a"), (6L, "Les enfants! Jouent."),
+      (7L, "MiXeD CaSe TeXt WiTh   multiple   spaces and \u00e9\u00fc\u00f1 accents")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(hand, Tables.documents(spark, "/root/testdata/sf0.001").limit(100))) {
+      val a = TextStats.langIdNgram(df, "text", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      val b = TextStats.langIdNgramJoined(df, "text", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(a.nonEmpty && a == b, s"kernel/twin divergence:\nkernel=${a.take(3)}\ntwin=${b.take(3)}")
+    }
   }
 
   test("langId predicts via stopword hits with tie-break") {
