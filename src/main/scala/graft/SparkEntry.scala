@@ -1275,6 +1275,21 @@ object SparkEntry {
       TextStats.langIdNgram(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // DESCRIBE HISTORY's role from manifest bytes alone: version,
+    // dir/dv counts, schema width, physical rows (summed from the
+    // recorded per-dir stats — PRE-mask, so the deleted keys still
+    // count; the mask is a read-time subtraction). committed_at is
+    // excluded (wall clock); the structural columns are fully
+    // deterministic over the q110 fixture and the oracle derives the
+    // row counts from orders
+    "q118_table_history" -> { (s, d) =>
+      val tbl = dvFixture(s, d)
+      Versioned.history(s, tbl)
+        .select(col("version"), col("n_data_dirs"), col("n_dv_dirs"),
+          col("n_columns"), col("n_rows"))
+        .orderBy(col("version"))
+    },
+
     // SQL WRITES through the catalog: INSERT OVERWRITE commits a fresh
     // version (resetting makes the query idempotent across bench
     // passes), INSERT INTO appends via the OCC retry path, the read
@@ -2949,6 +2964,20 @@ object SparkEntry {
          |  ELSE '${langs.last}' END AS predicted_lang
          |FROM filled ORDER BY doc_id""".stripMargin
     },
+
+    // lineage replay: structure is pinned by the fixture (overwrite,
+    // delete, append), physical row counts derive from orders
+    "q118_table_history" ->
+      """WITH f AS (SELECT count(*) AS c FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (SELECT count(*) AS c FROM orders WHERE o_orderstatus = 'P')
+        |SELECT * FROM (
+        |  SELECT 0 AS version, 1 AS n_data_dirs, 0 AS n_dv_dirs,
+        |    3 AS n_columns, CAST((SELECT c FROM f) AS BIGINT) AS n_rows
+        |  UNION ALL
+        |  SELECT 1, 1, 1, 3, CAST((SELECT c FROM f) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 2, 2, 1, 3, CAST((SELECT c FROM f) + (SELECT c FROM p) AS BIGINT))
+        |ORDER BY version""".stripMargin,
 
     // SQL INSERT OVERWRITE + INSERT INTO land F then P through the
     // manifest; the read back is their union

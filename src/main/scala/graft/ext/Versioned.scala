@@ -378,6 +378,45 @@ object Versioned {
       }
     }
 
+  /** Delta `DESCRIBE HISTORY`'s role: one row per committed version,
+    * assembled from manifest BYTES alone (plus one file-status per
+    * manifest for the commit time) — no data file is touched.
+    * `n_rows` sums the recorded per-dir stats and is NULL when any
+    * dir of the version predates stats recording; `n_columns` is the
+    * recorded schema's width, NULL for legacy manifests;
+    * `committed_at` is the manifest file's mtime (the same clock
+    * [[graft.sql.VersionedCatalog]] resolves `TIMESTAMP AS OF`
+    * against — honest caveat: filesystem mtimes survive most but not
+    * all copies/restores, which is why the VERSION number is the
+    * primary travel key). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, _) = fsFor(spark, dir)
+    import spark.implicits._
+    versions(spark, dir).map { v =>
+      val ls = lines(spark, dir, v)
+      val dataDirs = ls.collect { case DataEntry(n) => n }
+      val stats = ls.collect { case s: StatsEntry => s.name -> s.rows }.toMap
+      val rows = if (dataDirs.forall(stats.contains)) Some(dataDirs.map(stats).sum)
+        else None
+      (v,
+        new java.sql.Timestamp(fs.getFileStatus(manifestPath(dir, v)).getModificationTime),
+        dataDirs.length,
+        ls.count(_.isInstanceOf[DvEntry]),
+        ls.collectFirst { case SchemaEntry(s) => s.fields.length },
+        rows)
+    }.toDF("version", "committed_at", "n_data_dirs", "n_dv_dirs", "n_columns", "n_rows")
+  }
+
+  /** The newest version whose manifest was committed at or before
+    * `tsMillis` — `TIMESTAMP AS OF` resolution (manifest mtime as the
+    * commit clock; see [[history]] for the caveat). */
+  def versionAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Option[Int] = {
+    val (fs, _) = fsFor(spark, dir)
+    versions(spark, dir).filter(v =>
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+      .lastOption
+  }
+
   /** Upgrade a pre-round-8 table to the full skipping/schema read path
     * WITHOUT rewriting a byte of data: harvest footer stats for every
     * data dir the current manifest lacks them for, derive-and-record

@@ -74,6 +74,19 @@ class VersionedCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version))
 
+  /** `TIMESTAMP AS OF ts` — the analyzer passes epoch MICROseconds;
+    * resolved against manifest commit times ([[Versioned.history]]'s
+    * clock, with its documented mtime caveat). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val dir = pathOf(ident)
+    val v = Versioned.versionAsOfTimestamp(spark, dir, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $dir committed at or before timestamp ${timestamp / 1000L} ms " +
+          s"(earliest is ${Versioned.versions(spark, dir).headOption.orNull})"))
+    load(ident, Some(v.toString))
+  }
+
   private def pathOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")
 

@@ -2279,6 +2279,50 @@ class ExtSpec extends AnyFunSuite {
       Set(10L))
   }
 
+  test("history + TIMESTAMP AS OF: lineage from manifest bytes; the mtime clock resolves between commits") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vhistory").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Thread.sleep(250)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(250)
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+    Versioned.deleteByKeys(spark, dir, Seq(2L).toDF("id"), "id")
+    val h = Versioned.history(spark, dir).orderBy("version")
+      .select("version", "n_data_dirs", "n_dv_dirs", "n_columns", "n_rows")
+      .as[(Int, Int, Int, Option[Int], Option[Long])].collect().toSeq
+    // physical rows are PRE-mask (the dv is a read-time subtraction)
+    assert(h == Seq((0, 1, 0, Some(2), Some(2L)), (1, 2, 0, Some(2), Some(3L)),
+      (2, 2, 1, Some(2), Some(3L))), s"history: $h")
+    // a legacy manifest (no schema/stats) surfaces as NULL width/rows
+    val v0name = new java.io.File(dir).listFiles().map(_.getName)
+      .find(_.startsWith("v00000000_data")).get
+    Versioned.commitManifest(spark, dir, 3, Seq(v0name))
+    val legacyRow = Versioned.history(spark, dir).filter($"version" === 3)
+      .select("n_columns", "n_rows").as[(Option[Int], Option[Long])].head()
+    assert(legacyRow == ((None, None)))
+    // the mtime clock: between-commit timestamps resolve to the older
+    // version, pre-table timestamps refuse
+    assert(Versioned.versionAsOfTimestamp(spark, dir, tMid).contains(0))
+    assert(Versioned.versionAsOfTimestamp(spark, dir, System.currentTimeMillis())
+      .contains(3))
+    assert(Versioned.versionAsOfTimestamp(spark, dir, 1000L).isEmpty)
+    // SQL TIMESTAMP AS OF end to end (UTC literal — the session TZ)
+    spark.conf.set("spark.sql.catalog.graft_vts", "graft.sql.VersionedCatalog")
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tMid))
+    val got = spark.sql(s"SELECT id FROM graft_vts.`$dir` TIMESTAMP AS OF '$lit'")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L), s"TIMESTAMP AS OF served $got")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT id FROM graft_vts.`$dir` TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no version"), e.getMessage)
+  }
+
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_restore_proto").toString + "/t"
