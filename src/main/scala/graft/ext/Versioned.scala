@@ -121,12 +121,13 @@ object Versioned {
   /** One manifest line. Data and dv lines carry directory names; the
     * schema line carries the version's union schema; a stats line
     * carries one data dir's column statistics. */
-  private sealed trait Line
+  private[ext] sealed trait Line
   private final case class DataEntry(name: String) extends Line
   private final case class DvEntry(keyCol: String, name: String) extends Line
   private final case class SchemaEntry(schema: StructType) extends Line
-  private final case class StatsEntry(name: String, rows: Long,
-                                      cols: Map[String, ColStats]) extends Line
+  private[ext] final case class StatsEntry(name: String, rows: Long,
+                                           cols: Map[String, ColStats],
+                                           files: Seq[(String, Long)]) extends Line
 
   /** Footer-aggregated statistics of one column over one data dir.
     * `min`/`max` are canonical strings in the column's comparison
@@ -144,8 +145,8 @@ object Versioned {
       val rest = line.drop(6)
       val i = rest.indexOf(':')
       require(i > 0, s"malformed stats manifest line: $line")
-      val (rows, cols) = StatsJson.parse(rest.substring(i + 1))
-      StatsEntry(rest.substring(0, i), rows, cols)
+      val (rows, cols, files) = StatsJson.parse(rest.substring(i + 1))
+      StatsEntry(rest.substring(0, i), rows, cols, files)
     } else if (line.startsWith("dv:")) {
       val rest = line.drop(3)
       val i = rest.indexOf(':')
@@ -161,7 +162,7 @@ object Versioned {
     case DataEntry(n)      => n
     case DvEntry(k, n)     => s"dv:$k:$n"
     case SchemaEntry(s)    => s"schema:${s.json}"
-    case StatsEntry(n, r, c) => s"stats:$n:${StatsJson.render(r, c)}"
+    case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
 
   /** The recorded union schema of a version, if its manifest carries
@@ -219,7 +220,7 @@ object Versioned {
     write(dataPath.toString)
     // footer harvest of the new dir only: schema + stats
     val dirSchema = asNullable(spark.read.parquet(dataPath.toString).schema)
-    val (rows, colStats) = Skipping.collectDirStats(spark, dataPath, dirSchema)
+    val (rows, colStats, dirFiles) = Skipping.collectDirStats(spark, dataPath, dirSchema)
     val newSchema = mode match {
       case SaveMode.Append => unionSchema(schemaOf(spark, dir, prev.get), dirSchema)
       case _               => dirSchema
@@ -230,7 +231,7 @@ object Versioned {
       case _ => Seq.empty
     }
     val newLines = SchemaEntry(newSchema) +: (prevLines :+
-      DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats))
+      DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
     // … then the atomic manifest commit publishes it
     commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
     v
@@ -444,8 +445,8 @@ object Versioned {
         val harvested = missing.map { n =>
           val p = new Path(root, n)
           val dirSchema = asNullable(spark.read.parquet(p.toString).schema)
-          val (rows, cols) = Skipping.collectDirStats(spark, p, dirSchema)
-          StatsEntry(n, rows, cols)
+          val (rows, cols, dirFiles) = Skipping.collectDirStats(spark, p, dirSchema)
+          StatsEntry(n, rows, cols, dirFiles)
         }
         val kept = ls.filterNot(_.isInstanceOf[SchemaEntry])
         commitManifest(spark, dir, v,
@@ -514,13 +515,28 @@ object Versioned {
                               dataFilter: String => Boolean): DataFrame = {
     def abs(name: String) = new Path(new Path(dir), name).toString
     val recorded = ls.collectFirst { case SchemaEntry(s) => s }
-    val dataDirs = ls.collect { case DataEntry(n) if dataFilter(n) => abs(n) }
+    val dataEntries = ls.collect { case DataEntry(n) if dataFilter(n) => n }
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val fileListed = dataEntries.flatMap(n => stats.get(n).filter(_.files.nonEmpty))
     val base = recorded match {
-      case Some(s) if dataDirs.isEmpty =>
+      case Some(s) if dataEntries.isEmpty =>
         // every dir provably excluded: the empty relation, schema intact
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case Some(s) => spark.read.schema(s).parquet(dataDirs: _*)
-      case None    => spark.read.option("mergeSchema", "true").parquet(dataDirs: _*)
+      case Some(s) if fileListed.length == dataEntries.length =>
+        // the full-manifest read path (Delta's TahoeFileIndex role):
+        // every file status is served from manifest bytes — the plan
+        // touches NO filesystem metadata, the manifest's file list is
+        // the AUTHORITY (a stray file in a data dir is invisible), and
+        // the index applies stats skipping to the PUSHED filters of
+        // any plain .filter() read, not just the explicit skipping API
+        spark.baseRelationToDataFrame(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            new ManifestFileIndex(new Path(dir), s, fileListed),
+            org.apache.spark.sql.types.StructType(Nil), s, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+            Map.empty)(spark))
+      case Some(s) => spark.read.schema(s).parquet(dataEntries.map(abs): _*)
+      case None    => spark.read.option("mergeSchema", "true").parquet(dataEntries.map(abs): _*)
     }
     ls.collect { case DvEntry(k, n) => (k, abs(n)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -747,6 +763,62 @@ object Versioned {
   }
 }
 
+/** Delta TahoeFileIndex's role: a `FileIndex` whose every file status
+  * is served from the MANIFEST's recorded file lists — the read plans
+  * with ZERO filesystem metadata calls (no directory listing, no
+  * per-file status), which at 10⁶ files on an object store is the
+  * difference between a plan and a LIST storm. Consequences, both
+  * spec-pinned:
+  *
+  *   - the manifest is the authority down to the FILE level: a stray
+  *     file that somehow lands in a data dir is invisible to reads
+  *     (dir-listing reads would serve it);
+  *   - `listFiles` applies the manifest's per-dir stats to the PUSHED
+  *     data filters, so ANY `.filter()` over a versioned read skips
+  *     provably-empty dirs at execution planning — data skipping
+  *     engages on plain reads, not just the explicit
+  *     [[Versioned.readVersionSkipping]] API.
+  *
+  * File mtimes are reported as 0 (the manifest does not record them;
+  * nothing on the scan path consumes them). */
+private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
+                                     dirs: Seq[Versioned.StatsEntry])
+  extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, PartitionDirectory}
+
+  private val perDir: Seq[(Versioned.StatsEntry, Seq[FileStatusWithMetadata])] =
+    dirs.map { st =>
+      val dirPath = new Path(tableDir, st.name)
+      (st, st.files.map { case (f, bytes) =>
+        FileStatusWithMetadata(new org.apache.hadoop.fs.FileStatus(
+          bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(dirPath, f)), Map.empty)
+      })
+    }
+
+  override def rootPaths: Seq[Path] = Seq(tableDir)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = perDir.iterator.flatMap(_._2).map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    perDir.flatMap(_._2).map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] = {
+    val translated = dataFilters.flatMap(f =>
+      org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+    val kept = perDir.filter { case (st, _) =>
+      !translated.exists(f => Skipping.excludes(st.rows, st.cols, schema, f))
+    }
+    Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
+      kept.flatMap(_._2)))
+  }
+
+  override def toString: String =
+    s"ManifestFileIndex[$tableDir, ${dirs.length} dirs, ${perDir.map(_._2.length).sum} files]"
+}
+
 /** Manifest-level data skipping: harvest parquet-footer statistics at
   * commit time, decide dir-level exclusion at plan time. Pure
   * metadata work — collection reads footers of the one new dir
@@ -773,11 +845,12 @@ private[ext] object Skipping {
     * files, which under the union schema reads as all-null and is
     * recorded by omission. */
   def collectDirStats(spark: SparkSession, dataPath: Path,
-                      dirSchema: StructType): (Long, Map[String, ColStats]) = {
+                      dirSchema: StructType): (Long, Map[String, ColStats], Seq[(String, Long)]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dataPath.getFileSystem(conf)
-    val files = fs.listStatus(dataPath).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
+    val fileStatuses = fs.listStatus(dataPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val files = fileStatuses.map(_.getPath)
     var rows = 0L
     // per column: (min, max, nulls, valueCount, trusted)
     val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
@@ -812,7 +885,7 @@ private[ext] object Skipping {
         case _ => ColStats(None, None, None)
       })
     }.toMap
-    (rows, cols)
+    (rows, cols, fileStatuses.map(st => (st.getPath.getName, st.getLen)).toSeq)
   }
 
   private def mergeChunk(prior: (Option[String], Option[String], Long, Long, Boolean),
@@ -958,7 +1031,8 @@ private[ext] object StatsJson {
   import graft.ext.Versioned.ColStats
   private val mapper = new ObjectMapper()
 
-  def render(rows: Long, cols: Map[String, ColStats]): String = {
+  def render(rows: Long, cols: Map[String, ColStats],
+             files: Seq[(String, Long)]): String = {
     val root = mapper.createObjectNode()
     root.put("rows", rows)
     val cn = root.putObject("cols")
@@ -968,10 +1042,14 @@ private[ext] object StatsJson {
       c.max.foreach(o.put("max", _))
       c.nulls.foreach(o.put("nulls", _))
     }
+    val fn = root.putArray("files")
+    files.foreach { case (name, bytes) =>
+      val o = fn.addObject(); o.put("n", name); o.put("b", bytes)
+    }
     mapper.writeValueAsString(root)
   }
 
-  def parse(json: String): (Long, Map[String, ColStats]) = {
+  def parse(json: String): (Long, Map[String, ColStats], Seq[(String, Long)]) = {
     val root = mapper.readTree(json)
     val rows = root.get("rows").asLong()
     val cols = Option(root.get("cols")).map { cn =>
@@ -987,6 +1065,17 @@ private[ext] object StatsJson {
       }
       b.result()
     }.getOrElse(Map.empty)
-    (rows, cols)
+    // files absent = a stats line from before the file-list format:
+    // readers fall back to directory listing for that dir
+    val files = Option(root.get("files")).map { fn =>
+      val b = Seq.newBuilder[(String, Long)]
+      val it = fn.elements()
+      while (it.hasNext) {
+        val o = it.next()
+        b += ((o.get("n").asText(), o.get("b").asLong()))
+      }
+      b.result()
+    }.getOrElse(Seq.empty)
+    (rows, cols, files)
   }
 }

@@ -262,6 +262,51 @@ class PlanSpec extends AnyFunSuite {
     assert(got == (250L until 300L).toSet)
   }
 
+  test("manifest-served file index: plan from manifest bytes; plain filters skip dirs at execution; stray files invisible") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfi_plan").toString + "/t"
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id").repartition(1)
+    Versioned.writeVersion(batch(0, 100), dir)
+    Versioned.writeVersion(batch(100, 200), dir, SaveMode.Append)
+    Versioned.writeVersion(batch(200, 300), dir, SaveMode.Append)
+    // the read plans over the manifest-served index — Delta's
+    // TahoeFileIndex role: zero filesystem metadata calls at plan time
+    val plan = planOf(Versioned.readLatest(spark, dir))
+    assert(plan.contains("ManifestFileIndex"), s"expected manifest-served index in:\n$plan")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      exec.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    // a PLAIN .filter() read — no explicit skipping API — must prune
+    // dirs at execution planning from the pushed filters
+    assert(filesRead(Versioned.readLatest(spark, dir)) == 3)
+    assert(filesRead(Versioned.readLatest(spark, dir).filter(col("id") >= 250)) == 1)
+    assert(filesRead(Versioned.readLatest(spark, dir)
+      .filter(col("id") > 99 && col("id") <= 200)) == 2)
+    assert(filesRead(Versioned.readLatest(spark, dir).filter(col("id") > 1000)) == 0)
+    // file-level authority: a stray parquet file dropped into a data
+    // dir is INVISIBLE (the manifest's file list is the source of
+    // truth; a dir-listing read would serve it)
+    val dataDir = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v00000000_data")).head
+    spark.range(9000, 9010).toDF("id").repartition(1)
+      .write.parquet(dataDir.getAbsolutePath + "__rogue_tmp")
+    val rogue = new java.io.File(dataDir.getAbsolutePath + "__rogue_tmp")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(rogue.toPath,
+      new java.io.File(dataDir, "part-rogue.parquet").toPath)
+    val ids = Versioned.readLatest(spark, dir)
+      .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(ids == (0L until 300L).toSet, "stray file leaked into a manifest-listed read")
+  }
+
   test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
     // q62 chunking: scan → project → generate, no exchange at all
     // (formatted explain lists partitionings in the Arguments: lines)
