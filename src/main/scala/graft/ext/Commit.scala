@@ -251,7 +251,7 @@ final class ManifestStore(val protocol: CommitProtocol) extends TableStore {
   }
 
   def liveFiles(spark: SparkSession, path: String): Seq[(String, Long)] =
-    CommitFiles.parquetUnder(spark, Versioned.liveDataDirs(spark, path))
+    Versioned.liveFiles(spark, path)
 }
 
 object ManifestStore {

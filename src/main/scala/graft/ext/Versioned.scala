@@ -379,6 +379,26 @@ object Versioned {
       }
     }
 
+  /** (path, bytes) of every parquet file in the newest version —
+    * served from the manifest's recorded file lists where present
+    * (zero listing), falling back to a directory listing for dirs
+    * that predate the file-list format and for dv dirs (which carry
+    * no stats line; their key sets are tiny). */
+  private[ext] def liveFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, v)
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    def abs(name: String) = new Path(new Path(dir), name).toString
+    val (listed, toList) = ls.collect {
+      case DataEntry(n)  => (n, true)
+      case DvEntry(_, n) => (n, false)
+    }.partition { case (n, isData) => isData && stats.get(n).exists(_.files.nonEmpty) }
+    listed.flatMap { case (n, _) =>
+      stats(n).files.map { case (f, b) => (new Path(new Path(abs(n)), f).toString, b) }
+    } ++ CommitFiles.parquetUnder(spark, toList.map { case (n, _) => abs(n) })
+  }
+
   /** Delta `DESCRIBE HISTORY`'s role: one row per committed version,
     * assembled from manifest BYTES alone (plus one file-status per
     * manifest for the commit time) — no data file is touched.
@@ -435,20 +455,32 @@ object Versioned {
       val prev = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no versions at $dir"))
       val ls = lines(spark, dir, prev)
-      val statted = ls.collect { case s: StatsEntry => s.name }.toSet
-      val missing = ls.collect { case DataEntry(n) if !statted.contains(n) => n }
+      val stats = ls.collect { case s: StatsEntry => s.name -> s }.toMap
+      // candidates: dirs with no stats line at all, or a stats line
+      // from before the file-list format (empty files) — the latter
+      // re-harvests so the manifest-served read path can engage
+      val candidates = ls.collect {
+        case DataEntry(n) if stats.get(n).forall(_.files.isEmpty) => n }
       val hasSchema = ls.exists(_.isInstanceOf[SchemaEntry])
-      if (missing.isEmpty && hasSchema) None
+      val harvested = candidates.map { n =>
+        val p = new Path(root, n)
+        val dirSchema = asNullable(spark.read.parquet(p.toString).schema)
+        val (rows, cols, dirFiles) = Skipping.collectDirStats(spark, p, dirSchema)
+        StatsEntry(n, rows, cols, dirFiles)
+      }
+      // idempotence: a nested-layout dir (no top-level files) harvests
+      // the same empty entry every time — only a real change commits
+      val changed = harvested.exists(h => !stats.get(h.name).contains(h))
+      if (!changed && hasSchema) None
       else {
         val v = prev + 1
         val schema = schemaOf(spark, dir, prev) // derives once when absent
-        val harvested = missing.map { n =>
-          val p = new Path(root, n)
-          val dirSchema = asNullable(spark.read.parquet(p.toString).schema)
-          val (rows, cols, dirFiles) = Skipping.collectDirStats(spark, p, dirSchema)
-          StatsEntry(n, rows, cols, dirFiles)
+        val replaced = harvested.map(_.name).toSet
+        val kept = ls.filterNot {
+          case _: SchemaEntry => true
+          case st: StatsEntry => replaced.contains(st.name)
+          case _              => false
         }
-        val kept = ls.filterNot(_.isInstanceOf[SchemaEntry])
         commitManifest(spark, dir, v,
           (SchemaEntry(schema) +: (kept ++ harvested)).map(renderLine), protocol)
         Some(v)
