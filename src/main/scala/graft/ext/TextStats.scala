@@ -197,8 +197,10 @@ object TextStats {
     val langs = graft.functions.LangIdTrigramTable.languages
     val scored = df.select(col(idCol),
       graft.functions.TextFunctions.langIdScores(col(textCol)).as("__s"))
+      // NULL text -> NULL scores array; coalesce to 0 so the argmax
+      // lands on "unknown" exactly like the joined twin and the oracle
       .select(col(idCol) +: langs.zipWithIndex.map { case (l, i) =>
-        element_at(col("__s"), i + 1).as(s"${l}_score") }: _*)
+        coalesce(element_at(col("__s"), i + 1), lit(0L)).as(s"${l}_score") }: _*)
     withPredictedLang(scored, langs)
   }
 
@@ -242,16 +244,7 @@ object TextStats {
         langs.tail.map(l =>
           coalesce(sum(when(col("lang") === l, col("w"))), lit(0L))
             .as(s"${l}_score")): _*)
-    def pick(rem: List[String]): Column = rem match {
-      case l :: Nil => lit(l)
-      case l :: rest =>
-        when(rest.map(r => col(s"${l}_score") >= col(s"${r}_score")).reduce(_ && _),
-          lit(l)).otherwise(pick(rest))
-      case Nil => lit("unknown")
-    }
-    scored.withColumn("predicted_lang",
-      when(langs.map(l => col(s"${l}_score") === 0L).reduce(_ && _), lit("unknown"))
-        .otherwise(pick(langs.toList)))
+    withPredictedLang(scored, langs)
   }
 
   /** Quality signals: char/token counts, punctuation ratio, English

@@ -247,9 +247,25 @@ object Versioned {
       asNullable(spark.read.option("mergeSchema", "true").parquet(dataDirs: _*).schema)
     }
 
+  /** Fully-nullable normalization, RECURSIVE: append chains null-
+    * backfill at every nesting level, and the same logical type can
+    * arrive with different inner-field nullability (parquet round-trip
+    * vs typed Dataset) — comparing un-normalized types would
+    * spuriously reject an append that changes nothing. */
   private def asNullable(s: StructType): StructType =
-    StructType(s.fields.map(f => StructField(f.name, f.dataType, nullable = true,
-      f.metadata)))
+    nullableOf(s).asInstanceOf[StructType]
+
+  private def nullableOf(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, nullableOf(f.dataType), nullable = true, f.metadata)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(nullableOf(at.elementType), containsNull = true)
+      case mt: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(nullableOf(mt.keyType),
+          nullableOf(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
 
   /** Union-with-null-backfill schema for an append chain: `a`'s fields
     * in order, then `b`'s additions. Evolution in this store ADDS or
@@ -258,8 +274,8 @@ object Versioned {
   private def unionSchema(a: StructType, b: StructType): StructType = {
     val aNames = a.fieldNames.toSet
     b.fields.filter(f => aNames.contains(f.name)).foreach { f =>
-      val prior = a(f.name).dataType
-      require(prior == f.dataType,
+      val prior = nullableOf(a(f.name).dataType)
+      require(prior == nullableOf(f.dataType),
         s"append changes type of column '${f.name}' ($prior -> ${f.dataType}); " +
           "evolve by adding/dropping columns, or overwrite")
     }
@@ -997,7 +1013,15 @@ private[ext] object Skipping {
          TimestampType | TimestampNTZType =>
       java.lang.Long.compare(a.toLong, b.toLong)
     case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case StringType             => a.compareTo(b)
+    case StringType             =>
+      // UTF-8 BINARY order — the order parquet's unsigned footer
+      // bounds and Spark's UTF8String comparisons use. Java
+      // String.compareTo is UTF-16 code-unit order, which DISAGREES
+      // for supplementary-plane characters vs U+E000..U+FFFF: under
+      // it a dir could be wrongly proven empty and rows silently
+      // dropped (ExtSpec pins the emoji-vs-U+FFFF case)
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     case BooleanType            => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
     case other => throw new IllegalStateException(s"no canonical order for $other")
   }

@@ -256,10 +256,14 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
     VersionedSqlUtil.parquetTable(tableName, spark, options, paths, Some(fullSchema))
       .newScanBuilder(options)
 
-  // the probe answers Spark's pushdown negotiation over the FULL dir
-  // set; if skipping prunes dirs, an identical builder is replayed
-  // over the survivors at build() time
-  private val probe = parquetBuilder(dataDirs)
+  // NOTHING is built during negotiation: constructing the parquet
+  // builder forces its file index, which LISTS every dir — paying the
+  // listing for dirs skipping is about to prune. Negotiation needs
+  // only bookkeeping (the table schema answers pruning; filters are
+  // all returned for post-scan evaluation, which Spark does for
+  // parquet data filters anyway); the one real builder is created at
+  // build() over the SURVIVORS only, with the pushdown replayed so
+  // parquet row-group skipping still applies.
   private var pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
   private var translated: Seq[org.apache.spark.sql.sources.Filter] = Nil
   private var required: Option[StructType] = None
@@ -271,16 +275,16 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
     // so each translated filter may independently prove a dir empty
     translated = filters.flatMap(f =>
       org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
-    probe.pushFilters(filters)
+    filters
   }
 
+  // informational only (the final Scan's own description carries the
+  // real pushed set, which is what formatted explain shows)
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    probe.pushedFilters
+    Array.empty
 
-  override def pruneColumns(req: StructType): Unit = {
+  override def pruneColumns(req: StructType): Unit =
     required = Some(req)
-    probe.pruneColumns(req)
-  }
 
   override def build(): Scan = {
     val surviving =
@@ -289,13 +293,10 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
         val keep = Versioned.planDataDirs(spark, dir, v, translated).toSet
         dataDirs.filter(p => keep.contains(p.substring(p.lastIndexOf('/') + 1)))
       }
-    if (surviving.length == dataDirs.length) probe.build()
-    else {
-      val b = parquetBuilder(surviving)
-      b.pushFilters(pushedExprs)
-      required.foreach(b.pruneColumns)
-      b.build()
-    }
+    val b = parquetBuilder(surviving)
+    if (pushedExprs.nonEmpty) b.pushFilters(pushedExprs)
+    required.foreach(b.pruneColumns)
+    b.build()
   }
 }
 

@@ -25,12 +25,15 @@ import graft.ext.Versioned
   *
   * Semantics mirror Delta's source contract:
   *   - the FIRST batch serves the full table as of stream start
-  *     (every data dir of the then-latest version);
+  *     through the MASKED read (pre-stream deletes are subtracted —
+  *     they were never served rows);
   *   - subsequent batches serve appended dirs only;
   *   - a non-append commit in the offset range — overwrite or restore,
   *     i.e. a version that DROPPED dirs — fails the stream (the
   *     appends-only premise broke; Delta raises the same);
-  *   - a DELETE (new deletion-vector entry) fails unless
+  *   - a DELETE (a deletion-vector entry whose KEY CONTENT changed —
+  *     dv compaction merges dirs without changing the mask and must
+  *     not read as a phantom delete) fails unless
   *     `.option("ignoreDeletes", "true")` — masked rows already
   *     served cannot be unserved, which is precisely Delta's
   *     ignoreDeletes contract. With the option set, dv additions are
@@ -102,8 +105,17 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
     val endV = versionOf(end)
     val endInfo = Versioned.versionInfo(spark, dir, endV)
     val endDirs = endInfo.dataDirs.toSet
-    val newDirs = start.map(versionOf) match {
-      case None => endInfo.dataDirs // first batch: full table as of stream start
+    val batch = start.map(versionOf) match {
+      case None =>
+        // first batch: the full table as of stream start, served
+        // through the MASKED read — deletes that predate the stream
+        // were never "served rows", so the initial snapshot must
+        // subtract them exactly like any other read (Delta's initial
+        // snapshot does the same); columns projected to the frozen
+        // stream schema
+        import org.apache.spark.sql.functions.col
+        Versioned.readVersion(spark, dir, endV)
+          .select(frozenSchema.fieldNames.map(col).toSeq: _*)
       case Some(startV) =>
         val startInfo = Versioned.versionInfo(spark, dir, startV)
         val startDirs = startInfo.dataDirs.toSet
@@ -111,22 +123,39 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
         if (dropped.nonEmpty) throw new IllegalStateException(
           s"versioned stream at $dir hit a non-append commit between v$startV and " +
             s"v$endV (${dropped.size} data dir(s) dropped — overwrite or restore). " +
-            "Streaming serves appends only; restart the stream from the new state.")
-        if (!ignoreDeletes && startInfo.dvDirs.toSet != endInfo.dvDirs.toSet)
+          "Streaming serves appends only; restart the stream from the new state.")
+        if (!ignoreDeletes && startInfo.dvDirs != endInfo.dvDirs &&
+            !sameDvContent(startInfo.dvDirs, endInfo.dvDirs))
           throw new IllegalStateException(
             s"versioned stream at $dir hit a DELETE between v$startV and v$endV; " +
               "rows already served cannot be unserved. Pass " +
               "option ignoreDeletes=true to keep streaming appends past deletes.")
-        endInfo.dataDirs.filterNot(startDirs.contains)
+        val newDirs = endInfo.dataDirs.filterNot(startDirs.contains)
+        if (newDirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
+        else spark.read.schema(frozenSchema).parquet(newDirs: _*)
     }
-    val batch =
-      if (newDirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
-      else spark.read.schema(frozenSchema).parquet(newDirs: _*)
     // the engine asserts isStreaming on the returned plan — stamp it
     // the way FileStreamSource does
     org.apache.spark.sql.classic.GraftStreamShim.streamingFrom(spark, batch, frozenSchema)
+  }
+
+  /** Deletion-vector equality by CONTENT, not by directory name:
+    * [[Versioned.compactDeletionVectors]] merges dv dirs WITHOUT
+    * changing the mask, and routine maintenance must not kill running
+    * consumers as a phantom DELETE. Only consulted when the dir sets
+    * differ (rare); key sets are broadcast-sized by the dv contract,
+    * so the comparison is two tiny reads. */
+  private def sameDvContent(a: Seq[(String, Seq[String])],
+                            b: Seq[(String, Seq[String])]): Boolean = {
+    def keySets(dv: Seq[(String, Seq[String])]): Map[String, Set[String]] =
+      dv.groupBy(_._1).map { case (k, es) =>
+        k -> spark.read.parquet(es.flatMap(_._2): _*)
+          .select(org.apache.spark.sql.functions.col(k).cast("string"))
+          .distinct().collect().map(r => String.valueOf(r.get(0))).toSet
+      }.filter(_._2.nonEmpty) // an empty key set masks nothing
+    keySets(a) == keySets(b)
   }
 
   override def stop(): Unit = ()

@@ -374,7 +374,8 @@ class ExtSpec extends AnyFunSuite {
       // so the stopword argmax returns "unknown" — morphology alone
       // (characteristic trigrams of content words) still identifies
       (9L, "strong winds swept through tall thick forests yesterday"),
-      (10L, "")
+      (10L, ""),
+      (11L, null)
     ).toDF("doc_id", "text")
     val got = TextStats.langIdNgram(docs, "text", "doc_id")
       .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
@@ -382,6 +383,9 @@ class ExtSpec extends AnyFunSuite {
       got(4L) == "es" && got(5L) == "it" && got(6L) == "pt" && got(7L) == "nl",
       s"language fixtures misclassified: $got")
     assert(got(8L) == "unknown" && got(10L) == "unknown")
+    // NULL text: scores coalesce to 0 -> "unknown" (was the last
+    // language before the coalesce — the argmax chain saw NULLs)
+    assert(got(11L) == "unknown")
     assert(got(9L) == "en")
     // the stopword form's limits, measured on the same fixtures: it
     // cannot name it/pt/nl (not in its lists) and calls the
@@ -2111,6 +2115,18 @@ class ExtSpec extends AnyFunSuite {
     Versioned.commitManifest(spark, dir, v3 + 1, Seq(anyData))
     assert(Versioned.planDataDirs(spark, dir, v3 + 1,
       Seq(GreaterThan("id", 1000L))).length == 1)
+    // string bounds compare in UTF-8 BINARY order (parquet's footer
+    // order) — Java String order would wrongly prove this dir empty
+    // for the emoji probe (U+1F600 sorts BELOW U+FFFF in UTF-16 code
+    // units but ABOVE it in UTF-8 bytes) and silently drop the row
+    val uniDir = java.nio.file.Files.createTempDirectory("graft_vskip_uni").toString + "/t"
+    val uniV = Versioned.writeVersion(
+      Seq((1L, "￿"), (2L, "😀")).toDF("id", "tag"), uniDir)
+    assert(Versioned.planDataDirs(spark, uniDir, uniV,
+      Seq(EqualTo("tag", "😀"))).length == 1)
+    assert(Versioned.readVersionSkipping(spark, uniDir, uniV,
+      Seq(EqualTo("tag", "😀"))).select("id").as[Long].collect().toSeq == Seq(2L))
+
     // …and backfillStats upgrades exactly that legacy manifest in
     // place: schema + footer stats committed over the SAME dir, after
     // which the impossible predicate plans zero dirs

@@ -480,6 +480,23 @@ class StreamingSpec extends AnyFunSuite {
     runCk(ignoreDeletes = true)
     assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
 
+    // a FRESH stream over the dv-bearing table: the initial snapshot
+    // is the MASKED read — pre-stream deletes were never served rows
+    val qSnap = startStream("vstream_masked"); qSnap.awaitTermination(120000)
+    assert(got("vstream_masked") == Set((1L, "a"), (3L, "c"), (4L, "d")),
+      s"initial snapshot must be masked, got ${got("vstream_masked")}")
+
+    // dv COMPACTION mid-stream: dirs change, mask content does not —
+    // routine maintenance must not read as a phantom DELETE even with
+    // ignoreDeletes OFF (the comparison is by key content)
+    Versioned.deleteByKeys(spark, dir, Seq(2L).toDF("id"), "id") // same key again
+    runCk(ignoreDeletes = true) // advance the offset past the second dv
+    assert(Versioned.compactDeletionVectors(spark, dir).nonEmpty)
+    Versioned.writeVersion(Seq((5L, "e")).toDF("id", "v"), dir, SaveMode.Append)
+    runCk() // ignoreDeletes = FALSE: must still serve the append
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")),
+      s"compaction read as a delete: ${sunk()}")
+
     // an OVERWRITE breaks the appends-only premise and must fail
     Versioned.writeVersion(Seq((9L, "z")).toDF("id", "v"), dir)
     val eOw = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
