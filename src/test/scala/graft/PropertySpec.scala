@@ -172,4 +172,80 @@ object PropertySpec extends Properties("graft") {
       } yield (a.toLong, b.toLong)).toSet
       pairs == allPairs
     }
+
+  // ─── manifest data skipping: differential under arbitrary chains ───
+  // The skipping evaluator is one-sided-by-construction, but its
+  // canonical-domain comparisons (UTF-8 string order, integral/double
+  // parsing, null bookkeeping) are exactly where a subtle bug silently
+  // DROPS rows. Differential: a skipping read must equal the plain
+  // filtered read on arbitrary version chains, null patterns, and
+  // filter shapes (including supplementary-plane strings — the round-8
+  // UTF-16-order bug class).
+  import org.apache.spark.sql.sources._
+
+  private val skipTagGen: Gen[Option[String]] = Gen.frequency(
+    (3, Gen.oneOf("a", "bb", "z ", "\u20ac", "\ud83d\ude00", "\uffff").map(Some(_))),
+    (1, Gen.const(None)))
+  private val skipRowGen: Gen[(Option[Long], Option[String], Option[Double])] =
+    for {
+      id <- Gen.frequency((4, Gen.chooseNum(-60L, 60L).map(Some(_))), (1, Gen.const(None)))
+      tag <- skipTagGen
+      x <- Gen.frequency((4, Gen.chooseNum(-5.0, 5.0).map(Some(_))), (1, Gen.const(None)))
+    } yield (id, tag, x)
+
+  private val skipValueGen: String => Gen[Any] = {
+    case "id"  => Gen.chooseNum(-70L, 70L).map(v => v: Any)
+    case "tag" => Gen.oneOf("a", "bb", "z ", "\u20ac", "\ud83d\ude00", "\uffff", "q").map(v => v: Any)
+    case _     => Gen.chooseNum(-6.0, 6.0).map(v => v: Any)
+  }
+
+  private val skipLeafGen: Gen[Filter] = for {
+    c <- Gen.oneOf("id", "tag", "x")
+    v <- skipValueGen(c)
+    f <- Gen.oneOf[Filter](EqualTo(c, v), GreaterThan(c, v), GreaterThanOrEqual(c, v),
+      LessThan(c, v), LessThanOrEqual(c, v), IsNull(c), IsNotNull(c),
+      In(c, Array(v)))
+  } yield f
+
+  private val skipFilterGen: Gen[Filter] = Gen.frequency(
+    (4, skipLeafGen),
+    (1, for { a <- skipLeafGen; b <- skipLeafGen } yield Or(a, b)),
+    (1, for { a <- skipLeafGen; b <- skipLeafGen } yield And(a, b)))
+
+  private def filterColumn(f: Filter): org.apache.spark.sql.Column = f match {
+    case EqualTo(a, v)            => col(a) === lit(v)
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a)                => col(a).isNull
+    case IsNotNull(a)             => col(a).isNotNull
+    case And(l, r)                => filterColumn(l) && filterColumn(r)
+    case Or(l, r)                 => filterColumn(l) || filterColumn(r)
+    case other => sys.error(s"unexpected $other")
+  }
+
+  property("readVersionSkipping == readVersion.filter on arbitrary chains and filters") =
+    forAll(
+      Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 6).flatMap(m => Gen.listOfN(m, skipRowGen)))),
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, skipFilterGen))) { (batches, filters) =>
+      import graft.ext.Versioned
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_skip").toString + "/t"
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        Versioned.writeVersion(rows.toDF("id", "tag", "x"), dir,
+          if (i == 0) org.apache.spark.sql.SaveMode.Overwrite
+          else org.apache.spark.sql.SaveMode.Append)
+      }
+      val v = Versioned.latestVersion(spark, dir).get
+      val viaSkip = Versioned.readVersionSkipping(spark, dir, v, filters)
+        .collect().map(_.toString).sorted.toSeq
+      val pred = filters.map(filterColumn).reduce(_ && _)
+      val viaFilter = Versioned.readVersion(spark, dir, v).filter(pred)
+        .collect().map(_.toString).sorted.toSeq
+      val ok = viaSkip == viaFilter
+      if (!ok) println(s"MISMATCH dir=$dir filters=$filters\nskip=$viaSkip\nfull=$viaFilter")
+      ok
+    }
 }
