@@ -9,6 +9,25 @@ object Bench {
     // per-query median across interleaved passes discards a spiky pass
     // without rewarding cache-only reruns
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Settle-wait before the timed passes (round-9 ask): a bench
+    // launched minutes after a test suite reads 1.3-2x hot (measured —
+    // the 5-MIN loadavg is the honest signal; the 1-min recovers long
+    // before the page cache / cpu thermals do). Poll /proc/loadavg
+    // until the 5-min average drops under 1.0, bounded by
+    // SPARK_GRAFT_BENCH_SETTLE_SEC (default 900; 0 disables), and
+    // RECORD the wait so the artifact is self-describing either way.
+    def load5(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+")(1).toDouble
+      catch { case _: Throwable => -1.0 } // non-Linux: no signal, no wait
+    val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "900").toLong
+    val settleT0 = System.nanoTime()
+    while (load5() > 1.0 && (System.nanoTime() - settleT0) / 1e9 < settleMax) {
+      System.err.println(f"[bench] waiting for 5-min loadavg to settle (now ${load5()}%.2f)")
+      Thread.sleep(30000)
+    }
+    val settleWaitSec = (System.nanoTime() - settleT0) / 1e9
+    val load5Start = load5()
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
@@ -76,7 +95,16 @@ object Bench {
     // "warmup":true marks the round-8 estimator change: medians are
     // over steady-state serves, comparable to QUIET_BENCH's settled
     // numbers but NOT to pre-r8 artifacts for build-once queries
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"warmup":true,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd,"contended":$contended}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"warmup":true,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd,"contended":$contended,"settle_wait_sec":${f"$settleWaitSec%.1f"},"load5_at_start":$load5Start}"""
+    println(json)
+    // the full line ALSO lands in a file: three rounds of driver
+    // artifacts lost their head to tail-capture truncation ("parsed":
+    // null) — a file write cannot be truncated by a console buffer
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -330,6 +330,20 @@ object Versioned {
     * which already subtracts the keys — and drops the dv references;
     * [[pruneVersions]] then reclaims the dv dirs. Returns the new
     * version id. */
+  /** The deletion-vector size contract, ENFORCED (not just documented):
+    * every dv reader — the library anti-join's broadcast plan, the
+    * DSv2 in-reader mask, the stream source's content compare — pulls
+    * the key set to the driver or broadcasts it, so a mask is only
+    * sound while the key set is small next to the table. This cap
+    * turns the silent scale cliff (a 10⁸-key delete OOMing a reader
+    * with no pointer at the contract) into a refusal AT DELETE TIME
+    * that names the alternative: apply the delete physically via an
+    * overwrite commit (`writeVersion(readLatest().join(keys,
+    * "left_anti"), dir)` — one rewrite, no mask). Configurable per
+    * session via `spark.graft.dv.maxKeys`. */
+  def maxDvKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.maxKeys").map(_.toLong).getOrElse(10L * 1000 * 1000)
+
   def deleteByKeys(spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
                    protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(keyCol.matches("[A-Za-z0-9_]+"),
@@ -343,8 +357,23 @@ object Versioned {
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val dvDir = f"v$v%08d_dv_$nonce"
     val dvPath = new Path(root, dvDir)
-    keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
-      .write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
+    val keyDf = keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
+    keyDf.write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
+    // size guard BEFORE the commit (footer row count of the
+    // just-written key set — metadata only): an oversized mask is
+    // refused while it is still an invisible orphan dir, never after
+    // readers depend on it
+    val nKeys = Skipping.collectDirStats(spark, dvPath,
+      asNullable(keyDf.schema))._1
+    val cap = maxDvKeys(spark)
+    if (nKeys > cap) {
+      fs.delete(dvPath, true)
+      throw new IllegalArgumentException(
+        s"deleteByKeys: $nKeys distinct keys exceeds the deletion-vector size " +
+          s"contract (spark.graft.dv.maxKeys=$cap). Every dv reader broadcasts the " +
+          "key set; a mask this size belongs in a physical rewrite instead: " +
+          "writeVersion(readLatest(dir).join(keys, Seq(keyCol), \"left_anti\"), dir)")
+    }
     // schema and stats lines ride along unchanged: a delete touches
     // no data dir, so neither the union schema nor any dir's stats move
     commitManifest(spark, dir, v,
@@ -953,7 +982,10 @@ private[ext] object Skipping {
           if (stats.getNumNulls == chunk.getValueCount) (mn0, mx0, nulls, vc, true)
           else (None, None, 0L, vc, false)
         } else {
-          (statToCanonical(stats.genericGetMin, dt), statToCanonical(stats.genericGetMax, dt)) match {
+          val ann = Option(chunk.getPrimitiveType).flatMap(t =>
+            Option(t.getLogicalTypeAnnotation))
+          (statToCanonical(stats.genericGetMin, dt, ann, isMax = false),
+            statToCanonical(stats.genericGetMax, dt, ann, isMax = true)) match {
             case (Some(lo), Some(hi)) =>
               (Some(mn0.fold(lo)(m => if (cmp(dt, lo, m) < 0) lo else m)),
                 Some(mx0.fold(hi)(m => if (cmp(dt, hi, m) > 0) hi else m)),
@@ -974,12 +1006,35 @@ private[ext] object Skipping {
 
   /** Footer stat value → canonical string in the comparison domain.
     * None (→ no skipping) for anything surprising, NaN above all:
-    * parquet min/max are undefined in the presence of NaN. */
-  private def statToCanonical(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    * parquet min/max are undefined in the presence of NaN.
+    *
+    * Timestamps: the canonical domain is MICROSECONDS (what
+    * [[valueToCanonical]] emits for filter literals), but an INT64
+    * footer bound is in whatever unit the file's logical-type
+    * annotation declares — a dir written under
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS` carries
+    * millis, and treating them as micros would let excludes() wrongly
+    * prove a dir empty (one-sided-contract violation). Bounds are
+    * normalized per the annotation: MICROS as-is, MILLIS ×1000
+    * (exact), NANOS floor/ceil-divided so min stays ≤ true min and
+    * max ≥ true max; a missing or non-timestamp annotation (e.g.
+    * legacy INT96) records no bound. */
+  private def statToCanonical(v: Any, dt: DataType,
+                              ann: Option[org.apache.parquet.schema.LogicalTypeAnnotation],
+                              isMax: Boolean): Option[String] = (v, dt) match {
     case (i: java.lang.Integer, ByteType | ShortType | IntegerType | DateType) =>
       Some(i.longValue.toString)
-    case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) =>
-      Some(l.toString)
+    case (l: java.lang.Long, LongType) => Some(l.toString)
+    case (l: java.lang.Long, TimestampType | TimestampNTZType) =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      ann.collect { case t: TimestampLogicalTypeAnnotation => t.getUnit }.flatMap {
+        case TimeUnit.MICROS => Some(l.longValue.toString)
+        case TimeUnit.MILLIS => Some(Math.multiplyExact(l.longValue, 1000L).toString)
+        case TimeUnit.NANOS  =>
+          Some((if (isMax) Math.floorDiv(Math.addExact(l.longValue, 999L), 1000L)
+                else Math.floorDiv(l.longValue, 1000L)).toString)
+        case _ => None
+      }
     case (f: java.lang.Float, FloatType) =>
       if (f.isNaN) None else Some(f.doubleValue.toString)
     case (d: java.lang.Double, DoubleType) =>

@@ -192,11 +192,25 @@ private[sql] object VersionedWrite {
 
 private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String)
   extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
 
-  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+  // the declared OVERWRITE_BY_FILTER capability is honored for exactly
+  // one filter shape: the trivial AlwaysTrue conjunction (INSERT
+  // OVERWRITE / DataFrameWriterV2.overwrite(lit(true))), which is the
+  // truncate this store expresses as a fresh single-dir version. A
+  // selective overwrite-by-filter would be a partial rewrite this
+  // store doesn't do — canOverwrite refuses it at ANALYSIS time (clear
+  // error) instead of passing analysis and dying at write planning.
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(canOverwrite(filters),
+      s"versioned tables overwrite whole state only (INSERT OVERWRITE); " +
+        s"got filters ${filters.mkString(", ")} — DELETE keys first, or rewrite via the library")
     overwrite = true; this
   }
 
@@ -384,8 +398,12 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       val wide = inner.readSchema()
       // driver pull of the key sets, in INTERNAL row representation
       // (UTF8String etc.) so executor-side comparison is allocation-free.
-      // dv semantics guarantee the sets are broadcast-sized next to the
-      // table — same bound as the library path's broadcast anti-join.
+      // The dv size contract is enforced at delete time
+      // (Versioned.deleteByKeys refuses past spark.graft.dv.maxKeys);
+      // the same cap re-checked here is defense in depth — a dv dir
+      // grown out of band (older writer, foreign tool) fails with the
+      // remedy named instead of OOMing the driver mid-collect.
+      val cap = graft.ext.Versioned.maxDvKeys(spark)
       val masks = dvDirs.flatMap { case (k, dirs) =>
         if (!wide.fieldNames.contains(k)) None // key col absent from read: nothing to mask on
         else {
@@ -393,7 +411,13 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
           val dt = wide(idx).dataType
           val keyRows = spark.read.parquet(dirs: _*)
             .select(org.apache.spark.sql.functions.col(k)).distinct()
+            .limit(if (cap >= Int.MaxValue - 1) Int.MaxValue else cap.toInt + 1) // bounds the pull itself, not just the check
             .queryExecution.toRdd.map(_.copy()).collect()
+          if (keyRows.length > cap) throw new IllegalStateException(
+            s"deletion vector on '$k' exceeds the size contract " +
+              s"(spark.graft.dv.maxKeys=$cap): the in-reader mask broadcasts the key " +
+              "set. Apply the mask physically — overwrite (INSERT OVERWRITE the masked " +
+              "read) or compact — before serving this version over SQL.")
           val set = new java.util.HashSet[Any]()
           keyRows.foreach(r => if (!r.isNullAt(0)) set.add(r.get(0, dt)))
           Some((idx, dt, set))

@@ -149,11 +149,18 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
     * so the comparison is two tiny reads. */
   private def sameDvContent(a: Seq[(String, Seq[String])],
                             b: Seq[(String, Seq[String])]): Boolean = {
-    def keySets(dv: Seq[(String, Seq[String])]): Map[String, Set[String]] =
+    // keys compared in their NATIVE type — a cast-to-string comparison
+    // would collide a NULL key with the literal string "null", letting
+    // a real mask change read as equal and a genuine DELETE stream
+    // past consumers without ignoreDeletes. NULL keys are excluded
+    // outright: the mask is an anti-join / set-contains on the key, and
+    // null never matches either, so a null entry changes no read — it
+    // must not read as a phantom DELETE here.
+    def keySets(dv: Seq[(String, Seq[String])]): Map[String, Set[Any]] =
       dv.groupBy(_._1).map { case (k, es) =>
         k -> spark.read.parquet(es.flatMap(_._2): _*)
-          .select(org.apache.spark.sql.functions.col(k).cast("string"))
-          .distinct().collect().map(r => String.valueOf(r.get(0))).toSet
+          .select(org.apache.spark.sql.functions.col(k)).na.drop()
+          .distinct().collect().map(_.get(0)).toSet
       }.filter(_._2.nonEmpty) // an empty key set masks nothing
     keySets(a) == keySets(b)
   }
