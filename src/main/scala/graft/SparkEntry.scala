@@ -108,6 +108,14 @@ object SparkEntry {
     * the manifest stats, so a selective read can prove dirs empty. */
   private val skipTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q119's fixture: ONE commit whose data dir holds four
+    * range-partitioned files (price quartiles) — dir-level min/max
+    * spans the full range and prunes nothing, so any pruning the
+    * selective read achieves is the manifest's PER-FILE stats working
+    * inside the surviving dir. */
+  private val fileSkipTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: SparkSession, d: String): (String, Seq[Array[Double]]) =
     ivfIndexCache.computeIfAbsent("full:" + d, { _ =>
       val idx = scratchPath("ivf_index", d)
@@ -1261,6 +1269,31 @@ object SparkEntry {
       Versioned.readVersionSkipping(s, tbl, v, Seq(
         org.apache.spark.sql.sources.EqualTo("status", "P"),
         org.apache.spark.sql.sources.GreaterThan("price", 100000.0)))
+        .select(col("o_orderkey"), col("status"), col("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // PER-FILE data skipping (Delta's add-file stats role): one commit
+    // lands ONE data dir of four range-partitioned files, each file's
+    // price quartile recorded in the manifest at commit time. The
+    // dir-level bounds span the whole range — every prune on this
+    // read is the per-file stats cutting INSIDE the surviving dir,
+    // applied to the PUSHED filters of a plain .filter() read through
+    // the manifest-served file index (PlanSpec pins the planned file
+    // count; the oracle is the plain WHERE clause)
+    "q119_file_skipping" -> { (s, d) =>
+      val tbl = fileSkipTableCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_fileskip", d)
+        val slice = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price"))
+        Versioned.writeVersionWith(s, path)(tmp =>
+          slice.repartitionByRange(4, col("price")).sortWithinPartitions("price")
+            .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp))
+        path
+      })
+      Versioned.readLatest(s, tbl)
+        .filter(col("price") > 180000)
         .select(col("o_orderkey"), col("status"), col("price"))
         .orderBy(col("o_orderkey"))
     },
@@ -2923,6 +2956,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // per-file stats prune files inside the dir, the surviving scan
+    // re-applies the predicate — so the oracle is the plain WHERE
+    "q119_file_skipping" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND ROUND(o_totalprice, 2) > 180000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // trained trigram language ID: the model table inlined as VALUES

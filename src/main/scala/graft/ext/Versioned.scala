@@ -127,7 +127,7 @@ object Versioned {
   private final case class SchemaEntry(schema: StructType) extends Line
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
-                                           files: Seq[(String, Long)]) extends Line
+                                           files: Seq[FileStats]) extends Line
 
   /** Footer-aggregated statistics of one column over one data dir.
     * `min`/`max` are canonical strings in the column's comparison
@@ -136,6 +136,19 @@ object Versioned {
     * lacked a null count (statistics unusable → never skip on it). */
   private[ext] final case class ColStats(min: Option[String], max: Option[String],
                                          nulls: Option[Long])
+
+  /** One parquet file of a data dir, as the manifest records it:
+    * name + size (so reads plan with zero filesystem metadata calls)
+    * plus the file's OWN row count and column bounds — Delta's
+    * per-add-file stats role. Dir-granular min/max cannot prune
+    * inside a single large commit (at 100 TB one append is thousands
+    * of files spanning the full key range); per-file bounds let
+    * [[ManifestFileIndex.listFiles]] drop individual files of a
+    * surviving dir. `rows` is None for entries recorded before the
+    * per-file-stats format — such files are always read. */
+  private[ext] final case class FileStats(name: String, bytes: Long,
+                                          rows: Option[Long],
+                                          cols: Map[String, ColStats])
 
   private def parseLine(line: String): Line =
     if (line.startsWith("schema:"))
@@ -440,7 +453,7 @@ object Versioned {
       case DvEntry(_, n) => (n, false)
     }.partition { case (n, isData) => isData && stats.get(n).exists(_.files.nonEmpty) }
     listed.flatMap { case (n, _) =>
-      stats(n).files.map { case (f, b) => (new Path(new Path(abs(n)), f).toString, b) }
+      stats(n).files.map(f => (new Path(new Path(abs(n)), f.name).toString, f.bytes))
     } ++ CommitFiles.parquetUnder(spark, toList.map { case (n, _) => abs(n) })
   }
 
@@ -501,11 +514,13 @@ object Versioned {
         throw new IllegalArgumentException(s"no versions at $dir"))
       val ls = lines(spark, dir, prev)
       val stats = ls.collect { case s: StatsEntry => s.name -> s }.toMap
-      // candidates: dirs with no stats line at all, or a stats line
-      // from before the file-list format (empty files) — the latter
-      // re-harvests so the manifest-served read path can engage
+      // candidates: dirs with no stats line at all, a stats line from
+      // before the file-list format (empty files), or file lists from
+      // before the per-FILE-stats format (entries without row counts)
+      // — each re-harvests so the newest read path can engage
       val candidates = ls.collect {
-        case DataEntry(n) if stats.get(n).forall(_.files.isEmpty) => n }
+        case DataEntry(n) if stats.get(n).forall(st =>
+          st.files.isEmpty || st.files.exists(_.rows.isEmpty)) => n }
       val hasSchema = ls.exists(_.isInstanceOf[SchemaEntry])
       val harvested = candidates.map { n =>
         val p = new Path(root, n)
@@ -584,6 +599,29 @@ object Versioned {
         case Some(st) if schema.nonEmpty =>
           !filters.exists(f => Skipping.excludes(st.rows, st.cols, schema.get, f))
         case _ => true
+      }
+    }
+  }
+
+  /** The FILES a skipping read of version `v` would plan, after both
+    * the dir-level and per-file prune — the file-granularity twin of
+    * [[planDataDirs]], exposed so tests (and operators reporting skip
+    * effectiveness) can assert that a selective filter prunes INSIDE
+    * a surviving dir. Returns `dirName/fileName` relative paths. */
+  private[graft] def planDataFiles(spark: SparkSession, dir: String, v: Int,
+                                   filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    val ls = lines(spark, dir, v)
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val keptDirs = planDataDirs(spark, dir, v, filters)
+    keptDirs.flatMap { name =>
+      stats.get(name) match {
+        case Some(st) if schema.nonEmpty && st.files.nonEmpty =>
+          st.files.filter(f => f.rows.isEmpty ||
+              !filters.exists(flt => Skipping.excludes(f.rows.get, f.cols, schema.get, flt)))
+            .map(f => s"$name/${f.name}")
+        case Some(st) if st.files.nonEmpty => st.files.map(f => s"$name/${f.name}")
+        case _ => Seq(name) // unlisted dir: read whole
       }
     }
   }
@@ -863,20 +901,20 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
   extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, PartitionDirectory}
 
-  private val perDir: Seq[(Versioned.StatsEntry, Seq[FileStatusWithMetadata])] =
+  private val perDir: Seq[(Versioned.StatsEntry, Seq[(Versioned.FileStats, FileStatusWithMetadata)])] =
     dirs.map { st =>
       val dirPath = new Path(tableDir, st.name)
-      (st, st.files.map { case (f, bytes) =>
-        FileStatusWithMetadata(new org.apache.hadoop.fs.FileStatus(
-          bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(dirPath, f)), Map.empty)
+      (st, st.files.map { f =>
+        (f, FileStatusWithMetadata(new org.apache.hadoop.fs.FileStatus(
+          f.bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(dirPath, f.name)), Map.empty))
       })
     }
 
   override def rootPaths: Seq[Path] = Seq(tableDir)
   override def partitionSchema: StructType = StructType(Nil)
-  override def sizeInBytes: Long = perDir.iterator.flatMap(_._2).map(_.getLen).sum
+  override def sizeInBytes: Long = perDir.iterator.flatMap(_._2).map(_._2.getLen).sum
   override def inputFiles: Array[String] =
-    perDir.flatMap(_._2).map(_.getPath.toString).toArray
+    perDir.flatMap(_._2).map(_._2.getPath.toString).toArray
   override def refresh(): Unit = ()
 
   override def listFiles(
@@ -885,11 +923,22 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
       : Seq[PartitionDirectory] = {
     val translated = dataFilters.flatMap(f =>
       org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+    // two-granularity prune, both one-sided: dir bounds first (cheap,
+    // one check covering every file of the dir), then each surviving
+    // dir's PER-FILE bounds — the level that still cuts when one
+    // commit wrote thousands of files spanning the dir's full key
+    // range. Files recorded before the per-file-stats format carry no
+    // row count and are always read.
     val kept = perDir.filter { case (st, _) =>
       !translated.exists(f => Skipping.excludes(st.rows, st.cols, schema, f))
+    }.flatMap { case (_, files) =>
+      files.filter { case (fs, _) =>
+        fs.rows.isEmpty ||
+          !translated.exists(f => Skipping.excludes(fs.rows.get, fs.cols, schema, f))
+      }
     }
     Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
-      kept.flatMap(_._2)))
+      kept.map(_._2)))
   }
 
   override def toString: String =
@@ -912,34 +961,40 @@ private[ext] object Skipping {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types._
   import org.apache.spark.sql.functions.{col, lit}
-  import graft.ext.Versioned.ColStats
+  import graft.ext.Versioned.{ColStats, FileStats}
   import scala.jdk.CollectionConverters._
 
-  /** (rows, per-column stats) of one just-written data dir, from its
-    * parquet footers. A column of unsupported type, or with any
-    * untrusted footer, is recorded as fully-unknown (present but no
-    * bounds) — distinguishing it from a column ABSENT from the dir's
-    * files, which under the union schema reads as all-null and is
-    * recorded by omission. */
+  /** (rows, per-column stats, per-file stats) of one just-written data
+    * dir, from its parquet footers. A column of unsupported type, or
+    * with any untrusted footer, is recorded as fully-unknown (present
+    * but no bounds) — distinguishing it from a column ABSENT from the
+    * dir's files, which under the union schema reads as all-null and
+    * is recorded by omission.
+    *
+    * Stats are computed at FILE granularity and aggregated up to the
+    * dir: the per-file bounds are what lets a selective read prune
+    * INSIDE a commit (one append at 100 TB is thousands of files —
+    * dir-level min/max over them spans the full key range and prunes
+    * nothing), the dir aggregate is what lets [[readVersionSkipping]]
+    * and the DSv2 seam drop whole dirs without touching file lists. */
   def collectDirStats(spark: SparkSession, dataPath: Path,
-                      dirSchema: StructType): (Long, Map[String, ColStats], Seq[(String, Long)]) = {
+                      dirSchema: StructType): (Long, Map[String, ColStats], Seq[FileStats]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dataPath.getFileSystem(conf)
     val fileStatuses = fs.listStatus(dataPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
-    val files = fileStatuses.map(_.getPath)
-    var rows = 0L
-    // per column: (min, max, nulls, valueCount, trusted)
-    val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
     val supported = dirSchema.fields.map(f => f.name -> f.dataType)
       .filter { case (_, dt) => comparableType(dt) }.toMap
-    for (file <- files) {
+    val perFile = fileStatuses.map { st =>
+      var fileRows = 0L
+      // per column: (min, max, nulls, valueCount, trusted)
+      val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
       try {
         val footer = reader.getFooter
         for (block <- footer.getBlocks.asScala) {
-          rows += block.getRowCount
+          fileRows += block.getRowCount
           for (chunk <- block.getColumns.asScala) {
             val path = chunk.getPath
             if (path.size == 1) {
@@ -952,17 +1007,50 @@ private[ext] object Skipping {
           }
         }
       } finally reader.close()
-    }
+      // EVERY dirSchema field gets an entry (unknown for unsupported
+      // or untrusted) — in [[excludes]] a column ABSENT from the map
+      // means "not in this dir's write at all" (union-schema backfill
+      // reads it as all-null), and a per-file map that omitted an
+      // unsupported-type column would let that rule wrongly exclude
+      // the file on a predicate over it
+      val cols = dirSchema.fields.map { f =>
+        f.name -> (acc.get(f.name) match {
+          // value counts must cover every row, else some chunk was
+          // missing for this column and the bounds are partial
+          case Some((mn, mx, nulls, vc, true)) if vc == fileRows =>
+            ColStats(mn, mx, Some(nulls))
+          case _ => ColStats(None, None, None)
+        })
+      }.toMap
+      FileStats(st.getPath.getName, st.getLen, Some(fileRows), cols)
+    }.toSeq
+    val rows = perFile.flatMap(_.rows).sum
+    // dir aggregate = fold of the per-file stats: bounds widen, null
+    // counts add, and any file-level unknown poisons the dir entry
+    // (same one-sided rule — unknown can only DISABLE skipping).
+    // A trusted file entry always carries a null count; a trusted
+    // ALL-NULL file carries the count with no bounds — so
+    // `nulls.isDefined` is exactly the trusted flag here.
     val cols = dirSchema.fields.map { f =>
-      f.name -> (acc.get(f.name) match {
-        // value counts must cover every row, else some chunk was
-        // missing for this column and the bounds are partial
-        case Some((mn, mx, nulls, vc, true)) if vc == rows =>
-          ColStats(mn, mx, Some(nulls))
-        case _ => ColStats(None, None, None)
-      })
+      val stat = supported.get(f.name) match {
+        case None => ColStats(None, None, None)
+        case Some(dt) =>
+          val per = perFile.map(_.cols.get(f.name))
+          if (per.exists(o => o.isEmpty || o.get.nulls.isEmpty)) ColStats(None, None, None)
+          else {
+            val cs = per.map(_.get)
+            val nulls = Some(cs.map(_.nulls.get).sum)
+            val withBounds = cs.filter(_.min.nonEmpty)
+            if (withBounds.isEmpty) ColStats(None, None, nulls) // all-null dir
+            else ColStats(
+              Some(withBounds.map(_.min.get).reduce((a, b) => if (cmp(dt, a, b) <= 0) a else b)),
+              Some(withBounds.map(_.max.get).reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)),
+              nulls)
+          }
+      }
+      f.name -> stat
     }.toMap
-    (rows, cols, fileStatuses.map(st => (st.getPath.getName, st.getLen)).toSeq)
+    (rows, cols, perFile)
   }
 
   private def mergeChunk(prior: (Option[String], Option[String], Long, Long, Boolean),
@@ -1139,51 +1227,64 @@ private[ext] object Skipping {
   * stays a single manifest line whatever the column values contain. */
 private[ext] object StatsJson {
   import com.fasterxml.jackson.databind.ObjectMapper
-  import graft.ext.Versioned.ColStats
+  import com.fasterxml.jackson.databind.node.ObjectNode
+  import graft.ext.Versioned.{ColStats, FileStats}
   private val mapper = new ObjectMapper()
 
-  def render(rows: Long, cols: Map[String, ColStats],
-             files: Seq[(String, Long)]): String = {
-    val root = mapper.createObjectNode()
-    root.put("rows", rows)
-    val cn = root.putObject("cols")
+  private def renderCols(parent: ObjectNode, key: String,
+                         cols: Map[String, ColStats]): Unit = {
+    val cn = parent.putObject(key)
     cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
       val o = cn.putObject(name)
       c.min.foreach(o.put("min", _))
       c.max.foreach(o.put("max", _))
       c.nulls.foreach(o.put("nulls", _))
     }
+  }
+
+  private def parseCols(node: com.fasterxml.jackson.databind.JsonNode): Map[String, ColStats] = {
+    val b = Map.newBuilder[String, ColStats]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val o = e.getValue
+      b += e.getKey -> ColStats(
+        Option(o.get("min")).map(_.asText()),
+        Option(o.get("max")).map(_.asText()),
+        Option(o.get("nulls")).map(_.asLong()))
+    }
+    b.result()
+  }
+
+  def render(rows: Long, cols: Map[String, ColStats],
+             files: Seq[FileStats]): String = {
+    val root = mapper.createObjectNode()
+    root.put("rows", rows)
+    renderCols(root, "cols", cols)
     val fn = root.putArray("files")
-    files.foreach { case (name, bytes) =>
-      val o = fn.addObject(); o.put("n", name); o.put("b", bytes)
+    files.foreach { f =>
+      val o = fn.addObject(); o.put("n", f.name); o.put("b", f.bytes)
+      f.rows.foreach(o.put("r", _))
+      if (f.cols.nonEmpty) renderCols(o, "c", f.cols)
     }
     mapper.writeValueAsString(root)
   }
 
-  def parse(json: String): (Long, Map[String, ColStats], Seq[(String, Long)]) = {
+  def parse(json: String): (Long, Map[String, ColStats], Seq[FileStats]) = {
     val root = mapper.readTree(json)
     val rows = root.get("rows").asLong()
-    val cols = Option(root.get("cols")).map { cn =>
-      val b = Map.newBuilder[String, ColStats]
-      val it = cn.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        val o = e.getValue
-        b += e.getKey -> ColStats(
-          Option(o.get("min")).map(_.asText()),
-          Option(o.get("max")).map(_.asText()),
-          Option(o.get("nulls")).map(_.asLong()))
-      }
-      b.result()
-    }.getOrElse(Map.empty)
-    // files absent = a stats line from before the file-list format:
-    // readers fall back to directory listing for that dir
+    val cols = Option(root.get("cols")).map(parseCols).getOrElse(Map.empty)
+    // files absent = a stats line from before the file-list format
+    // (readers fall back to directory listing for that dir); an entry
+    // without "r" is from the per-DIR-stats format — always read
     val files = Option(root.get("files")).map { fn =>
-      val b = Seq.newBuilder[(String, Long)]
+      val b = Seq.newBuilder[FileStats]
       val it = fn.elements()
       while (it.hasNext) {
         val o = it.next()
-        b += ((o.get("n").asText(), o.get("b").asLong()))
+        b += FileStats(o.get("n").asText(), o.get("b").asLong(),
+          Option(o.get("r")).map(_.asLong()),
+          Option(o.get("c")).map(parseCols).getOrElse(Map.empty))
       }
       b.result()
     }.getOrElse(Seq.empty)

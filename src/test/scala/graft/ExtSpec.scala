@@ -2339,6 +2339,98 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("no version"), e.getMessage)
   }
 
+  test("per-file skipping stats: prune inside a surviving dir; exact; legacy per-dir manifests upgrade via backfill") {
+    import org.apache.spark.sql.sources._
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_fileskip").toString + "/t"
+    // ONE commit, FOUR files of 100 ids each (range-partitioned) — the
+    // dir bound is [0,400) so dir-level skipping can never cut inside
+    Versioned.writeVersionWith(spark, dir)(tmp =>
+      spark.range(0, 400).toDF("id")
+        .repartitionByRange(4, $"id").sortWithinPartitions("id")
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp))
+    def files(fs: Filter*) = Versioned.planDataFiles(spark, dir, 0, fs.toSeq)
+    assert(files().length == 4)
+    assert(Versioned.planDataDirs(spark, dir, 0, Seq(GreaterThanOrEqual("id", 350L))).length == 1,
+      "dir level cannot prune — the cut below must be per-file stats")
+    assert(files(GreaterThanOrEqual("id", 350L)).length == 1)
+    assert(files(EqualTo("id", 150L)).length == 1)
+    assert(files(GreaterThan("id", 99L), LessThanOrEqual("id", 200L)).length == 2)
+    assert(files(GreaterThan("id", 1000L)).isEmpty)
+    // exactness through the real read (pushed filters reach the
+    // manifest-served index): skipping read ≡ full read + filter
+    val got = Versioned.readLatest(spark, dir).filter($"id" >= 350L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (350L until 400L).toSet)
+    // a per-DIR-format manifest (file entries without rows/cols — the
+    // round-8 layout) plans every file, and backfillStats upgrades it
+    // in place to the per-file format over the SAME dir
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_versions/00000000.manifest")), "UTF-8")
+    val legacy = raw.split("\n").map { line =>
+      if (!line.startsWith("stats:")) line
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val i = line.indexOf(':', 6)
+        val node = om.readTree(line.substring(i + 1))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val files = node.withArray("files")
+        (0 until files.size()).foreach { j =>
+          val o = files.get(j).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.remove("r"); o.remove("c")
+        }
+        line.substring(0, i + 1) + om.writeValueAsString(node)
+      }
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_versions/00000001.manifest"),
+      legacy.getBytes("UTF-8"))
+    assert(Versioned.planDataFiles(spark, dir, 1,
+      Seq(GreaterThanOrEqual("id", 350L))).length == 4,
+      "entries without per-file stats must always be read")
+    assert(Versioned.readVersion(spark, dir, 1).filter($"id" >= 350L)
+      .select("id").as[Long].collect().toSet == (350L until 400L).toSet)
+    val bv = Versioned.backfillStats(spark, dir)
+    assert(bv.contains(2))
+    assert(Versioned.planDataFiles(spark, dir, 2,
+      Seq(GreaterThanOrEqual("id", 350L))).length == 1)
+    // idempotent once upgraded
+    assert(Versioned.backfillStats(spark, dir).isEmpty)
+  }
+
+  test("deletion-vector size contract: oversized deletes refuse at write; DSv2 reader re-checks; both sides of the threshold") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvguard").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 100).toDF("id"), dir)
+    spark.conf.set("spark.graft.dv.maxKeys", "5")
+    try {
+      // under the cap: normal dv delete
+      Versioned.deleteByKeys(spark, dir, Seq(1L, 2L, 3L).toDF("id"), "id")
+      assert(Versioned.readLatest(spark, dir).count() == 97)
+      // over the cap: refusal names the conf and the physical remedy,
+      // and the oversized key set is NOT committed (no phantom version)
+      val before = Versioned.latestVersion(spark, dir).get
+      val e = intercept[IllegalArgumentException] {
+        Versioned.deleteByKeys(spark, dir, spark.range(10, 20).toDF("id"), "id")
+      }
+      assert(e.getMessage.contains("spark.graft.dv.maxKeys") &&
+        e.getMessage.contains("left_anti"), e.getMessage)
+      assert(Versioned.latestVersion(spark, dir).contains(before))
+      assert(Versioned.readLatest(spark, dir).count() == 97)
+      // the DSv2 reader's defense-in-depth: a dv committed under a
+      // looser cap fails the read under a tighter one, remedy named
+      spark.conf.set("spark.graft.dv.maxKeys", "2")
+      spark.conf.set("spark.sql.catalog.graft_dvg", "graft.sql.VersionedCatalog")
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT id FROM graft_dvg.`$dir`").collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e2).exists(m => m.contains("spark.graft.dv.maxKeys")), chain(e2).mkString("; "))
+      spark.conf.set("spark.graft.dv.maxKeys", "5")
+      assert(spark.sql(s"SELECT id FROM graft_dvg.`$dir`").count() == 97)
+    } finally spark.conf.unset("spark.graft.dv.maxKeys")
+  }
+
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_restore_proto").toString + "/t"

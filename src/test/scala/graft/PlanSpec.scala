@@ -307,6 +307,38 @@ class PlanSpec extends AnyFunSuite {
     assert(ids == (0L until 300L).toSet, "stray file leaked into a manifest-listed read")
   }
 
+  test("per-file skipping: plain filters prune files WITHIN a surviving dir (q119 shape)") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_fileskip_plan").toString + "/t"
+    // one commit, one dir, four range-partitioned files — the dir
+    // bound spans everything, so any numFiles cut below is the
+    // manifest's PER-FILE stats pruning inside the surviving dir
+    Versioned.writeVersionWith(spark, dir)(tmp =>
+      spark.range(0, 400).toDF("id")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp))
+    val plan = planOf(Versioned.readLatest(spark, dir))
+    assert(plan.contains("ManifestFileIndex"), s"expected manifest-served index in:\n$plan")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      exec.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    assert(filesRead(Versioned.readLatest(spark, dir)) == 4)
+    assert(filesRead(Versioned.readLatest(spark, dir).filter(col("id") >= 350)) == 1)
+    assert(filesRead(Versioned.readLatest(spark, dir)
+      .filter(col("id") > 99 && col("id") <= 200)) == 2)
+    assert(filesRead(Versioned.readLatest(spark, dir).filter(col("id") > 1000)) == 0)
+    // and the q119 query itself plans through the manifest index
+    val q119 = planOf(SparkEntry.queries("q119_file_skipping")(spark, d))
+    assert(q119.contains("ManifestFileIndex"), s"q119 must plan via the manifest index:\n$q119")
+  }
+
   test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
     // q62 chunking: scan → project → generate, no exchange at all
     // (formatted explain lists partitionings in the Arguments: lines)
