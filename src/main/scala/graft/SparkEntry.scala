@@ -1348,6 +1348,36 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // SQL row-level DELETE through the catalog (Delta's `DELETE FROM`
+    // surface): the WHERE k IN (…) predicate routes to the store's
+    // deletion-vector commit at the DSv2 SupportsDelete seam — no data
+    // file touched, the delete is one key-set write + one manifest
+    // commit, and the read back serves THROUGH the mask. The key list
+    // is driver-built literal SQL (bounded by the dv size contract —
+    // the same keys the mask itself must hold); INSERT OVERWRITE
+    // resets state so the query is idempotent across bench passes,
+    // retention in-query bounds the chain (q117's pattern)
+    "q120_sql_delete" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_delete", d)
+      // the catalog serves EXISTING tables; first call seeds the schema
+      if (Versioned.latestVersion(s, tbl).isEmpty)
+        Versioned.writeVersion(Tables.orders(s, d).limit(0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price")), tbl)
+      Tables.orders(s, d).createOrReplaceTempView("orders_q120")
+      s.sql(s"INSERT OVERWRITE versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q120 WHERE o_orderstatus = 'F'")
+      val keys = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 180000)
+        .select(col("o_orderkey")).collect().map(_.get(0).toString)
+      if (keys.nonEmpty)
+        s.sql(s"DELETE FROM versioned.`$tbl` WHERE o_orderkey IN (${keys.mkString(", ")})")
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // Delta table_changes between versions, DERIVED on read (our
     // manifest keeps no change log — every version is a full state):
     // v0 = F slice; v1 = overwrite dropping keys ≡3 (mod 10), bumping
@@ -3025,6 +3055,14 @@ object SparkEntry {
     "q117_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // SQL DELETE masks exactly the keys whose raw price clears the
+    // threshold; the surviving read is the plain complement
+    "q120_sql_delete" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND NOT (o_totalprice > 180000)
         |ORDER BY o_orderkey""".stripMargin,
 
     // version-diff CDF: each change class derived directly; untouched

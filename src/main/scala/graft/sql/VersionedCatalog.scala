@@ -152,12 +152,107 @@ private[sql] object VersionedSqlUtil {
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 }
 
+/** `DELETE FROM versioned.&#96;path&#96; WHERE k = … / k IN (…)` — SQL
+  * row-level deletes routed to the store's deletion-vector commit
+  * ([[Versioned.deleteByKeysWithRetry]]): no data file is touched, the
+  * delete is one key-set write + one manifest commit, and time travel
+  * to pre-delete versions still serves the rows — the Delta SQL
+  * surface (`DELETE FROM`) over this store's own mechanism.
+  *
+  * Honest scope, refused at ANALYSIS time via canDeleteWhere:
+  * equality/IN predicates on ONE column only (plus redundant
+  * IsNotNull on the same column, which the optimizer adds). A range
+  * or multi-column DELETE is not a key mask — it needs the rewrite
+  * path (overwrite the filtered read), and pretending otherwise here
+  * would hide a full-table operation behind a metadata-looking one.
+  * An unfiltered `DELETE FROM t` truncates: one EMPTY overwrite
+  * commit (schema kept), the same "new version, history intact"
+  * shape as every other write.
+  *
+  * Semantics note: the store's mask is KEY-level (erasure contract —
+  * a re-appended key stays masked until a physical rewrite), so
+  * `DELETE WHERE k IN (…)` removes every current AND future row with
+  * those keys until an overwrite applies the mask physically. The
+  * delete inherits the dv size contract (`spark.graft.dv.maxKeys`). */
+private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catalog.SupportsDelete {
+  protected def vdSpark: SparkSession
+  protected def vdDir: String
+  protected def vdSchema: StructType
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    VersionedDeletes.plan(vdSchema, filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    VersionedDeletes.plan(vdSchema, filters) match {
+      case Some(Left(())) => // DELETE FROM t (no WHERE): truncate commit
+        Versioned.writeVersion(
+          vdSpark.createDataFrame(
+            vdSpark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vdSchema),
+          vdDir, org.apache.spark.sql.SaveMode.Overwrite)
+        ()
+      case Some(Right((keyCol, values))) =>
+        if (values.nonEmpty) {
+          import org.apache.spark.sql.functions.{array, explode, lit}
+          val dt = vdSchema(keyCol).dataType
+          // literal keys, typed to the TABLE column (an int-literal
+          // delete against a bigint key must write bigint dv keys, or
+          // the in-reader mask's typed contains() would never match)
+          val keys = vdSpark.range(1)
+            .select(explode(array(values.map(v => lit(v).cast(dt)): _*)).as(keyCol))
+          Versioned.deleteByKeysWithRetry(vdSpark, vdDir, keys, keyCol)
+        }
+        ()
+      case None => throw new UnsupportedOperationException(
+        s"versioned DELETE supports equality/IN on one column (a deletion-vector " +
+          s"key mask); got ${filters.mkString(", ")} — rewrite instead: INSERT " +
+          "OVERWRITE the filtered read")
+    }
+}
+
+private[sql] object VersionedDeletes {
+  import org.apache.spark.sql.sources._
+
+  /** None = refuse; Left(()) = truncate; Right((col, keys)) = dv mask. */
+  def plan(schema: StructType,
+           filters: Array[Filter]): Option[Either[Unit, (String, Seq[Any])]] = {
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val cs = filters.toSeq.flatMap(conjuncts).filterNot(_ == AlwaysTrue)
+    if (cs.isEmpty) return Some(Left(()))
+    val keyed = cs.collect {
+      case EqualTo(a, v) if v != null       => (a, Seq(v))
+      case EqualNullSafe(a, v) if v != null => (a, Seq(v))
+      case In(a, vs) if vs.forall(_ != null) => (a, vs.toSeq)
+    }
+    keyed match {
+      case Seq((col, values)) =>
+        val others = cs.filterNot {
+          case EqualTo(a, _) => a == col
+          case EqualNullSafe(a, _) => a == col
+          case In(a, _) => a == col
+          case IsNotNull(a) => a == col // optimizer-added, implied by the equality
+          case _ => false
+        }
+        if (others.isEmpty && col.matches("[A-Za-z0-9_]+") &&
+            schema.fieldNames.contains(col)) Some(Right((col, values)))
+        else None
+      case _ => None
+    }
+  }
+}
+
 /** Tier-1 serving: Spark's native parquet v2 table, gated by manifest
   * data skipping — see [[SkippingScanBuilder]]. */
 private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  dir: String, v: Int, dataDirs: Seq[String],
                                  fullSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+
+  override protected def vdSpark: SparkSession = spark
+  override protected def vdDir: String = dir
+  override protected def vdSchema: StructType = fullSchema
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
@@ -235,7 +330,11 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String)
   * catalog's load() for why the raw ParquetTable must not leak). */
 private[sql] class LegacyVersionedTable(inner: Table with SupportsRead,
                                         spark: SparkSession, dir: String)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+
+  override protected def vdSpark: SparkSession = spark
+  override protected def vdDir: String = dir
+  override protected def vdSchema: StructType = inner.schema()
 
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
@@ -324,7 +423,11 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
                                  spark: SparkSession, dir: String)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+
+  override protected def vdSpark: SparkSession = spark
+  override protected def vdDir: String = dir
+  override protected def vdSchema: StructType = fullSchema
 
   override def name(): String = inner.name()
   override def schema(): StructType = fullSchema

@@ -2431,6 +2431,50 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxKeys")
   }
 
+  test("SQL DELETE: key predicates commit a deletion vector; range/multi-column refuse; bare DELETE truncates") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqldel").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 100).toDF("id")
+      .withColumn("price", $"id" * 10.0), dir)
+    spark.conf.set("spark.sql.catalog.graft_sd", "graft.sql.VersionedCatalog")
+    // IN-list delete → dv commit: a new version, data dirs untouched
+    spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE id IN (5, 7, 9)")
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    assert(Versioned.versionInfo(spark, dir, 1).dvDirs.nonEmpty)
+    assert(spark.sql(s"SELECT id FROM graft_sd.`$dir`").as[Long].collect().toSet ==
+      (0L until 100L).toSet -- Set(5L, 7L, 9L))
+    // time travel still serves the pre-delete state
+    assert(spark.sql(s"SELECT id FROM graft_sd.`$dir` VERSION AS OF 0").count() == 100)
+    // equality delete works on a dv-bearing table too (another dv)
+    spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE id = 11")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_sd.`$dir`")
+      .as[Long].head() == 96)
+    // int literal vs bigint key column: the dv must carry the TABLE's
+    // type or the in-reader mask would never match — covered above
+    // (IN (5,7,9) parses as ints, id is bigint)
+
+    // a range predicate is NOT a key mask: refused with the rewrite
+    // path named, at analysis (canDeleteWhere), not at write
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE price > 500.0")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.toLowerCase.contains("delete")), chain(e).mkString("; "))
+    // multi-column conjunction refuses too
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE id = 1 AND price = 10.0")
+    }
+    // nothing committed by the refusals
+    assert(Versioned.latestVersion(spark, dir).contains(2))
+    // bare DELETE FROM = truncate: one EMPTY overwrite commit, schema
+    // kept, history intact
+    spark.sql(s"DELETE FROM graft_sd.`$dir`")
+    assert(spark.sql(s"SELECT * FROM graft_sd.`$dir`").count() == 0)
+    assert(spark.sql(s"SELECT id FROM graft_sd.`$dir` VERSION AS OF 2").count() == 96)
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "price"))
+  }
+
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_restore_proto").toString + "/t"
