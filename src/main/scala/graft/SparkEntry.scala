@@ -109,6 +109,12 @@ object SparkEntry {
   private val skipTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q121's fixture: a versioned SOURCE table streamed through the
+    * exactly-once versioned SINK once per process; the query then
+    * serves the sink's manifest-resolved state. */
+  private val streamSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q119's fixture: ONE commit whose data dir holds four
     * range-partitioned files (price quartiles) — dir-level min/max
     * spans the full range and prunes nothing, so any pruning the
@@ -1346,6 +1352,39 @@ object SparkEntry {
         "FROM orders_q117 WHERE o_orderstatus = 'P'")
       Versioned.pruneVersions(s, tbl, keepLast = 2)
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // native streaming SINK for the versioned store (Delta sink role):
+    // versioned source → writeStream.format(versioned) → versioned
+    // sink, end to end — each micro-batch is ONE atomic append commit
+    // that also records (appId, batchId) in the manifest, so a
+    // replayed epoch after checkpoint recovery commits exactly once
+    // (StreamingSpec kills the commit marker and proves no duplicate).
+    // Built once per process; the query serves the sink's state, and
+    // the oracle is the source slices replayed in plain SQL
+    "q121_stream_sink" -> { (s, d) =>
+      val dst = streamSinkCache.computeIfAbsent(d, { _ =>
+        val src = scratchPath("vsink_src", d)
+        val dstP = scratchPath("vsink_dst", d)
+        val ckpt = scratchPath("vsink_ckpt", d)
+        def slice(st: String) = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === st)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price"))
+        Versioned.writeVersion(slice("F"), src)
+        Versioned.writeVersion(slice("P"), src, org.apache.spark.sql.SaveMode.Append)
+        val q = s.readStream.format("graft.sql.VersionedStreamProvider")
+          .option("path", src).load()
+          .writeStream.format("graft.sql.VersionedStreamProvider")
+          .option("path", dstP).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        dstP
+      })
+      Versioned.readLatest(s, dst)
+        .select(col("o_orderkey"), col("status"), col("price"))
+        .orderBy(col("o_orderkey"))
     },
 
     // SQL row-level DELETE through the catalog (Delta's `DELETE FROM`
@@ -3053,6 +3092,13 @@ object SparkEntry {
     // SQL INSERT OVERWRITE + INSERT INTO land F then P through the
     // manifest; the read back is their union
     "q117_sql_insert" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the sink's state is the source's two slices, streamed through
+    // one exactly-once commit per batch
+    "q121_stream_sink" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |ORDER BY o_orderkey""".stripMargin,

@@ -125,6 +125,14 @@ object Versioned {
   private final case class DataEntry(name: String) extends Line
   private final case class DvEntry(keyCol: String, name: String) extends Line
   private final case class SchemaEntry(schema: StructType) extends Line
+  /** Delta `SetTransaction`'s role: the highest streaming batch id a
+    * given writer (appId) has committed. Written by
+    * [[writeVersionStreamBatch]], carried forward by appends, and the
+    * idempotence check a restarted streaming query's replayed epoch
+    * fails against — exactly-once without any sink-side state file.
+    * Format `txn:<batchId>:<appId>` (batch first: appIds may contain
+    * colons — they default to checkpoint paths). */
+  private final case class TxnEntry(batchId: Long, appId: String) extends Line
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -160,6 +168,12 @@ object Versioned {
       require(i > 0, s"malformed stats manifest line: $line")
       val (rows, cols, files) = StatsJson.parse(rest.substring(i + 1))
       StatsEntry(rest.substring(0, i), rows, cols, files)
+    } else if (line.startsWith("txn:")) {
+      val rest = line.drop(4)
+      val i = rest.indexOf(':')
+      require(i > 0 && i < rest.length - 1,
+        s"malformed transaction manifest line: $line")
+      TxnEntry(rest.substring(0, i).toLong, rest.substring(i + 1))
     } else if (line.startsWith("dv:")) {
       val rest = line.drop(3)
       val i = rest.indexOf(':')
@@ -175,6 +189,7 @@ object Versioned {
     case DataEntry(n)      => n
     case DvEntry(k, n)     => s"dv:$k:$n"
     case SchemaEntry(s)    => s"schema:${s.json}"
+    case TxnEntry(b, a)    => s"txn:$b:$a"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
 
@@ -210,14 +225,61 @@ object Versioned {
   def writeVersionWith(spark: SparkSession, dir: String,
                        protocol: CommitProtocol = PutIfAbsentCommit,
                        mode: SaveMode = SaveMode.Overwrite)
-                      (write: String => Unit): Int = {
+                      (write: String => Unit): Int =
+    writeVersionCore(spark, dir, protocol, mode, txn = None)(write).get
+
+  /** Exactly-once STREAMING sink commit (Delta's (appId, batchId)
+    * idempotent-txn design, public in the Delta paper/docs): commit
+    * `df` as the next version AND record `txn:<batchId>:<appId>` in
+    * the same atomic manifest. A replayed epoch — checkpoint restore
+    * re-delivering a batch the sink already committed — is detected
+    * from the manifest (same appId, batchId ≤ recorded) and skipped
+    * BEFORE any data is written; the check re-runs inside every OCC
+    * retry, so a replay can't slip in behind a concurrent commit.
+    * Append-mode batches commute with concurrent appends/deletes
+    * (bounded retry); Complete-mode overwrites surface a lost race
+    * like every overwrite. Returns the committed version, or None for
+    * a skipped replay. */
+  def writeVersionStreamBatch(df: DataFrame, dir: String, appId: String,
+                              batchId: Long, mode: SaveMode = SaveMode.Append,
+                              protocol: CommitProtocol = PutIfAbsentCommit,
+                              maxAttempts: Int = 16): Option[Int] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    val attempt = () => writeVersionCore(df.sparkSession, dir, protocol, mode,
+      txn = Some((appId, batchId)))(tmp =>
+      df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+    if (mode == SaveMode.Append) withCommitRetry(maxAttempts)(attempt)
+    else attempt()
+  }
+
+  /** The newest batch id `appId` has committed to `dir`, from manifest
+    * bytes (None for a writer the table has never seen). */
+  def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    latestVersion(spark, dir).flatMap(v =>
+      lines(spark, dir, v).collectFirst { case TxnEntry(b, a) if a == appId => b })
+
+  private def writeVersionCore(spark: SparkSession, dir: String,
+                               protocol: CommitProtocol, mode: SaveMode,
+                               txn: Option[(String, Long)])
+                              (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
     val (fs, root) = fsFor(spark, dir)
     val prev = latestVersion(spark, dir)
     val v = prev.map(_ + 1).getOrElse(0)
-    require(mode == SaveMode.Overwrite || prev.nonEmpty,
+    // a streaming sink's first batch may CREATE the table; a plain
+    // library Append to a non-existent table stays an error (it
+    // extends state the caller assumed exists)
+    require(mode == SaveMode.Overwrite || prev.nonEmpty || txn.nonEmpty,
       "cannot Append to a table with no versions")
+    // replay guard BEFORE any data write: a batch this appId already
+    // committed (batchId ≤ recorded) is an exact re-delivery after a
+    // checkpoint restore — skipping it IS the exactly-once contract
+    val replay = txn.exists { case (appId, batchId) =>
+      prev.exists(p => lines(spark, dir, p).collectFirst {
+        case TxnEntry(b, a) if a == appId => b }.exists(batchId <= _))
+    }
+    if (replay) return None
     // the nonce makes the data dir unique PER ATTEMPT (Delta writes
     // uniquely-named files for the same reason): two writers racing
     // the same version number each write their own dir, the manifest
@@ -234,20 +296,26 @@ object Versioned {
     // footer harvest of the new dir only: schema + stats
     val dirSchema = asNullable(spark.read.parquet(dataPath.toString).schema)
     val (rows, colStats, dirFiles) = Skipping.collectDirStats(spark, dataPath, dirSchema)
-    val newSchema = mode match {
-      case SaveMode.Append => unionSchema(schemaOf(spark, dir, prev.get), dirSchema)
-      case _               => dirSchema
+    val newSchema = (mode, prev) match {
+      case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchema)
+      case _                          => dirSchema
     }
-    val prevLines = mode match {
-      case SaveMode.Append => lines(spark, dir, prev.get)
-        .filterNot(_.isInstanceOf[SchemaEntry])
+    val prevLines = (mode, prev) match {
+      case (SaveMode.Append, Some(p)) => lines(spark, dir, p).filterNot {
+        case _: SchemaEntry => true
+        // this writer's txn watermark is being replaced; other
+        // writers' watermarks ride along
+        case TxnEntry(_, a) => txn.exists(_._1 == a)
+        case _ => false
+      }
       case _ => Seq.empty
     }
-    val newLines = SchemaEntry(newSchema) +: (prevLines :+
-      DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
+    val newLines = SchemaEntry(newSchema) +:
+      (prevLines ++ txn.map { case (a, b) => TxnEntry(b, a) } :+
+        DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
     // … then the atomic manifest commit publishes it
     commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
-    v
+    Some(v)
   }
 
   /** A version's schema: the recorded one where present, else derived

@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ext.Versioned
@@ -48,9 +49,56 @@ import graft.ext.Versioned
   * Scale shape: getOffset is one manifest listing; each batch is one
   * multi-path parquet scan over only the NEW dirs, planned with the
   * frozen schema (zero footer reads). No state beyond the offset. */
-class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  /** Delta's STREAMING SINK role — `writeStream.format(...)` straight
+    * into the versioned store, EXACTLY-ONCE:
+    *
+    * {{{
+    *   df.writeStream.format("graft.sql.VersionedStreamProvider")
+    *     .option("path", dir).option("checkpointLocation", ckpt)
+    *     .start()
+    * }}}
+    *
+    * Each micro-batch is one atomic append commit that ALSO records
+    * `txn:<batchId>:<appId>` in the manifest
+    * ([[Versioned.writeVersionStreamBatch]]). After a crash between
+    * the sink commit and the engine's own offset commit, the restarted
+    * query re-delivers that epoch — the manifest's recorded batch id
+    * detects the replay and the sink skips it without writing a byte:
+    * at-least-once delivery + idempotent commit = exactly-once, the
+    * published Delta sink design, with no sink-side state file (the
+    * manifest IS the state). `appId` defaults to the query's
+    * checkpoint location (stable across restarts — the engine's
+    * batchId sequence is only meaningful per checkpoint); override
+    * with `.option("txnAppId", …)` when two queries share one table
+    * from distinct checkpoints. Append mode = commutative append
+    * commit (concurrent batch writers all land, OCC retry); Complete
+    * mode = overwrite commit per epoch; Update refuses (this store
+    * has MERGE for that, via foreachBatch + Upsert). */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' is required"))
+    require(partitionColumns.isEmpty,
+      "versioned sink does not take partitionBy (dirs are commit-grained)")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "versioned sink needs a stable writer id: set checkpointLocation (usual) " +
+          "or option 'txnAppId'"))
+    val mode = outputMode match {
+      case m if m == OutputMode.Append()   => org.apache.spark.sql.SaveMode.Append
+      case m if m == OutputMode.Complete() => org.apache.spark.sql.SaveMode.Overwrite
+      case other => throw new IllegalArgumentException(
+        s"versioned sink supports Append and Complete, got $other — Update-mode " +
+          "upserts go through foreachBatch + graft.gold.Upsert (MERGE)")
+    }
+    new VersionedStreamSink(sqlContext.sparkSession, dir, appId, mode)
+  }
 
   private def resolveSchema(spark: SparkSession, dir: String): StructType = {
     val v = Versioned.latestVersion(spark, dir).getOrElse(
@@ -78,6 +126,27 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
       schema.getOrElse(resolveSchema(spark, dir)),
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
   }
+}
+
+/** One micro-batch = one manifest commit; see createSink for the
+  * exactly-once contract. The incoming DataFrame carries the
+  * streaming (incremental) plan — it is re-wrapped over the SAME
+  * distributed rows as a batch plan (no driver materialization)
+  * before the ordinary versioned write path runs. */
+private[sql] class VersionedStreamSink(spark: SparkSession, dir: String,
+                                       appId: String,
+                                       mode: org.apache.spark.sql.SaveMode) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // data.sparkSession, not the construction-time session: the
+    // engine runs batches on a cloned session with stream-scoped confs
+    val batch = org.apache.spark.sql.classic.GraftStreamShim
+      .batchFrom(data.sparkSession, data, data.schema)
+    Versioned.writeVersionStreamBatch(batch, dir, appId, batchId, mode)
+    ()
+  }
+
+  override def toString: String = s"VersionedStreamSink[$dir, appId=$appId]"
 }
 
 private[sql] case class VersionOffset(v: Long)

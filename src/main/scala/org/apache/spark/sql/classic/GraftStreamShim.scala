@@ -16,4 +16,17 @@ object GraftStreamShim {
                     schema: StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+
+  /** The sink-side mirror: `Sink.addBatch` receives a DataFrame whose
+    * plan is the incremental (streaming) execution — handing it to a
+    * batch `.write` trips the "streaming sources must be executed with
+    * writeStream" analysis guard. Re-wrapping the SAME distributed
+    * rows (queryExecution.toRdd — no driver materialization) as a
+    * batch plan is how Spark's own sinks bridge the gap; this exposes
+    * the one `private[sql]` constructor call that does it. */
+  def batchFrom(spark: org.apache.spark.sql.SparkSession,
+                df: org.apache.spark.sql.DataFrame,
+                schema: StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = false)
 }

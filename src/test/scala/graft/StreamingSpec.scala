@@ -415,6 +415,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.toSeq == declarative.toSeq)
   }
 
+  test("versioned streaming sink: exactly-once commits; replayed epoch skipped; versioned-to-versioned round trip") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val src = Files.createTempDirectory("graft_vsink_src").toString + "/t"
+    val dst = Files.createTempDirectory("graft_vsink_dst").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vsink_ckpt").toString
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    def run() = {
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", src).load()
+        .writeStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def sunk() = Versioned.readLatest(spark, dst).as[(Long, String)].collect().toSeq
+    // round trip: versioned source → versioned sink, both manifest-committed
+    run()
+    assert(sunk().toSet == Set((1L, "a"), (2L, "b")))
+    // the manifest carries the (appId, batchId) watermark — appId
+    // defaults to the checkpointLocation option string
+    assert(Versioned.lastCommittedBatch(spark, dst, ckpt).contains(0L))
+    // appends flow incrementally
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), src, SaveMode.Append)
+    run()
+    assert(sunk().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Versioned.lastCommittedBatch(spark, dst, ckpt).contains(1L))
+    val vAfter = Versioned.latestVersion(spark, dst).get
+    // crash window: the engine wrote the sink commit but died before
+    // recording its own commits/<n> marker — on restart it RE-DELIVERS
+    // that epoch. Simulate by removing the newest commit marker; the
+    // sink must detect the replay from the manifest and skip it
+    // (without the txn guard this duplicates every row of the batch).
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val newest = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(newest.delete())
+    // the local filesystem keeps a checksum sibling; leaving it would
+    // fail the engine's own re-commit rename, which is not the crash
+    // being simulated
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    run()
+    assert(sunk().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"replayed epoch duplicated rows: ${sunk()}")
+    assert(sunk().size == 3, s"replayed epoch duplicated rows: ${sunk()}")
+    assert(Versioned.latestVersion(spark, dst).contains(vAfter),
+      "a skipped replay must not commit a version")
+    // a NORMAL append between stream batches carries the watermark
+    // forward (other writers don't erase the stream's txn line)
+    Versioned.writeVersion(Seq((50L, "x")).toDF("id", "v"), dst, SaveMode.Append)
+    assert(Versioned.lastCommittedBatch(spark, dst, ckpt).contains(1L))
+    // direct API: batchId monotonicity — an old epoch is refused even
+    // after unrelated commits, a new one lands
+    assert(Versioned.writeVersionStreamBatch(
+      Seq((60L, "y")).toDF("id", "v"), dst, ckpt, batchId = 1L).isEmpty)
+    assert(Versioned.writeVersionStreamBatch(
+      Seq((60L, "y")).toDF("id", "v"), dst, ckpt, batchId = 2L).nonEmpty)
+    assert(sunk().toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (50L, "x"), (60L, "y")))
+    // Update mode refuses with the MERGE path named
+    val eU = intercept[Exception] {
+      spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", src).load()
+        .writeStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dst).option("checkpointLocation", ckpt + "_u")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eU).exists(m => m.contains("Append and Complete") || m.toLowerCase.contains("update")),
+      msgs(eU).mkString("; "))
+  }
+
   test("versioned streaming source: commits become micro-batches; uncommitted files invisible; overwrite fails; ignoreDeletes") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
