@@ -115,6 +115,12 @@ object SparkEntry {
   private val streamSinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q122's fixture: all orders committed as ONE partitioned version
+    * (hive layout by status inside the commit's data dir, partition
+    * values recorded in the manifest as exact per-file bounds). */
+  private val partTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q119's fixture: ONE commit whose data dir holds four
     * range-partitioned files (price quartiles) — dir-level min/max
     * spans the full range and prunes nothing, so any pruning the
@@ -1352,6 +1358,30 @@ object SparkEntry {
         "FROM orders_q117 WHERE o_orderstatus = 'P'")
       Versioned.pruneVersions(s, tbl, keepLast = 2)
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // PARTITION COLUMNS for versioned tables (the reference's own
+    // partition-pruning idiom composed with time travel): one commit
+    // lands the orders hive-partitioned by status inside its data dir,
+    // the manifest records each file's partition value as an exact
+    // bound, and a plain .filter() read prunes via PartitionFilters
+    // from manifest bytes — PlanSpec pins the plan shape; the data
+    // files don't even HOLD the status column (the manifest re-attaches
+    // it), so the oracle's plain WHERE is also a schema check
+    "q122_partitioned_versioned" -> { (s, d) =>
+      val tbl = partTableCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_part", d)
+        Versioned.writeVersionPartitioned(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            col("o_orderstatus").as("status")),
+          path, Seq("status"))
+        path
+      })
+      Versioned.readLatest(s, tbl)
+        .filter(col("status") === "P" && col("price") > 100000)
+        .select(col("o_orderkey"), col("status"), col("price"))
+        .orderBy(col("o_orderkey"))
     },
 
     // native streaming SINK for the versioned store (Delta sink role):
@@ -3094,6 +3124,14 @@ object SparkEntry {
     "q117_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // partition pruning + stats skipping are one-sided plan cuts; the
+    // result is the plain WHERE over orders
+    "q122_partitioned_versioned" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // the sink's state is the source's two slices, streamed through

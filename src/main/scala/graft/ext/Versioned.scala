@@ -133,6 +133,17 @@ object Versioned {
     * Format `txn:<batchId>:<appId>` (batch first: appIds may contain
     * colons — they default to checkpoint paths). */
   private final case class TxnEntry(batchId: Long, appId: String) extends Line
+  /** The table's partition columns, in order (`partition:<c1,c2>`).
+    * A partitioned version's data dirs hold hive-layout subtrees
+    * (`dataDir/col=value/part-*.parquet`); the recorded union schema
+    * carries the partition columns LAST (Spark's read order), the
+    * per-file stats record each file's partition values as min=max
+    * bounds derived from its subpath, and reads serve through the
+    * partition-aware [[ManifestFileIndex]] so `PartitionFilters`
+    * prune at plan time — the reference's own partition-pruning idiom
+    * (ref: mnt/spark/apps/bronze_to_silver.py:143-151) composed with
+    * time travel. */
+  private final case class PartitionEntry(cols: Seq[String]) extends Line
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -168,6 +179,8 @@ object Versioned {
       require(i > 0, s"malformed stats manifest line: $line")
       val (rows, cols, files) = StatsJson.parse(rest.substring(i + 1))
       StatsEntry(rest.substring(0, i), rows, cols, files)
+    } else if (line.startsWith("partition:")) {
+      PartitionEntry(line.drop(10).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     } else if (line.startsWith("txn:")) {
       val rest = line.drop(4)
       val i = rest.indexOf(':')
@@ -190,6 +203,7 @@ object Versioned {
     case DvEntry(k, n)     => s"dv:$k:$n"
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
+    case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
 
@@ -258,9 +272,41 @@ object Versioned {
     latestVersion(spark, dir).flatMap(v =>
       lines(spark, dir, v).collectFirst { case TxnEntry(b, a) if a == appId => b })
 
+  /** [[writeVersion]] with PARTITION COLUMNS: rows land hive-laid-out
+    * (`dataDir/col=value/part-*.parquet`) inside the commit's single
+    * immutable data dir, the manifest records the partition spec and
+    * each file's partition values as exact per-file bounds, and reads
+    * serve through the partition-aware [[ManifestFileIndex]] — a
+    * filter on a partition column prunes as `PartitionFilters` at
+    * plan time from manifest bytes, composed with time travel, dv
+    * masks, and the value-stats skipping (one evaluator: a partition
+    * value IS a min=max stat). Appends must use the same partition
+    * columns; mixing partitioned and unpartitioned commits in one
+    * chain refuses. Partition column types are the hive-path-exact
+    * set (string/int/long/short/byte/date/boolean). */
+  def writeVersionPartitioned(df: DataFrame, dir: String, partCols: Seq[String],
+                              mode: SaveMode = SaveMode.Overwrite,
+                              protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(partCols.nonEmpty, "partCols must be non-empty — use writeVersion")
+    val schema = df.schema
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
+      require(Skipping.partitionableType(schema(c).dataType),
+        s"partition column '$c' has type ${schema(c).dataType} — hive-path-exact " +
+          "types only (string/int/long/short/byte/date/boolean)")
+    }
+    // recorded read order: data columns first, partition columns last
+    // (what Spark's partitioned reader emits)
+    val partSchema = StructType(partCols.map(c => schema(c)))
+    writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
+      partitionBy = Some(partSchema))(tmp =>
+      df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+  }
+
   private def writeVersionCore(spark: SparkSession, dir: String,
                                protocol: CommitProtocol, mode: SaveMode,
-                               txn: Option[(String, Long)])
+                               txn: Option[(String, Long)],
+                               partitionBy: Option[StructType] = None)
                               (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
@@ -288,14 +334,36 @@ object Versioned {
     // clobber the winner's in-flight data. A crashed attempt's dir is
     // equally invisible (no manifest references it) and needs no
     // clearing for the retry, which gets a fresh nonce.
+    // a partitioned chain stays partitioned the same way: appends with
+    // a different (or no) spec would mix layouts one read can't serve
+    val prevPart = prev.flatMap(p =>
+      lines(spark, dir, p).collectFirst { case PartitionEntry(cs) => cs })
+    if (mode == SaveMode.Append && prev.nonEmpty) {
+      val want = partitionBy.map(_.fieldNames.toSeq)
+      require(prevPart == want,
+        s"append partitioning ${want.getOrElse("none")} does not match the table's " +
+          s"${prevPart.getOrElse("none")} — overwrite to change the layout")
+    }
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val dataDir = f"v$v%08d_data_$nonce"
     val dataPath = new Path(root, dataDir)
     // data first (invisible until the manifest lands) …
     write(dataPath.toString)
     // footer harvest of the new dir only: schema + stats
-    val dirSchema = asNullable(spark.read.parquet(dataPath.toString).schema)
-    val (rows, colStats, dirFiles) = Skipping.collectDirStats(spark, dataPath, dirSchema)
+    val (dirSchema, harvested) = partitionBy match {
+      case Some(ps) =>
+        // read-back infers partition columns (appended last); their
+        // TYPES are pinned to the caller's declaration, not to what
+        // the path values happen to parse as
+        val inferred = spark.read.parquet(dataPath.toString).schema
+        val s = asNullable(StructType(
+          inferred.fields.filterNot(f => ps.fieldNames.contains(f.name)) ++ ps.fields))
+        (s, Skipping.collectDirStatsPartitioned(spark, dataPath, s, asNullable(ps)))
+      case None =>
+        val s = asNullable(spark.read.parquet(dataPath.toString).schema)
+        (s, Skipping.collectDirStats(spark, dataPath, s))
+    }
+    val (rows, colStats, dirFiles) = harvested
     val newSchema = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchema)
       case _                          => dirSchema
@@ -303,6 +371,7 @@ object Versioned {
     val prevLines = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => lines(spark, dir, p).filterNot {
         case _: SchemaEntry => true
+        case _: PartitionEntry => true // re-added fresh below
         // this writer's txn watermark is being replaced; other
         // writers' watermarks ride along
         case TxnEntry(_, a) => txn.exists(_._1 == a)
@@ -311,7 +380,8 @@ object Versioned {
       case _ => Seq.empty
     }
     val newLines = SchemaEntry(newSchema) +:
-      (prevLines ++ txn.map { case (a, b) => TxnEntry(b, a) } :+
+      (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
+        prevLines ++ txn.map { case (a, b) => TxnEntry(b, a) } :+
         DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
     // … then the atomic manifest commit publishes it
     commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
@@ -590,10 +660,21 @@ object Versioned {
         case DataEntry(n) if stats.get(n).forall(st =>
           st.files.isEmpty || st.files.exists(_.rows.isEmpty)) => n }
       val hasSchema = ls.exists(_.isInstanceOf[SchemaEntry])
+      // a partitioned chain harvests recursively with its partition
+      // spec — the flat harvest would record an empty file list and
+      // DOWNGRADE the entry (partitioned reads require file lists)
+      val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }
       val harvested = candidates.map { n =>
         val p = new Path(root, n)
-        val dirSchema = asNullable(spark.read.parquet(p.toString).schema)
-        val (rows, cols, dirFiles) = Skipping.collectDirStats(spark, p, dirSchema)
+        val (rows, cols, dirFiles) = partCols match {
+          case Some(cs) =>
+            val full = schemaOf(spark, dir, prev)
+            Skipping.collectDirStatsPartitioned(spark, p, full,
+              StructType(cs.map(c => full(c))))
+          case None =>
+            val dirSchema = asNullable(spark.read.parquet(p.toString).schema)
+            Skipping.collectDirStats(spark, p, dirSchema)
+        }
         StatsEntry(n, rows, cols, dirFiles)
       }
       // idempotence: a nested-layout dir (no top-level files) harvests
@@ -698,6 +779,7 @@ object Versioned {
                               dataFilter: String => Boolean): DataFrame = {
     def abs(name: String) = new Path(new Path(dir), name).toString
     val recorded = ls.collectFirst { case SchemaEntry(s) => s }
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }
     val dataEntries = ls.collect { case DataEntry(n) if dataFilter(n) => n }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
     val fileListed = dataEntries.flatMap(n => stats.get(n).filter(_.files.nonEmpty))
@@ -705,6 +787,25 @@ object Versioned {
       case Some(s) if dataEntries.isEmpty =>
         // every dir provably excluded: the empty relation, schema intact
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case Some(s) if partCols.nonEmpty =>
+        // partitioned chain: the files hold only data columns (hive
+        // layout strips the partition values into the paths), so the
+        // read MUST go through the partition-aware manifest index,
+        // which regroups files by their recorded partition values and
+        // lets Spark's reader re-attach them — plus PartitionFilters
+        // pruning at plan time, from manifest bytes
+        val names = partCols.get
+        require(fileListed.length == dataEntries.length,
+          s"partitioned versioned read at $dir needs manifest file lists for every " +
+            "data dir — run backfillStats to upgrade pre-file-list manifests")
+        val partSchema = StructType(names.map(n => s(n)))
+        val dataSchema = StructType(s.fields.filterNot(f => names.contains(f.name)))
+        spark.baseRelationToDataFrame(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            new ManifestFileIndex(new Path(dir), s, fileListed, partSchema),
+            partSchema, dataSchema, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+            Map.empty)(spark))
       case Some(s) if fileListed.length == dataEntries.length =>
         // the full-manifest read path (Delta's TahoeFileIndex role):
         // every file status is served from manifest bytes — the plan
@@ -737,7 +838,8 @@ object Versioned {
     * grouped by key column. */
   private[graft] final case class VersionInfo(schema: Option[StructType],
                                               dataDirs: Seq[String],
-                                              dvDirs: Seq[(String, Seq[String])])
+                                              dvDirs: Seq[(String, Seq[String])],
+                                              partitionCols: Seq[String] = Seq.empty)
 
   private[graft] def versionInfo(spark: SparkSession, dir: String, v: Int): VersionInfo = {
     val ls = lines(spark, dir, v)
@@ -746,7 +848,8 @@ object Versioned {
       ls.collectFirst { case SchemaEntry(s) => s },
       ls.collect { case DataEntry(n) => abs(n) },
       ls.collect { case DvEntry(k, n) => (k, abs(n)) }.groupBy(_._1).toSeq
-        .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) })
+        .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) },
+      ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty))
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -965,8 +1068,11 @@ object Versioned {
   * File mtimes are reported as 0 (the manifest does not record them;
   * nothing on the scan path consumes them). */
 private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
-                                     dirs: Seq[Versioned.StatsEntry])
+                                     dirs: Seq[Versioned.StatsEntry],
+                                     override val partitionSchema: StructType =
+                                       StructType(Nil))
   extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, PartitionDirectory}
 
   private val perDir: Seq[(Versioned.StatsEntry, Seq[(Versioned.FileStats, FileStatusWithMetadata)])] =
@@ -979,11 +1085,24 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
     }
 
   override def rootPaths: Seq[Path] = Seq(tableDir)
-  override def partitionSchema: StructType = StructType(Nil)
   override def sizeInBytes: Long = perDir.iterator.flatMap(_._2).map(_._2.getLen).sum
   override def inputFiles: Array[String] =
     perDir.flatMap(_._2).map(_._2.getPath.toString).toArray
   override def refresh(): Unit = ()
+
+  /** A file's partition values, rebuilt from its recorded min=max
+    * stats (the partitioned harvest records each partition value as an
+    * exact bound; all-null stats = the hive null partition). The key
+    * form groups files; the row form is what Spark's reader appends
+    * to every row of the group. */
+  private def partKey(f: Versioned.FileStats): Seq[Option[String]] =
+    partitionSchema.fields.map(pf => f.cols.get(pf.name).flatMap(_.min)).toSeq
+
+  private def partRow(key: Seq[Option[String]]): InternalRow =
+    InternalRow.fromSeq(partitionSchema.fields.zip(key).map {
+      case (pf, Some(canon)) => Skipping.canonicalToCatalyst(canon, pf.dataType)
+      case (_, None)         => null
+    }.toSeq)
 
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -1005,12 +1124,33 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
           !translated.exists(f => Skipping.excludes(fs.rows.get, fs.cols, schema, f))
       }
     }
-    Seq(PartitionDirectory(org.apache.spark.sql.catalyst.InternalRow.empty,
-      kept.map(_._2)))
+    if (partitionSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2)))
+    else {
+      // partitioned: regroup by recorded partition values, then
+      // evaluate the pushed PartitionFilters EXACTLY against each
+      // group's values (the PartitioningAwareFileIndex contract) —
+      // partition pruning from manifest bytes, no directory listing
+      val groups = kept.groupBy { case (fs, _) => partKey(fs) }.toSeq
+        .sortBy(_._1.map(_.getOrElse(" ")).mkString("/"))
+      val pruned = if (partitionFilters.isEmpty) groups
+      else {
+        import org.apache.spark.sql.catalyst.expressions._
+        val predicate = partitionFilters.reduce(And)
+        val bound = Predicate.createInterpreted(predicate.transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+        })
+        groups.filter { case (key, _) => bound.eval(partRow(key)) }
+      }
+      pruned.map { case (key, files) => PartitionDirectory(partRow(key), files.map(_._2)) }
+    }
   }
 
   override def toString: String =
-    s"ManifestFileIndex[$tableDir, ${dirs.length} dirs, ${perDir.map(_._2.length).sum} files]"
+    s"ManifestFileIndex[$tableDir, ${dirs.length} dirs, ${perDir.map(_._2.length).sum} files" +
+      (if (partitionSchema.isEmpty) "]" else s", partitioned by ${partitionSchema.fieldNames.mkString(",")}]")
 }
 
 /** Manifest-level data skipping: harvest parquet-footer statistics at
@@ -1049,49 +1189,138 @@ private[ext] object Skipping {
                       dirSchema: StructType): (Long, Map[String, ColStats], Seq[FileStats]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dataPath.getFileSystem(conf)
-    val fileStatuses = fs.listStatus(dataPath)
+    val perFile = fs.listStatus(dataPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
-    val supported = dirSchema.fields.map(f => f.name -> f.dataType)
+      .map(st => fileStats(conf, st, st.getPath.getName, dirSchema, Seq.empty)).toSeq
+    aggregateDir(dirSchema, perFile)
+  }
+
+  /** The partitioned-dir variant: the data dir holds a hive-layout
+    * subtree (`col=value/part-*.parquet`); files are recorded under
+    * their RELATIVE subpaths, and each file's partition values —
+    * parsed from its subpath, canonicalized into the stats domain —
+    * become exact min=max bounds (a partition value IS a point
+    * statistic), so one evaluator serves both pruning kinds. */
+  def collectDirStatsPartitioned(spark: SparkSession, dataPath: Path,
+                                 fullSchema: StructType, partSchema: StructType)
+      : (Long, Map[String, ColStats], Seq[FileStats]) = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dataPath.getFileSystem(conf)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    val basePrefix = dataPath.toUri.getPath.stripSuffix("/") + "/"
+    val perFile = walk(dataPath).map { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(basePrefix)
+      val segs = rel.split('/').dropRight(1)
+        .flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) None
+          else Some(ExternalCatalogUtils.unescapePathName(seg.substring(0, i)) ->
+            seg.substring(i + 1))
+        }.toMap
+      val partVals = partSchema.fields.map { f =>
+        val raw = segs.getOrElse(f.name, throw new IllegalStateException(
+          s"file $rel lacks a path value for partition column '${f.name}'"))
+        val canon =
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+          else partValueToCanonical(ExternalCatalogUtils.unescapePathName(raw), f.dataType)
+        (f.name, canon)
+      }.toSeq
+      fileStats(conf, st, rel, fullSchema, partVals)
+    }
+    aggregateDir(fullSchema, perFile)
+  }
+
+  /** Hive partition-path string → the canonical stats domain of the
+    * column type. Partitionable types are the exact-parse subset. */
+  private def partValueToCanonical(s: String, dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(s.toLong.toString)
+    case StringType  => Some(s)
+    case DateType    => Some(java.time.LocalDate.parse(s).toEpochDay.toString)
+    case BooleanType => Some(s.toBoolean.toString)
+    case _           => None
+  }
+
+  /** Canonical stats-domain string → the Catalyst-internal value of
+    * the partition column type (what a PartitionDirectory row holds). */
+  private[ext] def canonicalToCatalyst(c: String, dt: DataType): Any = dt match {
+    case ByteType    => c.toLong.toByte
+    case ShortType   => c.toLong.toShort
+    case IntegerType => c.toLong.toInt
+    case LongType    => c.toLong
+    case DateType    => c.toLong.toInt // canonical form is epoch days
+    case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(c)
+    case BooleanType => c.toBoolean
+    case other => throw new IllegalStateException(s"unsupported partition type $other")
+  }
+
+  private[ext] def partitionableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | BooleanType => true
+    case _ => false
+  }
+
+  /** Footer scan of one file. `partVals` are canonical partition
+    * values to overlay as exact bounds (None value = hive null
+    * partition → all-null stats for that column). */
+  private def fileStats(conf: org.apache.hadoop.conf.Configuration,
+                        st: org.apache.hadoop.fs.FileStatus, name: String,
+                        schema: StructType,
+                        partVals: Seq[(String, Option[String])]): FileStats = {
+    val supported = schema.fields.map(f => f.name -> f.dataType)
       .filter { case (_, dt) => comparableType(dt) }.toMap
-    val perFile = fileStatuses.map { st =>
-      var fileRows = 0L
-      // per column: (min, max, nulls, valueCount, trusted)
-      val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-      try {
-        val footer = reader.getFooter
-        for (block <- footer.getBlocks.asScala) {
-          fileRows += block.getRowCount
-          for (chunk <- block.getColumns.asScala) {
-            val path = chunk.getPath
-            if (path.size == 1) {
-              val name = path.iterator.next()
-              supported.get(name).foreach { dt =>
-                val prior = acc.getOrElse(name, (None, None, 0L, 0L, true))
-                acc(name) = mergeChunk(prior, chunk, dt)
-              }
+    var fileRows = 0L
+    // per column: (min, max, nulls, valueCount, trusted)
+    val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+    try {
+      val footer = reader.getFooter
+      for (block <- footer.getBlocks.asScala) {
+        fileRows += block.getRowCount
+        for (chunk <- block.getColumns.asScala) {
+          val path = chunk.getPath
+          if (path.size == 1) {
+            val colName = path.iterator.next()
+            supported.get(colName).foreach { dt =>
+              val prior = acc.getOrElse(colName, (None, None, 0L, 0L, true))
+              acc(colName) = mergeChunk(prior, chunk, dt)
             }
           }
         }
-      } finally reader.close()
-      // EVERY dirSchema field gets an entry (unknown for unsupported
-      // or untrusted) — in [[excludes]] a column ABSENT from the map
-      // means "not in this dir's write at all" (union-schema backfill
-      // reads it as all-null), and a per-file map that omitted an
-      // unsupported-type column would let that rule wrongly exclude
-      // the file on a predicate over it
-      val cols = dirSchema.fields.map { f =>
-        f.name -> (acc.get(f.name) match {
-          // value counts must cover every row, else some chunk was
-          // missing for this column and the bounds are partial
-          case Some((mn, mx, nulls, vc, true)) if vc == fileRows =>
-            ColStats(mn, mx, Some(nulls))
-          case _ => ColStats(None, None, None)
-        })
-      }.toMap
-      FileStats(st.getPath.getName, st.getLen, Some(fileRows), cols)
-    }.toSeq
+      }
+    } finally reader.close()
+    // EVERY schema field gets an entry (unknown for unsupported or
+    // untrusted) — in [[excludes]] a column ABSENT from the map means
+    // "not in this dir's write at all" (union-schema backfill reads
+    // it as all-null), and a per-file map that omitted an
+    // unsupported-type column would let that rule wrongly exclude
+    // the file on a predicate over it
+    val cols = schema.fields.map { f =>
+      f.name -> (acc.get(f.name) match {
+        // value counts must cover every row, else some chunk was
+        // missing for this column and the bounds are partial
+        case Some((mn, mx, nulls, vc, true)) if vc == fileRows =>
+          ColStats(mn, mx, Some(nulls))
+        case _ => ColStats(None, None, None)
+      })
+    }.toMap
+    val partCols = partVals.map {
+      case (c, Some(canon)) => c -> ColStats(Some(canon), Some(canon), Some(0L))
+      case (c, None)        => c -> ColStats(None, None, Some(fileRows))
+    }
+    FileStats(name, st.getLen, Some(fileRows), cols ++ partCols)
+  }
+
+  private def aggregateDir(dirSchema: StructType, perFile: Seq[FileStats])
+      : (Long, Map[String, ColStats], Seq[FileStats]) = {
+    val supported = dirSchema.fields.map(f => f.name -> f.dataType)
+      .filter { case (_, dt) => comparableType(dt) }.toMap
     val rows = perFile.flatMap(_.rows).sum
     // dir aggregate = fold of the per-file stats: bounds widen, null
     // counts add, and any file-level unknown poisons the dir entry

@@ -108,6 +108,20 @@ class VersionedCatalog extends TableCatalog {
     val info = Versioned.versionInfo(spark, dir, v)
     val tableName = s"$catName.$dir@v$v"
     val base: Table with SupportsRead = info.schema match {
+      case Some(schema) if info.partitionCols.nonEmpty =>
+        // PARTITIONED chain: the files hold only data columns — the
+        // partition values live in the per-commit hive subtrees and
+        // the manifest. Spark's ParquetTable cannot serve this (its
+        // partition discovery refuses sibling nonce'd roots:
+        // "conflicting directory structures"), and silently serving
+        // the data columns would DROP the partition columns. Refused
+        // with the working path named rather than served wrong; the
+        // library read (readVersion — manifest-served partition
+        // values, PartitionFilters pruning) is complete.
+        throw new UnsupportedOperationException(
+          s"$tableName is partitioned by ${info.partitionCols.mkString(",")}; the SQL " +
+            "catalog tier does not serve partitioned versioned chains yet — read via " +
+            "graft.ext.Versioned.readVersion / readLatest (full partition support)")
       case Some(schema) =>
         new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema)
       case None =>

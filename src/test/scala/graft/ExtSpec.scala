@@ -2431,6 +2431,78 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxKeys")
   }
 
+  test("partitioned versioned tables: hive layout per commit, partition values served from the manifest, pruning, nulls, dv, append rules") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources._
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vpart").toString + "/t"
+    val v0df = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "b"), (4L, 40.0, null))
+      .toDF("id", "price", "status")
+    Versioned.writeVersionPartitioned(v0df, dir, Seq("status"))
+    // read back: partition values re-attached from the manifest (the
+    // data files do NOT hold the column), null partition included
+    val got = Versioned.readLatest(spark, dir)
+      .select("id", "price", "status").as[(Long, Double, Option[String])]
+      .collect().toSet
+    assert(got == Set((1L, 10.0, Some("a")), (2L, 20.0, Some("b")),
+      (3L, 30.0, Some("b")), (4L, 40.0, None)), got.toString)
+    // schema order: data columns first, partition column last; type pinned
+    assert(Versioned.readLatest(spark, dir).schema.fields.last.name == "status")
+    assert(Versioned.readLatest(spark, dir).schema("status").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // partition filters prune FILES from manifest bytes
+    assert(Versioned.planDataFiles(spark, dir, 0, Seq(EqualTo("status", "b"))).length <
+      Versioned.planDataFiles(spark, dir, 0, Seq.empty).length)
+    // filtered reads are exact, incl null-partition predicates
+    assert(Versioned.readLatest(spark, dir).filter($"status" === "b")
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(Versioned.readLatest(spark, dir).filter($"status".isNull)
+      .select("id").as[Long].collect().toSet == Set(4L))
+    // value-stats skipping still composes on data columns
+    assert(Versioned.readLatest(spark, dir).filter($"price" > 25.0)
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // appends: same spec extends the chain; a different or missing
+    // spec refuses (mixed layouts would be unreadable)
+    Versioned.writeVersionPartitioned(
+      Seq((5L, 50.0, "a")).toDF("id", "price", "status"), dir, Seq("status"),
+      SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir).count() == 5)
+    assert(Versioned.readLatest(spark, dir).filter($"status" === "a")
+      .select("id").as[Long].collect().toSet == Set(1L, 5L))
+    intercept[IllegalArgumentException] {
+      Versioned.writeVersion(Seq((9L, 90.0, "z")).toDF("id", "price", "status"),
+        dir, SaveMode.Append)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.writeVersionPartitioned(Seq((9L, 90.0, "z"))
+        .toDF("id", "price", "status"), dir, Seq("id"), SaveMode.Append)
+    }
+    // deletion vectors compose with the partitioned read
+    Versioned.deleteByKeys(spark, dir, Seq(2L).toDF("id"), "id")
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L, 5L))
+    // time travel serves the pre-append partitioned state
+    assert(Versioned.readVersion(spark, dir, 0).count() == 4)
+    // date-typed partition column round-trips through the path form
+    val dDir = java.nio.file.Files.createTempDirectory("graft_vpart_date").toString + "/t"
+    val dts = Seq((1L, java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Date.valueOf("2024-02-01"))).toDF("id", "day")
+    Versioned.writeVersionPartitioned(dts, dDir, Seq("day"))
+    assert(Versioned.readLatest(spark, dDir)
+      .filter($"day" === java.sql.Date.valueOf("2024-02-01"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // the SQL catalog refuses partitioned chains HONESTLY (serving
+    // them through Spark's parquet table would drop the partition
+    // columns), naming the library read that works
+    spark.conf.set("spark.sql.catalog.graft_vp", "graft.sql.VersionedCatalog")
+    val eSql = intercept[Exception] {
+      spark.sql(s"SELECT id FROM graft_vp.`$dir`").collect()
+    }
+    def chain2(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain2(t.getCause)
+    assert(chain2(eSql).exists(_.contains("readVersion")), chain2(eSql).mkString("; "))
+  }
+
   test("SQL DELETE: key predicates commit a deletion vector; range/multi-column refuse; bare DELETE truncates") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_sqldel").toString + "/t"

@@ -339,6 +339,36 @@ class PlanSpec extends AnyFunSuite {
     assert(q119.contains("ManifestFileIndex"), s"q119 must plan via the manifest index:\n$q119")
   }
 
+  test("partitioned versioned read: PartitionFilters prune dirs/files from manifest bytes (q122 shape)") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vpart_plan").toString + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("bucket", (col("id") % 3).cast("int"))
+      .repartition(2)
+    Versioned.writeVersionPartitioned(df, dir, Seq("bucket"))
+    // the partition column rides in the plan as a real partitionSchema
+    val plan = planOf(Versioned.readLatest(spark, dir).filter(col("bucket") === 1))
+    assert(plan.contains("ManifestFileIndex"), s"expected manifest index in:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a pushed partition filter in:\n$plan")
+    def filesRead(dfq: org.apache.spark.sql.DataFrame): Long = {
+      dfq.collect()
+      val exec = dfq.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      exec.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = filesRead(Versioned.readLatest(spark, dir))
+    val one = filesRead(Versioned.readLatest(spark, dir).filter(col("bucket") === 1))
+    assert(all > one && one > 0, s"partition pruning: $one of $all files")
+    // exactness under the pruned plan
+    assert(Versioned.readLatest(spark, dir).filter(col("bucket") === 1)
+      .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet == (0L until 300L).filter(_ % 3 == 1).toSet)
+  }
+
   test("curation-operator plans: chunking stays map-side, packing reuses its window shuffle") {
     // q62 chunking: scan → project → generate, no exchange at all
     // (formatted explain lists partitionings in the Arguments: lines)
