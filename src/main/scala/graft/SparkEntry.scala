@@ -115,6 +115,13 @@ object SparkEntry {
   private val streamSinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q123's fixture: the q116 shape committed via
+    * [[Versioned.writeVersionWithChangeFeed]], so v1's manifest
+    * carries the RECORDED feed and changesBetween serves it as one
+    * O(feed) read (asserted: hasRecordedChanges). */
+  private val recordedChangesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q122's fixture: all orders committed as ONE partitioned version
     * (hive layout by status inside the commit's data dir, partition
     * values recorded in the manifest as exact per-file bounds). */
@@ -1470,6 +1477,37 @@ object SparkEntry {
           path)
         path
       })
+      Versioned.changesBetween(s, tbl, 0, 1, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    },
+
+    // write-time CDF (Delta's _change_data role): v1 is committed via
+    // writeVersionWithChangeFeed, which computes the classified diff
+    // ONCE — at the only moment both states are in hand — and records
+    // it in the same atomic commit; changesBetween then serves the
+    // recorded feed as one O(feed) read instead of re-deriving from
+    // O(both versions) for every CDC consumer (the serve path is
+    // asserted, and ExtSpec proves it survives pruning the derive
+    // path away). The oracle derives each change class directly
+    "q123_change_feed_recorded" -> { (s, d) =>
+      val tbl = recordedChangesCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_cdf", d)
+        val orders = Tables.orders(s, d)
+        Versioned.writeVersion(
+          orders.filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")), path)
+        Versioned.writeVersionWithChangeFeed(
+          orders.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 =!= 7)
+            .select(col("o_orderkey"),
+              when(col("o_totalprice") > 160000, round(col("o_totalprice") + 500, 2))
+                .otherwise(round(col("o_totalprice"), 2)).as("price"))
+            .unionByName(orders.filter(col("o_orderstatus") === "P")
+              .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+          path, Seq("o_orderkey"))
+        path
+      })
+      assert(Versioned.hasRecordedChanges(s, tbl, 0, 1, Seq("o_orderkey")),
+        "q123 must serve the RECORDED feed")
       Versioned.changesBetween(s, tbl, 0, 1, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"), col("_change_type"))
     },
@@ -3169,6 +3207,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, ROUND(tot + 1000, 2) AS price, 'update_postimage' AS _change_type FROM f
         |  WHERE o_orderkey % 10 <> 3 AND tot > 150000)
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // the recorded feed must equal the derived classes exactly —
+    // recording is a cost move, never a semantic one
+    "q123_change_feed_recorded" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_totalprice AS tot
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_orderkey, price, _change_type FROM (
+        |  SELECT o_orderkey, price, 'delete' AS _change_type FROM f
+        |  WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 'insert' AS _change_type FROM p
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 'update_preimage' AS _change_type FROM f
+        |  WHERE o_orderkey % 10 <> 7 AND tot > 160000
+        |  UNION ALL
+        |  SELECT o_orderkey, ROUND(tot + 500, 2) AS price, 'update_postimage' AS _change_type FROM f
+        |  WHERE o_orderkey % 10 <> 7 AND tot > 160000)
         |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     "q88_zorder_key" -> {

@@ -144,6 +144,16 @@ object Versioned {
     * (ref: mnt/spark/apps/bronze_to_silver.py:143-151) composed with
     * time travel. */
   private final case class PartitionEntry(cols: Seq[String]) extends Line
+  /** A change feed RECORDED at write time (Delta CDF's `_change_data`
+    * role): `dirName` holds the classified diff from `vFrom` to `vTo`
+    * over `keys`, written by [[writeVersionWithChangeFeed]] in the
+    * same commit as the new state. [[changesBetween]] serves it
+    * instead of re-deriving (O(feed) instead of O(both versions) for
+    * every repeated CDC consumer); manifests without a matching line
+    * fall back to the derive path. Format
+    * `changes:<vFrom>:<vTo>:<k1,k2>:<dirName>`. */
+  private final case class ChangesEntry(vFrom: Int, vTo: Int, keys: Seq[String],
+                                        name: String) extends Line
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -179,6 +189,11 @@ object Versioned {
       require(i > 0, s"malformed stats manifest line: $line")
       val (rows, cols, files) = StatsJson.parse(rest.substring(i + 1))
       StatsEntry(rest.substring(0, i), rows, cols, files)
+    } else if (line.startsWith("changes:")) {
+      val parts = line.drop(8).split(":", 4)
+      require(parts.length == 4, s"malformed change-feed manifest line: $line")
+      ChangesEntry(parts(0).toInt, parts(1).toInt,
+        parts(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq, parts(3))
     } else if (line.startsWith("partition:")) {
       PartitionEntry(line.drop(10).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     } else if (line.startsWith("txn:")) {
@@ -204,6 +219,7 @@ object Versioned {
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
+    case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
 
@@ -306,7 +322,8 @@ object Versioned {
   private def writeVersionCore(spark: SparkSession, dir: String,
                                protocol: CommitProtocol, mode: SaveMode,
                                txn: Option[(String, Long)],
-                               partitionBy: Option[StructType] = None)
+                               partitionBy: Option[StructType] = None,
+                               extraLines: Seq[Line] = Seq.empty)
                               (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
@@ -381,7 +398,7 @@ object Versioned {
     }
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
-        prevLines ++ txn.map { case (a, b) => TxnEntry(b, a) } :+
+        prevLines ++ txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
         DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
     // … then the atomic manifest commit publishes it
     commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
@@ -872,16 +889,92 @@ object Versioned {
     * only in vFrom), `update_preimage`/`update_postimage` (key in
     * both, any value column differs under null-safe equality).
     *
-    * At 100 TB this is two manifest-planned scans + one key-partitioned
-    * join — the price of not storing a log; tables whose writes go
-    * through [[graft.gold.Upsert]] can capture the feed at WRITE time
-    * with mergeChanges instead (q95), which is the cheap path. */
+    * At 100 TB the DERIVE path is two manifest-planned scans + one
+    * key-partitioned join — the price of not storing a log. Writers
+    * that care about repeated CDC consumers record the feed at COMMIT
+    * time instead ([[writeVersionWithChangeFeed]], Delta CDF's
+    * `_change_data` role): when vTo's manifest carries a recorded
+    * feed for exactly this (span, keys), it is served as one O(feed)
+    * read and the derive never runs; [[changeFeed]] is the per-commit
+    * multi-hop form. [[graft.gold.Upsert.mergeChanges]] (q95) stays
+    * the MERGE-side twin. */
   def changesBetween(spark: SparkSession, dir: String, vFrom: Int, vTo: Int,
                      keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     require(vFrom <= vTo, s"vFrom $vFrom must be <= vTo $vTo")
-    val oldV = readVersion(spark, dir, vFrom)
-    val newV = readVersion(spark, dir, vTo)
+    // a feed RECORDED at vTo's commit for exactly this span and key
+    // set serves directly — O(feed) instead of O(both versions)
+    recordedChanges(spark, dir, vFrom, vTo, keys)
+      .getOrElse(diffFeedFrames(
+        readVersion(spark, dir, vFrom), readVersion(spark, dir, vTo), keys))
+  }
+
+  /** The recorded feed for (vFrom → vTo] over `keys`, if vTo's
+    * manifest carries one. */
+  private def recordedChanges(spark: SparkSession, dir: String, vFrom: Int,
+                              vTo: Int, keys: Seq[String]): Option[DataFrame] =
+    lines(spark, dir, vTo).collectFirst {
+      case ChangesEntry(f, t, ks, n) if f == vFrom && t == vTo && ks == keys =>
+        spark.read.parquet(new Path(new Path(dir), n).toString)
+    }
+
+  /** True iff [[changesBetween]] over this span would serve a
+    * RECORDED feed — exposed so tests pin the serve path. */
+  private[graft] def hasRecordedChanges(spark: SparkSession, dir: String,
+                                        vFrom: Int, vTo: Int, keys: Seq[String]): Boolean =
+    lines(spark, dir, vTo).exists {
+      case ChangesEntry(f, t, ks, _) => f == vFrom && t == vTo && ks == keys
+      case _ => false
+    }
+
+  /** Delta CDF's `table_changes(tab, vFrom, vTo)` MULTI-COMMIT form:
+    * one feed row set per commit in (vFrom, vTo], each tagged with its
+    * `_commit_version` — recorded feeds served where present, derived
+    * per step otherwise. Note the semantic difference from the
+    * two-point [[changesBetween]]: a row inserted at v1 and deleted at
+    * v2 appears in BOTH steps here, and not at all in the net diff —
+    * per-commit history is what CDC consumers replay. */
+  def changeFeed(spark: SparkSession, dir: String, vFrom: Int, vTo: Int,
+                 keys: Seq[String]): DataFrame = {
+    require(vFrom < vTo, s"need at least one commit in the span, got ($vFrom, $vTo]")
+    (vFrom + 1 to vTo).map(v =>
+      changesBetween(spark, dir, v - 1, v, keys)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Commit `df` as the next version AND record the classified change
+    * feed from the previous latest in the SAME commit — the write-time
+    * CDF capture that turns every later [[changesBetween]] over this
+    * step from an O(both versions) derive into an O(feed) read. The
+    * diff is computed once, at the only moment both states are already
+    * in hand; a first commit (no previous version) records nothing
+    * (Delta's CDF starts at the second commit too). Overwrite
+    * semantics — a lost race surfaces, as for every overwrite. */
+  def writeVersionWithChangeFeed(df: DataFrame, dir: String, keys: Seq[String],
+                                 protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val spark = df.sparkSession
+    keys.foreach(k => require(k.matches("[A-Za-z0-9_]+"),
+      s"key column must be word-shaped (it is embedded in the manifest), got '$k'"))
+    latestVersion(spark, dir) match {
+      case None => writeVersion(df, dir, SaveMode.Overwrite, protocol)
+      case Some(p) =>
+        val v = p + 1
+        val (_, root) = fsFor(spark, dir)
+        val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        val chDir = f"v$v%08d_changes_$nonce"
+        // feed first (invisible until the manifest lands, exactly like
+        // the data dir; a lost commit race leaves it an orphan)
+        diffFeedFrames(readVersion(spark, dir, p), df, keys)
+          .write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, chDir).toString)
+        writeVersionCore(spark, dir, protocol, SaveMode.Overwrite, txn = None,
+          extraLines = Seq(ChangesEntry(p, v, keys, chDir)))(tmp =>
+          df.write.mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+    }
+  }
+
+  private def diffFeedFrames(oldV: DataFrame, newV: DataFrame,
+                             keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     keys.foreach(k => require(oldV.columns.contains(k) && newV.columns.contains(k),
       s"key column '$k' must exist in both versions"))
     // union value columns (evolution-tolerant): vFrom's order, then
@@ -1019,6 +1112,7 @@ object Versioned {
     def dirNames(v: Int) = lines(spark, dir, v).collect {
       case DataEntry(n) => n
       case DvEntry(_, n) => n
+      case ChangesEntry(_, _, _, n) => n // a recorded feed is live state too
     }
     val live = keep.flatMap(dirNames).toSet
     // names committed history once referenced — captured BEFORE the
@@ -1027,7 +1121,7 @@ object Versioned {
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     val now = System.currentTimeMillis()
     val candidates = fs.listStatus(root)
-      .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv)(_[0-9a-f]{8})?""") &&
+      .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv|changes)(_[0-9a-f]{8})?""") &&
         !live.contains(st.getPath.getName))
     val (dead, young) = candidates.partition(st =>
       droppedRefs.contains(st.getPath.getName) ||

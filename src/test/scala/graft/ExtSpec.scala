@@ -2431,6 +2431,47 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxKeys")
   }
 
+  test("write-time change feed: recorded equals derived; served after prune kills the derive path; multi-hop changeFeed") {
+    import graft.ext.Versioned
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cdf_rec").toString + "/t"
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cdf_der").toString + "/t"
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v1 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    Versioned.writeVersion(v0, dirA)
+    Versioned.writeVersionWithChangeFeed(v1, dirA, Seq("id"))
+    Versioned.writeVersion(v0, dirB)
+    Versioned.writeVersion(v1, dirB)
+    assert(Versioned.hasRecordedChanges(spark, dirA, 0, 1, Seq("id")))
+    assert(!Versioned.hasRecordedChanges(spark, dirB, 0, 1, Seq("id")))
+    // a feed recorded for different keys must not serve this call
+    assert(!Versioned.hasRecordedChanges(spark, dirA, 0, 1, Seq("v")))
+    def feedSet(dir: String) = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSet
+    val expected = Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "delete"), (4L, "d", "insert"))
+    assert(feedSet(dirA) == expected, s"recorded: ${feedSet(dirA)}")
+    assert(feedSet(dirB) == expected, s"derived: ${feedSet(dirB)}")
+    // multi-hop per-commit feed carries _commit_version; note a key
+    // updated at v1 and deleted at v2 appears in both steps
+    val v2 = Seq((1L, "a"), (4L, "D")).toDF("id", "v")
+    Versioned.writeVersionWithChangeFeed(v2, dirA, Seq("id"))
+    val hops = Versioned.changeFeed(spark, dirA, 0, 2, Seq("id"))
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(hops == expected.map { case (i, s, t) => (i, s, t, 1) } ++ Set(
+      (2L, "B", "delete", 2), (4L, "d", "update_preimage", 2),
+      (4L, "D", "update_postimage", 2)), hops.toString)
+    // retention: pruning v0/v1 reclaims their dirs — the DERIVE path
+    // for (1→2) is gone with them, but the feed recorded in v2's
+    // surviving manifest still serves (the whole point of recording)
+    Versioned.pruneVersions(spark, dirA, keepLast = 1, orphanMinAgeMs = 0)
+    assert(Versioned.hasRecordedChanges(spark, dirA, 1, 2, Seq("id")))
+    val afterPrune = Versioned.changesBetween(spark, dirA, 1, 2, Seq("id"))
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSet
+    assert(afterPrune == Set((2L, "B", "delete"), (4L, "d", "update_preimage"),
+      (4L, "D", "update_postimage")), afterPrune.toString)
+  }
+
   test("partitioned versioned tables: hive layout per commit, partition values served from the manifest, pruning, nulls, dv, append rules") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources._
