@@ -115,6 +115,12 @@ object SparkEntry {
   private val streamSinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q124's fixture: a lineitem slice committed plain, then
+    * OPTIMIZE-ZORDER'd through the manifest — the serve read plans
+    * over tight per-file (l_partkey, l_suppkey) rectangles. */
+  private val zorderVersionedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q123's fixture: the q116 shape committed via
     * [[Versioned.writeVersionWithChangeFeed]], so v1's manifest
     * carries the RECORDED feed and changesBetween serves it as one
@@ -1479,6 +1485,32 @@ object SparkEntry {
       })
       Versioned.changesBetween(s, tbl, 0, 1, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"), col("_change_type"))
+    },
+
+    // OPTIMIZE ZORDER for the versioned store (stretch ask): commit a
+    // Morton-ordered rewrite of the latest state as a new version —
+    // every output file becomes a compact (l_partkey, l_suppkey)
+    // rectangle whose tight bounds land in the manifest's per-file
+    // stats, so the selective serve read below prunes most files of
+    // the commit from manifest bytes on BOTH columns (ExtSpec pins
+    // the prune-count improvement; the oracle is the plain WHERE)
+    "q124_zorder_versioned" -> { (s, d) =>
+      val tbl = zorderVersionedCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_zorder", d)
+        Versioned.writeVersion(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice"), 2).as("price")), path)
+        graft.ext.Maintenance.zorderVersioned(s, path, "l_partkey", "l_suppkey",
+          nFiles = 8)
+        path
+      })
+      // total order: (orderkey, linenumber) is NOT unique in the
+      // synthetic lineitem, and a layout rewrite reshuffles tie order
+      Versioned.readLatest(s, tbl)
+        .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 40)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("price"))
     },
 
     // write-time CDF (Delta's _change_data role): v1 is committed via
@@ -3208,6 +3240,15 @@ object SparkEntry {
         |  SELECT o_orderkey, ROUND(tot + 1000, 2) AS price, 'update_postimage' AS _change_type FROM f
         |  WHERE o_orderkey % 10 <> 3 AND tot > 150000)
         |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // a z-ordered rewrite is a layout move, never a semantic one: the
+    // serve read equals the plain WHERE over lineitem
+    "q124_zorder_versioned" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       ROUND(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_partkey <= 200 AND l_suppkey <= 40
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, price""".stripMargin,
 
     // the recorded feed must equal the derived classes exactly —
     // recording is a cost move, never a semantic one

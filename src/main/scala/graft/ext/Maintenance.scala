@@ -278,4 +278,30 @@ object Maintenance {
       .drop("__zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Delta `OPTIMIZE tbl ZORDER BY (colA, colB)` for the VERSIONED
+    * store: commit a Morton-ordered rewrite of the latest state as a
+    * new version. The rewrite reads through [[Versioned.readLatest]]
+    * (so any deletion-vector mask is applied PHYSICALLY and the dv
+    * chain drops with the overwrite), the range-partition + in-file
+    * sort makes every output file a compact rectangle in
+    * (colA, colB) space, and the commit's footer harvest records
+    * those now-TIGHT per-file min/max bounds in the manifest — after
+    * which a selective predicate on EITHER column prunes most files
+    * of the commit from manifest bytes ([[Versioned.planDataFiles]];
+    * the per-file stats format exists precisely so this rewrite pays
+    * off). Time travel to the pre-optimize layout still works; the
+    * old files are reclaimed when their versions are pruned — the
+    * same lifecycle as every overwrite. Returns the new version. */
+  def zorderVersioned(spark: SparkSession, dir: String, colA: String, colB: String,
+                      nFiles: Int, bits: Int = 16,
+                      protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val current = Versioned.readLatest(spark, dir)
+    Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
+      current.withColumn("__zkey", zKey(col(colA), col(colB), bits))
+        .repartitionByRange(nFiles, col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+  }
 }

@@ -2431,6 +2431,39 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxKeys")
   }
 
+  test("OPTIMIZE ZORDER through the manifest: per-file rectangles tighten, same predicate prunes more files, dv applied physically") {
+    import org.apache.spark.sql.sources._
+    import graft.ext.{Maintenance, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("graft_vzorder").toString + "/t"
+    // 4096 points of a 64x64 grid, hash-scattered into 8 files: every
+    // file spans the full range of BOTH columns, so nothing can prune
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("a", col("id") % 64)
+      .withColumn("b", col("id") / 64)
+    Versioned.writeVersionWith(spark, dir)(tmp =>
+      df.repartition(8).write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp))
+    def planned(v: Int, fs: Filter*) = Versioned.planDataFiles(spark, dir, v, fs.toSeq).length
+    assert(planned(0) == 8)
+    assert(planned(0, LessThan("b", 8L)) == 8, "scattered layout must not prune")
+    Versioned.deleteByKeys(spark, dir, Seq(0L, 1L).toDF("id"), "id")
+    val v2 = Maintenance.zorderVersioned(spark, dir, "a", "b", nFiles = 8, bits = 6)
+    assert(v2 == 2)
+    // the optimize read through the mask: dv applied PHYSICALLY, chain dropped
+    assert(Versioned.versionInfo(spark, dir, v2).dvDirs.isEmpty)
+    assert(Versioned.readLatest(spark, dir).count() == 4094)
+    // the SAME predicate now prunes most files — and on EITHER column
+    // (the multi-dimensional property a single-column sort lacks)
+    assert(planned(v2) == 8)
+    assert(planned(v2, LessThan("b", 8L)) < 8, s"b-prune: ${planned(v2, LessThan("b", 8L))}")
+    assert(planned(v2, LessThan("a", 8L)) < 8, s"a-prune: ${planned(v2, LessThan("a", 8L))}")
+    // exactness under the pruned plan (ids 0,1 were deleted, both in
+    // the b<8 and a<8 regions)
+    assert(Versioned.readLatest(spark, dir).filter($"b" < 8).count() == 510)
+    assert(Versioned.readLatest(spark, dir).filter($"a" < 8).count() == 510)
+    // time travel to the pre-optimize layout still serves (masked)
+    assert(Versioned.readVersion(spark, dir, 1).count() == 4094)
+  }
+
   test("write-time change feed: recorded equals derived; served after prune kills the derive path; multi-hop changeFeed") {
     import graft.ext.Versioned
     val dirA = java.nio.file.Files.createTempDirectory("graft_cdf_rec").toString + "/t"
