@@ -869,6 +869,23 @@ object Versioned {
       ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty))
   }
 
+  /** A SUBSET of version `v`'s data dirs (absolute paths), read
+    * through the full manifest-aware path — recorded schema,
+    * manifest-served file index, PARTITION VALUES re-attached for
+    * partitioned chains (a raw `spark.read.schema(...).parquet(dirs)`
+    * of a partitioned dir would silently serve the partition columns
+    * as null: the files don't hold them). `applyDv = false` serves the
+    * dirs RAW, pre-mask — the streaming source's append-feed
+    * semantics. */
+  private[graft] def readVersionDirs(spark: SparkSession, dir: String, v: Int,
+                                     keepAbs: Set[String],
+                                     applyDv: Boolean): DataFrame = {
+    val ls0 = lines(spark, dir, v)
+    val ls = if (applyDv) ls0 else ls0.filterNot(_.isInstanceOf[DvEntry])
+    readVersionFrom(spark, dir, ls,
+      n => keepAbs.contains(new Path(new Path(dir), n).toString))
+  }
+
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))

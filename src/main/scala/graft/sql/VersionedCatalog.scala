@@ -206,13 +206,21 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
         ()
       case Some(Right((keyCol, values))) =>
         if (values.nonEmpty) {
-          import org.apache.spark.sql.functions.{array, explode, lit}
+          import org.apache.spark.sql.functions.col
           val dt = vdSchema(keyCol).dataType
-          // literal keys, typed to the TABLE column (an int-literal
-          // delete against a bigint key must write bigint dv keys, or
-          // the in-reader mask's typed contains() would never match)
-          val keys = vdSpark.range(1)
-            .select(explode(array(values.map(v => lit(v).cast(dt)): _*)).as(keyCol))
+          // keys as LOCAL ROWS, typed to the TABLE column (an
+          // int-literal delete against a bigint key must write bigint
+          // dv keys, or the in-reader mask's typed contains() would
+          // never match). NOT array(lit, lit, …): a thousands-child
+          // literal expression tree costs seconds of analysis/codegen
+          // per DELETE — measured 5.6 s vs 0.9 s for the comparable
+          // INSERT workload before this form.
+          import scala.jdk.CollectionConverters._
+          val litType = org.apache.spark.sql.catalyst.expressions.Literal(values.head).dataType
+          val rows = values.map(v => org.apache.spark.sql.Row(v)).toList.asJava
+          val keys = vdSpark.createDataFrame(rows,
+              StructType(Seq(org.apache.spark.sql.types.StructField(keyCol, litType))))
+            .select(col(keyCol).cast(dt).as(keyCol))
           Versioned.deleteByKeysWithRetry(vdSpark, vdDir, keys, keyCol)
         }
         ()

@@ -203,7 +203,15 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
         if (newDirs.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
-        else spark.read.schema(frozenSchema).parquet(newDirs: _*)
+        else {
+          // manifest-aware subset read, RAW (pre-mask — the stream is
+          // an append feed): serves partitioned chains correctly (the
+          // files don't hold partition columns; a plain schema'd read
+          // would emit them as null) and plans from manifest bytes
+          import org.apache.spark.sql.functions.col
+          Versioned.readVersionDirs(spark, dir, endV, newDirs.toSet, applyDv = false)
+            .select(frozenSchema.fieldNames.map(col).toSeq: _*)
+        }
     }
     // the engine asserts isStreaming on the returned plan — stamp it
     // the way FileStreamSource does

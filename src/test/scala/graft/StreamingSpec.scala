@@ -415,6 +415,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.toSeq == declarative.toSeq)
   }
 
+  test("versioned streaming source over a PARTITIONED chain: batches carry real partition values, not nulls") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vstream_part").toString + "/t"
+    Versioned.writeVersionPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "status"), dir, Seq("status"))
+    val ckpt = Files.createTempDirectory("graft_vstream_part_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_vstream_part_out").toString + "/out"
+    def runCk() = {
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir).load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def sunk() = spark.read.parquet(outDir).select("id", "status")
+      .as[(Long, Option[String])].collect().toSet
+    // snapshot batch: partition values present
+    runCk()
+    assert(sunk() == Set((1L, Some("a")), (2L, Some("b"))), sunk().toString)
+    // APPEND batch: the incremental path must re-attach partition
+    // values too (files don't hold the column — a plain schema'd read
+    // would stream it as null)
+    Versioned.writeVersionPartitioned(
+      Seq((3L, "c")).toDF("id", "status"), dir, Seq("status"), SaveMode.Append)
+    runCk()
+    assert(sunk() == Set((1L, Some("a")), (2L, Some("b")), (3L, Some("c"))),
+      sunk().toString)
+  }
+
   test("versioned streaming sink: exactly-once commits; replayed epoch skipped; versioned-to-versioned round trip") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
