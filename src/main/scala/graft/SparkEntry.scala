@@ -1460,6 +1460,55 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // SQL UPDATE through the catalog (the other half of Delta's SQL
+    // write surface): the group-based copy-on-write seam — Spark
+    // reads the table through its own scan, computes the per-row
+    // conditional replacement, and the write publishes as ONE atomic
+    // overwrite manifest commit (pre-update state still time-travels).
+    // INSERT OVERWRITE resets per pass; retention bounds the chain
+    "q125_sql_update" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_update", d)
+      if (Versioned.latestVersion(s, tbl).isEmpty)
+        Versioned.writeVersion(Tables.orders(s, d).limit(0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price")), tbl)
+      Tables.orders(s, d).createOrReplaceTempView("orders_q125")
+      s.sql(s"INSERT OVERWRITE versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q125 WHERE o_orderstatus = 'F'")
+      s.sql(s"UPDATE versioned.`$tbl` SET price = price + 100.0 WHERE price > 150000.0")
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // SQL MERGE INTO through the catalog: matched-delete,
+    // matched-update, and not-matched-insert clauses in one statement,
+    // rewritten by Spark to the same copy-on-write ReplaceData seam —
+    // one overwrite commit carries the merged state
+    "q126_sql_merge" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_merge", d)
+      if (Versioned.latestVersion(s, tbl).isEmpty)
+        Versioned.writeVersion(Tables.orders(s, d).limit(0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price")), tbl)
+      Tables.orders(s, d).createOrReplaceTempView("orders_q126")
+      s.sql(s"INSERT OVERWRITE versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q126 WHERE o_orderstatus = 'F'")
+      s.sql("SELECT o_orderkey, 'M' AS status, ROUND(o_totalprice, 2) + 1000 AS price " +
+        "FROM orders_q126 WHERE o_orderkey % 3 = 0").createOrReplaceTempView("src_q126")
+      s.sql(
+        s"""MERGE INTO versioned.`$tbl` t USING src_q126 s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.price > 180000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET price = s.price, status = s.status
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, status, price)
+           |  VALUES (s.o_orderkey, s.status, s.price)""".stripMargin)
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // Delta table_changes between versions, DERIVED on read (our
     // manifest keeps no change log — every version is a full state):
     // v0 = F slice; v1 = overwrite dropping keys ≡3 (mod 10), bumping
@@ -3240,6 +3289,36 @@ object SparkEntry {
         |  SELECT o_orderkey, ROUND(tot + 1000, 2) AS price, 'update_postimage' AS _change_type FROM f
         |  WHERE o_orderkey % 10 <> 3 AND tot > 150000)
         |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // the conditional bump replayed as a CASE over the F slice
+    "q125_sql_update" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CASE WHEN ROUND(o_totalprice, 2) > 150000.0
+        |            THEN ROUND(o_totalprice, 2) + 100.0
+        |            ELSE ROUND(o_totalprice, 2) END AS price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merge classes derived directly: untouched (key not in source),
+    // deleted (matched, price > 180k), updated (matched otherwise),
+    // inserted (source key not in target)
+    "q126_sql_merge" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |src AS (
+        |  SELECT o_orderkey, 'M' AS status, ROUND(o_totalprice, 2) + 1000 AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, status, price FROM (
+        |  SELECT * FROM f WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.status, s.price FROM src s
+        |  JOIN f t ON s.o_orderkey = t.o_orderkey
+        |  WHERE NOT (t.price > 180000.0)
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.status, s.price FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM f)
+        |) ORDER BY o_orderkey""".stripMargin,
 
     // a z-ordered rewrite is a layout move, never a semantic one: the
     // serve read equals the plain WHERE over lineitem

@@ -282,6 +282,27 @@ object Versioned {
     else attempt()
   }
 
+  /** Claim a data-dir NAME for a write whose bytes an external engine
+    * will produce (the DSv2 row-level ReplaceData write): nonce'd and
+    * invisible until [[commitStagedOverwrite]] publishes it — the same
+    * lifecycle as every writeVersion data dir (a crashed or aborted
+    * write leaves an orphan for [[pruneVersions]]). */
+  private[graft] def stageDataDir(spark: SparkSession, dir: String): String = {
+    val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0)
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    f"v$v%08d_data_$nonce" // the digits are cosmetic; nothing parses them
+  }
+
+  /** Publish a dir staged by [[stageDataDir]] (bytes already written)
+    * as the next OVERWRITE version: footer harvest + schema recording
+    * + atomic manifest commit — the post-write half of writeVersion.
+    * A lost version race surfaces (overwrite semantics). */
+  private[graft] def commitStagedOverwrite(spark: SparkSession, dir: String,
+                                           dataDir: String,
+                                           protocol: CommitProtocol = PutIfAbsentCommit): Int =
+    writeVersionCore(spark, dir, protocol, SaveMode.Overwrite, txn = None,
+      preWritten = Some(dataDir))(_ => ()).get
+
   /** The newest batch id `appId` has committed to `dir`, from manifest
     * bytes (None for a writer the table has never seen). */
   def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] =
@@ -323,7 +344,8 @@ object Versioned {
                                protocol: CommitProtocol, mode: SaveMode,
                                txn: Option[(String, Long)],
                                partitionBy: Option[StructType] = None,
-                               extraLines: Seq[Line] = Seq.empty)
+                               extraLines: Seq[Line] = Seq.empty,
+                               preWritten: Option[String] = None)
                               (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
@@ -362,10 +384,11 @@ object Versioned {
           s"${prevPart.getOrElse("none")} — overwrite to change the layout")
     }
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val dataDir = f"v$v%08d_data_$nonce"
+    val dataDir = preWritten.getOrElse(f"v$v%08d_data_$nonce")
     val dataPath = new Path(root, dataDir)
-    // data first (invisible until the manifest lands) …
-    write(dataPath.toString)
+    // data first (invisible until the manifest lands) — already on
+    // disk for a staged (ReplaceData) commit …
+    if (preWritten.isEmpty) write(dataPath.toString)
     // footer harvest of the new dir only: schema + stats
     val (dirSchema, harvested) = partitionBy match {
       case Some(ps) =>

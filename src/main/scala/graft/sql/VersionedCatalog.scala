@@ -265,12 +265,143 @@ private[sql] object VersionedDeletes {
   }
 }
 
+/** SQL `UPDATE` and `MERGE INTO` (and non-key `DELETE`) — the
+  * GROUP-BASED (copy-on-write) row-level operation seam, Delta's SQL
+  * surface completed: Spark's own rewrite rules read the table through
+  * the table's OWN scan (masked, skipped, pruned — the same plan SELECT
+  * gets), compute the replacement rows, and hand them to a
+  * [[ReplaceVersionWriteBuilder]] write that stages parquet via
+  * Spark's native DSv2 parquet writer into a nonce'd invisible dir
+  * and publishes it as one atomic OVERWRITE manifest commit. The
+  * "group" is the whole table (no runtime group filtering is
+  * declared), so ReplaceData's replace-what-you-scanned contract and
+  * the overwrite commit line up exactly; time travel to the
+  * pre-UPDATE state keeps working, a crashed rewrite leaves only an
+  * invisible orphan dir, and a lost version race surfaces like every
+  * overwrite.
+  *
+  * Composition with [[VersionedDeletes]]: Spark's optimizer still
+  * routes key-shaped DELETEs (`k = …`, `k IN (…)`) to the METADATA
+  * path — a deletion-vector commit, no data rewrite — and only
+  * non-key predicates fall through to this copy-on-write rewrite.
+  * Both are spec-pinned. */
+private[sql] trait VersionedRowOps
+  extends org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  this: Table with SupportsRead with VersionedDeletes =>
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      // the row-level scan must read the WHOLE group it replaces, and
+      // this store's group is the whole table — so the builder exposes
+      // NO pushdown surface. Spark pushes the rewrite's GROUP FILTER
+      // into this scan so unaffected groups can be skipped; accepting
+      // it here (the table's normal skipping builder would) drops
+      // every unaffected row from the scan, and the full-state
+      // overwrite commit would then LOSE them — measured, not
+      // hypothetical. The inner (masked, schema'd) scan still serves
+      // the bytes; it just sees no filters.
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          private val inner = VersionedRowOps.this.newScanBuilder(options)
+          override def build(): Scan = inner.build()
+        }
+      override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new ReplaceVersionWriteBuilder(vdSpark, vdDir, winfo)
+      override def description(): String = s"VersionedReplace[$vdDir]"
+    }
+}
+
+/** The ReplaceData write: Spark's own DSv2 parquet writer targets a
+  * staged dir claimed from the store ([[Versioned.stageDataDir]] —
+  * nonce'd, invisible, orphan-on-abort), and the batch commit
+  * publishes it as the next overwrite version (footer harvest +
+  * schema recording + atomic manifest commit). Distributed end to
+  * end: executors write parquet as for any DSv2 file write; only the
+  * manifest commit is driver-side. */
+private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
+                                              info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val staged = Versioned.stageDataDir(spark, dir)
+    val stagingPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), staged)
+    val delegate = VersionedSqlUtil.parquetTable(s"replace:$dir", spark,
+        CaseInsensitiveStringMap.empty(), Seq(stagingPath.toString),
+        Some(info.schema()))
+      .newWriteBuilder(info).build()
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val db = delegate.toBatch
+        // Spark's group-based rewrites hand the writer the RAW query
+        // rows — `__row_operation` first, table columns last — and
+        // only apply ReplaceDataProjections when the connector
+        // declared metadata columns (ReplaceDataExec.writingTask picks
+        // the plain task otherwise). Project to the declared write
+        // schema here, exactly as Spark's own projecting task would:
+        // suffix-aligned (the rewrite appends table columns in order),
+        // pass-through when widths already match (group-based DELETE).
+        override def createBatchWriterFactory(p: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.DataWriterFactory = {
+          val inner = db.createBatchWriterFactory(p)
+          val schema = info.schema()
+          new org.apache.spark.sql.connector.write.DataWriterFactory {
+            override def createWriter(partitionId: Int, taskId: Long)
+                : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+              val w = inner.createWriter(partitionId, taskId)
+              new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+                private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+                override def write(row: InternalRow): Unit =
+                  if (row.numFields == schema.length) w.write(row)
+                  else {
+                    if (proj == null) proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+                      schema, (row.numFields - schema.length) until row.numFields)
+                    proj.project(row)
+                    w.write(proj)
+                  }
+                override def commit(): WriterCommitMessage = w.commit()
+                override def abort(): Unit = w.abort()
+                override def close(): Unit = w.close()
+              }
+            }
+          }
+        }
+        override def useCommitCoordinator: Boolean = db.useCommitCoordinator
+        override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+          db.onDataWriterCommit(m)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          db.commit(messages)
+          // an all-rows-removed replacement writes no file: land the
+          // schema as one empty parquet so the harvest/read have it
+          val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(stagingPath) ||
+              !fs.listStatus(stagingPath).exists(_.getPath.getName.endsWith(".parquet")))
+            spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
+              .repartition(1).write.mode("overwrite").parquet(stagingPath.toString)
+          Versioned.commitStagedOverwrite(spark, dir, staged)
+          ()
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          db.abort(messages) // staged dir stays an invisible orphan
+      }
+    }
+  }
+}
+
 /** Tier-1 serving: Spark's native parquet v2 table, gated by manifest
   * data skipping — see [[SkippingScanBuilder]]. */
 private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  dir: String, v: Int, dataDirs: Seq[String],
                                  fullSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes
+    with VersionedRowOps {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
@@ -352,7 +483,8 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String)
   * catalog's load() for why the raw ParquetTable must not leak). */
 private[sql] class LegacyVersionedTable(inner: Table with SupportsRead,
                                         spark: SparkSession, dir: String)
-  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes
+    with VersionedRowOps {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
@@ -445,7 +577,8 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
                                  spark: SparkSession, dir: String)
-  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes
+    with VersionedRowOps {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir

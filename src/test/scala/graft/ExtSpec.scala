@@ -2599,26 +2599,69 @@ class ExtSpec extends AnyFunSuite {
     // type or the in-reader mask would never match — covered above
     // (IN (5,7,9) parses as ints, id is bigint)
 
-    // a range predicate is NOT a key mask: refused with the rewrite
-    // path named, at analysis (canDeleteWhere), not at write
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE price > 500.0")
-    }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(e).exists(m => m.toLowerCase.contains("delete")), chain(e).mkString("; "))
-    // multi-column conjunction refuses too
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE id = 1 AND price = 10.0")
-    }
-    // nothing committed by the refusals
-    assert(Versioned.latestVersion(spark, dir).contains(2))
+    // a range predicate is NOT a key mask: Spark routes it to the
+    // group-based COPY-ON-WRITE rewrite (VersionedRowOps) — a full
+    // replacement overwrite version, no deletion vector, and the
+    // rewrite read through the mask applies the prior dv physically
+    spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE price > 500.0")
+    assert(Versioned.latestVersion(spark, dir).contains(3))
+    assert(Versioned.versionInfo(spark, dir, 3).dvDirs.isEmpty,
+      "copy-on-write delete must not leave a deletion vector")
+    assert(spark.sql(s"SELECT id FROM graft_sd.`$dir`").as[Long].collect().toSet ==
+      (0L to 50L).toSet -- Set(5L, 7L, 9L, 11L))
+    // multi-column conjunction rewrites too
+    spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE id = 1 AND price = 10.0")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_sd.`$dir`").as[Long].head() == 46)
     // bare DELETE FROM = truncate: one EMPTY overwrite commit, schema
     // kept, history intact
     spark.sql(s"DELETE FROM graft_sd.`$dir`")
     assert(spark.sql(s"SELECT * FROM graft_sd.`$dir`").count() == 0)
-    assert(spark.sql(s"SELECT id FROM graft_sd.`$dir` VERSION AS OF 2").count() == 96)
+    assert(spark.sql(s"SELECT id FROM graft_sd.`$dir` VERSION AS OF 4").count() == 46)
     assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "price"))
+  }
+
+  test("SQL UPDATE and MERGE INTO: copy-on-write rewrites commit overwrite versions; dv applied physically; travel intact") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlrw").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 100).toDF("id")
+      .withColumn("price", $"id" * 10.0), dir)
+    spark.conf.set("spark.sql.catalog.graft_rw", "graft.sql.VersionedCatalog")
+    // UPDATE: Spark reads the table through its own scan, computes the
+    // per-row conditional replacement, and the write lands as ONE
+    // overwrite manifest commit
+    spark.sql(s"UPDATE graft_rw.`$dir` SET price = price + 1000 WHERE id < 10")
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    val got = spark.sql(s"SELECT id, price FROM graft_rw.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 100 && got(5L) == 1050.0 && got(50L) == 500.0, got(5L).toString)
+    // pre-UPDATE state still time-travels
+    assert(spark.sql(s"SELECT price FROM graft_rw.`$dir` VERSION AS OF 0 WHERE id = 5")
+      .as[Double].head() == 50.0)
+    // UPDATE through a dv mask: the rewrite reads MASKED rows only, so
+    // the mask applies physically and the dv chain drops
+    Versioned.deleteByKeys(spark, dir, Seq(99L).toDF("id"), "id")
+    spark.sql(s"UPDATE graft_rw.`$dir` SET price = 0.0 WHERE id = 98")
+    val vNow = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, vNow).dvDirs.isEmpty)
+    val after = spark.sql(s"SELECT id, price FROM graft_rw.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(after.size == 99 && !after.contains(99L) && after(98L) == 0.0)
+    // MERGE INTO: delete + update + insert clauses in one statement
+    spark.range(95, 105).toDF("id")
+      .withColumn("price", lit(1.0)).createOrReplaceTempView("graft_rw_src")
+    spark.sql(
+      s"""MERGE INTO graft_rw.`$dir` t USING graft_rw_src s ON t.id = s.id
+         |WHEN MATCHED AND t.id = 95 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET price = s.price
+         |WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, s.price)""".stripMargin)
+    val merged = spark.sql(s"SELECT id, price FROM graft_rw.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    // 99 rows - deleted 95 + inserted 99..104 (6) = 104; 96..98 updated
+    assert(merged.size == 104, merged.size.toString)
+    assert(!merged.contains(95L) && merged(96L) == 1.0 && merged(97L) == 1.0 &&
+      merged(99L) == 1.0 && merged(104L) == 1.0 && merged(50L) == 500.0)
+    // every rewrite is a plain version: full history walkable
+    assert(Versioned.versions(spark, dir).length == 5)
   }
 
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
