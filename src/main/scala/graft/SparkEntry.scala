@@ -128,11 +128,23 @@ object SparkEntry {
   private val recordedChangesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q122's fixture: all orders committed as ONE partitioned version
-    * (hive layout by status inside the commit's data dir, partition
-    * values recorded in the manifest as exact per-file bounds). */
+  /** q122/q127's fixture: all orders committed as ONE partitioned
+    * version (hive layout by status inside the commit's data dir,
+    * partition values recorded in the manifest as exact per-file
+    * bounds). Shared so the library read and the SQL tier serve the
+    * SAME chain. */
   private val partTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partFixture(s: SparkSession, d: String): String =
+    partTableCache.computeIfAbsent(d, { _ =>
+      val path = scratchPath("versioned_part", d)
+      Versioned.writeVersionPartitioned(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus").as("status")),
+        path, Seq("status"))
+      path
+    })
 
   /** q119's fixture: ONE commit whose data dir holds four
     * range-partitioned files (price quartiles) — dir-level min/max
@@ -1382,19 +1394,24 @@ object SparkEntry {
     // files don't even HOLD the status column (the manifest re-attaches
     // it), so the oracle's plain WHERE is also a schema check
     "q122_partitioned_versioned" -> { (s, d) =>
-      val tbl = partTableCache.computeIfAbsent(d, { _ =>
-        val path = scratchPath("versioned_part", d)
-        Versioned.writeVersionPartitioned(
-          Tables.orders(s, d).select(col("o_orderkey"),
-            round(col("o_totalprice"), 2).as("price"),
-            col("o_orderstatus").as("status")),
-          path, Seq("status"))
-        path
-      })
-      Versioned.readLatest(s, tbl)
+      Versioned.readLatest(s, partFixture(s, d))
         .filter(col("status") === "P" && col("price") > 100000)
         .select(col("o_orderkey"), col("status"), col("price"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // the SAME partitioned chain served over plain spark.sql: the
+    // catalog's partitioned tier plugs the manifest-backed
+    // partitioning index into Spark's native parquet scan — the
+    // partition filter prunes from manifest bytes, the files (which
+    // don't hold the status column) get their values re-attached by
+    // Spark's own reader, and the result must equal the library read
+    // and the plain-WHERE oracle
+    "q127_sql_partitioned" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = partFixture(s, d)
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` " +
+        "WHERE status = 'P' AND price > 100000.0 ORDER BY o_orderkey")
     },
 
     // native streaming SINK for the versioned store (Delta sink role):
@@ -3248,6 +3265,13 @@ object SparkEntry {
     // partition pruning + stats skipping are one-sided plan cuts; the
     // result is the plain WHERE over orders
     "q122_partitioned_versioned" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same chain, same predicate, same oracle as q122 — through SQL
+    "q127_sql_partitioned" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 100000.0

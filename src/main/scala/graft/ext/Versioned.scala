@@ -909,6 +909,26 @@ object Versioned {
       n => keepAbs.contains(new Path(new Path(dir), n).toString))
   }
 
+  /** The partition-aware manifest index of version `v`, for the SQL
+    * catalog's partitioned tier ([[ManifestPartitioningIndex]] —
+    * typed here because the manifest line model is package-private).
+    * Requires a partitioned manifest with full file lists (every
+    * commit from [[writeVersionPartitioned]]). */
+  private[graft] def manifestPartitioningIndex(spark: SparkSession, dir: String, v: Int)
+      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+    val ls = lines(spark, dir, v)
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $dir v$v"))
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(
+      throw new IllegalStateException(s"$dir v$v is not partitioned"))
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val entries = ls.collect { case DataEntry(n) => n }.map(n =>
+      stats.getOrElse(n, throw new IllegalStateException(
+        s"partitioned read at $dir needs manifest file lists — run backfillStats")))
+    new ManifestPartitioningIndex(spark, new Path(dir), schema,
+      StructType(partCols.map(c => schema(c))), entries)
+  }
+
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
@@ -1285,6 +1305,103 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
   override def toString: String =
     s"ManifestFileIndex[$tableDir, ${dirs.length} dirs, ${perDir.map(_._2.length).sum} files" +
       (if (partitionSchema.isEmpty) "]" else s", partitioned by ${partitionSchema.fieldNames.mkString(",")}]")
+}
+
+/** The PARTITIONED chains' DSv2 serving index: a
+  * [[org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]]
+  * whose partition spec, leaf files, and per-file statistics all come
+  * from MANIFEST BYTES — Spark's own partition-discovery machinery
+  * refuses this store's layout (sibling nonce'd roots each holding a
+  * hive subtree read as CONFLICTING_DIRECTORY_STRUCTURES), and a
+  * listing-based index would pay the metadata storm the manifest
+  * exists to avoid. Plugged straight into Spark's public
+  * `ParquetScanBuilder`, so the SQL tier gets the NATIVE partitioned
+  * scan — PartitionFilters pruning, vectorized read, row-group
+  * pushdown — planned with zero filesystem metadata calls, plus this
+  * store's per-file stats skipping layered on the pruned groups
+  * (one-sided as always: pushed filters are still evaluated by the
+  * scan). */
+private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Path,
+                                               fullSchema: StructType,
+                                               partSchema: StructType,
+                                               dirs: Seq[Versioned.StatsEntry])
+  extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
+    spark, Map.empty, Some(fullSchema),
+    org.apache.spark.sql.execution.datasources.NoopCache) {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.execution.datasources.{PartitionDirectory, PartitionPath, PartitionSpec}
+
+  // (absolute file path, status, per-file stats) from the manifest
+  private val fileEntries: Seq[(Path, org.apache.hadoop.fs.FileStatus, Versioned.FileStats)] =
+    dirs.flatMap { st =>
+      val dirPath = new Path(tableDir, st.name)
+      st.files.map { f =>
+        val p = new Path(dirPath, f.name)
+        (p, new org.apache.hadoop.fs.FileStatus(
+          f.bytes, false, 1, 128L * 1024 * 1024, 0L, p), f)
+      }
+    }
+
+  private val statsByPath: Map[Path, Versioned.FileStats] =
+    fileEntries.map(e => e._1 -> e._3).toMap
+
+  private def partRow(f: Versioned.FileStats): InternalRow =
+    InternalRow.fromSeq(partSchema.fields.map { pf =>
+      f.cols.get(pf.name).flatMap(_.min) match {
+        case Some(canon) => Skipping.canonicalToCatalyst(canon, pf.dataType)
+        case None        => null
+      }
+    }.toSeq)
+
+  override val partitionSpec: PartitionSpec = {
+    // one PartitionPath per LEAF DIR (several commits may hold the
+    // same partition value in distinct leaves — each is its own entry,
+    // exactly as discovery would produce)
+    val leaves = fileEntries.groupBy(_._1.getParent).toSeq
+      .sortBy(_._1.toString)
+      .map { case (leaf, files) => PartitionPath(partRow(files.head._3), leaf) }
+    PartitionSpec(partSchema, leaves)
+  }
+
+  override val leafFiles: scala.collection.mutable.LinkedHashMap[Path, org.apache.hadoop.fs.FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, org.apache.hadoop.fs.FileStatus]
+    fileEntries.foreach(e => m += (e._1 -> e._2))
+    m
+  }
+
+  override val leafDirToChildrenFiles: Map[Path, Array[org.apache.hadoop.fs.FileStatus]] =
+    fileEntries.groupBy(_._1.getParent)
+      .map { case (d, fs) => d -> fs.map(_._2).toArray }
+
+  override def rootPaths: Seq[Path] = Seq(tableDir)
+  override def refresh(): Unit = ()
+
+  /** Parent handles exact partition pruning; the per-file stats prune
+    * is layered on the survivors (same one-sided contract as
+    * [[ManifestFileIndex]]). */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val translated = dataFilters.flatMap(f =>
+      org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+    if (translated.isEmpty) base
+    else base.map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter { f =>
+        statsByPath.get(f.getPath) match {
+          case Some(fs) if fs.rows.nonEmpty =>
+            !translated.exists(flt =>
+              Skipping.excludes(fs.rows.get, fs.cols, fullSchema, flt))
+          case _ => true
+        }
+      })
+    }.filter(_.files.nonEmpty)
+  }
+
+  override def toString: String =
+    s"ManifestPartitioningIndex[$tableDir, ${dirs.length} dirs, ${fileEntries.length} files, " +
+      s"partitioned by ${partSchema.fieldNames.mkString(",")}]"
 }
 
 /** Manifest-level data skipping: harvest parquet-footer statistics at

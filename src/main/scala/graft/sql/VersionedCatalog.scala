@@ -111,17 +111,15 @@ class VersionedCatalog extends TableCatalog {
       case Some(schema) if info.partitionCols.nonEmpty =>
         // PARTITIONED chain: the files hold only data columns — the
         // partition values live in the per-commit hive subtrees and
-        // the manifest. Spark's ParquetTable cannot serve this (its
-        // partition discovery refuses sibling nonce'd roots:
-        // "conflicting directory structures"), and silently serving
-        // the data columns would DROP the partition columns. Refused
-        // with the working path named rather than served wrong; the
-        // library read (readVersion — manifest-served partition
-        // values, PartitionFilters pruning) is complete.
-        throw new UnsupportedOperationException(
-          s"$tableName is partitioned by ${info.partitionCols.mkString(",")}; the SQL " +
-            "catalog tier does not serve partitioned versioned chains yet — read via " +
-            "graft.ext.Versioned.readVersion / readLatest (full partition support)")
+        // the manifest. Spark's own discovery refuses this layout
+        // (sibling nonce'd roots → CONFLICTING_DIRECTORY_STRUCTURES),
+        // so the tier is served by the MANIFEST-BACKED partitioning
+        // index plugged into Spark's public ParquetScanBuilder: the
+        // native partitioned scan (PartitionFilters pruning,
+        // vectorized read, row-group pushdown) planned from manifest
+        // bytes, plus per-file stats skipping on the survivors.
+        new PartitionedVersionedTable(tableName, spark, dir, v, schema,
+          info.partitionCols)
       case Some(schema) =>
         new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema)
       case None =>
@@ -393,6 +391,38 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
       }
     }
   }
+}
+
+/** The PARTITIONED-chain tier: reads through Spark's own
+  * `ParquetScanBuilder` over the manifest-backed
+  * [[graft.ext.ManifestPartitioningIndex]] — native partition-pruned
+  * plans with zero listing. READ + key-DELETE surface: appends/
+  * overwrites through SQL are not offered (an unpartitioned INSERT
+  * onto a partitioned chain refuses at commit anyway; the library
+  * writer owns partitioned commits), and row-level rewrites are not
+  * offered because the copy-on-write replacement would silently
+  * DOWNGRADE the layout to unpartitioned — the library path
+  * (writeVersionPartitioned over the masked read) keeps it. */
+private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSession,
+                                             dir: String, v: Int,
+                                             fullSchema: StructType,
+                                             partCols: Seq[String])
+  extends Table with SupportsRead with VersionedDeletes {
+
+  override protected def vdSpark: SparkSession = spark
+  override protected def vdDir: String = dir
+  override protected def vdSchema: StructType = fullSchema
+
+  override def name(): String = tableName
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, Versioned.manifestPartitioningIndex(spark, dir, v), fullSchema,
+      StructType(fullSchema.fields.filterNot(f => partCols.contains(f.name))),
+      options)
 }
 
 /** Tier-1 serving: Spark's native parquet v2 table, gated by manifest

@@ -2565,16 +2565,25 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.readLatest(spark, dDir)
       .filter($"day" === java.sql.Date.valueOf("2024-02-01"))
       .select("id").as[Long].collect().toSeq == Seq(2L))
-    // the SQL catalog refuses partitioned chains HONESTLY (serving
-    // them through Spark's parquet table would drop the partition
-    // columns), naming the library read that works
+    // the SQL catalog serves partitioned chains through the
+    // manifest-backed partitioning index (Spark's own discovery
+    // refuses the sibling nonce'd roots): partition values re-attached,
+    // dv mask applied, time travel intact — all plain spark.sql
     spark.conf.set("spark.sql.catalog.graft_vp", "graft.sql.VersionedCatalog")
-    val eSql = intercept[Exception] {
-      spark.sql(s"SELECT id FROM graft_vp.`$dir`").collect()
-    }
-    def chain2(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain2(t.getCause)
-    assert(chain2(eSql).exists(_.contains("readVersion")), chain2(eSql).mkString("; "))
+    assert(spark.sql(s"SELECT id FROM graft_vp.`$dir` WHERE status = 'a'")
+      .as[Long].collect().toSet == Set(1L, 5L))
+    assert(spark.sql(s"SELECT id, status FROM graft_vp.`$dir`")
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a")), (3L, Some("b")), (4L, None), (5L, Some("a"))),
+      "SQL read must be dv-masked with partition values attached")
+    assert(spark.sql(s"SELECT id FROM graft_vp.`$dir` VERSION AS OF 0").count() == 4)
+    assert(spark.sql(s"SELECT id FROM graft_vp.`$dir` WHERE status IS NULL")
+      .as[Long].collect().toSeq == Seq(4L))
+    // the SQL plan prunes partitions from manifest bytes
+    val pf = spark.sql(s"SELECT id FROM graft_vp.`$dir` WHERE status = 'a'")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pf.contains("ManifestPartitioningIndex"), pf)
   }
 
   test("SQL DELETE: key predicates commit a deletion vector; range/multi-column refuse; bare DELETE truncates") {
