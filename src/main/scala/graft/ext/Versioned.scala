@@ -909,24 +909,28 @@ object Versioned {
       n => keepAbs.contains(new Path(new Path(dir), n).toString))
   }
 
-  /** The partition-aware manifest index of version `v`, for the SQL
-    * catalog's partitioned tier ([[ManifestPartitioningIndex]] —
-    * typed here because the manifest line model is package-private).
-    * Requires a partitioned manifest with full file lists (every
-    * commit from [[writeVersionPartitioned]]). */
+  /** The manifest-backed serving index of version `v` for the SQL
+    * catalog ([[ManifestPartitioningIndex]] — typed here because the
+    * manifest line model is package-private): partition spec (empty
+    * for unpartitioned chains), leaf files, and per-file stats all
+    * from manifest bytes. None when the manifest predates the
+    * file-list format (caller falls back to the listing tier until
+    * `backfillStats` upgrades the table); partitioned manifests always
+    * carry file lists, so a missing list there is an error. */
   private[graft] def manifestPartitioningIndex(spark: SparkSession, dir: String, v: Int)
-      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+      : Option[org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex] = {
     val ls = lines(spark, dir, v)
     val schema = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
       throw new IllegalStateException(s"no recorded schema at $dir v$v"))
-    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(
-      throw new IllegalStateException(s"$dir v$v is not partitioned"))
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
-    val entries = ls.collect { case DataEntry(n) => n }.map(n =>
-      stats.getOrElse(n, throw new IllegalStateException(
-        s"partitioned read at $dir needs manifest file lists — run backfillStats")))
-    new ManifestPartitioningIndex(spark, new Path(dir), schema,
-      StructType(partCols.map(c => schema(c))), entries)
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    if (!dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty))) {
+      if (partCols.nonEmpty) throw new IllegalStateException(
+        s"partitioned read at $dir needs manifest file lists — run backfillStats")
+      None
+    } else Some(new ManifestPartitioningIndex(spark, new Path(dir), schema,
+      StructType(partCols.map(c => schema(c))), dataDirs.map(stats)))
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -1375,6 +1379,13 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
 
   override def rootPaths: Seq[Path] = Seq(tableDir)
   override def refresh(): Unit = ()
+
+  /** The parent's allFiles() resolves children relative to ROOT paths
+    * — this store's files live under nonce'd data dirs below the
+    * root, so an unpartitioned (empty partition schema) listing would
+    * come back empty. The manifest inventory IS the answer. */
+  override def allFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+    fileEntries.map(_._2)
 
   /** Parent handles exact partition pruning; the per-file stats prune
     * is layered on the survivors (same one-sided contract as

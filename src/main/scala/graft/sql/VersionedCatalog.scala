@@ -420,7 +420,7 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, Versioned.manifestPartitioningIndex(spark, dir, v), fullSchema,
+      spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, fullSchema,
       StructType(fullSchema.fields.filterNot(f => partCols.contains(f.name))),
       options)
 }
@@ -442,8 +442,21 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   override def capabilities(): java.util.Set[TableCapability] =
     VersionedWrite.capabilities
 
+  // the manifest-backed index when the manifest carries file lists
+  // (every commit from this code): the native parquet scan planned
+  // with ZERO filesystem metadata calls, dir- AND per-FILE stats
+  // skipping applied to the pushed filters in the index's listFiles.
+  // Pre-file-list manifests fall back to the listing tier
+  // ([[SkippingScanBuilder]] — dir-level skipping, then a listed scan
+  // of the survivors) until backfillStats upgrades the table.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SkippingScanBuilder(spark, tableName, options, dir, v, dataDirs, fullSchema)
+    Versioned.manifestPartitioningIndex(spark, dir, v) match {
+      case Some(index) =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+          spark, index, fullSchema, fullSchema, options)
+      case None =>
+        new SkippingScanBuilder(spark, tableName, options, dir, v, dataDirs, fullSchema)
+    }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

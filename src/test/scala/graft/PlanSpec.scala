@@ -236,17 +236,29 @@ class PlanSpec extends AnyFunSuite {
     Versioned.writeVersion(batch(100, 200), dir, SaveMode.Append)
     Versioned.writeVersion(batch(200, 300), dir, SaveMode.Append)
     spark.conf.set("spark.sql.catalog.graft_vskip", "graft.sql.VersionedCatalog")
+    // planned FILES, post-pruning: the manifest-backed index applies
+    // dir/file stats skipping inside listFiles, so the honest measure
+    // is the scan's actual input partitions, not the index inventory
     def filesPlanned(sql: String): Int = {
       val df = spark.sql(sql)
       df.queryExecution.sparkPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.scan match {
             case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-              p.fileIndex.inputFiles.length
+              p.toBatch.planInputPartitions().map {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.length
+                case _ => 0
+              }.sum
           }
       }.sum
     }
-    // unfiltered: every dir's file is in the plan
+    // unfiltered: every dir's file is in the plan — and the plan is
+    // served by the MANIFEST-BACKED index (zero filesystem listing)
+    val sqlPlan = spark.sql(s"SELECT id FROM graft_vskip.`$dir`")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(sqlPlan.contains("ManifestPartitioningIndex"), sqlPlan)
     assert(filesPlanned(s"SELECT id FROM graft_vskip.`$dir`") == 3)
     // one conjunct proves two dirs empty from manifest stats alone —
     // BEFORE any listing: the scan's file index holds ONE file
