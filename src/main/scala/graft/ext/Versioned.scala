@@ -303,6 +303,51 @@ object Versioned {
     writeVersionCore(spark, dir, protocol, SaveMode.Overwrite, txn = None,
       preWritten = Some(dataDir))(_ => ()).get
 
+  /** The ATOMIC CTAS / RTAS commit (the StagingTableCatalog seam):
+    * publish a staged dir — bytes already written by the SQL insert,
+    * hive-laid-out when `partCols` is non-empty — as version 0
+    * (`fresh = true`, CREATE TABLE AS SELECT: a racing creator makes
+    * the v0 claim itself fail) or as the next overwrite version
+    * (`fresh = false`, REPLACE TABLE AS SELECT: the replace IS a
+    * version, so the pre-replace table still time-travels). A staged
+    * dir with no parquet content (empty CTAS result, REPLACE TABLE
+    * without a select) commits METADATA-ONLY: the declared schema and
+    * partition spec with zero data dirs — the same empty-table shape
+    * [[createTable]] commits. */
+  private[graft] def commitStagedTable(spark: SparkSession, dir: String,
+                                       stagedDir: String, declared: StructType,
+                                       partCols: Seq[String], fresh: Boolean,
+                                       protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    val stagedPath = new Path(root, stagedDir)
+    val hasContent = fs.exists(stagedPath) &&
+      CommitFiles.parquetUnder(spark, Seq(stagedPath.toString)).nonEmpty
+    if (hasContent) {
+      val partitionBy =
+        if (partCols.isEmpty) None
+        else Some(StructType(partCols.map(c => declared(c))))
+      writeVersionCore(spark, dir, protocol, SaveMode.Overwrite, txn = None,
+        partitionBy = partitionBy, preWritten = Some(stagedDir),
+        requireFresh = fresh)(_ => ()).get
+    } else if (fresh) {
+      createTable(spark, dir, declared, partCols, protocol)
+    } else {
+      // empty REPLACE over an existing chain: a metadata-only
+      // overwrite version — schema (and spec) kept, zero data dirs
+      val prev = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $dir to replace"))
+      val ordered =
+        if (partCols.isEmpty) declared
+        else StructType(declared.fields.filterNot(f => partCols.contains(f.name)) ++
+          partCols.map(c => declared(c)))
+      val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
+        (if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols)))
+      val v = prev + 1
+      commitManifest(spark, dir, v, ls.map(renderLine), protocol)
+      v
+    }
+  }
+
   /** The newest batch id `appId` has committed to `dir`, from manifest
     * bytes (None for a writer the table has never seen). */
   def lastCommittedBatch(spark: SparkSession, dir: String, appId: String): Option[Long] =
@@ -345,12 +390,19 @@ object Versioned {
                                txn: Option[(String, Long)],
                                partitionBy: Option[StructType] = None,
                                extraLines: Seq[Line] = Seq.empty,
-                               preWritten: Option[String] = None)
+                               preWritten: Option[String] = None,
+                               requireFresh: Boolean = false)
                               (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
     val (fs, root) = fsFor(spark, dir)
     val prev = latestVersion(spark, dir)
+    // an atomic-CREATE commit (staged CTAS): the table must still not
+    // exist. This check is advisory; the real guard is the manifest
+    // claim below — v is 0 here, so a racing creator's v0 makes the
+    // put-if-absent itself fail
+    if (requireFresh) require(prev.isEmpty,
+      s"table $dir was created concurrently — retry as REPLACE, or drop it")
     val v = prev.map(_ + 1).getOrElse(0)
     // a streaming sink's first batch may CREATE the table; a plain
     // library Append to a non-existent table stays an error (it
@@ -1118,6 +1170,16 @@ object Versioned {
     withCommitRetry(maxAttempts)(() =>
       writeVersion(df, dir, SaveMode.Append, protocol))
 
+  /** Multi-writer [[writeVersionPartitioned]] append — same
+    * commutative-append retry contract as [[appendVersionWithRetry]],
+    * for the partitioned chains (the SQL INSERT INTO path). */
+  def appendVersionPartitionedWithRetry(df: DataFrame, dir: String,
+                                        partCols: Seq[String],
+                                        protocol: CommitProtocol = PutIfAbsentCommit,
+                                        maxAttempts: Int = 16): Int =
+    withCommitRetry(maxAttempts)(() =>
+      writeVersionPartitioned(df, dir, partCols, SaveMode.Append, protocol))
+
   /** Multi-writer [[deleteByKeys]] — key-masking commutes with
     * concurrent appends and other key deletes, so the same bounded
     * retry applies. */
@@ -1139,6 +1201,145 @@ object Versioned {
     val next = latestVersion(spark, dir).get + 1
     commitManifest(spark, dir, next, raw, protocol)
     next
+  }
+
+  // ───────────── SQL DDL: table lifecycle as manifest commits ─────────────
+
+  /** `CREATE TABLE`'s role for the versioned store: commit version 0
+    * as a METADATA-ONLY manifest — recorded schema (and partition
+    * spec), zero data dirs — so the canonical SQL flow (CREATE TABLE,
+    * then INSERT INTO) works without seeding a dummy write through
+    * the library first. Reads of the empty version serve the empty
+    * relation with the schema intact ([[readVersion]]'s zero-dir
+    * case); the first INSERT is an ordinary append commit. Creation
+    * is the same put-if-absent claim as every commit, so of two
+    * racing CREATEs exactly one wins and the loser surfaces.
+    * `partCols` (recorded LAST in the schema — the partitioned read
+    * order) make the chain partitioned from birth: every append must
+    * match the spec, and partition-column filters prune from manifest
+    * bytes as on any partitioned chain. Returns the committed
+    * version (always 0). */
+  def createTable(spark: SparkSession, dir: String, schema: StructType,
+                  partCols: Seq[String] = Seq.empty,
+                  protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(schema.fields.nonEmpty, "cannot create a table with no columns")
+    require(latestVersion(spark, dir).isEmpty,
+      s"table $dir already exists (has committed versions)")
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
+      require(Skipping.partitionableType(schema(c).dataType),
+        s"partition column '$c' has type ${schema(c).dataType} — hive-path-exact " +
+          "types only (string/int/long/short/byte/date/boolean)")
+    }
+    require(partCols.isEmpty || partCols.length < schema.fields.length,
+      "a table cannot be partitioned by every column")
+    val ordered =
+      if (partCols.isEmpty) schema
+      else StructType(schema.fields.filterNot(f => partCols.contains(f.name)) ++
+        partCols.map(c => schema(c)))
+    val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
+      (if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols)))
+    commitManifest(spark, dir, 0, ls.map(renderLine), protocol)
+    0
+  }
+
+  /** `DROP TABLE`'s role: delete the chain ROOT — manifests, data and
+    * dv dirs, recorded feeds, and any orphans. Guarded: only a dir
+    * that IS a versioned chain (has at least one committed manifest)
+    * is touched — false for anything else, so a mistyped path can
+    * never delete foreign content. Irreversible by design: this is
+    * the one lifecycle operation that cannot commit a version,
+    * because it removes the manifests a version would live in. */
+  def dropTableChain(spark: SparkSession, dir: String): Boolean = {
+    val (fs, root) = fsFor(spark, dir)
+    versions(spark, dir).nonEmpty && fs.delete(root, true)
+  }
+
+  /** Shared shape of the metadata-only schema commits: replace the
+    * recorded schema, carry every other manifest line forward
+    * unchanged (data dirs, stats, dvs, txn watermarks, partition
+    * spec), commit as the next version — so a schema change is
+    * itself history: time travel to the pre-ALTER version serves the
+    * pre-ALTER schema. */
+  private def commitSchemaChange(spark: SparkSession, dir: String,
+                                 protocol: CommitProtocol)
+                                (change: (StructType, Seq[Line]) => StructType): Int = {
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    // pre-schema manifests: derive the union once — the ALTER commit
+    // then records it, upgrading the table in place like any commit
+    val prior = ls.collectFirst { case SchemaEntry(s) => s }
+      .getOrElse(schemaOf(spark, dir, prev))
+    val next = asNullable(change(prior, ls))
+    val v = prev + 1
+    commitManifest(spark, dir, v,
+      (SchemaEntry(next) +: ls.filterNot(_.isInstanceOf[SchemaEntry])).map(renderLine),
+      protocol)
+    v
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS`'s role: a METADATA-ONLY commit that
+    * widens the recorded schema — no data file is touched, existing
+    * files simply lack the new columns and the recorded-schema read
+    * null-backfills them (exactly how an evolving APPEND already
+    * behaves; this is the same union, declared ahead of data).
+    * Columns land after the existing data columns and BEFORE the
+    * partition columns, preserving the partitioned read order.
+    *
+    * Name-addressed parquet caveat (the trade Delta makes in its
+    * pre-column-mapping mode, which this store follows): re-adding a
+    * previously DROPPED name resurrects values still present in live
+    * files — with the SAME type that is well-defined (the drop was
+    * metadata-only too); with a DIFFERENT type the read fails on
+    * those files. Add under a fresh name to start clean. */
+  def addColumns(spark: SparkSession, dir: String, cols: Seq[StructField],
+                 protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(cols.nonEmpty, "no columns to add")
+    commitSchemaChange(spark, dir, protocol) { (prior, ls) =>
+      val lower = prior.fieldNames.map(_.toLowerCase).toSet
+      cols.foreach(f => require(!lower.contains(f.name.toLowerCase),
+        s"column '${f.name}' already exists"))
+      require(cols.map(_.name.toLowerCase).distinct.length == cols.length,
+        s"duplicate names in ${cols.map(_.name).mkString(",")}")
+      val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+      val (dataF, partF) = prior.fields.partition(f => !partCols.contains(f.name))
+      StructType(dataF ++ cols ++ partF)
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN`'s role: a METADATA-ONLY commit that
+    * narrows the recorded schema. The bytes stay in the files (every
+    * version is immutable); the recorded-schema read simply stops
+    * projecting them, and the pre-ALTER version still serves the
+    * column under time travel. Refused for partition columns (the
+    * layout is keyed on them) and for deletion-vector key columns
+    * (the mask could no longer be evaluated). For ERASURE semantics
+    * a metadata drop is not enough — rewrite via
+    * `writeVersion(readLatest(dir).drop(col), dir)` and prune. */
+  def dropColumns(spark: SparkSession, dir: String, names: Seq[String],
+                  protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(names.nonEmpty, "no columns to drop")
+    commitSchemaChange(spark, dir, protocol) { (prior, ls) =>
+      val resolved = names.map { n =>
+        prior.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$n' in ${prior.fieldNames.mkString(",")}"))
+      }
+      val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+      val dvKeys = ls.collect { case DvEntry(k, _) => k }.toSet
+      resolved.foreach { n =>
+        require(!partCols.contains(n), s"cannot drop partition column '$n'")
+        require(!dvKeys.contains(n),
+          s"cannot drop '$n': it keys a live deletion vector — compact or " +
+            "overwrite to apply the mask physically first")
+      }
+      val dropSet = resolved.toSet
+      val kept = prior.fields.filterNot(f => dropSet.contains(f.name))
+      require(kept.nonEmpty, "cannot drop every column")
+      StructType(kept)
+    }
   }
 
   case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String],

@@ -56,7 +56,7 @@ import graft.ext.Versioned
   * invisible orphan dir. DDL (create/alter/drop) stays with the
   * library, which owns table lifecycle.
   */
-class VersionedCatalog extends TableCatalog {
+class VersionedCatalog extends TableCatalog with StagingTableCatalog {
   private var catName: String = "versioned"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -139,19 +139,204 @@ class VersionedCatalog extends TableCatalog {
     else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir)
   }
 
-  private def readOnly(): Nothing = throw new UnsupportedOperationException(
-    s"catalog '$catName' serves existing versioned tables; create/alter/drop " +
-      "through graft.ext.Versioned / graft.gold.Upsert, whose commit protocols own crash safety")
+  /** Identity partition transforms → partition column names; anything
+    * else (bucket, days, …) refuses — the store's layout is
+    * hive-by-value on plain columns. */
+  private def partColsOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames match {
+          case Array(n) => n
+          case nested => throw new UnsupportedOperationException(
+            s"cannot partition by nested field ${nested.mkString(".")}")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"versioned tables partition by plain columns only (hive-by-value); got $other")
+    }
 
+  /** `CREATE TABLE` — version 0 as a metadata-only manifest commit
+    * ([[Versioned.createTable]]): recorded schema (and partition
+    * spec), zero data dirs, so CREATE-then-INSERT is the whole SQL
+    * flow. `PARTITIONED BY (col, …)` makes the chain partitioned from
+    * birth. Table properties are not stored (the manifest is the
+    * whole catalog state) — any are refused rather than dropped. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = readOnly()
+                           properties: java.util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val dir = pathOf(ident)
+    requireNoProperties(properties)
+    if (Versioned.latestVersion(spark, dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    Versioned.createTable(spark, dir, schema, partColsOf(partitions))
+    load(ident, None)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
+  /** `ALTER TABLE … ADD COLUMNS / DROP COLUMN` — METADATA-ONLY
+    * manifest commits ([[Versioned.addColumns]]/[[Versioned.dropColumns]]):
+    * no data file is touched, the ALTER is itself a version (time
+    * travel to the pre-ALTER schema keeps working), and existing
+    * files null-backfill added columns on read. Everything else
+    * (rename, type change, comments, properties) refuses with the
+    * honest alternative: renames and type changes need a rewrite in a
+    * name-addressed parquet store, not a metadata edit. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val dir = pathOf(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"cannot add nested field ${add.fieldNames.mkString(".")} — top-level columns only")
+        if (add.position() != null) throw new UnsupportedOperationException(
+          "FIRST/AFTER positions are not supported — new columns land after the " +
+            "existing data columns (before any partition columns)")
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          "added columns must be nullable: existing files have no values for them")
+        Versioned.addColumns(spark, dir, Seq(
+          org.apache.spark.sql.types.StructField(add.fieldNames.head, add.dataType,
+            nullable = true)))
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"cannot drop nested field ${del.fieldNames.mkString(".")} — top-level columns only")
+        try Versioned.dropColumns(spark, dir, Seq(del.fieldNames.head))
+        catch {
+          case e: IllegalArgumentException
+            if del.ifExists != null && del.ifExists.booleanValue() &&
+              e.getMessage != null && e.getMessage.contains("no column") => ()
+        }
+      case other => throw new UnsupportedOperationException(
+        s"versioned ALTER TABLE supports ADD COLUMNS and DROP COLUMN only; got $other. " +
+          "Renames and type changes rewrite instead: REPLACE TABLE … AS SELECT")
+    }
+    load(ident, None)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE` — deletes the chain root ([[Versioned.dropTableChain]]);
+    * false (no such table) for a dir that is not a versioned chain. */
+  override def dropTable(ident: Identifier): Boolean =
+    Versioned.dropTableChain(SparkSession.active, pathOf(ident))
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' addresses tables BY PATH — renaming is moving the " +
+        "chain directory, which the storage layer owns")
+
+  private def requireNoProperties(properties: java.util.Map[String, String]): Unit = {
+    // Spark stamps reserved bookkeeping props (owner, provider) on
+    // every CREATE; anything user-set would be silently lost by a
+    // store whose manifest is the whole catalog state — refuse it
+    val foreign = new java.util.HashMap[String, String](properties)
+    foreign.remove(TableCatalog.PROP_OWNER)
+    foreign.remove(TableCatalog.PROP_PROVIDER)
+    foreign.remove(TableCatalog.PROP_LOCATION)
+    foreign.remove(TableCatalog.PROP_EXTERNAL)
+    foreign.remove(TableCatalog.PROP_COMMENT)
+    if (!foreign.isEmpty) throw new UnsupportedOperationException(
+      s"versioned tables store no table properties; got ${foreign.keySet()}")
+  }
+
+  // ── atomic CTAS / RTAS: the StagingTableCatalog seam ──
+  // The SQL insert writes parquet into a nonce'd INVISIBLE dir claimed
+  // from the store, and commitStagedChanges publishes it as ONE
+  // manifest commit — version 0 for CREATE AS SELECT (a racing
+  // creator makes the v0 claim fail), the next overwrite version for
+  // REPLACE AS SELECT (the replace is history: the pre-replace table
+  // still time-travels). A crashed or aborted CTAS leaves only an
+  // invisible orphan for pruneVersions — never a half-created table.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    val spark = SparkSession.active
+    requireNoProperties(properties)
+    if (Versioned.latestVersion(spark, pathOf(ident)).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    new VersionedStagedTable(spark, pathOf(ident), schema,
+      partColsOf(partitions), fresh = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    val spark = SparkSession.active
+    requireNoProperties(properties)
+    if (Versioned.latestVersion(spark, pathOf(ident)).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new VersionedStagedTable(spark, pathOf(ident), schema,
+      partColsOf(partitions), fresh = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable = {
+    val spark = SparkSession.active
+    requireNoProperties(properties)
+    new VersionedStagedTable(spark, pathOf(ident), schema, partColsOf(partitions),
+      fresh = Versioned.latestVersion(spark, pathOf(ident)).isEmpty)
+  }
+}
+
+/** One staged CTAS/RTAS target: the write lands in a claimed
+  * invisible dir (hive-laid-out for a partitioned create), and
+  * commit publishes it atomically through [[Versioned.commitStagedTable]]
+  * — which also handles the zero-row result as a metadata-only
+  * commit. Abort just deletes the staged dir (it was never visible). */
+private[sql] class VersionedStagedTable(spark: SparkSession, dir: String,
+                                        declared: StructType, partCols: Seq[String],
+                                        fresh: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  private val staged = Versioned.stageDataDir(spark, dir)
+  private def stagedPath = new org.apache.hadoop.fs.Path(
+    new org.apache.hadoop.fs.Path(dir), staged)
+
+  override def name(): String = s"staged:$dir"
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_READ, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // the CTAS/RTAS insert arrives as overwrite-by-AlwaysTrue; the
+      // staged dir is empty by construction, so "truncate" is the
+      // same write (a selective filter would be a partial replace of
+      // a table that does not exist yet — refuse)
+      override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        require(canOverwrite(filters),
+          s"staged CTAS write is whole-state only; got ${filters.mkString(", ")}")
+        this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                val w = data.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+                (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+                  .parquet(stagedPath.toString)
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    Versioned.commitStagedTable(spark, dir, staged, declared, partCols, fresh)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = stagedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagedPath, true)
+    ()
+  }
 }
 
 private[sql] object VersionedSqlUtil {
@@ -396,18 +581,19 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
 /** The PARTITIONED-chain tier: reads through Spark's own
   * `ParquetScanBuilder` over the manifest-backed
   * [[graft.ext.ManifestPartitioningIndex]] — native partition-pruned
-  * plans with zero listing. READ + key-DELETE surface: appends/
-  * overwrites through SQL are not offered (an unpartitioned INSERT
-  * onto a partitioned chain refuses at commit anyway; the library
-  * writer owns partitioned commits), and row-level rewrites are not
-  * offered because the copy-on-write replacement would silently
-  * DOWNGRADE the layout to unpartitioned — the library path
-  * (writeVersionPartitioned over the masked read) keeps it. */
+  * plans with zero listing. READ + INSERT + key-DELETE surface:
+  * `INSERT INTO` appends a hive-laid-out commit matching the
+  * recorded spec (commutative OCC append), `INSERT OVERWRITE`
+  * replaces state with a fresh partitioned version. Row-level
+  * rewrites (UPDATE/MERGE) are not offered because the copy-on-write
+  * replacement would silently DOWNGRADE the layout to unpartitioned
+  * — the library path (writeVersionPartitioned over the masked read)
+  * keeps it. */
 private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSession,
                                              dir: String, v: Int,
                                              fullSchema: StructType,
                                              partCols: Seq[String])
-  extends Table with SupportsRead with VersionedDeletes {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
@@ -415,14 +601,21 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    VersionedWrite.capabilities
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
       spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, fullSchema,
       StructType(fullSchema.fields.filterNot(f => partCols.contains(f.name))),
       options)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VersionedWriteBuilder(spark, dir, partCols)
 }
 
 /** Tier-1 serving: Spark's native parquet v2 table, gated by manifest
@@ -481,7 +674,8 @@ private[sql] object VersionedWrite {
       TableCapability.OVERWRITE_BY_FILTER)
 }
 
-private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String)
+private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
+                                         partCols: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -511,10 +705,15 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String)
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
                               overwriteFlag: Boolean): Unit = {
-            if (overwrite || overwriteFlag)
-              Versioned.writeVersion(data, dir, org.apache.spark.sql.SaveMode.Overwrite)
-            else
-              Versioned.appendVersionWithRetry(data, dir)
+            (overwrite || overwriteFlag, partCols.isEmpty) match {
+              case (true, true)   =>
+                Versioned.writeVersion(data, dir, org.apache.spark.sql.SaveMode.Overwrite)
+              case (false, true)  => Versioned.appendVersionWithRetry(data, dir)
+              case (true, false)  =>
+                Versioned.writeVersionPartitioned(data, dir, partCols)
+              case (false, false) =>
+                Versioned.appendVersionPartitionedWithRetry(data, dir, partCols)
+            }
             ()
           }
         }

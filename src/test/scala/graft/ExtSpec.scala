@@ -2688,4 +2688,128 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.planDataDirs(spark, dir, v2,
       Seq(org.apache.spark.sql.sources.EqualTo("id", 5L))).isEmpty)
   }
+
+  test("SQL DDL lifecycle: CREATE / INSERT / ALTER ADD+DROP / DROP, every step a manifest commit") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlddl").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_ddl", "graft.sql.VersionedCatalog")
+    // CREATE TABLE = a metadata-only v0: schema recorded, zero data
+    // dirs, the empty relation serves with the schema intact
+    spark.sql(s"CREATE TABLE graft_ddl.`$dir` (id BIGINT, price DOUBLE)")
+    assert(Versioned.latestVersion(spark, dir).contains(0))
+    val empty = spark.sql(s"SELECT * FROM graft_ddl.`$dir`")
+    assert(empty.columns.toSeq == Seq("id", "price") && empty.count() == 0)
+    // re-create refuses; IF NOT EXISTS is a no-op
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE graft_ddl.`$dir` (id BIGINT)")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft_ddl.`$dir` (id BIGINT)")
+    assert(Versioned.latestVersion(spark, dir).contains(0))
+    // first INSERT is an ordinary append commit onto the empty v0
+    spark.sql(s"INSERT INTO graft_ddl.`$dir` VALUES (1, 10.0), (2, 20.0)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_ddl.`$dir`").as[Long].head() == 2)
+    // ALTER ADD: metadata-only; existing files null-backfill
+    spark.sql(s"ALTER TABLE graft_ddl.`$dir` ADD COLUMNS (note STRING)")
+    val widened = spark.sql(s"SELECT id, note FROM graft_ddl.`$dir` ORDER BY id")
+      .as[(Long, Option[String])].collect()
+    assert(widened.toSeq == Seq((1L, None), (2L, None)))
+    // pre-ALTER version still serves the narrow schema
+    assert(spark.sql(s"SELECT * FROM graft_ddl.`$dir` VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "price"))
+    spark.sql(s"INSERT INTO graft_ddl.`$dir` VALUES (3, 30.0, 'hi')")
+    // ALTER DROP: metadata-only; time travel keeps the column
+    spark.sql(s"ALTER TABLE graft_ddl.`$dir` DROP COLUMN price")
+    assert(spark.sql(s"SELECT * FROM graft_ddl.`$dir`").columns.toSeq == Seq("id", "note"))
+    assert(spark.sql(s"SELECT price FROM graft_ddl.`$dir` VERSION AS OF 3 WHERE id = 1")
+      .as[Double].head() == 10.0)
+    // the refusal surface names the alternative
+    val rn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_ddl.`$dir` RENAME COLUMN note TO comment") }
+    assert(rn.getMessage.contains("REPLACE TABLE"), rn.getMessage)
+    // dv-key columns cannot be metadata-dropped
+    spark.sql(s"DELETE FROM graft_ddl.`$dir` WHERE id = 2")
+    val dv = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_ddl.`$dir` DROP COLUMN id") }
+    assert(dv.getMessage.contains("deletion vector"), dv.getMessage)
+    // DROP TABLE deletes the chain root; a non-chain path refuses
+    spark.sql(s"DROP TABLE graft_ddl.`$dir`")
+    assert(Versioned.latestVersion(spark, dir).isEmpty)
+    assert(!Versioned.dropTableChain(spark, dir))
+  }
+
+  test("SQL CTAS / RTAS: atomic staged commits; replace is a version; empty result commits metadata-only") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctas").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_ct", "graft.sql.VersionedCatalog")
+    spark.range(0, 10).toDF("id").withColumn("price", $"id" * 2.0)
+      .createOrReplaceTempView("graft_ct_src")
+    // CTAS: one atomic commit — schema + data land as v0
+    spark.sql(s"CREATE TABLE graft_ct.`$dir` AS SELECT * FROM graft_ct_src WHERE id < 5")
+    assert(Versioned.latestVersion(spark, dir).contains(0))
+    assert(spark.sql(s"SELECT id FROM graft_ct.`$dir`").as[Long].collect().toSet ==
+      (0L until 5L).toSet)
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE graft_ct.`$dir` AS SELECT * FROM graft_ct_src")
+    }
+    // RTAS: the replace IS a version — v0 still time-travels
+    spark.sql(s"CREATE OR REPLACE TABLE graft_ct.`$dir` AS " +
+      "SELECT id, price FROM graft_ct_src WHERE id >= 5")
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    assert(spark.sql(s"SELECT id FROM graft_ct.`$dir`").as[Long].collect().toSet ==
+      (5L until 10L).toSet)
+    assert(spark.sql(s"SELECT id FROM graft_ct.`$dir` VERSION AS OF 0")
+      .as[Long].collect().toSet == (0L until 5L).toSet)
+    // REPLACE of a non-existent table refuses at analysis
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ctas2").toString + "/t"
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft_ct.`$dir2` AS SELECT * FROM graft_ct_src") }
+    // an empty CTAS result still creates the table: metadata-only v0
+    spark.sql(s"CREATE TABLE graft_ct.`$dir2` AS SELECT * FROM graft_ct_src WHERE id < 0")
+    val e = spark.sql(s"SELECT * FROM graft_ct.`$dir2`")
+    assert(e.columns.toSeq == Seq("id", "price") && e.count() == 0)
+    // and INSERT INTO the empty table appends normally
+    spark.sql(s"INSERT INTO graft_ct.`$dir2` VALUES (99, 1.0)")
+    assert(spark.sql(s"SELECT id FROM graft_ct.`$dir2`").as[Long].head() == 99L)
+  }
+
+  test("SQL partitioned DDL: CREATE PARTITIONED BY + INSERT; appends match the spec; partition column undropppable") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlpart").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_pd", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_pd.`$dir` (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    // the chain is partitioned from birth: recorded spec, schema with
+    // partition columns last
+    assert(Versioned.versionInfo(spark, dir, 0).partitionCols == Seq("cat"))
+    spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (3, 'a')")
+    assert(spark.sql(s"SELECT id FROM graft_pd.`$dir` WHERE cat = 'a'")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    // INSERT OVERWRITE replaces state, stays partitioned
+    spark.sql(s"INSERT OVERWRITE graft_pd.`$dir` VALUES (7, 'c'), (8, 'd')")
+    assert(Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).partitionCols == Seq("cat"))
+    assert(spark.sql(s"SELECT id FROM graft_pd.`$dir`").as[Long].collect().toSet ==
+      Set(7L, 8L))
+    // library read agrees (partition values re-attached from manifest)
+    assert(Versioned.readLatest(spark, dir).select("cat").as[String].collect().toSet ==
+      Set("c", "d"))
+    // partition columns cannot be metadata-dropped
+    val pc = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_pd.`$dir` DROP COLUMN cat") }
+    assert(pc.getMessage.contains("partition column"), pc.getMessage)
+    // ALTER ADD keeps partition columns LAST in the recorded order
+    spark.sql(s"ALTER TABLE graft_pd.`$dir` ADD COLUMNS (note STRING)")
+    assert(spark.sql(s"SELECT * FROM graft_pd.`$dir`").columns.toSeq ==
+      Seq("id", "note", "cat"))
+    // partitioned CTAS: spec + data in one atomic commit
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_sqlpart3").toString + "/t"
+    spark.range(0, 6).toDF("id")
+      .withColumn("cat", when($"id" % 2 === 0, "even").otherwise("odd"))
+      .createOrReplaceTempView("graft_pd_src")
+    spark.sql(s"CREATE TABLE graft_pd.`$dir3` PARTITIONED BY (cat) AS " +
+      "SELECT * FROM graft_pd_src")
+    assert(Versioned.versionInfo(spark, dir3, 0).partitionCols == Seq("cat"))
+    assert(spark.sql(s"SELECT id FROM graft_pd.`$dir3` WHERE cat = 'even'")
+      .as[Long].collect().toSet == Set(0L, 2L, 4L))
+  }
 }
