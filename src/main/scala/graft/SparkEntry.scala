@@ -1477,6 +1477,108 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // the SQL DDL lifecycle end to end (the surface Delta users get
+    // from their metastore): CREATE TABLE commits a metadata-only v0
+    // (schema, zero data dirs), INSERT INTO appends onto it, ALTER
+    // ADD COLUMNS widens the recorded schema without touching a file
+    // (old rows null-backfill), a second evolving INSERT lands the
+    // wider rows, and ALTER DROP COLUMN narrows metadata-only (the
+    // pre-ALTER versions still time-travel). DROP TABLE first makes
+    // the pass idempotent — every statement here is a manifest commit
+    "q128_sql_ddl" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_ddl", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      s.sql(s"CREATE TABLE versioned.`$tbl` (o_orderkey BIGINT, status STRING, price DOUBLE)")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q128")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q128 WHERE o_orderstatus = 'F'")
+      s.sql(s"ALTER TABLE versioned.`$tbl` ADD COLUMNS (priority STRING)")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2), o_orderpriority " +
+        "FROM orders_q128 WHERE o_orderstatus = 'P'")
+      s.sql(s"ALTER TABLE versioned.`$tbl` DROP COLUMN price")
+      s.sql(s"SELECT o_orderkey, status, priority FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // atomic CTAS + RTAS through the StagingTableCatalog seam: each
+    // is ONE manifest commit (a crashed CTAS leaves only an invisible
+    // orphan), and the replace is itself a version — the result reads
+    // the post-replace state AND the original CTAS state via VERSION
+    // AS OF 0 in one query
+    "q129_sql_ctas" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_ctas", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q129")
+      s.sql(s"CREATE TABLE versioned.`$tbl` AS " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price " +
+        "FROM orders_q129 WHERE o_orderstatus = 'F'")
+      s.sql(s"CREATE OR REPLACE TABLE versioned.`$tbl` AS " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) + 1000.0 AS price " +
+        "FROM orders_q129 WHERE o_orderstatus = 'P'")
+      s.sql(
+        s"""SELECT o_orderkey, price, 'current' AS src FROM versioned.`$tbl`
+           |UNION ALL
+           |SELECT o_orderkey, price, 'v0' AS src FROM versioned.`$tbl` VERSION AS OF 0
+           |ORDER BY src, o_orderkey""".stripMargin)
+    },
+
+    // SQL maintenance via DSv2 stored procedures (Delta's OPTIMIZE /
+    // VACUUM / RESTORE surface as CALL): a dv chain built by three
+    // key DELETEs is merged by compact_dv, zorder applies the mask
+    // physically in a Morton-ordered rewrite, and vacuum bounds the
+    // chain — all from SQL, each CALL returning its outcome row. The
+    // read-back is the plain complement of the deleted keys
+    "q130_sql_call" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_call", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q130")
+      s.sql(s"CREATE TABLE versioned.`$tbl` AS " +
+        "SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price " +
+        "FROM orders_q130 WHERE o_orderstatus = 'F'")
+      // three deletes -> three dv dirs (the chain compact_dv bounds)
+      val keys = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 190000)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+      keys.grouped(math.max(1, (keys.length + 2) / 3)).foreach { g =>
+        if (g.nonEmpty)
+          s.sql(s"DELETE FROM versioned.`$tbl` WHERE o_orderkey IN (${g.mkString(", ")})")
+      }
+      val merged = s.sql(s"CALL versioned.system.compact_dv(table => '$tbl')")
+        .collect().head
+      assert(keys.length < 2 || !merged.isNullAt(0), "compact_dv must merge the dv chain")
+      // zorder rewrite: mask applied physically, tight per-file stats
+      s.sql(s"CALL versioned.system.zorder('$tbl', 'o_orderkey', 'price', 4)")
+      s.sql(s"CALL versioned.system.vacuum(table => '$tbl', keep_last => 2, " +
+        "orphan_min_age_ms => 0)")
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
+    // the chain is partitioned from birth (metadata-only v0 records
+    // the spec), appends land hive-laid-out matching it, and the
+    // filtered read partition-prunes from manifest bytes (q127 reads
+    // a library-written chain; this one never touches the library)
+    "q131_sql_create_partitioned" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_create_part", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q131")
+      s.sql(s"CREATE TABLE versioned.`$tbl` " +
+        "(o_orderkey BIGINT, price DOUBLE, status STRING) PARTITIONED BY (status)")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus " +
+        "FROM orders_q131 WHERE o_orderstatus <> 'P'")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus " +
+        "FROM orders_q131 WHERE o_orderstatus = 'P'")
+      s.sql(s"SELECT o_orderkey, price FROM versioned.`$tbl` " +
+        "WHERE status = 'P' AND price > 120000.0 ORDER BY o_orderkey")
+    },
+
     // SQL UPDATE through the catalog (the other half of Delta's SQL
     // write surface): the group-based copy-on-write seam — Spark
     // reads the table through its own scan, computes the per-row
@@ -3290,6 +3392,44 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderstatus = 'F' AND NOT (o_totalprice > 180000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the DDL lifecycle's data story replayed in plain SQL: narrow F
+    // rows null-backfill the added column, wide P rows carry it, and
+    // the final DROP COLUMN removes price from both
+    "q128_sql_ddl" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
+        |FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // current = the RTAS select; v0 = the original CTAS select —
+    // the replace must not have destroyed the history
+    "q129_sql_ctas" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) + 1000.0 AS price, 'current' AS src
+        |FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, 'v0' AS src
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY src, o_orderkey""".stripMargin,
+
+    // compact_dv / zorder / vacuum are cost moves, never semantic
+    // ones: the read-back is the plain complement of the deleted keys
+    "q130_sql_call" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND NOT (o_totalprice > 190000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the SQL-created partitioned chain serves the same rows the
+    // plain predicate selects
+    "q131_sql_create_partitioned" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'P' AND ROUND(o_totalprice, 2) > 120000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // version-diff CDF: each change class derived directly; untouched

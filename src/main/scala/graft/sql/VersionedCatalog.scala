@@ -56,7 +56,8 @@ import graft.ext.Versioned
   * invisible orphan dir. DDL (create/alter/drop) stays with the
   * library, which owns table lifecycle.
   */
-class VersionedCatalog extends TableCatalog with StagingTableCatalog {
+class VersionedCatalog extends TableCatalog with StagingTableCatalog
+    with ProcedureCatalog {
   private var catName: String = "versioned"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -138,6 +139,19 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog {
     if (info.dvDirs.isEmpty) base
     else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir)
   }
+
+  /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
+    * (Delta's OPTIMIZE/VACUUM/RESTORE role), served through Spark 4's
+    * DSv2 stored-procedure seam. See [[VersionedProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    VersionedProcedures.load(ident).getOrElse(
+      throw new RuntimeException(
+        s"no procedure ${ident.namespace().mkString(".")}.${ident.name()} — " +
+          s"have: ${VersionedProcedures.list(Array("system")).map(_.name()).mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    VersionedProcedures.list(namespace)
 
   /** Identity partition transforms → partition column names; anything
     * else (bucket, days, …) refuses — the store's layout is

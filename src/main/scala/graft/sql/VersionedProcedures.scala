@@ -1,0 +1,164 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ext.{Maintenance, ManifestStore, Versioned}
+
+/** The SQL maintenance surface of the versioned store — Delta serves
+  * OPTIMIZE / VACUUM / RESTORE as SQL; Spark 4's DSv2 stored-procedure
+  * seam (`CALL cat.system.proc(...)`, SPARK-44167) is where a custom
+  * catalog serves the same role:
+  *
+  * {{{
+  *   CALL versioned.system.vacuum(table => '/path/t', keep_last => 3)
+  *   CALL versioned.system.zorder('/path/t', 'l_partkey', 'l_suppkey', 8)
+  *   CALL versioned.system.restore('/path/t', 2)
+  * }}}
+  *
+  * Every procedure wraps the corresponding library maintenance entry
+  * point verbatim — same commit protocol, same retry semantics, same
+  * refusals — and returns its result as one row, so SQL-only
+  * operators can run the whole housekeeping story (and read the
+  * outcome) without the Scala API. Procedures are declared
+  * non-deterministic: each CALL is a state transition (usually a new
+  * manifest commit), never a cacheable expression. */
+private[sql] object VersionedProcedures {
+
+  private val SYSTEM = Seq("system")
+
+  def load(ident: Identifier): Option[UnboundProcedure] =
+    if (ident.namespace().toSeq != SYSTEM) None
+    else registry.get(ident.name())
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq != SYSTEM && namespace.nonEmpty) Array.empty
+    else registry.keys.toArray.sorted.map(n => Identifier.of(SYSTEM.toArray, n))
+
+  // ── the registry ──
+
+  private lazy val registry: Map[String, UnboundProcedure] = Seq(
+    proc("compact_dv",
+      "merge a delete-heavy chain's deletion-vector dirs into one per key column",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Versioned.compactDeletionVectors(spark, args.str(0)).map(Int.box).orNull))),
+
+    proc("vacuum",
+      "drop all but the newest keep_last versions, reclaim unreferenced dirs (age-guarded)",
+      params = Seq(in("table", StringType), in("keep_last", IntegerType),
+        inDefault("orphan_min_age_ms", LongType, (15 * 60 * 1000L).toString)),
+      out = StructType(Seq(StructField("versions_dropped", IntegerType),
+        StructField("dirs_deleted", IntegerType),
+        StructField("dirs_skipped_young", IntegerType))))(
+      (spark, args) => {
+        val st = Versioned.pruneVersions(spark, args.str(0), args.int(1), args.long(2))
+        Seq(row(Int.box(st.versionsDropped.length), Int.box(st.dirsDeleted.length),
+          Int.box(st.dirsSkippedYoung.length)))
+      }),
+
+    proc("zorder",
+      "commit a Morton-ordered rewrite of the latest state (tight per-file stats rectangles on both columns)",
+      params = Seq(in("table", StringType), in("col_a", StringType),
+        in("col_b", StringType), in("n_files", IntegerType),
+        inDefault("bits", IntegerType, "16")),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Int.box(Maintenance.zorderVersioned(
+        spark, args.str(0), args.str(1), args.str(2), args.int(3), args.int(4)))))),
+
+    proc("restore",
+      "commit an old version's manifest as the newest version (no data copied; the restore is itself undoable)",
+      params = Seq(in("table", StringType), in("version", IntegerType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Int.box(
+        Versioned.restoreVersion(spark, args.str(0), args.int(1)))))),
+
+    proc("backfill_stats",
+      "one footer sweep upgrading pre-stats / pre-file-list manifests to the skipping read path",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Versioned.backfillStats(spark, args.str(0)).map(Int.box).orNull))),
+
+    proc("compact_files",
+      "rewrite the latest state into ~target_file_bytes files (one overwrite commit)",
+      params = Seq(in("table", StringType),
+        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString)),
+      out = StructType(Seq(StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType),
+        StructField("bytes", LongType))))(
+      (spark, args) => {
+        val st = Maintenance.compact(spark, args.str(0), args.long(1),
+          store = ManifestStore.conditionalPut)
+        Seq(row(Int.box(st.filesBefore), Int.box(st.filesAfter), Long.box(st.totalBytes)))
+      }),
+
+    proc("maintain",
+      "routine maintenance in one call: dv compaction, then retention",
+      params = Seq(in("table", StringType), in("keep_last", IntegerType),
+        inDefault("orphan_min_age_ms", LongType, (15 * 60 * 1000L).toString),
+        inDefault("backfill", BooleanType, "false")),
+      out = StructType(Seq(StructField("dv_compacted_version", IntegerType),
+        StructField("versions_dropped", IntegerType),
+        StructField("dirs_deleted", IntegerType))))(
+      (spark, args) => {
+        val st = Maintenance.maintainVersioned(spark, args.str(0), args.int(1),
+          args.long(2), backfillStats = args.bool(3))
+        Seq(row(st.dvCompactedVersion.map(Int.box).orNull,
+          Int.box(st.prune.versionsDropped.length),
+          Int.box(st.prune.dirsDeleted.length)))
+      })
+  ).map(p => p.name() -> p).toMap
+
+  // ── plumbing ──
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(name: String, dt: DataType, sql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+
+  private def row(values: Any*): InternalRow = InternalRow.fromSeq(values.map {
+    case s: String => UTF8String.fromString(s)
+    case other     => other
+  })
+
+  /** Typed accessors over the analyzer-coerced argument row. */
+  private implicit class Args(val r: InternalRow) {
+    def str(i: Int): String = {
+      require(!r.isNullAt(i), s"argument $i must not be null")
+      r.getUTF8String(i).toString
+    }
+    def int(i: Int): Int = r.getInt(i)
+    def long(i: Int): Long = r.getLong(i)
+    def bool(i: Int): Boolean = r.getBoolean(i)
+  }
+
+  private def proc(procName: String, desc: String,
+                   params: Seq[ProcedureParameter], out: StructType)
+                  (body: (SparkSession, InternalRow) => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val result = body(SparkSession.active, input).toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = result
+            override def readSchema(): StructType = out
+            override def description(): String = s"CALL $procName"
+          }).iterator()
+        }
+      }
+    }
+}

@@ -2812,4 +2812,46 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT id FROM graft_pd.`$dir3` WHERE cat = 'even'")
       .as[Long].collect().toSet == Set(0L, 2L, 4L))
   }
+
+  test("SQL CALL procedures: compact_dv / zorder / restore / vacuum / maintain wrap the library maintenance verbatim") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlcall").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_pr", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(spark.range(0, 100).toDF("id")
+      .withColumn("k", $"id" % 10), dir)
+    // three deletes → three dv dirs; CALL compact_dv merges to one
+    Seq(1L, 2L, 3L).foreach(k =>
+      Versioned.deleteByKeys(spark, dir, Seq(k).toDF("id"), "id"))
+    assert(Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).dvDirs.head._2.length == 3)
+    val cv = spark.sql(s"CALL graft_pr.system.compact_dv(table => '$dir')")
+    assert(cv.columns.toSeq == Seq("version") && cv.as[Int].head() == 4)
+    assert(Versioned.versionInfo(spark, dir, 4).dvDirs.head._2.length == 1)
+    // idempotent second call returns NULL (nothing to merge)
+    assert(spark.sql(s"CALL graft_pr.system.compact_dv('$dir')")
+      .as[Option[Int]].head().isEmpty)
+    // zorder commits a rewrite; the mask applied physically on the way
+    val zv = spark.sql(
+      s"CALL graft_pr.system.zorder('$dir', 'id', 'k', 2)").as[Int].head()
+    assert(Versioned.versionInfo(spark, dir, zv).dvDirs.isEmpty)
+    assert(Versioned.readLatest(spark, dir).count() == 97)
+    // restore: back to the pre-delete state as a NEW version
+    val rv = spark.sql(s"CALL graft_pr.system.restore('$dir', 0)").as[Int].head()
+    assert(rv == zv + 1 && Versioned.readLatest(spark, dir).count() == 100)
+    // vacuum through SQL: retention drops expired manifests
+    val pruned = spark.sql(s"CALL graft_pr.system.vacuum(table => '$dir', " +
+      "keep_last => 2, orphan_min_age_ms => 0)").collect().head
+    assert(pruned.getInt(0) == rv - 1, pruned.toString) // dropped all but 2
+    assert(Versioned.versions(spark, dir) == Seq(rv - 1, rv))
+    // maintain = compact_dv + retention in one call
+    val m = spark.sql(s"CALL graft_pr.system.maintain('$dir', 1)").collect().head
+    assert(m.isNullAt(0) && m.getInt(1) == 1, m.toString)
+    // unknown procedure refuses at load (Spark wraps it as
+    // FAILED_TO_LOAD_ROUTINE; our cause names the available set)
+    val bad = intercept[Exception] { spark.sql(s"CALL graft_pr.system.nope('$dir')") }
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
+    assert(Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("compact_dv")),
+      "cause chain should name the available procedures")
+  }
 }
