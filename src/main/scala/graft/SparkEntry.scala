@@ -1557,6 +1557,39 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // enforced CHECK constraints (Delta CHECK-constraint role): the
+    // inline CREATE constraint and the ALTER-added one are validated
+    // on every write at BOTH seams — Spark's analyzer injects
+    // CheckInvariant into the SQL insert plan (the table reports its
+    // constraints via DSv2), and the store validates the staged dir
+    // before the manifest commit. The violating INSERT here fails in
+    // the write job and leaves only an invisible orphan (no version);
+    // the read-back is exactly the two valid slices
+    "q132_sql_constraints" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_constraints", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q132")
+      s.sql(s"CREATE TABLE versioned.`$tbl` (o_orderkey BIGINT, status STRING, " +
+        "price DOUBLE, CONSTRAINT price_pos CHECK (price > 0.0))")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q132 WHERE o_orderstatus = 'F'")
+      s.sql(s"ALTER TABLE versioned.`$tbl` ADD CONSTRAINT price_cap " +
+        "CHECK (price < 1e9)")
+      val refused = try {
+        s.sql(s"INSERT INTO versioned.`$tbl` " +
+          "SELECT o_orderkey, o_orderstatus, -ROUND(o_totalprice, 2) " +
+          "FROM orders_q132 WHERE o_orderstatus = 'P'")
+        false
+      } catch { case _: Exception => true }
+      assert(refused, "a violating INSERT must refuse")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q132 WHERE o_orderstatus = 'P'")
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3422,6 +3455,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderstatus = 'F' AND NOT (o_totalprice > 190000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // constraints gate writes, never reads: the surviving state is
+    // exactly the two valid slices (the violating insert left nothing)
+    "q132_sql_constraints" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |ORDER BY o_orderkey""".stripMargin,
 
     // the SQL-created partitioned chain serves the same rows the

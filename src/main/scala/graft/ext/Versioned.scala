@@ -154,6 +154,16 @@ object Versioned {
     * `changes:<vFrom>:<vTo>:<k1,k2>:<dirName>`. */
   private final case class ChangesEntry(vFrom: Int, vTo: Int, keys: Seq[String],
                                         name: String) extends Line
+  /** An enforced CHECK constraint (Delta CHECK-constraint role):
+    * `constraint:<name>:<predicateSql>`. SQL semantics — a row
+    * violates only when the predicate evaluates FALSE (NULL passes).
+    * Constraints ride every commit (append AND overwrite: they are
+    * table definition, not data), every WRITE validates its new dir
+    * against them before the manifest commit, and Spark's own
+    * analyzer additionally enforces them plan-side on SQL writes
+    * (the table reports them via DSv2 `Table.constraints()`). */
+  private final case class ConstraintEntry(name: String, predicateSql: String) extends Line
+
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -194,6 +204,12 @@ object Versioned {
       require(parts.length == 4, s"malformed change-feed manifest line: $line")
       ChangesEntry(parts(0).toInt, parts(1).toInt,
         parts(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq, parts(3))
+    } else if (line.startsWith("constraint:")) {
+      val rest = line.drop(11)
+      val i = rest.indexOf(':')
+      require(i > 0 && i < rest.length - 1,
+        s"malformed constraint manifest line: $line")
+      ConstraintEntry(rest.substring(0, i), rest.substring(i + 1))
     } else if (line.startsWith("partition:")) {
       PartitionEntry(line.drop(10).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     } else if (line.startsWith("txn:")) {
@@ -210,8 +226,41 @@ object Versioned {
       DvEntry(rest.substring(0, i), rest.substring(i + 1))
     } else DataEntry(line)
 
-  private def lines(spark: SparkSession, dir: String, v: Int): Seq[Line] =
-    readManifest(spark, dir, v).map(parseLine)
+  /** Parsed-manifest LRU cache. Sound because a committed manifest is
+    * IMMUTABLE: the put-if-absent claim is its only writer, restore
+    * commits a NEW version, and only prune/drop ever delete one (both
+    * evict). The cost this removes is real at scale — one SQL read
+    * consults the manifest several times (load → versionInfo →
+    * serving index), and with per-file stats at 10⁶ files a manifest
+    * is tens of MB whose parse should happen once per JVM, not once
+    * per plan step. Entry-count bounded (newest versions of a few hot
+    * tables is the working set; a pathological many-table driver just
+    * re-parses, which is the uncached status quo). */
+  private val manifestCacheMax = 64
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[Line]](manifestCacheMax * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[Line]]): Boolean =
+        size() > manifestCacheMax
+    }
+
+  private def lines(spark: SparkSession, dir: String, v: Int): Seq[Line] = {
+    val key = manifestPath(dir, v).toString
+    manifestCache.synchronized(Option(manifestCache.get(key))) match {
+      case Some(cached) => cached
+      case None =>
+        val parsed = readManifest(spark, dir, v).map(parseLine)
+        manifestCache.synchronized(manifestCache.put(key, parsed))
+        parsed
+    }
+  }
+
+  /** Drop cached parses for versions that no longer exist ([[pruneVersions]],
+    * [[dropTableChain]]) — serving a deleted manifest from cache would
+    * resurrect a pruned version's file list. */
+  private def evictManifestCache(dir: String, vs: Iterable[Int]): Unit =
+    manifestCache.synchronized {
+      vs.foreach(v => manifestCache.remove(manifestPath(dir, v).toString))
+    }
 
   private def renderLine(l: Line): String = l match {
     case DataEntry(n)      => n
@@ -219,6 +268,7 @@ object Versioned {
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
+    case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
     case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
@@ -460,6 +510,38 @@ object Versioned {
       case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchema)
       case _                          => dirSchema
     }
+    // enforced CHECK constraints: validate the JUST-WRITTEN dir before
+    // the commit — O(delta), one combined job in the passing case; a
+    // violation deletes the still-invisible dir and refuses, so a bad
+    // write never becomes a version. SQL writes are additionally
+    // refused plan-side by Spark's own CheckInvariant injection (the
+    // catalog reports the constraints); this is the uniform backstop
+    // every library path shares. NULL predicate results PASS (the SQL
+    // CHECK contract). Read under the union schema so a constraint on
+    // a column this commit's files lack evaluates over nulls.
+    val activeConstraints = prev.toSeq.flatMap(p =>
+      lines(spark, dir, p).collect { case c: ConstraintEntry => c })
+    if (activeConstraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      def violates(c: ConstraintEntry) =
+        not(coalesce(expr(c.predicateSql), lit(true)))
+      val staged = spark.read.schema(newSchema).parquet(dataPath.toString)
+      if (!staged.filter(activeConstraints.map(violates).reduce(_ || _)).isEmpty) {
+        val culprit = activeConstraints.find(c =>
+          !staged.filter(violates(c)).isEmpty).get
+        if (preWritten.isEmpty) fs.delete(dataPath, true)
+        throw new IllegalArgumentException(
+          s"write to $dir violates CHECK constraint '${culprit.name}' " +
+            s"(${culprit.predicateSql}); nothing was committed")
+      }
+    }
+    // constraints are table DEFINITION, not data: an overwrite
+    // replaces the rows but keeps the contract (appends carry them
+    // inside prevLines below)
+    val carriedConstraints = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(_)) => activeConstraints
+      case _ => Seq.empty
+    }
     val prevLines = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => lines(spark, dir, p).filterNot {
         case _: SchemaEntry => true
@@ -473,7 +555,8 @@ object Versioned {
     }
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
-        prevLines ++ txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
+        prevLines ++ carriedConstraints ++
+        txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
         DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
     // … then the atomic manifest commit publishes it
     commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
@@ -1221,10 +1304,13 @@ object Versioned {
     * version (always 0). */
   def createTable(spark: SparkSession, dir: String, schema: StructType,
                   partCols: Seq[String] = Seq.empty,
-                  protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+                  protocol: CommitProtocol = PutIfAbsentCommit,
+                  constraints: Seq[(String, String)] = Seq.empty): Int = {
     require(schema.fields.nonEmpty, "cannot create a table with no columns")
     require(latestVersion(spark, dir).isEmpty,
       s"table $dir already exists (has committed versions)")
+    constraints.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be word-shaped, got '$n'") }
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1239,7 +1325,8 @@ object Versioned {
       else StructType(schema.fields.filterNot(f => partCols.contains(f.name)) ++
         partCols.map(c => schema(c)))
     val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
-      (if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols)))
+      ((if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols))) ++
+        constraints.map { case (n, sql) => ConstraintEntry(n, sql) })
     commitManifest(spark, dir, 0, ls.map(renderLine), protocol)
     0
   }
@@ -1253,7 +1340,9 @@ object Versioned {
     * because it removes the manifests a version would live in. */
   def dropTableChain(spark: SparkSession, dir: String): Boolean = {
     val (fs, root) = fsFor(spark, dir)
-    versions(spark, dir).nonEmpty && fs.delete(root, true)
+    val vs = versions(spark, dir)
+    evictManifestCache(dir, vs) // a re-created table must not serve the old parse
+    vs.nonEmpty && fs.delete(root, true)
   }
 
   /** Shared shape of the metadata-only schema commits: replace the
@@ -1329,16 +1418,85 @@ object Versioned {
       }
       val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
       val dvKeys = ls.collect { case DvEntry(k, _) => k }.toSet
+      // columns a CHECK constraint reads are load-bearing too: the
+      // write-time validation could no longer evaluate the predicate
+      val constraintRefs = ls.collect { case ConstraintEntry(cn, sql) =>
+        cn -> spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.toSet
+      }
       resolved.foreach { n =>
         require(!partCols.contains(n), s"cannot drop partition column '$n'")
         require(!dvKeys.contains(n),
           s"cannot drop '$n': it keys a live deletion vector — compact or " +
             "overwrite to apply the mask physically first")
+        constraintRefs.find(_._2.contains(n.toLowerCase)).foreach { case (cn, _) =>
+          throw new IllegalArgumentException(
+            s"cannot drop '$n': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
+        }
       }
       val dropSet = resolved.toSet
       val kept = prior.fields.filterNot(f => dropSet.contains(f.name))
       require(kept.nonEmpty, "cannot drop every column")
       StructType(kept)
+    }
+  }
+
+  /** The enforced CHECK constraints of a version, as (name,
+    * predicateSql) in manifest order. */
+  def checkConstraints(spark: SparkSession, dir: String, v: Int): Seq[(String, String)] =
+    lines(spark, dir, v).collect { case ConstraintEntry(n, s) => (n, s) }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`'s role (Delta
+    * CHECK constraints): validate that EVERY existing row satisfies
+    * the predicate (one scan of the current masked state — a
+    * constraint that the data already violates refuses, Delta's
+    * contract), then commit the constraint as a METADATA-ONLY
+    * version. From then on every write — library or SQL — validates
+    * its new rows before committing ([[writeVersionCore]]'s
+    * backstop), and the SQL catalog reports the constraint through
+    * DSv2 `Table.constraints()` so Spark's analyzer also refuses
+    * violating INSERTs plan-side. NULL predicate results PASS (SQL
+    * CHECK semantics). */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+                         predicateSql: String,
+                         protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be word-shaped (it is embedded in the manifest), got '$name'")
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    require(!ls.exists { case ConstraintEntry(n, _) => n.equalsIgnoreCase(name); case _ => false },
+      s"constraint '$name' already exists")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val violating = readVersion(spark, dir, prev)
+      .filter(not(coalesce(expr(predicateSql), lit(true))))
+    require(violating.isEmpty,
+      s"cannot add CHECK constraint '$name' ($predicateSql): existing rows violate it " +
+        s"— e.g. ${violating.head()}")
+    val v = prev + 1
+    commitManifest(spark, dir, v,
+      (ls :+ ConstraintEntry(name, predicateSql)).map(renderLine), protocol)
+    v
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT`'s role: metadata-only removal.
+    * Returns the new version, or None when no such constraint exists
+    * (the caller decides whether that is an error — IF EXISTS). */
+  def dropCheckConstraint(spark: SparkSession, dir: String, name: String,
+                          protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] = {
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    if (!ls.exists { case ConstraintEntry(n, _) => n.equalsIgnoreCase(name); case _ => false }) None
+    else {
+      val v = prev + 1
+      commitManifest(spark, dir, v, ls.filterNot {
+        case ConstraintEntry(n, _) => n.equalsIgnoreCase(name)
+        case _ => false
+      }.map(renderLine), protocol)
+      Some(v)
     }
   }
 
@@ -1384,6 +1542,7 @@ object Versioned {
     // manifests holding the references are deleted
     val droppedRefs = drop.flatMap(dirNames).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    evictManifestCache(dir, drop)
     val now = System.currentTimeMillis()
     val candidates = fs.listStatus(root)
       .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv|changes)(_[0-9a-f]{8})?""") &&

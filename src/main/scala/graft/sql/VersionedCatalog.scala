@@ -65,6 +65,12 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catName
 
+  /** The analyzer refuses constraint DDL against catalogs that do not
+    * declare support — this store enforces CHECK constraints at both
+    * the plan seam and the commit. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** Tables are paths; there is no namespace to enumerate. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
@@ -134,10 +140,10 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
         // writes through the manifest commit like every other tier.
         new LegacyVersionedTable(VersionedSqlUtil.parquetTable(tableName, spark,
           new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
-          info.dataDirs, None), spark, dir)
+          info.dataDirs, None), spark, dir, v)
     }
     if (info.dvDirs.isEmpty) base
-    else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir)
+    else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir, v)
   }
 
   /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
@@ -176,13 +182,39 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     * whole catalog state) — any are refused rather than dropped. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
+                           properties: java.util.Map[String, String]): Table =
+    createWithConstraints(ident, schema, partitions, properties, Seq.empty)
+
+  /** The [[TableInfo]] form is the one that carries inline
+    * constraints (`CREATE TABLE t (…, CONSTRAINT c CHECK (…))`) —
+    * the default chain would silently DROP them on the way down to
+    * the StructType form. */
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createWithConstraints(ident, info.schema(), info.partitions(),
+      info.properties(), checksOf(info.constraints()))
+
+  private def checksOf(cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Seq[(String, String)] =
+    cs.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        (c.name(), Option(c.predicateSql()).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CHECK constraint '${c.name()}' carries no SQL predicate")))
+      case other => throw new UnsupportedOperationException(
+        s"only enforced CHECK constraints are supported; got ${other.toDDL}")
+    }
+
+  private def createWithConstraints(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String],
+                                    checks: Seq[(String, String)]): Table = {
     val spark = SparkSession.active
     val dir = pathOf(ident)
     requireNoProperties(properties)
     if (Versioned.latestVersion(spark, dir).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    Versioned.createTable(spark, dir, schema, partColsOf(partitions))
+    Versioned.createTable(spark, dir, schema, partColsOf(partitions),
+      constraints = checks)
     load(ident, None)
   }
 
@@ -218,8 +250,25 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
             if del.ifExists != null && del.ifExists.booleanValue() &&
               e.getMessage != null && e.getMessage.contains("no column") => ()
         }
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          Versioned.addCheckConstraint(spark, dir, c.name(),
+            Option(c.predicateSql()).getOrElse(throw new UnsupportedOperationException(
+              s"CHECK constraint '${c.name()}' carries no SQL predicate")))
+        case other => throw new UnsupportedOperationException(
+          s"only enforced CHECK constraints are supported (this store has no " +
+            s"unique/key indexes to back ${other.toDDL}); use the dedup operators " +
+            "for key discipline")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (Versioned.dropCheckConstraint(spark, dir, dc.name()).isEmpty && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"no CHECK constraint '${dc.name()}' on $dir " +
+              s"(have: ${Versioned.checkConstraints(spark, dir,
+                Versioned.latestVersion(spark, dir).get).map(_._1).mkString(", ")})")
       case other => throw new UnsupportedOperationException(
-        s"versioned ALTER TABLE supports ADD COLUMNS and DROP COLUMN only; got $other. " +
+        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, and ADD/DROP " +
+          s"CONSTRAINT … CHECK only; got $other. " +
           "Renames and type changes rewrite instead: REPLACE TABLE … AS SELECT")
     }
     load(ident, None)
@@ -257,6 +306,32 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
   // REPLACE AS SELECT (the replace is history: the pre-replace table
   // still time-travels). A crashed or aborted CTAS leaves only an
   // invisible orphan for pruneVersions — never a half-created table.
+
+  // the TableInfo forms refuse inline constraints rather than let the
+  // default chain silently drop them: a CTAS's rows were never
+  // validated against the constraint — CREATE with the constraint,
+  // then INSERT (validated), or ALTER … ADD CONSTRAINT after (which
+  // validates the existing rows)
+  private def noCtasConstraints(info: TableInfo): Unit =
+    if (info.constraints().nonEmpty) throw new UnsupportedOperationException(
+      "CREATE TABLE … AS SELECT with constraints is not supported: create the " +
+        "table with the constraint and INSERT (each insert validates), or add the " +
+        "constraint after the CTAS (ALTER validates the existing rows)")
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    noCtasConstraints(info)
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    noCtasConstraints(info)
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    noCtasConstraints(info)
+    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
+  }
 
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -426,6 +501,27 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
           s"key mask); got ${filters.mkString(", ")} — rewrite instead: INSERT " +
           "OVERWRITE the filtered read")
     }
+}
+
+/** Reports the version's enforced CHECK constraints through DSv2
+  * `Table.constraints()` — Spark's own `ResolveTableConstraints` then
+  * injects plan-side enforcement into every SQL write against the
+  * table (a violating INSERT fails in the write job, before the
+  * store's commit-time backstop even runs). Constraints are read from
+  * the loaded version's manifest: what you travel to is what was
+  * contractually true then. */
+private[sql] trait ReportsCheckConstraints extends Table { this: VersionedDeletes =>
+  protected def vcVersion: Int
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    Versioned.checkConstraints(vdSpark, vdDir, vcVersion).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .rely(true)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 }
 
 private[sql] object VersionedDeletes {
@@ -607,11 +703,13 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
                                              dir: String, v: Int,
                                              fullSchema: StructType,
                                              partCols: Seq[String])
-  extends Table with SupportsRead with SupportsWrite with VersionedDeletes {
+  extends Table with SupportsRead with SupportsWrite with VersionedDeletes
+    with ReportsCheckConstraints {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = fullSchema
+  override protected def vcVersion: Int = v
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
@@ -638,11 +736,12 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  dir: String, v: Int, dataDirs: Seq[String],
                                  fullSchema: StructType)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps {
+    with VersionedRowOps with ReportsCheckConstraints {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = fullSchema
+  override protected def vcVersion: Int = v
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
@@ -738,13 +837,14 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
   * parquet table; writes route through the manifest commit (see the
   * catalog's load() for why the raw ParquetTable must not leak). */
 private[sql] class LegacyVersionedTable(inner: Table with SupportsRead,
-                                        spark: SparkSession, dir: String)
+                                        spark: SparkSession, dir: String, v: Int)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps {
+    with VersionedRowOps with ReportsCheckConstraints {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = inner.schema()
+  override protected def vcVersion: Int = v
 
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
@@ -832,13 +932,14 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
 private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
-                                 spark: SparkSession, dir: String)
+                                 spark: SparkSession, dir: String, v: Int)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps {
+    with VersionedRowOps with ReportsCheckConstraints {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = fullSchema
+  override protected def vcVersion: Int = v
 
   override def name(): String = inner.name()
   override def schema(): StructType = fullSchema

@@ -2813,6 +2813,111 @@ class ExtSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(0L, 2L, 4L))
   }
 
+  test("CHECK constraints (library): add validates existing rows; every write validates its delta; overwrite keeps the contract; NULL passes") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_constraint").toString + "/t"
+    Versioned.writeVersion(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), dir)
+    // adding a constraint the data violates refuses (nothing committed)
+    val bad = intercept[IllegalArgumentException] {
+      Versioned.addCheckConstraint(spark, dir, "price_big", "price > 15.0") }
+    assert(bad.getMessage.contains("existing rows violate"), bad.getMessage)
+    assert(Versioned.latestVersion(spark, dir).contains(0))
+    // a satisfiable one commits metadata-only
+    val v1 = Versioned.addCheckConstraint(spark, dir, "price_pos", "price > 0.0")
+    assert(v1 == 1 && Versioned.checkConstraints(spark, dir, 1) ==
+      Seq(("price_pos", "price > 0.0")))
+    // a violating append refuses BEFORE the commit; no version, no orphan visible
+    val viol = intercept[IllegalArgumentException] {
+      Versioned.writeVersion(Seq((3L, -1.0)).toDF("id", "price"), dir,
+        org.apache.spark.sql.SaveMode.Append) }
+    assert(viol.getMessage.contains("price_pos"), viol.getMessage)
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    // a valid append lands and carries the constraint forward
+    Versioned.writeVersion(Seq((3L, 30.0)).toDF("id", "price"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    // NULL predicate result PASSES (SQL CHECK semantics)
+    Versioned.writeVersion(
+      Seq((4L, Option.empty[Double])).toDF("id", "price"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir).count() == 4)
+    // an OVERWRITE keeps the contract (constraints are definition, not data) …
+    val ow = intercept[IllegalArgumentException] {
+      Versioned.writeVersion(Seq((9L, -5.0)).toDF("id", "price"), dir) }
+    assert(ow.getMessage.contains("price_pos"))
+    Versioned.writeVersion(Seq((9L, 5.0)).toDF("id", "price"), dir)
+    assert(Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get).map(_._1) == Seq("price_pos"))
+    // … and a constrained column cannot be metadata-dropped
+    val dc = intercept[IllegalArgumentException] {
+      Versioned.dropColumns(spark, dir, Seq("price")) }
+    assert(dc.getMessage.contains("price_pos"), dc.getMessage)
+    // DROP CONSTRAINT frees the write path
+    assert(Versioned.dropCheckConstraint(spark, dir, "price_pos").nonEmpty)
+    Versioned.writeVersion(Seq((10L, -1.0)).toDF("id", "price"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(Versioned.dropCheckConstraint(spark, dir, "price_pos").isEmpty) // idempotent half
+  }
+
+  test("CHECK constraints (SQL): inline CREATE, ALTER ADD/DROP CONSTRAINT, violating INSERT refused, constraints survive travel") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlcons").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_ck", "graft.sql.VersionedCatalog")
+    // inline constraint at CREATE (the TableInfo path — the default
+    // catalog chain would silently drop it)
+    spark.sql(s"CREATE TABLE graft_ck.`$dir` (id BIGINT, price DOUBLE, " +
+      "CONSTRAINT price_pos CHECK (price > 0.0))")
+    assert(Versioned.checkConstraints(spark, dir, 0) == Seq(("price_pos", "price > 0.0")))
+    spark.sql(s"INSERT INTO graft_ck.`$dir` VALUES (1, 10.0), (2, 20.0)")
+    // violating INSERT refused; table state unchanged
+    val viol = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_ck.`$dir` VALUES (3, -1.0)") }
+    assert(viol.getMessage.toLowerCase.contains("price_pos") ||
+      Iterator.iterate(viol: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => t.getMessage != null && t.getMessage.contains("price_pos")),
+      viol.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_ck.`$dir`").as[Long].head() == 2)
+    // ALTER ADD CONSTRAINT validates existing rows: refusal leaves no version
+    val before = Versioned.latestVersion(spark, dir).get
+    val badAdd = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD CONSTRAINT price_small CHECK (price < 15.0)") }
+    assert(Versioned.latestVersion(spark, dir).contains(before))
+    // a satisfiable ALTER ADD lands and enforces
+    spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD CONSTRAINT price_cap CHECK (price < 1000.0)")
+    intercept[Exception] { spark.sql(s"INSERT INTO graft_ck.`$dir` VALUES (4, 5000.0)") }
+    // DROP CONSTRAINT frees it
+    spark.sql(s"ALTER TABLE graft_ck.`$dir` DROP CONSTRAINT price_cap")
+    spark.sql(s"INSERT INTO graft_ck.`$dir` VALUES (4, 5000.0)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_ck.`$dir`").as[Long].head() == 3)
+    // CTAS with an inline constraint: Spark's own parser refuses it
+    // before the catalog is consulted (our stage* TableInfo refusal
+    // is unreachable defense-in-depth behind this)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sqlcons2").toString + "/t"
+    val ctas = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_ck.`$dir2` (CONSTRAINT c CHECK (id > 0)) AS " +
+        s"SELECT * FROM graft_ck.`$dir`") }
+    assert(ctas.getMessage.contains("Constraints may not be specified"), ctas.getMessage)
+  }
+
+  test("manifest parse cache: immutable manifests parse once; drop+recreate at the same path never serves the stale parse") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcache").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    // prime the cache through the ordinary read path
+    assert(Versioned.readLatest(spark, dir).select("v").as[String].head() == "a")
+    assert(Versioned.readLatest(spark, dir).select("v").as[String].head() == "a")
+    // drop, then re-create a DIFFERENT table at the SAME path: the
+    // new v0 manifest lives at the identical key — a stale cache
+    // entry would resurrect the old file list
+    assert(Versioned.dropTableChain(spark, dir))
+    Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(Versioned.readLatest(spark, dir).select("v").as[String].head() == "b")
+    // prune evicts too: the pruned version's manifest is gone from
+    // cache as well as disk
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir)
+    Versioned.pruneVersions(spark, dir, keepLast = 1)
+    intercept[Exception] { Versioned.readVersion(spark, dir, 0).collect() }
+  }
+
   test("SQL CALL procedures: compact_dv / zorder / restore / vacuum / maintain wrap the library maintenance verbatim") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlcall").toString + "/t"
