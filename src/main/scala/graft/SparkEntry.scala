@@ -1539,9 +1539,11 @@ object SparkEntry {
       s.sql(s"CREATE TABLE versioned.`$tbl` AS " +
         "SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price " +
         "FROM orders_q130 WHERE o_orderstatus = 'F'")
-      // three deletes -> three dv dirs (the chain compact_dv bounds)
+      // three deletes -> three dv dirs (the chain compact_dv bounds);
+      // a selective key class keeps the IN lists small — q120 already
+      // meters the big-IN-list protocol, this query meters the CALLs
       val keys = Tables.orders(s, d)
-        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 190000)
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
       keys.grouped(math.max(1, (keys.length + 2) / 3)).foreach { g =>
         if (g.nonEmpty)
@@ -3454,7 +3456,7 @@ object SparkEntry {
     "q130_sql_call" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
-        |WHERE o_orderstatus = 'F' AND NOT (o_totalprice > 190000)
+        |WHERE o_orderstatus = 'F' AND NOT (o_orderkey % 97 = 0)
         |ORDER BY o_orderkey""".stripMargin,
 
     // constraints gate writes, never reads: the surviving state is

@@ -99,6 +99,22 @@ private[sql] object VersionedProcedures {
         Seq(row(Int.box(st.filesBefore), Int.box(st.filesAfter), Long.box(st.totalBytes)))
       }),
 
+    proc("history",
+      "DESCRIBE HISTORY from manifest bytes: one row per committed version",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType),
+        StructField("committed_at", TimestampType),
+        StructField("n_data_dirs", IntegerType),
+        StructField("n_dv_dirs", IntegerType),
+        StructField("n_columns", IntegerType),
+        StructField("n_rows", LongType))))(
+      (spark, args) =>
+        // bounded by the version count (never data-sized — the one
+        // shape a driver-local procedure result is safe for; the
+        // change FEED stays a DataFrame API for exactly that reason)
+        Versioned.history(spark, args.str(0))
+          .queryExecution.executedPlan.executeCollect().map(_.copy()).toSeq),
+
     proc("maintain",
       "routine maintenance in one call: dv compaction, then retention",
       params = Seq(in("table", StringType), in("keep_last", IntegerType),

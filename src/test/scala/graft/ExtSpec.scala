@@ -2951,6 +2951,11 @@ class ExtSpec extends AnyFunSuite {
     // maintain = compact_dv + retention in one call
     val m = spark.sql(s"CALL graft_pr.system.maintain('$dir', 1)").collect().head
     assert(m.isNullAt(0) && m.getInt(1) == 1, m.toString)
+    // DESCRIBE HISTORY over CALL: one row per surviving version, the
+    // same shape the library history() serves
+    val h = spark.sql(s"CALL graft_pr.system.history('$dir')").collect()
+    assert(h.length == Versioned.versions(spark, dir).length &&
+      h.map(_.getInt(0)).toSeq == Versioned.versions(spark, dir), h.mkString(";"))
     // unknown procedure refuses at load (Spark wraps it as
     // FAILED_TO_LOAD_ROUTINE; our cause names the available set)
     val bad = intercept[Exception] { spark.sql(s"CALL graft_pr.system.nope('$dir')") }
