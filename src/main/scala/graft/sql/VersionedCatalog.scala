@@ -582,6 +582,10 @@ private[sql] trait VersionedRowOps
   extends org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   this: Table with SupportsRead with VersionedDeletes =>
 
+  /** Non-empty on partitioned chains: the replacement commit re-lands
+    * hive-laid-out so a rewrite never downgrades the layout. */
+  protected def vroPartCols: Seq[String] = Seq.empty
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -604,7 +608,7 @@ private[sql] trait VersionedRowOps
         }
       override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
-        new ReplaceVersionWriteBuilder(vdSpark, vdDir, winfo)
+        new ReplaceVersionWriteBuilder(vdSpark, vdDir, winfo, vroPartCols)
       override def description(): String = s"VersionedReplace[$vdDir]"
     }
 }
@@ -617,7 +621,8 @@ private[sql] trait VersionedRowOps
   * end: executors write parquet as for any DSv2 file write; only the
   * manifest commit is driver-side. */
 private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
-                                              info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+                                              info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+                                              partCols: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
 
@@ -670,15 +675,42 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
           db.onDataWriterCommit(m)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           db.commit(messages)
-          // an all-rows-removed replacement writes no file: land the
-          // schema as one empty parquet so the harvest/read have it
           val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(stagingPath) ||
-              !fs.listStatus(stagingPath).exists(_.getPath.getName.endsWith(".parquet")))
-            spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
-              .repartition(1).write.mode("overwrite").parquet(stagingPath.toString)
-          Versioned.commitStagedOverwrite(spark, dir, staged)
+          val hasContent = fs.exists(stagingPath) &&
+            fs.listStatus(stagingPath).exists(_.getPath.getName.endsWith(".parquet"))
+          if (partCols.nonEmpty) {
+            // PARTITIONED chain: the rewrite wrote the replacement
+            // FLAT (partition values as ordinary columns in the
+            // staged files); re-land it hive-laid-out through the
+            // partitioned overwrite commit so a rewrite never
+            // downgrades the layout. The flat dir is deleted after
+            // the commit — a crash in between leaves it as an
+            // invisible nonce'd orphan for pruneVersions.
+            val replacement =
+              if (hasContent)
+                Some(spark.read.schema(info.schema()).parquet(stagingPath.toString))
+                  .filterNot(_.isEmpty) // a 0-ROW staged file partition-writes nothing
+              else None
+            replacement match {
+              case Some(df) =>
+                Versioned.writeVersionPartitioned(df, dir, partCols)
+                fs.delete(stagingPath, true)
+              case None =>
+                // all rows removed: a metadata-only overwrite keeps the
+                // schema AND the partition spec with zero data dirs
+                fs.delete(stagingPath, true) // clear any 0-row flat debris
+                Versioned.commitStagedTable(spark, dir, staged, info.schema(),
+                  partCols, fresh = false)
+            }
+          } else {
+            // an all-rows-removed replacement writes no file: land the
+            // schema as one empty parquet so the harvest/read have it
+            if (!hasContent)
+              spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
+                .repartition(1).write.mode("overwrite").parquet(stagingPath.toString)
+            Versioned.commitStagedOverwrite(spark, dir, staged)
+          }
           ()
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -691,25 +723,26 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
 /** The PARTITIONED-chain tier: reads through Spark's own
   * `ParquetScanBuilder` over the manifest-backed
   * [[graft.ext.ManifestPartitioningIndex]] — native partition-pruned
-  * plans with zero listing. READ + INSERT + key-DELETE surface:
-  * `INSERT INTO` appends a hive-laid-out commit matching the
-  * recorded spec (commutative OCC append), `INSERT OVERWRITE`
-  * replaces state with a fresh partitioned version. Row-level
-  * rewrites (UPDATE/MERGE) are not offered because the copy-on-write
-  * replacement would silently DOWNGRADE the layout to unpartitioned
-  * — the library path (writeVersionPartitioned over the masked read)
-  * keeps it. */
+  * plans with zero listing. Full read+write surface: `INSERT INTO`
+  * appends a hive-laid-out commit matching the recorded spec
+  * (commutative OCC append), `INSERT OVERWRITE` replaces state with
+  * a fresh partitioned version, key DELETEs commit deletion vectors,
+  * and row-level rewrites (UPDATE / MERGE / non-key DELETE) go
+  * through the copy-on-write seam with the replacement RE-LANDED
+  * hive-laid-out ([[ReplaceVersionWriteBuilder]]'s partitioned
+  * commit) — a rewrite never downgrades the layout. */
 private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSession,
                                              dir: String, v: Int,
                                              fullSchema: StructType,
                                              partCols: Seq[String])
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with ReportsCheckConstraints {
+    with VersionedRowOps with ReportsCheckConstraints {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = fullSchema
   override protected def vcVersion: Int = v
+  override protected def vroPartCols: Seq[String] = partCols
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema

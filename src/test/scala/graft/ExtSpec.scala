@@ -2801,6 +2801,31 @@ class ExtSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft_pd.`$dir` ADD COLUMNS (note STRING)")
     assert(spark.sql(s"SELECT * FROM graft_pd.`$dir`").columns.toSeq ==
       Seq("id", "note", "cat"))
+    // row-level rewrites stay partitioned: the copy-on-write
+    // replacement re-lands hive-laid-out, partition VALUES intact
+    spark.sql(s"UPDATE graft_pd.`$dir` SET id = id + 100 WHERE cat = 'c'")
+    val vU = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, vU).partitionCols == Seq("cat"),
+      "UPDATE must not downgrade the layout")
+    assert(spark.sql(s"SELECT id FROM graft_pd.`$dir` WHERE cat = 'c'")
+      .as[Long].collect().toSeq == Seq(107L))
+    assert(Versioned.readLatest(spark, dir).select("cat").as[String]
+      .collect().toSet == Set("c", "d"))
+    // a NON-KEY delete (multi-column predicate) rewrites, still partitioned
+    spark.sql(s"DELETE FROM graft_pd.`$dir` WHERE cat = 'd' AND id >= 0")
+    assert(Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).partitionCols == Seq("cat"))
+    assert(spark.sql(s"SELECT cat FROM graft_pd.`$dir`").as[String]
+      .collect().toSeq == Seq("c"))
+    // delete EVERYTHING via rewrite: metadata-only overwrite keeps
+    // schema AND spec with zero data dirs
+    spark.sql(s"DELETE FROM graft_pd.`$dir` WHERE id >= 0 AND note IS NULL")
+    assert(spark.sql(s"SELECT * FROM graft_pd.`$dir`").count() == 0)
+    assert(Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).partitionCols == Seq("cat"))
+    // and the empty partitioned table still takes inserts
+    spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (1, 'x', 'a')")
+    assert(Versioned.readLatest(spark, dir).select("cat").as[String].head() == "a")
     // partitioned CTAS: spec + data in one atomic commit
     val dir3 = java.nio.file.Files.createTempDirectory("graft_sqlpart3").toString + "/t"
     spark.range(0, 6).toDF("id")
