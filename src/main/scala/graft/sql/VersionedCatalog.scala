@@ -143,7 +143,8 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
           info.dataDirs, None), spark, dir, v)
     }
     if (info.dvDirs.isEmpty) base
-    else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir, v)
+    else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir, v,
+      info.partitionCols)
   }
 
   /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
@@ -965,7 +966,8 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
 private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
-                                 spark: SparkSession, dir: String, v: Int)
+                                 spark: SparkSession, dir: String, v: Int,
+                                 partCols: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints {
 
@@ -973,6 +975,14 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = fullSchema
   override protected def vcVersion: Int = v
+  // a dv mask over a PARTITIONED chain must keep carrying the spec:
+  // without it a row-level rewrite would re-land the replacement
+  // unpartitioned (silent layout downgrade) and an INSERT INTO would
+  // refuse at commit against the recorded spec
+  override protected def vroPartCols: Seq[String] = partCols
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   override def name(): String = inner.name()
   override def schema(): StructType = fullSchema
@@ -986,7 +996,7 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   // keeps deleted keys masked through them (the erasure contract)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(spark, dir)
+    new VersionedWriteBuilder(spark, dir, partCols)
 }
 
 /** Forwards column pruning (widened by the mask's key columns so the

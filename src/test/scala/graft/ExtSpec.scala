@@ -2826,6 +2826,24 @@ class ExtSpec extends AnyFunSuite {
     // and the empty partitioned table still takes inserts
     spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (1, 'x', 'a')")
     assert(Versioned.readLatest(spark, dir).select("cat").as[String].head() == "a")
+    // DV-BEARING partitioned table (loads as the masked tier): the
+    // write surface must still carry the spec — INSERT INTO lands
+    // partitioned, and a row-level rewrite must NOT downgrade the
+    // layout (the mask tier forwards the partition columns)
+    spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (2, 'y', 'b'), (3, 'z', 'b')")
+    spark.sql(s"DELETE FROM graft_pd.`$dir` WHERE id = 3") // dv commit
+    assert(Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).dvDirs.nonEmpty)
+    spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (4, 'w', 'c')")
+    spark.sql(s"UPDATE graft_pd.`$dir` SET note = 'upd' WHERE cat = 'b'")
+    val vDv = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, vDv).partitionCols == Seq("cat"),
+      "a rewrite through the dv tier must not downgrade the layout")
+    assert(Versioned.versionInfo(spark, dir, vDv).dvDirs.isEmpty,
+      "the rewrite applies the mask physically")
+    assert(spark.sql(s"SELECT id, note, cat FROM graft_pd.`$dir` ORDER BY id")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "x", "a"), (2L, "upd", "b"), (4L, "w", "c")))
     // partitioned CTAS: spec + data in one atomic commit
     val dir3 = java.nio.file.Files.createTempDirectory("graft_sqlpart3").toString + "/t"
     spark.range(0, 6).toDF("id")
