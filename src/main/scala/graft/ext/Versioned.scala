@@ -323,13 +323,68 @@ object Versioned {
   def writeVersionStreamBatch(df: DataFrame, dir: String, appId: String,
                               batchId: Long, mode: SaveMode = SaveMode.Append,
                               protocol: CommitProtocol = PutIfAbsentCommit,
-                              maxAttempts: Int = 16): Option[Int] = {
+                              maxAttempts: Int = 16,
+                              partCols: Seq[String] = Seq.empty): Option[Int] = {
     require(appId.nonEmpty, "appId must be non-empty")
-    val attempt = () => writeVersionCore(df.sparkSession, dir, protocol, mode,
-      txn = Some((appId, batchId)))(tmp =>
-      df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+    val attempt: () => Option[Int] =
+      if (partCols.isEmpty) { () =>
+        writeVersionCore(df.sparkSession, dir, protocol, mode,
+          txn = Some((appId, batchId)))(tmp =>
+          df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+      } else { () =>
+        // PARTITIONED sink (`writeStream.partitionBy(...)`): each
+        // batch lands hive-laid-out inside its commit's data dir —
+        // the first batch may CREATE the partitioned chain, appends
+        // must match the recorded spec as for any partitioned write.
+        // An EMPTY batch needs care: a partitionBy write of zero rows
+        // produces no files at all (no partition values to name the
+        // dirs), so Append skips it outright (nothing to land —
+        // exactly-once holds by vacuity) and Complete commits the
+        // empty state METADATA-ONLY, schema + spec + txn watermark.
+        val schema = df.schema
+        partCols.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
+          require(Skipping.partitionableType(schema(c).dataType),
+            s"partition column '$c' has type ${schema(c).dataType} — hive-path-exact " +
+              "types only (string/int/long/short/byte/date/boolean)")
+        }
+        if (df.isEmpty) {
+          if (mode == SaveMode.Append) None
+          else emptyPartitionedStreamCommit(df.sparkSession, dir, appId, batchId,
+            schema, partCols, protocol)
+        } else
+          writeVersionCore(df.sparkSession, dir, protocol, mode,
+            txn = Some((appId, batchId)),
+            partitionBy = Some(StructType(partCols.map(c => schema(c)))))(tmp =>
+            df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
+      }
     if (mode == SaveMode.Append) withCommitRetry(maxAttempts)(attempt)
     else attempt()
+  }
+
+  /** Complete-mode empty epoch on a partitioned sink: the overwrite
+    * that truncates — recorded schema, partition spec, constraints
+    * carried, txn watermark, zero data dirs. */
+  private def emptyPartitionedStreamCommit(spark: SparkSession, dir: String,
+                                           appId: String, batchId: Long,
+                                           schema: StructType, partCols: Seq[String],
+                                           protocol: CommitProtocol): Option[Int] = {
+    val prev = latestVersion(spark, dir)
+    val replay = prev.exists(p => lines(spark, dir, p).collectFirst {
+      case TxnEntry(b, a) if a == appId => b }.exists(batchId <= _))
+    if (replay) return None
+    val ordered = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)) ++
+        partCols.map(c => schema(c)))
+    val carried = prev.toSeq.flatMap(p =>
+      lines(spark, dir, p).collect { case c: ConstraintEntry => c })
+    val v = prev.map(_ + 1).getOrElse(0)
+    commitManifest(spark, dir, v,
+      (SchemaEntry(asNullable(ordered)) +:
+        (Seq[Line](PartitionEntry(partCols)) ++ carried :+
+          TxnEntry(batchId, appId))).map(renderLine), protocol)
+    Some(v)
   }
 
   /** Claim a data-dir NAME for a write whose bytes an external engine

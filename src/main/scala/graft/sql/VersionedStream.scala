@@ -83,8 +83,6 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
-    require(partitionColumns.isEmpty,
-      "versioned sink does not take partitionBy (dirs are commit-grained)")
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(throw new IllegalArgumentException(
@@ -97,7 +95,12 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
         s"versioned sink supports Append and Complete, got $other — Update-mode " +
           "upserts go through foreachBatch + graft.gold.Upsert (MERGE)")
     }
-    new VersionedStreamSink(sqlContext.sparkSession, dir, appId, mode)
+    // `writeStream.partitionBy(...)` makes the sink commit each epoch
+    // hive-laid-out — the first batch may CREATE the partitioned
+    // chain, and appends must match the recorded spec like any
+    // partitioned write
+    new VersionedStreamSink(sqlContext.sparkSession, dir, appId, mode,
+      partitionColumns)
   }
 
   private def resolveSchema(spark: SparkSession, dir: String): StructType = {
@@ -135,14 +138,16 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
   * before the ordinary versioned write path runs. */
 private[sql] class VersionedStreamSink(spark: SparkSession, dir: String,
                                        appId: String,
-                                       mode: org.apache.spark.sql.SaveMode) extends Sink {
+                                       mode: org.apache.spark.sql.SaveMode,
+                                       partCols: Seq[String] = Seq.empty) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // data.sparkSession, not the construction-time session: the
     // engine runs batches on a cloned session with stream-scoped confs
     val batch = org.apache.spark.sql.classic.GraftStreamShim
       .batchFrom(data.sparkSession, data, data.schema)
-    Versioned.writeVersionStreamBatch(batch, dir, appId, batchId, mode)
+    Versioned.writeVersionStreamBatch(batch, dir, appId, batchId, mode,
+      partCols = partCols)
     ()
   }
 

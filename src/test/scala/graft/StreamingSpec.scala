@@ -520,6 +520,61 @@ class StreamingSpec extends AnyFunSuite {
       msgs(eU).mkString("; "))
   }
 
+  test("versioned streaming sink with partitionBy: epochs land hive-laid-out; first batch creates the chain; empty append epoch skips") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val src = Files.createTempDirectory("graft_vpsink_src").toString + "/t"
+    val dst = Files.createTempDirectory("graft_vpsink_dst").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vpsink_ckpt").toString
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), src)
+    def run() = {
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", src).load()
+        .writeStream.format("graft.sql.VersionedStreamProvider")
+        .partitionBy("cat")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // first batch CREATES the partitioned chain
+    run()
+    assert(Versioned.versionInfo(spark, dst,
+      Versioned.latestVersion(spark, dst).get).partitionCols == Seq("cat"))
+    assert(Versioned.readLatest(spark, dst).select("id", "cat")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // appended epochs match the spec; partition values real, not null
+    Versioned.writeVersion(Seq((3L, "a")).toDF("id", "cat"), src, SaveMode.Append)
+    run()
+    assert(Versioned.readLatest(spark, dst)
+      .filter($"cat" === "a").select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // SQL serves it partition-pruned like any partitioned chain
+    spark.conf.set("spark.sql.catalog.graft_vps", "graft.sql.VersionedCatalog")
+    assert(spark.sql(s"SELECT id FROM graft_vps.`$dst` WHERE cat = 'b'")
+      .as[Long].collect().toSeq == Seq(2L))
+    // an EMPTY append epoch commits nothing (a partitionBy write of
+    // zero rows has no partition values to land) — direct API leg
+    val vNow = Versioned.latestVersion(spark, dst).get
+    assert(Versioned.writeVersionStreamBatch(
+      Seq.empty[(Long, String)].toDF("id", "cat"), dst, ckpt, batchId = 99L,
+      partCols = Seq("cat")).isEmpty)
+    assert(Versioned.latestVersion(spark, dst).contains(vNow))
+    // an empty COMPLETE epoch is a real truncation: metadata-only
+    // overwrite, schema AND spec kept, watermark recorded
+    assert(Versioned.writeVersionStreamBatch(
+      Seq.empty[(Long, String)].toDF("id", "cat"), dst, ckpt, batchId = 100L,
+      mode = SaveMode.Overwrite, partCols = Seq("cat")).nonEmpty)
+    assert(Versioned.readLatest(spark, dst).count() == 0)
+    assert(Versioned.versionInfo(spark, dst,
+      Versioned.latestVersion(spark, dst).get).partitionCols == Seq("cat"))
+    assert(Versioned.lastCommittedBatch(spark, dst, ckpt).contains(100L))
+    // and the truncated partitioned chain takes the next epoch
+    assert(Versioned.writeVersionStreamBatch(
+      Seq((9L, "z")).toDF("id", "cat"), dst, ckpt, batchId = 101L,
+      partCols = Seq("cat")).nonEmpty)
+    assert(Versioned.readLatest(spark, dst).select("cat").as[String].head() == "z")
+  }
+
   test("versioned streaming source: commits become micro-batches; uncommitted files invisible; overwrite fails; ignoreDeletes") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
