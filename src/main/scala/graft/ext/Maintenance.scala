@@ -44,9 +44,23 @@ object Maintenance {
     * the compacted state lands as a new immutable version and old
     * files are reclaimed by [[Versioned.pruneVersions]] — Delta
     * OPTIMIZE's own shape. */
+  private[ext] def requireUnpartitioned(spark: SparkSession, dir: String,
+                                        op: String, alternative: String): Unit =
+    Versioned.latestVersion(spark, dir).foreach { v =>
+      val partCols = Versioned.versionInfo(spark, dir, v).partitionCols
+      require(partCols.isEmpty,
+        s"$op would rewrite the PARTITIONED chain at $dir (spec: " +
+          s"${partCols.mkString(",")}) into an unpartitioned layout — $alternative")
+    }
+
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               store: TableStore = SwapStore): CompactStats = {
+    // the manifest-store leg rewrites the live state flat: refuse on
+    // a partitioned chain rather than silently dropping the spec
+    if (store.isInstanceOf[ManifestStore])
+      requireUnpartitioned(spark, path, "compact",
+        "compact per partition via writeVersionPartitioned of the repartitioned read")
     store.recover(spark, path)
     val before = store.liveFiles(spark, path)
     val totalBytes = before.map(_._2).sum
@@ -296,6 +310,12 @@ object Maintenance {
   def zorderVersioned(spark: SparkSession, dir: String, colA: String, colB: String,
                       nFiles: Int, bits: Int = 16,
                       protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    // a flat rewrite of a PARTITIONED chain would silently downgrade
+    // the layout (and the hive writer's own partition sort would
+    // destroy the z-order within files anyway) — refuse with the
+    // honest alternative
+    requireUnpartitioned(spark, dir, "zorderVersioned",
+      "writeVersionPartitioned over the ordered read keeps the spec")
     val current = Versioned.readLatest(spark, dir)
     Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
       current.withColumn("__zkey", zKey(col(colA), col(colB), bits))

@@ -229,27 +229,48 @@ object Versioned {
   /** Parsed-manifest LRU cache. Sound because a committed manifest is
     * IMMUTABLE: the put-if-absent claim is its only writer, restore
     * commits a NEW version, and only prune/drop ever delete one (both
-    * evict). The cost this removes is real at scale — one SQL read
-    * consults the manifest several times (load → versionInfo →
+    * evict — within THIS JVM; a foreign driver dropping and
+    * re-creating a table at the same path is the one staleness
+    * window, the same one Delta's snapshot cache accepts, and it
+    * surfaces as a read error on the vanished dirs, never as silent
+    * wrong rows). The cost this removes is real at scale — one SQL
+    * read consults the manifest several times (load → versionInfo →
     * serving index), and with per-file stats at 10⁶ files a manifest
     * is tens of MB whose parse should happen once per JVM, not once
-    * per plan step. Entry-count bounded (newest versions of a few hot
-    * tables is the working set; a pathological many-table driver just
-    * re-parses, which is the uncached status quo). */
-  private val manifestCacheMax = 64
+    * per plan step.
+    *
+    * Bounded by WEIGHT, not entry count: an entry's weight is its
+    * recorded file-stats count (the dominant allocation — a
+    * 10⁶-file manifest must not be multiplied by an entry-count
+    * bound). Eviction keeps at least the most recently used entry, so
+    * one huge hot manifest still caches. */
+  private val manifestCacheMaxWeight = 2L * 1000 * 1000 // total cached FileStats entries
+  private var manifestCacheWeight = 0L
   private val manifestCache =
-    new java.util.LinkedHashMap[String, Seq[Line]](manifestCacheMax * 2, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[Line]]): Boolean =
-        size() > manifestCacheMax
-    }
+    new java.util.LinkedHashMap[String, (Seq[Line], Long)](128, 0.75f, true)
+
+  private def lineWeight(ls: Seq[Line]): Long =
+    ls.iterator.map { case s: StatsEntry => 1L + s.files.length; case _ => 1L }.sum
 
   private def lines(spark: SparkSession, dir: String, v: Int): Seq[Line] = {
     val key = manifestPath(dir, v).toString
     manifestCache.synchronized(Option(manifestCache.get(key))) match {
-      case Some(cached) => cached
+      case Some((cached, _)) => cached
       case None =>
         val parsed = readManifest(spark, dir, v).map(parseLine)
-        manifestCache.synchronized(manifestCache.put(key, parsed))
+        val w = lineWeight(parsed)
+        manifestCache.synchronized {
+          if (manifestCache.put(key, (parsed, w)) == null) manifestCacheWeight += w
+          val it = manifestCache.entrySet().iterator()
+          while (manifestCacheWeight > manifestCacheMaxWeight && manifestCache.size() > 1
+                 && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != key) {
+              manifestCacheWeight -= eldest.getValue._2
+              it.remove()
+            }
+          }
+        }
         parsed
     }
   }
@@ -259,7 +280,10 @@ object Versioned {
     * resurrect a pruned version's file list. */
   private def evictManifestCache(dir: String, vs: Iterable[Int]): Unit =
     manifestCache.synchronized {
-      vs.foreach(v => manifestCache.remove(manifestPath(dir, v).toString))
+      vs.foreach { v =>
+        val removed = manifestCache.remove(manifestPath(dir, v).toString)
+        if (removed != null) manifestCacheWeight -= removed._2
+      }
     }
 
   private def renderLine(l: Line): String = l match {
@@ -422,7 +446,8 @@ object Versioned {
   private[graft] def commitStagedTable(spark: SparkSession, dir: String,
                                        stagedDir: String, declared: StructType,
                                        partCols: Seq[String], fresh: Boolean,
-                                       protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+                                       protocol: CommitProtocol = PutIfAbsentCommit,
+                                       replaceDefinition: Boolean = true): Int = {
     val (fs, root) = fsFor(spark, dir)
     val stagedPath = new Path(root, stagedDir)
     val hasContent = fs.exists(stagedPath) &&
@@ -433,20 +458,27 @@ object Versioned {
         else Some(StructType(partCols.map(c => declared(c))))
       writeVersionCore(spark, dir, protocol, SaveMode.Overwrite, txn = None,
         partitionBy = partitionBy, preWritten = Some(stagedDir),
-        requireFresh = fresh)(_ => ()).get
+        requireFresh = fresh, replaceDefinition = replaceDefinition)(_ => ()).get
     } else if (fresh) {
       createTable(spark, dir, declared, partCols, protocol)
     } else {
       // empty REPLACE over an existing chain: a metadata-only
-      // overwrite version — schema (and spec) kept, zero data dirs
+      // overwrite version — schema (and spec) kept, zero data dirs.
+      // RTAS (`replaceDefinition`) starts the new table without the
+      // old constraints; a DATA rewrite that removed every row keeps
+      // them — the table's contract survives its own truncation
       val prev = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no versions at $dir to replace"))
+      val carried =
+        if (replaceDefinition) Seq.empty
+        else lines(spark, dir, prev).collect { case c: ConstraintEntry => c }
       val ordered =
         if (partCols.isEmpty) declared
         else StructType(declared.fields.filterNot(f => partCols.contains(f.name)) ++
           partCols.map(c => declared(c)))
       val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
-        (if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols)))
+        ((if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols))) ++
+          carried)
       val v = prev + 1
       commitManifest(spark, dir, v, ls.map(renderLine), protocol)
       v
@@ -496,7 +528,8 @@ object Versioned {
                                partitionBy: Option[StructType] = None,
                                extraLines: Seq[Line] = Seq.empty,
                                preWritten: Option[String] = None,
-                               requireFresh: Boolean = false)
+                               requireFresh: Boolean = false,
+                               replaceDefinition: Boolean = false)
                               (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
@@ -574,8 +607,16 @@ object Versioned {
     // every library path shares. NULL predicate results PASS (the SQL
     // CHECK contract). Read under the union schema so a constraint on
     // a column this commit's files lack evaluates over nulls.
-    val activeConstraints = prev.toSeq.flatMap(p =>
-      lines(spark, dir, p).collect { case c: ConstraintEntry => c })
+    // `replaceDefinition` (REPLACE TABLE … AS SELECT): the statement
+    // replaces the table DEFINITION, not just its rows — the old
+    // constraints neither validate the new rows (they may not even
+    // resolve against the new schema) nor survive into the new table.
+    // Every DATA write (insert, overwrite, row-level rewrite) keeps
+    // validating and carrying them.
+    val activeConstraints =
+      if (replaceDefinition) Seq.empty
+      else prev.toSeq.flatMap(p =>
+        lines(spark, dir, p).collect { case c: ConstraintEntry => c })
     if (activeConstraints.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       def violates(c: ConstraintEntry) =
@@ -1364,8 +1405,11 @@ object Versioned {
     require(schema.fields.nonEmpty, "cannot create a table with no columns")
     require(latestVersion(spark, dir).isEmpty,
       s"table $dir already exists (has committed versions)")
-    constraints.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_]+"),
-      s"constraint name must be word-shaped, got '$n'") }
+    constraints.foreach { case (n, sql) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"constraint name must be word-shaped, got '$n'")
+      requireOneLine(sql, n)
+    }
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1514,11 +1558,21 @@ object Versioned {
     * DSv2 `Table.constraints()` so Spark's analyzer also refuses
     * violating INSERTs plan-side. NULL predicate results PASS (SQL
     * CHECK semantics). */
+  /** The manifest is line-based: a predicate containing a line break
+    * would render as two manifest lines, the second parsing as a
+    * phantom data dir — every later read of the table would fail. */
+  private def requireOneLine(sql: String, name: String): Unit =
+    require(sql.nonEmpty && !sql.exists(c => c == '\n' || c == '\r'),
+      s"CHECK predicate of '$name' must be non-empty single-line SQL " +
+        s"(it is embedded in the line-based manifest); got ${sql.length} chars " +
+        "with a line break")
+
   def addCheckConstraint(spark: SparkSession, dir: String, name: String,
                          predicateSql: String,
                          protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be word-shaped (it is embedded in the manifest), got '$name'")
+    requireOneLine(predicateSql, name)
     val prev = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val ls = lines(spark, dir, prev)

@@ -198,6 +198,14 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       : Seq[(String, String)] =
     cs.toSeq.map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        // NOT ENFORCED would be stored-then-enforced anyway (the
+        // manifest has no enforcement flag, and both seams check
+        // unconditionally) — refuse rather than silently override
+        // the user's declared intent
+        if (!c.enforced()) throw new UnsupportedOperationException(
+          s"CHECK constraint '${c.name()}' is NOT ENFORCED — this store enforces " +
+            "every stored constraint; drop the NOT ENFORCED clause, or keep " +
+            "advisory rules in the expectations operator instead")
         (c.name(), Option(c.predicateSql()).getOrElse(
           throw new UnsupportedOperationException(
             s"CHECK constraint '${c.name()}' carries no SQL predicate")))
@@ -230,6 +238,11 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
     val dir = pathOf(ident)
+    // refuse-first, commit-after: every refusable shape is checked
+    // BEFORE the first manifest commit, and homogeneous groups apply
+    // as ONE commit (`ADD COLUMNS (a, b)` arrives as two AddColumn
+    // changes — committing them separately would leave `a` durably
+    // added when `b` refuses)
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames.length != 1) throw new UnsupportedOperationException(
@@ -239,38 +252,44 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
             "existing data columns (before any partition columns)")
         if (!add.isNullable) throw new UnsupportedOperationException(
           "added columns must be nullable: existing files have no values for them")
-        Versioned.addColumns(spark, dir, Seq(
-          org.apache.spark.sql.types.StructField(add.fieldNames.head, add.dataType,
-            nullable = true)))
       case del: TableChange.DeleteColumn =>
         if (del.fieldNames.length != 1) throw new UnsupportedOperationException(
           s"cannot drop nested field ${del.fieldNames.mkString(".")} — top-level columns only")
-        try Versioned.dropColumns(spark, dir, Seq(del.fieldNames.head))
-        catch {
-          case e: IllegalArgumentException
-            if del.ifExists != null && del.ifExists.booleanValue() &&
-              e.getMessage != null && e.getMessage.contains("no column") => ()
+      case _: TableChange.AddConstraint => // validated by checksOf below
+      case _: TableChange.DropConstraint => ()
+      case other => throw new UnsupportedOperationException(
+        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, and ADD/DROP " +
+          s"CONSTRAINT … CHECK only; got $other. " +
+          "Renames and type changes rewrite instead: REPLACE TABLE … AS SELECT")
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+        nullable = true) }
+    if (adds.nonEmpty) Versioned.addColumns(spark, dir, adds)
+    val (delIfExists, delStrict) = changes.collect {
+      case d: TableChange.DeleteColumn => d }
+      .partition(d => d.ifExists != null && d.ifExists.booleanValue())
+    val dropNames = delStrict.map(_.fieldNames.head) ++ {
+      val have = Versioned.versionInfo(spark, dir,
+        Versioned.latestVersion(spark, dir).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            (ident.namespace() :+ ident.name()).toSeq))).schema
+        .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      delIfExists.map(_.fieldNames.head).filter(n => have.contains(n.toLowerCase))
+    }
+    if (dropNames.nonEmpty) Versioned.dropColumns(spark, dir, dropNames)
+    changes.foreach {
+      case ac: TableChange.AddConstraint =>
+        checksOf(Array(ac.constraint())).foreach { case (n, sql) =>
+          Versioned.addCheckConstraint(spark, dir, n, sql)
         }
-      case ac: TableChange.AddConstraint => ac.constraint() match {
-        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-          Versioned.addCheckConstraint(spark, dir, c.name(),
-            Option(c.predicateSql()).getOrElse(throw new UnsupportedOperationException(
-              s"CHECK constraint '${c.name()}' carries no SQL predicate")))
-        case other => throw new UnsupportedOperationException(
-          s"only enforced CHECK constraints are supported (this store has no " +
-            s"unique/key indexes to back ${other.toDDL}); use the dedup operators " +
-            "for key discipline")
-      }
       case dc: TableChange.DropConstraint =>
         if (Versioned.dropCheckConstraint(spark, dir, dc.name()).isEmpty && !dc.ifExists())
           throw new IllegalArgumentException(
             s"no CHECK constraint '${dc.name()}' on $dir " +
               s"(have: ${Versioned.checkConstraints(spark, dir,
                 Versioned.latestVersion(spark, dir).get).map(_._1).mkString(", ")})")
-      case other => throw new UnsupportedOperationException(
-        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, and ADD/DROP " +
-          s"CONSTRAINT … CHECK only; got $other. " +
-          "Renames and type changes rewrite instead: REPLACE TABLE … AS SELECT")
+      case _ => ()
     }
     load(ident, None)
   }
@@ -698,10 +717,12 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
                 fs.delete(stagingPath, true)
               case None =>
                 // all rows removed: a metadata-only overwrite keeps the
-                // schema AND the partition spec with zero data dirs
+                // schema AND the partition spec with zero data dirs —
+                // and the CHECK constraints: this is a DATA rewrite,
+                // the table's contract survives its own truncation
                 fs.delete(stagingPath, true) // clear any 0-row flat debris
                 Versioned.commitStagedTable(spark, dir, staged, info.schema(),
-                  partCols, fresh = false)
+                  partCols, fresh = false, replaceDefinition = false)
             }
           } else {
             // an all-rows-removed replacement writes no file: land the

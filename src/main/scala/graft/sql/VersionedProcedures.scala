@@ -145,15 +145,20 @@ private[sql] object VersionedProcedures {
     case other     => other
   })
 
-  /** Typed accessors over the analyzer-coerced argument row. */
+  /** Typed accessors over the analyzer-coerced argument row. EVERY
+    * accessor refuses NULL: an InternalRow's primitive getters read a
+    * null slot as 0/false, and `vacuum(orphan_min_age_ms => NULL)`
+    * silently becoming age-guard-0 would let a racing in-flight
+    * writer's dir be reclaimed — a NULL argument is a caller mistake,
+    * never a default. */
   private implicit class Args(val r: InternalRow) {
-    def str(i: Int): String = {
-      require(!r.isNullAt(i), s"argument $i must not be null")
-      r.getUTF8String(i).toString
-    }
-    def int(i: Int): Int = r.getInt(i)
-    def long(i: Int): Long = r.getLong(i)
-    def bool(i: Int): Boolean = r.getBoolean(i)
+    private def nonNull(i: Int): Unit =
+      require(!r.isNullAt(i), s"procedure argument $i must not be NULL " +
+        "(omit it to take the declared default)")
+    def str(i: Int): String = { nonNull(i); r.getUTF8String(i).toString }
+    def int(i: Int): Int = { nonNull(i); r.getInt(i) }
+    def long(i: Int): Long = { nonNull(i); r.getLong(i) }
+    def bool(i: Int): Boolean = { nonNull(i); r.getBoolean(i) }
   }
 
   private def proc(procName: String, desc: String,

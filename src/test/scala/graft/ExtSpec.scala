@@ -2939,6 +2939,40 @@ class ExtSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE graft_ck.`$dir2` (CONSTRAINT c CHECK (id > 0)) AS " +
         s"SELECT * FROM graft_ck.`$dir`") }
     assert(ctas.getMessage.contains("Constraints may not be specified"), ctas.getMessage)
+    // RTAS replaces the DEFINITION: the old constraints neither
+    // validate the new rows (different schema must not explode) nor
+    // survive into the replaced table
+    spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD CONSTRAINT price_pos2 CHECK (price > 0.0)")
+    spark.sql(s"CREATE OR REPLACE TABLE graft_ck.`$dir` AS VALUES (1), (2) t(n)")
+    assert(Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty,
+      "REPLACE TABLE must not carry the old constraints")
+    assert(spark.sql(s"SELECT n FROM graft_ck.`$dir`").as[Int].collect().toSet == Set(1, 2))
+    // NOT ENFORCED refuses (this store enforces every stored constraint)
+    val ne = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD CONSTRAINT weak CHECK (n > 0) NOT ENFORCED") }
+    assert(ne.getMessage.contains("NOT ENFORCED"), ne.getMessage)
+    // a multi-line predicate would corrupt the line-based manifest
+    val nl = intercept[IllegalArgumentException] {
+      Versioned.addCheckConstraint(spark, dir, "broken", "n >\n 0") }
+    assert(nl.getMessage.contains("single-line"), nl.getMessage)
+    // a data rewrite that removes EVERY row keeps the contract (the
+    // metadata-only replacement carries constraints, unlike RTAS)
+    spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD CONSTRAINT n_pos CHECK (n > 0)")
+    spark.sql(s"DELETE FROM graft_ck.`$dir` WHERE n >= 0 AND n <= 100") // non-key → rewrite
+    assert(spark.sql(s"SELECT * FROM graft_ck.`$dir`").count() == 0)
+    assert(Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get).map(_._1) == Seq("n_pos"),
+      "a data rewrite must keep the constraints")
+    intercept[Exception] { spark.sql(s"INSERT INTO graft_ck.`$dir` VALUES (-5)") }
+    // batched ALTER is refuse-first: a bad second column leaves the
+    // first uncommitted
+    val vBefore = Versioned.latestVersion(spark, dir).get
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD COLUMNS (fresh INT, n INT)") }
+    assert(Versioned.latestVersion(spark, dir).contains(vBefore),
+      "a failed multi-column ALTER must commit nothing")
+    assert(!spark.sql(s"SELECT * FROM graft_ck.`$dir`").columns.contains("fresh"))
   }
 
   test("manifest parse cache: immutable manifests parse once; drop+recreate at the same path never serves the stale parse") {
@@ -2994,6 +3028,30 @@ class ExtSpec extends AnyFunSuite {
     // maintain = compact_dv + retention in one call
     val m = spark.sql(s"CALL graft_pr.system.maintain('$dir', 1)").collect().head
     assert(m.isNullAt(0) && m.getInt(1) == 1, m.toString)
+    // a NULL argument is a caller mistake, never a default — the
+    // primitive getter would silently read 0 and disable the
+    // in-flight-writer age guard
+    val nul = intercept[Exception] {
+      spark.sql(s"CALL graft_pr.system.vacuum(table => '$dir', keep_last => 1, " +
+        "orphan_min_age_ms => NULL)") }
+    assert(Iterator.iterate(nul: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("must not be NULL")),
+      nul.getMessage)
+    // flat rewrites refuse on PARTITIONED chains instead of silently
+    // downgrading the layout
+    val pdir = java.nio.file.Files.createTempDirectory("graft_callpart").toString + "/t"
+    Versioned.writeVersionPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), pdir, Seq("cat"))
+    val zp = intercept[Exception] {
+      spark.sql(s"CALL graft_pr.system.zorder('$pdir', 'id', 'id', 2)") }
+    assert(Iterator.iterate(zp: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("PARTITIONED")),
+      zp.getMessage)
+    val cp = intercept[Exception] {
+      spark.sql(s"CALL graft_pr.system.compact_files('$pdir')") }
+    assert(Iterator.iterate(cp: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("PARTITIONED")),
+      cp.getMessage)
     // DESCRIBE HISTORY over CALL: one row per surviving version, the
     // same shape the library history() serves
     val h = spark.sql(s"CALL graft_pr.system.history('$dir')").collect()
