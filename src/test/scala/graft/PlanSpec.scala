@@ -226,6 +226,32 @@ class PlanSpec extends AnyFunSuite {
       viaLib.length)
   }
 
+  test("CHECK constraints enforce IN THE PLAN: the analyzed SQL insert carries Spark's CheckInvariant") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_plan").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_ckp", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_ckp.`$dir` (id BIGINT, price DOUBLE, " +
+      "CONSTRAINT price_pos CHECK (price > 0.0))")
+    // analysis only — a DML Dataset would execute eagerly
+    val stmt = s"INSERT INTO graft_ckp.`$dir` VALUES (1, 10.0)"
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(stmt)).analyzed.toString
+    // ResolveTableConstraints injected the enforcement expression
+    // because the table REPORTS the constraint via DSv2 — the refusal
+    // happens in the write job's plan, before the store's
+    // commit-time backstop ever runs
+    assert(analyzed.toLowerCase.contains("checkinvariant"),
+      s"plan-side enforcement missing:\n$analyzed")
+    assert(analyzed.contains("price_pos"), analyzed)
+    // and a table WITHOUT constraints plans no invariant node
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ck_plan2").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_ckp.`$dir2` (id BIGINT, price DOUBLE)")
+    val plain = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(
+        s"INSERT INTO graft_ckp.`$dir2` VALUES (1, 10.0)")).analyzed.toString
+    assert(!plain.toLowerCase.contains("checkinvariant"), plain)
+  }
+
   test("SQL catalog data skipping: a pushed WHERE drops provably-empty dirs from the planned scan") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
