@@ -252,8 +252,18 @@ object Versioned {
   private def lineWeight(ls: Seq[Line]): Long =
     ls.iterator.map { case s: StatsEntry => 1L + s.files.length; case _ => 1L }.sum
 
+  /** Cache keys are the FILESYSTEM-QUALIFIED manifest path: the same
+    * table addressed through equivalent-but-different spellings
+    * (scheme-qualified vs plain, trailing slash) must fill and evict
+    * under ONE key, or a prune/drop through one spelling would leave
+    * the other spelling serving a deleted version's cached parse. */
+  private def cacheKey(spark: SparkSession, dir: String, v: Int): String = {
+    val (fs, _) = fsFor(spark, dir)
+    fs.makeQualified(manifestPath(dir, v)).toString
+  }
+
   private def lines(spark: SparkSession, dir: String, v: Int): Seq[Line] = {
-    val key = manifestPath(dir, v).toString
+    val key = cacheKey(spark, dir, v)
     manifestCache.synchronized(Option(manifestCache.get(key))) match {
       case Some((cached, _)) => cached
       case None =>
@@ -278,10 +288,11 @@ object Versioned {
   /** Drop cached parses for versions that no longer exist ([[pruneVersions]],
     * [[dropTableChain]]) — serving a deleted manifest from cache would
     * resurrect a pruned version's file list. */
-  private def evictManifestCache(dir: String, vs: Iterable[Int]): Unit =
+  private def evictManifestCache(spark: SparkSession, dir: String,
+                                 vs: Iterable[Int]): Unit =
     manifestCache.synchronized {
       vs.foreach { v =>
-        val removed = manifestCache.remove(manifestPath(dir, v).toString)
+        val removed = manifestCache.remove(cacheKey(spark, dir, v))
         if (removed != null) manifestCacheWeight -= removed._2
       }
     }
@@ -402,7 +413,11 @@ object Versioned {
       schema.fields.filterNot(f => partCols.contains(f.name)) ++
         partCols.map(c => schema(c)))
     val carried = prev.toSeq.flatMap(p =>
-      lines(spark, dir, p).collect { case c: ConstraintEntry => c })
+      lines(spark, dir, p).collect {
+        case c: ConstraintEntry => c
+        // other writers' replay guards ride through this overwrite too
+        case t: TxnEntry if t.appId != appId => t
+      })
     val v = prev.map(_ + 1).getOrElse(0)
     commitManifest(spark, dir, v,
       (SchemaEntry(asNullable(ordered)) +:
@@ -469,9 +484,12 @@ object Versioned {
       // them — the table's contract survives its own truncation
       val prev = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no versions at $dir to replace"))
-      val carried =
-        if (replaceDefinition) Seq.empty
-        else lines(spark, dir, prev).collect { case c: ConstraintEntry => c }
+      // txn watermarks survive even an RTAS: they guard a WRITER's
+      // replay, not the table's definition — a stream whose epoch was
+      // committed before the replace must still skip its re-delivery
+      val carried = lines(spark, dir, prev).collect { case t: TxnEntry => t } ++
+        (if (replaceDefinition) Seq.empty
+         else lines(spark, dir, prev).collect { case c: ConstraintEntry => c })
       val ordered =
         if (partCols.isEmpty) declared
         else StructType(declared.fields.filterNot(f => partCols.contains(f.name)) ++
@@ -638,6 +656,20 @@ object Versioned {
       case (SaveMode.Overwrite, Some(_)) => activeConstraints
       case _ => Seq.empty
     }
+    // txn watermarks are WRITER bookkeeping, not data: an overwrite
+    // (INSERT OVERWRITE, UPDATE/MERGE rewrite, zorder, compact) must
+    // not erase another writer's (appId, batchId) replay guard, or a
+    // checkpoint-recovery replay after the maintenance commit would
+    // re-commit an already-committed epoch and duplicate rows — the
+    // reason Delta retains SetTransaction app versions across commits.
+    // Only the committing writer's own watermark is replaced (below).
+    val carriedTxns = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(p)) =>
+        lines(spark, dir, p).collect {
+          case t: TxnEntry if !txn.exists(_._1 == t.appId) => t
+        }
+      case _ => Seq.empty
+    }
     val prevLines = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => lines(spark, dir, p).filterNot {
         case _: SchemaEntry => true
@@ -651,7 +683,7 @@ object Versioned {
     }
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
-        prevLines ++ carriedConstraints ++
+        prevLines ++ carriedConstraints ++ carriedTxns ++
         txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
         DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
     // … then the atomic manifest commit publishes it
@@ -1440,7 +1472,7 @@ object Versioned {
   def dropTableChain(spark: SparkSession, dir: String): Boolean = {
     val (fs, root) = fsFor(spark, dir)
     val vs = versions(spark, dir)
-    evictManifestCache(dir, vs) // a re-created table must not serve the old parse
+    evictManifestCache(spark, dir, vs) // a re-created table must not serve the old parse
     vs.nonEmpty && fs.delete(root, true)
   }
 
@@ -1609,6 +1641,140 @@ object Versioned {
     }
   }
 
+  /** The changes of ONE SQL `ALTER TABLE` statement, to be applied as
+    * ONE metadata-only manifest commit by [[alterTableAtomic]].
+    * `dropChecks` carries (name, ifExists). */
+  final case class AlterSpec(addCols: Seq[StructField] = Seq.empty,
+                             dropCols: Seq[String] = Seq.empty,
+                             addChecks: Seq[(String, String)] = Seq.empty,
+                             dropChecks: Seq[(String, Boolean)] = Seq.empty) {
+    def isEmpty: Boolean =
+      addCols.isEmpty && dropCols.isEmpty && addChecks.isEmpty && dropChecks.isEmpty
+  }
+
+  /** The column names a CHECK predicate reads (top-level attributes of
+    * the parsed expression, lower-cased). */
+  private def constraintRefCols(spark: SparkSession, sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
+    }.toSet
+
+  /** Apply one ALTER TABLE statement's changes — column adds/drops and
+    * CHECK constraint adds/drops — as ONE manifest commit, with EVERY
+    * refusal condition checked BEFORE anything commits. The per-change
+    * commit shape ([[addColumns]] then [[dropColumns]] then constraint
+    * changes) can refuse mid-sequence and leave the statement durably
+    * HALF-APPLIED (columns added, constraint missing); a statement is
+    * atomic or it is nothing. Returns the committed version, or None
+    * for an empty spec. Semantics match the individual operations:
+    * drops resolve against the PRE-alter schema, an added constraint
+    * must hold on the existing rows (added columns read as null —
+    * NULL passes, the SQL CHECK contract), and the usual guards apply
+    * (partition / dv-key / constraint-referenced columns cannot be
+    * dropped unless the referencing constraint is dropped in the SAME
+    * statement). */
+  def alterTableAtomic(spark: SparkSession, dir: String, alter: AlterSpec,
+                       protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] = {
+    if (alter.isEmpty) return None
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    val prior = ls.collectFirst { case SchemaEntry(s) => s }
+      .getOrElse(schemaOf(spark, dir, prev))
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val dvKeys = ls.collect { case DvEntry(k, _) => k }.toSet
+    val existingChecks = ls.collect { case c: ConstraintEntry => c }
+    // ── validate EVERYTHING first; commit once at the end ──
+    // constraint drops: strict names must exist
+    val dropCheckNames = alter.dropChecks.flatMap { case (n, ifExists) =>
+      val found = existingChecks.exists(_.name.equalsIgnoreCase(n))
+      if (found) Some(n)
+      else if (ifExists) None
+      else throw new IllegalArgumentException(
+        s"no CHECK constraint '$n' on $dir (have: ${existingChecks.map(_.name).mkString(", ")})")
+    }
+    val remainingChecks = existingChecks.filterNot(c =>
+      dropCheckNames.exists(_.equalsIgnoreCase(c.name)))
+    // constraint adds: shape + uniqueness (vs survivors and each other)
+    alter.addChecks.foreach { case (n, sql) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"constraint name must be word-shaped (it is embedded in the manifest), got '$n'")
+      requireOneLine(sql, n)
+      require(!remainingChecks.exists(_.name.equalsIgnoreCase(n)),
+        s"constraint '$n' already exists")
+    }
+    require(alter.addChecks.map(_._1.toLowerCase).distinct.length == alter.addChecks.length,
+      s"duplicate constraint names in ${alter.addChecks.map(_._1).mkString(",")}")
+    // column adds: no collisions with the prior schema or each other
+    val priorLower = prior.fieldNames.map(_.toLowerCase).toSet
+    alter.addCols.foreach(f => require(!priorLower.contains(f.name.toLowerCase),
+      s"column '${f.name}' already exists"))
+    require(alter.addCols.map(_.name.toLowerCase).distinct.length == alter.addCols.length,
+      s"duplicate names in ${alter.addCols.map(_.name).mkString(",")}")
+    // column drops: resolve against the PRE-alter schema; the guards
+    // consider the POST-alter constraint set (dropping a constraint
+    // and the column it reads in one statement is legal)
+    val resolvedDrops = alter.dropCols.map { n =>
+      prior.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$n' in ${prior.fieldNames.mkString(",")}"))
+    }
+    val finalChecks = remainingChecks ++
+      alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) }
+    val checkRefs = finalChecks.map(c => c.name -> constraintRefCols(spark, c.predicateSql))
+    resolvedDrops.foreach { n =>
+      require(!partCols.contains(n), s"cannot drop partition column '$n'")
+      require(!dvKeys.contains(n),
+        s"cannot drop '$n': it keys a live deletion vector — compact or " +
+          "overwrite to apply the mask physically first")
+      checkRefs.find(_._2.contains(n.toLowerCase)).foreach { case (cn, _) =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$n': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
+      }
+    }
+    // final schema: data columns minus drops plus adds, partition
+    // columns last (the partitioned read order)
+    val dropSet = resolvedDrops.toSet
+    val (dataF, partF) = prior.fields.partition(f => !partCols.contains(f.name))
+    val keptData = dataF.filterNot(f => dropSet.contains(f.name))
+    val finalSchema = asNullable(StructType(keptData ++ alter.addCols ++ partF))
+    require(finalSchema.fields.nonEmpty, "cannot drop every column")
+    // added constraints must resolve against the FINAL schema …
+    val finalLower = finalSchema.fieldNames.map(_.toLowerCase).toSet
+    alter.addChecks.foreach { case (n, sql) =>
+      val unknown = constraintRefCols(spark, sql) -- finalLower
+      require(unknown.isEmpty,
+        s"CHECK constraint '$n' ($sql) references unknown column(s) ${unknown.mkString(",")}")
+    }
+    // … and hold on the EXISTING rows (added columns read as null;
+    // NULL passes — the SQL CHECK contract)
+    if (alter.addChecks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val base = alter.addCols.foldLeft(readVersion(spark, dir, prev)) { (df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      alter.addChecks.foreach { case (n, sql) =>
+        val violating = base.filter(not(coalesce(expr(sql), lit(true))))
+        require(violating.isEmpty,
+          s"cannot add CHECK constraint '$n' ($sql): existing rows violate it " +
+            s"— e.g. ${violating.head()}")
+      }
+    }
+    // ── the single commit ──
+    val kept = ls.filterNot {
+      case _: SchemaEntry => true
+      case c: ConstraintEntry => dropCheckNames.exists(_.equalsIgnoreCase(c.name))
+      case _ => false
+    }
+    val v = prev + 1
+    commitManifest(spark, dir, v,
+      (SchemaEntry(finalSchema) +: (kept ++
+        alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) })).map(renderLine),
+      protocol)
+    Some(v)
+  }
+
   case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String],
                         dirsSkippedYoung: Seq[String] = Seq.empty)
 
@@ -1651,7 +1817,7 @@ object Versioned {
     // manifests holding the references are deleted
     val droppedRefs = drop.flatMap(dirNames).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
-    evictManifestCache(dir, drop)
+    evictManifestCache(spark, dir, drop)
     val now = System.currentTimeMillis()
     val candidates = fs.listStatus(root)
       .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv|changes)(_[0-9a-f]{8})?""") &&

@@ -238,11 +238,14 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
     val dir = pathOf(ident)
-    // refuse-first, commit-after: every refusable shape is checked
-    // BEFORE the first manifest commit, and homogeneous groups apply
-    // as ONE commit (`ADD COLUMNS (a, b)` arrives as two AddColumn
-    // changes — committing them separately would leave `a` durably
-    // added when `b` refuses)
+    // refuse-first, commit-once: shape-level refusals here, then the
+    // WHOLE statement — column adds/drops and constraint changes —
+    // applies as ONE manifest commit ([[Versioned.alterTableAtomic]]),
+    // whose semantic refusals (dv-key/partition/constraint-referenced
+    // drops, constraint validation against existing rows) all fire
+    // BEFORE anything commits. The earlier per-group commit shape
+    // could leave an ALTER durably half-applied when a later group
+    // refused.
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames.length != 1) throw new UnsupportedOperationException(
@@ -265,7 +268,6 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     val adds = changes.collect { case a: TableChange.AddColumn =>
       org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
         nullable = true) }
-    if (adds.nonEmpty) Versioned.addColumns(spark, dir, adds)
     val (delIfExists, delStrict) = changes.collect {
       case d: TableChange.DeleteColumn => d }
       .partition(d => d.ifExists != null && d.ifExists.booleanValue())
@@ -277,20 +279,12 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
         .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
       delIfExists.map(_.fieldNames.head).filter(n => have.contains(n.toLowerCase))
     }
-    if (dropNames.nonEmpty) Versioned.dropColumns(spark, dir, dropNames)
-    changes.foreach {
-      case ac: TableChange.AddConstraint =>
-        checksOf(Array(ac.constraint())).foreach { case (n, sql) =>
-          Versioned.addCheckConstraint(spark, dir, n, sql)
-        }
-      case dc: TableChange.DropConstraint =>
-        if (Versioned.dropCheckConstraint(spark, dir, dc.name()).isEmpty && !dc.ifExists())
-          throw new IllegalArgumentException(
-            s"no CHECK constraint '${dc.name()}' on $dir " +
-              s"(have: ${Versioned.checkConstraints(spark, dir,
-                Versioned.latestVersion(spark, dir).get).map(_._1).mkString(", ")})")
-      case _ => ()
-    }
+    val addChecks = changes.collect { case ac: TableChange.AddConstraint => ac }
+      .flatMap(ac => checksOf(Array(ac.constraint())))
+    val dropChecks = changes.collect { case dc: TableChange.DropConstraint =>
+      (dc.name(), dc.ifExists()) }
+    Versioned.alterTableAtomic(spark, dir,
+      Versioned.AlterSpec(adds, dropNames, addChecks, dropChecks))
     load(ident, None)
   }
 
@@ -490,11 +484,19 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     VersionedDeletes.plan(vdSchema, filters) match {
-      case Some(Left(())) => // DELETE FROM t (no WHERE): truncate commit
-        Versioned.writeVersion(
-          vdSpark.createDataFrame(
-            vdSpark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vdSchema),
-          vdDir, org.apache.spark.sql.SaveMode.Overwrite)
+      case Some(Left(())) => // DELETE FROM t (no WHERE): truncate commit.
+        // METADATA-ONLY empty overwrite through the staged-table empty
+        // path: keeps the recorded schema, the PARTITION SPEC (a plain
+        // unpartitioned writeVersion here would silently downgrade a
+        // partitioned chain's layout and later inserts would land
+        // flat), the CHECK constraints (a truncate is a DATA change,
+        // not a definition change), and other writers' txn watermarks.
+        val partCols = Versioned.latestVersion(vdSpark, vdDir)
+          .map(v => Versioned.versionInfo(vdSpark, vdDir, v).partitionCols)
+          .getOrElse(Seq.empty)
+        Versioned.commitStagedTable(vdSpark, vdDir,
+          Versioned.stageDataDir(vdSpark, vdDir), // never written: routes to the empty commit
+          vdSchema, partCols, fresh = false, replaceDefinition = false)
         ()
       case Some(Right((keyCol, values))) =>
         if (values.nonEmpty) {

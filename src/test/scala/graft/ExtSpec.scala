@@ -3065,4 +3065,108 @@ class ExtSpec extends AnyFunSuite {
       .exists(t => t.getMessage != null && t.getMessage.contains("compact_dv")),
       "cause chain should name the available procedures")
   }
+
+  test("txn watermarks survive Overwrite commits: a maintenance rewrite never re-opens the exactly-once window") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_txncarry").toString + "/t"
+    // a streaming sink commits epoch 3 …
+    assert(Versioned.writeVersionStreamBatch(Seq((1L, "a")).toDF("id", "v"),
+      dir, appId = "ckpt-A", batchId = 3L).contains(0))
+    // … then maintenance overwrites the table (compaction / INSERT
+    // OVERWRITE / UPDATE rewrite all land here)
+    Versioned.writeVersion(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Overwrite)
+    assert(Versioned.lastCommittedBatch(spark, dir, "ckpt-A").contains(3L),
+      "overwrite must carry the watermark — dropping it re-opens the replay window")
+    // a checkpoint-recovery replay of epoch 3 AFTER the overwrite is
+    // still detected and skipped (the pre-fix behavior duplicated it)
+    assert(Versioned.writeVersionStreamBatch(Seq((1L, "a")).toDF("id", "v"),
+      dir, appId = "ckpt-A", batchId = 3L).isEmpty)
+    assert(Versioned.readLatest(spark, dir).count() == 1)
+    // a genuinely new epoch still lands, replacing only ITS watermark
+    assert(Versioned.writeVersionStreamBatch(Seq((3L, "c")).toDF("id", "v"),
+      dir, appId = "ckpt-A", batchId = 4L).nonEmpty)
+    assert(Versioned.lastCommittedBatch(spark, dir, "ckpt-A").contains(4L))
+    // zorder (writeVersionWith overwrite) keeps it too
+    graft.ext.Maintenance.zorderVersioned(spark, dir, "id", "id", 1)
+    assert(Versioned.lastCommittedBatch(spark, dir, "ckpt-A").contains(4L))
+  }
+
+  test("SQL truncate of a PARTITIONED chain keeps the spec (and constraints): later inserts land partitioned") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_parttrunc").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_pt", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_pt.`$dir` (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"ALTER TABLE graft_pt.`$dir` ADD CONSTRAINT pos CHECK (id > 0)")
+    spark.sql(s"INSERT INTO graft_pt.`$dir` VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"DELETE FROM graft_pt.`$dir`") // bare truncate
+    val v = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, v).partitionCols == Seq("cat"),
+      "truncate dropped the partition spec — the layout downgrade the fix guards")
+    assert(Versioned.checkConstraints(spark, dir, v).map(_._1) == Seq("pos"),
+      "truncate is a DATA change; the table's contract survives it")
+    assert(spark.sql(s"SELECT * FROM graft_pt.`$dir`").count() == 0)
+    // the next insert lands hive-laid-out and partition-prunes
+    spark.sql(s"INSERT INTO graft_pt.`$dir` VALUES (3, 'c'), (4, 'd')")
+    val v2 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, v2).partitionCols == Seq("cat"))
+    assert(spark.sql(s"SELECT id FROM graft_pt.`$dir` WHERE cat = 'c'")
+      .as[Long].collect().toSeq == Seq(3L))
+    // and the constraint still refuses plan-side
+    val bad = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_pt.`$dir` VALUES (-1, 'x')") }
+    assert(bad.getMessage != null)
+  }
+
+  test("ALTER TABLE is atomic: a statement with a refusing change commits NOTHING") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_alteratomic").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_aa", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_aa.`$dir` (id BIGINT, x INT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO graft_aa.`$dir` VALUES (1, 7, 'a')")
+    val v0 = Versioned.latestVersion(spark, dir).get
+    // one statement, two drops: x (droppable) + cat (partition column,
+    // refuses). The per-group commit shape dropped x durably before
+    // the refusal; atomic means neither happens.
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_aa.`$dir` DROP COLUMNS (x, cat)") }
+    assert(Versioned.latestVersion(spark, dir).contains(v0),
+      "refused ALTER must not commit any version")
+    assert(Versioned.readLatest(spark, dir).columns.contains("x"),
+      "refused ALTER must not half-apply the droppable column")
+    // library form: adds + a constraint the EXISTING rows violate —
+    // the validation fires before any commit, so the column add must
+    // not survive the refusal
+    intercept[Exception] {
+      Versioned.alterTableAtomic(spark, dir, Versioned.AlterSpec(
+        addCols = Seq(org.apache.spark.sql.types.StructField("y",
+          org.apache.spark.sql.types.IntegerType)),
+        addChecks = Seq(("impossible", "id > 100")))) }
+    assert(Versioned.latestVersion(spark, dir).contains(v0))
+    assert(!Versioned.readLatest(spark, dir).columns.contains("y"))
+    // dropping a constraint AND the column it reads in ONE statement
+    // is legal (the guard considers the post-alter constraint set)
+    spark.sql(s"ALTER TABLE graft_aa.`$dir` ADD CONSTRAINT xpos CHECK (x > 0)")
+    assert(Versioned.alterTableAtomic(spark, dir, Versioned.AlterSpec(
+      dropCols = Seq("x"), dropChecks = Seq(("xpos", false)))).nonEmpty)
+    assert(!Versioned.readLatest(spark, dir).columns.contains("x"))
+    assert(Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty)
+  }
+
+  test("manifest cache keys are path-normalized: a drop through one path spelling evicts the other") {
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_cachekey").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "old")).toDF("id", "v"), root)
+    // fill the cache through the PLAIN spelling
+    assert(Versioned.readLatest(spark, root).select("v").as[String].head() == "old")
+    // drop through the scheme-QUALIFIED spelling of the same table
+    assert(Versioned.dropTableChain(spark, s"file:$root"))
+    // recreate at the same path; v0's manifest path string (plain
+    // spelling) is identical to the dropped one — an unnormalized
+    // cache would serve the deleted version's parse
+    Versioned.writeVersion(Seq((2L, "new")).toDF("id", "v"), root)
+    assert(Versioned.readLatest(spark, root).select("v").as[String].head() == "new",
+      "stale cached parse served after a drop through an equivalent path spelling")
+  }
 }
