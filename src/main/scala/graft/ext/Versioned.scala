@@ -19,8 +19,16 @@ import org.apache.hadoop.fs.Path
   *                                     `dv:<keyCol>:<dirName>`)
   * }}}
   *
-  * A manifest carries four line kinds (Delta's log actions, reduced to
-  * the minimum this store needs):
+  * A manifest file is either FULL STATE or an O(delta) INCREMENT
+  * against its parent (`parent:<v>` + add/remove ops — see the delta
+  * section in the object body): appends write only what changed, a
+  * full checkpoint lands every `spark.graft.manifest.checkpointInterval`
+  * commits (and on every overwrite), and readers resolve deltas by
+  * folding over the parent's cached resolution — Delta's log/checkpoint
+  * shape, which retires the last O(table) metadata cost per commit.
+  *
+  * A resolved manifest carries these line kinds (Delta's log actions,
+  * reduced to the minimum this store needs):
   *
   *   - `<dirName>` — a live data dir (Delta `add`).
   *   - `dv:<keyCol>:<dirName>` — a deletion vector (key-mask sidecar).
@@ -262,12 +270,153 @@ object Versioned {
     fs.makeQualified(manifestPath(dir, v)).toString
   }
 
+  // ───────────── O(delta) manifests: incremental commits ─────────────
+  // A manifest file is either FULL STATE (the original format: every
+  // line a fact) or a DELTA against its parent — first line
+  // `parent:<v>`, then ops. At 10⁶ files with per-file stats a full
+  // manifest is tens of MB; re-serializing it on EVERY append made
+  // each commit's metadata write O(table). A delta commit writes only
+  // what changed (Delta Lake's log is O(delta) JSON actions for the
+  // same reason), and every Nth commit — plus every overwrite, which
+  // starts the state fresh anyway — is a FULL checkpoint bounding the
+  // resolution chain. Readers are untouched above the parser: [[lines]]
+  // resolves a delta by folding its ops over the parent's RESOLVED
+  // lines (cached, so the fold happens once per JVM per version).
+  //
+  // Delta ops:
+  //   `+<rendered line>`   add, with replace-by-key semantics per kind
+  //                        (schema/partition replace the singleton;
+  //                        txn replaces the same appId; stats replaces
+  //                        the same dir; constraint replaces the same
+  //                        name; a data dir adds if absent)
+  //   `-data:<dir>`        drop a data dir AND its stats entry
+  //   `-dv:<dir>`          drop a deletion-vector entry by dir name
+  //   `-txn:<appId>`       drop a writer's txn watermark
+  //   `-constraint:<name>` drop a CHECK constraint
+  //
+  // Checkpoints are SIDECARS (`<v>.checkpoint` beside `<v>.manifest`),
+  // not alternate manifest contents: the manifest that claimed a
+  // version is immutable, while a checkpoint is DERIVED state that can
+  // be (re)created any time from the chain — which is what lets
+  // [[pruneVersions]] keep its exact keepLast contract: before
+  // dropping a kept delta's parents it materializes the boundary
+  // version's checkpoint, then reclaims. Delta's `_delta_log` has the
+  // same json-actions + parquet-checkpoint split.
+
+  /** A checkpoint sidecar lands every `interval` commits
+    * (`spark.graft.manifest.checkpointInterval`, default 10; ≤1 =
+    * every commit), bounding every resolution chain. Overwrite
+    * commits need none: their manifests are full state already. */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.manifest.checkpointInterval")
+      .map(_.toInt).getOrElse(10)
+
+  private def checkpointDue(spark: SparkSession, v: Int): Boolean = {
+    val i = checkpointInterval(spark)
+    i <= 1 || (i > 0 && v % i == 0)
+  }
+
+  private def checkpointPath(dir: String, v: Int) =
+    new Path(dir, f"$VDIR/$v%08d.checkpoint")
+
+  /** Materialize a version's resolved state as its checkpoint sidecar.
+    * Derived data, so losing the put-if-absent race just means another
+    * writer checkpointed the same (immutable) content first. */
+  private def writeCheckpoint(spark: SparkSession, dir: String, v: Int,
+                              fullLines: Seq[Line], protocol: CommitProtocol): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    val bytes = (fullLines.map(renderLine).mkString("\n") + "\n").getBytes("UTF-8")
+    protocol.putIfAbsent(fs, checkpointPath(dir, v), bytes)
+    ()
+  }
+
+  /** The parent version of a DELTA manifest, None for a full one —
+    * read from the first line only (prune consults this without
+    * paying a full parse). */
+  private def manifestParent(spark: SparkSession, dir: String, v: Int): Option[Int] = {
+    val (fs, _) = fsFor(spark, dir)
+    val in = fs.open(manifestPath(dir, v))
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Option(br.readLine()).map(_.trim).filter(_.startsWith("parent:"))
+        .map(_.drop(7).trim.toInt)
+    } finally in.close()
+  }
+
+  /** Fold one delta manifest's ops over the parent's resolved lines. */
+  private def applyOps(base: Seq[Line], ops: Seq[String]): Seq[Line] =
+    ops.foldLeft(base) { (acc, op) =>
+      if (op.startsWith("+")) parseLine(op.drop(1)) match {
+        case s: SchemaEntry    => s +: acc.filterNot(_.isInstanceOf[SchemaEntry])
+        case p: PartitionEntry => p +: acc.filterNot(_.isInstanceOf[PartitionEntry])
+        case t: TxnEntry       => acc.filterNot {
+          case TxnEntry(_, a) => a == t.appId; case _ => false } :+ t
+        case s: StatsEntry     => acc.filterNot {
+          case e: StatsEntry => e.name == s.name; case _ => false } :+ s
+        case c: ConstraintEntry => acc.filterNot {
+          case e: ConstraintEntry => e.name.equalsIgnoreCase(c.name); case _ => false } :+ c
+        case d: DataEntry      => if (acc.contains(d)) acc else acc :+ d
+        case other             => acc :+ other // dv, changes: plain adds
+      } else if (op.startsWith("-data:")) {
+        val n = op.drop(6)
+        acc.filterNot {
+          case DataEntry(e)       => e == n
+          case s: StatsEntry      => s.name == n
+          case _ => false
+        }
+      } else if (op.startsWith("-dv:")) {
+        val n = op.drop(4)
+        acc.filterNot { case DvEntry(_, e) => e == n; case _ => false }
+      } else if (op.startsWith("-txn:")) {
+        val a = op.drop(5)
+        acc.filterNot { case TxnEntry(_, e) => e == a; case _ => false }
+      } else if (op.startsWith("-constraint:")) {
+        val n = op.drop(12)
+        acc.filterNot { case ConstraintEntry(e, _) => e.equalsIgnoreCase(n); case _ => false }
+      } else throw new IllegalStateException(s"malformed delta-manifest op: $op")
+    }
+
+  /** Resolve one version to its full line set: a checkpoint sidecar
+    * parses directly; so does a full manifest; a delta folds over the
+    * parent's (cached) resolution. */
+  private def resolveManifest(spark: SparkSession, dir: String, v: Int): Seq[Line] = {
+    val (fs, _) = fsFor(spark, dir)
+    val cp = checkpointPath(dir, v)
+    if (fs.exists(cp)) {
+      val in = fs.open(cp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(parseLine).toList
+      finally in.close()
+    } else {
+      val raw = readManifest(spark, dir, v)
+      raw.headOption.filter(_.startsWith("parent:")) match {
+        case None => raw.map(parseLine)
+        case Some(head) =>
+          val parent = head.drop(7).trim.toInt
+          applyOps(lines(spark, dir, parent), raw.tail)
+      }
+    }
+  }
+
+  /** Commit a non-overwrite child version as a DELTA manifest (parent
+    * + ops), and land the periodic checkpoint sidecar when due. The
+    * manifest commit is the atomic claim; a crash before the sidecar
+    * lands costs nothing (resolution folds the chain). */
+  private def commitChild(spark: SparkSession, dir: String, v: Int, parent: Int,
+                          fullLines: => Seq[Line], ops: => Seq[String],
+                          protocol: CommitProtocol): Unit = {
+    commitManifest(spark, dir, v, s"parent:$parent" +: ops, protocol)
+    if (checkpointDue(spark, v)) writeCheckpoint(spark, dir, v, fullLines, protocol)
+  }
+
+  private def addOp(l: Line): String = "+" + renderLine(l)
+
   private def lines(spark: SparkSession, dir: String, v: Int): Seq[Line] = {
     val key = cacheKey(spark, dir, v)
     manifestCache.synchronized(Option(manifestCache.get(key))) match {
       case Some((cached, _)) => cached
       case None =>
-        val parsed = readManifest(spark, dir, v).map(parseLine)
+        val parsed = resolveManifest(spark, dir, v)
         val w = lineWeight(parsed)
         manifestCache.synchronized {
           if (manifestCache.put(key, (parsed, w)) == null) manifestCacheWeight += w
@@ -681,13 +830,30 @@ object Versioned {
       }
       case _ => Seq.empty
     }
+    val stats = StatsEntry(dataDir, rows, colStats, dirFiles)
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
         prevLines ++ carriedConstraints ++ carriedTxns ++
         txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
-        DataEntry(dataDir) :+ StatsEntry(dataDir, rows, colStats, dirFiles))
-    // … then the atomic manifest commit publishes it
-    commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
+        DataEntry(dataDir) :+ stats)
+    // … then the atomic manifest commit publishes it. An APPEND
+    // publishes O(delta) ops — schema only when the union CHANGED,
+    // this writer's txn watermark, the new dir + its stats — never a
+    // re-serialization of the whole table's file list; an OVERWRITE is
+    // a full manifest (it resets the state: the checkpoint is free).
+    (mode, prev) match {
+      case (SaveMode.Append, Some(p)) =>
+        val ops = Seq.newBuilder[String]
+        if (!recordedSchema(spark, dir, p).contains(newSchema))
+          ops += addOp(SchemaEntry(newSchema))
+        txn.foreach { case (a, b) => ops += addOp(TxnEntry(b, a)) }
+        extraLines.foreach(l => ops += addOp(l))
+        ops += addOp(DataEntry(dataDir))
+        ops += addOp(stats)
+        commitChild(spark, dir, v, p, newLines, ops.result(), protocol)
+      case _ =>
+        commitManifest(spark, dir, v, newLines.map(renderLine), protocol)
+    }
     Some(v)
   }
 
@@ -829,9 +995,11 @@ object Versioned {
           "writeVersion(readLatest(dir).join(keys, Seq(keyCol), \"left_anti\"), dir)")
     }
     // schema and stats lines ride along unchanged: a delete touches
-    // no data dir, so neither the union schema nor any dir's stats move
-    commitManifest(spark, dir, v,
-      readManifest(spark, dir, prev) :+ s"dv:$keyCol:$dvDir", protocol)
+    // no data dir, so neither the union schema nor any dir's stats
+    // move — the delta commit is ONE dv line
+    val dv = DvEntry(keyCol, dvDir)
+    commitChild(spark, dir, v, prev,
+      lines(spark, dir, prev) :+ dv, Seq(addOp(dv)), protocol)
     v
   }
 
@@ -859,6 +1027,7 @@ object Versioned {
       if (!dvByKey.exists(_._2.length > 1)) None
       else {
         val v = prev + 1
+        val ops = Seq.newBuilder[String]
         val merged = dvByKey.map { case (k, es) =>
           if (es.length == 1) es.head
           else {
@@ -869,11 +1038,13 @@ object Versioned {
               .select(org.apache.spark.sql.functions.col(k)).distinct()
               .write.mode(SaveMode.ErrorIfExists)
               .parquet(new Path(root, dvDir).toString)
+            es.foreach(e => ops += s"-dv:${e.name}")
+            ops += addOp(DvEntry(k, dvDir))
             DvEntry(k, dvDir)
           }
         }
         val kept = prevLines.filterNot(_.isInstanceOf[DvEntry]) ++ merged
-        commitManifest(spark, dir, v, kept.map(renderLine), protocol)
+        commitChild(spark, dir, v, prev, kept, ops.result(), protocol)
         Some(v)
       }
     }
@@ -993,8 +1164,9 @@ object Versioned {
           case st: StatsEntry => replaced.contains(st.name)
           case _              => false
         }
-        commitManifest(spark, dir, v,
-          (SchemaEntry(schema) +: (kept ++ harvested)).map(renderLine), protocol)
+        commitChild(spark, dir, v, prev,
+          SchemaEntry(schema) +: (kept ++ harvested),
+          addOp(SchemaEntry(schema)) +: harvested.map(addOp), protocol)
         Some(v)
       }
     }
@@ -1408,9 +1580,12 @@ object Versioned {
     * new version, so it is also undoable. Returns the new version id. */
   def restoreVersion(spark: SparkSession, dir: String, v: Int,
                      protocol: CommitProtocol = PutIfAbsentCommit): Int = {
-    val raw = readManifest(spark, dir, v) // validates v exists
+    // RESOLVED state, written FULL: a restored delta would otherwise
+    // depend on a parent chain that retention may later reclaim, and
+    // the restore's content is v's state, not a delta against latest
+    val resolved = lines(spark, dir, v) // validates v exists
     val next = latestVersion(spark, dir).get + 1
-    commitManifest(spark, dir, next, raw, protocol)
+    commitManifest(spark, dir, next, resolved.map(renderLine), protocol)
     next
   }
 
@@ -1494,9 +1669,9 @@ object Versioned {
       .getOrElse(schemaOf(spark, dir, prev))
     val next = asNullable(change(prior, ls))
     val v = prev + 1
-    commitManifest(spark, dir, v,
-      (SchemaEntry(next) +: ls.filterNot(_.isInstanceOf[SchemaEntry])).map(renderLine),
-      protocol)
+    commitChild(spark, dir, v, prev,
+      SchemaEntry(next) +: ls.filterNot(_.isInstanceOf[SchemaEntry]),
+      Seq(addOp(SchemaEntry(next))), protocol)
     v
   }
 
@@ -1617,8 +1792,8 @@ object Versioned {
       s"cannot add CHECK constraint '$name' ($predicateSql): existing rows violate it " +
         s"— e.g. ${violating.head()}")
     val v = prev + 1
-    commitManifest(spark, dir, v,
-      (ls :+ ConstraintEntry(name, predicateSql)).map(renderLine), protocol)
+    val c = ConstraintEntry(name, predicateSql)
+    commitChild(spark, dir, v, prev, ls :+ c, Seq(addOp(c)), protocol)
     v
   }
 
@@ -1633,10 +1808,12 @@ object Versioned {
     if (!ls.exists { case ConstraintEntry(n, _) => n.equalsIgnoreCase(name); case _ => false }) None
     else {
       val v = prev + 1
-      commitManifest(spark, dir, v, ls.filterNot {
-        case ConstraintEntry(n, _) => n.equalsIgnoreCase(name)
-        case _ => false
-      }.map(renderLine), protocol)
+      commitChild(spark, dir, v, prev,
+        ls.filterNot {
+          case ConstraintEntry(n, _) => n.equalsIgnoreCase(name)
+          case _ => false
+        },
+        Seq(s"-constraint:$name"), protocol)
       Some(v)
     }
   }
@@ -1768,9 +1945,12 @@ object Versioned {
       case _ => false
     }
     val v = prev + 1
-    commitManifest(spark, dir, v,
-      (SchemaEntry(finalSchema) +: (kept ++
-        alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) })).map(renderLine),
+    commitChild(spark, dir, v, prev,
+      SchemaEntry(finalSchema) +: (kept ++
+        alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) }),
+      (addOp(SchemaEntry(finalSchema)) +:
+        dropCheckNames.map(n => s"-constraint:$n")) ++
+        alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) },
       protocol)
     Some(v)
   }
@@ -1804,6 +1984,16 @@ object Versioned {
       return PruneStats(Seq.empty, Seq.empty)
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
+    // the oldest KEPT version may be a delta that resolves through the
+    // manifests about to be dropped — materialize its checkpoint
+    // sidecar FIRST (derived data: safe to create any time, atomic via
+    // the same put-if-absent primitive as every commit), so retention
+    // keeps its exact keepLast contract without breaking resolution
+    if (drop.nonEmpty) keep.headOption.foreach { b =>
+      if (manifestParent(spark, dir, b).nonEmpty &&
+          !fs.exists(checkpointPath(dir, b)))
+        writeCheckpoint(spark, dir, b, lines(spark, dir, b), PutIfAbsentCommit)
+    }
     // live names span BOTH dir kinds: a deletion-vector dir referenced
     // by a surviving manifest is load-bearing (reclaiming it would
     // resurrect deleted rows)
@@ -1816,7 +2006,13 @@ object Versioned {
     // names committed history once referenced — captured BEFORE the
     // manifests holding the references are deleted
     val droppedRefs = drop.flatMap(dirNames).toSet
-    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // newest-dropped first: a crash mid-prune then leaves the
+    // surviving prefix a complete chain (a delta whose parent had
+    // been deleted first would be unresolvable until the next prune)
+    drop.reverse.foreach { v =>
+      fs.delete(manifestPath(dir, v), false)
+      fs.delete(checkpointPath(dir, v), false)
+    }
     evictManifestCache(spark, dir, drop)
     val now = System.currentTimeMillis()
     val candidates = fs.listStatus(root)

@@ -3154,6 +3154,68 @@ class ExtSpec extends AnyFunSuite {
       Versioned.latestVersion(spark, dir).get).isEmpty)
   }
 
+  test("manifests are O(delta): appends write increments, checkpoints bound the chain, prune snaps to a checkpoint") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_deltaman").toString + "/t"
+    def manifestBytes(v: Int): Long =
+      java.nio.file.Files.size(java.nio.file.Paths.get(f"$dir/_versions/$v%08d.manifest"))
+    def firstLine(v: Int): String =
+      scala.io.Source.fromFile(f"$dir/_versions/$v%08d.manifest").getLines().next()
+    // v0: an 8-file base commit (full manifest, 8 stats entries)
+    Versioned.writeVersion(spark.range(0, 200).toDF("id").repartition(8), dir)
+    assert(!firstLine(0).startsWith("parent:"))
+    // v1..v9: single-row appends — each manifest is an INCREMENT
+    (1 to 9).foreach(i =>
+      Versioned.appendVersionWithRetry(
+        spark.range(1000L + i, 1001L + i).toDF("id").repartition(1), dir))
+    assert(firstLine(1) == "parent:0" && firstLine(9) == "parent:8")
+    // the commit's metadata write does NOT grow with the table: the
+    // 9th append (table now 16 files) writes no more than the 1st
+    assert(manifestBytes(9) <= manifestBytes(1) * 3 / 2,
+      s"delta commit grew with the table: v1=${manifestBytes(1)}B v9=${manifestBytes(9)}B")
+    assert(manifestBytes(1) < manifestBytes(0),
+      s"an append increment (${manifestBytes(1)}B) should be smaller than the 8-file base (${manifestBytes(0)}B)")
+    // v10: the manifest stays a tiny delta, and the PERIODIC
+    // CHECKPOINT SIDECAR (interval 10) lands beside it — the
+    // resolution chain is bounded without ever writing a big manifest
+    Versioned.appendVersionWithRetry(spark.range(2000, 2001).toDF("id"), dir)
+    assert(firstLine(10) == "parent:9")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/_versions/00000010.checkpoint")))
+    // every version resolves correctly through the chain
+    assert(Versioned.readVersion(spark, dir, 0).count() == 200)
+    assert(Versioned.readVersion(spark, dir, 5).count() == 205)
+    assert(Versioned.readLatest(spark, dir).count() == 210)
+    assert(Versioned.recordedSchema(spark, dir, 9).nonEmpty,
+      "delta resolution must inherit the parent's schema line")
+    // deletes and schema changes are increments too
+    Versioned.deleteByKeys(spark, dir, Seq(1001L).toDF("id"), "id") // v11
+    assert(firstLine(11) == "parent:10")
+    Versioned.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType))) // v12
+    assert(firstLine(12) == "parent:11")
+    assert(Versioned.readLatest(spark, dir).count() == 209)
+    assert(Versioned.readLatest(spark, dir).columns.contains("extra"))
+    // prune keeps its EXACT keepLast contract: the boundary version
+    // (v12, a delta) gets its checkpoint sidecar materialized BEFORE
+    // its parents are reclaimed, so it stays resolvable alone
+    val pruned = Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0)
+    assert(pruned.versionsDropped == (0 to 11), pruned.versionsDropped.toString)
+    assert(Versioned.versions(spark, dir) == Seq(12))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/_versions/00000012.checkpoint")))
+    assert(Versioned.readLatest(spark, dir).count() == 209)
+    assert(Versioned.readLatest(spark, dir).columns.contains("extra"))
+    // restoring a version writes its RESOLVED state as a full
+    // manifest, so the restore never depends on the chain it came from
+    val rv = Versioned.restoreVersion(spark, dir, 12)
+    assert(!firstLine(rv).startsWith("parent:"))
+    Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0)
+    assert(Versioned.versions(spark, dir) == Seq(rv))
+    assert(Versioned.readLatest(spark, dir).count() == 209)
+  }
+
   test("manifest cache keys are path-normalized: a drop through one path spelling evicts the other") {
     import graft.ext.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_cachekey").toString + "/t"
