@@ -1636,6 +1636,30 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // FILE-GRANULAR SQL UPDATE (r9 ask #1): the base state lands as
+    // 8 range-partitioned files with tight o_orderkey bounds, so the
+    // selective UPDATE's pushed group filter selects only the files
+    // whose per-file stats admit the predicate — the scan reads and
+    // the commit rewrites JUST those (remove+add ops, untouched files
+    // verbatim; PlanSpec pins the numFiles, ExtSpec the manifest).
+    // The whole-table overwrite this replaces rewrote all 8.
+    "q133_sql_update_pruned" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_update_pruned", d)
+      // overwrite RESETS the chain each pass (idempotent fixture);
+      // range-partitioned files give the per-file stats their bite
+      Versioned.writeVersion(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), tbl)
+      s.sql(s"UPDATE versioned.`$tbl` SET price = price + 100.0 " +
+        "WHERE o_orderkey < 1000")
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // SQL MERGE INTO through the catalog: matched-delete,
     // matched-update, and not-matched-insert clauses in one statement,
     // rewritten by Spark to the same copy-on-write ReplaceData seam —
@@ -3500,6 +3524,16 @@ object SparkEntry {
     "q125_sql_update" ->
       """SELECT o_orderkey, o_orderstatus AS status,
         |       CASE WHEN ROUND(o_totalprice, 2) > 150000.0
+        |            THEN ROUND(o_totalprice, 2) + 100.0
+        |            ELSE ROUND(o_totalprice, 2) END AS price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the selective bump replayed as a CASE over the F slice — the
+    // file-granular rewrite is a physical move, never a semantic one
+    "q133_sql_update_pruned" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CASE WHEN o_orderkey < 1000
         |            THEN ROUND(o_totalprice, 2) + 100.0
         |            ELSE ROUND(o_totalprice, 2) END AS price
         |FROM orders WHERE o_orderstatus = 'F'

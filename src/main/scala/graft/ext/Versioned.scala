@@ -596,6 +596,116 @@ object Versioned {
     writeVersionCore(spark, dir, protocol, SaveMode.Overwrite, txn = None,
       preWritten = Some(dataDir))(_ => ()).get
 
+  /** FILE-GRANULAR copy-on-write commit (Delta's rewrite-touched-files
+    * role): publish a new version that removes exactly the `removed`
+    * files (dirName → file names within it) and adds the pre-written
+    * `replacementDir`, carrying every untouched file VERBATIM — the
+    * manifest ops are O(touched files), and a selective SQL UPDATE
+    * stops being a whole-table rewrite. Partially-consumed dirs keep
+    * their DataEntry with a shrunk file list and re-aggregated bounds;
+    * fully-consumed dirs drop. Deletion vectors, constraints, txn
+    * watermarks, partition spec, and schema all carry unchanged.
+    *
+    * Concurrency: commutes with concurrent appends and key-deletes
+    * over DISJOINT files (bounded OCC retry — the reason a
+    * file-granular commit beats the overwrite it replaces, which
+    * serialized against every append). Two conflicts surface instead
+    * of retrying: (a) a file being replaced is no longer in the live
+    * set (someone else rewrote it — the scan's snapshot is stale) and
+    * (b) the deletion-vector set changed since the rewrite's scan
+    * applied it (`dvSnapshot`) — the replacement rows would silently
+    * undo the concurrent delete.
+    *
+    * Returns the committed version, or None when nothing was removed
+    * and nothing added (a no-op DML statement commits no version). */
+  private[graft] def commitFileRewrite(spark: SparkSession, dir: String,
+                                       removed: Map[String, Set[String]],
+                                       replacementDir: Option[String],
+                                       partCols: Seq[String],
+                                       dvSnapshot: Seq[(String, String)],
+                                       protocol: CommitProtocol = PutIfAbsentCommit,
+                                       maxAttempts: Int = 16): Option[Int] = {
+    val removedNonEmpty = removed.filter(_._2.nonEmpty)
+    if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
+    val (fs, root) = fsFor(spark, dir)
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val schema = schemaOf(spark, dir, v0)
+    // harvest + constraint-validate the replacement ONCE — its content
+    // is snapshot-determined, not manifest-determined, so retries
+    // reuse it
+    val newEntries: Seq[Line] = replacementDir.toSeq.flatMap { nd =>
+      val p = new Path(root, nd)
+      val (rows, cols, files) =
+        if (partCols.isEmpty) {
+          val s = asNullable(spark.read.parquet(p.toString).schema)
+          Skipping.collectDirStats(spark, p, s)
+        } else Skipping.collectDirStatsPartitioned(spark, p, schema,
+          StructType(partCols.map(c => schema(c))))
+      // an all-rows-deleted rewrite can still land one 0-row part
+      // file (the writer's task artifact): reference nothing — the
+      // removal ops ARE the whole change
+      if (rows == 0L) { fs.delete(p, true); Seq.empty }
+      else Seq(DataEntry(nd), StatsEntry(nd, rows, cols, files))
+    }
+    if (removedNonEmpty.isEmpty && newEntries.isEmpty) return None
+    val validatedConstraints =
+      lines(spark, dir, v0).collect { case c: ConstraintEntry => c }
+    if (validatedConstraints.nonEmpty && newEntries.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val staged = spark.read.schema(schema)
+        .parquet(new Path(root, replacementDir.get).toString)
+      validatedConstraints.foreach { c =>
+        require(staged.filter(not(coalesce(expr(c.predicateSql), lit(true)))).isEmpty,
+          s"rewrite of $dir violates CHECK constraint '${c.name}' " +
+            s"(${c.predicateSql}); nothing was committed")
+      }
+    }
+    def conflict(msg: String) = throw new IllegalStateException(
+      s"file rewrite at $dir $msg — the rewrite's snapshot is stale; re-run the statement")
+    withCommitRetry(maxAttempts) { () =>
+      val prev = latestVersion(spark, dir).get
+      val ls = lines(spark, dir, prev)
+      val stats = ls.collect { case s: StatsEntry => s.name -> s }.toMap
+      // every file being replaced must still be live, byte-identical
+      removedNonEmpty.foreach { case (d, files) =>
+        val have = stats.get(d).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+        val gone = files -- have
+        if (gone.nonEmpty) conflict(s"lost ${gone.size} file(s) of $d to a concurrent rewrite")
+      }
+      if (ls.collect { case DvEntry(k, n) => (k, n) }.toSet != dvSnapshot.toSet)
+        conflict("saw the deletion-vector set change under it")
+      if (ls.collect { case c: ConstraintEntry => c }.toSet != validatedConstraints.toSet)
+        conflict("saw the CHECK constraints change under it")
+      val prevPart = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+      if (prevPart != partCols)
+        conflict(s"saw the partition spec change to ${prevPart.mkString(",")}")
+      val v = prev + 1
+      val ops = Seq.newBuilder[String]
+      val replacedStats = removedNonEmpty.flatMap { case (d, files) =>
+        val st = stats(d)
+        val remaining = st.files.filterNot(f => files.contains(f.name))
+        if (remaining.isEmpty) { ops += s"-data:$d"; None }
+        else {
+          val (rows, cols, _) = Skipping.aggregateDir(schema, remaining)
+          val replaced = StatsEntry(d, rows, cols, remaining)
+          ops += addOp(replaced)
+          Some(d -> replaced)
+        }
+      }
+      newEntries.foreach(l => ops += addOp(l))
+      val emptied = removedNonEmpty.keySet -- replacedStats.keySet
+      val fullLines = ls.flatMap {
+        case DataEntry(n) if emptied.contains(n) => None
+        case s: StatsEntry if emptied.contains(s.name) => None
+        case s: StatsEntry if replacedStats.contains(s.name) => Some(replacedStats(s.name))
+        case other => Some(other)
+      } ++ newEntries
+      commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
+      Some(v)
+    }
+  }
+
   /** The ATOMIC CTAS / RTAS commit (the StagingTableCatalog seam):
     * publish a staged dir — bytes already written by the SQL insert,
     * hive-laid-out when `partCols` is non-empty — as version 0
@@ -1366,6 +1476,48 @@ object Versioned {
       None
     } else Some(new ManifestPartitioningIndex(spark, new Path(dir), schema,
       StructType(partCols.map(c => schema(c))), dataDirs.map(stats)))
+  }
+
+  /** The files of version `v` a row-level rewrite of `filters` must
+    * treat as its group: the survivors of dir- and per-file stats
+    * pruning (one-sided, so every file that COULD hold a matching row
+    * is included), as dirName → file names. None when any data dir
+    * lacks a manifest file list (legacy tier — the caller falls back
+    * to the whole-table group) or when no filter was pushed at all. */
+  private[graft] def rowLevelCandidateFiles(spark: SparkSession, dir: String, v: Int,
+                                            filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[Map[String, Set[String]]] = {
+    if (filters.isEmpty) return None
+    val ls = lines(spark, dir, v)
+    if (ls.collectFirst { case SchemaEntry(s) => s }.isEmpty) return None
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    // files recorded without per-file bounds are still sound: the
+    // prune keeps them as candidates (one-sided), they just rewrite
+    if (!dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty))) return None
+    val kept = planDataFiles(spark, dir, v, filters)
+    Some(kept.map { rel =>
+      val i = rel.indexOf('/')
+      (rel.substring(0, i), rel.substring(i + 1))
+    }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet })
+  }
+
+  /** [[manifestPartitioningIndex]] restricted to a file subset — the
+    * serving index of a row-level rewrite's candidate-file scan. */
+  private[graft] def manifestPartitioningIndexSubset(spark: SparkSession, dir: String,
+                                                     v: Int, keep: Map[String, Set[String]])
+      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+    val ls = lines(spark, dir, v)
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $dir v$v"))
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val subset = ls.collect {
+      case e: StatsEntry if keep.get(e.name).exists(_.nonEmpty) =>
+        val names = keep(e.name)
+        e.copy(files = e.files.filter(f => names.contains(f.name)))
+    }
+    new ManifestPartitioningIndex(spark, new Path(dir), schema,
+      StructType(partCols.map(c => schema(c))), subset)
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
@@ -2410,7 +2562,7 @@ private[ext] object Skipping {
     FileStats(name, st.getLen, Some(fileRows), cols ++ partCols)
   }
 
-  private def aggregateDir(dirSchema: StructType, perFile: Seq[FileStats])
+  private[ext] def aggregateDir(dirSchema: StructType, perFile: Seq[FileStats])
       : (Long, Map[String, ColStats], Seq[FileStats]) = {
     val supported = dirSchema.fields.map(f => f.name -> f.dataType)
       .filter { case (_, dt) => comparableType(dt) }.toMap

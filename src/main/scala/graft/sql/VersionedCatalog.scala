@@ -582,18 +582,29 @@ private[sql] object VersionedDeletes {
 
 /** SQL `UPDATE` and `MERGE INTO` (and non-key `DELETE`) — the
   * GROUP-BASED (copy-on-write) row-level operation seam, Delta's SQL
-  * surface completed: Spark's own rewrite rules read the table through
-  * the table's OWN scan (masked, skipped, pruned — the same plan SELECT
-  * gets), compute the replacement rows, and hand them to a
-  * [[ReplaceVersionWriteBuilder]] write that stages parquet via
-  * Spark's native DSv2 parquet writer into a nonce'd invisible dir
-  * and publishes it as one atomic OVERWRITE manifest commit. The
-  * "group" is the whole table (no runtime group filtering is
-  * declared), so ReplaceData's replace-what-you-scanned contract and
-  * the overwrite commit line up exactly; time travel to the
-  * pre-UPDATE state keeps working, a crashed rewrite leaves only an
-  * invisible orphan dir, and a lost version race surfaces like every
-  * overwrite.
+  * surface completed, with FILE-GRANULAR groups: Spark pushes the
+  * statement's target-table condition into the row-level scan
+  * ([[org.apache.spark.sql.execution.datasources.v2.GroupBasedRowLevelOperationScanPlanning]]
+  * → PushDownUtils → our SupportsPushDownCatalystFilters), and this
+  * seam uses it ONLY to select candidate FILES from the manifest's
+  * per-file stats — every filter is returned as post-scan, because
+  * the scan must serve EVERY row of a selected file (row-level
+  * filtering inside the group would silently drop the unaffected
+  * rows from the replacement; measured in round 9). The scan then
+  * reads just those files (masked, schema'd), Spark computes the
+  * replacement rows, and the write stages parquet via Spark's native
+  * DSv2 parquet writer and commits remove(files)+add(files) through
+  * [[graft.ext.Versioned.commitFileRewrite]] — a selective UPDATE on
+  * a 100 TB table scans and rewrites only the files its predicate
+  * touches, and the commit COMMUTES with concurrent appends to
+  * disjoint files (the whole-table overwrite it replaces serialized
+  * against every append).
+  *
+  * Fallbacks keep the old whole-table-group shape: no pushable
+  * condition (MERGE whose ON references only the source side),
+  * legacy manifests without file lists — the scan reads the whole
+  * table and the commit is a full overwrite version, correct as
+  * before.
   *
   * Composition with [[VersionedDeletes]]: Spark's optimizer still
   * routes key-shaped DELETEs (`k = …`, `k IN (…)`) to the METADATA
@@ -608,29 +619,74 @@ private[sql] trait VersionedRowOps
     * hive-laid-out so a rewrite never downgrades the layout. */
   protected def vroPartCols: Seq[String] = Seq.empty
 
+  /** The loaded version (the snapshot the rewrite scans). */
+  protected def vcVersion: Int
+
+  /** Deletion vectors the table's scan applies — the rewrite captures
+    * them as its snapshot so the commit can detect a concurrent
+    * delete (whose mask the replacement rows would silently undo). */
+  protected def vroDvDirs: Seq[(String, Seq[String])] = Seq.empty
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      // the one operation instance is shared between the scan and the
+      // write (RowLevelOperationTable caches it): the scan records the
+      // candidate-file group here, the write's commit replaces exactly
+      // that group. None = the whole-table group (no pushable filter
+      // or a legacy manifest).
+      @volatile private var candidates: Option[Map[String, Set[String]]] = None
+
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
-      // the row-level scan must read the WHOLE group it replaces, and
-      // this store's group is the whole table — so the builder exposes
-      // NO pushdown surface. Spark pushes the rewrite's GROUP FILTER
-      // into this scan so unaffected groups can be skipped; accepting
-      // it here (the table's normal skipping builder would) drops
-      // every unaffected row from the scan, and the full-state
-      // overwrite commit would then LOSE them — measured, not
-      // hypothetical. The inner (masked, schema'd) scan still serves
-      // the bytes; it just sees no filters.
+
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ScanBuilder {
+        new ScanBuilder
+          with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
           private val inner = VersionedRowOps.this.newScanBuilder(options)
-          override def build(): Scan = inner.build()
+
+          // the pushed GROUP FILTER selects files; EVERY filter is
+          // returned as post-scan so no row of a selected file is
+          // dropped from the replacement
+          override def pushFilters(
+              filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+              : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+            val translated = filters.flatMap(f =>
+              org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+            candidates = Versioned.rowLevelCandidateFiles(vdSpark, vdDir, vcVersion,
+              translated)
+            filters
+          }
+          override def pushedFilters()
+              : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+            Array.empty
+
+          override def build(): Scan = candidates match {
+            case Some(files) =>
+              // candidate-file scan: the manifest-backed subset index
+              // into Spark's own parquet scan (no data filters pushed
+              // — whole files, every row), masked like any read when
+              // the version carries deletion vectors
+              val subsetIndex = Versioned.manifestPartitioningIndexSubset(
+                vdSpark, vdDir, vcVersion, files)
+              val dataSchema = StructType(vdSchema.fields.filterNot(f =>
+                vroPartCols.contains(f.name)))
+              val parquetBuilder =
+                org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+                  vdSpark, subsetIndex, vdSchema, dataSchema, options)
+              if (vroDvDirs.isEmpty) parquetBuilder.build()
+              else new DvScanBuilder(parquetBuilder, vdSchema, vroDvDirs).build()
+            case None => inner.build()
+          }
         }
+
       override def newWriteBuilder(winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
-        new ReplaceVersionWriteBuilder(vdSpark, vdDir, winfo, vroPartCols)
+        new ReplaceVersionWriteBuilder(vdSpark, vdDir, winfo, vroPartCols,
+          () => candidates, vroDvDirs.flatMap { case (k, dirs) =>
+            dirs.map(d => (k, d.substring(d.lastIndexOf('/') + 1))) })
+
       override def description(): String = s"VersionedReplace[$vdDir]"
     }
 }
@@ -644,7 +700,10 @@ private[sql] trait VersionedRowOps
   * manifest commit is driver-side. */
 private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
                                               info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
-                                              partCols: Seq[String] = Seq.empty)
+                                              partCols: Seq[String] = Seq.empty,
+                                              candidates: () => Option[Map[String, Set[String]]] =
+                                                () => None,
+                                              dvSnapshot: Seq[(String, String)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
 
@@ -700,6 +759,37 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
           val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val hasContent = fs.exists(stagingPath) &&
             fs.listStatus(stagingPath).exists(_.getPath.getName.endsWith(".parquet"))
+          candidates() match {
+            case Some(removed) =>
+              // FILE-GRANULAR copy-on-write: the scan read exactly the
+              // candidate files, so the staged parquet is their full
+              // replacement — commit remove(files)+add(dir), every
+              // untouched file carried verbatim, commuting with
+              // concurrent appends to disjoint files
+              val replacement =
+                if (!hasContent) None
+                else if (partCols.isEmpty) Some(staged)
+                else {
+                  // partitioned chain: the rewrite wrote the
+                  // replacement FLAT; re-land it hive-laid-out in a
+                  // second staged dir before the commit
+                  val df = spark.read.schema(info.schema()).parquet(stagingPath.toString)
+                  if (df.isEmpty) { fs.delete(stagingPath, true); None }
+                  else {
+                    val landed = Versioned.stageDataDir(spark, dir)
+                    df.write.partitionBy(partCols: _*)
+                      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+                      .parquet(new org.apache.hadoop.fs.Path(
+                        new org.apache.hadoop.fs.Path(dir), landed).toString)
+                    fs.delete(stagingPath, true)
+                    Some(landed)
+                  }
+                }
+              Versioned.commitFileRewrite(spark, dir, removed, replacement,
+                partCols, dvSnapshot)
+              return
+            case None => // whole-table group: full overwrite below
+          }
           if (partCols.nonEmpty) {
             // PARTITIONED chain: the rewrite wrote the replacement
             // FLAT (partition values as ordinary columns in the
@@ -1003,6 +1093,9 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   // unpartitioned (silent layout downgrade) and an INSERT INTO would
   // refuse at commit against the recorded spec
   override protected def vroPartCols: Seq[String] = partCols
+  // the rewrite's candidate-file scan applies the same mask the
+  // table's own scan does, and its commit snapshots the dv set
+  override protected def vroDvDirs: Seq[(String, Seq[String])] = dvDirs
   override def partitioning(): Array[Transform] =
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray

@@ -2609,13 +2609,14 @@ class ExtSpec extends AnyFunSuite {
     // (IN (5,7,9) parses as ints, id is bigint)
 
     // a range predicate is NOT a key mask: Spark routes it to the
-    // group-based COPY-ON-WRITE rewrite (VersionedRowOps) — a full
-    // replacement overwrite version, no deletion vector, and the
-    // rewrite read through the mask applies the prior dv physically
+    // group-based COPY-ON-WRITE rewrite (VersionedRowOps) — now
+    // FILE-GRANULAR: only candidate files rewrite (mask applied
+    // physically within them), and the dv CARRIES because it still
+    // masks the untouched files
     spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE price > 500.0")
     assert(Versioned.latestVersion(spark, dir).contains(3))
-    assert(Versioned.versionInfo(spark, dir, 3).dvDirs.isEmpty,
-      "copy-on-write delete must not leave a deletion vector")
+    assert(Versioned.versionInfo(spark, dir, 3).dvDirs.nonEmpty,
+      "a file-granular rewrite keeps the dv: it still masks the untouched files")
     assert(spark.sql(s"SELECT id FROM graft_sd.`$dir`").as[Long].collect().toSet ==
       (0L to 50L).toSet -- Set(5L, 7L, 9L, 11L))
     // multi-column conjunction rewrites too
@@ -2646,12 +2647,14 @@ class ExtSpec extends AnyFunSuite {
     // pre-UPDATE state still time-travels
     assert(spark.sql(s"SELECT price FROM graft_rw.`$dir` VERSION AS OF 0 WHERE id = 5")
       .as[Double].head() == 50.0)
-    // UPDATE through a dv mask: the rewrite reads MASKED rows only, so
-    // the mask applies physically and the dv chain drops
+    // UPDATE through a dv mask: the rewrite reads its candidate files
+    // MASKED (so the mask applies physically within them), and the dv
+    // CARRIES — it still masks the files the rewrite never touched
     Versioned.deleteByKeys(spark, dir, Seq(99L).toDF("id"), "id")
     spark.sql(s"UPDATE graft_rw.`$dir` SET price = 0.0 WHERE id = 98")
     val vNow = Versioned.latestVersion(spark, dir).get
-    assert(Versioned.versionInfo(spark, dir, vNow).dvDirs.isEmpty)
+    assert(Versioned.versionInfo(spark, dir, vNow).dvDirs.nonEmpty,
+      "a file-granular rewrite keeps the dv: it still masks the untouched files")
     val after = spark.sql(s"SELECT id, price FROM graft_rw.`$dir`")
       .as[(Long, Double)].collect().toMap
     assert(after.size == 99 && !after.contains(99L) && after(98L) == 0.0)
@@ -2839,8 +2842,10 @@ class ExtSpec extends AnyFunSuite {
     val vDv = Versioned.latestVersion(spark, dir).get
     assert(Versioned.versionInfo(spark, dir, vDv).partitionCols == Seq("cat"),
       "a rewrite through the dv tier must not downgrade the layout")
-    assert(Versioned.versionInfo(spark, dir, vDv).dvDirs.isEmpty,
-      "the rewrite applies the mask physically")
+    // the FILE-GRANULAR rewrite applies the mask physically within its
+    // candidate files and KEEPS the dv (it still masks untouched files)
+    assert(Versioned.versionInfo(spark, dir, vDv).dvDirs.nonEmpty,
+      "a file-granular rewrite keeps the dv for the files it never touched")
     assert(spark.sql(s"SELECT id, note, cat FROM graft_pd.`$dir` ORDER BY id")
       .as[(Long, String, String)].collect().toSeq ==
       Seq((1L, "x", "a"), (2L, "upd", "b"), (4L, "w", "c")))
@@ -3214,6 +3219,112 @@ class ExtSpec extends AnyFunSuite {
     Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0)
     assert(Versioned.versions(spark, dir) == Seq(rv))
     assert(Versioned.readLatest(spark, dir).count() == 209)
+  }
+
+  test("file-granular copy-on-write: selective UPDATE/DELETE rewrite only candidate files; untouched files verbatim; disjoint commits commute") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val dir = java.nio.file.Files.createTempDirectory("graft_filecow").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_fg", "graft.sql.VersionedCatalog")
+    // 4 files with DISJOINT id ranges: per-file stats can prove 3 of
+    // them untouched by a selective predicate
+    Versioned.writeVersion(spark.range(0, 400).toDF("id")
+      .withColumn("price", $"id" * 1.0)
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), dir)
+    def files(v: Int): Set[String] =
+      Versioned.planDataFiles(spark, dir, v, Seq.empty).toSet
+    val before = files(0)
+    assert(before.size == 4)
+    // UPDATE one key: the row-level scan's group is the ONE file whose
+    // bounds admit id=5; the commit removes it and adds its rewrite —
+    // the other three files ride through BY NAME
+    spark.sql(s"UPDATE graft_fg.`$dir` SET price = 0.0 WHERE id = 5")
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    val after = files(1)
+    assert((before -- after).size == 1, s"expected 1 file rewritten, lost ${(before -- after).size}")
+    assert((before intersect after).size == 3, "untouched files must carry VERBATIM")
+    val got = spark.sql(s"SELECT id, price FROM graft_fg.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 400 && got(5L) == 0.0 && got(6L) == 6.0 && got(399L) == 399.0)
+    // the commit is an O(touched) increment, and travel still works
+    assert(scala.io.Source.fromFile(s"$dir/_versions/00000001.manifest")
+      .getLines().next() == "parent:0")
+    assert(spark.sql(s"SELECT price FROM graft_fg.`$dir` VERSION AS OF 0 WHERE id = 5")
+      .as[Double].head() == 5.0)
+    // non-key DELETE (range predicate → the copy-on-write path) that
+    // empties its candidate file: the file drops, nothing is added
+    spark.sql(s"DELETE FROM graft_fg.`$dir` WHERE id >= 300 AND price >= 0.0")
+    val afterDel = files(Versioned.latestVersion(spark, dir).get)
+    assert((after -- afterDel).size == 1 && (afterDel -- after).isEmpty,
+      s"empty replacement must just drop the file: $after vs $afterDel")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_fg.`$dir`").as[Long].head() == 300)
+    // library seam: a rewrite captured BEFORE a disjoint append still
+    // commits (file-granular commits commute where the old whole-table
+    // overwrite surfaced a lost race)
+    val v = Versioned.latestVersion(spark, dir).get
+    val cand = Versioned.rowLevelCandidateFiles(spark, dir, v,
+      Seq(EqualTo("id", 10L))).get
+    assert(cand.values.map(_.size).sum == 1)
+    val dvSnap = Seq.empty[(String, String)]
+    Versioned.writeVersion(spark.range(1000, 1100).toDF("id")
+      .withColumn("price", lit(0.0)), dir, org.apache.spark.sql.SaveMode.Append)
+    val committed = Versioned.commitFileRewrite(spark, dir, cand, None, Seq.empty, dvSnap)
+    assert(committed.contains(v + 2), s"disjoint append must commute, got $committed")
+    val n = spark.sql(s"SELECT count(*) AS c FROM graft_fg.`$dir`").as[Long].head()
+    assert(n == 300 + 100 - 100, s"rewrite dropped its candidate file's rows, appends kept: $n")
+    // conflicts SURFACE: (a) a candidate file rewritten concurrently
+    val v2 = Versioned.latestVersion(spark, dir).get
+    val stale = Versioned.rowLevelCandidateFiles(spark, dir, v2,
+      Seq(GreaterThanOrEqual("id", 1000L))).get
+    Versioned.commitFileRewrite(spark, dir, stale, None, Seq.empty, dvSnap) // someone else wins
+    val exA = intercept[IllegalStateException] {
+      Versioned.commitFileRewrite(spark, dir, stale, None, Seq.empty, dvSnap) }
+    assert(exA.getMessage.contains("stale"), exA.getMessage)
+    // (b) the deletion-vector set changed since the scan
+    val v3 = Versioned.latestVersion(spark, dir).get
+    val cand3 = Versioned.rowLevelCandidateFiles(spark, dir, v3,
+      Seq(EqualTo("id", 150L))).get
+    Versioned.deleteByKeys(spark, dir, Seq(151L).toDF("id"), "id")
+    val exB = intercept[IllegalStateException] {
+      Versioned.commitFileRewrite(spark, dir, cand3, None, Seq.empty, dvSnap) }
+    assert(exB.getMessage.contains("deletion-vector"), exB.getMessage)
+  }
+
+  test("file-granular copy-on-write on PARTITIONED chains: other partitions' files verbatim, replacement re-lands hive-laid-out") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_filecowp").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_fgp", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_fgp.`$dir` (id BIGINT, price DOUBLE, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO graft_fgp.`$dir` " +
+      "SELECT id, CAST(id AS DOUBLE), CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END " +
+      "FROM range(100)")
+    val v0 = Versioned.latestVersion(spark, dir).get
+    def files(v: Int): Set[String] =
+      Versioned.planDataFiles(spark, dir, v, Seq.empty).toSet
+    val before = files(v0)
+    // partition-column predicate: candidates come from the per-file
+    // partition-value stats, so partition 'b' files carry verbatim
+    spark.sql(s"UPDATE graft_fgp.`$dir` SET price = -1.0 WHERE cat = 'a'")
+    val v1 = Versioned.latestVersion(spark, dir).get
+    val after = files(v1)
+    val bFiles = before.filter(_.contains("cat=b"))
+    assert(bFiles.subsetOf(after), "partition b's files must ride through verbatim")
+    assert(before.filter(_.contains("cat=a")).forall(f => !after.contains(f)),
+      "partition a's files must all be replaced")
+    assert(after.exists(f => !before.contains(f) && f.contains("cat=a")),
+      "the replacement must re-land hive-laid-out under cat=a")
+    assert(Versioned.versionInfo(spark, dir, v1).partitionCols == Seq("cat"))
+    val got = spark.sql(s"SELECT id, price FROM graft_fgp.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 100 && got(2L) == -1.0 && got(3L) == 3.0)
+    // partition pruning still serves the rewritten chain
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_fgp.`$dir` WHERE cat = 'a'")
+      .as[Long].head() == 50)
+    // and appends keep landing partitioned after the rewrite
+    spark.sql(s"INSERT INTO graft_fgp.`$dir` VALUES (200, 1.0, 'c')")
+    assert(spark.sql(s"SELECT id FROM graft_fgp.`$dir` WHERE cat = 'c'")
+      .as[Long].collect().toSeq == Seq(200L))
   }
 
   test("manifest cache keys are path-normalized: a drop through one path spelling evicts the other") {

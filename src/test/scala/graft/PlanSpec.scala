@@ -693,4 +693,46 @@ class PlanSpec extends AnyFunSuite {
     assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
       s"expected codegen spans in:\n$plan")
   }
+
+  test("row-level rewrite scan reads ONLY candidate files: selective UPDATE numFiles pinned (q133)") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_rlp").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_rlp", "graft.sql.VersionedCatalog")
+    // 4 files with disjoint id ranges: per-file stats admit id=5 in one
+    Versioned.writeVersion(spark.range(0, 400).toDF("id")
+      .withColumn("price", col("id") * 1.0)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), dir)
+    // the DML executes eagerly; its physical plan rides in the
+    // CommandResult node of the returned frame
+    def rewriteScanFiles(sql: String): Long = {
+      val res = spark.sql(sql)
+      val qe = res.queryExecution
+      val cmd = qe.commandExecuted.collectFirst {
+        case cr: org.apache.spark.sql.catalyst.plans.logical.CommandResult =>
+          cr.commandPhysicalPlan
+      }.orElse(qe.executedPlan.collectFirst {
+        case ce: org.apache.spark.sql.execution.CommandResultExec =>
+          ce.commandPhysicalPlan
+      }).getOrElse(fail(s"no executed command plan found in:\n${qe.commandExecuted}"))
+      cmd.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.collect {
+        case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+          f.fileIndex.inputFiles.length.toLong
+      }.sum
+    }
+    // the pushed group filter selects ONE candidate file; the scan
+    // reads exactly that file (whole — every row of it must reach the
+    // replacement), not the table
+    assert(rewriteScanFiles(s"UPDATE graft_rlp.`$dir` SET price = 0.0 WHERE id = 5") == 1)
+    // an unpushable rewrite (MERGE joining on the source) falls back
+    // to the whole-table group — correct, just unpruned
+    import spark.implicits._
+    val got = spark.sql(s"SELECT price FROM graft_rlp.`$dir` WHERE id = 5").as[Double].head()
+    assert(got == 0.0)
+    // a range predicate prunes to its covering file
+    assert(rewriteScanFiles(
+      s"DELETE FROM graft_rlp.`$dir` WHERE id >= 300 AND price >= 350.0") == 1)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_rlp.`$dir`").as[Long].head() == 350)
+  }
 }
