@@ -132,6 +132,16 @@ object Versioned {
   private[ext] sealed trait Line
   private final case class DataEntry(name: String) extends Line
   private final case class DvEntry(keyCol: String, name: String) extends Line
+  /** A deletion vector SCOPED to the data dirs present when the
+    * delete committed (`dvs:<keyCol>:<dvDir>:<d1,d2,…>`) — SQL DELETE
+    * semantics: the statement removes the rows that exist NOW, so a
+    * later INSERT of a masked key is visible (dirs committed after
+    * the delete are outside the scope). The unscoped [[DvEntry]] keeps
+    * the library's key-level erasure contract (GDPR: a re-appended
+    * key STAYS masked); [[graft.sql.VersionedCatalog]]'s DELETE
+    * routes here so SQL users get SQL semantics. */
+  private final case class ScopedDvEntry(keyCol: String, name: String,
+                                         scope: Seq[String]) extends Line
   private final case class SchemaEntry(schema: StructType) extends Line
   /** Delta `SetTransaction`'s role: the highest streaming batch id a
     * given writer (appId) has committed. Written by
@@ -226,6 +236,12 @@ object Versioned {
       require(i > 0 && i < rest.length - 1,
         s"malformed transaction manifest line: $line")
       TxnEntry(rest.substring(0, i).toLong, rest.substring(i + 1))
+    } else if (line.startsWith("dvs:")) {
+      val parts = line.drop(4).split(":", 3)
+      require(parts.length == 3 && parts.forall(_.nonEmpty),
+        s"malformed scoped deletion-vector manifest line: $line")
+      ScopedDvEntry(parts(0), parts(1),
+        parts(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     } else if (line.startsWith("dv:")) {
       val rest = line.drop(3)
       val i = rest.indexOf(':')
@@ -366,7 +382,11 @@ object Versioned {
         }
       } else if (op.startsWith("-dv:")) {
         val n = op.drop(4)
-        acc.filterNot { case DvEntry(_, e) => e == n; case _ => false }
+        acc.filterNot {
+          case DvEntry(_, e) => e == n
+          case ScopedDvEntry(_, e, _) => e == n
+          case _ => false
+        }
       } else if (op.startsWith("-txn:")) {
         val a = op.drop(5)
         acc.filterNot { case TxnEntry(_, e) => e == a; case _ => false }
@@ -449,6 +469,7 @@ object Versioned {
   private def renderLine(l: Line): String = l match {
     case DataEntry(n)      => n
     case DvEntry(k, n)     => s"dv:$k:$n"
+    case ScopedDvEntry(k, n, sc) => s"dvs:$k:$n:${sc.mkString(",")}"
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
@@ -673,7 +694,11 @@ object Versioned {
         val gone = files -- have
         if (gone.nonEmpty) conflict(s"lost ${gone.size} file(s) of $d to a concurrent rewrite")
       }
-      if (ls.collect { case DvEntry(k, n) => (k, n) }.toSet != dvSnapshot.toSet)
+      val dvNow = ls.collect {
+        case DvEntry(k, n) => (k, n)
+        case ScopedDvEntry(k, n, _) => (k, n)
+      }
+      if (dvNow.toSet != dvSnapshot.toSet)
         conflict("saw the deletion-vector set change under it")
       if (ls.collect { case c: ConstraintEntry => c }.toSet != validatedConstraints.toSet)
         conflict("saw the CHECK constraints change under it")
@@ -1040,6 +1065,7 @@ object Versioned {
     lines(spark, dir, v).collect {
       case DataEntry(n)  => new Path(new Path(dir), n).toString
       case DvEntry(_, n) => new Path(new Path(dir), n).toString
+      case ScopedDvEntry(_, n, _) => new Path(new Path(dir), n).toString
     }
   }
 
@@ -1075,12 +1101,38 @@ object Versioned {
     spark.conf.getOption("spark.graft.dv.maxKeys").map(_.toLong).getOrElse(10L * 1000 * 1000)
 
   def deleteByKeys(spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
-                   protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+                   protocol: CommitProtocol = PutIfAbsentCommit): Int =
+    deleteByKeysCore(spark, dir, keys, keyCol, protocol, scoped = false)
+
+  /** [[deleteByKeys]] with SQL DELETE semantics: the mask is SCOPED to
+    * the data dirs present at commit time, so rows appended AFTER the
+    * delete — including a re-INSERT of a masked key — are visible
+    * (the reference's SQL DELETE removes current rows only). The SQL
+    * catalog's DELETE routes here; the unscoped form stays the
+    * library's key-level erasure contract. */
+  def deleteByKeysScoped(spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
+                         protocol: CommitProtocol = PutIfAbsentCommit): Int =
+    deleteByKeysCore(spark, dir, keys, keyCol, protocol, scoped = true)
+
+  def deleteByKeysScopedWithRetry(spark: SparkSession, dir: String,
+                                  keys: DataFrame, keyCol: String,
+                                  protocol: CommitProtocol = PutIfAbsentCommit,
+                                  maxAttempts: Int = 16): Int =
+    withCommitRetry(maxAttempts)(() =>
+      deleteByKeysCore(spark, dir, keys, keyCol, protocol, scoped = true))
+
+  private def deleteByKeysCore(spark: SparkSession, dir: String, keys: DataFrame,
+                               keyCol: String, protocol: CommitProtocol,
+                               scoped: Boolean): Int = {
     require(keyCol.matches("[A-Za-z0-9_]+"),
       s"keyCol must be word-shaped (it is embedded in the manifest), got '$keyCol'")
     val (fs, root) = fsFor(spark, dir)
     val prev = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
+    // a scoped delete against a table with no data dirs masks nothing
+    // (there are no "current rows"): nothing to commit
+    if (scoped && !lines(spark, dir, prev).exists(_.isInstanceOf[DataEntry]))
+      return prev
     val v = prev + 1
     // unique per attempt for the same racing-writer reason as
     // writeVersionWith's data dirs
@@ -1106,8 +1158,13 @@ object Versioned {
     }
     // schema and stats lines ride along unchanged: a delete touches
     // no data dir, so neither the union schema nor any dir's stats
-    // move — the delta commit is ONE dv line
-    val dv = DvEntry(keyCol, dvDir)
+    // move — the delta commit is ONE dv line. A scoped delete
+    // snapshots the CURRENT data dirs: that is its statement-time
+    // "rows that exist now".
+    val dv: Line =
+      if (scoped) ScopedDvEntry(keyCol, dvDir,
+        lines(spark, dir, prev).collect { case DataEntry(n) => n })
+      else DvEntry(keyCol, dvDir)
     commitChild(spark, dir, v, prev,
       lines(spark, dir, prev) :+ dv, Seq(addOp(dv)), protocol)
     v
@@ -1134,26 +1191,46 @@ object Versioned {
       val prevLines = lines(spark, dir, prev)
       val dvByKey = prevLines.collect { case e: DvEntry => e }
         .groupBy(_.keyCol).toSeq.sortBy(_._1)
-      if (!dvByKey.exists(_._2.length > 1)) None
+      // scoped dvs merge only within an IDENTICAL (key, scope) group —
+      // SQL deletes with no appends in between share one scope, the
+      // common delete-heavy shape; differing scopes must stay distinct
+      // (merging them would widen or narrow a mask)
+      val scopedByKey = prevLines.collect { case e: ScopedDvEntry => e }
+        .groupBy(e => (e.keyCol, e.scope.toSet)).toSeq
+        .sortBy { case ((k, sc), _) => k + sc.toSeq.sorted.mkString(",") }
+      if (!dvByKey.exists(_._2.length > 1) && !scopedByKey.exists(_._2.length > 1)) None
       else {
         val v = prev + 1
         val ops = Seq.newBuilder[String]
-        val merged = dvByKey.map { case (k, es) =>
+        def mergeDirs(k: String, names: Seq[String]): String = {
+          val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+          val dvDir = f"v$v%08d_dv_$nonce"
+          spark.read.parquet(names.map(n => new Path(root, n).toString): _*)
+            .select(org.apache.spark.sql.functions.col(k)).distinct()
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(root, dvDir).toString)
+          dvDir
+        }
+        val merged: Seq[Line] = dvByKey.map { case (k, es) =>
           if (es.length == 1) es.head
           else {
-            val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-            val dvDir = f"v$v%08d_dv_$nonce"
-            spark.read.parquet(es.map(e =>
-                new Path(root, e.name).toString): _*)
-              .select(org.apache.spark.sql.functions.col(k)).distinct()
-              .write.mode(SaveMode.ErrorIfExists)
-              .parquet(new Path(root, dvDir).toString)
+            val dvDir = mergeDirs(k, es.map(_.name))
             es.foreach(e => ops += s"-dv:${e.name}")
             ops += addOp(DvEntry(k, dvDir))
             DvEntry(k, dvDir)
           }
+        } ++ scopedByKey.map { case ((k, _), es) =>
+          if (es.length == 1) es.head
+          else {
+            val dvDir = mergeDirs(k, es.map(_.name))
+            val out = ScopedDvEntry(k, dvDir, es.head.scope)
+            es.foreach(e => ops += s"-dv:${e.name}")
+            ops += addOp(out)
+            out
+          }
         }
-        val kept = prevLines.filterNot(_.isInstanceOf[DvEntry]) ++ merged
+        val kept = prevLines.filterNot(l =>
+          l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]) ++ merged
         commitChild(spark, dir, v, prev, kept, ops.result(), protocol)
         Some(v)
       }
@@ -1202,7 +1279,7 @@ object Versioned {
       (v,
         new java.sql.Timestamp(fs.getFileStatus(manifestPath(dir, v)).getModificationTime),
         dataDirs.length,
-        ls.count(_.isInstanceOf[DvEntry]),
+        ls.count(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]),
         ls.collectFirst { case SchemaEntry(s) => s.fields.length },
         rows)
     }.toDF("version", "committed_at", "n_data_dirs", "n_dv_dirs", "n_columns", "n_rows")
@@ -1360,8 +1437,35 @@ object Versioned {
     }
   }
 
+  /** Scoped-mask dispatch: data dirs group by WHICH scoped deletion
+    * vectors cover them (a scoped dv inside its scope behaves exactly
+    * like a plain dv, so each group reads through the plain path with
+    * the applicable scoped masks appended as dv lines), and the groups
+    * union. Dirs committed after a scoped delete are in no scope —
+    * the SQL DELETE semantics the scope exists for. Typical shape:
+    * one scoped delete → two groups → two manifest-planned scans. */
   private def readVersionFrom(spark: SparkSession, dir: String, ls: Seq[Line],
                               dataFilter: String => Boolean): DataFrame = {
+    val scoped = ls.collect { case s: ScopedDvEntry => s }
+    if (scoped.isEmpty) return readVersionPlain(spark, dir, ls, dataFilter)
+    val plain = ls.filterNot(_.isInstanceOf[ScopedDvEntry])
+    val dataEntries = plain.collect { case DataEntry(n) if dataFilter(n) => n }
+    val groups = dataEntries
+      .groupBy(n => scoped.filter(_.scope.contains(n)))
+      .toSeq.sortBy(_._1.map(_.name).mkString(","))
+    if (groups.isEmpty) return readVersionPlain(spark, dir, plain, _ => false)
+    groups.map { case (applicable, dirs) =>
+      val dirSet = dirs.toSet
+      val subLs = plain.filter {
+        case DataEntry(n) => dirSet.contains(n)
+        case _ => true
+      } ++ applicable.map(s => DvEntry(s.keyCol, s.name))
+      readVersionPlain(spark, dir, subLs, _ => true)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def readVersionPlain(spark: SparkSession, dir: String, ls: Seq[Line],
+                               dataFilter: String => Boolean): DataFrame = {
     def abs(name: String) = new Path(new Path(dir), name).toString
     val recorded = ls.collectFirst { case SchemaEntry(s) => s }
     val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }
@@ -1424,7 +1528,10 @@ object Versioned {
   private[graft] final case class VersionInfo(schema: Option[StructType],
                                               dataDirs: Seq[String],
                                               dvDirs: Seq[(String, Seq[String])],
-                                              partitionCols: Seq[String] = Seq.empty)
+                                              partitionCols: Seq[String] = Seq.empty,
+                                              // (keyCol, absolute dv dir, scoped data-dir NAMES)
+                                              scopedDvs: Seq[(String, String, Set[String])] =
+                                                Seq.empty)
 
   private[graft] def versionInfo(spark: SparkSession, dir: String, v: Int): VersionInfo = {
     val ls = lines(spark, dir, v)
@@ -1434,7 +1541,8 @@ object Versioned {
       ls.collect { case DataEntry(n) => abs(n) },
       ls.collect { case DvEntry(k, n) => (k, abs(n)) }.groupBy(_._1).toSeq
         .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) },
-      ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty))
+      ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty),
+      ls.collect { case ScopedDvEntry(k, n, sc) => (k, abs(n), sc.toSet) })
   }
 
   /** A SUBSET of version `v`'s data dirs (absolute paths), read
@@ -1449,7 +1557,8 @@ object Versioned {
                                      keepAbs: Set[String],
                                      applyDv: Boolean): DataFrame = {
     val ls0 = lines(spark, dir, v)
-    val ls = if (applyDv) ls0 else ls0.filterNot(_.isInstanceOf[DvEntry])
+    val ls = if (applyDv) ls0
+      else ls0.filterNot(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry])
     readVersionFrom(spark, dir, ls,
       n => keepAbs.contains(new Path(new Path(dir), n).toString))
   }
@@ -1875,7 +1984,10 @@ object Versioned {
             s"no column '$n' in ${prior.fieldNames.mkString(",")}"))
       }
       val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
-      val dvKeys = ls.collect { case DvEntry(k, _) => k }.toSet
+      val dvKeys = ls.collect {
+        case DvEntry(k, _) => k
+        case ScopedDvEntry(k, _, _) => k
+      }.toSet
       // columns a CHECK constraint reads are load-bearing too: the
       // write-time validation could no longer evaluate the predicate
       val constraintRefs = ls.collect { case ConstraintEntry(cn, sql) =>
@@ -2012,7 +2124,10 @@ object Versioned {
     val prior = ls.collectFirst { case SchemaEntry(s) => s }
       .getOrElse(schemaOf(spark, dir, prev))
     val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
-    val dvKeys = ls.collect { case DvEntry(k, _) => k }.toSet
+    val dvKeys = ls.collect {
+        case DvEntry(k, _) => k
+        case ScopedDvEntry(k, _, _) => k
+      }.toSet
     val existingChecks = ls.collect { case c: ConstraintEntry => c }
     // ── validate EVERYTHING first; commit once at the end ──
     // constraint drops: strict names must exist
@@ -2152,6 +2267,7 @@ object Versioned {
     def dirNames(v: Int) = lines(spark, dir, v).collect {
       case DataEntry(n) => n
       case DvEntry(_, n) => n
+      case ScopedDvEntry(_, n, _) => n
       case ChangesEntry(_, _, _, n) => n // a recorded feed is live state too
     }
     val live = keep.flatMap(dirNames).toSet

@@ -142,9 +142,9 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
           new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
           info.dataDirs, None), spark, dir, v)
     }
-    if (info.dvDirs.isEmpty) base
+    if (info.dvDirs.isEmpty && info.scopedDvs.isEmpty) base
     else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir, v,
-      info.partitionCols)
+      info.partitionCols, info.scopedDvs)
   }
 
   /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
@@ -469,11 +469,13 @@ private[sql] object VersionedSqlUtil {
   * commit (schema kept), the same "new version, history intact"
   * shape as every other write.
   *
-  * Semantics note: the store's mask is KEY-level (erasure contract —
-  * a re-appended key stays masked until a physical rewrite), so
-  * `DELETE WHERE k IN (…)` removes every current AND future row with
-  * those keys until an overwrite applies the mask physically. The
-  * delete inherits the dv size contract (`spark.graft.dv.maxKeys`). */
+  * Semantics: SQL DELETE removes the rows that exist NOW — the mask
+  * is SCOPED to the data dirs present at commit time
+  * ([[Versioned.deleteByKeysScoped]]), so a later INSERT of a deleted
+  * key is visible, exactly the reference's SQL DELETE behavior. The
+  * library's unscoped [[Versioned.deleteByKeys]] keeps the key-level
+  * erasure contract for GDPR-style workloads. The delete inherits the
+  * dv size contract (`spark.graft.dv.maxKeys`). */
 private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catalog.SupportsDelete {
   protected def vdSpark: SparkSession
   protected def vdDir: String
@@ -515,7 +517,7 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
           val keys = vdSpark.createDataFrame(rows,
               StructType(Seq(org.apache.spark.sql.types.StructField(keyCol, litType))))
             .select(col(keyCol).cast(dt).as(keyCol))
-          Versioned.deleteByKeysWithRetry(vdSpark, vdDir, keys, keyCol)
+          Versioned.deleteByKeysScopedWithRetry(vdSpark, vdDir, keys, keyCol)
         }
         ()
       case None => throw new UnsupportedOperationException(
@@ -627,6 +629,9 @@ private[sql] trait VersionedRowOps
     * delete (whose mask the replacement rows would silently undo). */
   protected def vroDvDirs: Seq[(String, Seq[String])] = Seq.empty
 
+  /** Scoped deletion vectors (SQL DELETEs), same snapshot role. */
+  protected def vroScopedDvs: Seq[(String, String, Set[String])] = Seq.empty
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -675,8 +680,9 @@ private[sql] trait VersionedRowOps
               val parquetBuilder =
                 org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
                   vdSpark, subsetIndex, vdSchema, dataSchema, options)
-              if (vroDvDirs.isEmpty) parquetBuilder.build()
-              else new DvScanBuilder(parquetBuilder, vdSchema, vroDvDirs).build()
+              if (vroDvDirs.isEmpty && vroScopedDvs.isEmpty) parquetBuilder.build()
+              else new DvScanBuilder(parquetBuilder, vdSchema, vroDvDirs,
+                vroScopedDvs, vdDir).build()
             case None => inner.build()
           }
         }
@@ -685,7 +691,9 @@ private[sql] trait VersionedRowOps
           : org.apache.spark.sql.connector.write.WriteBuilder =
         new ReplaceVersionWriteBuilder(vdSpark, vdDir, winfo, vroPartCols,
           () => candidates, vroDvDirs.flatMap { case (k, dirs) =>
-            dirs.map(d => (k, d.substring(d.lastIndexOf('/') + 1))) })
+            dirs.map(d => (k, d.substring(d.lastIndexOf('/') + 1)))
+          } ++ vroScopedDvs.map { case (k, d, _) =>
+            (k, d.substring(d.lastIndexOf('/') + 1)) })
 
       override def description(): String = s"VersionedReplace[$vdDir]"
     }
@@ -1080,7 +1088,8 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
                                  spark: SparkSession, dir: String, v: Int,
-                                 partCols: Seq[String] = Seq.empty)
+                                 partCols: Seq[String] = Seq.empty,
+                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints {
 
@@ -1096,6 +1105,7 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   // the rewrite's candidate-file scan applies the same mask the
   // table's own scan does, and its commit snapshots the dv set
   override protected def vroDvDirs: Seq[(String, Seq[String])] = dvDirs
+  override protected def vroScopedDvs: Seq[(String, String, Set[String])] = scopedDvs
   override def partitioning(): Array[Transform] =
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
@@ -1106,7 +1116,7 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
     VersionedWrite.capabilities
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs)
+    new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs, scopedDvs, dir)
 
   // appends to a delete-bearing table are routine; the KEY-level mask
   // keeps deleted keys masked through them (the erasure contract)
@@ -1122,11 +1132,13 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   * see masked rows. */
 private[sql] class DvScanBuilder(inner: ScanBuilder,
                                  fullSchema: StructType,
-                                 dvDirs: Seq[(String, Seq[String])])
+                                 dvDirs: Seq[(String, Seq[String])],
+                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
+                                 tableDir: String = "")
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
-  private val keyCols = dvDirs.map(_._1).distinct.toSet
+  private val keyCols = (dvDirs.map(_._1) ++ scopedDvs.map(_._1)).distinct.toSet
   private var requested: StructType = fullSchema
 
   override def pruneColumns(req: StructType): Unit = {
@@ -1154,18 +1166,48 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
       case _ => Array.empty
     }
 
-  override def build(): Scan = new DvMaskedScan(inner.build(), requested, dvDirs)
+  override def build(): Scan =
+    new DvMaskedScan(inner.build(), requested, dvDirs, scopedDvs, tableDir)
 }
 
 private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
-                                dvDirs: Seq[(String, Seq[String])]) extends Scan {
+                                dvDirs: Seq[(String, Seq[String])],
+                                scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
+                                tableDir: String = "") extends Scan {
   override def readSchema(): StructType = requested
   override def description(): String = s"DvMasked(${inner.description()})"
 
+  /** The data-dir name a file belongs to: the path segment right
+    * under the table root (scheme-independent — URI path parts). */
+  private def dataDirOf(rootUriPath: String, fileUriPath: String): String =
+    fileUriPath.stripPrefix(rootUriPath.stripSuffix("/") + "/").takeWhile(_ != '/')
+
   override def toBatch: Batch = new Batch {
     private val innerBatch = inner.toBatch
-    override def planInputPartitions(): Array[InputPartition] =
-      innerBatch.planInputPartitions()
+
+    private lazy val rootUriPath: String = {
+      val p = new org.apache.hadoop.fs.Path(tableDir)
+      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath
+    }
+
+    /** With SCOPED masks, a partition must be homogeneous in the data
+      * dir its files come from (the scope decides per DIR whether a
+      * mask applies, the mask itself is evaluated per ROW): mixed
+      * FilePartitions split by dir, indices reassigned. */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val parts = innerBatch.planInputPartitions()
+      if (scopedDvs.isEmpty) parts
+      else parts.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.groupBy(f =>
+            dataDirOf(rootUriPath, f.filePath.toPath.toUri.getPath)).values.toSeq
+        case other => throw new IllegalStateException(
+          s"scoped deletion vectors need file-based partitions, got $other")
+      }.zipWithIndex.map { case (files, i) =>
+        org.apache.spark.sql.execution.datasources.FilePartition(i, files)
+      }.toArray
+    }
 
     override def createReaderFactory(): PartitionReaderFactory = {
       val spark = SparkSession.active
@@ -1178,7 +1220,7 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       // grown out of band (older writer, foreign tool) fails with the
       // remedy named instead of OOMing the driver mid-collect.
       val cap = graft.ext.Versioned.maxDvKeys(spark)
-      val masks = dvDirs.flatMap { case (k, dirs) =>
+      def pullKeys(k: String, dirs: Seq[String]): Option[(Int, DataType, java.util.HashSet[Any])] =
         if (!wide.fieldNames.contains(k)) None // key col absent from read: nothing to mask on
         else {
           val idx = wide.fieldIndex(k)
@@ -1196,9 +1238,13 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
           keyRows.foreach(r => if (!r.isNullAt(0)) set.add(r.get(0, dt)))
           Some((idx, dt, set))
         }
+      val masks = dvDirs.flatMap { case (k, dirs) => pullKeys(k, dirs) }
+      val scopedMasks = scopedDvs.flatMap { case (k, dvDir, scope) =>
+        pullKeys(k, Seq(dvDir)).map { case (i, dt, set) => (i, dt, set, scope) }
       }
       val projIdx = requested.fields.map(f => wide.fieldIndex(f.name))
-      new DvReaderFactory(innerBatch.createReaderFactory(), wide, masks.toArray, projIdx)
+      new DvReaderFactory(innerBatch.createReaderFactory(), wide, masks.toArray,
+        projIdx, scopedMasks.toArray, rootUriPath)
     }
   }
 }
@@ -1206,17 +1252,37 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
 /** Row-based reader wrapper: skip rows whose key is masked, project
   * the widened row back to the requested columns. Row-based (not
   * columnar) because the mask is per-row — the price a dv-bearing
-  * version pays until overwrite/compaction applies it physically. */
+  * version pays until overwrite/compaction applies it physically.
+  * Scoped masks apply only to partitions whose files live in a
+  * scoped data dir (partitions are dir-homogeneous by construction —
+  * [[DvMaskedScan.planInputPartitions]] splits mixed ones). */
 private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
                                    wide: StructType,
                                    masks: Array[(Int, DataType, java.util.HashSet[Any])],
-                                   projIdx: Array[Int])
+                                   projIdx: Array[Int],
+                                   scopedMasks: Array[(Int, DataType, java.util.HashSet[Any], Set[String])] =
+                                     Array.empty,
+                                   rootUriPath: String = "")
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = inner.createReader(p)
+    val applicable: Array[(Int, DataType, java.util.HashSet[Any])] =
+      if (scopedMasks.isEmpty) masks
+      else {
+        val dirs = p match {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(f => f.filePath.toPath.toUri.getPath
+              .stripPrefix(rootUriPath.stripSuffix("/") + "/").takeWhile(_ != '/')).toSet
+          case other => throw new IllegalStateException(
+            s"scoped deletion vectors need file-based partitions, got $other")
+        }
+        masks ++ scopedMasks.collect {
+          case (i, dt, set, scope) if dirs.subsetOf(scope) => (i, dt, set)
+        }
+      }
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
       projIdx.toIndexedSeq.map(i =>
         org.apache.spark.sql.catalyst.expressions.BoundReference(
@@ -1226,7 +1292,7 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          val masked = masks.exists { case (i, dt, set) =>
+          val masked = applicable.exists { case (i, dt, set) =>
             !row.isNullAt(i) && set.contains(row.get(i, dt))
           }
           if (!masked) { current = row; return true }

@@ -198,8 +198,12 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
           s"versioned stream at $dir hit a non-append commit between v$startV and " +
             s"v$endV (${dropped.size} data dir(s) dropped — overwrite or restore). " +
           "Streaming serves appends only; restart the stream from the new state.")
-        if (!ignoreDeletes && startInfo.dvDirs != endInfo.dvDirs &&
-            !sameDvContent(startInfo.dvDirs, endInfo.dvDirs))
+        // scoped dvs (SQL DELETEs) never merge, so a set change is a
+        // real DELETE — no content-compare fallback needed
+        if (!ignoreDeletes &&
+            ((startInfo.dvDirs != endInfo.dvDirs &&
+              !sameDvContent(startInfo.dvDirs, endInfo.dvDirs)) ||
+             startInfo.scopedDvs != endInfo.scopedDvs))
           throw new IllegalStateException(
             s"versioned stream at $dir hit a DELETE between v$startV and v$endV; " +
               "rows already served cannot be unserved. Pass " +

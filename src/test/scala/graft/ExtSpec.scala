@@ -2595,7 +2595,8 @@ class ExtSpec extends AnyFunSuite {
     // IN-list delete → dv commit: a new version, data dirs untouched
     spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE id IN (5, 7, 9)")
     assert(Versioned.latestVersion(spark, dir).contains(1))
-    assert(Versioned.versionInfo(spark, dir, 1).dvDirs.nonEmpty)
+    // SQL deletes commit SCOPED masks (statement-time rows only)
+    assert(Versioned.versionInfo(spark, dir, 1).scopedDvs.nonEmpty)
     assert(spark.sql(s"SELECT id FROM graft_sd.`$dir`").as[Long].collect().toSet ==
       (0L until 100L).toSet -- Set(5L, 7L, 9L))
     // time travel still serves the pre-delete state
@@ -2615,7 +2616,7 @@ class ExtSpec extends AnyFunSuite {
     // masks the untouched files
     spark.sql(s"DELETE FROM graft_sd.`$dir` WHERE price > 500.0")
     assert(Versioned.latestVersion(spark, dir).contains(3))
-    assert(Versioned.versionInfo(spark, dir, 3).dvDirs.nonEmpty,
+    assert(Versioned.versionInfo(spark, dir, 3).scopedDvs.nonEmpty,
       "a file-granular rewrite keeps the dv: it still masks the untouched files")
     assert(spark.sql(s"SELECT id FROM graft_sd.`$dir`").as[Long].collect().toSet ==
       (0L to 50L).toSet -- Set(5L, 7L, 9L, 11L))
@@ -2834,9 +2835,9 @@ class ExtSpec extends AnyFunSuite {
     // partitioned, and a row-level rewrite must NOT downgrade the
     // layout (the mask tier forwards the partition columns)
     spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (2, 'y', 'b'), (3, 'z', 'b')")
-    spark.sql(s"DELETE FROM graft_pd.`$dir` WHERE id = 3") // dv commit
+    spark.sql(s"DELETE FROM graft_pd.`$dir` WHERE id = 3") // scoped dv commit
     assert(Versioned.versionInfo(spark, dir,
-      Versioned.latestVersion(spark, dir).get).dvDirs.nonEmpty)
+      Versioned.latestVersion(spark, dir).get).scopedDvs.nonEmpty)
     spark.sql(s"INSERT INTO graft_pd.`$dir` VALUES (4, 'w', 'c')")
     spark.sql(s"UPDATE graft_pd.`$dir` SET note = 'upd' WHERE cat = 'b'")
     val vDv = Versioned.latestVersion(spark, dir).get
@@ -2844,7 +2845,7 @@ class ExtSpec extends AnyFunSuite {
       "a rewrite through the dv tier must not downgrade the layout")
     // the FILE-GRANULAR rewrite applies the mask physically within its
     // candidate files and KEEPS the dv (it still masks untouched files)
-    assert(Versioned.versionInfo(spark, dir, vDv).dvDirs.nonEmpty,
+    assert(Versioned.versionInfo(spark, dir, vDv).scopedDvs.nonEmpty,
       "a file-granular rewrite keeps the dv for the files it never touched")
     assert(spark.sql(s"SELECT id, note, cat FROM graft_pd.`$dir` ORDER BY id")
       .as[(Long, String, String)].collect().toSeq ==
@@ -3325,6 +3326,44 @@ class ExtSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graft_fgp.`$dir` VALUES (200, 1.0, 'c')")
     assert(spark.sql(s"SELECT id FROM graft_fgp.`$dir` WHERE cat = 'c'")
       .as[Long].collect().toSeq == Seq(200L))
+  }
+
+  test("SQL DELETE is statement-scoped; library deleteByKeys is key-level: a re-insert is visible after one, masked after the other") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvscope").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_sc", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(spark.range(0, 20).toDF("id")
+      .withColumn("v", concat(lit("r"), $"id")), dir)
+    // SQL DELETE: removes the rows that exist NOW
+    spark.sql(s"DELETE FROM graft_sc.`$dir` WHERE id = 5")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_sc.`$dir`").as[Long].head() == 19)
+    // … so a later INSERT of the same key is VISIBLE (the reference's
+    // SQL DELETE semantics; pre-fix the key-level mask silently hid it)
+    spark.sql(s"INSERT INTO graft_sc.`$dir` VALUES (5, 'again')")
+    assert(spark.sql(s"SELECT v FROM graft_sc.`$dir` WHERE id = 5")
+      .as[String].collect().toSeq == Seq("again"),
+      "a row inserted AFTER a SQL DELETE must be visible")
+    // the library's unscoped mask keeps the ERASURE contract: the key
+    // stays masked through re-appends until a physical rewrite
+    Versioned.deleteByKeys(spark, dir, Seq(7L).toDF("id"), "id")
+    Versioned.writeVersion(Seq((7L, "back")).toDF("id", "v"), dir, SaveMode.Append)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_sc.`$dir` WHERE id = 7")
+      .as[Long].head() == 0, "the erasure mask must survive re-appends")
+    assert(Versioned.readLatest(spark, dir).filter($"id" === 7).isEmpty)
+    // both masks compose on one read path, library and SQL alike
+    val ids = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet
+    assert(ids == (0L until 20L).toSet - 7L)
+    // time travel to the pre-delete state still serves both rows
+    assert(spark.sql(s"SELECT id FROM graft_sc.`$dir` VERSION AS OF 0")
+      .as[Long].collect().toSet == (0L until 20L).toSet)
+    // a physical rewrite (zorder) applies BOTH masks and drops them
+    graft.ext.Maintenance.zorderVersioned(spark, dir, "id", "id", 2)
+    val vz = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, vz).dvDirs.isEmpty &&
+      Versioned.versionInfo(spark, dir, vz).scopedDvs.isEmpty)
+    assert(Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet - 7L)
   }
 
   test("manifest cache keys are path-normalized: a drop through one path spelling evicts the other") {
