@@ -1629,6 +1629,21 @@ object Versioned {
       StructType(partCols.map(c => schema(c))), subset)
   }
 
+  /** Exact (rows, bytes) of version `v` from manifest stats alone —
+    * None when any data dir lacks the recorded numbers (legacy). The
+    * SQL tier serves these through DSv2 `SupportsReportStatistics` so
+    * a join against a small versioned table plans its broadcast UP
+    * FRONT instead of waiting for AQE's runtime detour. */
+  private[graft] def manifestSizeOf(spark: SparkSession, dir: String,
+                                    v: Int): Option[(Long, Long)] = {
+    val ls = lines(spark, dir, v)
+    val stats = ls.collect { case s: StatsEntry => s.name -> s }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    if (!dataDirs.forall(stats.contains)) None
+    else Some((dataDirs.map(stats(_).rows).sum,
+      dataDirs.flatMap(stats(_).files).map(_.bytes).sum))
+  }
+
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))

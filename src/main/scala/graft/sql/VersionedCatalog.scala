@@ -875,14 +875,85 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
     VersionedWrite.capabilities
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, fullSchema,
-      StructType(fullSchema.fields.filterNot(f => partCols.contains(f.name))),
-      options)
+    new ManifestStatsScanBuilder(
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+        spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, fullSchema,
+        StructType(fullSchema.fields.filterNot(f => partCols.contains(f.name))),
+        options),
+      Versioned.manifestSizeOf(spark, dir, v))
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new VersionedWriteBuilder(spark, dir, partCols)
+}
+
+/** DSv2 `SupportsReportStatistics` from MANIFEST BYTES: the manifest
+  * records every version's exact rows and file bytes, so a scan with
+  * nothing pushed reports them exactly and Spark plans a broadcast
+  * against a small versioned table UP FRONT — the same planning
+  * Delta's tables get — instead of relying on AQE's runtime detour.
+  * Once filters or an aggregate are pushed the exact numbers no
+  * longer describe the scan, and the native estimate (file-index
+  * bytes) serves as before. */
+private[sql] class ManifestStatsScanBuilder(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+    rowsAndBytes: Option[(Long, Long)])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  private var exactStillValid = true
+
+  override def pruneColumns(req: StructType): Unit = inner.pruneColumns(req)
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.nonEmpty) exactStillValid = false
+    inner.pushFilters(filters)
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val pushed = inner.pushAggregation(agg)
+    if (pushed) exactStillValid = false
+    pushed
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.supportCompletePushDown(agg)
+  override def pushVariantExtractions(
+      variantExtractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
+    inner.pushVariantExtractions(variantExtractions)
+
+  override def build(): Scan = {
+    val scan = inner.build()
+    rowsAndBytes match {
+      case Some((rows, bytes)) if exactStillValid =>
+        new ManifestStatsScan(scan, rows, bytes)
+      case _ => scan
+    }
+  }
+}
+
+/** The stats-reporting wrapper around Spark's own parquet scan:
+  * everything delegates, only `estimateStatistics` answers from the
+  * manifest's exact numbers. */
+private[sql] class ManifestStatsScan(inner: Scan, rows: Long, bytes: Long)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: Batch = inner.toBatch
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
 }
 
 /** Tier-1 serving: Spark's native parquet v2 table, gated by manifest
@@ -913,8 +984,10 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     Versioned.manifestPartitioningIndex(spark, dir, v) match {
       case Some(index) =>
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-          spark, index, fullSchema, fullSchema, options)
+        new ManifestStatsScanBuilder(
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+            spark, index, fullSchema, fullSchema, options),
+          Versioned.manifestSizeOf(spark, dir, v))
       case None =>
         new SkippingScanBuilder(spark, tableName, options, dir, v, dataDirs, fullSchema)
     }
@@ -1173,9 +1246,25 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
 private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
                                 dvDirs: Seq[(String, Seq[String])],
                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
-                                tableDir: String = "") extends Scan {
+                                tableDir: String = "") extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = requested
   override def description(): String = s"DvMasked(${inner.description()})"
+
+  /** Bytes from the inner scan's estimate (the mask reads the same
+    * files); ROWS deliberately unreported — the mask removes an
+    * unknown count, and an overcount could flip a join the wrong way.
+    * Without this forward the masked tier reported no stats at all
+    * and a small dv-bearing dimension never planned its broadcast. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = inner match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics().sizeInBytes()
+        case _ => java.util.OptionalLong.empty()
+      }
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 
   /** The data-dir name a file belongs to: the path segment right
     * under the table root (scheme-independent — URI path parts). */

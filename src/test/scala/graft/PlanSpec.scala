@@ -694,6 +694,52 @@ class PlanSpec extends AnyFunSuite {
       s"expected codegen spans in:\n$plan")
   }
 
+  test("DSv2 statistics from manifest bytes: exact rows match history; dv-masked dims still broadcast pre-AQE") {
+    import graft.ext.Versioned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_st", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(spark.range(0, 500).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id"))), dir)
+    Versioned.writeVersion(spark.range(500, 700).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id"))), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    // a filterless scan reports the manifest's EXACT rows — the same
+    // number history() serves
+    def scanRel(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    val rel = scanRel(spark.sql(s"SELECT * FROM graft_st.`$dir`"))
+    assert(rel.stats.rowCount.contains(BigInt(700)),
+      s"expected exact manifest rows, got ${rel.stats}")
+    val historyRows = Versioned.history(spark, dir)
+      .orderBy(col("version").desc).select("n_rows").as[Option[Long]].head()
+    assert(historyRows.contains(700L), historyRows.toString)
+    // a dv-bearing version must NOT report pre-mask rows as exact …
+    Versioned.deleteByKeys(spark, dir, Seq(1L).toDF("id"), "id")
+    val relDv = scanRel(spark.sql(s"SELECT * FROM graft_st.`$dir`"))
+    assert(relDv.stats.rowCount.isEmpty,
+      "masked scans must not claim an exact (over)count")
+    // … but it still reports its BYTES, so a small dv-bearing
+    // dimension broadcasts at PLANNING time (pre-fix it reported
+    // nothing → defaultSizeInBytes → sort-merge until AQE's detour)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      val big = spark.range(0, 2L * 1000 * 1000).toDF("id") // ~16 MB of stats: over threshold
+      val j = big.join(spark.sql(s"SELECT * FROM graft_st.`$dir`"), "id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+        s"small masked dim must broadcast pre-AQE:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("row-level rewrite scan reads ONLY candidate files: selective UPDATE numFiles pinned (q133)") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_rlp").toString + "/t"
