@@ -21,9 +21,14 @@ object Bench {
         .split("\\s+")(1).toDouble
       catch { case _: Throwable => -1.0 } // non-Linux: no signal, no wait
     val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "900").toLong
+    // r10 post-mortem: a run that settled to load5 0.98 under a 1.0
+    // threshold still read 1.37x hot — the honest settled band is
+    // ~0.3, and a capped-out wait must STAMP the run contended rather
+    // than silently start (the r10 artifact cost an adjudication)
+    val settleTo = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_LOAD5", "0.3").toDouble
     val settleT0 = System.nanoTime()
-    while (load5() > 1.0 && (System.nanoTime() - settleT0) / 1e9 < settleMax) {
-      System.err.println(f"[bench] waiting for 5-min loadavg to settle (now ${load5()}%.2f)")
+    while (load5() > settleTo && (System.nanoTime() - settleT0) / 1e9 < settleMax) {
+      System.err.println(f"[bench] waiting for 5-min loadavg to settle (now ${load5()}%.2f, target $settleTo%.2f)")
       Thread.sleep(30000)
     }
     val settleWaitSec = (System.nanoTime() - settleT0) / 1e9
@@ -91,7 +96,11 @@ object Bench {
     // has to re-derive from load_start whether the numbers are
     // comparable — QUIET_BENCH.md holds the settled-box reference and
     // contended artifacts are for failure-detection only
-    val contended = loadStart > 1.0
+    // the 5-MIN loadavg at start is the signal that actually predicts
+    // inflation (r10: load5 0.98 at start → uniform 1.37x, stamped
+    // "contended": false off the recovered 1-min number) — so the
+    // stamp now reads BOTH: contended iff the box was hot on either
+    val contended = loadStart > 1.0 || load5Start > 0.5
     // "warmup":true marks the round-8 estimator change: medians are
     // over steady-state serves, comparable to QUIET_BENCH's settled
     // numbers but NOT to pre-r8 artifacts for build-once queries
@@ -105,6 +114,12 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // LAST line is a SHORT self-contained summary: the driver's inline
+    // capture keeps the console TAIL, and the full per-query line above
+    // has outgrown it every round since r5 ("parsed": null) — a line
+    // this small survives any tail window and still carries the
+    // headline number + the contention stamp (full detail: bench_out)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"contended":$contended,"load5_at_start":$load5Start,"detail":"$outFile"}""")
     spark.stop()
   }
 }

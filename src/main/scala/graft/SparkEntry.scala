@@ -128,6 +128,13 @@ object SparkEntry {
   private val recordedChangesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q134's fixture: a THREE-version chain for the SQL change-feed
+    * TVF — commit 1 carries a RECORDED feed (pure updates), commit 2
+    * is a plain write whose span must DERIVE (deletes + inserts).
+    * Built once per process. */
+  private val tvfChangesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q122/q127's fixture: all orders committed as ONE partitioned
     * version (hive layout by status inside the commit's data dir,
     * partition values recorded in the manifest as exact per-file
@@ -1769,6 +1776,45 @@ object SparkEntry {
         "q123 must serve the RECORDED feed")
       Versioned.changesBetween(s, tbl, 0, 1, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"), col("_change_type"))
+    },
+
+    // the SQL serve of the change feed (Delta's `table_changes(...)`
+    // spelling): `versioned_table_changes(path, vFrom, vTo, keys)` is
+    // a TABLE-VALUED function — the feed is data-sized and composes
+    // (ORDER BY over it here) — over a 3-version chain where commit 1
+    // serves its RECORDED feed (asserted) and commit 2 has no recorded
+    // feed so the TVF's derive path runs; the oracle derives all four
+    // change classes per commit directly
+    "q134_sql_table_changes" -> { (s, d) =>
+      val tbl = tvfChangesCache.computeIfAbsent(d, { _ =>
+        val path = scratchPath("versioned_tvf_cdf", d)
+        val orders = Tables.orders(s, d)
+        val f = orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        Versioned.writeVersion(f, path)
+        // v1: RECORDED feed — bump every key ≡0 (mod 10)
+        val v1 = f.withColumn("price",
+          when(col("o_orderkey") % 10 === 0, col("price") + 100.0)
+            .otherwise(col("price")))
+        Versioned.writeVersionWithChangeFeed(v1, path, Seq("o_orderkey"))
+        // v2: plain commit — drop keys ≡3 (mod 10), add the P slice;
+        // this span must DERIVE inside the TVF
+        Versioned.writeVersion(
+          v1.filter(col("o_orderkey") % 10 =!= 3)
+            .unionByName(orders.filter(col("o_orderstatus") === "P")
+              .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+          path)
+        path
+      })
+      graft.sql.VersionedFunctions.register(s)
+      assert(Versioned.hasRecordedChanges(s, tbl, 0, 1, Seq("o_orderkey")),
+        "q134's commit 1 must serve the RECORDED feed")
+      assert(!Versioned.hasRecordedChanges(s, tbl, 1, 2, Seq("o_orderkey")),
+        "q134's commit 2 must exercise the DERIVE path")
+      s.sql(
+        s"""SELECT o_orderkey, price, _change_type, _commit_version
+           |FROM versioned_table_changes('$tbl', 0, 2, 'o_orderkey')
+           |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin)
     },
 
     // incremental materialized-view refresh: the per-customer rollup
@@ -3590,6 +3636,29 @@ object SparkEntry {
         |  SELECT o_orderkey, ROUND(tot + 500, 2) AS price, 'update_postimage' AS _change_type FROM f
         |  WHERE o_orderkey % 10 <> 7 AND tot > 160000)
         |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // the TVF is a serve spelling, never a semantic one: each commit's
+    // classes derive directly (commit 1 = the recorded update feed,
+    // commit 2 = the derived delete+insert feed)
+    "q134_sql_table_changes" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_orderkey, price, _change_type, _commit_version FROM (
+        |  SELECT o_orderkey, price, 'update_preimage' AS _change_type,
+        |         1 AS _commit_version
+        |  FROM f WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price + 100.0 AS price, 'update_postimage', 1
+        |  FROM f WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 'delete', 2 FROM f WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 'insert', 2 FROM p)
+        |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin,
 
     "q88_zorder_key" -> {
       // 16-bit Morton interleave spelled out as 32 shift/mask terms —

@@ -938,7 +938,7 @@ private[sql] class ManifestStatsScanBuilder(
 /** The stats-reporting wrapper around Spark's own parquet scan:
   * everything delegates, only `estimateStatistics` answers from the
   * manifest's exact numbers. */
-private[sql] class ManifestStatsScan(inner: Scan, rows: Long, bytes: Long)
+private[graft] class ManifestStatsScan(val inner: Scan, rows: Long, bytes: Long)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()

@@ -2505,6 +2505,40 @@ class ExtSpec extends AnyFunSuite {
       (4L, "D", "update_postimage")), afterPrune.toString)
   }
 
+  test("SQL TVF versioned_table_changes: serves the RECORDED feed through SQL (survives prune), derives unrecorded spans, composes") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_cdf").toString + "/t"
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v1 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    Versioned.writeVersion(v0, dir)
+    Versioned.writeVersionWithChangeFeed(v1, dir, Seq("id"))
+    graft.sql.VersionedFunctions.register(spark)
+    def feedSql(vFrom: Int, vTo: Int) = spark.sql(
+      s"SELECT id, v, _change_type, _commit_version " +
+        s"FROM versioned_table_changes('$dir', $vFrom, $vTo, 'id')")
+      .as[(Long, String, String, Int)].collect().toSet
+    val expected = Set((2L, "b", "update_preimage", 1), (2L, "B", "update_postimage", 1),
+      (3L, "c", "delete", 1), (4L, "d", "insert", 1))
+    assert(feedSql(0, 1) == expected, feedSql(0, 1).toString)
+    // prune v0's data away: the DERIVE path for (0→1) is gone, but the
+    // feed recorded in v1's manifest still serves THROUGH SQL — the
+    // q123 assertion, at the TVF tier
+    Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0)
+    assert(Versioned.hasRecordedChanges(spark, dir, 0, 1, Seq("id")))
+    assert(feedSql(0, 1) == expected, s"after prune: ${feedSql(0, 1)}")
+    // an UNRECORDED span derives inside the TVF (v1 → v2 plain write)
+    val v2 = Seq((1L, "a"), (4L, "D")).toDF("id", "v")
+    Versioned.writeVersion(v2, dir)
+    assert(!Versioned.hasRecordedChanges(spark, dir, 1, 2, Seq("id")))
+    assert(feedSql(1, 2) == Set((2L, "B", "delete", 2),
+      (4L, "d", "update_preimage", 2), (4L, "D", "update_postimage", 2)))
+    // and a TVF composes like any relation — filter + aggregate over it
+    val nUpdates = spark.sql(
+      s"SELECT count(*) AS n FROM versioned_table_changes('$dir', 0, 2, 'id') " +
+        "WHERE _change_type LIKE 'update%'").as[Long].head()
+    assert(nUpdates == 4L, s"expected 4 update rows across both commits, got $nUpdates")
+  }
+
   test("partitioned versioned tables: hive layout per commit, partition values served from the manifest, pruning, nulls, dv, append rules") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources._

@@ -269,7 +269,13 @@ class PlanSpec extends AnyFunSuite {
       val df = spark.sql(sql)
       df.queryExecution.sparkPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match {
+          // unwrap the SupportsReportStatistics wrapper the catalog adds
+          // when nothing is pushed — it delegates toBatch verbatim
+          val scan = b.scan match {
+            case m: graft.sql.ManifestStatsScan => m.inner
+            case other => other
+          }
+          scan match {
             case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
               p.toBatch.planInputPartitions().map {
                 case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
@@ -762,6 +768,9 @@ class PlanSpec extends AnyFunSuite {
       }).getOrElse(fail(s"no executed command plan found in:\n${qe.commandExecuted}"))
       cmd.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.map {
+        case m: graft.sql.ManifestStatsScan => m.inner
+        case other => other
       }.collect {
         case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
           f.fileIndex.inputFiles.length.toLong
