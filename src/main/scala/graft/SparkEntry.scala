@@ -1667,6 +1667,61 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // PARTITION-SCOPED OPTIMIZE (Delta `OPTIMIZE t WHERE part = …
+    // ZORDER BY`): CALL system.zorder with a partition predicate
+    // rewrites ONLY the matching partition's files — selected from
+    // manifest bytes, read dv-masked, re-landed hive-laid-out
+    // z-ordered on (o_orderkey, o_custkey), committed as the
+    // file-granular remove+add (q133's commit kind), every other
+    // partition's files carried VERBATIM. A physical move, never a
+    // semantic one: the oracle recomputes the table's rows directly.
+    "q135_sql_optimize_partition" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_opt_part", d)
+      Versioned.writeVersionPartitioned(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "P"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            col("o_orderstatus").as("status"))
+          .repartition(4), tbl, Seq("status"))
+      s.sql(s"CALL versioned.system.zorder(table => '$tbl', " +
+        "col_a => 'o_orderkey', col_b => 'o_custkey', n_files => 4, " +
+        "where => 'status = \\'F\\'')")
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, o_custkey, price, status FROM versioned.`$tbl` " +
+        "ORDER BY o_orderkey")
+    },
+
+    // SQL MERGE … WITH SCHEMA EVOLUTION (Spark 4's clause over this
+    // catalog's AUTOMATIC_SCHEMA_EVOLUTION capability): the source's
+    // new `priority` column widens the target as ONE metadata-only
+    // ALTER commit (existing rows null-backfill — the library
+    // mergeEvolve's union-schema semantics, q87, now at the SQL
+    // seam), then the merge rewrites through the same copy-on-write
+    // path as q126.
+    "q136_sql_merge_evolve" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_merge_evolve", d)
+      // library overwrite RESETS the schema to two columns each pass
+      // (idempotent fixture: the evolved chain never leaks into the
+      // next pass's starting state)
+      Versioned.writeVersion(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")), tbl)
+      Tables.orders(s, d).createOrReplaceTempView("orders_q136")
+      s.sql("SELECT o_orderkey, ROUND(o_totalprice, 2) + 1000 AS price, " +
+        "o_orderpriority AS priority FROM orders_q136 WHERE o_orderkey % 3 = 0")
+        .createOrReplaceTempView("src_q136")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO versioned.`$tbl` t
+           |USING src_q136 s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET price = s.price, priority = s.priority
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, price, priority)
+           |  VALUES (s.o_orderkey, s.price, s.priority)""".stripMargin)
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, price, priority FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // SQL MERGE INTO through the catalog: matched-delete,
     // matched-update, and not-matched-insert clauses in one statement,
     // rewritten by Spark to the same copy-on-write ReplaceData seam —
@@ -3583,6 +3638,32 @@ object SparkEntry {
         |            THEN ROUND(o_totalprice, 2) + 100.0
         |            ELSE ROUND(o_totalprice, 2) END AS price
         |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // a partition-scoped OPTIMIZE moves bytes, never rows: the oracle
+    // recomputes the table's content from the source directly
+    "q135_sql_optimize_partition" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+        |       o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // evolve-merge classes: target rows outside the source keep a NULL
+    // priority (the widening null-backfills); every source row lands
+    // (matched = update, unmatched = insert)
+    "q136_sql_merge_evolve" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |src AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) + 1000 AS price,
+        |         o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, price, priority FROM (
+        |  SELECT o_orderkey, price, CAST(NULL AS VARCHAR) AS priority FROM f
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT o_orderkey, price, priority FROM src)
         |ORDER BY o_orderkey""".stripMargin,
 
     // merge classes derived directly: untouched (key not in source),

@@ -315,7 +315,8 @@ object Maintenance {
     // destroy the z-order within files anyway) — refuse with the
     // honest alternative
     requireUnpartitioned(spark, dir, "zorderVersioned",
-      "writeVersionPartitioned over the ordered read keeps the spec")
+      "writeVersionPartitioned over the ordered read keeps the spec, or target " +
+        "one partition: zorderVersionedWhere / CALL system.zorder(…, where => …)")
     val current = Versioned.readLatest(spark, dir)
     Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
       current.withColumn("__zkey", zKey(col(colA), col(colB), bits))
@@ -323,5 +324,77 @@ object Maintenance {
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
         .write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+  }
+
+  /** Delta `OPTIMIZE tbl WHERE part = … ZORDER BY (colA, colB)` —
+    * PARTITION-SCOPED z-order for a partitioned versioned chain. The
+    * `where` predicate (partition columns only, evaluated EXACTLY per
+    * distinct partition tuple from manifest bytes —
+    * [[Versioned.partitionScopedFiles]]) selects the files to rewrite;
+    * the read applies any deletion-vector masks (so masked rows drop
+    * physically, like every optimize); the replacement re-lands
+    * hive-laid-out range-clustered on (partition cols, Morton key),
+    * so each output file is a compact rectangle WITHIN its partition;
+    * and the commit is the file-granular remove+add
+    * ([[Versioned.commitFileRewrite]]) — every file of a
+    * NON-matching partition is carried VERBATIM (same name, same
+    * stats line), and the commit commutes with concurrent appends to
+    * disjoint files. Returns the committed version, None when the
+    * predicate selects no files. */
+  def zorderVersionedWhere(spark: SparkSession, dir: String, where: String,
+                           colA: String, colB: String, nFiles: Int, bits: Int = 16,
+                           protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] =
+    rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, _) =>
+      val keys = (partCols :+ "__zkey").map(col)
+      subset.withColumn("__zkey", zKey(col(colA), col(colB), bits))
+        .repartitionByRange(nFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop("__zkey")
+    }.map(_._2)
+
+  /** Partition-scoped small-file compaction: rewrite just the files
+    * the partition predicate selects into ~targetFileBytes files,
+    * re-landed hive-laid-out; all other partitions' files carry
+    * verbatim through the same file-granular commit. Returns
+    * (filesSelected, committedVersion) — None when nothing matched. */
+  def compactVersionedWhere(spark: SparkSession, dir: String, where: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024,
+                            protocol: CommitProtocol = PutIfAbsentCommit): Option[(Int, Int)] =
+    rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, selectedBytes) =>
+      val nOut = math.max(1, math.ceil(selectedBytes.toDouble / targetFileBytes).toInt)
+      subset.repartitionByRange(nOut, partCols.map(col): _*)
+    }
+
+  /** The shared partition-scoped rewrite shape: select files by the
+    * partition predicate, read them masked through the manifest path,
+    * let `shape` arrange the replacement (given the subset, the
+    * partition columns, and the selected bytes), stage it
+    * hive-laid-out, and publish through the file-granular
+    * copy-on-write commit. Returns (filesSelected, version). */
+  private def rewritePartitionScoped(spark: SparkSession, dir: String, where: String,
+                                     protocol: CommitProtocol)
+                                    (shape: (org.apache.spark.sql.DataFrame, Seq[String], Long)
+                                      => org.apache.spark.sql.DataFrame): Option[(Int, Int)] = {
+    val v = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val info = Versioned.versionInfo(spark, dir, v)
+    val partCols = info.partitionCols
+    val files = Versioned.partitionScopedFiles(spark, dir, v, where)
+    if (files.valuesIterator.forall(_.isEmpty)) return None
+    val selectedBytes = Versioned.fileBytesOf(spark, dir, v, files)
+    // the commit's conflict guard wants the dv set the rewrite's read
+    // applied, as (keyCol, dir NAME) pairs
+    def nameOf(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
+    val dvSnapshot = info.dvDirs.flatMap { case (k, ds) => ds.map(d => (k, nameOf(d))) } ++
+      info.scopedDvs.map { case (k, d, _) => (k, nameOf(d)) }
+    val staged = Versioned.stageDataDir(spark, dir)
+    val stagedPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), staged)
+    shape(Versioned.readVersionFiles(spark, dir, v, files), partCols, selectedBytes)
+      .write.partitionBy(partCols: _*)
+      .mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+    Versioned.commitFileRewrite(spark, dir, files, Some(staged), partCols,
+      dvSnapshot, protocol)
+      .map(cv => (files.valuesIterator.map(_.size).sum, cv))
   }
 }

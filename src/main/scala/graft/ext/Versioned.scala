@@ -1178,9 +1178,20 @@ object Versioned {
     * identical before and after (set union is the mask either way);
     * pre-compaction versions still time-travel to the un-merged chain;
     * the old dv dirs are reclaimed when those versions are pruned.
-    * Commutes with concurrent appends/deletes, so a lost manifest race
-    * retries against the refreshed chain. Returns the new version, or
-    * None when no key column had more than one dv dir. */
+    *
+    * SCOPED dvs (SQL DELETEs) compact by DIR COVERAGE: a data dir's
+    * mask is the union of the keys of every scoped dv whose scope
+    * contains it, so grouping the LIVE dirs by which scoped dvs cover
+    * them and writing ONE merged dv per coverage group — scope = the
+    * group's dirs, keys = the union — preserves every dir's mask
+    * exactly while bounding the line count at the number of distinct
+    * coverage groups (the same number of union branches the scoped
+    * read already plans: [[readVersionFrom]] groups dirs the same
+    * way). Dead scope entries (dirs since rewritten away) are trimmed
+    * in the process — which itself can unify coverages and shrink the
+    * plan's union. Commutes with concurrent appends/deletes, so a lost
+    * manifest race retries against the refreshed chain. Returns the
+    * new version, or None when nothing would change. */
   def compactDeletionVectors(spark: SparkSession, dir: String,
                              protocol: CommitProtocol = PutIfAbsentCommit,
                              maxAttempts: Int = 16): Option[Int] =
@@ -1191,14 +1202,31 @@ object Versioned {
       val prevLines = lines(spark, dir, prev)
       val dvByKey = prevLines.collect { case e: DvEntry => e }
         .groupBy(_.keyCol).toSeq.sortBy(_._1)
-      // scoped dvs merge only within an IDENTICAL (key, scope) group —
-      // SQL deletes with no appends in between share one scope, the
-      // common delete-heavy shape; differing scopes must stay distinct
-      // (merging them would widen or narrow a mask)
-      val scopedByKey = prevLines.collect { case e: ScopedDvEntry => e }
-        .groupBy(e => (e.keyCol, e.scope.toSet)).toSeq
-        .sortBy { case ((k, sc), _) => k + sc.toSeq.sorted.mkString(",") }
-      if (!dvByKey.exists(_._2.length > 1) && !scopedByKey.exists(_._2.length > 1)) None
+      val liveDirs = prevLines.collect { case DataEntry(n) => n }
+      val scopedAll = prevLines.collect { case e: ScopedDvEntry => e }
+      // one group per (key column, distinct coverage): every live dir
+      // in the group is masked by exactly the same scoped dvs, so one
+      // merged dv with keys = their union and scope = the group's dirs
+      // serves the group's mask verbatim. Scoped dvs covering NO live
+      // dir drop entirely (their masked rows are gone).
+      val coverageGroups: Seq[(String, Seq[ScopedDvEntry], Seq[String])] =
+        scopedAll.map(_.keyCol).distinct.sorted.flatMap { k =>
+          val dvs = scopedAll.filter(_.keyCol == k)
+          liveDirs.map(d => d -> dvs.filter(_.scope.contains(d)))
+            .filter(_._2.nonEmpty)
+            .groupBy(_._2.map(_.name))
+            .toSeq.sortBy(_._1.mkString(","))
+            .map { case (_, xs) => (k, xs.head._2, xs.map(_._1)) }
+        }
+      // worth a commit when any plain-dv key column has >1 dir, any
+      // coverage group merges >1 scoped dv, or the scoped line set
+      // changes shape at all (dead dvs dropped, dead scope entries
+      // trimmed)
+      val scopedUnchanged =
+        coverageGroups.length == scopedAll.length &&
+          coverageGroups.forall { case (_, dvs, scope) =>
+            dvs.length == 1 && dvs.head.scope == scope }
+      if (!dvByKey.exists(_._2.length > 1) && scopedUnchanged) None
       else {
         val v = prev + 1
         val ops = Seq.newBuilder[String]
@@ -1219,18 +1247,26 @@ object Versioned {
             ops += addOp(DvEntry(k, dvDir))
             DvEntry(k, dvDir)
           }
-        } ++ scopedByKey.map { case ((k, _), es) =>
-          if (es.length == 1) es.head
+        }
+        // verbatim-surviving scoped lines emit no op; everything else
+        // is removed by name FIRST (a scope-trim reuses its key dir,
+        // and the removal op matches by name) and re-added after
+        val scopedOut = coverageGroups.map { case (k, dvs, scope) =>
+          if (dvs.length == 1 && dvs.head.scope == scope) (dvs.head, false)
           else {
-            val dvDir = mergeDirs(k, es.map(_.name))
-            val out = ScopedDvEntry(k, dvDir, es.head.scope)
-            es.foreach(e => ops += s"-dv:${e.name}")
-            ops += addOp(out)
-            out
+            // a single-dv group with a stale scope reuses its key dir
+            // (trim is metadata-only); multi-dv groups merge key sets
+            val dvDir = if (dvs.length == 1) dvs.head.name
+              else mergeDirs(k, dvs.map(_.name))
+            (ScopedDvEntry(k, dvDir, scope), true)
           }
         }
+        val verbatim = scopedOut.collect { case (e, false) => e }.toSet
+        scopedAll.filterNot(verbatim).foreach(e => ops += s"-dv:${e.name}")
+        scopedOut.collect { case (e, true) => e }.foreach(e => ops += addOp(e))
         val kept = prevLines.filterNot(l =>
-          l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]) ++ merged
+          l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]) ++
+          merged ++ scopedOut.map(_._1)
         commitChild(spark, dir, v, prev, kept, ops.result(), protocol)
         Some(v)
       }
@@ -1609,6 +1645,103 @@ object Versioned {
       val i = rel.indexOf('/')
       (rel.substring(0, i), rel.substring(i + 1))
     }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet })
+  }
+
+  /** The live files of version `v` whose PARTITION VALUES satisfy
+    * `predicateSql` — the selection seam of a partition-scoped
+    * OPTIMIZE (`CALL system.zorder/compact_files(…, where => …)`).
+    * EXACT, not one-sided: the predicate may reference partition
+    * columns only (anything else refuses — a data-column predicate
+    * cannot decide file membership), and each distinct partition
+    * tuple is evaluated through Spark's own analyzer over a local
+    * relation (driver-sized: one row per distinct tuple), so type
+    * coercion matches what the same WHERE clause means in a query.
+    * Returns dirName → file names; empty when nothing matches. */
+  private[graft] def partitionScopedFiles(spark: SparkSession, dir: String, v: Int,
+                                          predicateSql: String): Map[String, Set[String]] = {
+    val ls = lines(spark, dir, v)
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    require(partCols.nonEmpty,
+      s"partition-scoped file selection needs a PARTITIONED chain; $dir has no " +
+        "partition spec — the unscoped maintenance call rewrites the whole table")
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $dir v$v"))
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.mkString(".")
+    }
+    require(refs.nonEmpty && refs.forall(n => partCols.exists(_.equalsIgnoreCase(n))),
+      s"partition-scoped maintenance takes a predicate over the partition columns " +
+        s"(${partCols.mkString(", ")}) only; got '$predicateSql' referencing " +
+        s"${refs.mkString(", ")}")
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"partition-scoped selection at $dir needs manifest file lists for every " +
+        "data dir — run backfillStats to upgrade pre-file-list manifests")
+    val partSchema = StructType(partCols.map(c => schema(c)))
+    def keyOf(f: FileStats): Seq[Option[String]] =
+      partCols.map(c => f.cols.get(c).flatMap(_.min))
+    val byKey: Seq[(Seq[Option[String]], Seq[(String, String)])] =
+      dataDirs.flatMap(d => stats(d).files.map(f => (keyOf(f), (d, f.name))))
+        .groupBy(_._1).toSeq.map { case (k, xs) => (k, xs.map(_._2)) }
+    // canonical stats string → the EXTERNAL value the local relation
+    // row wants (null partition value stays null → predicate NULL →
+    // not selected, standard WHERE semantics)
+    import org.apache.spark.sql.types._
+    def external(c: String, dt: DataType): Any = dt match {
+      case ByteType    => c.toLong.toByte
+      case ShortType   => c.toLong.toShort
+      case IntegerType => c.toLong.toInt
+      case LongType    => c.toLong
+      case DateType    => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(c.toLong))
+      case StringType  => c
+      case BooleanType => c.toBoolean
+      case other => throw new IllegalStateException(s"unsupported partition type $other")
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = byKey.zipWithIndex.map { case ((k, _), i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        partSchema.fields.zip(k).map {
+          case (pf, Some(c)) => external(c, pf.dataType)
+          case (_, None)     => null
+        }.toSeq :+ i)
+    }.toList.asJava
+    val tupleSchema = StructType(partSchema.fields :+
+      org.apache.spark.sql.types.StructField("__graft_tuple_idx", IntegerType, nullable = false))
+    val matched = spark.createDataFrame(rows, tupleSchema)
+      .filter(org.apache.spark.sql.functions.expr(predicateSql))
+      .select("__graft_tuple_idx")
+      .collect().map(_.getInt(0)).toSet // driver-sized: one row per distinct tuple
+    byKey.zipWithIndex.collect { case ((_, files), i) if matched.contains(i) => files }
+      .flatten.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+  }
+
+  /** Total bytes of a file selection, from manifest stats alone. */
+  private[graft] def fileBytesOf(spark: SparkSession, dir: String, v: Int,
+                                 keep: Map[String, Set[String]]): Long = {
+    val stats = lines(spark, dir, v).collect { case e: StatsEntry => e.name -> e }.toMap
+    keep.iterator.flatMap { case (d, names) =>
+      stats.get(d).toSeq.flatMap(_.files.filter(f => names.contains(f.name)).map(_.bytes))
+    }.sum
+  }
+
+  /** Read a FILE SUBSET of version `v` through the full
+    * manifest-aware path — recorded schema, partition values
+    * re-attached, deletion vectors applied (scoped masks dispatched
+    * per dir group, exactly as any read of the version) — the
+    * rewrite-side read of a partition-scoped OPTIMIZE. */
+  private[graft] def readVersionFiles(spark: SparkSession, dir: String, v: Int,
+                                      keep: Map[String, Set[String]]): DataFrame = {
+    val subset = lines(spark, dir, v).flatMap {
+      case DataEntry(n) if !keep.get(n).exists(_.nonEmpty) => None
+      case s: StatsEntry if keep.get(s.name).exists(_.nonEmpty) =>
+        Some(s.copy(files = s.files.filter(f => keep(s.name).contains(f.name))))
+      case _: StatsEntry => None
+      case other => Some(other)
+    }
+    readVersionFrom(spark, dir, subset, _ => true)
   }
 
   /** [[manifestPartitioningIndex]] restricted to a file subset — the

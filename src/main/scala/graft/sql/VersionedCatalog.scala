@@ -1009,10 +1009,18 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   * existing commit path (schema recording, footer stats harvest,
   * nonce'd dirs) applies verbatim. */
 private[sql] object VersionedWrite {
+  // AUTOMATIC_SCHEMA_EVOLUTION serves `MERGE INTO … WITH SCHEMA
+  // EVOLUTION` (the library's mergeEvolve union-schema semantics at
+  // the SQL seam): the analyzer derives the AddColumn changes from the
+  // source schema and routes them through this catalog's alterTable —
+  // a metadata-only manifest commit, existing files null-backfill —
+  // before planning the merge against the widened table. Plain MERGE
+  // is unchanged: Spark requires BOTH the clause and the capability.
   val capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 }
 
 private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,

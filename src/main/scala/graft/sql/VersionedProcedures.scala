@@ -64,13 +64,20 @@ private[sql] object VersionedProcedures {
       }),
 
     proc("zorder",
-      "commit a Morton-ordered rewrite of the latest state (tight per-file stats rectangles on both columns)",
+      "commit a Morton-ordered rewrite (whole table, or where => a partition predicate: " +
+        "only matching partitions' files rewrite, the rest carry verbatim)",
       params = Seq(in("table", StringType), in("col_a", StringType),
         in("col_b", StringType), in("n_files", IntegerType),
-        inDefault("bits", IntegerType, "16")),
+        inDefault("bits", IntegerType, "16"),
+        inDefault("where", StringType, "''")),
       out = StructType(Seq(StructField("version", IntegerType))))(
-      (spark, args) => Seq(row(Int.box(Maintenance.zorderVersioned(
-        spark, args.str(0), args.str(1), args.str(2), args.int(3), args.int(4)))))),
+      (spark, args) =>
+        if (args.str(5).trim.isEmpty)
+          Seq(row(Int.box(Maintenance.zorderVersioned(
+            spark, args.str(0), args.str(1), args.str(2), args.int(3), args.int(4)))))
+        else Seq(row(Maintenance.zorderVersionedWhere(
+          spark, args.str(0), args.str(5), args.str(1), args.str(2),
+          args.int(3), args.int(4)).map(Int.box).orNull))),
 
     proc("restore",
       "commit an old version's manifest as the newest version (no data copied; the restore is itself undoable)",
@@ -87,17 +94,29 @@ private[sql] object VersionedProcedures {
         Versioned.backfillStats(spark, args.str(0)).map(Int.box).orNull))),
 
     proc("compact_files",
-      "rewrite the latest state into ~target_file_bytes files (one overwrite commit)",
+      "rewrite the latest state into ~target_file_bytes files (whole table, or " +
+        "where => a partition predicate: only matching partitions' files rewrite)",
       params = Seq(in("table", StringType),
-        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString)),
+        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
+        inDefault("where", StringType, "''")),
       out = StructType(Seq(StructField("files_before", IntegerType),
         StructField("files_after", IntegerType),
         StructField("bytes", LongType))))(
-      (spark, args) => {
-        val st = Maintenance.compact(spark, args.str(0), args.long(1),
-          store = ManifestStore.conditionalPut)
-        Seq(row(Int.box(st.filesBefore), Int.box(st.filesAfter), Long.box(st.totalBytes)))
-      }),
+      (spark, args) =>
+        if (args.str(2).trim.isEmpty) {
+          val st = Maintenance.compact(spark, args.str(0), args.long(1),
+            store = ManifestStore.conditionalPut)
+          Seq(row(Int.box(st.filesBefore), Int.box(st.filesAfter), Long.box(st.totalBytes)))
+        } else Maintenance.compactVersionedWhere(
+            spark, args.str(0), args.str(2), args.long(1)) match {
+          case Some((selected, v)) =>
+            // files_after re-evaluates the SAME predicate on the new
+            // version — the matching partitions' file count post-rewrite
+            val after = Versioned.partitionScopedFiles(spark, args.str(0), v,
+              args.str(2)).valuesIterator.map(_.size).sum
+            Seq(row(Int.box(selected), Int.box(after), Long.box(0L)))
+          case None => Seq(row(Int.box(0), Int.box(0), Long.box(0L)))
+        }),
 
     proc("history",
       "DESCRIBE HISTORY from manifest bytes: one row per committed version",

@@ -3415,4 +3415,152 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.readLatest(spark, root).select("v").as[String].head() == "new",
       "stale cached parse served after a drop through an equivalent path spelling")
   }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION: a new source column widens the target as one metadata commit; plain MERGE stays strict") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergeevo").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_me", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), dir)
+    Seq((2L, 25.0, "upd"), (3L, 30.0, "new")).toDF("id", "price", "note")
+      .createOrReplaceTempView("src_me")
+    // plain MERGE referencing the unknown column refuses — evolution
+    // requires the explicit clause even with the capability declared
+    val strict = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft_me.`$dir` t USING src_me s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET price = s.price, note = s.note
+        |WHEN NOT MATCHED THEN INSERT (id, price, note) VALUES (s.id, s.price, s.note)
+        |""".stripMargin) }
+    assert(strict.getMessage.toLowerCase.contains("note"), strict.getMessage)
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft_me.`$dir` t USING src_me s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET price = s.price, note = s.note
+      |WHEN NOT MATCHED THEN INSERT (id, price, note) VALUES (s.id, s.price, s.note)
+      |""".stripMargin)
+    val got = spark.sql(s"SELECT id, price, note FROM graft_me.`$dir` ORDER BY id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 10.0, None), (2L, 25.0, Some("upd")), (3L, 30.0, Some("new"))),
+      got.toString)
+    // the widening was its own metadata-only commit: the version chain
+    // carries create → evolve (ALTER) → merge rewrite, and time travel
+    // to the pre-merge schema still serves two columns
+    val vs = Versioned.versions(spark, dir)
+    assert(vs.length == 3, vs.toString)
+    assert(Versioned.recordedSchema(spark, dir, 0).get.fieldNames.toSeq ==
+      Seq("id", "price"))
+    assert(Versioned.recordedSchema(spark, dir, 1).get.fieldNames.toSeq ==
+      Seq("id", "price", "note"))
+  }
+
+  test("partition-scoped OPTIMIZE: zorder WHERE rewrites only the matching partition; other partitions' files verbatim; pruning improves inside the target") {
+    import org.apache.spark.sql.sources._
+    import graft.ext.{Maintenance, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pzorder").toString + "/t"
+    // two partitions, each 4096 grid points hash-scattered into 4
+    // files: inside each partition every file spans both columns' full
+    // ranges, so nothing prunes pre-optimize
+    val df = spark.range(0, 8192).toDF("id")
+      .withColumn("p", when($"id" % 2 === 0, "x").otherwise("y"))
+      .withColumn("a", ($"id" / 2) % 64)
+      .withColumn("b", ($"id" / 2) / 64)
+    Versioned.writeVersionPartitioned(df.repartition(4), dir, Seq("p"))
+    def filesOf(v: Int, part: String) =
+      Versioned.partitionScopedFiles(spark, dir, v, s"p = '$part'")
+    def planned(v: Int, fs: Filter*) = Versioned.planDataFiles(spark, dir, v, fs.toSeq)
+    assert(filesOf(0, "x").valuesIterator.map(_.size).sum == 4)
+    assert(planned(0, EqualTo("p", "x"), LessThan("b", 8L)).length == 4,
+      "scattered layout must not prune")
+    val yBefore = filesOf(0, "y")
+    // a dv rides along: the scoped rewrite reads MASKED, so the
+    // optimized partition drops the masked rows physically while the
+    // carried dv keeps masking the untouched partition
+    Versioned.deleteByKeys(spark, dir, Seq(0L, 1L).toDF("id"), "id")
+    val v2 = Maintenance.zorderVersionedWhere(spark, dir, "p = 'x'", "a", "b",
+      nFiles = 4, bits = 6)
+    assert(v2.contains(2))
+    // partition y's files carry VERBATIM (same dir, same names)
+    assert(filesOf(2, "y") == yBefore, "non-matching partition must carry verbatim")
+    // inside x, the same predicate now prunes — on either column
+    assert(planned(2, EqualTo("p", "x"), LessThan("b", 8L)).length < 4)
+    assert(planned(2, EqualTo("p", "x"), LessThan("a", 8L)).length < 4)
+    // content preserved exactly: the two deleted ids (0 in x, 1 in y)
+    // stay gone — physically in x, by the carried mask in y
+    assert(Versioned.versionInfo(spark, dir, 2).dvDirs.nonEmpty)
+    assert(Versioned.readLatest(spark, dir).count() == 8190)
+    assert(Versioned.readLatest(spark, dir)
+      .groupBy("p").count().orderBy("p").as[(String, Long)].collect().toSeq ==
+      Seq(("x", 4095L), ("y", 4095L)))
+    // the predicate is required to be partition-only and non-trivial
+    val badCol = intercept[Exception] {
+      Maintenance.zorderVersionedWhere(spark, dir, "a < 5", "a", "b", 4) }
+    assert(badCol.getMessage.contains("partition columns"), badCol.getMessage)
+    // a predicate matching nothing commits nothing
+    assert(Maintenance.zorderVersionedWhere(spark, dir, "p = 'zzz'", "a", "b", 4).isEmpty)
+    // time travel to the pre-optimize layout still serves
+    assert(Versioned.readVersion(spark, dir, 1).count() == 8190)
+
+    // CALL surface: compact_files with where => merges one partition's
+    // small files; the other partition's stay verbatim
+    spark.conf.set("spark.sql.catalog.graft_pz", "graft.sql.VersionedCatalog")
+    val xBefore = filesOf(2, "x")
+    val st = spark.sql(s"CALL graft_pz.system.compact_files(table => '$dir', " +
+      "where => 'p = \\'y\\'')").collect().head
+    assert(st.getInt(0) == 4 && st.getInt(1) == 1, st.toString)
+    val v3 = Versioned.latestVersion(spark, dir).get
+    assert(filesOf(v3, "x") == xBefore, "compact of y must carry x verbatim")
+    assert(Versioned.readLatest(spark, dir).count() == 8190)
+    // CALL zorder with where => returns the committed version
+    val zv = spark.sql(s"CALL graft_pz.system.zorder(table => '$dir', " +
+      "col_a => 'a', col_b => 'b', n_files => 4, where => 'p = \\'y\\'')")
+      .as[Int].head()
+    assert(zv == v3 + 1)
+    assert(Versioned.readLatest(spark, dir).count() == 8190)
+  }
+
+  test("scoped-dv compaction groups by dir coverage: N SQL deletes compact to one dv per coverage group; masks identical; union branch count pinned") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvcov").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 10).toDF("id"), dir)                  // d1
+    Versioned.deleteByKeysScoped(spark, dir, Seq(1L).toDF("id"), "id")          // dv1 {d1}
+    Versioned.writeVersion(spark.range(10, 20).toDF("id"), dir, SaveMode.Append) // d2
+    Versioned.deleteByKeysScoped(spark, dir, Seq(2L, 11L).toDF("id"), "id")     // dv2 {d1,d2}
+    Versioned.writeVersion(spark.range(20, 30).toDF("id"), dir, SaveMode.Append) // d3
+    Versioned.deleteByKeysScoped(spark, dir, Seq(3L, 12L, 21L).toDF("id"), "id") // dv3 {d1,d2,d3}
+    // two more deletes with no append in between: same scope as dv3
+    Versioned.deleteByKeysScoped(spark, dir, Seq(4L).toDF("id"), "id")          // dv4 {d1,d2,d3}
+    Versioned.deleteByKeysScoped(spark, dir, Seq(13L).toDF("id"), "id")         // dv5 {d1,d2,d3}
+    val pre = Versioned.latestVersion(spark, dir).get
+    val expect = (0L until 30L).toSet -- Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 21L)
+    def ids() = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet
+    def unionBranches() = {
+      val plan = Versioned.readLatest(spark, dir).queryExecution.optimizedPlan
+      plan.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u.children.length }.sum.max(1)
+    }
+    assert(ids() == expect)
+    assert(Versioned.versionInfo(spark, dir, pre).scopedDvs.length == 5)
+    // coverage groups: d1←{dv1..dv5}, d2←{dv2..dv5}, d3←{dv3,dv4,dv5}
+    // — three distinct coverages, which is what the read already plans
+    assert(unionBranches() == 3)
+    val cv = Versioned.compactDeletionVectors(spark, dir)
+    assert(cv.contains(pre + 1))
+    val post = Versioned.versionInfo(spark, dir, pre + 1)
+    // 5 scoped dvs → 3 (one per coverage group), scopes PARTITION the dirs
+    assert(post.scopedDvs.length == 3, post.scopedDvs.toString)
+    val scopes = post.scopedDvs.map(_._3)
+    assert(scopes.map(_.size).sum == scopes.flatten.toSet.size,
+      "compacted scopes must partition the data dirs")
+    // masked read identical; union branch count unchanged (= #groups)
+    assert(ids() == expect)
+    assert(unionBranches() == 3)
+    // pre-compaction version still time-travels to the un-merged chain
+    assert(Versioned.readVersion(spark, dir, pre)
+      .select("id").as[Long].collect().toSet == expect)
+    // idempotent: the compacted shape declines a second pass
+    assert(Versioned.compactDeletionVectors(spark, dir).isEmpty)
+    // SQL DELETE semantics survive the merge: a re-insert of a masked
+    // key is visible (the new dir is outside every compacted scope)
+    Versioned.writeVersion(Seq(2L).toDF("id"), dir, SaveMode.Append)
+    assert(ids() == expect + 2L)
+  }
 }
