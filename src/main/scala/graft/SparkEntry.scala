@@ -1599,6 +1599,38 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // NOT NULL column constraints (Delta's NOT NULL role): declared at
+    // CREATE (`clerk STRING NOT NULL`) or added later via CALL
+    // system.set_not_null (validated against existing rows from
+    // manifest stats). Enforced twice — Spark's ANSI store assignment
+    // injects the plan-side runtime check because the catalog serves
+    // the column non-nullable, and the commit-time footer-stats check
+    // backstops every library write at zero extra IO. A violating
+    // INSERT refuses; the clean inserts land.
+    "q137_sql_not_null" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_not_null", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q137")
+      s.sql(s"CREATE TABLE versioned.`$tbl` " +
+        "(o_orderkey BIGINT NOT NULL, priority STRING, price DOUBLE)")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) " +
+        "FROM orders_q137 WHERE o_orderstatus = 'F'")
+      s.sql(s"CALL versioned.system.set_not_null('$tbl', 'priority')")
+      val refused = try {
+        s.sql(s"INSERT INTO versioned.`$tbl` " +
+          "SELECT o_orderkey, CAST(NULL AS STRING), ROUND(o_totalprice, 2) " +
+          "FROM orders_q137 WHERE o_orderstatus = 'P'")
+        false
+      } catch { case _: Exception => true }
+      assert(refused, "a NULL into a NOT NULL column must refuse")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) " +
+        "FROM orders_q137 WHERE o_orderstatus = 'P'")
+      s.sql(s"SELECT o_orderkey, priority, price FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3588,6 +3620,13 @@ object SparkEntry {
     // exactly the two valid slices (the violating insert left nothing)
     "q132_sql_constraints" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // NOT NULL enforcement is refusal-shaped; the surviving rows are
+    // exactly the two clean slices
+    "q137_sql_not_null" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |ORDER BY o_orderkey""".stripMargin,
 

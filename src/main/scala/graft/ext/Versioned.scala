@@ -181,6 +181,19 @@ object Versioned {
     * analyzer additionally enforces them plan-side on SQL writes
     * (the table reports them via DSv2 `Table.constraints()`). */
   private final case class ConstraintEntry(name: String, predicateSql: String) extends Line
+  /** An enforced NOT NULL column constraint (`notnull:<col>`): every
+    * write validates the new dir holds no null for the column — from
+    * the footer harvest's null counts in the passing case, so
+    * enforcement usually costs zero extra IO — and a write whose
+    * files LACK the column refuses too (the union-schema read would
+    * null-backfill it). The SQL catalog additionally reports the
+    * column non-nullable through the table schema, so Spark's ANSI
+    * store assignment injects the plan-side runtime check on SQL
+    * writes. Like CHECK constraints, NOT NULL is table definition:
+    * carried by appends and data overwrites, dropped by REPLACE
+    * TABLE, versioned like everything else (time travel to a
+    * pre-constraint version serves a nullable column). */
+  private final case class NotNullEntry(col: String) extends Line
 
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
@@ -236,6 +249,10 @@ object Versioned {
       require(i > 0 && i < rest.length - 1,
         s"malformed transaction manifest line: $line")
       TxnEntry(rest.substring(0, i).toLong, rest.substring(i + 1))
+    } else if (line.startsWith("notnull:")) {
+      val c = line.drop(8)
+      require(c.nonEmpty, s"malformed not-null manifest line: $line")
+      NotNullEntry(c)
     } else if (line.startsWith("dvs:")) {
       val parts = line.drop(4).split(":", 3)
       require(parts.length == 3 && parts.forall(_.nonEmpty),
@@ -371,6 +388,8 @@ object Versioned {
           case e: StatsEntry => e.name == s.name; case _ => false } :+ s
         case c: ConstraintEntry => acc.filterNot {
           case e: ConstraintEntry => e.name.equalsIgnoreCase(c.name); case _ => false } :+ c
+        case nn: NotNullEntry  => acc.filterNot {
+          case e: NotNullEntry => e.col.equalsIgnoreCase(nn.col); case _ => false } :+ nn
         case d: DataEntry      => if (acc.contains(d)) acc else acc :+ d
         case other             => acc :+ other // dv, changes: plain adds
       } else if (op.startsWith("-data:")) {
@@ -393,6 +412,9 @@ object Versioned {
       } else if (op.startsWith("-constraint:")) {
         val n = op.drop(12)
         acc.filterNot { case ConstraintEntry(e, _) => e.equalsIgnoreCase(n); case _ => false }
+      } else if (op.startsWith("-notnull:")) {
+        val c = op.drop(9)
+        acc.filterNot { case NotNullEntry(e) => e.equalsIgnoreCase(c); case _ => false }
       } else throw new IllegalStateException(s"malformed delta-manifest op: $op")
     }
 
@@ -474,6 +496,7 @@ object Versioned {
     case TxnEntry(b, a)    => s"txn:$b:$a"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
     case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
+    case NotNullEntry(c)   => s"notnull:$c"
     case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
@@ -682,6 +705,25 @@ object Versioned {
             s"(${c.predicateSql}); nothing was committed")
       }
     }
+    // NOT NULL columns: the replacement's footer harvest already holds
+    // the null counts — same zero-IO check as writeVersionCore's
+    newEntries.collectFirst { case s: StatsEntry => s }.foreach { st =>
+      lines(spark, dir, v0).collect { case n: NotNullEntry => n }.foreach { nn =>
+        val violated = st.rows > 0 && (st.cols.get(nn.col) match {
+          case None     => true
+          case Some(cs) => cs.nulls match {
+            case Some(n) => n > 0
+            case None =>
+              !spark.read.schema(schema)
+                .parquet(new Path(root, replacementDir.get).toString)
+                .filter(org.apache.spark.sql.functions.col(nn.col).isNull).isEmpty
+          }
+        })
+        require(!violated,
+          s"rewrite of $dir violates NOT NULL constraint on '${nn.col}'; " +
+            "nothing was committed")
+      }
+    }
     def conflict(msg: String) = throw new IllegalStateException(
       s"file rewrite at $dir $msg — the rewrite's snapshot is stale; re-run the statement")
     withCommitRetry(maxAttempts) { () =>
@@ -702,6 +744,9 @@ object Versioned {
         conflict("saw the deletion-vector set change under it")
       if (ls.collect { case c: ConstraintEntry => c }.toSet != validatedConstraints.toSet)
         conflict("saw the CHECK constraints change under it")
+      if (ls.collect { case n: NotNullEntry => n }.toSet !=
+          lines(spark, dir, v0).collect { case n: NotNullEntry => n }.toSet)
+        conflict("saw the NOT NULL constraints change under it")
       val prevPart = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
       if (prevPart != partCols)
         conflict(s"saw the partition spec change to ${prevPart.mkString(",")}")
@@ -759,7 +804,12 @@ object Versioned {
         partitionBy = partitionBy, preWritten = Some(stagedDir),
         requireFresh = fresh, replaceDefinition = replaceDefinition)(_ => ()).get
     } else if (fresh) {
-      createTable(spark, dir, declared, partCols, protocol)
+      // CTAS nullability follows the file-source convention: the
+      // query's schema lands fully-nullable (a literal-derived
+      // non-nullable column is an artifact of the query, not a
+      // declared contract — NOT NULL comes from explicit CREATE TABLE
+      // column syntax or CALL system.set_not_null)
+      createTable(spark, dir, asNullable(declared), partCols, protocol)
     } else {
       // empty REPLACE over an existing chain: a metadata-only
       // overwrite version — schema (and spec) kept, zero data dirs.
@@ -772,8 +822,11 @@ object Versioned {
       // replay, not the table's definition — a stream whose epoch was
       // committed before the replace must still skip its re-delivery
       val carried = lines(spark, dir, prev).collect { case t: TxnEntry => t } ++
-        (if (replaceDefinition) Seq.empty
-         else lines(spark, dir, prev).collect { case c: ConstraintEntry => c })
+        (if (replaceDefinition) Seq.empty[Line]
+         else lines(spark, dir, prev).collect {
+           case c: ConstraintEntry => c
+           case n: NotNullEntry => n
+         })
       val ordered =
         if (partCols.isEmpty) declared
         else StructType(declared.fields.filterNot(f => partCols.contains(f.name)) ++
@@ -933,11 +986,39 @@ object Versioned {
             s"(${culprit.predicateSql}); nothing was committed")
       }
     }
+    // NOT NULL columns: validate the JUST-WRITTEN dir from its footer
+    // harvest — zero extra IO in the passing case (null counts are
+    // already in hand); a dir whose files LACK the column refuses too
+    // (the union-schema read would null-backfill it); only an
+    // untrusted footer (no null count) pays a scan of the new dir.
+    val activeNotNull =
+      if (replaceDefinition) Seq.empty
+      else prev.toSeq.flatMap(p =>
+        lines(spark, dir, p).collect { case n: NotNullEntry => n })
+    if (activeNotNull.nonEmpty && rows > 0) {
+      activeNotNull.foreach { nn =>
+        val violated = colStats.get(nn.col) match {
+          case None                          => true // column absent from the dir
+          case Some(cs) => cs.nulls match {
+            case Some(n)                     => n > 0
+            case None =>
+              !spark.read.schema(newSchema).parquet(dataPath.toString)
+                .filter(org.apache.spark.sql.functions.col(nn.col).isNull).isEmpty
+          }
+        }
+        if (violated) {
+          if (preWritten.isEmpty) fs.delete(dataPath, true)
+          throw new IllegalArgumentException(
+            s"write to $dir violates NOT NULL constraint on '${nn.col}'; " +
+              "nothing was committed")
+        }
+      }
+    }
     // constraints are table DEFINITION, not data: an overwrite
     // replaces the rows but keeps the contract (appends carry them
     // inside prevLines below)
     val carriedConstraints = (mode, prev) match {
-      case (SaveMode.Overwrite, Some(_)) => activeConstraints
+      case (SaveMode.Overwrite, Some(_)) => activeNotNull ++ activeConstraints
       case _ => Seq.empty
     }
     // txn watermarks are WRITER bookkeeping, not data: an overwrite
@@ -1567,7 +1648,8 @@ object Versioned {
                                               partitionCols: Seq[String] = Seq.empty,
                                               // (keyCol, absolute dv dir, scoped data-dir NAMES)
                                               scopedDvs: Seq[(String, String, Set[String])] =
-                                                Seq.empty)
+                                                Seq.empty,
+                                              notNull: Seq[String] = Seq.empty)
 
   private[graft] def versionInfo(spark: SparkSession, dir: String, v: Int): VersionInfo = {
     val ls = lines(spark, dir, v)
@@ -1578,8 +1660,13 @@ object Versioned {
       ls.collect { case DvEntry(k, n) => (k, abs(n)) }.groupBy(_._1).toSeq
         .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) },
       ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty),
-      ls.collect { case ScopedDvEntry(k, n, sc) => (k, abs(n), sc.toSet) })
+      ls.collect { case ScopedDvEntry(k, n, sc) => (k, abs(n), sc.toSet) },
+      ls.collect { case NotNullEntry(c) => c })
   }
+
+  /** The enforced NOT NULL columns of a version, in manifest order. */
+  def notNullColumns(spark: SparkSession, dir: String, v: Int): Seq[String] =
+    lines(spark, dir, v).collect { case NotNullEntry(c) => c }
 
   /** A SUBSET of version `v`'s data dirs (absolute paths), read
     * through the full manifest-aware path — recorded schema,
@@ -2039,9 +2126,13 @@ object Versioned {
       if (partCols.isEmpty) schema
       else StructType(schema.fields.filterNot(f => partCols.contains(f.name)) ++
         partCols.map(c => schema(c)))
+    // non-nullable declared fields become enforced NOT NULL lines (the
+    // recorded schema itself stays fully-nullable — append chains
+    // null-backfill, and the constraint is what enforces)
+    val notNull = ordered.fields.filterNot(_.nullable).map(f => NotNullEntry(f.name))
     val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
       ((if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols))) ++
-        constraints.map { case (n, sql) => ConstraintEntry(n, sql) })
+        notNull ++ constraints.map { case (n, sql) => ConstraintEntry(n, sql) })
     commitManifest(spark, dir, 0, ls.map(renderLine), protocol)
     0
   }
@@ -2153,6 +2244,11 @@ object Versioned {
           throw new IllegalArgumentException(
             s"cannot drop '$n': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
         }
+        // this single-purpose commit cannot remove the constraint line
+        // with the column; the atomic ALTER can (and does)
+        require(!ls.exists { case NotNullEntry(c) => c.equalsIgnoreCase(n); case _ => false },
+          s"cannot drop '$n': it carries NOT NULL — use alterTableAtomic " +
+            "(SQL ALTER TABLE), which drops the constraint with the column")
       }
       val dropSet = resolved.toSet
       val kept = prior.fields.filterNot(f => dropSet.contains(f.name))
@@ -2236,9 +2332,12 @@ object Versioned {
   final case class AlterSpec(addCols: Seq[StructField] = Seq.empty,
                              dropCols: Seq[String] = Seq.empty,
                              addChecks: Seq[(String, String)] = Seq.empty,
-                             dropChecks: Seq[(String, Boolean)] = Seq.empty) {
+                             dropChecks: Seq[(String, Boolean)] = Seq.empty,
+                             setNotNull: Seq[String] = Seq.empty,
+                             dropNotNull: Seq[String] = Seq.empty) {
     def isEmpty: Boolean =
-      addCols.isEmpty && dropCols.isEmpty && addChecks.isEmpty && dropChecks.isEmpty
+      addCols.isEmpty && dropCols.isEmpty && addChecks.isEmpty &&
+        dropChecks.isEmpty && setNotNull.isEmpty && dropNotNull.isEmpty
   }
 
   /** The column names a CHECK predicate reads (top-level attributes of
@@ -2353,19 +2452,63 @@ object Versioned {
             s"— e.g. ${violating.head()}")
       }
     }
+    // NOT NULL changes, against the final schema. SET validates the
+    // existing rows — from manifest stats in the provable case (every
+    // data dir's null count for the column is a recorded zero), one
+    // masked scan otherwise; a SET on a column just added in the same
+    // statement passes only on an empty table (existing rows would
+    // null-backfill it). DROP NOT NULL on a nullable column is a
+    // no-op, like Delta's.
+    val existingNotNull = ls.collect { case n: NotNullEntry => n }
+    val resolvedSet = alter.setNotNull.map { n =>
+      finalSchema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$n' in ${finalSchema.fieldNames.mkString(",")}"))
+    }.filterNot(n => existingNotNull.exists(_.col.equalsIgnoreCase(n)))
+    val resolvedDropNn = alter.dropNotNull.flatMap(n =>
+      existingNotNull.map(_.col).find(_.equalsIgnoreCase(n)))
+    require(resolvedSet.toSet.intersect(resolvedDropNn.toSet).isEmpty,
+      "a column cannot be both SET and DROP NOT NULL in one statement")
+    if (resolvedSet.nonEmpty) {
+      val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+      val dataDirs = ls.collect { case DataEntry(n) => n }
+      def provablyNoNulls(c: String) = dataDirs.forall(d =>
+        stats.get(d).exists(st =>
+          st.rows == 0 || st.cols.get(c).exists(_.nulls.contains(0L))))
+      val unproven = resolvedSet.filterNot(provablyNoNulls)
+      if (unproven.nonEmpty) {
+        import org.apache.spark.sql.functions.{col => fcol, lit}
+        val base = alter.addCols.foldLeft(readVersion(spark, dir, prev)) { (df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        unproven.foreach { c =>
+          require(base.filter(fcol(c).isNull).isEmpty,
+            s"cannot SET NOT NULL on '$c': existing rows hold nulls — " +
+              s"backfill them first (UPDATE … SET $c = … WHERE $c IS NULL)")
+        }
+      }
+    }
     // ── the single commit ──
+    // a dropped column takes its NOT NULL line with it, like Delta
+    val droppedNn = existingNotNull.filter(n =>
+      dropSet.exists(_.equalsIgnoreCase(n.col)) ||
+        resolvedDropNn.exists(_.equalsIgnoreCase(n.col)))
     val kept = ls.filterNot {
       case _: SchemaEntry => true
       case c: ConstraintEntry => dropCheckNames.exists(_.equalsIgnoreCase(c.name))
+      case n: NotNullEntry => droppedNn.exists(_.col.equalsIgnoreCase(n.col))
       case _ => false
     }
     val v = prev + 1
     commitChild(spark, dir, v, prev,
       SchemaEntry(finalSchema) +: (kept ++
-        alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) }),
+        alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) } ++
+        resolvedSet.map(NotNullEntry(_))),
       (addOp(SchemaEntry(finalSchema)) +:
-        dropCheckNames.map(n => s"-constraint:$n")) ++
-        alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) },
+        (dropCheckNames.map(n => s"-constraint:$n") ++
+          droppedNn.map(n => s"-notnull:${n.col}"))) ++
+        alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) } ++
+        resolvedSet.map(n => addOp(NotNullEntry(n))),
       protocol)
     Some(v)
   }

@@ -112,7 +112,18 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       require(vs.contains(n), s"no version $n at $dir (have ${vs.mkString(",")})")
       n
     }.getOrElse(vs.last)
-    val info = Versioned.versionInfo(spark, dir, v)
+    val info0 = Versioned.versionInfo(spark, dir, v)
+    // enforced NOT NULL columns serve as non-nullable SCHEMA — Spark's
+    // ANSI store assignment then injects the plan-side runtime null
+    // check into every SQL write (the commit-time footer check stays
+    // the uniform backstop), and readers see the real contract
+    val info = info0.schema match {
+      case Some(s) if info0.notNull.nonEmpty =>
+        info0.copy(schema = Some(StructType(s.fields.map(f =>
+          if (info0.notNull.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+          else f))))
+      case _ => info0
+    }
     val tableName = s"$catName.$dir@v$v"
     val base: Table with SupportsRead = info.schema match {
       case Some(schema) if info.partitionCols.nonEmpty =>
@@ -260,9 +271,12 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
           s"cannot drop nested field ${del.fieldNames.mkString(".")} — top-level columns only")
       case _: TableChange.AddConstraint => // validated by checksOf below
       case _: TableChange.DropConstraint => ()
+      case un: TableChange.UpdateColumnNullability =>
+        if (un.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"cannot alter nullability of nested field ${un.fieldNames.mkString(".")}")
       case other => throw new UnsupportedOperationException(
-        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, and ADD/DROP " +
-          s"CONSTRAINT … CHECK only; got $other. " +
+        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, SET/DROP NOT " +
+          s"NULL, and ADD/DROP CONSTRAINT … CHECK only; got $other. " +
           "Renames and type changes rewrite instead: REPLACE TABLE … AS SELECT")
     }
     val adds = changes.collect { case a: TableChange.AddColumn =>
@@ -283,8 +297,12 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       .flatMap(ac => checksOf(Array(ac.constraint())))
     val dropChecks = changes.collect { case dc: TableChange.DropConstraint =>
       (dc.name(), dc.ifExists()) }
+    val setNn = changes.collect {
+      case un: TableChange.UpdateColumnNullability if !un.nullable() => un.fieldNames.head }
+    val dropNn = changes.collect {
+      case un: TableChange.UpdateColumnNullability if un.nullable() => un.fieldNames.head }
     Versioned.alterTableAtomic(spark, dir,
-      Versioned.AlterSpec(adds, dropNames, addChecks, dropChecks))
+      Versioned.AlterSpec(adds, dropNames, addChecks, dropChecks, setNn, dropNn))
     load(ident, None)
   }
 

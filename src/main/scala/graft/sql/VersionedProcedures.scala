@@ -79,6 +79,24 @@ private[sql] object VersionedProcedures {
           spark, args.str(0), args.str(5), args.str(1), args.str(2),
           args.int(3), args.int(4)).map(Int.box).orNull))),
 
+    proc("set_not_null",
+      "add an enforced NOT NULL constraint (validates existing rows — from manifest " +
+        "stats when provable — then one metadata commit). Spark's ALTER COLUMN " +
+        "refuses the nullable->non-nullable direction for v2 catalogs, so the " +
+        "constraint lands here instead",
+      params = Seq(in("table", StringType), in("column", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Versioned.alterTableAtomic(spark, args.str(0),
+        Versioned.AlterSpec(setNotNull = Seq(args.str(1)))).map(Int.box).orNull))),
+
+    proc("drop_not_null",
+      "drop a NOT NULL constraint (metadata-only commit; SQL ALTER COLUMN … DROP " +
+        "NOT NULL does the same)",
+      params = Seq(in("table", StringType), in("column", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Versioned.alterTableAtomic(spark, args.str(0),
+        Versioned.AlterSpec(dropNotNull = Seq(args.str(1)))).map(Int.box).orNull))),
+
     proc("restore",
       "commit an old version's manifest as the newest version (no data copied; the restore is itself undoable)",
       params = Seq(in("table", StringType), in("version", IntegerType)),

@@ -3416,6 +3416,73 @@ class ExtSpec extends AnyFunSuite {
       "stale cached parse served after a drop through an equivalent path spelling")
   }
 
+  test("NOT NULL constraints: enforced at the plan seam, the library commit seam, and ALTER; dropped with the column; versioned like everything else") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_notnull").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_nn", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_nn.`$dir` (id BIGINT NOT NULL, v STRING)")
+    assert(Versioned.notNullColumns(spark, dir, 0) == Seq("id"))
+    // the catalog serves the real contract: id reports non-nullable
+    assert(!spark.table(s"graft_nn.`$dir`").schema("id").nullable)
+    // plan-side: a violating SQL INSERT refuses (ANSI store assignment
+    // injects the runtime null check against the non-nullable column)
+    spark.sql(s"INSERT INTO graft_nn.`$dir` VALUES (1, 'a'), (2, NULL)")
+    val planSide = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_nn.`$dir` VALUES (CAST(NULL AS BIGINT), 'x')") }
+    assert(Iterator.iterate(planSide: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && (t.getMessage.contains("NULL")
+        || t.getMessage.contains("null"))), planSide.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM graft_nn.`$dir`").as[Long].head() == 2)
+    // library commit seam: an append whose rows hold a null refuses
+    // from footer stats alone, and the bad dir never becomes a version
+    val libNull = intercept[Exception] {
+      Versioned.writeVersion(Seq((java.lang.Long.valueOf(3L), "c"), (null.asInstanceOf[java.lang.Long], "d"))
+        .toDF("id", "v"), dir, SaveMode.Append) }
+    assert(libNull.getMessage.contains("NOT NULL"), libNull.getMessage)
+    // … and so does an append whose files LACK the column entirely
+    // (the union-schema read would null-backfill it)
+    val libMissing = intercept[Exception] {
+      Versioned.writeVersion(Seq("e").toDF("v"), dir, SaveMode.Append) }
+    assert(libMissing.getMessage.contains("NOT NULL"), libMissing.getMessage)
+    // SET NOT NULL on a column with existing nulls refuses — served as
+    // a CALL (Spark's own ALTER COLUMN analysis categorically refuses
+    // the nullable->non-nullable direction for v2 catalogs) …
+    val dirty = intercept[Exception] {
+      spark.sql(s"CALL graft_nn.system.set_not_null('$dir', 'v')") }
+    assert(Iterator.iterate(dirty: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("SET NOT NULL")),
+      dirty.getMessage)
+    // … clean the rows, and the same call lands as one metadata commit
+    spark.sql(s"UPDATE graft_nn.`$dir` SET v = 'fixed' WHERE v IS NULL")
+    spark.sql(s"CALL graft_nn.system.set_not_null('$dir', 'v')")
+    val vSet = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.notNullColumns(spark, dir, vSet).sorted == Seq("id", "v"))
+    val vNull = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_nn.`$dir` VALUES (4, CAST(NULL AS STRING))") }
+    assert(Iterator.iterate(vNull: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && (t.getMessage.contains("NULL")
+        || t.getMessage.contains("null"))), vNull.getMessage)
+    // an overwrite carries the contract (table definition, not data)
+    spark.sql(s"INSERT OVERWRITE graft_nn.`$dir` VALUES (10, 'z')")
+    assert(Versioned.notNullColumns(spark, dir,
+      Versioned.latestVersion(spark, dir).get).sorted == Seq("id", "v"))
+    // DROP NOT NULL re-opens the column; the insert that refused lands
+    spark.sql(s"ALTER TABLE graft_nn.`$dir` ALTER COLUMN v DROP NOT NULL")
+    spark.sql(s"INSERT INTO graft_nn.`$dir` VALUES (4, CAST(NULL AS STRING))")
+    assert(spark.sql(s"SELECT count(*) FROM graft_nn.`$dir` WHERE v IS NULL")
+      .as[Long].head() == 1)
+    // DROP COLUMN takes its NOT NULL line with it (one atomic statement);
+    // the standalone library drop refuses instead (it cannot remove the line)
+    val libDrop = intercept[Exception] { Versioned.dropColumns(spark, dir, Seq("id")) }
+    assert(libDrop.getMessage.contains("NOT NULL"), libDrop.getMessage)
+    spark.sql(s"ALTER TABLE graft_nn.`$dir` DROP COLUMN id")
+    val vDropped = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.notNullColumns(spark, dir, vDropped).isEmpty)
+    // time travel: the pre-ALTER version still carries the contract
+    assert(Versioned.notNullColumns(spark, dir, vSet).sorted == Seq("id", "v"))
+  }
+
   test("SQL MERGE WITH SCHEMA EVOLUTION: a new source column widens the target as one metadata commit; plain MERGE stays strict") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_mergeevo").toString + "/t"

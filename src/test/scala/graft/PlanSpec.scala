@@ -790,4 +790,29 @@ class PlanSpec extends AnyFunSuite {
       s"DELETE FROM graft_rlp.`$dir` WHERE id >= 300 AND price >= 350.0") == 1)
     assert(spark.sql(s"SELECT count(*) AS c FROM graft_rlp.`$dir`").as[Long].head() == 350)
   }
+
+  test("partition-scoped OPTIMIZE reads ONLY the selected partition's files (q135)") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_psopt").toString + "/t"
+    val df = spark.range(0, 800).toDF("id")
+      .withColumn("p", when(col("id") % 2 === 0, "x").otherwise("y"))
+    Versioned.writeVersionPartitioned(df.repartition(4), dir, Seq("p"))
+    // 4 files per partition (one per task per value)
+    val selected = Versioned.partitionScopedFiles(spark, dir, 0, "p = 'x'")
+    assert(selected.valuesIterator.map(_.size).sum == 4, selected.toString)
+    // the rewrite-side read plans EXACTLY the selected files — the
+    // manifest-subset index serves nothing else, so a 100 TB table's
+    // scoped optimize scans O(selected partition), not O(table)
+    val read = Versioned.readVersionFiles(spark, dir, 0, selected)
+    val planned = read.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(planned == 4, s"subset read planned $planned files")
+    // and the partition values re-attach from the manifest (hive
+    // layout strips them from the files)
+    assert(read.select("p").distinct().collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(read.count() == 400)
+  }
 }
