@@ -410,6 +410,16 @@ object SparkEntry {
         graft.ext.Maintenance.zKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // N-COLUMN Morton key (Delta OPTIMIZE ZORDER BY (c1, …, cN)): bit
+    // i of column j lands at i*N + j — q88's 2-column key is the N=2
+    // case. The key computation is the oracled part; the 3-dim
+    // file-pruning property is asserted in ExtSpec.
+    "q138_zorder_key_multi" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.ext.Maintenance.zKeyN(Seq(col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber")), bits = 16).as("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // §2.7 F1–F3 + §2.2 P5 string-cleaning chain
     "q07_clean_strings" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
@@ -1752,6 +1762,51 @@ object SparkEntry {
            |  VALUES (s.o_orderkey, s.price, s.priority)""".stripMargin)
       Versioned.pruneVersions(s, tbl, keepLast = 2)
       s.sql(s"SELECT o_orderkey, price, priority FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // DYNAMIC PARTITION OVERWRITE over the versioned SQL surface (the
+    // reference pipeline's own write mode — S7 — composed with the
+    // manifest store): INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic replaces ONLY the partitions
+    // present in the written data (here: the P slice, re-priced),
+    // carrying every other partition's files VERBATIM through one
+    // file-granular commit that conflicts on concurrent writes into a
+    // claimed partition and commutes with appends elsewhere.
+    "q139_sql_dynamic_overwrite" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_dyn_overwrite", d)
+      Tables.orders(s, d).createOrReplaceTempView("orders_q139")
+      // base state resets each pass: both slices, partitioned by status
+      Versioned.writeVersionPartitioned(
+        Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "P"))
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+            col("o_orderstatus").as("status")), tbl, Seq("status"))
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql(s"INSERT OVERWRITE versioned.`$tbl` " +
+          "SELECT o_orderkey, ROUND(o_totalprice, 2) + 50.0, o_orderstatus " +
+          "FROM orders_q139 WHERE o_orderstatus = 'P'")
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      Versioned.pruneVersions(s, tbl, keepLast = 2)
+      s.sql(s"SELECT o_orderkey, price, status FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // SHOW PARTITIONS from manifest bytes (CALL system.partitions):
+    // one row per live partition tuple with exact file/row/byte
+    // counts, zero data IO and zero filesystem listing — the
+    // observability face of the same per-file stats the pruning
+    // reads. The oracle recomputes rows-per-partition from source.
+    "q140_sql_show_partitions" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_show_parts", d)
+      Versioned.writeVersionPartitioned(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+            col("o_orderstatus").as("status")), tbl, Seq("status"))
+      s.sql(s"CALL versioned.system.partitions('$tbl')")
+        .select(col("partition").as("part"), col("num_rows"))
+        .orderBy("part")
     },
 
     // SQL MERGE INTO through the catalog: matched-delete,
@@ -3705,6 +3760,22 @@ object SparkEntry {
         |  SELECT o_orderkey, price, priority FROM src)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // per-partition row counts, recomputed from source
+    "q140_sql_show_partitions" ->
+      """SELECT 'status=' || o_orderstatus AS part, COUNT(*) AS num_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY part""".stripMargin,
+
+    // the F slice keeps original prices (its partition was untouched);
+    // the P slice carries the dynamic overwrite's +50
+    "q139_sql_dynamic_overwrite" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'P'
+        |            THEN ROUND(o_totalprice, 2) + 50.0
+        |            ELSE ROUND(o_totalprice, 2) END AS price,
+        |       o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
     // merge classes derived directly: untouched (key not in source),
     // deleted (matched, price > 180k), updated (matched otherwise),
     // inserted (source key not in target)
@@ -3786,6 +3857,16 @@ object SparkEntry {
       val terms =
         (0 until 16).map(i => s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i})") ++
           (0 until 16).map(i => s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${terms.mkString(" | ")} AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q138_zorder_key_multi" -> {
+      // the 3-column interleave as 48 terms: bit i of column j → 3i+j
+      val cols = Seq("l_partkey", "l_suppkey", "l_linenumber")
+      val terms = for { i <- 0 until 16; (c, j) <- cols.zipWithIndex }
+        yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${3 * i + j})"
       s"""SELECT l_orderkey, l_linenumber,
          | ${terms.mkString(" | ")} AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin

@@ -44,23 +44,29 @@ object Maintenance {
     * the compacted state lands as a new immutable version and old
     * files are reclaimed by [[Versioned.pruneVersions]] — Delta
     * OPTIMIZE's own shape. */
-  private[ext] def requireUnpartitioned(spark: SparkSession, dir: String,
-                                        op: String, alternative: String): Unit =
-    Versioned.latestVersion(spark, dir).foreach { v =>
-      val partCols = Versioned.versionInfo(spark, dir, v).partitionCols
-      require(partCols.isEmpty,
-        s"$op would rewrite the PARTITIONED chain at $dir (spec: " +
-          s"${partCols.mkString(",")}) into an unpartitioned layout — $alternative")
-    }
-
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               store: TableStore = SwapStore): CompactStats = {
-    // the manifest-store leg rewrites the live state flat: refuse on
-    // a partitioned chain rather than silently dropping the spec
-    if (store.isInstanceOf[ManifestStore])
-      requireUnpartitioned(spark, path, "compact",
-        "compact per partition via writeVersionPartitioned of the repartitioned read")
+    // a PARTITIONED manifest chain compacts through the spec-keeping
+    // partition-shaped rewrite (re-lands hive-laid-out, file-granular
+    // commit) instead of the flat overwrite below, which would
+    // silently drop the spec
+    if (store.isInstanceOf[ManifestStore]) {
+      val partCols = Versioned.latestVersion(spark, path)
+        .map(v => Versioned.versionInfo(spark, path, v).partitionCols)
+        .getOrElse(Seq.empty)
+      if (partCols.nonEmpty) {
+        val before = Versioned.latestVersion(spark, path).map(v =>
+          Versioned.allLiveFilesMap(spark, path, v)).get
+        val bytes = Versioned.fileBytesOf(spark, path,
+          Versioned.latestVersion(spark, path).get, before)
+        compactPartitionShaped(spark, path, None, targetFileBytes, PutIfAbsentCommit)
+        val afterV = Versioned.latestVersion(spark, path).get
+        return CompactStats(before.valuesIterator.map(_.size).sum,
+          Versioned.allLiveFilesMap(spark, path, afterV).valuesIterator.map(_.size).sum,
+          bytes)
+      }
+    }
     store.recover(spark, path)
     val before = store.liveFiles(spark, path)
     val totalBytes = before.map(_._2).sum
@@ -260,13 +266,26 @@ object Maintenance {
     * [0, 2^bits) first — the standard Delta/Databricks Z-order
     * preprocessing; raw low bits keep the key oracle-checkable). */
   def zKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-           bits: Int = 16): org.apache.spark.sql.Column = {
+           bits: Int = 16): org.apache.spark.sql.Column =
+    zKeyN(Seq(a, b), bits)
+
+  /** N-COLUMN Morton interleave (Delta `ZORDER BY (c1, …, cN)` role):
+    * bit i of column j lands at result bit i*N + j — the 2-column
+    * [[zKey]] is the N=2 case bit-for-bit. Same shape: pure
+    * shift/mask/or built-ins, disjoint target bits, one codegen'd
+    * projection. N*bits must fit a long's sign-safe 63 bits, so 3
+    * columns keep 16-bit resolution, 4 columns drop to 15. */
+  def zKeyN(cols: Seq[org.apache.spark.sql.Column],
+            bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{shiftleft, shiftright}
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val terms = (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i),
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
-    }
+    val n = cols.length
+    require(n >= 2, s"z-ordering wants at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"bits must satisfy 1 <= bits and columns*bits <= 63, got $n*$bits")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(1), i * n + j)
     terms.reduce(_.bitwiseOR(_))
   }
 
@@ -309,17 +328,28 @@ object Maintenance {
     * same lifecycle as every overwrite. Returns the new version. */
   def zorderVersioned(spark: SparkSession, dir: String, colA: String, colB: String,
                       nFiles: Int, bits: Int = 16,
-                      protocol: CommitProtocol = PutIfAbsentCommit): Int = {
-    // a flat rewrite of a PARTITIONED chain would silently downgrade
-    // the layout (and the hive writer's own partition sort would
-    // destroy the z-order within files anyway) — refuse with the
-    // honest alternative
-    requireUnpartitioned(spark, dir, "zorderVersioned",
-      "writeVersionPartitioned over the ordered read keeps the spec, or target " +
-        "one partition: zorderVersionedWhere / CALL system.zorder(…, where => …)")
+                      protocol: CommitProtocol = PutIfAbsentCommit): Int =
+    zorderVersionedCols(spark, dir, Seq(colA, colB), nFiles, bits, protocol)
+
+  /** [[zorderVersioned]] over N columns ([[zKeyN]]). */
+  def zorderVersionedCols(spark: SparkSession, dir: String, zCols: Seq[String],
+                          nFiles: Int, bits: Int = 16,
+                          protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    // a PARTITIONED chain z-orders through the spec-keeping
+    // partition-shaped rewrite: range-clustered on (partition cols,
+    // Morton key) and re-landed hive-laid-out, so files are compact
+    // rectangles WITHIN each partition — a flat rewrite would both
+    // downgrade the layout and lose the z-order to the hive writer's
+    // partition sort
+    val partCols = Versioned.latestVersion(spark, dir)
+      .map(v => Versioned.versionInfo(spark, dir, v).partitionCols)
+      .getOrElse(Seq.empty)
+    if (partCols.nonEmpty)
+      return zorderPartitionShaped(spark, dir, None, zCols, nFiles, bits, protocol)
+        .getOrElse(Versioned.latestVersion(spark, dir).get) // empty table: no-op
     val current = Versioned.readLatest(spark, dir)
     Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
-      current.withColumn("__zkey", zKey(col(colA), col(colB), bits))
+      current.withColumn("__zkey", zKeyN(zCols.map(col), bits))
         .repartitionByRange(nFiles, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
@@ -344,9 +374,21 @@ object Maintenance {
   def zorderVersionedWhere(spark: SparkSession, dir: String, where: String,
                            colA: String, colB: String, nFiles: Int, bits: Int = 16,
                            protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] =
+    zorderPartitionShaped(spark, dir, Some(where), Seq(colA, colB), nFiles, bits, protocol)
+
+  /** [[zorderVersionedWhere]] over N columns ([[zKeyN]]). */
+  def zorderVersionedColsWhere(spark: SparkSession, dir: String, where: String,
+                               zCols: Seq[String], nFiles: Int, bits: Int = 16,
+                               protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] =
+    zorderPartitionShaped(spark, dir, Some(where), zCols, nFiles, bits, protocol)
+
+  private def zorderPartitionShaped(spark: SparkSession, dir: String,
+                                    where: Option[String], zCols: Seq[String],
+                                    nFiles: Int, bits: Int,
+                                    protocol: CommitProtocol): Option[Int] =
     rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, _) =>
       val keys = (partCols :+ "__zkey").map(col)
-      subset.withColumn("__zkey", zKey(col(colA), col(colB), bits))
+      subset.withColumn("__zkey", zKeyN(zCols.map(col), bits))
         .repartitionByRange(nFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop("__zkey")
@@ -360,18 +402,26 @@ object Maintenance {
   def compactVersionedWhere(spark: SparkSession, dir: String, where: String,
                             targetFileBytes: Long = 128L * 1024 * 1024,
                             protocol: CommitProtocol = PutIfAbsentCommit): Option[(Int, Int)] =
+    compactPartitionShaped(spark, dir, Some(where), targetFileBytes, protocol)
+
+  private def compactPartitionShaped(spark: SparkSession, dir: String,
+                                     where: Option[String], targetFileBytes: Long,
+                                     protocol: CommitProtocol): Option[(Int, Int)] =
     rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, selectedBytes) =>
       val nOut = math.max(1, math.ceil(selectedBytes.toDouble / targetFileBytes).toInt)
       subset.repartitionByRange(nOut, partCols.map(col): _*)
     }
 
   /** The shared partition-scoped rewrite shape: select files by the
-    * partition predicate, read them masked through the manifest path,
-    * let `shape` arrange the replacement (given the subset, the
-    * partition columns, and the selected bytes), stage it
-    * hive-laid-out, and publish through the file-granular
-    * copy-on-write commit. Returns (filesSelected, version). */
-  private def rewritePartitionScoped(spark: SparkSession, dir: String, where: String,
+    * partition predicate (every live file when `where` is None — the
+    * whole-table OPTIMIZE of a partitioned chain), read them masked
+    * through the manifest path, let `shape` arrange the replacement
+    * (given the subset, the partition columns, and the selected
+    * bytes), stage it hive-laid-out, and publish through the
+    * file-granular copy-on-write commit. Returns
+    * (filesSelected, version). */
+  private def rewritePartitionScoped(spark: SparkSession, dir: String,
+                                     where: Option[String],
                                      protocol: CommitProtocol)
                                     (shape: (org.apache.spark.sql.DataFrame, Seq[String], Long)
                                       => org.apache.spark.sql.DataFrame): Option[(Int, Int)] = {
@@ -379,7 +429,12 @@ object Maintenance {
       throw new IllegalArgumentException(s"no versions at $dir"))
     val info = Versioned.versionInfo(spark, dir, v)
     val partCols = info.partitionCols
-    val files = Versioned.partitionScopedFiles(spark, dir, v, where)
+    require(partCols.nonEmpty,
+      s"partition-shaped rewrite needs a PARTITIONED chain at $dir")
+    val files = where match {
+      case Some(w) => Versioned.partitionScopedFiles(spark, dir, v, w)
+      case None    => Versioned.allLiveFilesMap(spark, dir, v)
+    }
     if (files.valuesIterator.forall(_.isEmpty)) return None
     val selectedBytes = Versioned.fileBytesOf(spark, dir, v, files)
     // the commit's conflict guard wants the dv set the rewrite's read

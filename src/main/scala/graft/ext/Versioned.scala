@@ -662,13 +662,20 @@ object Versioned {
     *
     * Returns the committed version, or None when nothing was removed
     * and nothing added (a no-op DML statement commits no version). */
+  /** `exclusivePartitions`: canonical partition tuples this rewrite
+    * claims EXCLUSIVELY (dynamic partition overwrite) — any live file
+    * in a claimed partition that is not in `removed` is a concurrent
+    * write the statement has not seen, and surfaces as a conflict
+    * instead of silently surviving the overwrite. */
   private[graft] def commitFileRewrite(spark: SparkSession, dir: String,
                                        removed: Map[String, Set[String]],
                                        replacementDir: Option[String],
                                        partCols: Seq[String],
                                        dvSnapshot: Seq[(String, String)],
                                        protocol: CommitProtocol = PutIfAbsentCommit,
-                                       maxAttempts: Int = 16): Option[Int] = {
+                                       maxAttempts: Int = 16,
+                                       exclusivePartitions: Set[Seq[Option[String]]] =
+                                         Set.empty): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
@@ -750,6 +757,16 @@ object Versioned {
       val prevPart = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
       if (prevPart != partCols)
         conflict(s"saw the partition spec change to ${prevPart.mkString(",")}")
+      if (exclusivePartitions.nonEmpty) {
+        val foreign = ls.collect { case s: StatsEntry => s }.flatMap { st =>
+          val mine = removedNonEmpty.getOrElse(st.name, Set.empty)
+          st.files.filterNot(f => mine.contains(f.name)).filter(f =>
+            exclusivePartitions.contains(partCols.map(c => f.cols.get(c).flatMap(_.min))))
+        }
+        if (foreign.nonEmpty)
+          conflict(s"saw ${foreign.length} file(s) land concurrently in a partition " +
+            "this statement overwrites")
+      }
       val v = prev + 1
       val ops = Seq.newBuilder[String]
       val replacedStats = removedNonEmpty.flatMap { case (d, files) =>
@@ -774,6 +791,69 @@ object Versioned {
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
       Some(v)
     }
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (the reference pipeline's
+    * `partitionOverwriteMode=dynamic` semantics, on the versioned
+    * store): replace exactly the partitions PRESENT IN the staged
+    * hive-laid-out dir, carry every other partition's files verbatim,
+    * as ONE file-granular commit. The touched tuples come from the
+    * staged dir's own harvest; the victim files from manifest bytes;
+    * and the commit claims the touched partitions EXCLUSIVELY — a
+    * file landed concurrently in one of them surfaces as a conflict
+    * (the statement replaces state it has not seen), while appends to
+    * untouched partitions commute. Returns the committed version,
+    * None when the staged dir holds no rows (an empty dynamic
+    * overwrite replaces nothing — the staged dir is deleted). */
+  private[graft] def commitDynamicPartitionOverwrite(spark: SparkSession, dir: String,
+                                                     stagedHive: String,
+                                                     partCols: Seq[String],
+                                                     protocol: CommitProtocol = PutIfAbsentCommit)
+      : Option[Int] = {
+    val (fs, root) = fsFor(spark, dir)
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, v0)
+    val prevPart = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    require(prevPart == partCols,
+      s"dynamic overwrite partitioning ${partCols.mkString(",")} does not match " +
+        s"the table's ${prevPart.mkString(",")}")
+    val schema = schemaOf(spark, dir, v0)
+    val partSchema = StructType(partCols.map(c => schema(c)))
+    val stagedPath = new Path(root, stagedHive)
+    val (rows, _, stagedFiles) =
+      Skipping.collectDirStatsPartitioned(spark, stagedPath, schema, asNullable(partSchema))
+    if (rows == 0L) { fs.delete(stagedPath, true); return None }
+    def tupleOf(f: FileStats) = partCols.map(c => f.cols.get(c).flatMap(_.min))
+    val touched = stagedFiles.map(tupleOf).toSet
+    val stats = ls.collect { case s: StatsEntry => s.name -> s }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"dynamic partition overwrite at $dir needs manifest file lists — run backfillStats")
+    val victims = dataDirs.map { d =>
+      d -> stats(d).files.filter(f => touched.contains(tupleOf(f))).map(_.name).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val dvSnapshot = ls.collect {
+      case DvEntry(k, n) => (k, n)
+      case ScopedDvEntry(k, n, _) => (k, n)
+    }
+    commitFileRewrite(spark, dir, victims, Some(stagedHive), partCols, dvSnapshot,
+      protocol, exclusivePartitions = touched)
+  }
+
+  /** [[writeVersionPartitioned]] with DYNAMIC overwrite semantics:
+    * only the partitions present in `df` are replaced; all others
+    * carry verbatim. Returns the committed version, None for an
+    * empty input. */
+  def writeVersionPartitionedDynamic(df: DataFrame, dir: String, partCols: Seq[String],
+                                     protocol: CommitProtocol = PutIfAbsentCommit)
+      : Option[Int] = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    val spark = df.sparkSession
+    val staged = stageDataDir(spark, dir)
+    df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(new Path(dir), staged).toString)
+    commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol)
   }
 
   /** The ATOMIC CTAS / RTAS commit (the StagingTableCatalog seam):
@@ -1803,6 +1883,56 @@ object Versioned {
       .collect().map(_.getInt(0)).toSet // driver-sized: one row per distinct tuple
     byKey.zipWithIndex.collect { case ((_, files), i) if matched.contains(i) => files }
       .flatten.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+  }
+
+  /** EVERY live file of version `v`, as dirName → file names — the
+    * whole-table selection of a partitioned OPTIMIZE. Requires
+    * manifest file lists (backfillStats upgrades legacy chains). */
+  private[graft] def allLiveFilesMap(spark: SparkSession, dir: String,
+                                     v: Int): Map[String, Set[String]] = {
+    val ls = lines(spark, dir, v)
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"whole-table file selection at $dir needs manifest file lists for every " +
+        "data dir — run backfillStats to upgrade pre-file-list manifests")
+    dataDirs.map(d => d -> stats(d).files.map(_.name).toSet).toMap
+  }
+
+  /** SHOW PARTITIONS from manifest bytes: one entry per live
+    * partition tuple — `col1=v1/col2=v2` hive spelling (null values
+    * as the hive default token), file count, exact rows, bytes.
+    * Driver-sized: one row per partition, never per file. */
+  private[graft] def partitionSummary(spark: SparkSession, dir: String, v: Int)
+      : Seq[(String, Int, Long, Long)] = {
+    val ls = lines(spark, dir, v)
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    require(partCols.nonEmpty, s"$dir is not partitioned — use detail for table totals")
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalStateException(s"no recorded schema at $dir v$v"))
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"partition summary at $dir needs manifest file lists — run backfillStats")
+    def render(tuple: Seq[Option[String]]): String =
+      partCols.zip(tuple).map {
+        case (c, Some(canon)) =>
+          val dt = schema(c).dataType
+          val shown = dt match {
+            case org.apache.spark.sql.types.DateType =>
+              java.time.LocalDate.ofEpochDay(canon.toLong).toString
+            case _ => canon
+          }
+          s"$c=$shown"
+        case (c, None) => s"$c=__HIVE_DEFAULT_PARTITION__"
+      }.mkString("/")
+    dataDirs.flatMap(d => stats(d).files)
+      .groupBy(f => partCols.map(c => f.cols.get(c).flatMap(_.min)))
+      .toSeq
+      .map { case (tuple, files) =>
+        (render(tuple), files.length, files.flatMap(_.rows).sum, files.map(_.bytes).sum)
+      }
+      .sortBy(_._1)
   }
 
   /** Total bytes of a file selection, from manifest stats alone. */

@@ -902,7 +902,7 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(spark, dir, partCols)
+    new VersionedWriteBuilder(spark, dir, partCols, Some(info))
 }
 
 /** DSv2 `SupportsReportStatistics` from MANIFEST BYTES: the manifest
@@ -1012,7 +1012,7 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(spark, dir)
+    new VersionedWriteBuilder(spark, dir, info = Some(info))
 }
 
 /** SQL writes that keep the store's crash-safety story: `INSERT INTO`
@@ -1034,19 +1034,42 @@ private[sql] object VersionedWrite {
   // a metadata-only manifest commit, existing files null-backfill —
   // before planning the merge against the widened table. Plain MERGE
   // is unchanged: Spark requires BOTH the clause and the capability.
+  // BATCH_WRITE rides alongside V1_BATCH_WRITE for exactly one plan:
+  // OverwritePartitionsDynamicExec has no V1 fallback, and the
+  // capability check wants the v2 claim. Appends and plain overwrites
+  // still dispatch to the V1 execs — the strategy picks by the Write
+  // OBJECT type (V1Write), not by this set.
   val capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 }
 
 private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
-                                         partCols: Seq[String] = Seq.empty)
+                                         partCols: Seq[String] = Seq.empty,
+                                         info: Option[org.apache.spark.sql.connector.write.LogicalWriteInfo] = None)
   extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var overwrite = false
+  private var dynamic = false
+
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` (the
+    * reference pipeline's own write mode — S7 — now on the versioned
+    * SQL surface): only the partitions present in the written data
+    * are replaced, every other partition's files carry VERBATIM
+    * through one file-granular commit, and a file landed concurrently
+    * in an overwritten partition surfaces as a conflict. */
+  override def overwriteDynamicPartitions(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(partCols.nonEmpty,
+      "dynamic partition overwrite needs a PARTITIONED versioned table")
+    require(info.nonEmpty, "dynamic partition overwrite is unavailable on this seam")
+    dynamic = true; this
+  }
 
   // the declared OVERWRITE_BY_FILTER capability is honored for exactly
   // one filter shape: the trivial AlwaysTrue conjunction (INSERT
@@ -1067,7 +1090,8 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.V1Write {
+    if (dynamic) dynamicWrite()
+    else new org.apache.spark.sql.connector.write.V1Write {
       override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
@@ -1085,6 +1109,48 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
           }
         }
     }
+
+  /** The dynamic-overwrite Write: Spark's own DSv2 parquet writer
+    * stages the rows FLAT in a claimed invisible dir (no V1 fallback
+    * exists for OverwritePartitionsDynamicExec), the batch commit
+    * re-lands them hive-laid-out and publishes through
+    * [[Versioned.commitDynamicPartitionOverwrite]] — the touched
+    * partitions replaced, all others verbatim, one atomic manifest
+    * commit. Abort leaves only invisible orphans. */
+  private def dynamicWrite(): org.apache.spark.sql.connector.write.Write = {
+    import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
+    val winfo = info.get
+    val stagedFlat = Versioned.stageDataDir(spark, dir)
+    val flatPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), stagedFlat)
+    val delegate = VersionedSqlUtil.parquetTable(s"dynover:$dir", spark,
+        CaseInsensitiveStringMap.empty(), Seq(flatPath.toString), Some(winfo.schema()))
+      .newWriteBuilder(winfo).build()
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val db = delegate.toBatch
+        override def createBatchWriterFactory(p: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.DataWriterFactory =
+          db.createBatchWriterFactory(p)
+        override def useCommitCoordinator: Boolean = db.useCommitCoordinator
+        override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+          db.onDataWriterCommit(m)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          db.commit(messages)
+          val fs = flatPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasContent = fs.exists(flatPath) &&
+            fs.listStatus(flatPath).exists(_.getPath.getName.endsWith(".parquet"))
+          if (!hasContent) { fs.delete(flatPath, true); return }
+          val df = spark.read.schema(winfo.schema()).parquet(flatPath.toString)
+          val committed = Versioned.writeVersionPartitionedDynamic(df, dir, partCols)
+          fs.delete(flatPath, true)
+          if (committed.isEmpty) () // zero rows staged: nothing replaced
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          db.abort(messages) // staged dir stays an invisible orphan
+      }
+    }
+  }
 }
 
 /** Legacy-manifest tier: reads delegate to the native mergeSchema
@@ -1110,7 +1176,7 @@ private[sql] class LegacyVersionedTable(inner: Table with SupportsRead,
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(spark, dir)
+    new VersionedWriteBuilder(spark, dir, info = Some(info))
 }
 
 /** Delegates pushdown/pruning to Spark's own ParquetScanBuilder, but
@@ -1221,7 +1287,7 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   // keeps deleted keys masked through them (the erasure contract)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VersionedWriteBuilder(spark, dir, partCols)
+    new VersionedWriteBuilder(spark, dir, partCols, Some(info))
 }
 
 /** Forwards column pruning (widened by the mask's key columns so the

@@ -79,6 +79,58 @@ private[sql] object VersionedProcedures {
           spark, args.str(0), args.str(5), args.str(1), args.str(2),
           args.int(3), args.int(4)).map(Int.box).orNull))),
 
+    proc("detail",
+      "DESCRIBE DETAIL from manifest bytes: one row of table metadata (zero data IO)",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(
+        StructField("format", StringType),
+        StructField("current_version", IntegerType),
+        StructField("num_versions", IntegerType),
+        StructField("num_data_files", IntegerType),
+        StructField("size_bytes", LongType),
+        StructField("num_rows", LongType),
+        StructField("partition_columns", StringType),
+        StructField("not_null_columns", StringType),
+        StructField("num_check_constraints", IntegerType),
+        StructField("num_dv_dirs", IntegerType))))(
+      (spark, args) => {
+        val dir = args.str(0)
+        val vs = Versioned.versions(spark, dir)
+        require(vs.nonEmpty, s"no versions at $dir")
+        val v = vs.last
+        val info = Versioned.versionInfo(spark, dir, v)
+        val sz = Versioned.manifestSizeOf(spark, dir, v)
+        val nFiles =
+          try Versioned.allLiveFilesMap(spark, dir, v).valuesIterator.map(_.size).sum
+          catch { case _: IllegalArgumentException => -1 } // pre-file-list manifest
+        Seq(row("parquet/versioned-manifest",
+          Int.box(v), Int.box(vs.length), Int.box(nFiles),
+          sz.map(x => Long.box(x._2)).orNull,
+          sz.map(x => Long.box(x._1)).orNull,
+          info.partitionCols.mkString(","),
+          info.notNull.mkString(","),
+          Int.box(Versioned.checkConstraints(spark, dir, v).length),
+          Int.box(info.dvDirs.map(_._2.length).sum + info.scopedDvs.length)))
+      }),
+
+    proc("partitions",
+      "SHOW PARTITIONS from manifest bytes: one row per live partition tuple " +
+        "with file/row/byte counts (zero data IO)",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(
+        StructField("partition", StringType),
+        StructField("num_files", IntegerType),
+        StructField("num_rows", LongType),
+        StructField("bytes", LongType))))(
+      (spark, args) => {
+        val dir = args.str(0)
+        val v = Versioned.latestVersion(spark, dir).getOrElse(
+          throw new IllegalArgumentException(s"no versions at $dir"))
+        Versioned.partitionSummary(spark, dir, v).map { case (tuple, files, rows, bytes) =>
+          row(tuple, Int.box(files), Long.box(rows), Long.box(bytes))
+        }
+      }),
+
     proc("set_not_null",
       "add an enforced NOT NULL constraint (validates existing rows — from manifest " +
         "stats when provable — then one metadata commit). Spark's ALTER COLUMN " +
@@ -96,6 +148,23 @@ private[sql] object VersionedProcedures {
       out = StructType(Seq(StructField("version", IntegerType))))(
       (spark, args) => Seq(row(Versioned.alterTableAtomic(spark, args.str(0),
         Versioned.AlterSpec(dropNotNull = Seq(args.str(1)))).map(Int.box).orNull))),
+
+    proc("zorder_by",
+      "N-column Morton-ordered rewrite (Delta OPTIMIZE … ZORDER BY (c1, …, cN)): " +
+        "cols is comma-separated; where => scopes to matching partitions",
+      params = Seq(in("table", StringType), in("cols", StringType),
+        in("n_files", IntegerType), inDefault("bits", IntegerType, "16"),
+        inDefault("where", StringType, "''")),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => {
+        val zCols = args.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (args.str(4).trim.isEmpty)
+          Seq(row(Int.box(Maintenance.zorderVersionedCols(
+            spark, args.str(0), zCols, args.int(2), args.int(3)))))
+        else Seq(row(Maintenance.zorderVersionedColsWhere(
+          spark, args.str(0), args.str(4), zCols, args.int(2), args.int(3))
+          .map(Int.box).orNull))
+      }),
 
     proc("restore",
       "commit an old version's manifest as the newest version (no data copied; the restore is itself undoable)",

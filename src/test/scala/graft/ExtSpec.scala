@@ -3077,21 +3077,28 @@ class ExtSpec extends AnyFunSuite {
     assert(Iterator.iterate(nul: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => t.getMessage != null && t.getMessage.contains("must not be NULL")),
       nul.getMessage)
-    // flat rewrites refuse on PARTITIONED chains instead of silently
-    // downgrading the layout
+    // whole-table OPTIMIZE on a PARTITIONED chain routes through the
+    // spec-keeping partition-shaped rewrite (Delta's OPTIMIZE works on
+    // partitioned tables; until round 11 this refused)
     val pdir = java.nio.file.Files.createTempDirectory("graft_callpart").toString + "/t"
     Versioned.writeVersionPartitioned(
-      Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), pdir, Seq("cat"))
-    val zp = intercept[Exception] {
-      spark.sql(s"CALL graft_pr.system.zorder('$pdir', 'id', 'id', 2)") }
-    assert(Iterator.iterate(zp: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => t.getMessage != null && t.getMessage.contains("PARTITIONED")),
-      zp.getMessage)
-    val cp = intercept[Exception] {
-      spark.sql(s"CALL graft_pr.system.compact_files('$pdir')") }
-    assert(Iterator.iterate(cp: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => t.getMessage != null && t.getMessage.contains("PARTITIONED")),
-      cp.getMessage)
+      spark.range(0, 100).toDF("id")
+        .withColumn("cat", when($"id" % 2 === 0, "a").otherwise("b"))
+        .repartition(4), pdir, Seq("cat"))
+    assert(Versioned.allLiveFilesMap(spark, pdir, 0).valuesIterator.map(_.size).sum == 8)
+    val zp = spark.sql(s"CALL graft_pr.system.zorder('$pdir', 'id', 'id', 2)")
+      .as[Int].head()
+    assert(zp == 1)
+    // the spec survives and the state is intact
+    assert(Versioned.versionInfo(spark, pdir, zp).partitionCols == Seq("cat"))
+    assert(Versioned.readLatest(spark, pdir).count() == 100)
+    val cp = spark.sql(s"CALL graft_pr.system.compact_files('$pdir')").collect().head
+    val vAfter = Versioned.latestVersion(spark, pdir).get
+    assert(Versioned.versionInfo(spark, pdir, vAfter).partitionCols == Seq("cat"))
+    assert(cp.getInt(1) <= cp.getInt(0), cp.toString)
+    assert(Versioned.readLatest(spark, pdir)
+      .groupBy("cat").count().orderBy("cat").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 50L), ("b", 50L)))
     // DESCRIBE HISTORY over CALL: one row per surviving version, the
     // same shape the library history() serves
     val h = spark.sql(s"CALL graft_pr.system.history('$dir')").collect()
@@ -3581,6 +3588,129 @@ class ExtSpec extends AnyFunSuite {
       .as[Int].head()
     assert(zv == v3 + 1)
     assert(Versioned.readLatest(spark, dir).count() == 8190)
+  }
+
+  test("dynamic partition overwrite: only the partitions present in the data replace; others verbatim; concurrent writes into a claimed partition conflict") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_dy", "graft.sql.VersionedCatalog")
+    Versioned.writeVersionPartitioned(
+      spark.range(0, 100).toDF("id")
+        .withColumn("v", lit("orig"))
+        .withColumn("p", when($"id" % 2 === 0, "x").otherwise("y"))
+        .repartition(2), dir, Seq("p"))
+    def filesOf(v: Int, part: String) =
+      Versioned.partitionScopedFiles(spark, dir, v, s"p = '$part'")
+    val yBefore = filesOf(0, "y")
+    // SQL surface, dynamic mode: the INSERT OVERWRITE's rows touch
+    // only p='x' — y's files must carry VERBATIM
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql(s"INSERT OVERWRITE graft_dy.`$dir` " +
+        "SELECT id, 'new' AS v, 'x' AS p FROM range(0, 10)")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val v1 = Versioned.latestVersion(spark, dir).get
+    assert(v1 == 1)
+    assert(filesOf(v1, "y") == yBefore, "untouched partition must carry verbatim")
+    val got = Versioned.readLatest(spark, dir)
+      .groupBy("p", "v").count().orderBy("p", "v")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("x", "new", 10L), ("y", "orig", 50L)), got.toString)
+    // time travel to the pre-overwrite state still serves both slices
+    assert(Versioned.readVersion(spark, dir, 0).count() == 100)
+    // library twin: same semantics, returns the committed version
+    val v2 = Versioned.writeVersionPartitionedDynamic(
+      spark.range(0, 5).toDF("id").withColumn("v", lit("lib")).withColumn("p", lit("y")),
+      dir, Seq("p"))
+    assert(v2.contains(2))
+    assert(Versioned.readLatest(spark, dir)
+      .groupBy("p").count().orderBy("p").as[(String, Long)].collect().toSeq ==
+      Seq(("x", 10L), ("y", 5L)))
+    // an empty dynamic overwrite replaces NOTHING (no versions burned)
+    assert(Versioned.writeVersionPartitionedDynamic(
+      spark.range(0, 0).toDF("id").withColumn("v", lit("z")).withColumn("p", lit("x")),
+      dir, Seq("p")).isEmpty)
+    assert(Versioned.latestVersion(spark, dir).contains(2))
+    // exclusivity: a file landed in a claimed partition between the
+    // victim snapshot and the commit surfaces as a conflict — the
+    // statement would otherwise silently lose the concurrent write
+    val vNow = Versioned.latestVersion(spark, dir).get
+    val victims = Versioned.partitionScopedFiles(spark, dir, vNow, "p = 'x'")
+    val touched = Set(Seq(Option("x")))
+    val staged = Versioned.stageDataDir(spark, dir)
+    spark.range(100, 105).toDF("id").withColumn("v", lit("race")).withColumn("p", lit("x"))
+      .write.partitionBy("p").parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir), staged).toString)
+    Versioned.appendVersionPartitionedWithRetry( // the concurrent write
+      spark.range(200, 205).toDF("id").withColumn("v", lit("intruder")).withColumn("p", lit("x")),
+      dir, Seq("p"))
+    val ex = intercept[IllegalStateException] {
+      Versioned.commitFileRewrite(spark, dir, victims, Some(staged), Seq("p"),
+        Seq.empty, exclusivePartitions = touched) }
+    assert(ex.getMessage.contains("concurrently"), ex.getMessage)
+    // …while the same race into a DIFFERENT partition commutes
+    val victims2 = Versioned.partitionScopedFiles(spark, dir,
+      Versioned.latestVersion(spark, dir).get, "p = 'y'")
+    val staged2 = Versioned.stageDataDir(spark, dir)
+    spark.range(300, 303).toDF("id").withColumn("v", lit("y2")).withColumn("p", lit("y"))
+      .write.partitionBy("p").parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir), staged2).toString)
+    Versioned.appendVersionPartitionedWithRetry(
+      spark.range(400, 402).toDF("id").withColumn("v", lit("x2")).withColumn("p", lit("x")),
+      dir, Seq("p"))
+    assert(Versioned.commitFileRewrite(spark, dir, victims2, Some(staged2), Seq("p"),
+      Seq.empty, exclusivePartitions = Set(Seq(Option("y")))).nonEmpty)
+    assert(Versioned.readLatest(spark, dir).filter($"p" === "y").count() == 3)
+    // the table's contract holds through the new write path: a CHECK
+    // (including one over the PARTITION column — the staged hive tree
+    // re-attaches partition values on the validation read) and a NOT
+    // NULL both refuse a violating dynamic overwrite, nothing committed
+    spark.sql(s"ALTER TABLE graft_dy.`$dir` ADD CONSTRAINT id_pos CHECK (id >= 0)")
+    val vClean = Versioned.latestVersion(spark, dir).get
+    val bad = intercept[Exception] {
+      Versioned.writeVersionPartitionedDynamic(
+        Seq((-1L, "neg", "x")).toDF("id", "v", "p"), dir, Seq("p")) }
+    assert(bad.getMessage.contains("id_pos"), bad.getMessage)
+    assert(Versioned.latestVersion(spark, dir).contains(vClean), "nothing committed")
+  }
+
+  test("N-column z-order: zKeyN is zKey at N=2; a 3-column optimize prunes on every dimension; zorder_by and detail serve over CALL") {
+    import org.apache.spark.sql.sources.LessThan
+    import graft.ext.{Maintenance, Versioned}
+    // bit parity: the 2-column key is the N=2 case exactly
+    val probe = spark.range(0, 2048).toDF("id")
+      .withColumn("a", $"id" % 64).withColumn("b", $"id" / 64)
+    assert(probe.filter(Maintenance.zKey($"a", $"b", 16) =!=
+      Maintenance.zKeyN(Seq($"a", $"b"), 16)).isEmpty)
+    // 16x16x16 grid hash-scattered into 8 files: nothing prunes on any
+    // dimension pre-optimize
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3").toString + "/t"
+    val grid = spark.range(0, 4096).toDF("id")
+      .withColumn("a", $"id" % 16)
+      .withColumn("b", ($"id" / 16) % 16)
+      .withColumn("c", $"id" / 256)
+    Versioned.writeVersionWith(spark, dir)(tmp =>
+      grid.repartition(8).write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp))
+    def planned(v: Int, f: org.apache.spark.sql.sources.Filter) =
+      Versioned.planDataFiles(spark, dir, v, Seq(f)).length
+    for (c <- Seq("a", "b", "c"))
+      assert(planned(0, LessThan(c, 4L)) == 8, s"scattered $c must not prune")
+    spark.conf.set("spark.sql.catalog.graft_z3", "graft.sql.VersionedCatalog")
+    val zv = spark.sql(s"CALL graft_z3.system.zorder_by('$dir', 'a,b,c', 8)")
+      .as[Int].head()
+    assert(zv == 1)
+    for (c <- Seq("a", "b", "c"))
+      assert(planned(1, LessThan(c, 4L)) < 8,
+        s"$c-prune after 3-col zorder: ${planned(1, LessThan(c, 4L))}")
+    // exactness under the pruned plan
+    assert(Versioned.readLatest(spark, dir).filter($"c" < 4).count() == 1024)
+    // DESCRIBE DETAIL from manifest bytes: one metadata row, zero data IO
+    val det = spark.sql(s"CALL graft_z3.system.detail('$dir')").collect().head
+    assert(det.getInt(1) == 1 && det.getInt(2) == 2, det.toString) // version 1 of 2
+    assert(det.getInt(3) == 8, det.toString)                        // 8 live files
+    assert(det.getLong(5) == 4096L, det.toString)                   // exact rows
+    assert(det.getString(6) == "" && det.getInt(9) == 0, det.toString)
   }
 
   test("scoped-dv compaction groups by dir coverage: N SQL deletes compact to one dv per coverage group; masks identical; union branch count pinned") {
