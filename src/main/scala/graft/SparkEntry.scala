@@ -1809,6 +1809,30 @@ object SparkEntry {
         .orderBy("part")
     },
 
+    // PREFIX data skipping (`LIKE 'p%'` pushed as StringStartsWith):
+    // every matching string sits in [p, succ(p)) under UTF-8 byte
+    // order, so dirs/files whose recorded bounds miss that range drop
+    // from the plan from manifest bytes — the common month-prefix
+    // query over a string date key. The oracle recomputes the rows;
+    // ExtSpec pins the plan-level prune (3 dirs → 1).
+    "q141_sql_prefix_skipping" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_prefix_skip", d)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("string").as("odate"),
+          round(col("o_totalprice"), 2).as("price"))
+      // three dirs with disjoint date-prefix ranges (overwrite resets,
+      // appends extend — same chain shape as the skipping specs)
+      Versioned.writeVersion(orders.filter(col("odate") < "1995-01-01"), tbl)
+      Versioned.writeVersion(
+        orders.filter(col("odate") >= "1995-01-01" && col("odate") < "1997-01-01"),
+        tbl, org.apache.spark.sql.SaveMode.Append)
+      Versioned.writeVersion(orders.filter(col("odate") >= "1997-01-01"), tbl,
+        org.apache.spark.sql.SaveMode.Append)
+      s.sql(s"SELECT o_orderkey, odate, price FROM versioned.`$tbl` " +
+        "WHERE odate LIKE '1995%' ORDER BY o_orderkey")
+    },
+
     // SQL MERGE INTO through the catalog: matched-delete,
     // matched-update, and not-matched-insert clauses in one statement,
     // rewritten by Spark to the same copy-on-write ReplaceData seam —
@@ -3758,6 +3782,13 @@ object SparkEntry {
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL
         |  SELECT o_orderkey, price, priority FROM src)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q141_sql_prefix_skipping" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS odate,
+        |       ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS VARCHAR) LIKE '1995%'
         |ORDER BY o_orderkey""".stripMargin,
 
     // per-partition row counts, recomputed from source

@@ -2661,8 +2661,13 @@ object Versioned {
     * age. Crashed staging files in `_versions/` (both protocols'
     * prefixes) get the same age guard — a young one may be a commit
     * in flight. */
+  /** `dryRun` reports exactly what a live call WOULD drop — versions,
+    * dead dirs, young-orphan skips — while writing and deleting
+    * NOTHING (not even the boundary checkpoint): the operator's
+    * pre-flight for a retention policy change. */
   def pruneVersions(spark: SparkSession, dir: String, keepLast: Int,
-                    orphanMinAgeMs: Long = 15 * 60 * 1000L): PruneStats = {
+                    orphanMinAgeMs: Long = 15 * 60 * 1000L,
+                    dryRun: Boolean = false): PruneStats = {
     require(keepLast >= 1, "must keep at least one version")
     val (fs, root) = fsFor(spark, dir)
     // a never-written table (or bare root with no _versions) has
@@ -2677,7 +2682,7 @@ object Versioned {
     // sidecar FIRST (derived data: safe to create any time, atomic via
     // the same put-if-absent primitive as every commit), so retention
     // keeps its exact keepLast contract without breaking resolution
-    if (drop.nonEmpty) keep.headOption.foreach { b =>
+    if (!dryRun && drop.nonEmpty) keep.headOption.foreach { b =>
       if (manifestParent(spark, dir, b).nonEmpty &&
           !fs.exists(checkpointPath(dir, b)))
         writeCheckpoint(spark, dir, b, lines(spark, dir, b), PutIfAbsentCommit)
@@ -2698,11 +2703,13 @@ object Versioned {
     // newest-dropped first: a crash mid-prune then leaves the
     // surviving prefix a complete chain (a delta whose parent had
     // been deleted first would be unresolvable until the next prune)
-    drop.reverse.foreach { v =>
-      fs.delete(manifestPath(dir, v), false)
-      fs.delete(checkpointPath(dir, v), false)
+    if (!dryRun) {
+      drop.reverse.foreach { v =>
+        fs.delete(manifestPath(dir, v), false)
+        fs.delete(checkpointPath(dir, v), false)
+      }
+      evictManifestCache(spark, dir, drop)
     }
-    evictManifestCache(spark, dir, drop)
     val now = System.currentTimeMillis()
     val candidates = fs.listStatus(root)
       .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv|changes)(_[0-9a-f]{8})?""") &&
@@ -2710,18 +2717,20 @@ object Versioned {
     val (dead, young) = candidates.partition(st =>
       droppedRefs.contains(st.getPath.getName) ||
         now - st.getModificationTime >= orphanMinAgeMs)
-    dead.foreach(st => fs.delete(st.getPath, true))
-    // staging files from commits that crashed between create and
-    // publish are invisible to readers but never self-clean; both
-    // protocols' staging prefixes are swept (`.tmp-` = RenameCommit,
-    // `.put-` = PutIfAbsentCommit's local emulation)
-    fs.listStatus(new Path(root, VDIR))
-      .filter { st =>
-        val n = st.getPath.getName
-        (n.startsWith(".tmp-") || n.startsWith(".put-")) &&
-          now - st.getModificationTime >= orphanMinAgeMs
-      }
-      .foreach(st => fs.delete(st.getPath, false))
+    if (!dryRun) {
+      dead.foreach(st => fs.delete(st.getPath, true))
+      // staging files from commits that crashed between create and
+      // publish are invisible to readers but never self-clean; both
+      // protocols' staging prefixes are swept (`.tmp-` = RenameCommit,
+      // `.put-` = PutIfAbsentCommit's local emulation)
+      fs.listStatus(new Path(root, VDIR))
+        .filter { st =>
+          val n = st.getPath.getName
+          (n.startsWith(".tmp-") || n.startsWith(".put-")) &&
+            now - st.getModificationTime >= orphanMinAgeMs
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     PruneStats(drop, dead.map(_.getPath.getName).toSeq,
       young.map(_.getPath.getName).toSeq)
   }
@@ -3267,6 +3276,9 @@ private[ext] object Skipping {
       }
     f match {
       case EqualTo(a, v)            => outside(a, v)((l, h) => l < 0 || h > 0)
+      case EqualNullSafe(a, v)      =>
+        if (v == null) excludes(rows, cols, schema, IsNull(a))
+        else excludes(rows, cols, schema, EqualTo(a, v))
       case GreaterThan(a, v)        => outside(a, v)((_, h) => h >= 0)
       case GreaterThanOrEqual(a, v) => outside(a, v)((_, h) => h > 0)
       case LessThan(a, v)           => outside(a, v)((l, _) => l <= 0)
@@ -3275,9 +3287,47 @@ private[ext] object Skipping {
         vs.forall(v => excludes(rows, cols, schema, EqualTo(a, v)))
       case IsNull(a)    => statsFor(a).exists(_._1.nulls.contains(0L))
       case IsNotNull(a) => statsFor(a).exists { case (c, _) => allNull(c) && rows > 0 }
+      // prefix predicates (the optimizer's translation of
+      // `LIKE 'p%'`): every matching string s satisfies
+      // p <= s < succ(p) in UTF-8 BYTE order (the same order the
+      // stats' canonical strings compare under), so a dir whose max
+      // is below p, or whose min is at or above succ(p), is provably
+      // empty — one-sided as always, a dir overlapping the range is
+      // kept. succ(p) = p with its last non-0xFF byte incremented and
+      // the tail dropped; an all-0xFF prefix has no upper bound.
+      case StringStartsWith(a, p) if p != null && p.nonEmpty =>
+        statsFor(a).exists { case (c, dt) =>
+          dt == StringType && (allNull(c) ||
+            (for { lo <- c.min; hi <- c.max } yield {
+              val pb = org.apache.spark.unsafe.types.UTF8String.fromString(p)
+              if (org.apache.spark.unsafe.types.UTF8String.fromString(hi)
+                    .compareTo(pb) < 0) true
+              else Skipping.prefixSuccessor(pb) match {
+                case Some(succ) =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(lo)
+                    .compareTo(succ) >= 0
+                case None => false
+              }
+            }).getOrElse(false))
+        }
       case And(l, r) => excludes(rows, cols, schema, l) || excludes(rows, cols, schema, r)
       case Or(l, r)  => excludes(rows, cols, schema, l) && excludes(rows, cols, schema, r)
       case _ => false
+    }
+  }
+
+  /** The smallest UTF8String strictly greater than EVERY string with
+    * prefix `p` (byte order): increment the last non-0xFF byte, drop
+    * the tail. None when every byte is 0xFF (no finite bound). */
+  private[ext] def prefixSuccessor(p: org.apache.spark.unsafe.types.UTF8String)
+      : Option[org.apache.spark.unsafe.types.UTF8String] = {
+    val bytes = p.getBytes.clone()
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      bytes(i) = (bytes(i) + 1).toByte
+      Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, 0, i + 1))
     }
   }
 
@@ -3287,6 +3337,8 @@ private[ext] object Skipping {
     * caller asked for skipping semantics this module cannot honor. */
   def toColumn(f: org.apache.spark.sql.sources.Filter): Column = f match {
     case EqualTo(a, v)            => col(a) === lit(v)
+    case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+    case StringStartsWith(a, p)   => col(a).startsWith(lit(p))
     case GreaterThan(a, v)        => col(a) > lit(v)
     case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
     case LessThan(a, v)           => col(a) < lit(v)

@@ -51,14 +51,17 @@ private[sql] object VersionedProcedures {
         Versioned.compactDeletionVectors(spark, args.str(0)).map(Int.box).orNull))),
 
     proc("vacuum",
-      "drop all but the newest keep_last versions, reclaim unreferenced dirs (age-guarded)",
+      "drop all but the newest keep_last versions, reclaim unreferenced dirs " +
+        "(age-guarded); dry_run => true reports without touching anything",
       params = Seq(in("table", StringType), in("keep_last", IntegerType),
-        inDefault("orphan_min_age_ms", LongType, (15 * 60 * 1000L).toString)),
+        inDefault("orphan_min_age_ms", LongType, (15 * 60 * 1000L).toString),
+        inDefault("dry_run", BooleanType, "false")),
       out = StructType(Seq(StructField("versions_dropped", IntegerType),
         StructField("dirs_deleted", IntegerType),
         StructField("dirs_skipped_young", IntegerType))))(
       (spark, args) => {
-        val st = Versioned.pruneVersions(spark, args.str(0), args.int(1), args.long(2))
+        val st = Versioned.pruneVersions(spark, args.str(0), args.int(1), args.long(2),
+          dryRun = args.bool(3))
         Seq(row(Int.box(st.versionsDropped.length), Int.box(st.dirsDeleted.length),
           Int.box(st.dirsSkippedYoung.length)))
       }),

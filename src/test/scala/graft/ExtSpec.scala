@@ -3060,6 +3060,12 @@ class ExtSpec extends AnyFunSuite {
     // restore: back to the pre-delete state as a NEW version
     val rv = spark.sql(s"CALL graft_pr.system.restore('$dir', 0)").as[Int].head()
     assert(rv == zv + 1 && Versioned.readLatest(spark, dir).count() == 100)
+    // dry-run vacuum: the same report, NOTHING touched
+    val dry = spark.sql(s"CALL graft_pr.system.vacuum(table => '$dir', " +
+      "keep_last => 2, orphan_min_age_ms => 0, dry_run => true)").collect().head
+    assert(dry.getInt(0) == rv - 1, dry.toString)
+    assert(Versioned.versions(spark, dir).length == rv + 1,
+      "dry run must not drop versions")
     // vacuum through SQL: retention drops expired manifests
     val pruned = spark.sql(s"CALL graft_pr.system.vacuum(table => '$dir', " +
       "keep_last => 2, orphan_min_age_ms => 0)").collect().head
@@ -3588,6 +3594,43 @@ class ExtSpec extends AnyFunSuite {
       .as[Int].head()
     assert(zv == v3 + 1)
     assert(Versioned.readLatest(spark, dir).count() == 8190)
+  }
+
+  test("prefix skipping: LIKE 'p%' prunes dirs whose bounds cannot hold the prefix range; boundary dirs kept; byte-order edges safe") {
+    import org.apache.spark.sql.sources.StringStartsWith
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_prefix").toString + "/t"
+    def month(m: String, n: Int) =
+      spark.range(0, n).toDF("id")
+        .withColumn("k", concat(lit(m + "-"), lpad($"id".cast("string"), 2, "0")))
+        .repartition(1)
+    Versioned.writeVersion(month("2021-01", 10), dir)
+    Versioned.writeVersion(month("2021-02", 10), dir, SaveMode.Append)
+    Versioned.writeVersion(month("2022-01", 10), dir, SaveMode.Append)
+    def planned(p: String) =
+      Versioned.planDataDirs(spark, dir, 2, Seq(StringStartsWith("k", p))).length
+    assert(planned("2021-02") == 1)
+    assert(planned("2021") == 2)   // both 2021 dirs kept, 2022 dropped
+    assert(planned("2023") == 0)   // above every dir
+    assert(planned("2020") == 0)   // below every dir
+    // the catalog's pushed LIKE gets the same prune, and the result is exact
+    spark.conf.set("spark.sql.catalog.graft_px", "graft.sql.VersionedCatalog")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_px.`$dir` WHERE k LIKE '2021-02%'")
+      .as[Long].head() == 10)
+    // byte-order edge: a supplementary-plane prefix compares in UTF-8
+    // byte order (where 😀 sorts above 'z'), and its dir is kept
+    // (valid UTF-8 never emits 0xFF, so the no-upper-bound branch of
+    // the successor is purely defensive)
+    val eDir = java.nio.file.Files.createTempDirectory("graft_prefix_e").toString + "/t"
+    Versioned.writeVersion(Seq("za", "😀x").toDF("k").repartition(1), eDir) // 😀 > 'z' in UTF-8
+    assert(Versioned.planDataDirs(spark, eDir, 0,
+      Seq(StringStartsWith("k", "😀"))).length == 1, "emoji prefix must keep its dir")
+    // null-safe equality prunes like equality; <=> NULL like IS NULL
+    import org.apache.spark.sql.sources.EqualNullSafe
+    assert(Versioned.planDataDirs(spark, dir, 2, Seq(EqualNullSafe("k", "2022-01-05"))).length == 1)
+    assert(Versioned.planDataDirs(spark, dir, 2, Seq(EqualNullSafe("k", null))).isEmpty,
+      "no dir holds nulls: <=> NULL proves every dir empty")
   }
 
   test("dynamic partition overwrite: only the partitions present in the data replace; others verbatim; concurrent writes into a claimed partition conflict") {
