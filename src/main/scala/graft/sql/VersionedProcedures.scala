@@ -176,6 +176,20 @@ private[sql] object VersionedProcedures {
       (spark, args) => Seq(row(Int.box(
         Versioned.restoreVersion(spark, args.str(0), args.int(1)))))),
 
+    proc("restore_at",
+      "RESTORE TO TIMESTAMP AS OF: restore the newest version committed at or " +
+        "before ts_millis (same undoable commit as restore)",
+      params = Seq(in("table", StringType), in("ts_millis", LongType)),
+      out = StructType(Seq(StructField("version", IntegerType),
+        StructField("restored_from", IntegerType))))(
+      (spark, args) => {
+        val from = Versioned.versionAsOfTimestamp(spark, args.str(0), args.long(1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version of ${args.str(0)} committed at or before ${args.long(1)} ms"))
+        Seq(row(Int.box(Versioned.restoreVersion(spark, args.str(0), from)),
+          Int.box(from)))
+      }),
+
     proc("backfill_stats",
       "one footer sweep upgrading pre-stats / pre-file-list manifests to the skipping read path",
       params = Seq(in("table", StringType)),

@@ -3060,17 +3060,27 @@ class ExtSpec extends AnyFunSuite {
     // restore: back to the pre-delete state as a NEW version
     val rv = spark.sql(s"CALL graft_pr.system.restore('$dir', 0)").as[Int].head()
     assert(rv == zv + 1 && Versioned.readLatest(spark, dir).count() == 100)
+    // restore_at: a far-future timestamp resolves to the newest
+    // version; an impossible past refuses naming the problem
+    val rAt = spark.sql(s"CALL graft_pr.system.restore_at('$dir', " +
+      s"${System.currentTimeMillis() + 60000})").collect().head
+    assert(rAt.getInt(0) == rv + 1 && rAt.getInt(1) == rv, rAt.toString)
+    val tooEarly = intercept[Exception] {
+      spark.sql(s"CALL graft_pr.system.restore_at('$dir', 0)") }
+    assert(Iterator.iterate(tooEarly: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("at or before")),
+      tooEarly.getMessage)
     // dry-run vacuum: the same report, NOTHING touched
     val dry = spark.sql(s"CALL graft_pr.system.vacuum(table => '$dir', " +
       "keep_last => 2, orphan_min_age_ms => 0, dry_run => true)").collect().head
-    assert(dry.getInt(0) == rv - 1, dry.toString)
-    assert(Versioned.versions(spark, dir).length == rv + 1,
+    assert(dry.getInt(0) == rv, dry.toString)
+    assert(Versioned.versions(spark, dir).length == rv + 2,
       "dry run must not drop versions")
     // vacuum through SQL: retention drops expired manifests
     val pruned = spark.sql(s"CALL graft_pr.system.vacuum(table => '$dir', " +
       "keep_last => 2, orphan_min_age_ms => 0)").collect().head
-    assert(pruned.getInt(0) == rv - 1, pruned.toString) // dropped all but 2
-    assert(Versioned.versions(spark, dir) == Seq(rv - 1, rv))
+    assert(pruned.getInt(0) == rv, pruned.toString) // dropped all but 2
+    assert(Versioned.versions(spark, dir) == Seq(rv, rv + 1))
     // maintain = compact_dv + retention in one call
     val m = spark.sql(s"CALL graft_pr.system.maintain('$dir', 1)").collect().head
     assert(m.isNullAt(0) && m.getInt(1) == 1, m.toString)
