@@ -791,6 +791,41 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) AS c FROM graft_rlp.`$dir`").as[Long].head() == 350)
   }
 
+  test("prefix skipping reaches the SQL plan: a pushed LIKE 'p%' drops provably-out-of-range files from the planned scan (q141)") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_pxplan").toString + "/t"
+    def month(m: String) = spark.range(0, 50).toDF("id")
+      .withColumn("k", concat(lit(m + "-"), lpad(col("id").cast("string"), 2, "0")))
+      .repartition(1)
+    Versioned.writeVersion(month("2021-01"), dir)
+    Versioned.writeVersion(month("2021-02"), dir, SaveMode.Append)
+    Versioned.writeVersion(month("2022-01"), dir, SaveMode.Append)
+    spark.conf.set("spark.sql.catalog.graft_pxp", "graft.sql.VersionedCatalog")
+    def filesPlanned(sql: String): Int =
+      spark.sql(sql).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          (b.scan match {
+            case m: graft.sql.ManifestStatsScan => m.inner
+            case other => other
+          }) match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.toBatch.planInputPartitions().map {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.length
+                case _ => 0
+              }.sum
+          }
+      }.sum
+    assert(filesPlanned(s"SELECT k FROM graft_pxp.`$dir`") == 3)
+    assert(filesPlanned(s"SELECT k FROM graft_pxp.`$dir` WHERE k LIKE '2021-02%'") == 1)
+    assert(filesPlanned(s"SELECT k FROM graft_pxp.`$dir` WHERE k LIKE '2021%'") == 2)
+    assert(filesPlanned(s"SELECT k FROM graft_pxp.`$dir` WHERE k LIKE '2023%'") == 0)
+    // exactness under the pruned plan
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pxp.`$dir` WHERE k LIKE '2021%'")
+      .collect().head.getLong(0) == 100)
+  }
+
   test("partition-scoped OPTIMIZE reads ONLY the selected partition's files (q135)") {
     import graft.ext.Versioned
     import org.apache.spark.sql.SaveMode
