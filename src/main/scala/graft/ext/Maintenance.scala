@@ -79,30 +79,51 @@ object Maintenance {
   }
 
   case class VersionedMaintStats(dvCompactedVersion: Option[Int],
-                                 prune: Versioned.PruneStats)
+                                 prune: Versioned.PruneStats,
+                                 compact: Option[CompactStats] = None)
 
   /** The manifest store's routine maintenance pass — Delta's
     * OPTIMIZE-adjacent housekeeping in one call: (1) merge a
     * delete-heavy chain's deletion-vector dirs into one per key
     * column ([[Versioned.compactDeletionVectors]] — bounds the dv
     * chain without waiting for an overwrite to apply the mask
-    * physically), then (2) apply retention
+    * physically), (2) OPTIONAL fragmentation-gated file compaction
+    * (`compactTargetBytes` > 0: rewrite only when the live file count
+    * exceeds TWICE the ideal `ceil(bytes/target)` — a routine tick on
+    * a healthy table costs one manifest read, never a rewrite;
+    * partitioned chains compact through the spec-keeping
+    * partition-shaped rewrite), then (3) apply retention
     * ([[Versioned.pruneVersions]] — expired manifests dropped, their
     * unshared dirs reclaimed, in-flight writers protected by the
-    * orphan age window). Data-file compaction composes separately via
-    * [[compact]] with a [[ManifestStore]]. Safe to run any time,
-    * concurrent-append tolerant (the dv merge retries through the
-    * commit race like any commutative commit). */
+    * orphan age window). Safe to run any time, concurrent-append
+    * tolerant (the dv merge retries through the commit race like any
+    * commutative commit). */
   def maintainVersioned(spark: SparkSession, path: String, keepLast: Int,
                         orphanMinAgeMs: Long = 15 * 60 * 1000L,
                         protocol: CommitProtocol = PutIfAbsentCommit,
-                        backfillStats: Boolean = false): VersionedMaintStats = {
+                        backfillStats: Boolean = false,
+                        compactTargetBytes: Long = 0L): VersionedMaintStats = {
     // opt-in because the footer sweep of un-statted dirs, while
     // one-time, is real IO a routine maintenance tick shouldn't imply
     if (backfillStats) Versioned.backfillStats(spark, path, protocol)
     val compacted = Versioned.compactDeletionVectors(spark, path, protocol)
+    val compactStats =
+      if (compactTargetBytes <= 0L) None
+      else {
+        val live = Versioned.latestVersion(spark, path)
+          .map(v => Versioned.allLiveFilesMap(spark, path, v))
+          .getOrElse(Map.empty)
+        val nFiles = live.valuesIterator.map(_.size).sum
+        val bytes = Versioned.latestVersion(spark, path)
+          .map(v => Versioned.fileBytesOf(spark, path, v, live)).getOrElse(0L)
+        val ideal = math.max(1, math.ceil(bytes.toDouble / compactTargetBytes).toInt)
+        if (nFiles <= 2 * ideal) None
+        else Some(compact(spark, path, compactTargetBytes,
+          store = ManifestStore.conditionalPut))
+      }
     VersionedMaintStats(compacted,
-      Versioned.pruneVersions(spark, path, keepLast, orphanMinAgeMs))
+      Versioned.pruneVersions(spark, path, keepLast, orphanMinAgeMs),
+      compactStats)
   }
 
   /** Recover an interrupted [[compactBucketed]]: a missing live table

@@ -239,19 +239,27 @@ private[sql] object VersionedProcedures {
           .queryExecution.executedPlan.executeCollect().map(_.copy()).toSeq),
 
     proc("maintain",
-      "routine maintenance in one call: dv compaction, then retention",
+      "routine maintenance in one call: dv compaction, fragmentation-gated file " +
+        "compaction (compact_target_bytes > 0: rewrites only when live files exceed " +
+        "2x the ideal count), then retention",
       params = Seq(in("table", StringType), in("keep_last", IntegerType),
         inDefault("orphan_min_age_ms", LongType, (15 * 60 * 1000L).toString),
-        inDefault("backfill", BooleanType, "false")),
+        inDefault("backfill", BooleanType, "false"),
+        inDefault("compact_target_bytes", LongType, "0")),
       out = StructType(Seq(StructField("dv_compacted_version", IntegerType),
         StructField("versions_dropped", IntegerType),
-        StructField("dirs_deleted", IntegerType))))(
+        StructField("dirs_deleted", IntegerType),
+        StructField("files_compacted_from", IntegerType),
+        StructField("files_compacted_to", IntegerType))))(
       (spark, args) => {
         val st = Maintenance.maintainVersioned(spark, args.str(0), args.int(1),
-          args.long(2), backfillStats = args.bool(3))
+          args.long(2), backfillStats = args.bool(3),
+          compactTargetBytes = args.long(4))
         Seq(row(st.dvCompactedVersion.map(Int.box).orNull,
           Int.box(st.prune.versionsDropped.length),
-          Int.box(st.prune.dirsDeleted.length)))
+          Int.box(st.prune.dirsDeleted.length),
+          st.compact.map(c => Int.box(c.filesBefore)).orNull,
+          st.compact.map(c => Int.box(c.filesAfter)).orNull))
       })
   ).map(p => p.name() -> p).toMap
 

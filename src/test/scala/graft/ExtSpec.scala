@@ -3084,6 +3084,18 @@ class ExtSpec extends AnyFunSuite {
     // maintain = compact_dv + retention in one call
     val m = spark.sql(s"CALL graft_pr.system.maintain('$dir', 1)").collect().head
     assert(m.isNullAt(0) && m.getInt(1) == 1, m.toString)
+    // fragmentation-gated compaction inside maintain: a table of 8
+    // tiny files (ideal = 1 at any sane target) compacts on the first
+    // tick; the now-healthy table's second tick rewrites NOTHING
+    val fdir = java.nio.file.Files.createTempDirectory("graft_maintfrag").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 1000).toDF("id").repartition(8), fdir)
+    val mm = spark.sql(s"CALL graft_pr.system.maintain('$fdir', 5, " +
+      s"compact_target_bytes => ${64L * 1024 * 1024})").collect().head
+    assert(mm.getInt(3) == 8 && mm.getInt(4) == 1, mm.toString)
+    val mm2 = spark.sql(s"CALL graft_pr.system.maintain('$fdir', 5, " +
+      s"compact_target_bytes => ${64L * 1024 * 1024})").collect().head
+    assert(mm2.isNullAt(3), s"healthy table must not rewrite: $mm2")
+    assert(Versioned.readLatest(spark, fdir).count() == 1000)
     // a NULL argument is a caller mistake, never a default — the
     // primitive getter would silently read 0 and disable the
     // in-flight-writer age guard
