@@ -3778,6 +3778,54 @@ class ExtSpec extends AnyFunSuite {
     assert(det.getString(6) == "" && det.getInt(9) == 0, det.toString)
   }
 
+  test("scoped-dv compaction is mask-preserving under random delete/append/re-insert interleavings") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    // SQL DELETE semantics make the expected state a plain mutable
+    // set: a scoped delete removes currently-visible keys; a later
+    // append (including a re-insert of a masked key) lands outside
+    // every existing scope and is visible. Compaction must preserve
+    // the masked read over arbitrary interleavings — nested,
+    // overlapping, and disjoint coverage shapes all arise here.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_dvrand$seed").toString + "/t"
+      val expected = scala.collection.mutable.Set.empty[Long]
+      def append(ks: Seq[Long]): Unit = {
+        Versioned.writeVersion(ks.toDF("id").repartition(1), dir,
+          if (Versioned.latestVersion(spark, dir).isEmpty) SaveMode.Overwrite
+          else SaveMode.Append)
+        expected ++= ks
+      }
+      append((0L until 10L).map(_ + 100L * 0))
+      var nextBase = 1
+      for (_ <- 0 until 8) {
+        if (rnd.nextBoolean() && expected.nonEmpty) {
+          val victims = rnd.shuffle(expected.toSeq).take(1 + rnd.nextInt(4))
+          Versioned.deleteByKeysScoped(spark, dir, victims.toDF("id"), "id")
+          expected --= victims
+        } else {
+          // fresh ids, plus sometimes a re-insert of a masked key
+          val fresh = (0L until 5L).map(_ + 100L * nextBase)
+          nextBase += 1
+          val reinsert = if (rnd.nextBoolean()) Seq(rnd.nextInt(10).toLong) else Seq.empty
+          append(fresh ++ reinsert)
+        }
+      }
+      def ids() = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet
+      assert(ids() == expected.toSet, s"seed $seed pre-compaction")
+      Versioned.compactDeletionVectors(spark, dir)
+      assert(ids() == expected.toSet, s"seed $seed post-compaction")
+      // idempotent: the compacted shape declines a second pass
+      assert(Versioned.compactDeletionVectors(spark, dir).isEmpty, s"seed $seed idempotence")
+      // and the compacted scopes PARTITION the covered dirs
+      val scoped = Versioned.versionInfo(spark, dir,
+        Versioned.latestVersion(spark, dir).get).scopedDvs
+      val scopes = scoped.map(_._3)
+      assert(scopes.map(_.size).sum == scopes.flatten.toSet.size, s"seed $seed partition")
+    }
+  }
+
   test("scoped-dv compaction groups by dir coverage: N SQL deletes compact to one dv per coverage group; masks identical; union branch count pinned") {
     import graft.ext.Versioned
     import org.apache.spark.sql.SaveMode
