@@ -3618,6 +3618,43 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.readLatest(spark, dir).count() == 8190)
   }
 
+  test("SQL UPDATE that changes a partition value re-lands rows hive-correct; partitioned DELETE prunes its candidate files by partition stats") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_partmove").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_pm", "graft.sql.VersionedCatalog")
+    Versioned.writeVersionPartitioned(
+      spark.range(0, 100).toDF("id")
+        .withColumn("p", when($"id" % 2 === 0, "x").otherwise("y"))
+        .repartition(2), dir, Seq("p"))
+    // move a slice of x into partition z: the CoW rewrite reads the
+    // candidate files and the replacement re-lands hive-laid-out, so
+    // the moved rows live under p=z both logically AND physically
+    spark.sql(s"UPDATE graft_pm.`$dir` SET p = 'z' WHERE p = 'x' AND id < 10")
+    val v1 = Versioned.latestVersion(spark, dir).get
+    val got = Versioned.readLatest(spark, dir)
+      .groupBy("p").count().orderBy("p").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 45L), ("y", 50L), ("z", 5L)), got.toString)
+    // physically: the manifest's partition summary (derived from the
+    // hive paths at harvest) shows the new partition
+    assert(Versioned.partitionSummary(spark, dir, v1)
+      .exists { case (part, _, rows, _) => part == "p=z" && rows == 5L })
+    // partition-pruned read of the moved rows stays exact
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pm.`$dir` WHERE p = 'z'")
+      .as[Long].head() == 5L)
+    // a DELETE keyed on the partition column rewrites only that
+    // partition's files: y's carry verbatim through the commit
+    val yBefore = Versioned.partitionScopedFiles(spark, dir, v1, "p = 'y'")
+    spark.sql(s"DELETE FROM graft_pm.`$dir` WHERE p = 'z' AND id >= 0")
+    val v2 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.partitionScopedFiles(spark, dir, v2, "p = 'y'") == yBefore,
+      "partition-keyed DELETE must not rewrite other partitions")
+    assert(Versioned.readLatest(spark, dir).count() == 95)
+    assert(!Versioned.partitionSummary(spark, dir, v2).exists(_._1 == "p=z"))
+    // time travel serves every intermediate layout
+    assert(Versioned.readVersion(spark, dir, 0).count() == 100)
+    assert(Versioned.readVersion(spark, dir, v1).count() == 100)
+  }
+
   test("prefix skipping: LIKE 'p%' prunes dirs whose bounds cannot hold the prefix range; boundary dirs kept; byte-order edges safe") {
     import org.apache.spark.sql.sources.StringStartsWith
     import graft.ext.Versioned
