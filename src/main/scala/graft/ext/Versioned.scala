@@ -675,7 +675,9 @@ object Versioned {
                                        protocol: CommitProtocol = PutIfAbsentCommit,
                                        maxAttempts: Int = 16,
                                        exclusivePartitions: Set[Seq[Option[String]]] =
-                                         Set.empty): Option[Int] = {
+                                         Set.empty,
+                                       preHarvested: Option[(Long, Map[String, ColStats], Seq[FileStats])] =
+                                         None): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
@@ -684,15 +686,17 @@ object Versioned {
     val schema = schemaOf(spark, dir, v0)
     // harvest + constraint-validate the replacement ONCE — its content
     // is snapshot-determined, not manifest-determined, so retries
-    // reuse it
+    // reuse it (a caller that already harvested the staged dir passes
+    // the result through rather than paying the footer sweep twice)
     val newEntries: Seq[Line] = replacementDir.toSeq.flatMap { nd =>
       val p = new Path(root, nd)
-      val (rows, cols, files) =
+      val (rows, cols, files) = preHarvested.getOrElse {
         if (partCols.isEmpty) {
           val s = asNullable(spark.read.parquet(p.toString).schema)
           Skipping.collectDirStats(spark, p, s)
         } else Skipping.collectDirStatsPartitioned(spark, p, schema,
           StructType(partCols.map(c => schema(c))))
+      }
       // an all-rows-deleted rewrite can still land one 0-row part
       // file (the writer's task artifact): reference nothing — the
       // removal ops ARE the whole change
@@ -821,8 +825,9 @@ object Versioned {
     val schema = schemaOf(spark, dir, v0)
     val partSchema = StructType(partCols.map(c => schema(c)))
     val stagedPath = new Path(root, stagedHive)
-    val (rows, _, stagedFiles) =
+    val harvested =
       Skipping.collectDirStatsPartitioned(spark, stagedPath, schema, asNullable(partSchema))
+    val (rows, _, stagedFiles) = harvested
     if (rows == 0L) { fs.delete(stagedPath, true); return None }
     def tupleOf(f: FileStats) = partCols.map(c => f.cols.get(c).flatMap(_.min))
     val touched = stagedFiles.map(tupleOf).toSet
@@ -838,7 +843,7 @@ object Versioned {
       case ScopedDvEntry(k, n, _) => (k, n)
     }
     commitFileRewrite(spark, dir, victims, Some(stagedHive), partCols, dvSnapshot,
-      protocol, exclusivePartitions = touched)
+      protocol, exclusivePartitions = touched, preHarvested = Some(harvested))
   }
 
   /** [[writeVersionPartitioned]] with DYNAMIC overwrite semantics:
