@@ -352,7 +352,9 @@ object Maintenance {
                       protocol: CommitProtocol = PutIfAbsentCommit): Int =
     zorderVersionedCols(spark, dir, Seq(colA, colB), nFiles, bits, protocol)
 
-  /** [[zorderVersioned]] over N columns ([[zKeyN]]). */
+  /** [[zorderVersioned]] over N columns ([[zKeyN]]). `nFiles <= 0`
+    * derives the count from the rewritten bytes at the standard
+    * 128 MiB target — OPTIMIZE without guessing a file count. */
   def zorderVersionedCols(spark: SparkSession, dir: String, zCols: Seq[String],
                           nFiles: Int, bits: Int = 16,
                           protocol: CommitProtocol = PutIfAbsentCommit): Int = {
@@ -368,10 +370,14 @@ object Maintenance {
     if (partCols.nonEmpty)
       return zorderPartitionShaped(spark, dir, None, zCols, nFiles, bits, protocol)
         .getOrElse(Versioned.latestVersion(spark, dir).get) // empty table: no-op
+    val nOut =
+      if (nFiles > 0) nFiles
+      else math.max(1, math.ceil(
+        Versioned.liveFiles(spark, dir).map(_._2).sum / (128.0 * 1024 * 1024)).toInt)
     val current = Versioned.readLatest(spark, dir)
     Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
       current.withColumn("__zkey", zKeyN(zCols.map(col), bits))
-        .repartitionByRange(nFiles, col("__zkey"))
+        .repartitionByRange(nOut, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
         .write.mode(SaveMode.ErrorIfExists).parquet(tmp))
@@ -407,10 +413,13 @@ object Maintenance {
                                     where: Option[String], zCols: Seq[String],
                                     nFiles: Int, bits: Int,
                                     protocol: CommitProtocol): Option[Int] =
-    rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, _) =>
+    rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, selectedBytes) =>
+      val nOut =
+        if (nFiles > 0) nFiles
+        else math.max(1, math.ceil(selectedBytes / (128.0 * 1024 * 1024)).toInt)
       val keys = (partCols :+ "__zkey").map(col)
       subset.withColumn("__zkey", zKeyN(zCols.map(col), bits))
-        .repartitionByRange(nFiles, keys: _*)
+        .repartitionByRange(nOut, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop("__zkey")
     }.map(_._2)

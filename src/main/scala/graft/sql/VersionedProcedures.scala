@@ -67,10 +67,11 @@ private[sql] object VersionedProcedures {
       }),
 
     proc("zorder",
-      "commit a Morton-ordered rewrite (whole table, or where => a partition predicate: " +
-        "only matching partitions' files rewrite, the rest carry verbatim)",
+      "commit a Morton-ordered rewrite (whole table, or where => a partition predicate; " +
+        "only matching partitions' files rewrite, the rest carry verbatim); " +
+        "n_files omitted or 0 derives the count at the 128 MiB target",
       params = Seq(in("table", StringType), in("col_a", StringType),
-        in("col_b", StringType), in("n_files", IntegerType),
+        in("col_b", StringType), inDefault("n_files", IntegerType, "0"),
         inDefault("bits", IntegerType, "16"),
         inDefault("where", StringType, "''")),
       out = StructType(Seq(StructField("version", IntegerType))))(
@@ -156,7 +157,7 @@ private[sql] object VersionedProcedures {
       "N-column Morton-ordered rewrite (Delta OPTIMIZE … ZORDER BY (c1, …, cN)): " +
         "cols is comma-separated; where => scopes to matching partitions",
       params = Seq(in("table", StringType), in("cols", StringType),
-        in("n_files", IntegerType), inDefault("bits", IntegerType, "16"),
+        inDefault("n_files", IntegerType, "0"), inDefault("bits", IntegerType, "16"),
         inDefault("where", StringType, "''")),
       out = StructType(Seq(StructField("version", IntegerType))))(
       (spark, args) => {

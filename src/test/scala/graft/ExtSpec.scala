@@ -3610,11 +3610,14 @@ class ExtSpec extends AnyFunSuite {
     val v3 = Versioned.latestVersion(spark, dir).get
     assert(filesOf(v3, "x") == xBefore, "compact of y must carry x verbatim")
     assert(Versioned.readLatest(spark, dir).count() == 8190)
-    // CALL zorder with where => returns the committed version
+    // CALL zorder with where => returns the committed version; n_files
+    // omitted derives the count from the selected bytes (tiny here: 1)
     val zv = spark.sql(s"CALL graft_pz.system.zorder(table => '$dir', " +
-      "col_a => 'a', col_b => 'b', n_files => 4, where => 'p = \\'y\\'')")
+      "col_a => 'a', col_b => 'b', where => 'p = \\'y\\'')")
       .as[Int].head()
     assert(zv == v3 + 1)
+    assert(filesOf(zv, "y").valuesIterator.map(_.size).sum == 1,
+      "auto n_files at the 128 MiB target must land one file for KB-sized data")
     assert(Versioned.readLatest(spark, dir).count() == 8190)
   }
 
