@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which has broken the
+// driver's bench-line parser every round since r5 ("parsed": null in
+// BENCH_r*.json even though the JSON line reached the console tail)
+run / outputStrategy := Some(StdoutOutput)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

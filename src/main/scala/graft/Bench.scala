@@ -62,10 +62,32 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // mid-run contention probe (r11 ask: the settle gate only sees the
+    // START — BENCH_r11 carried a 20 s contention window invisible to
+    // it). Loadavg DURING the run is dominated by our own 32 threads,
+    // so the honest signal is EXTERNAL cpu: total busy jiffies
+    // (/proc/stat) minus this process's own (/proc/self/stat, all
+    // threads), sampled per interleaved pass. Sustained >0.5 cores of
+    // someone else's work during a timed pass stamps the run contended.
+    def jiffies(): (Long, Long) =
+      try {
+        val tot = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // busy = user+nice+system+irq+softirq+steal (idle=3, iowait=4 excluded)
+        val busy = tot(0) + tot(1) + tot(2) + tot.drop(5).take(3).sum
+        val raw = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val f = raw.substring(raw.lastIndexOf(')') + 2).split(" ")
+        (busy, f(11).toLong + f(12).toLong) // utime+stime, fields 14-15
+      } catch { case _: Throwable => (-1L, -1L) }
+    var extCpuMax = 0.0
+    var load5MaxMid = load5Start
     // passes interleave over the whole catalog (not N back-to-back runs
     // per query), so one machine-load spike lands in one pass and the
     // median drops it
-    for (_ <- 1 to runs; (name, fn) <- names) {
+    for (pass <- 1 to runs) {
+      val (b0, s0) = jiffies()
+      val passT0 = System.nanoTime()
+      for ((name, fn) <- names) {
       val t0 = System.nanoTime()
       // noop write consumes every output column, so Catalyst cannot
       // prune away the expressions being timed — a plain count() would
@@ -76,6 +98,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // failures surface as -1 (never as an innocent-looking small time)
       samples(name) = samples(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val (b1, s1) = jiffies()
+      val passWall = (System.nanoTime() - passT0) / 1e9
+      if (b0 >= 0 && b1 >= 0 && passWall > 0) {
+        // USER_HZ is 100 on every mainstream Linux; a wrong constant
+        // scales the estimate, it cannot invent external load
+        val extCores = math.max(0.0, ((b1 - b0) - (s1 - s0)) / 100.0 / passWall)
+        extCpuMax = math.max(extCpuMax, extCores)
+        System.err.println(f"[bench] pass $pass: external cpu $extCores%.2f cores, load5 ${load5()}%.2f")
+      }
+      load5MaxMid = math.max(load5MaxMid, load5())
     }
     val results = names.map { case (name, _) =>
       val s = samples(name)
@@ -100,11 +133,13 @@ object Bench {
     // inflation (r10: load5 0.98 at start → uniform 1.37x, stamped
     // "contended": false off the recovered 1-min number) — so the
     // stamp now reads BOTH: contended iff the box was hot on either
-    val contended = loadStart > 1.0 || load5Start > 0.5
+    // … and contention arriving MID-run (r11's 20 s window) is caught
+    // by the per-pass external-cpu probe
+    val contended = loadStart > 1.0 || load5Start > 0.5 || extCpuMax > 0.5
     // "warmup":true marks the round-8 estimator change: medians are
     // over steady-state serves, comparable to QUIET_BENCH's settled
     // numbers but NOT to pre-r8 artifacts for build-once queries
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"warmup":true,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd,"contended":$contended,"settle_wait_sec":${f"$settleWaitSec%.1f"},"load5_at_start":$load5Start}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"warmup":true,"sf":"$sfDir","cpus":$cpus,"load_start":$loadStart,"load_end":$loadEnd,"contended":$contended,"settle_wait_sec":${f"$settleWaitSec%.1f"},"load5_at_start":$load5Start,"external_cpu_cores_max":${f"$extCpuMax%.2f"},"load5_max_mid":$load5MaxMid}"""
     println(json)
     // the full line ALSO lands in a file: three rounds of driver
     // artifacts lost their head to tail-capture truncation ("parsed":
@@ -119,7 +154,7 @@ object Bench {
     // has outgrown it every round since r5 ("parsed": null) — a line
     // this small survives any tail window and still carries the
     // headline number + the contention stamp (full detail: bench_out)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"contended":$contended,"load5_at_start":$load5Start,"detail":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"contended":$contended,"load5_at_start":$load5Start,"external_cpu_cores_max":${f"$extCpuMax%.2f"},"detail":"$outFile"}""")
     spark.stop()
   }
 }

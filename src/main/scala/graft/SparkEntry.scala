@@ -61,6 +61,20 @@ object SparkEntry {
     new java.io.File(scratchRoot, s"${prefix}_$md").getAbsolutePath
   }
 
+  /** True iff `body` fails WITH a message (anywhere in the cause
+    * chain) matching one of `markers` — the refusal probes must not
+    * read an unrelated failure (a typo'd table, an IO error) as
+    * "constraint enforced"; only the specific violation counts. */
+  private def refusesWith(markers: String*)(body: => Unit): Boolean =
+    try { body; false }
+    catch {
+      case e: Exception =>
+        val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(10)
+          .flatMap(t => Option(t.getMessage)).mkString(" | ").toLowerCase
+        markers.exists(m => msgs.contains(m.toLowerCase))
+    }
+
   /** Build-once caches for the materialized-index queries: (index
     * path, trained centroids) per (variant, dataset dir). Within a
     * process the build runs once — every later call is the pruned-scan
@@ -1596,12 +1610,14 @@ object SparkEntry {
         "FROM orders_q132 WHERE o_orderstatus = 'F'")
       s.sql(s"ALTER TABLE versioned.`$tbl` ADD CONSTRAINT price_cap " +
         "CHECK (price < 1e9)")
-      val refused = try {
+      // marker-matched probe (not catch-all): only the CHECK violation
+      // itself counts as "refused" — plan-side CheckInvariant names the
+      // constraint, the store's commit-time check says "violates CHECK"
+      val refused = refusesWith("check", "price_pos") {
         s.sql(s"INSERT INTO versioned.`$tbl` " +
           "SELECT o_orderkey, o_orderstatus, -ROUND(o_totalprice, 2) " +
           "FROM orders_q132 WHERE o_orderstatus = 'P'")
-        false
-      } catch { case _: Exception => true }
+      }
       assert(refused, "a violating INSERT must refuse")
       s.sql(s"INSERT INTO versioned.`$tbl` " +
         "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
@@ -1628,12 +1644,16 @@ object SparkEntry {
         "SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) " +
         "FROM orders_q137 WHERE o_orderstatus = 'F'")
       s.sql(s"CALL versioned.system.set_not_null('$tbl', 'priority')")
-      val refused = try {
+      // the probe is marker-matched, not catch-all: only the NOT NULL
+      // violation itself (plan-side AssertNotNull or the store's
+      // commit-time check) counts as "refused" — an unrelated insert
+      // failure must FAIL the query, not masquerade as enforcement
+      val refused = refusesWith(
+        "violates not null", "non-nullable", "not_null", "not null") {
         s.sql(s"INSERT INTO versioned.`$tbl` " +
           "SELECT o_orderkey, CAST(NULL AS STRING), ROUND(o_totalprice, 2) " +
           "FROM orders_q137 WHERE o_orderstatus = 'P'")
-        false
-      } catch { case _: Exception => true }
+      }
       assert(refused, "a NULL into a NOT NULL column must refuse")
       s.sql(s"INSERT INTO versioned.`$tbl` " +
         "SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) " +

@@ -51,7 +51,8 @@ object Maintenance {
     // partition-shaped rewrite (re-lands hive-laid-out, file-granular
     // commit) instead of the flat overwrite below, which would
     // silently drop the spec
-    if (store.isInstanceOf[ManifestStore]) {
+    store match {
+      case ms: ManifestStore =>
       val partCols = Versioned.latestVersion(spark, path)
         .map(v => Versioned.versionInfo(spark, path, v).partitionCols)
         .getOrElse(Seq.empty)
@@ -60,12 +61,16 @@ object Maintenance {
           Versioned.allLiveFilesMap(spark, path, v)).get
         val bytes = Versioned.fileBytesOf(spark, path,
           Versioned.latestVersion(spark, path).get, before)
-        compactPartitionShaped(spark, path, None, targetFileBytes, PutIfAbsentCommit)
+        // the caller's store names the commit protocol for a reason
+        // (rename where rename is the atomic primitive) — the
+        // partition-shaped branch must honor it, not substitute its own
+        compactPartitionShaped(spark, path, None, targetFileBytes, ms.protocol)
         val afterV = Versioned.latestVersion(spark, path).get
         return CompactStats(before.valuesIterator.map(_.size).sum,
           Versioned.allLiveFilesMap(spark, path, afterV).valuesIterator.map(_.size).sum,
           bytes)
       }
+      case _ => ()
     }
     store.recover(spark, path)
     val before = store.liveFiles(spark, path)
@@ -109,7 +114,7 @@ object Maintenance {
     val compacted = Versioned.compactDeletionVectors(spark, path, protocol)
     val compactStats =
       if (compactTargetBytes <= 0L) None
-      else {
+      else try {
         val live = Versioned.latestVersion(spark, path)
           .map(v => Versioned.allLiveFilesMap(spark, path, v))
           .getOrElse(Map.empty)
@@ -119,7 +124,12 @@ object Maintenance {
         val ideal = math.max(1, math.ceil(bytes.toDouble / compactTargetBytes).toInt)
         if (nFiles <= 2 * ideal) None
         else Some(compact(spark, path, compactTargetBytes,
-          store = ManifestStore.conditionalPut))
+          store = new ManifestStore(protocol)))
+      } catch {
+        // a legacy pre-file-list chain can't answer the fragmentation
+        // probe — skip JUST the compaction gate (backfill_stats
+        // upgrades the chain) so dv compaction and retention still run
+        case _: IllegalArgumentException => None
       }
     VersionedMaintStats(compacted,
       Versioned.pruneVersions(spark, path, keepLast, orphanMinAgeMs),
@@ -295,16 +305,19 @@ object Maintenance {
     * [[zKey]] is the N=2 case bit-for-bit. Same shape: pure
     * shift/mask/or built-ins, disjoint target bits, one codegen'd
     * projection. N*bits must fit a long's sign-safe 63 bits, so 3
-    * columns keep 16-bit resolution, 4 columns drop to 15. */
+    * columns keep 16-bit resolution, 4 columns drop to 15; `bits <= 0`
+    * derives the widest legal resolution, min(16, 63/N), so callers
+    * never have to do that arithmetic themselves. */
   def zKeyN(cols: Seq[org.apache.spark.sql.Column],
             bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{shiftleft, shiftright}
     val n = cols.length
     require(n >= 2, s"z-ordering wants at least 2 columns, got $n")
-    require(bits >= 1 && n * bits <= 63,
-      s"bits must satisfy 1 <= bits and columns*bits <= 63, got $n*$bits")
+    val b = if (bits <= 0) math.min(16, 63 / n) else bits
+    require(n * b <= 63,
+      s"bits must satisfy columns*bits <= 63, got $n*$b")
     val terms = for {
-      i <- 0 until bits
+      i <- 0 until b
       (c, j) <- cols.zipWithIndex
     } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(1), i * n + j)
     terms.reduce(_.bitwiseOR(_))
@@ -422,21 +435,22 @@ object Maintenance {
         .repartitionByRange(nOut, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop("__zkey")
-    }.map(_._2)
+    }.map(_._3)
 
   /** Partition-scoped small-file compaction: rewrite just the files
     * the partition predicate selects into ~targetFileBytes files,
     * re-landed hive-laid-out; all other partitions' files carry
     * verbatim through the same file-granular commit. Returns
-    * (filesSelected, committedVersion) — None when nothing matched. */
+    * (filesSelected, selectedBytes, committedVersion) — None when
+    * nothing matched. */
   def compactVersionedWhere(spark: SparkSession, dir: String, where: String,
                             targetFileBytes: Long = 128L * 1024 * 1024,
-                            protocol: CommitProtocol = PutIfAbsentCommit): Option[(Int, Int)] =
+                            protocol: CommitProtocol = PutIfAbsentCommit): Option[(Int, Long, Int)] =
     compactPartitionShaped(spark, dir, Some(where), targetFileBytes, protocol)
 
   private def compactPartitionShaped(spark: SparkSession, dir: String,
                                      where: Option[String], targetFileBytes: Long,
-                                     protocol: CommitProtocol): Option[(Int, Int)] =
+                                     protocol: CommitProtocol): Option[(Int, Long, Int)] =
     rewritePartitionScoped(spark, dir, where, protocol) { (subset, partCols, selectedBytes) =>
       val nOut = math.max(1, math.ceil(selectedBytes.toDouble / targetFileBytes).toInt)
       subset.repartitionByRange(nOut, partCols.map(col): _*)
@@ -449,12 +463,12 @@ object Maintenance {
     * (given the subset, the partition columns, and the selected
     * bytes), stage it hive-laid-out, and publish through the
     * file-granular copy-on-write commit. Returns
-    * (filesSelected, version). */
+    * (filesSelected, selectedBytes, version). */
   private def rewritePartitionScoped(spark: SparkSession, dir: String,
                                      where: Option[String],
                                      protocol: CommitProtocol)
                                     (shape: (org.apache.spark.sql.DataFrame, Seq[String], Long)
-                                      => org.apache.spark.sql.DataFrame): Option[(Int, Int)] = {
+                                      => org.apache.spark.sql.DataFrame): Option[(Int, Long, Int)] = {
     val v = Versioned.latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val info = Versioned.versionInfo(spark, dir, v)
@@ -480,6 +494,6 @@ object Maintenance {
       .mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
     Versioned.commitFileRewrite(spark, dir, files, Some(staged), partCols,
       dvSnapshot, protocol)
-      .map(cv => (files.valuesIterator.map(_.size).sum, cv))
+      .map(cv => (files.valuesIterator.map(_.size).sum, selectedBytes, cv))
   }
 }

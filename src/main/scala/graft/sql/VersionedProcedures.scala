@@ -155,9 +155,10 @@ private[sql] object VersionedProcedures {
 
     proc("zorder_by",
       "N-column Morton-ordered rewrite (Delta OPTIMIZE … ZORDER BY (c1, …, cN)): " +
-        "cols is comma-separated; where => scopes to matching partitions",
+        "cols is comma-separated; where => scopes to matching partitions; " +
+        "bits omitted or 0 derives the widest legal resolution min(16, 63/N)",
       params = Seq(in("table", StringType), in("cols", StringType),
-        inDefault("n_files", IntegerType, "0"), inDefault("bits", IntegerType, "16"),
+        inDefault("n_files", IntegerType, "0"), inDefault("bits", IntegerType, "0"),
         inDefault("where", StringType, "''")),
       out = StructType(Seq(StructField("version", IntegerType))))(
       (spark, args) => {
@@ -214,12 +215,14 @@ private[sql] object VersionedProcedures {
           Seq(row(Int.box(st.filesBefore), Int.box(st.filesAfter), Long.box(st.totalBytes)))
         } else Maintenance.compactVersionedWhere(
             spark, args.str(0), args.str(2), args.long(1)) match {
-          case Some((selected, v)) =>
+          case Some((selected, selectedBytes, v)) =>
             // files_after re-evaluates the SAME predicate on the new
-            // version — the matching partitions' file count post-rewrite
+            // version — the matching partitions' file count post-rewrite;
+            // bytes is the SELECTED bytes, matching the unscoped
+            // branch's meaning (the bytes the rewrite processed)
             val after = Versioned.partitionScopedFiles(spark, args.str(0), v,
               args.str(2)).valuesIterator.map(_.size).sum
-            Seq(row(Int.box(selected), Int.box(after), Long.box(0L)))
+            Seq(row(Int.box(selected), Int.box(after), Long.box(selectedBytes)))
           case None => Seq(row(Int.box(0), Int.box(0), Long.box(0L)))
         }),
 
