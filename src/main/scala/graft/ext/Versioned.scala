@@ -195,6 +195,22 @@ object Versioned {
     * pre-constraint version serves a nullable column). */
   private final case class NotNullEntry(col: String) extends Line
 
+  /** COLUMN MAPPING (Delta column-mapping 'name' mode's role, top-level
+    * columns): `colmap:<logical>=<physical>,…` — the singleton line
+    * mapping each RENAMED column's logical (user-facing) name to the
+    * physical name its bytes carry in every parquet file of the chain.
+    * A rename is then a METADATA-ONLY commit: the files, their footer
+    * stats, the deletion-vector key columns, and the NOT NULL lines
+    * all keep the PHYSICAL name — the whole internal pipeline stays
+    * physical — and exactly two boundaries translate: reads rename
+    * physical→logical as their final projection (predicate pushdown
+    * and column pruning translate back automatically through the
+    * alias), and DataFrame writes rename logical→physical before any
+    * byte lands ([[toPhysical]]). Identity entries are never stored;
+    * an OVERWRITE starts the physical layout fresh from its own files
+    * and drops the line. */
+  private final case class ColMapEntry(entries: Seq[(String, String)]) extends Line
+
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -253,6 +269,12 @@ object Versioned {
       val c = line.drop(8)
       require(c.nonEmpty, s"malformed not-null manifest line: $line")
       NotNullEntry(c)
+    } else if (line.startsWith("colmap:")) {
+      ColMapEntry(line.drop(7).split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
+        val i = e.indexOf('=')
+        require(i > 0 && i < e.length - 1, s"malformed column-mapping manifest line: $line")
+        (e.substring(0, i), e.substring(i + 1))
+      })
     } else if (line.startsWith("dvs:")) {
       val parts = line.drop(4).split(":", 3)
       require(parts.length == 3 && parts.forall(_.nonEmpty),
@@ -390,6 +412,7 @@ object Versioned {
           case e: ConstraintEntry => e.name.equalsIgnoreCase(c.name); case _ => false } :+ c
         case nn: NotNullEntry  => acc.filterNot {
           case e: NotNullEntry => e.col.equalsIgnoreCase(nn.col); case _ => false } :+ nn
+        case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
         case d: DataEntry      => if (acc.contains(d)) acc else acc :+ d
         case other             => acc :+ other // dv, changes: plain adds
       } else if (op.startsWith("-data:")) {
@@ -415,6 +438,8 @@ object Versioned {
       } else if (op.startsWith("-notnull:")) {
         val c = op.drop(9)
         acc.filterNot { case NotNullEntry(e) => e.equalsIgnoreCase(c); case _ => false }
+      } else if (op == "-colmap") {
+        acc.filterNot(_.isInstanceOf[ColMapEntry]) // rename chain folded back to identity
       } else throw new IllegalStateException(s"malformed delta-manifest op: $op")
     }
 
@@ -497,6 +522,7 @@ object Versioned {
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
     case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
     case NotNullEntry(c)   => s"notnull:$c"
+    case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
     case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
@@ -507,6 +533,146 @@ object Versioned {
   def recordedSchema(spark: SparkSession, dir: String, v: Int): Option[StructType] =
     lines(spark, dir, v).collectFirst { case SchemaEntry(s) => s }
 
+  // ───────────── column mapping (rename without rewrite) ─────────────
+
+  private def colMapOf(ls: Seq[Line]): Map[String, String] =
+    ls.collectFirst { case ColMapEntry(es) => es.toMap }.getOrElse(Map.empty)
+
+  /** The column mapping of a version: LOGICAL (user-facing) name →
+    * PHYSICAL (in-file) name, renamed columns only. Empty for a table
+    * that was never renamed (or whose last overwrite reset the
+    * physical layout). */
+  def columnMapping(spark: SparkSession, dir: String, v: Int): Map[String, String] =
+    colMapOf(lines(spark, dir, v))
+
+  /** The version's schema under its LOGICAL column names — what a
+    * user of the table sees. [[recordedSchema]] stays the PHYSICAL
+    * truth (it must keep matching the files and the footer stats). */
+  def logicalSchema(spark: SparkSession, dir: String, v: Int): Option[StructType] = {
+    val ls = lines(spark, dir, v)
+    ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, colMapOf(ls)) }
+  }
+
+  private[graft] def toLogicalSchema(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else {
+      val inv = m.map(_.swap)
+      StructType(s.fields.map(f => inv.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+    }
+
+  /** Final read-boundary projection: physical→logical. A pure rename
+    * (one Project of aliases), so Catalyst pushes filters and prunes
+    * columns straight through it down to the physical scan. */
+  private def toLogicalDf(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else {
+      val inv = m.map(_.swap)
+      df.toDF(df.columns.map(c => inv.getOrElse(c, c)): _*)
+    }
+
+  /** Write-boundary translation: rename a LOGICAL-named DataFrame to
+    * the chain's PHYSICAL column names before any byte lands. Refuses
+    * a column whose (logical) name is OCCUPIED as another column's
+    * physical storage name — appending it would silently serve its
+    * values under the other column after the union-schema merge (the
+    * re-add-after-rename collision Delta's id-mapping exists to
+    * prevent; this store prevents it by refusal). */
+  private[graft] def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame = {
+    if (m.isEmpty) return df
+    val inv = m.map(_.swap)
+    df.columns.foreach { c =>
+      require(m.contains(c) || !inv.contains(c),
+        s"column name '$c' is occupied as the physical storage name of logical column " +
+          s"'${inv.getOrElse(c, c)}' — add it under a different name")
+    }
+    df.toDF(df.columns.map(c => m.getOrElse(c, c)): _*)
+  }
+
+  /** Stats maps are keyed by PHYSICAL names (they come from parquet
+    * footers); the explicit skipping APIs take filters in LOGICAL
+    * names — rekey the stats (and rename the schema) instead of
+    * rewriting every filter tree. */
+  private def rekeyToLogical(cols: Map[String, ColStats],
+                             m: Map[String, String]): Map[String, ColStats] =
+    if (m.isEmpty) cols
+    else {
+      val inv = m.map(_.swap)
+      cols.map { case (k, v) => inv.getOrElse(k, k) -> v }
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN`'s role, WITHOUT a rewrite — the gap
+    * Delta closes with column mapping: one METADATA-ONLY commit that
+    * updates the logical→physical mapping; no data file, stats line,
+    * deletion vector, or NOT NULL line changes (they all keep the
+    * physical name). Time travel to a pre-rename version serves the
+    * old name; an overwrite later resets the physical layout and
+    * drops the mapping.
+    *
+    * Honest refusals: partition columns (the hive layout and the
+    * partition index are keyed on the physical dir names), chains
+    * whose manifests lack per-dir file lists (run backfill_stats
+    * first — the serving tiers below assume the file-listed index),
+    * columns a CHECK constraint reads (the stored predicate SQL is
+    * logical text this commit cannot rewrite), and a target name that
+    * already exists — as a logical column OR as another column's
+    * physical storage name (the resurrect-collision guard). */
+  def renameColumns(spark: SparkSession, dir: String,
+                    renames: Seq[(String, String)],
+                    protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(renames.nonEmpty, "no columns to rename")
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    val physical = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot rename columns of a pre-schema manifest at $dir — commit once to record the schema"))
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    require(partCols.isEmpty,
+      s"cannot rename columns of a PARTITIONED chain at $dir — the hive layout is " +
+        "keyed on the physical names; rewrite instead (REPLACE TABLE … AS SELECT)")
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"cannot rename columns at $dir: manifest lacks per-dir file lists — " +
+        "run backfillStats (CALL system.backfill_stats) to upgrade the chain first")
+    val prior = colMapOf(ls)
+    val logical = toLogicalSchema(physical, prior)
+    val constraintRefs = ls.collect { case ConstraintEntry(cn, sql) =>
+      cn -> constraintRefCols(spark, sql) }
+    var m = prior
+    renames.foreach { case (from, to) =>
+      require(to.nonEmpty && !to.exists(c => c == ',' || c == '=' || c == ':' ||
+          c == '\n' || c == '\r'),
+        s"new column name '$to' must not contain , = : or line breaks " +
+          "(it is embedded in the line-based manifest)")
+      val logicalNow = toLogicalSchema(physical, m)
+      val resolved = logicalNow.fieldNames.find(_.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' in ${logicalNow.fieldNames.mkString(",")}"))
+      require(!logicalNow.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists")
+      require(!physical.fieldNames.exists(n => n.equalsIgnoreCase(to) &&
+          !n.equalsIgnoreCase(m.getOrElse(resolved, resolved))),
+        s"'$to' is the physical storage name of another column — pick a different name")
+      constraintRefs.find(_._2.contains(resolved.toLowerCase)).foreach { case (cn, _) =>
+        throw new IllegalArgumentException(
+          s"cannot rename '$resolved': CHECK constraint '$cn' reads it — " +
+            "DROP CONSTRAINT first, rename, re-add under the new name")
+      }
+      val phys = m.getOrElse(resolved, resolved)
+      m = (m - resolved) ++ (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+    }
+    val v = prev + 1
+    val (newLines, ops) =
+      if (m.isEmpty) (ls.filterNot(_.isInstanceOf[ColMapEntry]), Seq("-colmap"))
+      else {
+        val cm = ColMapEntry(m.toSeq.sortBy(_._1))
+        (ls.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm, Seq(addOp(cm)))
+      }
+    commitChild(spark, dir, v, prev, newLines, ops, protocol)
+    v
+  }
+
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
     * previous version's file set. Returns the committed version.
@@ -515,9 +681,21 @@ object Versioned {
     * [[RenameCommit]] (opt-in for HDFS deployments). */
   def writeVersion(df: DataFrame, dir: String,
                    mode: SaveMode = SaveMode.Overwrite,
-                   protocol: CommitProtocol = PutIfAbsentCommit): Int =
+                   protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    // a renamed chain's APPEND must land PHYSICAL column names (an
+    // overwrite resets the physical layout from its own files and
+    // needs no translation — writeVersionCore drops the mapping)
+    val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
     writeVersionWith(df.sparkSession, dir, protocol, mode)(tmp =>
-      df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+      out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+  }
+
+  /** [[toPhysical]] against the chain's CURRENT mapping (no-op when
+    * the table was never renamed or does not exist yet). */
+  private def toPhysicalLatest(df: DataFrame, dir: String): DataFrame =
+    latestVersion(df.sparkSession, dir)
+      .map(v => toPhysical(df, colMapOf(lines(df.sparkSession, dir, v))))
+      .getOrElse(df)
 
   /** [[writeVersion]] with a caller-supplied data writer — the
     * [[ManifestStore]] rewrite hook: `write` receives the immutable
@@ -556,9 +734,13 @@ object Versioned {
     require(appId.nonEmpty, "appId must be non-empty")
     val attempt: () => Option[Int] =
       if (partCols.isEmpty) { () =>
+        // re-resolve the column mapping PER ATTEMPT: a concurrent
+        // rename between OCC retries must not leave this batch's
+        // files under stale names
+        val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
         writeVersionCore(df.sparkSession, dir, protocol, mode,
           txn = Some((appId, batchId)))(tmp =>
-          df.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+          out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
       } else { () =>
         // PARTITIONED sink (`writeStream.partitionBy(...)`): each
         // batch lands hive-laid-out inside its commit's data dir —
@@ -906,11 +1088,15 @@ object Versioned {
       // txn watermarks survive even an RTAS: they guard a WRITER's
       // replay, not the table's definition — a stream whose epoch was
       // committed before the replace must still skip its re-delivery
+      // the empty state records the LOGICAL schema and no mapping
+      // (there are no files left to name), so carried NOT NULL lines
+      // (physical-keyed) rename to logical with it
+      val prevInv = colMapOf(lines(spark, dir, prev)).map(_.swap)
       val carried = lines(spark, dir, prev).collect { case t: TxnEntry => t } ++
         (if (replaceDefinition) Seq.empty[Line]
          else lines(spark, dir, prev).collect {
            case c: ConstraintEntry => c
-           case n: NotNullEntry => n
+           case n: NotNullEntry => NotNullEntry(prevInv.getOrElse(n.col, n.col))
          })
       val ordered =
         if (partCols.isEmpty) declared
@@ -1034,10 +1220,35 @@ object Versioned {
         (s, Skipping.collectDirStats(spark, dataPath, s))
     }
     val (rows, colStats, dirFiles) = harvested
+    // the chain's column mapping (logical→physical), empty when never
+    // renamed. An APPEND's staged files must carry PHYSICAL names —
+    // the df entry points translate ([[toPhysical]]); a raw
+    // writeVersionWith callback that wrote a mapped LOGICAL name is
+    // refused here (the union merge would otherwise record it as a
+    // NEW column and its values would vanish from the logical view)
+    val chainMap = prev.map(p => colMapOf(lines(spark, dir, p))).getOrElse(Map.empty)
+    if (mode == SaveMode.Append && chainMap.nonEmpty) {
+      dirSchema.fieldNames.find(n => chainMap.get(n).exists(_ != n)).foreach { n =>
+        if (preWritten.isEmpty) fs.delete(dataPath, true)
+        throw new IllegalArgumentException(
+          s"append to $dir staged column '$n', which is a RENAMED logical name — " +
+            s"files must carry the physical name '${chainMap(n)}'; write through " +
+            "writeVersion/appendVersionWithRetry (they translate) instead of a raw callback")
+      }
+    }
     val newSchema = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchema)
       case _                          => dirSchema
     }
+    // do the STAGED files carry the chain's physical names? Appends do
+    // (translated entry points + the guard above); a staged
+    // (preWritten) overwrite does too — its bytes come from the
+    // catalog's physical-named writer; a PLAIN overwrite starts the
+    // physical layout fresh from its own files, so the mapping is
+    // dropped and its carried NOT NULL lines rename to logical below
+    val stagedPhysical = mode == SaveMode.Append || preWritten.nonEmpty
+    val stagedMap = if (stagedPhysical) chainMap else Map.empty[String, String]
+    val invChain = chainMap.map(_.swap)
     // enforced CHECK constraints: validate the JUST-WRITTEN dir before
     // the commit — O(delta), one combined job in the passing case; a
     // violation deletes the still-invisible dir and refuses, so a bad
@@ -1061,7 +1272,10 @@ object Versioned {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       def violates(c: ConstraintEntry) =
         not(coalesce(expr(c.predicateSql), lit(true)))
-      val staged = spark.read.schema(newSchema).parquet(dataPath.toString)
+      // constraint predicates are LOGICAL sql text; the staged files
+      // are physical — validate under the logical names
+      val staged = toLogicalDf(
+        spark.read.schema(newSchema).parquet(dataPath.toString), stagedMap)
       if (!staged.filter(activeConstraints.map(violates).reduce(_ || _)).isEmpty) {
         val culprit = activeConstraints.find(c =>
           !staged.filter(violates(c)).isEmpty).get
@@ -1082,19 +1296,22 @@ object Versioned {
         lines(spark, dir, p).collect { case n: NotNullEntry => n })
     if (activeNotNull.nonEmpty && rows > 0) {
       activeNotNull.foreach { nn =>
-        val violated = colStats.get(nn.col) match {
+        // notnull lines are keyed PHYSICAL; a fresh overwrite's staged
+        // files (and harvested stats) use the logical names
+        val effCol = if (stagedPhysical) nn.col else invChain.getOrElse(nn.col, nn.col)
+        val violated = colStats.get(effCol) match {
           case None                          => true // column absent from the dir
           case Some(cs) => cs.nulls match {
             case Some(n)                     => n > 0
             case None =>
               !spark.read.schema(newSchema).parquet(dataPath.toString)
-                .filter(org.apache.spark.sql.functions.col(nn.col).isNull).isEmpty
+                .filter(org.apache.spark.sql.functions.col(effCol).isNull).isEmpty
           }
         }
         if (violated) {
           if (preWritten.isEmpty) fs.delete(dataPath, true)
           throw new IllegalArgumentException(
-            s"write to $dir violates NOT NULL constraint on '${nn.col}'; " +
+            s"write to $dir violates NOT NULL constraint on '$effCol'; " +
               "nothing was committed")
         }
       }
@@ -1103,7 +1320,23 @@ object Versioned {
     // replaces the rows but keeps the contract (appends carry them
     // inside prevLines below)
     val carriedConstraints = (mode, prev) match {
-      case (SaveMode.Overwrite, Some(_)) => activeNotNull ++ activeConstraints
+      case (SaveMode.Overwrite, Some(_)) =>
+        // a fresh overwrite drops the column mapping (logical IS the
+        // new physical), so its carried NOT NULL lines rename with it
+        val nn = if (stagedPhysical) activeNotNull
+                 else activeNotNull.map(n => NotNullEntry(invChain.getOrElse(n.col, n.col)))
+        nn ++ activeConstraints
+      case _ => Seq.empty
+    }
+    // the mapping itself: appends carry it inside prevLines; a STAGED
+    // overwrite (catalog CoW rewrite — its files are physical-named)
+    // carries it explicitly, restricted to columns still present; a
+    // plain overwrite drops it (fresh layout)
+    val carriedColMap: Seq[Line] = (mode, preWritten) match {
+      case (SaveMode.Overwrite, Some(_)) if !replaceDefinition && chainMap.nonEmpty =>
+        val kept = chainMap.toSeq.sortBy(_._1)
+          .filter { case (_, phys) => newSchema.fieldNames.contains(phys) }
+        if (kept.isEmpty) Seq.empty else Seq(ColMapEntry(kept))
       case _ => Seq.empty
     }
     // txn watermarks are WRITER bookkeeping, not data: an overwrite
@@ -1134,7 +1367,7 @@ object Versioned {
     val stats = StatsEntry(dataDir, rows, colStats, dirFiles)
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
-        prevLines ++ carriedConstraints ++ carriedTxns ++
+        prevLines ++ carriedConstraints ++ carriedColMap ++ carriedTxns ++
         txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
         DataEntry(dataDir) :+ stats)
     // … then the atomic manifest commit publishes it. An APPEND
@@ -1288,13 +1521,17 @@ object Versioned {
       deleteByKeysCore(spark, dir, keys, keyCol, protocol, scoped = true))
 
   private def deleteByKeysCore(spark: SparkSession, dir: String, keys: DataFrame,
-                               keyCol: String, protocol: CommitProtocol,
+                               keyCol0: String, protocol: CommitProtocol,
                                scoped: Boolean): Int = {
-    require(keyCol.matches("[A-Za-z0-9_]+"),
-      s"keyCol must be word-shaped (it is embedded in the manifest), got '$keyCol'")
+    require(keyCol0.matches("[A-Za-z0-9_]+"),
+      s"keyCol must be word-shaped (it is embedded in the manifest), got '$keyCol0'")
     val (fs, root) = fsFor(spark, dir)
     val prev = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
+    // the caller names the LOGICAL column; the dv line, the dv
+    // parquet's column, and every mask join run PHYSICAL — one
+    // translation here keeps deletes working across renames
+    val keyCol = colMapOf(lines(spark, dir, prev)).getOrElse(keyCol0, keyCol0)
     // a scoped delete against a table with no data dirs masks nothing
     // (there are no "current rows"): nothing to commit
     if (scoped && !lines(spark, dir, prev).exists(_.isInstanceOf[DataEntry]))
@@ -1305,7 +1542,8 @@ object Versioned {
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val dvDir = f"v$v%08d_dv_$nonce"
     val dvPath = new Path(root, dvDir)
-    val keyDf = keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
+    val keyDf = keys.select(
+      org.apache.spark.sql.functions.col(keyCol0).as(keyCol)).distinct()
     keyDf.write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
     // size guard BEFORE the commit (footer row count of the
     // just-written key set — metadata only): an oversized mask is
@@ -1586,11 +1824,15 @@ object Versioned {
   def readVersionSkipping(spark: SparkSession, dir: String, v: Int,
                           filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     val ls = lines(spark, dir, v)
-    val schema = ls.collectFirst { case SchemaEntry(s) => s }
+    // filters arrive in LOGICAL names; the stats are keyed physical —
+    // rekey the stats once instead of rewriting every filter tree
+    val cmap = colMapOf(ls)
+    val schema = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
     val keep: String => Boolean = name => stats.get(name) match {
       case Some(st) if schema.nonEmpty =>
-        !filters.exists(f => Skipping.excludes(st.rows, st.cols, schema.get, f))
+        !filters.exists(f =>
+          Skipping.excludes(st.rows, rekeyToLogical(st.cols, cmap), schema.get, f))
       case _ => true
     }
     val pred = filters.map(Skipping.toColumn)
@@ -1605,12 +1847,14 @@ object Versioned {
   private[graft] def planDataDirs(spark: SparkSession, dir: String, v: Int,
                                   filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     val ls = lines(spark, dir, v)
-    val schema = ls.collectFirst { case SchemaEntry(s) => s }
+    val cmap = colMapOf(ls)
+    val schema = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
     ls.collect { case DataEntry(n) => n }.filter { name =>
       stats.get(name) match {
         case Some(st) if schema.nonEmpty =>
-          !filters.exists(f => Skipping.excludes(st.rows, st.cols, schema.get, f))
+          !filters.exists(f =>
+            Skipping.excludes(st.rows, rekeyToLogical(st.cols, cmap), schema.get, f))
         case _ => true
       }
     }
@@ -1624,14 +1868,16 @@ object Versioned {
   private[graft] def planDataFiles(spark: SparkSession, dir: String, v: Int,
                                    filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     val ls = lines(spark, dir, v)
-    val schema = ls.collectFirst { case SchemaEntry(s) => s }
+    val cmap = colMapOf(ls)
+    val schema = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
     val keptDirs = planDataDirs(spark, dir, v, filters)
     keptDirs.flatMap { name =>
       stats.get(name) match {
         case Some(st) if schema.nonEmpty && st.files.nonEmpty =>
           st.files.filter(f => f.rows.isEmpty ||
-              !filters.exists(flt => Skipping.excludes(f.rows.get, f.cols, schema.get, flt)))
+              !filters.exists(flt => Skipping.excludes(f.rows.get,
+                rekeyToLogical(f.cols, cmap), schema.get, flt)))
             .map(f => s"$name/${f.name}")
         case Some(st) if st.files.nonEmpty => st.files.map(f => s"$name/${f.name}")
         case _ => Seq(name) // unlisted dir: read whole
@@ -1713,7 +1959,7 @@ object Versioned {
       case Some(s) => spark.read.schema(s).parquet(dataEntries.map(abs): _*)
       case None    => spark.read.option("mergeSchema", "true").parquet(dataEntries.map(abs): _*)
     }
-    ls.collect { case DvEntry(k, n) => (k, abs(n)) }
+    val masked = ls.collect { case DvEntry(k, n) => (k, abs(n)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .foldLeft(base) { case (df, (k, dvs)) =>
         df.join(
@@ -1721,6 +1967,11 @@ object Versioned {
             .select(org.apache.spark.sql.functions.col(k)).distinct(),
           Seq(k), "left_anti")
       }
+    // the ONE read-boundary translation: everything above (schema,
+    // file index, stats, dv keys) ran in physical name space; the
+    // final aliasing Project serves the logical names, and pushdown
+    // through it translates user predicates back to physical for free
+    toLogicalDf(masked, colMapOf(ls))
   }
 
   /** Everything the SQL catalog needs to plan one version: the
@@ -1734,7 +1985,12 @@ object Versioned {
                                               // (keyCol, absolute dv dir, scoped data-dir NAMES)
                                               scopedDvs: Seq[(String, String, Set[String])] =
                                                 Seq.empty,
-                                              notNull: Seq[String] = Seq.empty)
+                                              notNull: Seq[String] = Seq.empty,
+                                              // logical→physical; EVERYTHING else in
+                                              // this struct is raw PHYSICAL names —
+                                              // the consumer translates where it
+                                              // serves users (the SQL catalog's load)
+                                              colMap: Map[String, String] = Map.empty)
 
   private[graft] def versionInfo(spark: SparkSession, dir: String, v: Int): VersionInfo = {
     val ls = lines(spark, dir, v)
@@ -1746,12 +2002,17 @@ object Versioned {
         .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) },
       ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty),
       ls.collect { case ScopedDvEntry(k, n, sc) => (k, abs(n), sc.toSet) },
-      ls.collect { case NotNullEntry(c) => c })
+      ls.collect { case NotNullEntry(c) => c },
+      colMapOf(ls))
   }
 
-  /** The enforced NOT NULL columns of a version, in manifest order. */
-  def notNullColumns(spark: SparkSession, dir: String, v: Int): Seq[String] =
-    lines(spark, dir, v).collect { case NotNullEntry(c) => c }
+  /** The enforced NOT NULL columns of a version, in manifest order,
+    * under their LOGICAL names (the lines store the physical ones). */
+  def notNullColumns(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val ls = lines(spark, dir, v)
+    val inv = colMapOf(ls).map(_.swap)
+    ls.collect { case NotNullEntry(c) => inv.getOrElse(c, c) }
+  }
 
   /** A SUBSET of version `v`'s data dirs (absolute paths), read
     * through the full manifest-aware path — recorded schema,
@@ -2303,10 +2564,24 @@ object Versioned {
     val prior = ls.collectFirst { case SchemaEntry(s) => s }
       .getOrElse(schemaOf(spark, dir, prev))
     val next = asNullable(change(prior, ls))
+    // a dropped column takes its mapping entry with it (the physical
+    // field is gone from the recorded schema; a stale entry would
+    // keep its old name reserved forever)
+    val priorMap = colMapOf(ls)
+    val keptMap = priorMap.filter { case (_, p) => next.fieldNames.contains(p) }
+    val mapOps: Seq[String] =
+      if (keptMap == priorMap) Seq.empty
+      else if (keptMap.isEmpty) Seq("-colmap")
+      else Seq(addOp(ColMapEntry(keptMap.toSeq.sortBy(_._1))))
+    val newLines = SchemaEntry(next) +: {
+      val rest = ls.filterNot(_.isInstanceOf[SchemaEntry])
+      if (keptMap == priorMap) rest
+      else rest.filterNot(_.isInstanceOf[ColMapEntry]) ++
+        (if (keptMap.isEmpty) Seq.empty else Seq(ColMapEntry(keptMap.toSeq.sortBy(_._1))))
+    }
     val v = prev + 1
-    commitChild(spark, dir, v, prev,
-      SchemaEntry(next) +: ls.filterNot(_.isInstanceOf[SchemaEntry]),
-      Seq(addOp(SchemaEntry(next))), protocol)
+    commitChild(spark, dir, v, prev, newLines,
+      addOp(SchemaEntry(next)) +: mapOps, protocol)
     v
   }
 
@@ -2328,9 +2603,19 @@ object Versioned {
                  protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(cols.nonEmpty, "no columns to add")
     commitSchemaChange(spark, dir, protocol) { (prior, ls) =>
-      val lower = prior.fieldNames.map(_.toLowerCase).toSet
-      cols.foreach(f => require(!lower.contains(f.name.toLowerCase),
-        s"column '${f.name}' already exists"))
+      val cmap = colMapOf(ls)
+      val logicalLower = toLogicalSchema(prior, cmap)
+        .fieldNames.map(_.toLowerCase).toSet
+      cols.foreach { f =>
+        require(!logicalLower.contains(f.name.toLowerCase),
+          s"column '${f.name}' already exists")
+        // the resurrect-collision guard: a renamed-away column's
+        // PHYSICAL name is still live in every file — a new column
+        // landing on it would serve the old bytes as its own
+        require(!cmap.values.exists(_.equalsIgnoreCase(f.name)),
+          s"'${f.name}' is the physical storage name of a renamed column — " +
+            "add it under a different name")
+      }
       require(cols.map(_.name.toLowerCase).distinct.length == cols.length,
         s"duplicate names in ${cols.map(_.name).mkString(",")}")
       val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
@@ -2352,10 +2637,15 @@ object Versioned {
                   protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(names.nonEmpty, "no columns to drop")
     commitSchemaChange(spark, dir, protocol) { (prior, ls) =>
+      val cmap = colMapOf(ls)
+      val logical = toLogicalSchema(prior, cmap)
+      // callers name LOGICAL columns; the schema line and every guard
+      // below speak physical
       val resolved = names.map { n =>
-        prior.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
+        val l = logical.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
           throw new IllegalArgumentException(
-            s"no column '$n' in ${prior.fieldNames.mkString(",")}"))
+            s"no column '$n' in ${logical.fieldNames.mkString(",")}"))
+        (l, cmap.getOrElse(l, l))
       }
       val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
       val dvKeys = ls.collect {
@@ -2370,22 +2660,23 @@ object Versioned {
             a.nameParts.head.toLowerCase
         }.toSet
       }
-      resolved.foreach { n =>
+      resolved.foreach { case (l, n) =>
         require(!partCols.contains(n), s"cannot drop partition column '$n'")
         require(!dvKeys.contains(n),
           s"cannot drop '$n': it keys a live deletion vector — compact or " +
             "overwrite to apply the mask physically first")
-        constraintRefs.find(_._2.contains(n.toLowerCase)).foreach { case (cn, _) =>
+        // constraint predicates are LOGICAL sql — compare the logical name
+        constraintRefs.find(_._2.contains(l.toLowerCase)).foreach { case (cn, _) =>
           throw new IllegalArgumentException(
-            s"cannot drop '$n': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
+            s"cannot drop '$l': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
         }
         // this single-purpose commit cannot remove the constraint line
         // with the column; the atomic ALTER can (and does)
         require(!ls.exists { case NotNullEntry(c) => c.equalsIgnoreCase(n); case _ => false },
-          s"cannot drop '$n': it carries NOT NULL — use alterTableAtomic " +
+          s"cannot drop '$l': it carries NOT NULL — use alterTableAtomic " +
             "(SQL ALTER TABLE), which drops the constraint with the column")
       }
-      val dropSet = resolved.toSet
+      val dropSet = resolved.map(_._2).toSet
       val kept = prior.fields.filterNot(f => dropSet.contains(f.name))
       require(kept.nonEmpty, "cannot drop every column")
       StructType(kept)
@@ -2532,42 +2823,55 @@ object Versioned {
     }
     require(alter.addChecks.map(_._1.toLowerCase).distinct.length == alter.addChecks.length,
       s"duplicate constraint names in ${alter.addChecks.map(_._1).mkString(",")}")
-    // column adds: no collisions with the prior schema or each other
-    val priorLower = prior.fieldNames.map(_.toLowerCase).toSet
-    alter.addCols.foreach(f => require(!priorLower.contains(f.name.toLowerCase),
-      s"column '${f.name}' already exists"))
+    // the column mapping: user-facing names in this spec are LOGICAL;
+    // the schema line, stats, dv keys and notnull lines are PHYSICAL
+    val cmap = colMapOf(ls)
+    val priorLogical = toLogicalSchema(prior, cmap)
+    // column adds: no collisions with the prior schema, the physical
+    // image (the resurrect guard — see addColumns), or each other
+    val priorLower = priorLogical.fieldNames.map(_.toLowerCase).toSet
+    alter.addCols.foreach { f =>
+      require(!priorLower.contains(f.name.toLowerCase),
+        s"column '${f.name}' already exists")
+      require(!cmap.values.exists(_.equalsIgnoreCase(f.name)),
+        s"'${f.name}' is the physical storage name of a renamed column — " +
+          "add it under a different name")
+    }
     require(alter.addCols.map(_.name.toLowerCase).distinct.length == alter.addCols.length,
       s"duplicate names in ${alter.addCols.map(_.name).mkString(",")}")
     // column drops: resolve against the PRE-alter schema; the guards
     // consider the POST-alter constraint set (dropping a constraint
     // and the column it reads in one statement is legal)
     val resolvedDrops = alter.dropCols.map { n =>
-      prior.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
+      val l = priorLogical.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
-          s"no column '$n' in ${prior.fieldNames.mkString(",")}"))
+          s"no column '$n' in ${priorLogical.fieldNames.mkString(",")}"))
+      (l, cmap.getOrElse(l, l))
     }
     val finalChecks = remainingChecks ++
       alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) }
     val checkRefs = finalChecks.map(c => c.name -> constraintRefCols(spark, c.predicateSql))
-    resolvedDrops.foreach { n =>
+    resolvedDrops.foreach { case (l, n) =>
       require(!partCols.contains(n), s"cannot drop partition column '$n'")
       require(!dvKeys.contains(n),
         s"cannot drop '$n': it keys a live deletion vector — compact or " +
           "overwrite to apply the mask physically first")
-      checkRefs.find(_._2.contains(n.toLowerCase)).foreach { case (cn, _) =>
+      checkRefs.find(_._2.contains(l.toLowerCase)).foreach { case (cn, _) =>
         throw new IllegalArgumentException(
-          s"cannot drop '$n': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
+          s"cannot drop '$l': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
       }
     }
-    // final schema: data columns minus drops plus adds, partition
-    // columns last (the partitioned read order)
-    val dropSet = resolvedDrops.toSet
+    // final schema (PHYSICAL names): data columns minus drops plus
+    // adds, partition columns last (the partitioned read order)
+    val dropSet = resolvedDrops.map(_._2).toSet
     val (dataF, partF) = prior.fields.partition(f => !partCols.contains(f.name))
     val keptData = dataF.filterNot(f => dropSet.contains(f.name))
     val finalSchema = asNullable(StructType(keptData ++ alter.addCols ++ partF))
     require(finalSchema.fields.nonEmpty, "cannot drop every column")
+    val finalMap = cmap.filter { case (_, p) => finalSchema.fieldNames.contains(p) }
+    val finalLogical = toLogicalSchema(finalSchema, finalMap)
     // added constraints must resolve against the FINAL schema …
-    val finalLower = finalSchema.fieldNames.map(_.toLowerCase).toSet
+    val finalLower = finalLogical.fieldNames.map(_.toLowerCase).toSet
     alter.addChecks.foreach { case (n, sql) =>
       val unknown = constraintRefCols(spark, sql) -- finalLower
       require(unknown.isEmpty,
@@ -2595,14 +2899,20 @@ object Versioned {
     // null-backfill it). DROP NOT NULL on a nullable column is a
     // no-op, like Delta's.
     val existingNotNull = ls.collect { case n: NotNullEntry => n }
+    // (logical, physical) pairs: the lines and the stats lookup speak
+    // physical; the validation scan (readVersion) serves logical
     val resolvedSet = alter.setNotNull.map { n =>
-      finalSchema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
+      val l = finalLogical.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
-          s"no column '$n' in ${finalSchema.fieldNames.mkString(",")}"))
-    }.filterNot(n => existingNotNull.exists(_.col.equalsIgnoreCase(n)))
-    val resolvedDropNn = alter.dropNotNull.flatMap(n =>
-      existingNotNull.map(_.col).find(_.equalsIgnoreCase(n)))
-    require(resolvedSet.toSet.intersect(resolvedDropNn.toSet).isEmpty,
+          s"no column '$n' in ${finalLogical.fieldNames.mkString(",")}"))
+      (l, finalMap.getOrElse(l, l))
+    }.filterNot { case (_, p) => existingNotNull.exists(_.col.equalsIgnoreCase(p)) }
+    val resolvedDropNn = alter.dropNotNull.flatMap { n =>
+      val p = finalMap.collectFirst {
+        case (l, phys) if l.equalsIgnoreCase(n) => phys }.getOrElse(n)
+      existingNotNull.map(_.col).find(_.equalsIgnoreCase(p))
+    }
+    require(resolvedSet.map(_._2).toSet.intersect(resolvedDropNn.toSet).isEmpty,
       "a column cannot be both SET and DROP NOT NULL in one statement")
     if (resolvedSet.nonEmpty) {
       val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
@@ -2610,16 +2920,16 @@ object Versioned {
       def provablyNoNulls(c: String) = dataDirs.forall(d =>
         stats.get(d).exists(st =>
           st.rows == 0 || st.cols.get(c).exists(_.nulls.contains(0L))))
-      val unproven = resolvedSet.filterNot(provablyNoNulls)
+      val unproven = resolvedSet.filterNot { case (_, p) => provablyNoNulls(p) }
       if (unproven.nonEmpty) {
         import org.apache.spark.sql.functions.{col => fcol, lit}
         val base = alter.addCols.foldLeft(readVersion(spark, dir, prev)) { (df, f) =>
           df.withColumn(f.name, lit(null).cast(f.dataType))
         }
-        unproven.foreach { c =>
-          require(base.filter(fcol(c).isNull).isEmpty,
-            s"cannot SET NOT NULL on '$c': existing rows hold nulls — " +
-              s"backfill them first (UPDATE … SET $c = … WHERE $c IS NULL)")
+        unproven.foreach { case (l, _) =>
+          require(base.filter(fcol(l).isNull).isEmpty,
+            s"cannot SET NOT NULL on '$l': existing rows hold nulls — " +
+              s"backfill them first (UPDATE … SET $l = … WHERE $l IS NULL)")
         }
       }
     }
@@ -2628,22 +2938,31 @@ object Versioned {
     val droppedNn = existingNotNull.filter(n =>
       dropSet.exists(_.equalsIgnoreCase(n.col)) ||
         resolvedDropNn.exists(_.equalsIgnoreCase(n.col)))
+    val mapShrank = finalMap != cmap
     val kept = ls.filterNot {
       case _: SchemaEntry => true
       case c: ConstraintEntry => dropCheckNames.exists(_.equalsIgnoreCase(c.name))
       case n: NotNullEntry => droppedNn.exists(_.col.equalsIgnoreCase(n.col))
+      case _: ColMapEntry => mapShrank // re-added below when non-empty
       case _ => false
     }
+    val mapLine =
+      if (!mapShrank || finalMap.isEmpty) Seq.empty
+      else Seq(ColMapEntry(finalMap.toSeq.sortBy(_._1)))
+    val mapOps: Seq[String] =
+      if (!mapShrank) Seq.empty
+      else if (finalMap.isEmpty) Seq("-colmap")
+      else Seq(addOp(ColMapEntry(finalMap.toSeq.sortBy(_._1))))
     val v = prev + 1
     commitChild(spark, dir, v, prev,
-      SchemaEntry(finalSchema) +: (kept ++
+      SchemaEntry(finalSchema) +: (kept ++ mapLine ++
         alter.addChecks.map { case (n, sql) => ConstraintEntry(n, sql) } ++
-        resolvedSet.map(NotNullEntry(_))),
+        resolvedSet.map { case (_, p) => NotNullEntry(p) }),
       (addOp(SchemaEntry(finalSchema)) +:
         (dropCheckNames.map(n => s"-constraint:$n") ++
-          droppedNn.map(n => s"-notnull:${n.col}"))) ++
+          droppedNn.map(n => s"-notnull:${n.col}") ++ mapOps)) ++
         alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) } ++
-        resolvedSet.map(n => addOp(NotNullEntry(n))),
+        resolvedSet.map { case (_, p) => addOp(NotNullEntry(p)) },
       protocol)
     Some(v)
   }

@@ -3913,4 +3913,155 @@ class ExtSpec extends AnyFunSuite {
     Versioned.writeVersion(Seq(2L).toDF("id"), dir, SaveMode.Append)
     assert(ids() == expect + 2L)
   }
+
+  test("column mapping: rename is metadata-only; reads serve logical names; skipping and time travel hold") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_colmap").toString + "/t"
+    val v0 = Versioned.writeVersion(
+      (1L to 100L).map(i => (i, s"u$i", i * 2.0)).toDF("id", "name", "score"), dir)
+    val dirsBefore = Versioned.liveDataDirs(spark, dir).toSet
+    val vr = Versioned.renameColumns(spark, dir, Seq("score" -> "rating"))
+    assert(vr == v0 + 1)
+    // METADATA-ONLY: not one data dir changed
+    assert(Versioned.liveDataDirs(spark, dir).toSet == dirsBefore)
+    assert(Versioned.columnMapping(spark, dir, vr) == Map("rating" -> "score"))
+    // reads serve the LOGICAL name
+    val latest = Versioned.readLatest(spark, dir)
+    assert(latest.columns.toSeq == Seq("id", "name", "rating"))
+    assert(latest.filter($"rating" === 20.0).select("id").as[Long].head() == 10L)
+    // logicalSchema vs recordedSchema (physical) disagree exactly on the rename
+    assert(Versioned.logicalSchema(spark, dir, vr).get.fieldNames.toSeq ==
+      Seq("id", "name", "rating"))
+    assert(Versioned.recordedSchema(spark, dir, vr).get.fieldNames.toSeq ==
+      Seq("id", "name", "score"))
+    // TIME TRAVEL to the pre-rename version serves the old name
+    assert(Versioned.readVersion(spark, dir, v0).columns.toSeq ==
+      Seq("id", "name", "score"))
+
+    // APPEND through the df seam lands PHYSICAL column names
+    val va = Versioned.writeVersion(
+      Seq((101L, "u101", 999.5)).toDF("id", "name", "rating"), dir, SaveMode.Append)
+    val newDir = Versioned.liveDataDirs(spark, dir)
+      .filterNot(dirsBefore).head
+    assert(spark.read.parquet(newDir).columns.contains("score"),
+      "appended files must carry the physical name")
+    assert(Versioned.readVersion(spark, dir, va).count() == 101)
+    assert(Versioned.readLatest(spark, dir)
+      .filter($"rating" === 999.5).select("id").as[Long].head() == 101L)
+
+    // SKIPPING on the logical name: both the explicit API and the plan probe
+    import org.apache.spark.sql.sources.EqualTo
+    val planned = Versioned.planDataDirs(spark, dir, va, Seq(EqualTo("rating", 999.5)))
+    assert(planned.length == 1, s"skip should keep only the new dir, got $planned")
+    assert(Versioned.readVersionSkipping(spark, dir, va, Seq(EqualTo("rating", 999.5)))
+      .select("id").as[Long].collect().toSeq == Seq(101L))
+
+    // a raw writeVersionWith APPEND that stages the logical name refuses
+    val e = intercept[IllegalArgumentException] {
+      Versioned.writeVersionWith(spark, dir, mode = SaveMode.Append)(tmp =>
+        Seq((102L, "u102", 1.0)).toDF("id", "name", "rating")
+          .write.parquet(tmp))
+    }
+    assert(e.getMessage.contains("physical name"), e.getMessage)
+    assert(Versioned.readLatest(spark, dir).count() == 101)
+
+    // DELETE by the logical key name masks across the rename
+    Versioned.deleteByKeys(spark, dir,
+      Seq(10L).toDF("id"), "id")
+    assert(Versioned.readLatest(spark, dir).filter($"rating" === 20.0).isEmpty)
+
+    // chained rename folds (rating -> r2), rename BACK drops the map line
+    val v2 = Versioned.renameColumns(spark, dir, Seq("rating" -> "r2"))
+    assert(Versioned.columnMapping(spark, dir, v2) == Map("r2" -> "score"))
+    val v3 = Versioned.renameColumns(spark, dir, Seq("r2" -> "score"))
+    assert(Versioned.columnMapping(spark, dir, v3).isEmpty)
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "name", "score"))
+
+    // an OVERWRITE resets the physical layout and drops the mapping
+    val v4 = Versioned.renameColumns(spark, dir, Seq("score" -> "points"))
+    val v5 = Versioned.writeVersion(
+      Versioned.readLatest(spark, dir), dir) // e.g. a compaction rewrite
+    assert(Versioned.columnMapping(spark, dir, v5).isEmpty)
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "name", "points"))
+    assert(v4 + 1 == v5)
+  }
+
+  test("column mapping: refusals — partitioned chain, CHECK-referenced, occupied names; NOT NULL survives a rename") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_colmap_refuse").toString
+    // partitioned chain refuses
+    val pdir = root + "/p"
+    Versioned.writeVersionPartitioned(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "p"), pdir, Seq("p"))
+    val ep = intercept[IllegalArgumentException] {
+      Versioned.renameColumns(spark, pdir, Seq("id" -> "key"))
+    }
+    assert(ep.getMessage.contains("PARTITIONED"), ep.getMessage)
+
+    val dir = root + "/t"
+    Versioned.writeVersion((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "price"), dir)
+    // CHECK-referenced column refuses
+    Versioned.addCheckConstraint(spark, dir, "pos", "price > 0")
+    val ec = intercept[IllegalArgumentException] {
+      Versioned.renameColumns(spark, dir, Seq("price" -> "cost"))
+    }
+    assert(ec.getMessage.contains("pos"), ec.getMessage)
+    Versioned.dropCheckConstraint(spark, dir, "pos")
+
+    // NOT NULL survives the rename (the line is physical-keyed)
+    Versioned.alterTableAtomic(spark, dir,
+      Versioned.AlterSpec(setNotNull = Seq("price")))
+    Versioned.renameColumns(spark, dir, Seq("price" -> "cost"))
+    val vNow = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.notNullColumns(spark, dir, vNow) == Seq("cost"))
+    val en = intercept[Exception] {
+      Versioned.writeVersion(
+        Seq((11L, null.asInstanceOf[java.lang.Double]))
+          .toDF("id", "cost"), dir, SaveMode.Append)
+    }
+    assert(en.getMessage.contains("NOT NULL"), en.getMessage)
+    // dropping it back through the LOGICAL name works
+    Versioned.alterTableAtomic(spark, dir,
+      Versioned.AlterSpec(dropNotNull = Seq("cost")))
+    assert(Versioned.notNullColumns(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty)
+
+    // target name collisions refuse: existing logical, and occupied physical
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.renameColumns(spark, dir, Seq("id" -> "cost"))
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.renameColumns(spark, dir, Seq("id" -> "price"))
+    }
+    assert(e2.getMessage.contains("physical storage name"), e2.getMessage)
+
+    // re-ADD under the occupied physical name refuses (the resurrect guard) …
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.addColumns(spark, dir, Seq(
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType)))
+    }
+    assert(e3.getMessage.contains("physical storage name"), e3.getMessage)
+    // … and so does appending a df that smuggles the name in
+    val e4 = intercept[IllegalArgumentException] {
+      Versioned.writeVersion(
+        Seq((12L, 1.0, 2.0)).toDF("id", "cost", "price"), dir, SaveMode.Append)
+    }
+    assert(e4.getMessage.contains("occupied"), e4.getMessage)
+
+    // DROPPING the renamed column (by its logical name) prunes the map
+    Versioned.writeVersion(Seq((12L, 3.0)).toDF("id", "cost"), dir, SaveMode.Append)
+    Versioned.dropColumns(spark, dir, Seq("cost"))
+    val vD = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.columnMapping(spark, dir, vD).isEmpty)
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id"))
+    // with the mapping gone, the physical name is free again
+    Versioned.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType)))
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "price"))
+  }
 }
