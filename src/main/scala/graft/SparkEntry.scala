@@ -1661,6 +1661,52 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, priority, price FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // COLUMN MAPPING (Delta column-mapping 'name' mode's role): ALTER
+    // TABLE … RENAME COLUMN is a METADATA-ONLY commit — the files keep
+    // the physical name, reads serve the logical one, and both the
+    // append THROUGH the new name and the filter pushdown on it work.
+    // In-query asserts pin the contract: no data dir changed across the
+    // rename, the mapping line landed, the post-rename INSERT staged
+    // PHYSICAL column names, and the manifest-stats plan prunes files
+    // by a predicate on the RENAMED column.
+    "q142_sql_rename_column" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_rename_col", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q142")
+      s.sql(s"CREATE TABLE versioned.`$tbl` " +
+        "(o_orderkey BIGINT, status STRING, price DOUBLE)")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q142 WHERE o_orderstatus = 'F'")
+      val dirsBefore = graft.ext.Versioned.liveDataDirs(s, tbl).toSet
+      s.sql(s"ALTER TABLE versioned.`$tbl` RENAME COLUMN price TO amount")
+      val vR = graft.ext.Versioned.latestVersion(s, tbl).get
+      assert(graft.ext.Versioned.liveDataDirs(s, tbl).toSet == dirsBefore,
+        "RENAME COLUMN must be metadata-only: no data dir may change")
+      assert(graft.ext.Versioned.columnMapping(s, tbl, vR) == Map("amount" -> "price"),
+        "the rename must land as a column-mapping line")
+      // append THROUGH the new name: the staged files carry the
+      // physical name, so the whole chain reads as one union
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) " +
+        "FROM orders_q142 WHERE o_orderstatus = 'P'")
+      val newDirs = graft.ext.Versioned.liveDataDirs(s, tbl).filterNot(dirsBefore)
+      assert(newDirs.nonEmpty &&
+        newDirs.forall(nd => s.read.parquet(nd).columns.contains("price")),
+        "post-rename INSERT must stage the PHYSICAL column name")
+      // manifest-stats skipping speaks the LOGICAL name: a selective
+      // predicate on the renamed column plans fewer files than live
+      val allFiles = graft.ext.Versioned.planDataFiles(s, tbl, vR + 1, Seq.empty)
+      val planned = graft.ext.Versioned.planDataFiles(s, tbl, vR + 1,
+        Seq(org.apache.spark.sql.sources.LessThan("amount", -1.0)))
+      assert(planned.isEmpty && allFiles.nonEmpty,
+        s"an impossible predicate on the renamed column must prune every file " +
+          s"(planned ${planned.length}/${allFiles.length})")
+      s.sql(s"SELECT o_orderkey, status, amount FROM versioned.`$tbl` " +
+        "WHERE amount > 1000.0 ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3727,6 +3773,14 @@ object SparkEntry {
     "q137_sql_not_null" ->
       """SELECT o_orderkey, o_orderpriority AS priority, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the renamed column serves under its NEW name with the SAME
+    // values, across both the pre-rename and post-rename inserts
+    "q142_sql_rename_column" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS amount
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |  AND ROUND(o_totalprice, 2) > 1000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // the SQL-created partitioned chain serves the same rows the

@@ -116,14 +116,28 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     // enforced NOT NULL columns serve as non-nullable SCHEMA — Spark's
     // ANSI store assignment then injects the plan-side runtime null
     // check into every SQL write (the commit-time footer check stays
-    // the uniform backstop), and readers see the real contract
+    // the uniform backstop), and readers see the real contract.
+    // Everything in info0 is PHYSICAL names — nullability marks first
+    // (notNull is physical too), THEN the schema renames to logical.
+    val cmap = info0.colMap // logical → physical
+    val inv = cmap.map(_.swap)
     val info = info0.schema match {
-      case Some(s) if info0.notNull.nonEmpty =>
-        info0.copy(schema = Some(StructType(s.fields.map(f =>
-          if (info0.notNull.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
-          else f))))
+      case Some(s) =>
+        val marked =
+          if (info0.notNull.isEmpty) s
+          else StructType(s.fields.map(f =>
+            if (info0.notNull.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+            else f))
+        info0.copy(schema = Some(Versioned.toLogicalSchema(marked, cmap)))
       case _ => info0
     }
+    // dv key columns translate to logical for the SCAN-side mask (it
+    // evaluates against the logical read schema); the RAW physical
+    // pairs stay on the rewrite seams (candidate scans, dv snapshots)
+    def dvLogical(xs: Seq[(String, Seq[String])]) =
+      xs.map { case (k, ds) => (inv.getOrElse(k, k), ds) }
+    def scopedLogical(xs: Seq[(String, String, Set[String])]) =
+      xs.map { case (k, d, sc) => (inv.getOrElse(k, k), d, sc) }
     val tableName = s"$catName.$dir@v$v"
     val base: Table with SupportsRead = info.schema match {
       case Some(schema) if info.partitionCols.nonEmpty =>
@@ -136,10 +150,11 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
         // native partitioned scan (PartitionFilters pruning,
         // vectorized read, row-group pushdown) planned from manifest
         // bytes, plus per-file stats skipping on the survivors.
+        // (Column mapping refuses partitioned chains, so cmap is empty.)
         new PartitionedVersionedTable(tableName, spark, dir, v, schema,
           info.partitionCols)
       case Some(schema) =>
-        new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema)
+        new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema, cmap)
       case None =>
         // pre-schema manifest: mergeSchema fallback, exactly like the
         // library read path — correct, with the legacy plan-time cost.
@@ -154,8 +169,9 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
           info.dataDirs, None), spark, dir, v)
     }
     if (info.dvDirs.isEmpty && info.scopedDvs.isEmpty) base
-    else new DvMaskedTable(base, base.schema(), info.dvDirs, spark, dir, v,
-      info.partitionCols, info.scopedDvs)
+    else new DvMaskedTable(base, base.schema(), dvLogical(info.dvDirs), spark, dir, v,
+      info.partitionCols, scopedLogical(info.scopedDvs), cmap,
+      info.dvDirs, info.scopedDvs)
   }
 
   /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
@@ -249,6 +265,22 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
     val dir = pathOf(ident)
+    // `ALTER TABLE … RENAME COLUMN a TO b` — METADATA-ONLY through the
+    // store's column mapping ([[Versioned.renameColumns]]): no file is
+    // touched, reads serve the new name, time travel keeps the old.
+    // A rename statement carries exactly its RenameColumn changes, so
+    // it routes whole (its own single commit) before the AlterSpec path.
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      require(renames.length == changes.length,
+        "RENAME COLUMN cannot combine with other ALTER changes in one statement")
+      renames.foreach(r =>
+        if (r.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"cannot rename nested field ${r.fieldNames.mkString(".")} — top-level columns only"))
+      Versioned.renameColumns(spark, dir,
+        renames.map(r => r.fieldNames.head -> r.newName()).toSeq)
+      return loadTable(ident)
+    }
     // refuse-first, commit-once: shape-level refusals here, then the
     // WHOLE statement — column adds/drops and constraint changes —
     // applies as ONE manifest commit ([[Versioned.alterTableAtomic]]),
@@ -275,9 +307,9 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
         if (un.fieldNames.length != 1) throw new UnsupportedOperationException(
           s"cannot alter nullability of nested field ${un.fieldNames.mkString(".")}")
       case other => throw new UnsupportedOperationException(
-        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, SET/DROP NOT " +
-          s"NULL, and ADD/DROP CONSTRAINT … CHECK only; got $other. " +
-          "Renames and type changes rewrite instead: REPLACE TABLE … AS SELECT")
+        s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, RENAME COLUMN, " +
+          s"SET/DROP NOT NULL, and ADD/DROP CONSTRAINT … CHECK only; got $other. " +
+          "Type changes rewrite instead: REPLACE TABLE … AS SELECT")
     }
     val adds = changes.collect { case a: TableChange.AddColumn =>
       org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
@@ -650,6 +682,11 @@ private[sql] trait VersionedRowOps
   /** Scoped deletion vectors (SQL DELETEs), same snapshot role. */
   protected def vroScopedDvs: Seq[(String, String, Set[String])] = Seq.empty
 
+  /** Column mapping (logical→physical) of a RENAMED table: the
+    * candidate scan and the staged replacement files must both speak
+    * physical; everything the analyzer sees stays logical. */
+  protected def vroColMap: Map[String, String] = Map.empty
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -690,17 +727,22 @@ private[sql] trait VersionedRowOps
               // candidate-file scan: the manifest-backed subset index
               // into Spark's own parquet scan (no data filters pushed
               // — whole files, every row), masked like any read when
-              // the version carries deletion vectors
+              // the version carries deletion vectors. A mapped table
+              // scans under the PHYSICAL schema (the files' names) and
+              // the read schema renames back to logical for the plan.
+              val physSchema = ColumnMapped.toPhysicalSchema(vdSchema, vroColMap)
               val subsetIndex = Versioned.manifestPartitioningIndexSubset(
                 vdSpark, vdDir, vcVersion, files)
-              val dataSchema = StructType(vdSchema.fields.filterNot(f =>
+              val dataSchema = StructType(physSchema.fields.filterNot(f =>
                 vroPartCols.contains(f.name)))
               val parquetBuilder =
                 org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-                  vdSpark, subsetIndex, vdSchema, dataSchema, options)
-              if (vroDvDirs.isEmpty && vroScopedDvs.isEmpty) parquetBuilder.build()
-              else new DvScanBuilder(parquetBuilder, vdSchema, vroDvDirs,
-                vroScopedDvs, vdDir).build()
+                  vdSpark, subsetIndex, physSchema, dataSchema, options)
+              val raw =
+                if (vroDvDirs.isEmpty && vroScopedDvs.isEmpty) parquetBuilder.build()
+                else new DvScanBuilder(parquetBuilder, physSchema, vroDvDirs,
+                  vroScopedDvs, vdDir).build()
+              if (vroColMap.isEmpty) raw else new ColumnMappedScan(raw, vroColMap)
             case None => inner.build()
           }
         }
@@ -711,7 +753,7 @@ private[sql] trait VersionedRowOps
           () => candidates, vroDvDirs.flatMap { case (k, dirs) =>
             dirs.map(d => (k, d.substring(d.lastIndexOf('/') + 1)))
           } ++ vroScopedDvs.map { case (k, d, _) =>
-            (k, d.substring(d.lastIndexOf('/') + 1)) })
+            (k, d.substring(d.lastIndexOf('/') + 1)) }, vroColMap)
 
       override def description(): String = s"VersionedReplace[$vdDir]"
     }
@@ -725,13 +767,20 @@ private[sql] trait VersionedRowOps
   * end: executors write parquet as for any DSv2 file write; only the
   * manifest commit is driver-side. */
 private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
-                                              info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+                                              info0: org.apache.spark.sql.connector.write.LogicalWriteInfo,
                                               partCols: Seq[String] = Seq.empty,
                                               candidates: () => Option[Map[String, Set[String]]] =
                                                 () => None,
-                                              dvSnapshot: Seq[(String, String)] = Seq.empty)
+                                              dvSnapshot: Seq[(String, String)] = Seq.empty,
+                                              colMap: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
+
+  // a mapped table's staged replacement files must carry the chain's
+  // PHYSICAL names (a file-granular commit carries the untouched files
+  // verbatim — mixing name spaces inside one version would corrupt the
+  // union read). Rows are positional; only parquet column names change.
+  private val info = ColumnMapped.physicalWriteInfo(info0, colMap)
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
     val staged = Versioned.stageDataDir(spark, dir)
@@ -978,7 +1027,8 @@ private[graft] class ManifestStatsScan(val inner: Scan, rows: Long, bytes: Long)
   * data skipping — see [[SkippingScanBuilder]]. */
 private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  dir: String, v: Int, dataDirs: Seq[String],
-                                 fullSchema: StructType)
+                                 fullSchema: StructType,
+                                 colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints {
 
@@ -986,6 +1036,7 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   override protected def vdDir: String = dir
   override protected def vdSchema: StructType = fullSchema
   override protected def vcVersion: Int = v
+  override protected def vroColMap: Map[String, String] = colMap
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
@@ -999,13 +1050,25 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   // Pre-file-list manifests fall back to the listing tier
   // ([[SkippingScanBuilder]] — dir-level skipping, then a listed scan
   // of the survivors) until backfillStats upgrades the table.
+  //
+  // A RENAMED table (colMap non-empty) builds the inner parquet scan
+  // under the PHYSICAL schema — the files, footer stats and row-group
+  // pushdown all speak physical — and [[ColumnMappedScanBuilder]]
+  // translates exactly two things at the seam: requested columns and
+  // pushed predicates logical→physical on the way down, the read
+  // schema physical→logical on the way up. Rows are positional; no
+  // per-row work is added. (renameColumns refuses pre-file-list
+  // chains, so the fallback tier never sees a mapping.)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     Versioned.manifestPartitioningIndex(spark, dir, v) match {
       case Some(index) =>
-        new ManifestStatsScanBuilder(
+        val physSchema = ColumnMapped.toPhysicalSchema(fullSchema, colMap)
+        val inner = new ManifestStatsScanBuilder(
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-            spark, index, fullSchema, fullSchema, options),
+            spark, index, physSchema, physSchema, options),
           Versioned.manifestSizeOf(spark, dir, v))
+        if (colMap.isEmpty) inner
+        else new ColumnMappedScanBuilder(inner, colMap)
       case None =>
         new SkippingScanBuilder(spark, tableName, options, dir, v, dataDirs, fullSchema)
     }
@@ -1013,6 +1076,96 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new VersionedWriteBuilder(spark, dir, info = Some(info))
+}
+
+/** The column-mapping seam helpers shared by the mapped scan/write
+  * wrappers: pure name translation, no row-level work anywhere. */
+private[sql] object ColumnMapped {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+
+  /** logical-named struct → physical-named (top-level fields). */
+  def toPhysicalSchema(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+
+  def toLogicalSchema(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else {
+      val inv = m.map(_.swap)
+      StructType(s.fields.map(f => f.copy(name = inv.getOrElse(f.name, f.name))))
+    }
+
+  def renameAttrs(e: Expression, m: Map[String, String]): Expression =
+    e.transform {
+      case a: AttributeReference if m.contains(a.name) => a.withName(m(a.name))
+    }
+
+  /** A [[org.apache.spark.sql.connector.write.LogicalWriteInfo]] whose
+    * schema carries the PHYSICAL names — handed to the staged-file
+    * writers of a mapped table so their bytes match the chain. */
+  def physicalWriteInfo(info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+                        m: Map[String, String])
+      : org.apache.spark.sql.connector.write.LogicalWriteInfo =
+    if (m.isEmpty) info
+    else new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = info.queryId()
+      override def options(): CaseInsensitiveStringMap = info.options()
+      override def schema(): StructType = toPhysicalSchema(info.schema(), m)
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
+}
+
+/** The mapped read seam: delegates pruning and pushdown to the inner
+  * (physical-schema) builder with names translated logical→physical,
+  * and serves the built scan's read schema back under the logical
+  * names. Pushed predicates are ALSO returned as post-scan filters
+  * (one-sided as everywhere in this store: the physical pushdown only
+  * prunes files/row-groups; Spark re-evaluates on the logical rows,
+  * which it does for parquet data filters anyway). Aggregate pushdown
+  * is deliberately not forwarded — its connector expressions would
+  * need their own translation layer for a rarely-hit optimization. */
+private[sql] class ColumnMappedScanBuilder(inner: ManifestStatsScanBuilder,
+                                           colMap: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  override def pruneColumns(req: StructType): Unit =
+    inner.pruneColumns(ColumnMapped.toPhysicalSchema(req, colMap))
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    inner.pushFilters(filters.map(f => ColumnMapped.renameAttrs(f, colMap)))
+    filters // every filter re-evaluates post-scan on the logical rows
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters()
+
+  override def build(): Scan = new ColumnMappedScan(inner.build(), colMap)
+}
+
+private[sql] class ColumnMappedScan(inner: Scan, colMap: Map[String, String])
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType =
+    ColumnMapped.toLogicalSchema(inner.readSchema(), colMap)
+  override def description(): String = s"ColumnMapped(${inner.description()})"
+  override def toBatch: Batch = inner.toBatch
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 }
 
 /** SQL writes that keep the store's crash-safety story: `INSERT INTO`
@@ -1254,7 +1407,15 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  dvDirs: Seq[(String, Seq[String])],
                                  spark: SparkSession, dir: String, v: Int,
                                  partCols: Seq[String] = Seq.empty,
-                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty)
+                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
+                                 colMap: Map[String, String] = Map.empty,
+                                 // PHYSICAL-keyed twins of dvDirs/scopedDvs for the
+                                 // rewrite seams (candidate scan runs physical; the
+                                 // commit's dv snapshot compares against manifest
+                                 // lines). Identical to the mask params when the
+                                 // table was never renamed.
+                                 dvDirsPhysical: Seq[(String, Seq[String])] = Seq.empty,
+                                 scopedDvsPhysical: Seq[(String, String, Set[String])] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints {
 
@@ -1269,8 +1430,11 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   override protected def vroPartCols: Seq[String] = partCols
   // the rewrite's candidate-file scan applies the same mask the
   // table's own scan does, and its commit snapshots the dv set
-  override protected def vroDvDirs: Seq[(String, Seq[String])] = dvDirs
-  override protected def vroScopedDvs: Seq[(String, String, Set[String])] = scopedDvs
+  override protected def vroDvDirs: Seq[(String, Seq[String])] =
+    if (dvDirsPhysical.nonEmpty) dvDirsPhysical else dvDirs
+  override protected def vroScopedDvs: Seq[(String, String, Set[String])] =
+    if (scopedDvsPhysical.nonEmpty) scopedDvsPhysical else scopedDvs
+  override protected def vroColMap: Map[String, String] = colMap
   override def partitioning(): Array[Transform] =
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
@@ -1406,8 +1570,15 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
         else {
           val idx = wide.fieldIndex(k)
           val dt = wide(idx).dataType
-          val keyRows = spark.read.parquet(dirs: _*)
-            .select(org.apache.spark.sql.functions.col(k)).distinct()
+          // a RENAMED table's dv files carry the PHYSICAL column name
+          // while this mask keys on the logical one — dv dirs are
+          // single-column by construction (deleteByKeys writes exactly
+          // the key column), so fall back to position when the name
+          // is absent
+          val raw = spark.read.parquet(dirs: _*)
+          val src = if (raw.columns.contains(k)) k else raw.columns.head
+          val keyRows = raw
+            .select(org.apache.spark.sql.functions.col(src)).distinct()
             .limit(if (cap >= Int.MaxValue - 1) Int.MaxValue else cap.toInt + 1) // bounds the pull itself, not just the check
             .queryExecution.toRdd.map(_.copy()).collect()
           if (keyRows.length > cap) throw new IllegalStateException(

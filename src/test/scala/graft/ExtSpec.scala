@@ -4064,4 +4064,76 @@ class ExtSpec extends AnyFunSuite {
         org.apache.spark.sql.types.DoubleType)))
     assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "price"))
   }
+
+  test("column mapping over SQL: RENAME COLUMN, insert/select/update/delete across the rename, dv-masked read") {
+    import graft.ext.Versioned
+    spark.conf.set("spark.sql.catalog.graft_cm", "graft.sql.VersionedCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft_colmap_sql").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_cm.`$dir` (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO graft_cm.`$dir` VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+
+    spark.sql(s"ALTER TABLE graft_cm.`$dir` RENAME COLUMN score TO rating")
+    val vR = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.columnMapping(spark, dir, vR) == Map("rating" -> "score"))
+    // the catalog serves the LOGICAL schema
+    assert(spark.table(s"graft_cm.`$dir`").columns.toSeq == Seq("id", "name", "rating"))
+    // reads + pushed filters on the renamed column
+    assert(spark.sql(s"SELECT id FROM graft_cm.`$dir` WHERE rating > 15.0 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // time travel still serves the OLD name
+    assert(spark.sql(s"SELECT score FROM graft_cm.`$dir` VERSION AS OF 1 ORDER BY score")
+      .as[Double].collect().toSeq == Seq(10.0, 20.0, 30.0))
+
+    // INSERT through the new name: files land under the physical name
+    spark.sql(s"INSERT INTO graft_cm.`$dir` VALUES (4, 'd', 40.0)")
+    assert(spark.sql(s"SELECT rating FROM graft_cm.`$dir` WHERE id = 4").as[Double].head() == 40.0)
+    val newest = Versioned.liveDataDirs(spark, dir).last
+    assert(spark.read.parquet(newest).columns.contains("score"),
+      "SQL INSERT after the rename must stage physical names")
+
+    // UPDATE via the renamed column (copy-on-write candidates path):
+    // the staged replacement must ALSO carry the physical name
+    val dirsBeforeU = Versioned.liveDataDirs(spark, dir).toSet
+    spark.sql(s"UPDATE graft_cm.`$dir` SET rating = rating + 1.0 WHERE id = 2")
+    assert(spark.sql(s"SELECT rating FROM graft_cm.`$dir` WHERE id = 2").as[Double].head() == 21.0)
+    val vU = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.columnMapping(spark, dir, vU) == Map("rating" -> "score"),
+      "the mapping must survive a copy-on-write UPDATE")
+    val stagedU = Versioned.liveDataDirs(spark, dir).filterNot(dirsBeforeU)
+    stagedU.foreach(d => assert(spark.read.parquet(d).columns.contains("score"),
+      s"UPDATE replacement in $d must carry the physical name"))
+
+    // DELETE by key through the new name, then the dv-masked read
+    spark.sql(s"DELETE FROM graft_cm.`$dir` WHERE id = 1")
+    assert(spark.sql(s"SELECT id, rating FROM graft_cm.`$dir` ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((2L, 21.0), (3L, 30.0), (4L, 40.0)))
+    // a dv keyed on the RENAMED column itself
+    spark.sql(s"ALTER TABLE graft_cm.`$dir` RENAME COLUMN id TO doc_id")
+    spark.sql(s"DELETE FROM graft_cm.`$dir` WHERE doc_id = 3")
+    assert(spark.sql(s"SELECT doc_id FROM graft_cm.`$dir` ORDER BY doc_id")
+      .as[Long].collect().toSeq == Seq(2L, 4L))
+
+    // MERGE WITH SCHEMA EVOLUTION across the rename: the new source
+    // column widens the table; the renamed columns keep serving
+    Seq((2L, "bb", 99.0), (5L, "e", 50.0)).toDF("doc_id", "name", "rating")
+      .createOrReplaceTempView("cm_src")
+    spark.sql(s"MERGE INTO graft_cm.`$dir` t USING cm_src s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET t.rating = s.rating " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT doc_id, rating FROM graft_cm.`$dir` ORDER BY doc_id")
+      .as[(Long, Double)].collect().toSeq == Seq((2L, 99.0), (4L, 40.0), (5L, 50.0)))
+    assert(Versioned.columnMapping(spark, dir,
+      Versioned.latestVersion(spark, dir).get).nonEmpty)
+
+    // DESCRIBE-equivalent: SHOW COLUMNS serves logical names
+    assert(spark.sql(s"SHOW COLUMNS IN graft_cm.`$dir`").as[String].collect().toSet ==
+      Set("doc_id", "name", "rating"))
+
+    // refusals at the SQL seam: renaming onto an occupied physical name
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cm.`$dir` RENAME COLUMN name TO score")
+    }
+    assert(e.getMessage.contains("physical storage name"), e.getMessage)
+    spark.sql(s"DROP TABLE graft_cm.`$dir`")
+  }
 }
