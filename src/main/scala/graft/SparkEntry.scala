@@ -1707,6 +1707,41 @@ object SparkEntry {
         "WHERE amount > 1000.0 ORDER BY o_orderkey")
     },
 
+    // BLOOM-FILTER FILE SKIPPING (the Databricks Delta bloom-index
+    // role): per-file blooms for ONE declared point-lookup column live
+    // in the manifest, so an EqualTo/In prunes files whose min/max
+    // ranges ALL contain the key — the interleaved-key layout bounds
+    // cannot touch. The two commits below split orders by key parity,
+    // so every file spans the full key range and only the bloom can
+    // prune; the in-query asserts pin exactly that, plus the one-sided
+    // contract (present keys always read).
+    "q143_bloom_skipping" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.col
+      val tbl = scratchPath("bloom_skip", d)
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        org.apache.spark.sql.functions.round(col("o_totalprice"), 2).as("price"))
+      Versioned.writeVersion(src.filter(col("o_orderkey") % 2 === 0), tbl)
+      Versioned.writeVersion(src.filter(col("o_orderkey") % 2 === 1), tbl,
+        org.apache.spark.sql.SaveMode.Append)
+      Versioned.declareBloomColumn(s, tbl, "o_orderkey")
+      val v = Versioned.latestVersion(s, tbl).get
+      val keys = src.select("o_orderkey").orderBy("o_orderkey").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val all = Versioned.planDataFiles(s, tbl, v, Seq.empty)
+      val one = Versioned.planDataFiles(s, tbl, v,
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", keys.head)))
+      assert(one.length < all.length && one.nonEmpty,
+        s"the bloom must prune interleaved files bounds cannot " +
+          s"(planned ${one.length}/${all.length})")
+      // one-sided: the pruned read still serves every looked-up key
+      val got = Versioned.readLatest(s, tbl)
+        .filter(col("o_orderkey").isin(keys: _*))
+      assert(got.count() == keys.length, "a bloom may never lose a present key")
+      got.orderBy("o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3773,6 +3808,14 @@ object SparkEntry {
     "q137_sql_not_null" ->
       """SELECT o_orderkey, o_orderpriority AS priority, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the bloom-pruned point lookup returns exactly the source rows
+    // for the five smallest keys
+    "q143_bloom_skipping" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
         |ORDER BY o_orderkey""".stripMargin,
 
     // the renamed column serves under its NEW name with the SAME

@@ -211,6 +211,22 @@ object Versioned {
     * and drops the line. */
   private final case class ColMapEntry(entries: Seq[(String, String)]) extends Line
 
+  /** BLOOM-INDEX DECLARATION (`bloomcol:<physCol>:<bits>`): the table's
+    * one declared point-lookup column — every commit from then on
+    * builds a [[Bloom]] filter per new file (one column-pruned scan of
+    * the new dir, O(delta)) and stores it in the manifest, so an
+    * EqualTo/In on the column prunes FILES whose min/max ranges all
+    * overlap the key — the interleaved-key layout bounds cannot touch.
+    * Table definition: carried by appends and data overwrites, dropped
+    * by REPLACE TABLE. */
+  private final case class BloomColEntry(col: String, bits: Int) extends Line
+
+  /** One data dir's per-file blooms for the declared column
+    * (`bloom:<dir>:<col>:<file>=<base64>,…`). Replaced wholesale when
+    * a file rewrite trims the dir; dropped with the dir. */
+  private final case class BloomEntry(dir: String, col: String,
+                                      files: Map[String, Array[Byte]]) extends Line
+
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -269,6 +285,22 @@ object Versioned {
       val c = line.drop(8)
       require(c.nonEmpty, s"malformed not-null manifest line: $line")
       NotNullEntry(c)
+    } else if (line.startsWith("bloomcol:")) {
+      val rest = line.drop(9)
+      val i = rest.lastIndexOf(':')
+      require(i > 0 && i < rest.length - 1,
+        s"malformed bloom-column manifest line: $line")
+      BloomColEntry(rest.substring(0, i), rest.substring(i + 1).toInt)
+    } else if (line.startsWith("bloom:")) {
+      val parts = line.drop(6).split(":", 3)
+      require(parts.length == 3 && parts.forall(_.nonEmpty),
+        s"malformed bloom manifest line: $line")
+      BloomEntry(parts(0), parts(1),
+        parts(2).split(',').iterator.filter(_.nonEmpty).map { e =>
+          val j = e.indexOf('=')
+          require(j > 0, s"malformed bloom file entry: $e")
+          e.substring(0, j) -> Bloom.fromBase64(e.substring(j + 1))
+        }.toMap)
     } else if (line.startsWith("colmap:")) {
       ColMapEntry(line.drop(7).split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
         val i = e.indexOf('=')
@@ -313,7 +345,12 @@ object Versioned {
     new java.util.LinkedHashMap[String, (Seq[Line], Long)](128, 0.75f, true)
 
   private def lineWeight(ls: Seq[Line]): Long =
-    ls.iterator.map { case s: StatsEntry => 1L + s.files.length; case _ => 1L }.sum
+    ls.iterator.map {
+      case s: StatsEntry => 1L + s.files.length
+      // a bloom blob is ~hundreds of FileStats-equivalents of memory
+      case b: BloomEntry => 1L + b.files.valuesIterator.map(_.length.toLong).sum / 64
+      case _ => 1L
+    }.sum
 
   /** Cache keys are the FILESYSTEM-QUALIFIED manifest path: the same
     * table addressed through equivalent-but-different spellings
@@ -413,6 +450,9 @@ object Versioned {
         case nn: NotNullEntry  => acc.filterNot {
           case e: NotNullEntry => e.col.equalsIgnoreCase(nn.col); case _ => false } :+ nn
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
+        case bc: BloomColEntry => acc.filterNot(_.isInstanceOf[BloomColEntry]) :+ bc
+        case b: BloomEntry     => acc.filterNot {
+          case e: BloomEntry => e.dir == b.dir; case _ => false } :+ b
         case d: DataEntry      => if (acc.contains(d)) acc else acc :+ d
         case other             => acc :+ other // dv, changes: plain adds
       } else if (op.startsWith("-data:")) {
@@ -420,8 +460,15 @@ object Versioned {
         acc.filterNot {
           case DataEntry(e)       => e == n
           case s: StatsEntry      => s.name == n
+          case b: BloomEntry      => b.dir == n
           case _ => false
         }
+      } else if (op.startsWith("-bloomcol")) {
+        // undeclaring drops every (now-stale) bloom blob with it
+        acc.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry])
+      } else if (op.startsWith("-bloom:")) {
+        val n = op.drop(7)
+        acc.filterNot { case b: BloomEntry => b.dir == n; case _ => false }
       } else if (op.startsWith("-dv:")) {
         val n = op.drop(4)
         acc.filterNot {
@@ -523,6 +570,9 @@ object Versioned {
     case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
     case NotNullEntry(c)   => s"notnull:$c"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
+    case BloomColEntry(c, bits) => s"bloomcol:$c:$bits"
+    case BloomEntry(d, c, fs) => s"bloom:$d:$c:" +
+      fs.toSeq.sortBy(_._1).map { case (f, b) => s"$f=${Bloom.toBase64(b)}" }.mkString(",")
     case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
@@ -671,6 +721,74 @@ object Versioned {
       }
     commitChild(spark, dir, v, prev, newLines, ops, protocol)
     v
+  }
+
+  // ───────────── bloom-filter file skipping (see [[Bloom]]) ─────────────
+
+  /** Declare the table's bloom-indexed point-lookup column: ONE commit
+    * that records the declaration AND backfills a per-file bloom for
+    * every live dir (one column-pruned scan each — the only time the
+    * index reads old data; every later commit builds its own dir's
+    * blooms at write time, O(delta)). Integral/string columns only;
+    * unpartitioned chains only (a partitioned chain's point lookups
+    * prune by partition first — the bloom is the flat-layout tool).
+    * Returns the committed version. */
+  def declareBloomColumn(spark: SparkSession, dir: String, col: String,
+                         bits: Int = Bloom.defaultBits,
+                         protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(bits >= 64 && bits % 8 == 0,
+      s"bloom bits must be a positive multiple of 8, got $bits")
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    require(!ls.exists { case PartitionEntry(cs) => cs.nonEmpty; case _ => false },
+      s"bloom indexing wants an UNPARTITIONED chain at $dir — partitioned point " +
+        "lookups prune by partition value from manifest bytes already")
+    val physical = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalArgumentException(s"no recorded schema at $dir"))
+    val cmap = colMapOf(ls)
+    val logical = toLogicalSchema(physical, cmap)
+    val resolved = logical.fieldNames.find(_.equalsIgnoreCase(col)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$col' in ${logical.fieldNames.mkString(",")}"))
+    val phys = cmap.getOrElse(resolved, resolved)
+    require(Bloom.supportedType(physical(phys).dataType),
+      s"bloom columns are integral or string; '$resolved' is ${physical(phys).dataType}")
+    val decl = BloomColEntry(phys, bits)
+    val backfilled: Seq[Line] = ls.collect { case DataEntry(n) => n }.map { n =>
+      BloomEntry(n, phys, Bloom.buildDirBlooms(spark,
+        new Path(new Path(dir), n).toString, physical, phys, bits))
+    }
+    val v = prev + 1
+    commitChild(spark, dir, v, prev,
+      ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]) ++
+        (decl +: backfilled),
+      (decl +: backfilled).map(addOp), protocol)
+    v
+  }
+
+  /** Drop the bloom declaration (and every blob) — metadata-only. */
+  def dropBloomColumn(spark: SparkSession, dir: String,
+                      protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] = {
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    if (!ls.exists(_.isInstanceOf[BloomColEntry])) None
+    else {
+      val v = prev + 1
+      commitChild(spark, dir, v, prev,
+        ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]),
+        Seq("-bloomcol"), protocol)
+      Some(v)
+    }
+  }
+
+  /** The declared bloom column (LOGICAL name) and its per-file bits,
+    * for observability. */
+  def bloomColumn(spark: SparkSession, dir: String, v: Int): Option[(String, Int)] = {
+    val ls = lines(spark, dir, v)
+    val inv = colMapOf(ls).map(_.swap)
+    ls.collectFirst { case BloomColEntry(c, bits) => (inv.getOrElse(c, c), bits) }
   }
 
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
@@ -883,7 +1001,16 @@ object Versioned {
       // file (the writer's task artifact): reference nothing — the
       // removal ops ARE the whole change
       if (rows == 0L) { fs.delete(p, true); Seq.empty }
-      else Seq(DataEntry(nd), StatsEntry(nd, rows, cols, files))
+      else {
+        // a bloom-indexed table's replacement dir gets its own blobs
+        // (same O(delta) column scan as any commit)
+        val bloom = lines(spark, dir, v0)
+          .collectFirst { case b: BloomColEntry => b }.toSeq.map { b =>
+            BloomEntry(nd, b.col,
+              Bloom.buildDirBlooms(spark, p.toString, schema, b.col, b.bits))
+          }
+        Seq(DataEntry(nd), StatsEntry(nd, rows, cols, files)) ++ bloom
+      }
     }
     if (removedNonEmpty.isEmpty && newEntries.isEmpty) return None
     val validatedConstraints =
@@ -955,6 +1082,7 @@ object Versioned {
       }
       val v = prev + 1
       val ops = Seq.newBuilder[String]
+      val bloomByDir = ls.collect { case b: BloomEntry => b.dir -> b }.toMap
       val replacedStats = removedNonEmpty.flatMap { case (d, files) =>
         val st = stats(d)
         val remaining = st.files.filterNot(f => files.contains(f.name))
@@ -966,12 +1094,25 @@ object Versioned {
           Some(d -> replaced)
         }
       }
+      // a trimmed dir's bloom line sheds the removed files' blobs with
+      // it (a stale blob is only wasted bytes — the file is gone from
+      // the stats list — but the manifest must not grow garbage)
+      val trimmedBlooms = replacedStats.keySet.flatMap { d =>
+        bloomByDir.get(d).map { b =>
+          val keep = replacedStats(d).files.map(_.name).toSet
+          val trimmed = b.copy(files = b.files.filter { case (f, _) => keep.contains(f) })
+          ops += addOp(trimmed)
+          d -> trimmed
+        }
+      }.toMap
       newEntries.foreach(l => ops += addOp(l))
       val emptied = removedNonEmpty.keySet -- replacedStats.keySet
       val fullLines = ls.flatMap {
         case DataEntry(n) if emptied.contains(n) => None
         case s: StatsEntry if emptied.contains(s.name) => None
         case s: StatsEntry if replacedStats.contains(s.name) => Some(replacedStats(s.name))
+        case b: BloomEntry if emptied.contains(b.dir) => None
+        case b: BloomEntry if trimmedBlooms.contains(b.dir) => Some(trimmedBlooms(b.dir))
         case other => Some(other)
       } ++ newEntries
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
@@ -1365,10 +1506,33 @@ object Versioned {
       case _ => Seq.empty
     }
     val stats = StatsEntry(dataDir, rows, colStats, dirFiles)
+    // declared bloom column: build this commit's per-file blooms (one
+    // column-pruned scan of the NEW dir — O(delta), only when the
+    // table opted in). A fresh overwrite re-keys the declaration to
+    // the logical name like the NOT NULL lines (the mapping drops).
+    val prevBloomDecl = prev.flatMap(p =>
+        lines(spark, dir, p).collectFirst { case b: BloomColEntry => b })
+      .filter(_ => !replaceDefinition)
+    val bloomDecl = prevBloomDecl.map { b =>
+      if (stagedPhysical) b else BloomColEntry(invChain.getOrElse(b.col, b.col), b.bits)
+    }
+    val bloomLines: Seq[Line] = bloomDecl match {
+      case Some(b) if rows > 0 =>
+        Seq(BloomEntry(dataDir, b.col,
+          Bloom.buildDirBlooms(spark, dataPath.toString, newSchema, b.col, b.bits)))
+      case _ => Seq.empty
+    }
+    // appends carry the declaration inside prevLines; an overwrite
+    // (which resets the line set) re-adds it here
+    val carriedBloomDecl: Seq[Line] = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(_)) => bloomDecl.toSeq
+      case _ => Seq.empty
+    }
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
-        prevLines ++ carriedConstraints ++ carriedColMap ++ carriedTxns ++
-        txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines :+
+        prevLines ++ carriedConstraints ++ carriedColMap ++ carriedBloomDecl ++
+        carriedTxns ++
+        txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines ++ bloomLines :+
         DataEntry(dataDir) :+ stats)
     // … then the atomic manifest commit publishes it. An APPEND
     // publishes O(delta) ops — schema only when the union CHANGED,
@@ -1382,6 +1546,7 @@ object Versioned {
           ops += addOp(SchemaEntry(newSchema))
         txn.foreach { case (a, b) => ops += addOp(TxnEntry(b, a)) }
         extraLines.foreach(l => ops += addOp(l))
+        bloomLines.foreach(l => ops += addOp(l))
         ops += addOp(DataEntry(dataDir))
         ops += addOp(stats)
         commitChild(spark, dir, v, p, newLines, ops.result(), protocol)
@@ -1869,15 +2034,24 @@ object Versioned {
                                    filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     val ls = lines(spark, dir, v)
     val cmap = colMapOf(ls)
+    val inv = cmap.map(_.swap)
     val schema = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    // declared bloom column (LOGICAL name for matching the filters) +
+    // the per-dir blobs: the point-lookup prune bounds cannot do
+    val bloomCol = ls.collectFirst { case BloomColEntry(c, _) => inv.getOrElse(c, c) }
+    val blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap
+    def bloomKeeps(dirName: String, fileName: String): Boolean =
+      bloomCol.isEmpty || blooms.get(dirName).flatMap(_.get(fileName)).forall(bits =>
+        !filters.exists(flt => Bloom.excludes(flt, bloomCol.get, bits)))
     val keptDirs = planDataDirs(spark, dir, v, filters)
     keptDirs.flatMap { name =>
       stats.get(name) match {
         case Some(st) if schema.nonEmpty && st.files.nonEmpty =>
-          st.files.filter(f => f.rows.isEmpty ||
+          st.files.filter(f => (f.rows.isEmpty ||
               !filters.exists(flt => Skipping.excludes(f.rows.get,
-                rekeyToLogical(f.cols, cmap), schema.get, flt)))
+                rekeyToLogical(f.cols, cmap), schema.get, flt))) &&
+              bloomKeeps(name, f.name))
             .map(f => s"$name/${f.name}")
         case Some(st) if st.files.nonEmpty => st.files.map(f => s"$name/${f.name}")
         case _ => Seq(name) // unlisted dir: read whole
@@ -1952,7 +2126,9 @@ object Versioned {
         // any plain .filter() read, not just the explicit skipping API
         spark.baseRelationToDataFrame(
           org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-            new ManifestFileIndex(new Path(dir), s, fileListed),
+            new ManifestFileIndex(new Path(dir), s, fileListed,
+              bloomCol = ls.collectFirst { case BloomColEntry(c, _) => c },
+              blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap),
             org.apache.spark.sql.types.StructType(Nil), s, None,
             new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
             Map.empty)(spark))
@@ -2053,7 +2229,9 @@ object Versioned {
         s"partitioned read at $dir needs manifest file lists — run backfillStats")
       None
     } else Some(new ManifestPartitioningIndex(spark, new Path(dir), schema,
-      StructType(partCols.map(c => schema(c))), dataDirs.map(stats)))
+      StructType(partCols.map(c => schema(c))), dataDirs.map(stats),
+      bloomCol = ls.collectFirst { case BloomColEntry(c, _) => c },
+      blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap))
   }
 
   /** The files of version `v` a row-level rewrite of `filters` must
@@ -3081,7 +3259,12 @@ object Versioned {
 private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
                                      dirs: Seq[Versioned.StatsEntry],
                                      override val partitionSchema: StructType =
-                                       StructType(Nil))
+                                       StructType(Nil),
+                                     // declared bloom column (PHYSICAL — the pushed
+                                     // filters here already are) + per-dir blobs
+                                     bloomCol: Option[String] = None,
+                                     blooms: Map[String, Map[String, Array[Byte]]] =
+                                       Map.empty)
   extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, PartitionDirectory}
@@ -3129,10 +3312,16 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
     // row count and are always read.
     val kept = perDir.filter { case (st, _) =>
       !translated.exists(f => Skipping.excludes(st.rows, st.cols, schema, f))
-    }.flatMap { case (_, files) =>
+    }.flatMap { case (st, files) =>
       files.filter { case (fs, _) =>
-        fs.rows.isEmpty ||
-          !translated.exists(f => Skipping.excludes(fs.rows.get, fs.cols, schema, f))
+        (fs.rows.isEmpty ||
+          !translated.exists(f => Skipping.excludes(fs.rows.get, fs.cols, schema, f))) &&
+        // third granularity: the declared column's per-file bloom
+        // (point lookups on interleaved keys — bounds overlap, the
+        // bloom still proves absence)
+        bloomCol.forall(c =>
+          blooms.get(st.name).flatMap(_.get(fs.name)).forall(bits =>
+            !translated.exists(f => Bloom.excludes(f, c, bits))))
       }
     }
     if (partitionSchema.isEmpty)
@@ -3181,7 +3370,10 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
 private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Path,
                                                fullSchema: StructType,
                                                partSchema: StructType,
-                                               dirs: Seq[Versioned.StatsEntry])
+                                               dirs: Seq[Versioned.StatsEntry],
+                                               bloomCol: Option[String] = None,
+                                               blooms: Map[String, Map[String, Array[Byte]]] =
+                                                 Map.empty)
   extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
     spark, Map.empty, Some(fullSchema),
     org.apache.spark.sql.execution.datasources.NoopCache) {
@@ -3253,12 +3445,16 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
     if (translated.isEmpty) base
     else base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
-        statsByPath.get(f.getPath) match {
+        val bloomKeeps = bloomCol.forall(c =>
+          blooms.get(f.getPath.getParent.getName)
+            .flatMap(_.get(f.getPath.getName)).forall(bits =>
+              !translated.exists(flt => Bloom.excludes(flt, c, bits))))
+        bloomKeeps && (statsByPath.get(f.getPath) match {
           case Some(fs) if fs.rows.nonEmpty =>
             !translated.exists(flt =>
               Skipping.excludes(fs.rows.get, fs.cols, fullSchema, flt))
           case _ => true
-        }
+        })
       })
     }.filter(_.files.nonEmpty)
   }

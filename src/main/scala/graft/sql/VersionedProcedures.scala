@@ -145,6 +145,25 @@ private[sql] object VersionedProcedures {
       (spark, args) => Seq(row(Versioned.alterTableAtomic(spark, args.str(0),
         Versioned.AlterSpec(setNotNull = Seq(args.str(1)))).map(Int.box).orNull))),
 
+    proc("set_bloom",
+      "declare the table's bloom-indexed point-lookup column (integral/string, " +
+        "unpartitioned chains): backfills a per-file bloom for every live dir in " +
+        "one commit; every later write builds its own dir's blooms at O(delta). " +
+        "bits omitted or 0 uses the 2^18-bit (32 KiB/file) default",
+      params = Seq(in("table", StringType), in("column", StringType),
+        inDefault("bits", IntegerType, "0")),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Int.box(Versioned.declareBloomColumn(
+        spark, args.str(0), args.str(1),
+        if (args.int(2) <= 0) graft.ext.Bloom.defaultBits else args.int(2)))))),
+
+    proc("drop_bloom",
+      "drop the bloom declaration and every per-file blob (metadata-only)",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Versioned.dropBloomColumn(spark, args.str(0)).map(Int.box).orNull))),
+
     proc("drop_not_null",
       "drop a NOT NULL constraint (metadata-only commit; SQL ALTER COLUMN … DROP " +
         "NOT NULL does the same)",

@@ -4136,4 +4136,98 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("physical storage name"), e.getMessage)
     spark.sql(s"DROP TABLE graft_cm.`$dir`")
   }
+
+  test("bloom file skipping: point lookups prune interleaved-key files that bounds cannot; one-sided, rename-aware, rewrite-maintained") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    // INTERLEAVED keys: every commit spans the full [0, 2000) range, so
+    // min/max bounds can never prune a point lookup — the bloom must
+    val even = (0L until 2000L by 2).map(i => (i, s"even$i")).toDF("id", "payload")
+    val odd  = (1L until 2000L by 2).map(i => (i, s"odd$i")).toDF("id", "payload")
+    Versioned.writeVersion(even.repartition(2), dir)
+    Versioned.writeVersion(odd.repartition(2), dir, SaveMode.Append)
+    // pre-declaration: bounds keep everything (4 files)
+    val allFiles = Versioned.planDataFiles(spark, dir, 1, Seq(EqualTo("id", 42L)))
+    assert(allFiles.length == 4, allFiles.toString)
+
+    val vB = Versioned.declareBloomColumn(spark, dir, "id")
+    assert(Versioned.bloomColumn(spark, dir, vB).map(_._1).contains("id"))
+    // the declaration backfilled: an EVEN key now plans only even files
+    val planned = Versioned.planDataFiles(spark, dir, vB, Seq(EqualTo("id", 42L)))
+    assert(planned.length < 4 && planned.nonEmpty,
+      s"bloom must prune interleaved files, planned $planned")
+    // NEVER a false negative: every present key still reads its row
+    for (k <- Seq(0L, 41L, 998L, 1999L))
+      assert(Versioned.readLatest(spark, dir).filter($"id" === k).count() == 1,
+        s"key $k lost")
+    assert(Versioned.readLatest(spark, dir).filter($"id" === 4242L).isEmpty)
+    // IN-list prune: keys from one parity side keep the other side out
+    val inPlan = Versioned.planDataFiles(spark, dir, vB, Seq(In("id", Array(2L, 44L))))
+    assert(inPlan.length < 4, inPlan.toString)
+
+    // a LATER append builds its own blooms at write time
+    Versioned.writeVersion(Seq((5001L, "x")).toDF("id", "payload"), dir, SaveMode.Append)
+    val v2 = Versioned.latestVersion(spark, dir).get
+    val lookup5001 = Versioned.planDataFiles(spark, dir, v2, Seq(EqualTo("id", 5001L)))
+    assert(lookup5001.length == 1, s"bounds + bloom should isolate the new file: $lookup5001")
+    // …and a key in NO file plans nothing data-visible beyond fp noise
+    val absent = Versioned.planDataFiles(spark, dir, v2, Seq(EqualTo("id", 42L)))
+    assert(!absent.exists(lookup5001.contains), "disjoint lookups must not share files")
+
+    // RENAME composes: the bloom line keys the physical name, the
+    // filter speaks the logical one
+    Versioned.renameColumns(spark, dir, Seq("id" -> "doc_id"))
+    val v3 = Versioned.latestVersion(spark, dir).get
+    val renamed = Versioned.planDataFiles(spark, dir, v3, Seq(EqualTo("doc_id", 42L)))
+    assert(renamed.length == planned.length, s"$renamed vs $planned")
+    assert(Versioned.bloomColumn(spark, dir, v3).map(_._1).contains("doc_id"))
+    assert(Versioned.readLatest(spark, dir).filter($"doc_id" === 42L).count() == 1)
+
+    // SQL surface: the catalog's manifest index consults the blooms
+    spark.conf.set("spark.sql.catalog.graft_bl", "graft.sql.VersionedCatalog")
+    assert(spark.sql(s"SELECT payload FROM graft_bl.`$dir` WHERE doc_id = 42")
+      .as[String].head() == "even42")
+    // …and set_bloom/drop_bloom round-trip through CALL
+    spark.sql(s"CALL graft_bl.system.drop_bloom('$dir')")
+    val v4 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.bloomColumn(spark, dir, v4).isEmpty)
+    // bounds still prune the single-key 5001 file; the 4 interleaved
+    // files all come back without their blooms
+    assert(Versioned.planDataFiles(spark, dir, v4, Seq(EqualTo("doc_id", 42L))).length == 4)
+    spark.sql(s"CALL graft_bl.system.set_bloom('$dir', 'doc_id')")
+    val v5 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.planDataFiles(spark, dir, v5,
+      Seq(EqualTo("doc_id", 42L))).length == planned.length)
+
+    // a copy-on-write UPDATE re-blooms its replacement and trims the
+    // removed files' blobs; lookups stay correct
+    spark.sql(s"UPDATE graft_bl.`$dir` SET payload = 'patched' WHERE doc_id = 42")
+    assert(spark.sql(s"SELECT payload FROM graft_bl.`$dir` WHERE doc_id = 42")
+      .as[String].head() == "patched")
+    val v6 = Versioned.latestVersion(spark, dir).get
+    val afterUpdate = Versioned.planDataFiles(spark, dir, v6, Seq(EqualTo("doc_id", 42L)))
+    assert(afterUpdate.nonEmpty && afterUpdate.length <= planned.length,
+      s"post-update lookup plans $afterUpdate")
+
+    // an OVERWRITE keeps the declaration and re-blooms the fresh state
+    Versioned.writeVersion(Versioned.readLatest(spark, dir), dir)
+    val v7 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.bloomColumn(spark, dir, v7).map(_._1).contains("doc_id"),
+      "the declaration is table definition: an overwrite carries it")
+    assert(Versioned.readLatest(spark, dir).filter($"doc_id" === 43L).count() == 1)
+
+    // refusals: partitioned chain, unsupported type
+    val pdir = java.nio.file.Files.createTempDirectory("graft_bloom_p").toString + "/p"
+    Versioned.writeVersionPartitioned(Seq((1L, "x")).toDF("id", "p"), pdir, Seq("p"))
+    assert(intercept[IllegalArgumentException] {
+      Versioned.declareBloomColumn(spark, pdir, "id")
+    }.getMessage.contains("UNPARTITIONED"))
+    val ddir = java.nio.file.Files.createTempDirectory("graft_bloom_d").toString + "/d"
+    Versioned.writeVersion(Seq((1.5, "x")).toDF("score", "s"), ddir)
+    assert(intercept[IllegalArgumentException] {
+      Versioned.declareBloomColumn(spark, ddir, "score")
+    }.getMessage.contains("integral or string"))
+  }
 }
