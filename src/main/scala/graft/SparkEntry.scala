@@ -1742,6 +1742,41 @@ object SparkEntry {
       got.orderBy("o_orderkey")
     },
 
+    // TYPE WIDENING (Delta type widening's role): `ALTER COLUMN … TYPE`
+    // up the integral ladder (or to double) is a METADATA-ONLY commit —
+    // Spark 4's parquet readers promote the old int32 bytes natively,
+    // so not one file rewrites and the canonical min/max stats stay
+    // exact. In-query asserts pin metadata-only-ness, the widened
+    // serving types, and pre-widening time travel.
+    "q144_sql_type_widening" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_widen", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q144")
+      s.sql(s"CREATE TABLE versioned.`$tbl` (o_orderkey INT, cust INT)")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT CAST(o_orderkey AS INT), CAST(o_custkey AS INT) " +
+        "FROM orders_q144 WHERE o_orderstatus = 'F'")
+      val dirsBefore = graft.ext.Versioned.liveDataDirs(s, tbl).toSet
+      s.sql(s"ALTER TABLE versioned.`$tbl` ALTER COLUMN o_orderkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE versioned.`$tbl` ALTER COLUMN cust TYPE DOUBLE")
+      assert(graft.ext.Versioned.liveDataDirs(s, tbl).toSet == dirsBefore,
+        "type widening must be metadata-only: no data dir may change")
+      val widened = s.table(s"versioned.`$tbl`").schema
+      assert(widened("o_orderkey").dataType == org.apache.spark.sql.types.LongType &&
+        widened("cust").dataType == org.apache.spark.sql.types.DoubleType,
+        s"widened schema should serve BIGINT/DOUBLE, got $widened")
+      assert(graft.ext.Versioned.recordedSchema(s, tbl, 1).get("o_orderkey").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "time travel to the pre-widening version must keep INT")
+      // the post-widening INSERT lands long/double alongside the old
+      // int32 files; one union read serves both
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS DOUBLE) " +
+        "FROM orders_q144 WHERE o_orderstatus = 'P'")
+      s.sql(s"SELECT o_orderkey, cust FROM versioned.`$tbl` ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3807,6 +3842,13 @@ object SparkEntry {
     // exactly the two clean slices
     "q137_sql_not_null" ->
       """SELECT o_orderkey, o_orderpriority AS priority, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the widened table serves both slices' values under the wider
+    // types, bit-identically to casting at the source
+    "q144_sql_type_widening" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS DOUBLE) AS cust
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |ORDER BY o_orderkey""".stripMargin,
 

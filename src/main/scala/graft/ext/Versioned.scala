@@ -1590,13 +1590,36 @@ object Versioned {
     * in order, then `b`'s additions. Evolution in this store ADDS or
     * DROPS columns (the S8/q111 semantics); a same-name field must
     * keep its type — a type change needs a rewrite, not an append. */
+  /** The widenings this store serves METADATA-ONLY: Spark 4's parquet
+    * readers (vectorized included) promote narrower physical values to
+    * these read types natively, AND the manifest's canonical min/max
+    * strings stay EXACT under the promotion (every byte/short/int is
+    * exact as long or double). float→double is deliberately absent:
+    * a float's canonical decimal re-parsed as double differs from the
+    * widened value in the last bits, which would break the skipping
+    * contract's one-sidedness — that change rewrites instead. */
+  private def legalWidening(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case _ => false
+    }
+  }
+
   private def unionSchema(a: StructType, b: StructType): StructType = {
     val aNames = a.fieldNames.toSet
     b.fields.filter(f => aNames.contains(f.name)).foreach { f =>
       val prior = nullableOf(a(f.name).dataType)
-      require(prior == nullableOf(f.dataType),
+      // a NARROWER incoming dir is fine after a type widening — the
+      // recorded (wider) type keeps serving it, exactly how the
+      // pre-widening files already read
+      require(prior == nullableOf(f.dataType) ||
+          legalWidening(nullableOf(f.dataType), prior),
         s"append changes type of column '${f.name}' ($prior -> ${f.dataType}); " +
-          "evolve by adding/dropping columns, or overwrite")
+          "widen via alterTableAtomic/ALTER COLUMN … TYPE, or overwrite")
     }
     StructType(a.fields ++ b.fields.filterNot(f => aNames.contains(f.name)))
   }
@@ -2938,10 +2961,15 @@ object Versioned {
                              addChecks: Seq[(String, String)] = Seq.empty,
                              dropChecks: Seq[(String, Boolean)] = Seq.empty,
                              setNotNull: Seq[String] = Seq.empty,
-                             dropNotNull: Seq[String] = Seq.empty) {
+                             dropNotNull: Seq[String] = Seq.empty,
+                             // ALTER COLUMN … TYPE: metadata-only widenings
+                             // ([[legalWidening]]); (column, new type)
+                             widenCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+                               Seq.empty) {
     def isEmpty: Boolean =
       addCols.isEmpty && dropCols.isEmpty && addChecks.isEmpty &&
-        dropChecks.isEmpty && setNotNull.isEmpty && dropNotNull.isEmpty
+        dropChecks.isEmpty && setNotNull.isEmpty && dropNotNull.isEmpty &&
+        widenCols.isEmpty
   }
 
   /** The column names a CHECK predicate reads (top-level attributes of
@@ -3039,11 +3067,41 @@ object Versioned {
           s"cannot drop '$l': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
       }
     }
+    // type widenings: resolve (logical) names, require a legal
+    // metadata-only promotion, and guard the columns whose machinery
+    // is typed to the files — dv keys (the mask join and the DSv2 key
+    // pull read the dv parquet under its written type) widen only
+    // after the mask applies physically
+    val widenByPhys: Map[String, org.apache.spark.sql.types.DataType] =
+      alter.widenCols.map { case (n, to) =>
+        val l = priorLogical.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$n' in ${priorLogical.fieldNames.mkString(",")}"))
+        val phys = cmap.getOrElse(l, l)
+        val from = prior(phys).dataType
+        require(legalWidening(from, to),
+          s"cannot change '$l' from $from to $to — metadata-only widenings are " +
+            "byte/short/int up the integral ladder or to double (Spark's parquet " +
+            "readers promote those natively); anything else rewrites: " +
+            "REPLACE TABLE … AS SELECT")
+        require(!partCols.contains(phys), s"cannot widen partition column '$l'")
+        require(!dvKeys.contains(phys),
+          s"cannot widen '$l': it keys a live deletion vector — compact or " +
+            "overwrite to apply the mask physically first")
+        // integral widenings keep the blooms valid (values hash as
+        // longs either way); a double is no longer hashable
+        require(to != org.apache.spark.sql.types.DoubleType || !ls.exists {
+            case BloomColEntry(c, _) => c.equalsIgnoreCase(phys); case _ => false },
+          s"cannot widen bloom-indexed '$l' to double — drop_bloom first")
+        phys -> to
+      }.toMap
     // final schema (PHYSICAL names): data columns minus drops plus
-    // adds, partition columns last (the partitioned read order)
+    // adds, widenings applied, partition columns last (the partitioned
+    // read order)
     val dropSet = resolvedDrops.map(_._2).toSet
     val (dataF, partF) = prior.fields.partition(f => !partCols.contains(f.name))
     val keptData = dataF.filterNot(f => dropSet.contains(f.name))
+      .map(f => widenByPhys.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
     val finalSchema = asNullable(StructType(keptData ++ alter.addCols ++ partF))
     require(finalSchema.fields.nonEmpty, "cannot drop every column")
     val finalMap = cmap.filter { case (_, p) => finalSchema.fieldNames.contains(p) }

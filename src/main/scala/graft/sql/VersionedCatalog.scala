@@ -306,6 +306,9 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       case un: TableChange.UpdateColumnNullability =>
         if (un.fieldNames.length != 1) throw new UnsupportedOperationException(
           s"cannot alter nullability of nested field ${un.fieldNames.mkString(".")}")
+      case ut: TableChange.UpdateColumnType =>
+        if (ut.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"cannot alter type of nested field ${ut.fieldNames.mkString(".")}")
       case other => throw new UnsupportedOperationException(
         s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, RENAME COLUMN, " +
           s"SET/DROP NOT NULL, and ADD/DROP CONSTRAINT … CHECK only; got $other. " +
@@ -333,8 +336,14 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       case un: TableChange.UpdateColumnNullability if !un.nullable() => un.fieldNames.head }
     val dropNn = changes.collect {
       case un: TableChange.UpdateColumnNullability if un.nullable() => un.fieldNames.head }
+    // `ALTER COLUMN … TYPE` — metadata-only widenings (the integral
+    // ladder / to double); anything else refuses inside with the
+    // rewrite alternative named
+    val widens = changes.collect {
+      case ut: TableChange.UpdateColumnType => (ut.fieldNames.head, ut.newDataType()) }
     Versioned.alterTableAtomic(spark, dir,
-      Versioned.AlterSpec(adds, dropNames, addChecks, dropChecks, setNn, dropNn))
+      Versioned.AlterSpec(adds, dropNames, addChecks, dropChecks, setNn, dropNn,
+        widenCols = widens))
     load(ident, None)
   }
 

@@ -4230,4 +4230,77 @@ class ExtSpec extends AnyFunSuite {
       Versioned.declareBloomColumn(spark, ddir, "score")
     }.getMessage.contains("integral or string"))
   }
+
+  test("type widening: ALTER COLUMN TYPE is metadata-only; old int32 files serve a long schema; MERGE evolution widens") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types._
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_tw", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_tw.`$dir` (id INT, qty SMALLINT, price INT)")
+    spark.sql(s"INSERT INTO graft_tw.`$dir` VALUES (1, 2S, 10), (2, 3S, 20)")
+    val dirsBefore = Versioned.liveDataDirs(spark, dir).toSet
+
+    spark.sql(s"ALTER TABLE graft_tw.`$dir` ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft_tw.`$dir` ALTER COLUMN qty TYPE INT")
+    spark.sql(s"ALTER TABLE graft_tw.`$dir` ALTER COLUMN price TYPE DOUBLE")
+    // METADATA-ONLY: not one data dir changed
+    assert(Versioned.liveDataDirs(spark, dir).toSet == dirsBefore)
+    val t = spark.table(s"graft_tw.`$dir`")
+    assert(t.schema("id").dataType == LongType)
+    assert(t.schema("qty").dataType == IntegerType)
+    assert(t.schema("price").dataType == DoubleType)
+    // the OLD int32/int16 files serve the widened schema natively
+    assert(spark.sql(s"SELECT id, qty, price FROM graft_tw.`$dir` ORDER BY id")
+      .as[(Long, Int, Double)].collect().toSeq == Seq((1L, 2, 10.0), (2L, 3, 20.0)))
+    // an INSERT of long-range values lands; pre-widening files coexist
+    spark.sql(s"INSERT INTO graft_tw.`$dir` VALUES (${Long.MaxValue}L, 7, 30.5)")
+    assert(spark.sql(s"SELECT id FROM graft_tw.`$dir` WHERE qty = 7").as[Long].head()
+      == Long.MaxValue)
+    // stats skipping stays EXACT across the widening (canonical int
+    // strings parse exactly as long/double)
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val v = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.planDataDirs(spark, dir, v,
+      Seq(GreaterThan("id", 1000000L))).length == 1)
+    assert(Versioned.readVersionSkipping(spark, dir, v, Seq(EqualTo("price", 30.5)))
+      .count() == 1)
+    // time travel serves the PRE-widening types
+    assert(Versioned.readVersion(spark, dir, 1).schema("id").dataType == IntegerType)
+
+    // library APPEND of a NARROWER df still lands (the wider recorded
+    // type serves it, like the pre-widening files)
+    Versioned.writeVersion(Seq((100, 1, 5)).toDF("id", "qty", "price"), dir, SaveMode.Append)
+    assert(spark.sql(s"SELECT price FROM graft_tw.`$dir` WHERE id = 100").as[Double].head() == 5.0)
+
+    // refusals: narrowing, float->double, partition columns
+    val eN = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_tw.`$dir` ALTER COLUMN id TYPE INT") }
+    // Spark's own analyzer refuses non-up-casts before the catalog
+    // even sees them; either refusal message is the honest one
+    assert(eN.getMessage.contains("metadata-only widenings") ||
+      eN.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), eN.getMessage)
+    val fdir = java.nio.file.Files.createTempDirectory("graft_widen_f").toString + "/f"
+    Versioned.writeVersion(Seq((1.5f, 1L)).toDF("score", "id"), fdir)
+    val eF = intercept[IllegalArgumentException] {
+      Versioned.alterTableAtomic(spark, fdir,
+        Versioned.AlterSpec(widenCols = Seq("score" -> DoubleType))) }
+    assert(eF.getMessage.contains("metadata-only widenings"), eF.getMessage)
+
+    // MERGE WITH SCHEMA EVOLUTION: a LONG source column against the
+    // INT target widens as part of the statement (Spark derives the
+    // UpdateColumnType change; the catalog routes it here)
+    val mdir = java.nio.file.Files.createTempDirectory("graft_widen_m").toString + "/m"
+    spark.sql(s"CREATE TABLE graft_tw.`$mdir` (k BIGINT, n INT)")
+    spark.sql(s"INSERT INTO graft_tw.`$mdir` VALUES (1, 10), (2, 20)")
+    Seq((2L, 3000000000L), (3L, 30L)).toDF("k", "n").createOrReplaceTempView("tw_src")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft_tw.`$mdir` t USING tw_src s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.n = s.n " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table(s"graft_tw.`$mdir`").schema("n").dataType == LongType,
+      "MERGE WITH SCHEMA EVOLUTION must widen the int target to the long source")
+    assert(spark.sql(s"SELECT n FROM graft_tw.`$mdir` ORDER BY k")
+      .as[Long].collect().toSeq == Seq(10L, 3000000000L, 30L))
+    spark.sql(s"DROP TABLE graft_tw.`$dir`")
+  }
 }
