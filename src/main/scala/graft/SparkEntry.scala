@@ -1777,6 +1777,38 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, cust FROM versioned.`$tbl` ORDER BY o_orderkey")
     },
 
+    // SHALLOW CLONE (Delta CREATE TABLE … SHALLOW CLONE): the clone's
+    // v0 references the source's files by absolute path — zero data
+    // copied (asserted: no parquet lands under the clone root) — and
+    // then DIVERGES: a DELETE against the clone leaves the source
+    // byte-identical. The final read serves the clone's state.
+    "q145_sql_clone" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      import graft.ext.Versioned
+      val src = scratchPath("clone_src", d)
+      val tgt = scratchPath("clone_tgt", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tgt`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q145")
+      val base = s.sql("SELECT o_orderkey, o_orderstatus AS status, " +
+        "ROUND(o_totalprice, 2) AS price FROM orders_q145 " +
+        "WHERE o_orderstatus IN ('F', 'P')")
+      Versioned.writeVersion(base, src)
+      s.sql(s"CALL versioned.system.clone('$src', '$tgt')")
+      def parquetUnder(p: java.io.File): Int =
+        if (!p.exists) 0
+        else p.listFiles.map(f =>
+          if (f.isDirectory) parquetUnder(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      assert(parquetUnder(new java.io.File(tgt)) == 0,
+        "a shallow clone must copy no data file")
+      val srcRows = Versioned.readLatest(s, src).count()
+      // the clone diverges: this DELETE masks rows in the clone only
+      s.sql(s"DELETE FROM versioned.`$tgt` WHERE status = 'P'")
+      assert(Versioned.readLatest(s, src).count() == srcRows,
+        "a DELETE against the clone must not touch the source")
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tgt` ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3843,6 +3875,13 @@ object SparkEntry {
     "q137_sql_not_null" ->
       """SELECT o_orderkey, o_orderpriority AS priority, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // after the clone-only DELETE of the 'P' slice, the clone serves
+    // exactly the source's 'F' slice
+    "q145_sql_clone" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin,
 
     // the widened table serves both slices' values under the wider

@@ -791,6 +791,65 @@ object Versioned {
     ls.collectFirst { case BloomColEntry(c, bits) => (inv.getOrElse(c, c), bits) }
   }
 
+  // ───────────── shallow CLONE (zero-copy table fork) ─────────────
+
+  /** Delta `CREATE TABLE … SHALLOW CLONE src`'s role: create `targetDir`
+    * as a NEW chain whose v0 manifest references the SOURCE version's
+    * data (and deletion-vector, and bloom) state by ABSOLUTE path — no
+    * byte of data copies. The clone then lives its own life: appends
+    * land local dirs beside the foreign refs, copy-on-write rewrites
+    * replace foreign files at manifest granularity (the source's bytes
+    * are never touched), and the clone's own retention reclaims ONLY
+    * local dirs — [[pruneVersions]] deletes from a listing of the
+    * clone's root, where a foreign ref never appears.
+    *
+    * The inherited Delta caveat, verbatim: the SOURCE owns the shared
+    * files. VACUUM/prune/DROP on the source reclaims data a clone
+    * still references — run the clone's own OPTIMIZE (compact) to
+    * localize it first if the source's lifecycle is shorter.
+    *
+    * Honest bounds: source and target must share one filesystem
+    * namespace, addressed by COLON-FREE absolute paths (the line-based
+    * manifest splits several line kinds on ':'; within one default
+    * filesystem — HDFS or an object store alike — scheme-free absolute
+    * paths are the normal form). SQL-DELETE scoped masks group by dir
+    * NAME, which a foreign ref cannot carry — apply them physically
+    * (overwrite/compact) before cloning. Writer txn watermarks and
+    * recorded change feeds do not clone (they speak the source's
+    * writer ids and version numbers). */
+  def cloneTable(spark: SparkSession, sourceDir: String, targetDir: String,
+                 version: Option[Int] = None,
+                 protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val srcV = version.getOrElse(latestVersion(spark, sourceDir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $sourceDir")))
+    require(versions(spark, sourceDir).contains(srcV),
+      s"no version $srcV at $sourceDir")
+    require(latestVersion(spark, targetDir).isEmpty,
+      s"target $targetDir already exists — DROP it, or clone elsewhere")
+    val (srcFs, srcRoot) = fsFor(spark, sourceDir)
+    val rootAbs = srcFs.makeQualified(srcRoot).toUri.getPath
+    require(!rootAbs.contains(":") && !rootAbs.contains(","),
+      s"clone sources are addressed by colon/comma-free absolute paths within one " +
+        s"filesystem namespace; got '$rootAbs'")
+    val ls = lines(spark, sourceDir, srcV)
+    require(!ls.exists(_.isInstanceOf[ScopedDvEntry]),
+      s"$sourceDir@v$srcV carries SQL-DELETE scoped masks, which group by local dir " +
+        "name — apply them physically (INSERT OVERWRITE the read, or compact) first")
+    def abs(n: String) =
+      if (n.startsWith("/")) n else s"${rootAbs.stripSuffix("/")}/$n"
+    val cloned: Seq[Line] = ls.flatMap {
+      case DataEntry(n)      => Some(DataEntry(abs(n)))
+      case s: StatsEntry     => Some(s.copy(name = abs(s.name)))
+      case DvEntry(k, n)     => Some(DvEntry(k, abs(n)))
+      case b: BloomEntry     => Some(b.copy(dir = abs(b.dir)))
+      case _: TxnEntry       => None // the source's writers' replay guards
+      case _: ChangesEntry   => None // speaks the source's version numbers
+      case other             => Some(other) // schema/partition/colmap/notnull/constraint/bloomcol
+    }
+    commitManifest(spark, targetDir, 0, cloned.map(renderLine), protocol)
+    0
+  }
+
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
     * previous version's file set. Returns the committed version.
@@ -1056,11 +1115,15 @@ object Versioned {
         val gone = files -- have
         if (gone.nonEmpty) conflict(s"lost ${gone.size} file(s) of $d to a concurrent rewrite")
       }
+      // names normalize to their LAST segment: a cloned chain's dv
+      // refs are absolute, the snapshot's were taken through the same
+      // last-segment view (versionInfo serves absolute dirs either way)
+      def seg(n: String) = n.substring(n.lastIndexOf('/') + 1)
       val dvNow = ls.collect {
-        case DvEntry(k, n) => (k, n)
-        case ScopedDvEntry(k, n, _) => (k, n)
+        case DvEntry(k, n) => (k, seg(n))
+        case ScopedDvEntry(k, n, _) => (k, seg(n))
       }
-      if (dvNow.toSet != dvSnapshot.toSet)
+      if (dvNow.toSet != dvSnapshot.map { case (k, n) => (k, seg(n)) }.toSet)
         conflict("saw the deletion-vector set change under it")
       if (ls.collect { case c: ConstraintEntry => c }.toSet != validatedConstraints.toSet)
         conflict("saw the CHECK constraints change under it")
@@ -2275,9 +2338,12 @@ object Versioned {
     // prune keeps them as candidates (one-sided), they just rewrite
     if (!dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty))) return None
     val kept = planDataFiles(spark, dir, v, filters)
+    // split each `dirName/fileName` at the DIR-NAME boundary, not the
+    // first '/': cloned refs are absolute (slashes inside the name)
+    // and hive file entries carry subpaths (slashes inside the file)
     Some(kept.map { rel =>
-      val i = rel.indexOf('/')
-      (rel.substring(0, i), rel.substring(i + 1))
+      val d = dataDirs.filter(n => rel.startsWith(n + "/")).maxBy(_.length)
+      (d, rel.stripPrefix(d + "/"))
     }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet })
   }
 

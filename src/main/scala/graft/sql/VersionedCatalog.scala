@@ -1531,10 +1531,22 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
 
-  /** The data-dir name a file belongs to: the path segment right
-    * under the table root (scheme-independent — URI path parts). */
-  private def dataDirOf(rootUriPath: String, fileUriPath: String): String =
-    fileUriPath.stripPrefix(rootUriPath.stripSuffix("/") + "/").takeWhile(_ != '/')
+  /** The data-dir name a file belongs to, AS THE MANIFEST SPELLS IT:
+    * the path segment right under the table root for local dirs, or —
+    * for a CLONED chain's foreign refs, which live under the SOURCE
+    * root — the longest scope entry that prefixes the path (falling
+    * back to the parent dir). The grouping and the reader's scope
+    * test both resolve through this one function, so a scoped mask
+    * applies identically to local and foreign files. */
+  private lazy val scopeNamesByLen: Array[String] =
+    scopedDvs.flatMap(_._3).distinct.sortBy(-_.length).toArray
+  private def dataDirOf(rootUriPath: String, fileUriPath: String): String = {
+    val rootPrefix = rootUriPath.stripSuffix("/") + "/"
+    if (fileUriPath.startsWith(rootPrefix))
+      fileUriPath.stripPrefix(rootPrefix).takeWhile(_ != '/')
+    else scopeNamesByLen.find(n => fileUriPath.startsWith(n.stripSuffix("/") + "/"))
+      .getOrElse(fileUriPath.substring(0, fileUriPath.lastIndexOf('/')))
+  }
 
   override def toBatch: Batch = new Batch {
     private val innerBatch = inner.toBatch
@@ -1605,7 +1617,7 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       }
       val projIdx = requested.fields.map(f => wide.fieldIndex(f.name))
       new DvReaderFactory(innerBatch.createReaderFactory(), wide, masks.toArray,
-        projIdx, scopedMasks.toArray, rootUriPath)
+        projIdx, scopedMasks.toArray, rootUriPath, scopeNamesByLen)
     }
   }
 }
@@ -1623,10 +1635,22 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
                                    projIdx: Array[Int],
                                    scopedMasks: Array[(Int, DataType, java.util.HashSet[Any], Set[String])] =
                                      Array.empty,
-                                   rootUriPath: String = "")
+                                   rootUriPath: String = "",
+                                   scopeNamesByLen: Array[String] = Array.empty)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  /** MUST mirror [[DvMaskedScan.dataDirOf]]: local files name their
+    * first segment under the root; a clone's foreign files name the
+    * longest scope entry prefixing them. */
+  private def dataDirOf(fileUriPath: String): String = {
+    val rootPrefix = rootUriPath.stripSuffix("/") + "/"
+    if (fileUriPath.startsWith(rootPrefix))
+      fileUriPath.stripPrefix(rootPrefix).takeWhile(_ != '/')
+    else scopeNamesByLen.find(n => fileUriPath.startsWith(n.stripSuffix("/") + "/"))
+      .getOrElse(fileUriPath.substring(0, fileUriPath.lastIndexOf('/')))
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = inner.createReader(p)
@@ -1635,8 +1659,7 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
       else {
         val dirs = p match {
           case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            fp.files.map(f => f.filePath.toPath.toUri.getPath
-              .stripPrefix(rootUriPath.stripSuffix("/") + "/").takeWhile(_ != '/')).toSet
+            fp.files.map(f => dataDirOf(f.filePath.toPath.toUri.getPath)).toSet
           case other => throw new IllegalStateException(
             s"scoped deletion vectors need file-based partitions, got $other")
         }

@@ -145,6 +145,17 @@ private[sql] object VersionedProcedures {
       (spark, args) => Seq(row(Versioned.alterTableAtomic(spark, args.str(0),
         Versioned.AlterSpec(setNotNull = Seq(args.str(1)))).map(Int.box).orNull))),
 
+    proc("clone",
+      "SHALLOW CLONE: create target as a new chain referencing the source " +
+        "version's files by absolute path — zero data copied; the clone appends, " +
+        "rewrites and retains independently (the SOURCE owns the shared files: " +
+        "vacuuming the source can orphan a clone, Delta's own caveat)",
+      params = Seq(in("source", StringType), in("target", StringType),
+        inDefault("version", IntegerType, "-1")),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Int.box(Versioned.cloneTable(spark, args.str(0),
+        args.str(1), if (args.int(2) < 0) None else Some(args.int(2))))))),
+
     proc("set_bloom",
       "declare the table's bloom-indexed point-lookup column (integral/string, " +
         "unpartitioned chains): backfills a per-file bloom for every live dir in " +

@@ -2760,10 +2760,11 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft_ddl.`$dir`").columns.toSeq == Seq("id", "note"))
     assert(spark.sql(s"SELECT price FROM graft_ddl.`$dir` VERSION AS OF 3 WHERE id = 1")
       .as[Double].head() == 10.0)
-    // the refusal surface names the alternative
-    val rn = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft_ddl.`$dir` RENAME COLUMN note TO comment") }
-    assert(rn.getMessage.contains("REPLACE TABLE"), rn.getMessage)
+    // RENAME COLUMN is a metadata-only commit now (column mapping,
+    // round 12 — the former refusal is retired); the deep legs live in
+    // the dedicated column-mapping tests
+    spark.sql(s"ALTER TABLE graft_ddl.`$dir` RENAME COLUMN note TO comment")
+    assert(spark.sql(s"SELECT * FROM graft_ddl.`$dir`").columns.toSeq == Seq("id", "comment"))
     // dv-key columns cannot be metadata-dropped
     spark.sql(s"DELETE FROM graft_ddl.`$dir` WHERE id = 2")
     val dv = intercept[Exception] {
@@ -4302,5 +4303,84 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT n FROM graft_tw.`$mdir` ORDER BY k")
       .as[Long].collect().toSeq == Seq(10L, 3000000000L, 30L))
     spark.sql(s"DROP TABLE graft_tw.`$dir`")
+  }
+
+  test("shallow clone: zero-copy fork that appends, rewrites, deletes and prunes independently of the source") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val src = root + "/src"
+    val tgt = root + "/tgt"
+    spark.conf.set("spark.sql.catalog.graft_cl", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion((1L to 100L).map(i => (i, s"r$i")).toDF("id", "v"), src)
+    Versioned.writeVersion(Seq((101L, "r101")).toDF("id", "v"), src, SaveMode.Append)
+    Versioned.deleteByKeys(spark, src, Seq(7L).toDF("id"), "id")
+    Versioned.declareBloomColumn(spark, src, "id")
+
+    spark.sql(s"CALL graft_cl.system.clone('$src', '$tgt')")
+    // ZERO data copied: the clone root holds only manifest machinery
+    def parquetUnder(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists) Seq.empty
+      else d.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) parquetUnder(f.getPath)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty)
+    }
+    assert(parquetUnder(tgt).isEmpty, "a shallow clone must copy no data file")
+    // same rows, dv mask included; the bloom declaration cloned too
+    assert(Versioned.readLatest(spark, tgt).count() == 100)
+    assert(Versioned.readLatest(spark, tgt).filter($"id" === 7L).isEmpty)
+    assert(Versioned.bloomColumn(spark, tgt, 0).map(_._1).contains("id"))
+    import org.apache.spark.sql.sources.EqualTo
+    assert(Versioned.planDataFiles(spark, tgt, 0, Seq(EqualTo("id", 101L))).length == 1,
+      "cloned blooms and stats keep pruning")
+
+    // SQL scoped DELETE against rows still in FOREIGN files: the DSv2
+    // scoped-mask grouping must resolve a foreign path to its manifest
+    // name (longest scope prefix), or the mask silently skips — the
+    // clone-composition leg that caught a real bug at sf0.01
+    spark.sql(s"DELETE FROM graft_cl.`$tgt` WHERE id = 50")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cl.`$tgt`").as[Long].head() == 99,
+      "a scoped mask must apply to foreign files through the catalog read")
+    assert(Versioned.readLatest(spark, tgt).count() == 99)
+
+    // the clone DIVERGES: appends/deletes/updates touch only the clone
+    Versioned.writeVersion(Seq((200L, "clone-only")).toDF("id", "v"), tgt, SaveMode.Append)
+    spark.sql(s"UPDATE graft_cl.`$tgt` SET v = 'patched' WHERE id = 1")
+    spark.sql(s"DELETE FROM graft_cl.`$tgt` WHERE id = 2")
+    assert(Versioned.readLatest(spark, tgt).count() == 99) // +200 landed, id=2 and id=50 masked
+    assert(spark.sql(s"SELECT v FROM graft_cl.`$tgt` WHERE id = 1").as[String].head() == "patched")
+    // the SOURCE saw none of it — bytes and rows identical
+    assert(Versioned.readLatest(spark, src).count() == 100)
+    assert(Versioned.readLatest(spark, src).filter($"id" === 1L)
+      .select("v").as[String].head() == "r1")
+    assert(Versioned.readLatest(spark, src).filter($"id" === 200L).isEmpty)
+
+    // the clone's own retention reclaims ONLY local dirs: the source's
+    // files survive a full prune of the clone
+    val srcFiles = parquetUnder(src).toSet
+    Versioned.pruneVersions(spark, tgt, keepLast = 1, orphanMinAgeMs = 0)
+    assert(parquetUnder(src).toSet == srcFiles,
+      "pruning a clone must never reclaim the source's files")
+    assert(Versioned.readLatest(spark, tgt).count() == 99)
+
+    // clone of a PARTITIONED chain carries the spec and prunes partitions
+    val psrc = root + "/psrc"; val ptgt = root + "/ptgt"
+    Versioned.writeVersionPartitioned(
+      Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "p"), psrc, Seq("p"))
+    Versioned.cloneTable(spark, psrc, ptgt)
+    assert(Versioned.readLatest(spark, ptgt).filter($"p" === "y").count() == 2)
+    assert(spark.sql(s"SELECT id FROM graft_cl.`$ptgt` WHERE p = 'x'").as[Long].head() == 1L)
+
+    // refusals: existing target, scoped-dv source
+    assert(intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, src, tgt)
+    }.getMessage.contains("already exists"))
+    val sdir = root + "/scoped"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), sdir)
+    Versioned.deleteByKeysScoped(spark, sdir, Seq(1L).toDF("id"), "id")
+    assert(intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, sdir, root + "/s2")
+    }.getMessage.contains("scoped"))
   }
 }
