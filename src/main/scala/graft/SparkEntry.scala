@@ -1809,6 +1809,31 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tgt` ORDER BY o_orderkey")
     },
 
+    // COLUMN DEFAULT VALUES (Delta allowColumnDefaults role) through
+    // Spark's own DSv2 machinery: CURRENT_DEFAULT fills INSERTs that
+    // omit the column, EXISTS_DEFAULT fills rows in files that
+    // PRE-DATE an ADD COLUMN … DEFAULT (read as the default, not
+    // null) — both persisted as field metadata in the manifest's
+    // schema line, surviving appends and data overwrites.
+    "q146_sql_column_defaults" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_defaults", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q146")
+      s.sql(s"CREATE TABLE versioned.`$tbl` " +
+        "(o_orderkey BIGINT, status STRING, flag STRING DEFAULT 'base')")
+      // flag omitted: CURRENT_DEFAULT fills it
+      s.sql(s"INSERT INTO versioned.`$tbl` (o_orderkey, status) " +
+        "SELECT o_orderkey, o_orderstatus FROM orders_q146 WHERE o_orderstatus = 'F'")
+      // the F files PRE-DATE this column: they must read 3, not null
+      s.sql(s"ALTER TABLE versioned.`$tbl` ADD COLUMN rank INT DEFAULT 3")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, o_orderstatus, 'base', 5 " +
+        "FROM orders_q146 WHERE o_orderstatus = 'P'")
+      s.sql(s"SELECT o_orderkey, status, flag, rank FROM versioned.`$tbl` " +
+        "ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3874,6 +3899,15 @@ object SparkEntry {
     // exactly the two clean slices
     "q137_sql_not_null" ->
       """SELECT o_orderkey, o_orderpriority AS priority, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the omitted-column default and the pre-column existence default
+    // both serve: F rows read flag='base', rank=3; P rows wrote their
+    // values explicitly
+    "q146_sql_column_defaults" ->
+      """SELECT o_orderkey, o_orderstatus AS status, 'base' AS flag,
+        |  CAST(CASE WHEN o_orderstatus = 'F' THEN 3 ELSE 5 END AS INT) AS rank
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |ORDER BY o_orderkey""".stripMargin,
 

@@ -1440,7 +1440,7 @@ object Versioned {
             "writeVersion/appendVersionWithRetry (they translate) instead of a raw callback")
       }
     }
-    val newSchema = (mode, prev) match {
+    val newSchema0 = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchema)
       case _                          => dirSchema
     }
@@ -1453,6 +1453,31 @@ object Versioned {
     val stagedPhysical = mode == SaveMode.Append || preWritten.nonEmpty
     val stagedMap = if (stagedPhysical) chainMap else Map.empty[String, String]
     val invChain = chainMap.map(_.swap)
+    // column DEFAULTs are table definition carried as FIELD METADATA
+    // (CURRENT_DEFAULT / EXISTS_DEFAULT): an append's union keeps the
+    // prior fields (metadata included); a DATA overwrite re-attaches
+    // them to its footer-derived fields here — only REPLACE TABLE
+    // (replaceDefinition) starts without them
+    val newSchema = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(p)) if !replaceDefinition =>
+        val priorMd = schemaOf(spark, dir, p).fields.map { f =>
+          (if (stagedPhysical) f.name else invChain.getOrElse(f.name, f.name)) -> f.metadata
+        }.toMap
+        StructType(newSchema0.fields.map { f =>
+          priorMd.get(f.name) match {
+            case Some(md) if md.contains("CURRENT_DEFAULT") || md.contains("EXISTS_DEFAULT") =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              if (md.contains("CURRENT_DEFAULT"))
+                mb.putString("CURRENT_DEFAULT", md.getString("CURRENT_DEFAULT"))
+              if (md.contains("EXISTS_DEFAULT"))
+                mb.putString("EXISTS_DEFAULT", md.getString("EXISTS_DEFAULT"))
+              f.copy(metadata = mb.build())
+            case _ => f
+          }
+        })
+      case _ => newSchema0
+    }
     // enforced CHECK constraints: validate the JUST-WRITTEN dir before
     // the commit — O(delta), one combined job in the passing case; a
     // violation deletes the still-invisible dir and refuses, so a bad
@@ -3031,11 +3056,15 @@ object Versioned {
                              // ALTER COLUMN … TYPE: metadata-only widenings
                              // ([[legalWidening]]); (column, new type)
                              widenCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
-                               Seq.empty) {
+                               Seq.empty,
+                             // ALTER COLUMN … SET/DROP DEFAULT: the
+                             // CURRENT_DEFAULT field-metadata update
+                             // (None = drop); EXISTS_DEFAULT never moves
+                             setDefaults: Seq[(String, Option[String])] = Seq.empty) {
     def isEmpty: Boolean =
       addCols.isEmpty && dropCols.isEmpty && addChecks.isEmpty &&
         dropChecks.isEmpty && setNotNull.isEmpty && dropNotNull.isEmpty &&
-        widenCols.isEmpty
+        widenCols.isEmpty && setDefaults.isEmpty
   }
 
   /** The column names a CHECK predicate reads (top-level attributes of
@@ -3164,10 +3193,30 @@ object Versioned {
     // final schema (PHYSICAL names): data columns minus drops plus
     // adds, widenings applied, partition columns last (the partitioned
     // read order)
+    // SET/DROP DEFAULT rewrites only the CURRENT_DEFAULT metadata key
+    // (future inserts); EXISTS_DEFAULT — what files pre-dating the
+    // column read — stays pinned to its ADD-time value
+    val defaultByPhys: Map[String, Option[String]] =
+      alter.setDefaults.map { case (n, sql) =>
+        val l = priorLogical.fields.map(_.name).find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$n' in ${priorLogical.fieldNames.mkString(",")}"))
+        cmap.getOrElse(l, l) -> sql
+      }.toMap
+    def applyDefault(f: StructField): StructField =
+      defaultByPhys.get(f.name) match {
+        case None => f
+        case Some(sqlOpt) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove("CURRENT_DEFAULT")
+          sqlOpt.foreach(s => mb.putString("CURRENT_DEFAULT", s))
+          f.copy(metadata = mb.build())
+      }
     val dropSet = resolvedDrops.map(_._2).toSet
     val (dataF, partF) = prior.fields.partition(f => !partCols.contains(f.name))
     val keptData = dataF.filterNot(f => dropSet.contains(f.name))
       .map(f => widenByPhys.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+      .map(applyDefault)
     val finalSchema = asNullable(StructType(keptData ++ alter.addCols ++ partF))
     require(finalSchema.fields.nonEmpty, "cannot drop every column")
     val finalMap = cmap.filter { case (_, p) => finalSchema.fieldNames.contains(p) }

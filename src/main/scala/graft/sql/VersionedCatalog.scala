@@ -67,9 +67,15 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
 
   /** The analyzer refuses constraint DDL against catalogs that do not
     * declare support — this store enforces CHECK constraints at both
-    * the plan seam and the commit. */
+    * the plan seam and the commit. COLUMN DEFAULTs ride Spark's own
+    * machinery end to end: the default lands as CURRENT_DEFAULT /
+    * EXISTS_DEFAULT field metadata (which the manifest's schema json
+    * persists verbatim), the analyzer fills omitted INSERT columns
+    * from CURRENT_DEFAULT, and the parquet readers fill files that
+    * PRE-DATE the column from EXISTS_DEFAULT instead of null. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Tables are paths; there is no namespace to enumerate. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -309,14 +315,29 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       case ut: TableChange.UpdateColumnType =>
         if (ut.fieldNames.length != 1) throw new UnsupportedOperationException(
           s"cannot alter type of nested field ${ut.fieldNames.mkString(".")}")
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        if (ud.fieldNames.length != 1) throw new UnsupportedOperationException(
+          s"cannot alter default of nested field ${ud.fieldNames.mkString(".")}")
       case other => throw new UnsupportedOperationException(
         s"versioned ALTER TABLE supports ADD COLUMNS, DROP COLUMN, RENAME COLUMN, " +
           s"SET/DROP NOT NULL, and ADD/DROP CONSTRAINT … CHECK only; got $other. " +
           "Type changes rewrite instead: REPLACE TABLE … AS SELECT")
     }
     val adds = changes.collect { case a: TableChange.AddColumn =>
+      val md = Option(a.defaultValue()) match {
+        case Some(dv) =>
+          // CURRENT_DEFAULT serves future INSERTs; EXISTS_DEFAULT
+          // serves the rows in files that pre-date the column (the
+          // parquet readers fill it instead of null) — captured at
+          // ADD time, the SQL-standard split Spark's own sources use
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql)
+            .build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
       org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
-        nullable = true) }
+        nullable = true, metadata = md) }
     val (delIfExists, delStrict) = changes.collect {
       case d: TableChange.DeleteColumn => d }
       .partition(d => d.ifExists != null && d.ifExists.booleanValue())
@@ -341,9 +362,16 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     // rewrite alternative named
     val widens = changes.collect {
       case ut: TableChange.UpdateColumnType => (ut.fieldNames.head, ut.newDataType()) }
+    // SET DEFAULT / DROP DEFAULT: future INSERTs only — EXISTS_DEFAULT
+    // (what pre-column files read) is pinned at ADD COLUMN time
+    val setDefaults = changes.collect {
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        (ud.fieldNames.head,
+          Option(ud.newCurrentDefault()).map(_.getSql).filter(s => s != null && s.nonEmpty))
+    }
     Versioned.alterTableAtomic(spark, dir,
       Versioned.AlterSpec(adds, dropNames, addChecks, dropChecks, setNn, dropNn,
-        widenCols = widens))
+        widenCols = widens, setDefaults = setDefaults))
     load(ident, None)
   }
 
@@ -1154,7 +1182,7 @@ private[sql] class ColumnMappedScanBuilder(inner: ManifestStatsScanBuilder,
   override def build(): Scan = new ColumnMappedScan(inner.build(), colMap)
 }
 
-private[sql] class ColumnMappedScan(inner: Scan, colMap: Map[String, String])
+private[graft] class ColumnMappedScan(val inner: Scan, colMap: Map[String, String])
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType =
     ColumnMapped.toLogicalSchema(inner.readSchema(), colMap)

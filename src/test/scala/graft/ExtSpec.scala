@@ -4383,4 +4383,52 @@ class ExtSpec extends AnyFunSuite {
       Versioned.cloneTable(spark, sdir, root + "/s2")
     }.getMessage.contains("scoped"))
   }
+
+  test("column DEFAULTs: INSERT fills CURRENT_DEFAULT; pre-column files read EXISTS_DEFAULT; SET/DROP DEFAULT is future-only") {
+    import graft.ext.Versioned
+    spark.conf.set("spark.sql.catalog.graft_df", "graft.sql.VersionedCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft_defaults").toString + "/t"
+    spark.sql(s"CREATE TABLE graft_df.`$dir` (id BIGINT, status STRING DEFAULT 'new')")
+    spark.sql(s"INSERT INTO graft_df.`$dir` (id) VALUES (1)")
+    spark.sql(s"INSERT INTO graft_df.`$dir` VALUES (2, 'done')")
+    assert(spark.sql(s"SELECT status FROM graft_df.`$dir` ORDER BY id")
+      .as[String].collect().toSeq == Seq("new", "done"))
+    // INSERT with explicit DEFAULT keyword
+    spark.sql(s"INSERT INTO graft_df.`$dir` VALUES (3, DEFAULT)")
+    assert(spark.sql(s"SELECT status FROM graft_df.`$dir` WHERE id = 3")
+      .as[String].head() == "new")
+
+    // ADD COLUMN with DEFAULT: files that PRE-DATE the column read the
+    // EXISTS_DEFAULT, not null
+    spark.sql(s"ALTER TABLE graft_df.`$dir` ADD COLUMN score INT DEFAULT 7")
+    assert(spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 1").as[Int].head() == 7,
+      "rows in pre-column files must read the ADD-time default")
+    spark.sql(s"INSERT INTO graft_df.`$dir` (id, status) VALUES (4, 'x')")
+    assert(spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 4").as[Int].head() == 7)
+
+    // SET DEFAULT changes FUTURE inserts only; old rows keep reading 7
+    spark.sql(s"ALTER TABLE graft_df.`$dir` ALTER COLUMN score SET DEFAULT 9")
+    spark.sql(s"INSERT INTO graft_df.`$dir` (id, status) VALUES (5, 'y')")
+    assert(spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 5").as[Int].head() == 9)
+    assert(spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 1").as[Int].head() == 7,
+      "SET DEFAULT must not rewrite what pre-column files read")
+
+    // DROP DEFAULT: later inserts omitting the column get null, but
+    // the pre-column files STILL read their ADD-time fill
+    spark.sql(s"ALTER TABLE graft_df.`$dir` ALTER COLUMN score DROP DEFAULT")
+    spark.sql(s"INSERT INTO graft_df.`$dir` (id, status) VALUES (6, 'z')")
+    assert(spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 6").isEmpty ||
+      spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 6").collect().head.isNullAt(0))
+    assert(spark.sql(s"SELECT score FROM graft_df.`$dir` WHERE id = 1").as[Int].head() == 7)
+
+    // the defaults are DEFINITION: a data overwrite keeps them …
+    spark.sql(s"INSERT OVERWRITE graft_df.`$dir` SELECT * FROM graft_df.`$dir`")
+    spark.sql(s"INSERT INTO graft_df.`$dir` (id) VALUES (7)")
+    assert(spark.sql(s"SELECT status FROM graft_df.`$dir` WHERE id = 7")
+      .as[String].head() == "new")
+    // … and time travel serves the schema AS DECLARED THEN
+    val v0md = Versioned.recordedSchema(spark, dir, 0).get("status").metadata
+    assert(v0md.contains("CURRENT_DEFAULT") && v0md.getString("CURRENT_DEFAULT") == "'new'")
+    spark.sql(s"DROP TABLE graft_df.`$dir`")
+  }
 }

@@ -850,4 +850,85 @@ class PlanSpec extends AnyFunSuite {
     assert(read.select("p").distinct().collect().map(_.getString(0)).toSeq == Seq("x"))
     assert(read.count() == 400)
   }
+
+  test("column mapping reaches the SQL plan: a filter on the RENAMED column pushes as the physical name and prunes files (q142)") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmplan").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 100).toDF("id")
+      .withColumn("score", col("id") * 2.0).repartition(1), dir)
+    Versioned.writeVersion(spark.range(100, 200).toDF("id")
+      .withColumn("score", col("id") * 2.0).repartition(1), dir, SaveMode.Append)
+    Versioned.renameColumns(spark, dir, Seq("score" -> "rating"))
+    spark.conf.set("spark.sql.catalog.graft_cmp", "graft.sql.VersionedCatalog")
+    def scanOf(sql: String) =
+      spark.sql(sql).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    def unwrap(s: org.apache.spark.sql.connector.read.Scan): org.apache.spark.sql.connector.read.Scan =
+      s match {
+        case cm: graft.sql.ColumnMappedScan => unwrap(cm.inner)
+        case m: graft.sql.ManifestStatsScan => unwrap(m.inner)
+        case other => other
+      }
+    def filesPlanned(sql: String): Int =
+      unwrap(scanOf(sql).scan).toBatch.planInputPartitions().map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files.length
+        case _ => 0
+      }.sum
+    // the read serves the LOGICAL name; the pushed predicate prunes the
+    // file whose physical 'score' bounds miss — through the mapping
+    assert(filesPlanned(s"SELECT id FROM graft_cmp.`$dir`") == 2)
+    assert(filesPlanned(s"SELECT id FROM graft_cmp.`$dir` WHERE rating > 300.0") == 1)
+    // (probe strictly below every value: a 0.0 minimum is footer-recorded
+    // as -0.0 — PARQUET-1222's conservative convention — so `< 0.0`
+    // stays one-sidedly unprovable, by design)
+    assert(filesPlanned(s"SELECT id FROM graft_cmp.`$dir` WHERE rating < -5.0") == 0)
+    // the pushed-filter description speaks the PHYSICAL name (the scan
+    // IS the physical scan; only the read schema renames)
+    val desc = unwrap(scanOf(s"SELECT id FROM graft_cmp.`$dir` WHERE rating > 300.0").scan)
+      .description()
+    assert(desc.contains("score"), s"pushed filters should be physical: $desc")
+    // column PRUNING translates too: reading only the renamed column
+    // plans a read schema of exactly the physical column
+    val prunedSchema = scanOf(s"SELECT rating FROM graft_cmp.`$dir`").scan.readSchema()
+    assert(prunedSchema.fieldNames.toSeq == Seq("rating"), prunedSchema.toString)
+    // exactness under the mapped plan
+    assert(spark.sql(s"SELECT sum(rating) FROM graft_cmp.`$dir` WHERE rating > 300.0")
+      .collect().head.getDouble(0) == (151L until 200L).map(_ * 2.0).sum)
+  }
+
+  test("bloom skipping reaches the SQL plan: an EqualTo on the declared column drops interleaved files bounds cannot (q143)") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_blplan").toString + "/t"
+    import spark.implicits._
+    val even = (0L until 1000L by 2).toDF("id").repartition(1)
+    val odd  = (1L until 1000L by 2).toDF("id").repartition(1)
+    Versioned.writeVersion(even, dir)
+    Versioned.writeVersion(odd, dir, SaveMode.Append)
+    Versioned.declareBloomColumn(spark, dir, "id")
+    spark.conf.set("spark.sql.catalog.graft_blp", "graft.sql.VersionedCatalog")
+    def filesPlanned(sql: String): Int =
+      spark.sql(sql).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          (b.scan match {
+            case m: graft.sql.ManifestStatsScan => m.inner
+            case other => other
+          }) match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.toBatch.planInputPartitions().map {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.length
+                case _ => 0
+              }.sum
+          }
+      }.sum
+    // both files span [0, 1000): bounds keep 2; the bloom keeps 1
+    assert(filesPlanned(s"SELECT id FROM graft_blp.`$dir`") == 2)
+    assert(filesPlanned(s"SELECT id FROM graft_blp.`$dir` WHERE id = 42") == 1)
+    // exactness: the pruned plan still serves the row
+    assert(spark.sql(s"SELECT count(*) FROM graft_blp.`$dir` WHERE id = 42")
+      .collect().head.getLong(0) == 1)
+  }
 }
