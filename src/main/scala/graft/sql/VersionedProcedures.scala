@@ -96,7 +96,9 @@ private[sql] object VersionedProcedures {
         StructField("partition_columns", StringType),
         StructField("not_null_columns", StringType),
         StructField("num_check_constraints", IntegerType),
-        StructField("num_dv_dirs", IntegerType))))(
+        StructField("num_dv_dirs", IntegerType),
+        StructField("column_mapping", StringType),
+        StructField("bloom_column", StringType))))(
       (spark, args) => {
         val dir = args.str(0)
         val vs = Versioned.versions(spark, dir)
@@ -107,14 +109,17 @@ private[sql] object VersionedProcedures {
         val nFiles =
           try Versioned.allLiveFilesMap(spark, dir, v).valuesIterator.map(_.size).sum
           catch { case _: IllegalArgumentException => -1 } // pre-file-list manifest
+        val inv = info.colMap.map(_.swap)
         Seq(row("parquet/versioned-manifest",
           Int.box(v), Int.box(vs.length), Int.box(nFiles),
           sz.map(x => Long.box(x._2)).orNull,
           sz.map(x => Long.box(x._1)).orNull,
           info.partitionCols.mkString(","),
-          info.notNull.mkString(","),
+          info.notNull.map(c => inv.getOrElse(c, c)).mkString(","),
           Int.box(Versioned.checkConstraints(spark, dir, v).length),
-          Int.box(info.dvDirs.map(_._2.length).sum + info.scopedDvs.length)))
+          Int.box(info.dvDirs.map(_._2.length).sum + info.scopedDvs.length),
+          info.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
+          Versioned.bloomColumn(spark, dir, v).map(_._1).orNull))
       }),
 
     proc("partitions",

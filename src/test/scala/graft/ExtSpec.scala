@@ -4364,6 +4364,21 @@ class ExtSpec extends AnyFunSuite {
       "pruning a clone must never reclaim the source's files")
     assert(Versioned.readLatest(spark, tgt).count() == 99)
 
+    // OPTIMIZE LOCALIZES: the clone's compact reads the (masked)
+    // foreign state and re-lands it as LOCAL files — after it, no
+    // foreign ref remains and the clone survives the source's
+    // lifecycle (the documented way out of the shared-file caveat)
+    graft.ext.Maintenance.compact(spark, tgt,
+      store = graft.ext.ManifestStore.conditionalPut)
+    val vL = Versioned.latestVersion(spark, tgt).get
+    assert(Versioned.versionInfo(spark, tgt, vL).dataDirs.forall(_.startsWith(tgt)),
+      "compacting a clone must localize every data ref")
+    assert(Versioned.readLatest(spark, tgt).count() == 99)
+    assert(parquetUnder(tgt).nonEmpty)
+    // detail reports the new observability columns
+    val det = spark.sql(s"CALL graft_cl.system.detail('$tgt')").collect().head
+    assert(det.getString(det.fieldIndex("column_mapping")) == "")
+
     // clone of a PARTITIONED chain carries the spec and prunes partitions
     val psrc = root + "/psrc"; val ptgt = root + "/ptgt"
     Versioned.writeVersionPartitioned(
