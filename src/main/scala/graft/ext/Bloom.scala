@@ -122,10 +122,22 @@ object Bloom {
     * collected payload is bitset-sized per open file per split, never
     * value-sized). */
   def buildDirBlooms(spark: SparkSession, dirPath: String, readSchema: StructType,
-                     col: String, bits: Int): Map[String, Array[Byte]] = {
+                     col: String, bits: Int): Map[String, Array[Byte]] =
+    buildBlooms(spark, Seq("" -> dirPath), readSchema, col, bits)
+      .getOrElse("", Map.empty)
+
+  /** The multi-dir form — ONE Spark job over every dir (the backfill
+    * of a declaration over N live dirs must not launch N sequential
+    * jobs); results regroup to dirs by path prefix. `dirs` is
+    * (manifest dir name, absolute dir path). */
+  def buildBlooms(spark: SparkSession, dirs: Seq[(String, String)],
+                  readSchema: StructType, col: String, bits: Int)
+      : Map[String, Map[String, Array[Byte]]] = {
     require(bits >= 64 && bits % 8 == 0, s"bloom bits must be a positive multiple of 8, got $bits")
+    if (dirs.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.input_file_name
-    val rows: DataFrame = spark.read.schema(readSchema).parquet(dirPath)
+    val rows: DataFrame = spark.read.schema(readSchema)
+      .parquet(dirs.map(_._2): _*)
       .select(input_file_name().as("__file"), org.apache.spark.sql.functions.col(col))
     val nBytes = bits / 8
     val partial = rows.rdd.mapPartitions { it =>
@@ -138,14 +150,25 @@ object Bloom {
       }
       acc.iterator
     }
-    partial.reduceByKey { (a, b) =>
+    val collected = partial.reduceByKey { (a, b) =>
       val out = new Array[Byte](a.length)
       var i = 0
       while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
       out
-    }.collect().map { case (path, bs) =>
-      path.substring(path.lastIndexOf('/') + 1) -> bs
-    }.toMap
+    }.collect()
+    // regroup by dir: compare URI paths (input_file_name is a URI,
+    // the dir paths may be plain), longest prefix wins
+    val prefixes = dirs.map { case (n, p) =>
+      n -> (new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/") + "/")
+    }.sortBy(-_._2.length)
+    collected.toSeq.flatMap { case (filePath, bs) =>
+      val uriPath = new org.apache.hadoop.fs.Path(filePath).toUri.getPath
+      prefixes.find { case (_, pre) => uriPath.startsWith(pre) }.map { case (n, _) =>
+        (n, uriPath.substring(uriPath.lastIndexOf('/') + 1), bs)
+      }
+    }.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.map(x => (x._2, x._3)).toMap
+    }
   }
 
   def toBase64(bits: Array[Byte]): String =

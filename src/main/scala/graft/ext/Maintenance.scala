@@ -112,7 +112,12 @@ object Maintenance {
     // one-time, is real IO a routine maintenance tick shouldn't imply
     if (backfillStats) Versioned.backfillStats(spark, path, protocol)
     val compacted = Versioned.compactDeletionVectors(spark, path, protocol)
-    val compactStats =
+    // the try covers ONLY the fragmentation PROBE: a legacy
+    // pre-file-list chain can't answer it — skip just the gate
+    // (backfill_stats upgrades the chain) so dv compaction and
+    // retention still run. A failure of the compaction ITSELF must
+    // surface, never read as "no compaction needed".
+    val gate: Option[Unit] =
       if (compactTargetBytes <= 0L) None
       else try {
         val live = Versioned.latestVersion(spark, path)
@@ -122,15 +127,12 @@ object Maintenance {
         val bytes = Versioned.latestVersion(spark, path)
           .map(v => Versioned.fileBytesOf(spark, path, v, live)).getOrElse(0L)
         val ideal = math.max(1, math.ceil(bytes.toDouble / compactTargetBytes).toInt)
-        if (nFiles <= 2 * ideal) None
-        else Some(compact(spark, path, compactTargetBytes,
-          store = new ManifestStore(protocol)))
+        if (nFiles <= 2 * ideal) None else Some(())
       } catch {
-        // a legacy pre-file-list chain can't answer the fragmentation
-        // probe — skip JUST the compaction gate (backfill_stats
-        // upgrades the chain) so dv compaction and retention still run
         case _: IllegalArgumentException => None
       }
+    val compactStats = gate.map(_ =>
+      compact(spark, path, compactTargetBytes, store = new ManifestStore(protocol)))
     VersionedMaintStats(compacted,
       Versioned.pruneVersions(spark, path, keepLast, orphanMinAgeMs),
       compactStats)

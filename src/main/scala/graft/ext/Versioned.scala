@@ -610,6 +610,10 @@ object Versioned {
       StructType(s.fields.map(f => inv.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
     }
 
+  private[graft] def toPhysicalSchema(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+
   /** Final read-boundary projection: physical→logical. A pure rename
     * (one Project of aliases), so Catalyst pushes filters and prunes
     * columns straight through it down to the physical scan. */
@@ -755,9 +759,13 @@ object Versioned {
     require(Bloom.supportedType(physical(phys).dataType),
       s"bloom columns are integral or string; '$resolved' is ${physical(phys).dataType}")
     val decl = BloomColEntry(phys, bits)
+    // ONE job over every live dir (not a job per dir): the backfill is
+    // the feature's single O(table, one column) moment
+    val built = Bloom.buildBlooms(spark,
+      ls.collect { case DataEntry(n) => n -> new Path(new Path(dir), n).toString },
+      physical, phys, bits)
     val backfilled: Seq[Line] = ls.collect { case DataEntry(n) => n }.map { n =>
-      BloomEntry(n, phys, Bloom.buildDirBlooms(spark,
-        new Path(new Path(dir), n).toString, physical, phys, bits))
+      BloomEntry(n, phys, built.getOrElse(n, Map.empty))
     }
     val v = prev + 1
     commitChild(spark, dir, v, prev,
@@ -827,6 +835,13 @@ object Versioned {
     require(latestVersion(spark, targetDir).isEmpty,
       s"target $targetDir already exists — DROP it, or clone elsewhere")
     val (srcFs, srcRoot) = fsFor(spark, sourceDir)
+    val (tgtFs, _) = fsFor(spark, targetDir)
+    // the one-namespace bound is ENFORCED, not just documented: a
+    // cross-filesystem ref would strip its scheme/authority and
+    // silently resolve inside the target's filesystem
+    require(srcFs.getUri == tgtFs.getUri,
+      s"clone source and target must share one filesystem namespace; " +
+        s"got ${srcFs.getUri} vs ${tgtFs.getUri}")
     val rootAbs = srcFs.makeQualified(srcRoot).toUri.getPath
     require(!rootAbs.contains(":") && !rootAbs.contains(","),
       s"clone sources are addressed by colon/comma-free absolute paths within one " +
@@ -1603,7 +1618,11 @@ object Versioned {
       .filter(_ => !replaceDefinition)
     val bloomDecl = prevBloomDecl.map { b =>
       if (stagedPhysical) b else BloomColEntry(invChain.getOrElse(b.col, b.col), b.bits)
-    }
+    }.filter(b => newSchema.fieldNames.contains(b.col))
+      // an overwrite whose data omits the declared column retires the
+      // declaration with the column (building a bloom over a missing
+      // column would fail every later write); appends keep it — the
+      // union schema always carries the prior columns
     val bloomLines: Seq[Line] = bloomDecl match {
       case Some(b) if rows > 0 =>
         Seq(BloomEntry(dataDir, b.col,
@@ -1806,8 +1825,15 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $dir"))
     // the caller names the LOGICAL column; the dv line, the dv
     // parquet's column, and every mask join run PHYSICAL — one
-    // translation here keeps deletes working across renames
+    // translation here keeps deletes working across renames. The
+    // TRANSLATED name is re-validated: it is the one embedded in the
+    // colon-delimited dv line (a physical name with ':' would parse
+    // back as a different key + dir — refuse, never corrupt)
     val keyCol = colMapOf(lines(spark, dir, prev)).getOrElse(keyCol0, keyCol0)
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"the physical storage name '$keyCol' of '$keyCol0' is not word-shaped — " +
+        "deletion vectors embed it in the line-based manifest; rewrite the column " +
+        "(REPLACE TABLE AS SELECT) to a plain name first")
     // a scoped delete against a table with no data dirs masks nothing
     // (there are no "current rows"): nothing to commit
     if (scoped && !lines(spark, dir, prev).exists(_.isInstanceOf[DataEntry]))
@@ -2967,6 +2993,10 @@ object Versioned {
         require(!ls.exists { case NotNullEntry(c) => c.equalsIgnoreCase(n); case _ => false },
           s"cannot drop '$l': it carries NOT NULL — use alterTableAtomic " +
             "(SQL ALTER TABLE), which drops the constraint with the column")
+        require(!ls.exists { case BloomColEntry(c, _) => c.equalsIgnoreCase(n); case _ => false },
+          s"cannot drop '$l': it is the bloom-indexed column — drop_bloom first, " +
+            "or use alterTableAtomic (SQL ALTER TABLE), which retires the index " +
+            "with the column")
       }
       val dropSet = resolved.map(_._2).toSet
       val kept = prior.fields.filterNot(f => dropSet.contains(f.name))
@@ -3290,11 +3320,19 @@ object Versioned {
       dropSet.exists(_.equalsIgnoreCase(n.col)) ||
         resolvedDropNn.exists(_.equalsIgnoreCase(n.col)))
     val mapShrank = finalMap != cmap
+    // dropping the bloom-indexed column retires the index with it
+    // (like a NOT NULL line): an orphaned declaration would make every
+    // later write try to bloom a column its files no longer carry
+    val dropsBloomCol = ls.exists {
+      case BloomColEntry(c, _) => dropSet.exists(_.equalsIgnoreCase(c))
+      case _ => false
+    }
     val kept = ls.filterNot {
       case _: SchemaEntry => true
       case c: ConstraintEntry => dropCheckNames.exists(_.equalsIgnoreCase(c.name))
       case n: NotNullEntry => droppedNn.exists(_.col.equalsIgnoreCase(n.col))
       case _: ColMapEntry => mapShrank // re-added below when non-empty
+      case _: BloomColEntry | _: BloomEntry => dropsBloomCol
       case _ => false
     }
     val mapLine =
@@ -3311,7 +3349,8 @@ object Versioned {
         resolvedSet.map { case (_, p) => NotNullEntry(p) }),
       (addOp(SchemaEntry(finalSchema)) +:
         (dropCheckNames.map(n => s"-constraint:$n") ++
-          droppedNn.map(n => s"-notnull:${n.col}") ++ mapOps)) ++
+          droppedNn.map(n => s"-notnull:${n.col}") ++ mapOps ++
+          (if (dropsBloomCol) Seq("-bloomcol") else Seq.empty))) ++
         alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) } ++
         resolvedSet.map { case (_, p) => addOp(NotNullEntry(p)) },
       protocol)
@@ -3567,6 +3606,18 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
   private val statsByPath: Map[Path, Versioned.FileStats] =
     fileEntries.map(e => e._1 -> e._3).toMap
 
+  // blooms keyed by RESOLVED path (the manifest spelling of a cloned
+  // chain's dir is an absolute path — a parent-NAME lookup would
+  // silently miss and forfeit the pruning)
+  private val bloomByPath: Map[Path, Array[Byte]] =
+    if (bloomCol.isEmpty) Map.empty
+    else dirs.flatMap { st =>
+      blooms.get(st.name).toSeq.flatMap { m =>
+        val dirPath = new Path(tableDir, st.name)
+        st.files.flatMap(f => m.get(f.name).map(b => new Path(dirPath, f.name) -> b))
+      }
+    }.toMap
+
   private def partRow(f: Versioned.FileStats): InternalRow =
     InternalRow.fromSeq(partSchema.fields.map { pf =>
       f.cols.get(pf.name).flatMap(_.min) match {
@@ -3619,9 +3670,8 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
     else base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
         val bloomKeeps = bloomCol.forall(c =>
-          blooms.get(f.getPath.getParent.getName)
-            .flatMap(_.get(f.getPath.getName)).forall(bits =>
-              !translated.exists(flt => Bloom.excludes(flt, c, bits))))
+          bloomByPath.get(f.getPath).forall(bits =>
+            !translated.exists(flt => Bloom.excludes(flt, c, bits))))
         bloomKeeps && (statsByPath.get(f.getPath) match {
           case Some(fs) if fs.rows.nonEmpty =>
             !translated.exists(flt =>

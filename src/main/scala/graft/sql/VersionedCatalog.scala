@@ -326,13 +326,18 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     val adds = changes.collect { case a: TableChange.AddColumn =>
       val md = Option(a.defaultValue()) match {
         case Some(dv) =>
-          // CURRENT_DEFAULT serves future INSERTs; EXISTS_DEFAULT
-          // serves the rows in files that pre-date the column (the
-          // parquet readers fill it instead of null) — captured at
-          // ADD time, the SQL-standard split Spark's own sources use
+          // CURRENT_DEFAULT serves future INSERTs (re-evaluated per
+          // statement); EXISTS_DEFAULT serves the rows in files that
+          // pre-date the column and is FOLDED to the ADD-time
+          // constant — `DEFAULT CURRENT_DATE` must fill old rows with
+          // the date of the ALTER, not of each later read
+          val existsSql = Option(dv.getValue)
+            .map(lv => org.apache.spark.sql.catalyst.expressions
+              .Literal(lv.value, lv.dataType).sql)
+            .getOrElse(dv.getSql)
           new org.apache.spark.sql.types.MetadataBuilder()
             .putString("CURRENT_DEFAULT", dv.getSql)
-            .putString("EXISTS_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", existsSql)
             .build()
         case None => org.apache.spark.sql.types.Metadata.empty
       }
@@ -1043,10 +1048,25 @@ private[sql] class ManifestStatsScanBuilder(
   * everything delegates, only `estimateStatistics` answers from the
   * manifest's exact numbers. */
 private[graft] class ManifestStatsScan(val inner: Scan, rows: Long, bytes: Long)
-  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()
   override def toBatch: Batch = inner.toBatch
+  // runtime (join-derived) filters pass straight through — the stats
+  // wrapper must not cost the native scan its dynamic file pruning
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case r: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        r.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner match {
+      case r: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        r.filter(predicates)
+      case _ => ()
+    }
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -1117,25 +1137,51 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
 
 /** The column-mapping seam helpers shared by the mapped scan/write
   * wrappers: pure name translation, no row-level work anywhere. */
-private[sql] object ColumnMapped {
+private[graft] object ColumnMapped {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 
-  /** logical-named struct → physical-named (top-level fields). */
+  /** logical-named struct → physical-named and back — ONE
+    * implementation, in the store ([[Versioned]]); these are aliases
+    * so the scan wrappers and the catalog load can never diverge. */
   def toPhysicalSchema(s: StructType, m: Map[String, String]): StructType =
-    if (m.isEmpty) s
-    else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    Versioned.toPhysicalSchema(s, m)
 
   def toLogicalSchema(s: StructType, m: Map[String, String]): StructType =
-    if (m.isEmpty) s
-    else {
-      val inv = m.map(_.swap)
-      StructType(s.fields.map(f => f.copy(name = inv.getOrElse(f.name, f.name))))
-    }
+    Versioned.toLogicalSchema(s, m)
 
   def renameAttrs(e: Expression, m: Map[String, String]): Expression =
     e.transform {
       case a: AttributeReference if m.contains(a.name) => a.withName(m(a.name))
     }
+
+  /** Rebuild a CONNECTOR (v2) expression with top-level field
+    * references renamed — the runtime-filter seam speaks v2
+    * expressions, which have no transform API. None for a node kind
+    * this doesn't know (the caller then skips that predicate — a
+    * runtime filter is an optimization, never a correctness need). */
+  def renameV2(e: org.apache.spark.sql.connector.expressions.Expression,
+               m: Map[String, String])
+      : Option[org.apache.spark.sql.connector.expressions.Expression] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, GeneralScalarExpression, Literal, NamedReference}
+    e match {
+      // Predicate extends GeneralScalarExpression: match it first
+      case p: org.apache.spark.sql.connector.expressions.filter.Predicate =>
+        val kids = p.children().map(c => renameV2(c, m))
+        if (kids.exists(_.isEmpty)) None
+        else Some(new org.apache.spark.sql.connector.expressions.filter.Predicate(
+          p.name(), kids.map(_.get)))
+      case g: GeneralScalarExpression =>
+        val kids = g.children().map(c => renameV2(c, m))
+        if (kids.exists(_.isEmpty)) None
+        else Some(new GeneralScalarExpression(g.name(), kids.map(_.get)))
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(Expressions.column(m.getOrElse(nr.fieldNames()(0), nr.fieldNames()(0))))
+      case nr: NamedReference if !m.contains(nr.fieldNames()(0)) =>
+        Some(nr) // nested ref whose top level is unmapped
+      case l: Literal[_] => Some(l)
+      case _ => None // unknown node kind: the caller skips the predicate
+    }
+  }
 
   /** A [[org.apache.spark.sql.connector.write.LogicalWriteInfo]] whose
     * schema carries the PHYSICAL names — handed to the staged-file
@@ -1183,11 +1229,36 @@ private[sql] class ColumnMappedScanBuilder(inner: ManifestStatsScanBuilder,
 }
 
 private[graft] class ColumnMappedScan(val inner: Scan, colMap: Map[String, String])
-  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType =
     ColumnMapped.toLogicalSchema(inner.readSchema(), colMap)
   override def description(): String = s"ColumnMapped(${inner.description()})"
   override def toBatch: Batch = inner.toBatch
+
+  // runtime (join-derived) filters forward with the same
+  // logical→physical translation as static pushdown — without this a
+  // rename would silently forfeit dynamic file pruning
+  private val invMap = colMap.map(_.swap)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case r: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        r.filterAttributes().map { ref =>
+          if (ref.fieldNames().length == 1 && invMap.contains(ref.fieldNames()(0)))
+            org.apache.spark.sql.connector.expressions.Expressions.column(
+              invMap(ref.fieldNames()(0)))
+          else ref
+        }
+      case _ => Array.empty
+    }
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner match {
+      case r: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        r.filter(predicates.flatMap(p => ColumnMapped.renameV2(p, colMap).collect {
+          case q: org.apache.spark.sql.connector.expressions.filter.Predicate => q
+        }))
+      case _ => ()
+    }
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =

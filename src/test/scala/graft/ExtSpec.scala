@@ -4446,4 +4446,57 @@ class ExtSpec extends AnyFunSuite {
     assert(v0md.contains("CURRENT_DEFAULT") && v0md.getString("CURRENT_DEFAULT") == "'new'")
     spark.sql(s"DROP TABLE graft_df.`$dir`")
   }
+
+  test("review hardening: bloom column drops retire the index; folded existence defaults; colon-named physical dv keys refuse") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_r12fix").toString
+    spark.conf.set("spark.sql.catalog.graft_fx", "graft.sql.VersionedCatalog")
+
+    // 1) dropping the bloom-indexed column: single-purpose dropColumns
+    // refuses; the atomic ALTER retires the declaration with the
+    // column; writes afterwards land clean (no orphaned declaration)
+    val bdir = root + "/b"
+    Versioned.writeVersion(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), bdir)
+    Versioned.declareBloomColumn(spark, bdir, "id")
+    assert(intercept[IllegalArgumentException] {
+      Versioned.dropColumns(spark, bdir, Seq("id"))
+    }.getMessage.contains("bloom"))
+    spark.sql(s"ALTER TABLE graft_fx.`$bdir` DROP COLUMN id")
+    val vD = Versioned.latestVersion(spark, bdir).get
+    assert(Versioned.bloomColumn(spark, bdir, vD).isEmpty,
+      "dropping the indexed column must retire the declaration")
+    Versioned.writeVersion(Seq("z").toDF("v"), bdir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, bdir).count() == 3)
+    // …and an OVERWRITE whose data omits the declared column retires it too
+    val odir = root + "/o"
+    Versioned.writeVersion(Seq((1L, "x")).toDF("id", "v"), odir)
+    Versioned.declareBloomColumn(spark, odir, "id")
+    Versioned.writeVersion(Seq("only-v").toDF("v"), odir)
+    assert(Versioned.bloomColumn(spark, odir,
+      Versioned.latestVersion(spark, odir).get).isEmpty)
+    Versioned.writeVersion(Seq("w").toDF("v"), odir, SaveMode.Append) // must not crash
+
+    // 2) EXISTS_DEFAULT folds to the ADD-time constant (not the raw sql)
+    val ddir = root + "/d"
+    spark.sql(s"CREATE TABLE graft_fx.`$ddir` (id BIGINT)")
+    spark.sql(s"INSERT INTO graft_fx.`$ddir` VALUES (1)")
+    spark.sql(s"ALTER TABLE graft_fx.`$ddir` ADD COLUMN n INT DEFAULT 2 + 3")
+    val md = Versioned.recordedSchema(spark, ddir,
+      Versioned.latestVersion(spark, ddir).get).get("n").metadata
+    assert(md.getString("EXISTS_DEFAULT") == "5",
+      s"EXISTS_DEFAULT must be the folded constant, got ${md.getString("EXISTS_DEFAULT")}")
+    assert(spark.sql(s"SELECT n FROM graft_fx.`$ddir` WHERE id = 1").as[Int].head() == 5)
+
+    // 3) a physical key name the line format cannot carry refuses the
+    // delete instead of committing a corrupt manifest
+    val cdir = root + "/c"
+    Versioned.writeVersion(Seq((1L, "x")).toDF("a:b", "v"), cdir)
+    Versioned.renameColumns(spark, cdir, Seq("a:b" -> "nice"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.deleteByKeys(spark, cdir, Seq(1L).toDF("nice"), "nice")
+    }
+    assert(e.getMessage.contains("physical storage name"), e.getMessage)
+    assert(Versioned.readLatest(spark, cdir).count() == 1, "nothing may commit")
+  }
 }

@@ -931,4 +931,42 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM graft_blp.`$dir` WHERE id = 42")
       .collect().head.getLong(0) == 1)
   }
+
+  test("runtime filtering forwards through the scan wrappers (graceful on Spark 4.1's non-filtering FileScan)") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    // Spark 4.1's FileScan dropped SupportsRuntimeFiltering (file-source
+    // DPP routes elsewhere), so the inner parquet scan exposes no
+    // runtime-filter attributes — the wrappers must still BE
+    // runtime-filter-capable and degrade gracefully (empty attributes,
+    // no-op filter), so a future filtering inner scan forwards for free
+    // and today's plans never crash on the instanceof probe.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtf").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 100).toDF("id")
+      .withColumn("score", col("id") * 2.0), dir)
+    spark.conf.set("spark.sql.catalog.graft_rtf", "graft.sql.VersionedCatalog")
+    def scanOf(sql: String) =
+      spark.sql(sql).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+    val plain = scanOf(s"SELECT id FROM graft_rtf.`$dir`")
+    assert(plain.isInstanceOf[SupportsRuntimeV2Filtering])
+    val pr = plain.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(pr.filterAttributes().isEmpty)
+    pr.filter(Array.empty) // no-op, never throws
+    Versioned.renameColumns(spark, dir, Seq("score" -> "rating"))
+    val mapped = scanOf(s"SELECT id FROM graft_rtf.`$dir`")
+    assert(mapped.isInstanceOf[SupportsRuntimeV2Filtering])
+    val mr = mapped.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(mr.filterAttributes().isEmpty)
+    mr.filter(Array.empty)
+    // the v2-expression renamer itself is pinned directly: a Predicate
+    // over the logical name rebuilds under the physical one
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val pred = new org.apache.spark.sql.connector.expressions.filter.Predicate("=",
+      Array(Expressions.column("rating"),
+        Expressions.literal(1.0)))
+    val renamed = graft.sql.ColumnMapped.renameV2(pred, Map("rating" -> "score"))
+    assert(renamed.get.toString.contains("score"), renamed.toString)
+  }
 }
