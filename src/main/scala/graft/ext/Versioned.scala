@@ -293,7 +293,12 @@ object Versioned {
       BloomColEntry(rest.substring(0, i), rest.substring(i + 1).toInt)
     } else if (line.startsWith("bloom:")) {
       val parts = line.drop(6).split(":", 3)
-      require(parts.length == 3 && parts.forall(_.nonEmpty),
+      // the FILE-LIST tail may be empty — a dir that is all-null in
+      // the declared column has no per-file bloom (nothing to hash),
+      // renders as `bloom:<dir>:<col>:`, and the one-sided skipping
+      // contract already treats a bloom-less file as "keep". Refusing
+      // the empty tail here made such a committed manifest unreadable.
+      require(parts.length == 3 && parts(0).nonEmpty && parts(1).nonEmpty,
         s"malformed bloom manifest line: $line")
       BloomEntry(parts(0), parts(1),
         parts(2).split(',').iterator.filter(_.nonEmpty).map { e =>
@@ -714,6 +719,17 @@ object Versioned {
             "DROP CONSTRAINT first, rename, re-add under the new name")
       }
       val phys = m.getOrElse(resolved, resolved)
+      // the PHYSICAL name embeds in the comma-delimited colmap line
+      // too (the files legally carry names the logical validation
+      // above never saw — Spark 4 parquet writes columns named
+      // 'a:b'): a comma or line break would commit a line the parser
+      // refuses, bricking the table, and the parse-side entry trim
+      // would mangle edge whitespace — refuse, never corrupt, the
+      // same guard deleteByKeysCore applies to translated dv keys
+      require(!phys.exists(c => c == ',' || c == '\n' || c == '\r') && phys == phys.trim,
+        s"the physical storage name '$phys' of '$from' cannot be column-mapped — " +
+          "it would corrupt the comma-delimited manifest line; rewrite the column " +
+          "(REPLACE TABLE … AS SELECT) to a plain name instead")
       m = (m - resolved) ++ (if (to == phys) Map.empty[String, String] else Map(to -> phys))
     }
     val v = prev + 1

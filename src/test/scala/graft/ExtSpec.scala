@@ -4499,4 +4499,53 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("physical storage name"), e.getMessage)
     assert(Versioned.readLatest(spark, cdir).count() == 1, "nothing may commit")
   }
+
+  test("bloom over an all-null dir: the empty file-list line round-trips through a fresh-cache parse") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_null").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    // an appended dir whose declared column is ALL NULL has no value
+    // to hash: its bloom line's file-list tail is empty
+    val allNull = Seq("x", "y").toDF("payload")
+      .withColumn("id", lit(null).cast("long")).select($"id", $"payload")
+    Versioned.writeVersion(allNull, dir, SaveMode.Append)
+    // BACKFILL path: the declaration sweeps the all-null dir
+    val vB = Versioned.declareBloomColumn(spark, dir, "id")
+    assert(Versioned.readVersion(spark, dir, vB).count() == 4)
+    // WRITE path: a post-declaration append of another all-null dir
+    Versioned.writeVersion(allNull, dir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir).count() == 6)
+    // FRESH-CACHE parse: a filesystem copy gets a new manifest cache
+    // key, so the copied chain must parse from BYTES (the bug: the
+    // empty tail committed fine, then every uncached read threw —
+    // table bricked)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bloom_null2").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(dir),
+      hfs, new org.apache.hadoop.fs.Path(dir2), false, conf)
+    assert(Versioned.readLatest(spark, dir2).count() == 6)
+    assert(Versioned.readLatest(spark, dir2).filter($"id" === 1L).count() == 1)
+    // the chain stays writable after the round-trip
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "payload"), dir2, SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir2).filter($"id" === 3L).count() == 1)
+  }
+
+  test("rename refuses a physical name the comma-delimited colmap line cannot carry") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_colmap_comma").toString + "/t"
+    // parquet legally stores a column named 'a,b'; mapping it would
+    // embed the comma in the colmap line and brick the parse
+    Versioned.writeVersion(Seq((1L, "x")).toDF("a,b", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.renameColumns(spark, dir, Seq("a,b" -> "nice"))
+    }
+    assert(e.getMessage.contains("cannot be column-mapped"), e.getMessage)
+    // nothing committed; plain-named columns on the same chain rename fine
+    assert(Versioned.columnMapping(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty)
+    Versioned.renameColumns(spark, dir, Seq("v" -> "w"))
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("a,b", "w"))
+  }
 }
