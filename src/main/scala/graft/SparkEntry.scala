@@ -1834,6 +1834,66 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     },
 
+    // COLUMN MAPPING ON A PARTITIONED CHAIN (the r12 verdict's first
+    // colmap limitation a 100 TB user hits — everything big is
+    // partitioned): renaming a DATA column of a hive-laid-out chain is
+    // the same metadata-only commit as on a flat chain (the layout
+    // encodes only PARTITION values, which stay name-stable because
+    // renaming a partition column itself keeps refusing). In-query
+    // asserts pin: no data dir changes, the mapping line lands, the
+    // partition-column rename refuses, the post-rename INSERT stages
+    // the physical name inside hive subtrees, and partition pruning
+    // still plans from manifest bytes through the rename.
+    "q147_sql_rename_partitioned" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_rename_part", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q147")
+      s.sql(s"CREATE TABLE versioned.`$tbl` " +
+        "(o_orderkey BIGINT, price DOUBLE, status STRING) PARTITIONED BY (status)")
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus " +
+        "FROM orders_q147 WHERE o_orderstatus = 'F'")
+      val dirsBefore = graft.ext.Versioned.liveDataDirs(s, tbl).toSet
+      s.sql(s"ALTER TABLE versioned.`$tbl` RENAME COLUMN price TO amount")
+      val vR = graft.ext.Versioned.latestVersion(s, tbl).get
+      assert(graft.ext.Versioned.liveDataDirs(s, tbl).toSet == dirsBefore,
+        "partitioned RENAME COLUMN must be metadata-only: no data dir may change")
+      assert(graft.ext.Versioned.columnMapping(s, tbl, vR) == Map("amount" -> "price"),
+        "the rename must land as a column-mapping line")
+      assert(refusesWith("PARTITION column") {
+        s.sql(s"ALTER TABLE versioned.`$tbl` RENAME COLUMN status TO state")
+      }, "renaming a partition column must refuse (the hive layout is its name)")
+      // append THROUGH the new name: staged hive subtrees carry the
+      // physical data-column name
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus " +
+        "FROM orders_q147 WHERE o_orderstatus = 'P'")
+      val newDirs = graft.ext.Versioned.liveDataDirs(s, tbl).filterNot(dirsBefore)
+      assert(newDirs.nonEmpty &&
+        newDirs.forall(nd => s.read.parquet(nd).columns.contains("price")),
+        "post-rename partitioned INSERT must stage the PHYSICAL column name")
+      // partition pruning still plans from manifest bytes: a one-
+      // partition predicate must plan strictly fewer files than live
+      val vNow = graft.ext.Versioned.latestVersion(s, tbl).get
+      val allFiles = graft.ext.Versioned.planDataFiles(s, tbl, vNow, Seq.empty)
+      val pPruned = graft.ext.Versioned.planDataFiles(s, tbl, vNow,
+        Seq(org.apache.spark.sql.sources.EqualTo("status", "P")))
+      assert(pPruned.nonEmpty && pPruned.length < allFiles.length,
+        s"partition pruning must survive the rename (planned ${pPruned.length}/${allFiles.length})")
+      // …and the renamed DATA column's stats skip through the mapping
+      val dPruned = graft.ext.Versioned.planDataFiles(s, tbl, vNow,
+        Seq(org.apache.spark.sql.sources.LessThan("amount", -1.0)))
+      assert(dPruned.isEmpty,
+        s"an impossible predicate on the renamed column must prune every file " +
+          s"(planned ${dPruned.length}/${allFiles.length})")
+      // time travel across the rename serves the OLD name
+      assert(graft.ext.Versioned.readVersion(s, tbl, vR - 1).columns.contains("price"),
+        "pre-rename versions keep serving the old name")
+      s.sql(s"SELECT o_orderkey, status, amount FROM versioned.`$tbl` " +
+        "WHERE amount > 1000.0 ORDER BY o_orderkey")
+    },
+
     // CREATE TABLE … PARTITIONED BY + partitioned INSERT through SQL:
     // the chain is partitioned from birth (metadata-only v0 records
     // the spec), appends land hive-laid-out matching it, and the
@@ -3936,6 +3996,13 @@ object SparkEntry {
     // the renamed column serves under its NEW name with the SAME
     // values, across both the pre-rename and post-rename inserts
     "q142_sql_rename_column" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS amount
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |  AND ROUND(o_totalprice, 2) > 1000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same selection through a PARTITIONED renamed chain
+    "q147_sql_rename_partitioned" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS amount
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |  AND ROUND(o_totalprice, 2) > 1000.0

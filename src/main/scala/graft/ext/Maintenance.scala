@@ -491,7 +491,12 @@ object Maintenance {
     val staged = Versioned.stageDataDir(spark, dir)
     val stagedPath = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(dir), staged)
-    shape(Versioned.readVersionFiles(spark, dir, v, files), partCols, selectedBytes)
+    // the subset read serves LOGICAL names (shape's zCols/partCols are
+    // user-facing); the staged replacement lands beside the chain's
+    // files and must carry PHYSICAL names like any partial rewrite
+    Versioned.toPhysical(
+        shape(Versioned.readVersionFiles(spark, dir, v, files), partCols, selectedBytes),
+        Versioned.columnMapping(spark, dir, v))
       .write.partitionBy(partCols: _*)
       .mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
     Versioned.commitFileRewrite(spark, dir, files, Some(staged), partCols,

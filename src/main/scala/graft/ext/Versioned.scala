@@ -686,9 +686,6 @@ object Versioned {
       throw new IllegalArgumentException(
         s"cannot rename columns of a pre-schema manifest at $dir — commit once to record the schema"))
     val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
-    require(partCols.isEmpty,
-      s"cannot rename columns of a PARTITIONED chain at $dir — the hive layout is " +
-        "keyed on the physical names; rewrite instead (REPLACE TABLE … AS SELECT)")
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
     val dataDirs = ls.collect { case DataEntry(n) => n }
     require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
@@ -708,6 +705,13 @@ object Versioned {
       val resolved = logicalNow.fieldNames.find(_.equalsIgnoreCase(from)).getOrElse(
         throw new IllegalArgumentException(
           s"no column '$from' in ${logicalNow.fieldNames.mkString(",")}"))
+      // DATA columns of a partitioned chain rename fine (the hive
+      // layout never encodes them); a PARTITION column's physical name
+      // is baked into every `col=value` path segment and the partition
+      // index — that one still refuses
+      require(!partCols.exists(_.equalsIgnoreCase(resolved)),
+        s"cannot rename PARTITION column '$resolved' — its physical name is the " +
+          "hive directory layout itself; rewrite instead (REPLACE TABLE … AS SELECT)")
       require(!logicalNow.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"column '$to' already exists")
       require(!physical.fieldNames.exists(n => n.equalsIgnoreCase(to) &&
@@ -1273,7 +1277,9 @@ object Versioned {
     require(partCols.nonEmpty, "partCols must be non-empty")
     val spark = df.sparkSession
     val staged = stageDataDir(spark, dir)
-    df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+    // staged files land BESIDE the chain's existing files — a renamed
+    // chain needs them in PHYSICAL names like any append
+    toPhysicalLatest(df, dir).write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(new Path(new Path(dir), staged).toString)
     commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol)
   }
@@ -1368,7 +1374,11 @@ object Versioned {
                               mode: SaveMode = SaveMode.Overwrite,
                               protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(partCols.nonEmpty, "partCols must be non-empty — use writeVersion")
-    val schema = df.schema
+    // a renamed chain's APPEND lands PHYSICAL column names, same as
+    // the unpartitioned entry point (partition columns are never
+    // renamed, so partCols needs no translation)
+    val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
+    val schema = out.schema
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
       require(Skipping.partitionableType(schema(c).dataType),
@@ -1380,7 +1390,7 @@ object Versioned {
     val partSchema = StructType(partCols.map(c => schema(c)))
     writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
       partitionBy = Some(partSchema))(tmp =>
-      df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+      out.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
   }
 
   private def writeVersionCore(spark: SparkSession, dir: String,

@@ -155,10 +155,12 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
         // index plugged into Spark's public ParquetScanBuilder: the
         // native partitioned scan (PartitionFilters pruning,
         // vectorized read, row-group pushdown) planned from manifest
-        // bytes, plus per-file stats skipping on the survivors.
-        // (Column mapping refuses partitioned chains, so cmap is empty.)
+        // bytes, plus per-file stats skipping on the survivors. A
+        // RENAMED chain's mapping rides the same seam as the flat
+        // tier (partition columns themselves never rename, so the
+        // hive layout and PartitionFilters stay name-stable).
         new PartitionedVersionedTable(tableName, spark, dir, v, schema,
-          info.partitionCols)
+          info.partitionCols, cmap)
       case Some(schema) =>
         new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema, cmap)
       case None =>
@@ -965,7 +967,8 @@ private[sql] class ReplaceVersionWriteBuilder(spark: SparkSession, dir: String,
 private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSession,
                                              dir: String, v: Int,
                                              fullSchema: StructType,
-                                             partCols: Seq[String])
+                                             partCols: Seq[String],
+                                             colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints {
 
@@ -974,6 +977,7 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
   override protected def vdSchema: StructType = fullSchema
   override protected def vcVersion: Int = v
   override protected def vroPartCols: Seq[String] = partCols
+  override protected def vroColMap: Map[String, String] = colMap
 
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
@@ -983,13 +987,21 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
   override def capabilities(): java.util.Set[TableCapability] =
     VersionedWrite.capabilities
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestStatsScanBuilder(
+  // a RENAMED chain's inner scan runs under the PHYSICAL schema (the
+  // files' names; partition columns never rename, so the partition
+  // index is name-stable) and [[ColumnMappedScanBuilder]] translates
+  // at the seam, exactly as in [[SkippingTable]]
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val physSchema = ColumnMapped.toPhysicalSchema(fullSchema, colMap)
+    val inner = new ManifestStatsScanBuilder(
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-        spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, fullSchema,
-        StructType(fullSchema.fields.filterNot(f => partCols.contains(f.name))),
+        spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, physSchema,
+        StructType(physSchema.fields.filterNot(f => partCols.contains(f.name))),
         options),
       Versioned.manifestSizeOf(spark, dir, v))
+    if (colMap.isEmpty) inner
+    else new ColumnMappedScanBuilder(inner, colMap)
+  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

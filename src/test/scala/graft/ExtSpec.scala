@@ -4532,6 +4532,59 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.readLatest(spark, dir2).filter($"id" === 3L).count() == 1)
   }
 
+  test("column mapping on a partitioned chain: metadata-only rename; appends, dynamic overwrite, CoW, scoped compact all translate") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.{Maintenance, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpart").toString + "/t"
+    val rows = (0 until 1000).map(i => (i.toLong, i % 4, s"v$i"))
+    Versioned.writeVersionPartitioned(rows.toDF("id", "bucket", "payload"), dir, Seq("bucket"))
+    val dirsBefore = Versioned.liveDataDirs(spark, dir).toSet
+    Versioned.renameColumns(spark, dir, Seq("payload" -> "text"))
+    assert(Versioned.liveDataDirs(spark, dir).toSet == dirsBefore, "rename must be metadata-only")
+    assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("id", "text", "bucket"))
+    // the PARTITION column itself keeps refusing
+    assert(intercept[IllegalArgumentException] {
+      Versioned.renameColumns(spark, dir, Seq("bucket" -> "b"))
+    }.getMessage.contains("PARTITION column"))
+    // append through the logical name: files land physical, read is one union
+    Versioned.writeVersionPartitioned(
+      (1000 until 1100).map(i => (i.toLong, i % 4, s"v$i")).toDF("id", "bucket", "text"),
+      dir, Seq("bucket"), SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir).count() == 1100)
+    assert(Versioned.readLatest(spark, dir).filter($"text" === "v1050").count() == 1)
+    val appended = Versioned.liveDataDirs(spark, dir).filterNot(dirsBefore)
+    assert(appended.nonEmpty &&
+      appended.forall(nd => spark.read.parquet(nd).columns.contains("payload")),
+      "appended hive subtrees must carry the PHYSICAL column name")
+    // dynamic partition overwrite through the rename: bucket=2 replaced wholesale
+    Versioned.writeVersionPartitionedDynamic(
+      Seq((9999L, 2, "patched")).toDF("id", "bucket", "text"), dir, Seq("bucket"))
+    val after = Versioned.readLatest(spark, dir)
+    assert(after.filter($"bucket" === 2).count() == 1)
+    assert(after.filter($"bucket" === 2).select("text").as[String].head() == "patched")
+    assert(after.filter($"bucket" === 1).count() == 275, "untouched partitions carry verbatim")
+    // SQL over the renamed partitioned chain: read, CoW UPDATE, DELETE
+    spark.conf.set("spark.sql.catalog.graft_pm", "graft.sql.VersionedCatalog")
+    assert(spark.sql(s"SELECT text FROM graft_pm.`$dir` WHERE id = 5").as[String].head() == "v5")
+    spark.sql(s"UPDATE graft_pm.`$dir` SET text = 'upd' WHERE id = 13")
+    assert(spark.sql(s"SELECT text FROM graft_pm.`$dir` WHERE id = 13").as[String].head() == "upd")
+    spark.sql(s"DELETE FROM graft_pm.`$dir` WHERE id = 17")
+    assert(spark.sql(s"SELECT count(*) FROM graft_pm.`$dir` WHERE id = 17").as[Long].head() == 0)
+    // partition-scoped compact on the renamed chain: the staged
+    // replacement must land PHYSICAL names (the Maintenance seam)
+    val preCount = Versioned.readLatest(spark, dir).count()
+    val preDirs = Versioned.liveDataDirs(spark, dir).toSet
+    assert(Maintenance.compactVersionedWhere(spark, dir, "bucket = 1").nonEmpty)
+    val staged = Versioned.liveDataDirs(spark, dir).filterNot(preDirs)
+    assert(staged.nonEmpty &&
+      staged.forall(nd => spark.read.parquet(nd).columns.contains("payload")),
+      "scoped rewrite must stage the PHYSICAL column name")
+    assert(Versioned.readLatest(spark, dir).count() == preCount)
+    assert(Versioned.readLatest(spark, dir).filter($"text" === "v9").count() == 1)
+    // time travel across the rename serves the old name
+    assert(Versioned.readVersion(spark, dir, 0).columns.toSeq == Seq("id", "payload", "bucket"))
+  }
+
   test("rename refuses a physical name the comma-delimited colmap line cannot carry") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_colmap_comma").toString + "/t"

@@ -898,6 +898,55 @@ class PlanSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == (151L until 200L).map(_ * 2.0).sum)
   }
 
+  test("column mapping on a PARTITIONED chain: PartitionFilters keep firing and the renamed data column pushes physically (q147)") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpart_plan").toString + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("score", col("id") * 2.0)
+      .withColumn("bucket", (col("id") % 3).cast("int"))
+      .repartition(2)
+    Versioned.writeVersionPartitioned(df, dir, Seq("bucket"))
+    Versioned.renameColumns(spark, dir, Seq("score" -> "rating"))
+    // append through the LOGICAL name: hive subtrees stage the physical
+    Versioned.writeVersionPartitioned(
+      spark.range(300, 600).toDF("id")
+        .withColumn("rating", col("id") * 2.0)
+        .withColumn("bucket", (col("id") % 3).cast("int")).repartition(2),
+      dir, Seq("bucket"), SaveMode.Append)
+    spark.conf.set("spark.sql.catalog.graft_cmp2", "graft.sql.VersionedCatalog")
+    def scanOf(sql: String) =
+      spark.sql(sql).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    def unwrap(s: org.apache.spark.sql.connector.read.Scan): org.apache.spark.sql.connector.read.Scan =
+      s match {
+        case cm: graft.sql.ColumnMappedScan => unwrap(cm.inner)
+        case m: graft.sql.ManifestStatsScan => unwrap(m.inner)
+        case other => other
+      }
+    def filesPlanned(sql: String): Int =
+      unwrap(scanOf(sql).scan).toBatch.planInputPartitions().map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files.length
+        case _ => 0
+      }.sum
+    val all = filesPlanned(s"SELECT id FROM graft_cmp2.`$dir`")
+    // PARTITION pruning still plans from manifest bytes through the rename
+    val onePart = filesPlanned(s"SELECT id FROM graft_cmp2.`$dir` WHERE bucket = 1")
+    assert(onePart > 0 && onePart < all, s"partition pruning: $onePart of $all")
+    // the RENAMED data column prunes via its physical footer stats
+    assert(filesPlanned(s"SELECT id FROM graft_cmp2.`$dir` WHERE rating < -5.0") == 0)
+    // and the pushed description speaks the physical name
+    val desc = unwrap(scanOf(s"SELECT id FROM graft_cmp2.`$dir` WHERE rating > 700.0").scan)
+      .description()
+    assert(desc.contains("score"), s"pushed filters should be physical: $desc")
+    // exactness across the whole renamed partitioned union
+    assert(spark.sql(s"SELECT count(*) FROM graft_cmp2.`$dir` WHERE bucket = 1")
+      .collect().head.getLong(0) == 200L)
+    assert(spark.sql(s"SELECT sum(rating) FROM graft_cmp2.`$dir`")
+      .collect().head.getDouble(0) == (0L until 600L).map(_ * 2.0).sum)
+  }
+
   test("bloom skipping reaches the SQL plan: an EqualTo on the declared column drops interleaved files bounds cannot (q143)") {
     import graft.ext.Versioned
     import org.apache.spark.sql.SaveMode
