@@ -1742,6 +1742,48 @@ object SparkEntry {
       got.orderBy("o_orderkey")
     },
 
+    // BLOOM INDEX ON A PARTITIONED CHAIN (the r12 verdict's Missing
+    // #3): partition values prune lookups BY partition key, but a
+    // point lookup on a NON-partition column within a huge partitioned
+    // corpus is exactly the needle-in-100-TB shape — the bloom prunes
+    // files WITHIN the surviving partitions. The backfill is CHUNKED
+    // (spark.graft.bloom.backfillFilesPerCommit): the driver holds one
+    // batch of bitsets at a time, never one per live file — in-query
+    // asserts pin the multi-commit backfill and the pruning.
+    "q148_bloom_partitioned" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.col
+      val tbl = scratchPath("bloom_part", d)
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        org.apache.spark.sql.functions.round(col("o_totalprice"), 2).as("price"))
+      // interleaved keys across two hive-laid-out commits: within every
+      // partition, both commits span the full key range
+      Versioned.writeVersionPartitioned(
+        src.filter(col("o_orderkey") % 2 === 0).repartition(1), tbl, Seq("status"))
+      Versioned.writeVersionPartitioned(
+        src.filter(col("o_orderkey") % 2 === 1).repartition(1), tbl, Seq("status"),
+        org.apache.spark.sql.SaveMode.Append)
+      val vPre = Versioned.latestVersion(s, tbl).get
+      s.conf.set("spark.graft.bloom.backfillFilesPerCommit", "3")
+      val vB = try Versioned.declareBloomColumn(s, tbl, "o_orderkey")
+               finally s.conf.unset("spark.graft.bloom.backfillFilesPerCommit")
+      assert(vB > vPre + 1,
+        s"the chunked backfill must land as MULTIPLE bounded commits (got ${vB - vPre})")
+      val keys = src.select("o_orderkey").orderBy("o_orderkey").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val all = Versioned.planDataFiles(s, tbl, vB, Seq.empty)
+      val one = Versioned.planDataFiles(s, tbl, vB,
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", keys.head)))
+      assert(one.length < all.length && one.nonEmpty,
+        s"the bloom must prune the other commit's files inside every partition " +
+          s"(planned ${one.length}/${all.length})")
+      val got = Versioned.readLatest(s, tbl)
+        .filter(col("o_orderkey").isin(keys: _*))
+      assert(got.count() == keys.length, "a bloom may never lose a present key")
+      got.orderBy("o_orderkey")
+    },
+
     // TYPE WIDENING (Delta type widening's role): `ALTER COLUMN … TYPE`
     // up the integral ladder (or to double) is a METADATA-ONLY commit —
     // Spark 4's parquet readers promote the old int32 bytes natively,
@@ -3989,6 +4031,14 @@ object SparkEntry {
     // for the five smallest keys
     "q143_bloom_skipping" ->
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same point-lookup contract through the partitioned chain (the
+    // partition column rides LAST in the read order)
+    "q148_bloom_partitioned" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderstatus AS status
         |FROM orders
         |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
         |ORDER BY o_orderkey""".stripMargin,

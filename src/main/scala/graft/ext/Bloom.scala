@@ -163,9 +163,19 @@ object Bloom {
     }.sortBy(-_._2.length)
     collected.toSeq.flatMap { case (filePath, bs) =>
       val uriPath = new org.apache.hadoop.fs.Path(filePath).toUri.getPath
-      prefixes.find { case (_, pre) => uriPath.startsWith(pre) }.map { case (n, _) =>
-        (n, uriPath.substring(uriPath.lastIndexOf('/') + 1), bs)
+      // the file KEY is the path RELATIVE to its dir — the manifest's
+      // FileStats.name spelling: a bare basename for flat dirs, the
+      // hive subpath (`col=value/part-….parquet`) for partitioned ones
+      // (a basename key would silently never match and forfeit the
+      // pruning on partitioned chains)
+      prefixes.find { case (_, pre) => uriPath.startsWith(pre) }.map { case (n, pre) =>
+        (n, uriPath.substring(pre.length), bs)
       }
+    }.filter { case (_, rel, _) =>
+      // a name the comma-delimited manifest tail cannot carry (Spark's
+      // hive path escaping leaves ',' unescaped in partition values)
+      // simply gets NO bloom — one-sided: the file is always read
+      !rel.exists(c => c == ',' || c == '\n' || c == '\r')
     }.groupBy(_._1).map { case (n, xs) =>
       n -> xs.map(x => (x._2, x._3)).toMap
     }

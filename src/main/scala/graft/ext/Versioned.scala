@@ -302,7 +302,13 @@ object Versioned {
         s"malformed bloom manifest line: $line")
       BloomEntry(parts(0), parts(1),
         parts(2).split(',').iterator.filter(_.nonEmpty).map { e =>
-          val j = e.indexOf('=')
+          // the separator is the LAST '=' before the blob: a hive
+          // subpath file name legally contains '=' ("bucket=0/part-…"),
+          // while a base64 BODY never does ('=' is only trailing
+          // padding, stripped before the search)
+          var k = e.length
+          while (k > 0 && e.charAt(k - 1) == '=') k -= 1
+          val j = e.lastIndexOf('=', k - 1)
           require(j > 0, s"malformed bloom file entry: $e")
           e.substring(0, j) -> Bloom.fromBase64(e.substring(j + 1))
         }.toMap)
@@ -749,14 +755,26 @@ object Versioned {
 
   // ───────────── bloom-filter file skipping (see [[Bloom]]) ─────────────
 
-  /** Declare the table's bloom-indexed point-lookup column: ONE commit
-    * that records the declaration AND backfills a per-file bloom for
-    * every live dir (one column-pruned scan each — the only time the
-    * index reads old data; every later commit builds its own dir's
-    * blooms at write time, O(delta)). Integral/string columns only;
-    * unpartitioned chains only (a partitioned chain's point lookups
-    * prune by partition first — the bloom is the flat-layout tool).
-    * Returns the committed version. */
+  /** Declare the table's bloom-indexed point-lookup column and
+    * backfill a per-file bloom for every live dir (the only time the
+    * index reads old data — one column-pruned scan per batch; every
+    * later commit builds its own dir's blooms at write time,
+    * O(delta)). Integral/string DATA columns only — a PARTITION
+    * column's values already prune from manifest bytes; partitioned
+    * chains declare on a data column and the bloom prunes files
+    * WITHIN the surviving partitions (the needle-in-100-TB lookup on
+    * a non-partition key).
+    *
+    * The backfill is CHUNKED: dirs group into batches of at most
+    * `spark.graft.bloom.backfillFilesPerCommit` recorded files
+    * (default 10 000), each batch one scan job + one commit — the
+    * driver holds one batch of bitsets at a time (~312 MiB at the
+    * default 32 KiB blob), never one per live file of a 10⁶-file
+    * table. The DECLARATION rides the first commit, so every file is
+    * served correctly throughout (a file whose batch has not landed
+    * simply has no bloom yet — the one-sided contract reads it), and
+    * a write racing between batches builds its own blooms at commit
+    * time as usual. Returns the final committed version. */
   def declareBloomColumn(spark: SparkSession, dir: String, col: String,
                          bits: Int = Bloom.defaultBits,
                          protocol: CommitProtocol = PutIfAbsentCommit): Int = {
@@ -765,9 +783,6 @@ object Versioned {
     val prev = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val ls = lines(spark, dir, prev)
-    require(!ls.exists { case PartitionEntry(cs) => cs.nonEmpty; case _ => false },
-      s"bloom indexing wants an UNPARTITIONED chain at $dir — partitioned point " +
-        "lookups prune by partition value from manifest bytes already")
     val physical = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
       throw new IllegalArgumentException(s"no recorded schema at $dir"))
     val cmap = colMapOf(ls)
@@ -776,22 +791,63 @@ object Versioned {
       throw new IllegalArgumentException(
         s"no column '$col' in ${logical.fieldNames.mkString(",")}"))
     val phys = cmap.getOrElse(resolved, resolved)
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    require(!partCols.exists(_.equalsIgnoreCase(phys)),
+      s"'$resolved' is a PARTITION column — its values prune from manifest bytes " +
+        "already; declare the bloom on a data column")
     require(Bloom.supportedType(physical(phys).dataType),
       s"bloom columns are integral or string; '$resolved' is ${physical(phys).dataType}")
+    // the PHYSICAL name embeds in the ':'-delimited bloomcol/bloom
+    // lines — refuse what the format cannot carry (the dv-key guard's
+    // sibling), never commit a manifest that fails to parse back
+    require(!phys.exists(c => c == ':' || c == ',' || c == '\n' || c == '\r') &&
+        phys == phys.trim,
+      s"the physical storage name '$phys' of '$resolved' cannot carry a bloom " +
+        "declaration (it is embedded in the line-based manifest); rewrite the " +
+        "column (REPLACE TABLE … AS SELECT) to a plain name first")
     val decl = BloomColEntry(phys, bits)
-    // ONE job over every live dir (not a job per dir): the backfill is
-    // the feature's single O(table, one column) moment
-    val built = Bloom.buildBlooms(spark,
-      ls.collect { case DataEntry(n) => n -> new Path(new Path(dir), n).toString },
-      physical, phys, bits)
-    val backfilled: Seq[Line] = ls.collect { case DataEntry(n) => n }.map { n =>
-      BloomEntry(n, phys, built.getOrElse(n, Map.empty))
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val liveDirs = ls.collect { case DataEntry(n) => n }
+    val batchLimit = math.max(1,
+      spark.conf.getOption("spark.graft.bloom.backfillFilesPerCommit")
+        .map(_.toInt).getOrElse(10000))
+    def weight(n: String) = stats.get(n).map(_.files.length).getOrElse(batchLimit)
+    val batches = liveDirs.foldLeft(Vector.empty[(Vector[String], Int)]) {
+      case (acc, n) =>
+        val w = weight(n)
+        acc.lastOption match {
+          case Some((b, bw)) if bw + w <= batchLimit =>
+            acc.init :+ (b :+ n, bw + w)
+          case _ => acc :+ (Vector(n), w)
+        }
+    }.map(_._1)
+    def buildEntries(batch: Seq[String]): Seq[Line] = {
+      val built = Bloom.buildBlooms(spark,
+        batch.map(n => n -> new Path(new Path(dir), n).toString),
+        physical, phys, bits)
+      batch.map(n => BloomEntry(n, phys, built.getOrElse(n, Map.empty)))
     }
-    val v = prev + 1
+    // first commit: the declaration + the first batch (an empty table
+    // commits the declaration alone)
+    val first: Seq[Line] = decl +: batches.headOption.map(buildEntries).getOrElse(Seq.empty)
+    var v = prev + 1
     commitChild(spark, dir, v, prev,
-      ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]) ++
-        (decl +: backfilled),
-      (decl +: backfilled).map(addOp), protocol)
+      ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]) ++ first,
+      first.map(addOp), protocol)
+    // remaining batches: one bounded build + commit each; each commit
+    // is a child of the CURRENT latest, so a concurrent append between
+    // batches keeps its own (write-time) blooms
+    batches.drop(1).foreach { batch =>
+      val entries = buildEntries(batch)
+      val base = latestVersion(spark, dir).get
+      val cur = lines(spark, dir, base)
+      val names = batch.toSet
+      commitChild(spark, dir, base + 1, base,
+        cur.filterNot { case b: BloomEntry => names.contains(b.dir); case _ => false } ++
+          entries,
+        entries.map(addOp), protocol)
+      v = base + 1
+    }
     v
   }
 

@@ -4219,12 +4219,14 @@ class ExtSpec extends AnyFunSuite {
       "the declaration is table definition: an overwrite carries it")
     assert(Versioned.readLatest(spark, dir).filter($"doc_id" === 43L).count() == 1)
 
-    // refusals: partitioned chain, unsupported type
+    // refusals: partition COLUMN (its values prune from manifest bytes
+    // already — a data column of the same chain declares fine, see the
+    // partitioned-bloom test), unsupported type
     val pdir = java.nio.file.Files.createTempDirectory("graft_bloom_p").toString + "/p"
     Versioned.writeVersionPartitioned(Seq((1L, "x")).toDF("id", "p"), pdir, Seq("p"))
     assert(intercept[IllegalArgumentException] {
-      Versioned.declareBloomColumn(spark, pdir, "id")
-    }.getMessage.contains("UNPARTITIONED"))
+      Versioned.declareBloomColumn(spark, pdir, "p")
+    }.getMessage.contains("PARTITION column"))
     val ddir = java.nio.file.Files.createTempDirectory("graft_bloom_d").toString + "/d"
     Versioned.writeVersion(Seq((1.5, "x")).toDF("score", "s"), ddir)
     assert(intercept[IllegalArgumentException] {
@@ -4583,6 +4585,53 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.readLatest(spark, dir).filter($"text" === "v9").count() == 1)
     // time travel across the rename serves the old name
     assert(Versioned.readVersion(spark, dir, 0).columns.toSeq == Seq("id", "payload", "bucket"))
+  }
+
+  test("bloom on a PARTITIONED chain prunes files within surviving partitions; the backfill chunks into bounded commits") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_part").toString + "/t"
+    // two commits × two buckets, ids INTERLEAVED across commits within
+    // every bucket — min/max bounds can never prune a point lookup
+    // inside a partition; only the bloom can
+    def batch(mod: Long) = (0L until 2000L).filter(i => (i / 2) % 2 == mod)
+      .map(i => (i, (i % 2).toInt, s"p$i")).toDF("id", "bucket", "payload")
+      .repartition(1)
+    Versioned.writeVersionPartitioned(batch(0), dir, Seq("bucket"))
+    Versioned.writeVersionPartitioned(batch(1), dir, Seq("bucket"), SaveMode.Append)
+    val vPre = Versioned.latestVersion(spark, dir).get
+    // chunk limit below any dir's file count → one backfill commit PER DIR
+    spark.conf.set("spark.graft.bloom.backfillFilesPerCommit", "1")
+    val vB = try Versioned.declareBloomColumn(spark, dir, "id")
+             finally spark.conf.unset("spark.graft.bloom.backfillFilesPerCommit")
+    assert(vB == vPre + 2, s"2 dirs at limit 1 must land as 2 commits, got ${vB - vPre}")
+    // MID-BACKFILL state (decl + first batch only) serves every row —
+    // the one-sided contract: a file without a bloom is simply read
+    assert(Versioned.readVersion(spark, dir, vPre + 1).count() == 2000)
+    // partition + bloom compose: bucket prunes partitions, the bloom
+    // prunes the other commit's file inside the surviving partition
+    val all = Versioned.planDataFiles(spark, dir, vB, Seq.empty)
+    assert(all.length == 4, all.toString)
+    val lookup = Versioned.planDataFiles(spark, dir, vB,
+      Seq(EqualTo("bucket", 0), EqualTo("id", 4L)))
+    assert(lookup.length == 1, s"partition+bloom must isolate one file: $lookup")
+    val bloomOnly = Versioned.planDataFiles(spark, dir, vB, Seq(EqualTo("id", 4L)))
+    assert(bloomOnly.length < all.length && bloomOnly.nonEmpty, bloomOnly.toString)
+    // never a false negative, absent keys read empty
+    for (k <- Seq(0L, 3L, 998L, 1999L))
+      assert(Versioned.readLatest(spark, dir).filter($"id" === k).count() == 1, s"key $k lost")
+    assert(Versioned.readLatest(spark, dir).filter($"id" === 4242L).isEmpty)
+    // the SQL tier's partitioned manifest index consults the blooms too
+    spark.conf.set("spark.sql.catalog.graft_blp", "graft.sql.VersionedCatalog")
+    assert(spark.sql(s"SELECT payload FROM graft_blp.`$dir` WHERE bucket = 0 AND id = 4")
+      .as[String].head() == "p4")
+    // a write-time bloom rides the next partitioned append
+    Versioned.writeVersionPartitioned(Seq((5001L, 1, "new")).toDF("id", "bucket", "payload"),
+      dir, Seq("bucket"), SaveMode.Append)
+    val v2 = Versioned.latestVersion(spark, dir).get
+    val nf = Versioned.planDataFiles(spark, dir, v2, Seq(EqualTo("id", 5001L)))
+    assert(nf.length == 1, s"bounds + bloom should isolate the new file: $nf")
   }
 
   test("rename refuses a physical name the comma-delimited colmap line cannot carry") {
