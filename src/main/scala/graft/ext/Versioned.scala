@@ -699,9 +699,12 @@ object Versioned {
         "run backfillStats (CALL system.backfill_stats) to upgrade the chain first")
     val prior = colMapOf(ls)
     val logical = toLogicalSchema(physical, prior)
-    val constraintRefs = ls.collect { case ConstraintEntry(cn, sql) =>
-      cn -> constraintRefCols(spark, sql) }
     var m = prior
+    // CHECK constraints FOLLOW the rename (Delta's behavior): their
+    // stored predicate is LOGICAL text, rewritten through the mapping
+    // in the same metadata-only commit
+    var constraints = ls.collect { case c: ConstraintEntry => c }
+    val rewrittenConstraints = scala.collection.mutable.LinkedHashSet.empty[String]
     renames.foreach { case (from, to) =>
       require(to.nonEmpty && !to.exists(c => c == ',' || c == '=' || c == ':' ||
           c == '\n' || c == '\r'),
@@ -723,10 +726,11 @@ object Versioned {
       require(!physical.fieldNames.exists(n => n.equalsIgnoreCase(to) &&
           !n.equalsIgnoreCase(m.getOrElse(resolved, resolved))),
         s"'$to' is the physical storage name of another column — pick a different name")
-      constraintRefs.find(_._2.contains(resolved.toLowerCase)).foreach { case (cn, _) =>
-        throw new IllegalArgumentException(
-          s"cannot rename '$resolved': CHECK constraint '$cn' reads it — " +
-            "DROP CONSTRAINT first, rename, re-add under the new name")
+      constraints = constraints.map { case c @ ConstraintEntry(cn, sql) =>
+        if (constraintRefCols(spark, sql).contains(resolved.toLowerCase)) {
+          rewrittenConstraints += cn
+          ConstraintEntry(cn, renameInConstraintSql(spark, sql, resolved, to))
+        } else c
       }
       val phys = m.getOrElse(resolved, resolved)
       // the PHYSICAL name embeds in the comma-delimited colmap line
@@ -743,12 +747,18 @@ object Versioned {
       m = (m - resolved) ++ (if (to == phys) Map.empty[String, String] else Map(to -> phys))
     }
     val v = prev + 1
-    val (newLines, ops) =
+    val constraintByName = constraints.map(c => c.name -> c).toMap
+    val (newLines0, ops0) =
       if (m.isEmpty) (ls.filterNot(_.isInstanceOf[ColMapEntry]), Seq("-colmap"))
       else {
         val cm = ColMapEntry(m.toSeq.sortBy(_._1))
         (ls.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm, Seq(addOp(cm)))
       }
+    val newLines = newLines0.map {
+      case c: ConstraintEntry => constraintByName(c.name)
+      case other => other
+    }
+    val ops = ops0 ++ constraints.filter(c => rewrittenConstraints.contains(c.name)).map(addOp)
     commitChild(spark, dir, v, prev, newLines, ops, protocol)
     v
   }
@@ -3186,6 +3196,19 @@ object Versioned {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.nameParts.head.toLowerCase
     }.toSet
+
+  /** Rewrite a stored CHECK predicate's references from one LOGICAL
+    * column name to another (the constraint-follows-rename seam):
+    * parse, rename the attribute heads, re-render. The predicate text
+    * is logical by contract, so a rename only ever touches it here. */
+  private def renameInConstraintSql(spark: SparkSession, sql: String,
+                                    from: String, to: String): String =
+    spark.sessionState.sqlParser.parseExpression(sql).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.head.equalsIgnoreCase(from) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          to +: a.nameParts.tail)
+    }.sql
 
   /** Apply one ALTER TABLE statement's changes — column adds/drops and
     * CHECK constraint adds/drops — as ONE manifest commit, with EVERY

@@ -3988,28 +3988,50 @@ class ExtSpec extends AnyFunSuite {
     assert(v4 + 1 == v5)
   }
 
-  test("column mapping: refusals — partitioned chain, CHECK-referenced, occupied names; NOT NULL survives a rename") {
+  test("column mapping: refusals — partition column, occupied names; CHECK follows the rename; NOT NULL survives") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_colmap_refuse").toString
-    // partitioned chain refuses
+    // the PARTITION column refuses (its name IS the hive layout);
+    // data columns of the same chain rename fine
     val pdir = root + "/p"
     Versioned.writeVersionPartitioned(
       Seq((1L, "x"), (2L, "y")).toDF("id", "p"), pdir, Seq("p"))
     val ep = intercept[IllegalArgumentException] {
-      Versioned.renameColumns(spark, pdir, Seq("id" -> "key"))
+      Versioned.renameColumns(spark, pdir, Seq("p" -> "part"))
     }
-    assert(ep.getMessage.contains("PARTITIONED"), ep.getMessage)
+    assert(ep.getMessage.contains("PARTITION column"), ep.getMessage)
+    Versioned.renameColumns(spark, pdir, Seq("id" -> "key"))
+    assert(Versioned.readLatest(spark, pdir).columns.toSeq == Seq("key", "p"))
 
     val dir = root + "/t"
     Versioned.writeVersion((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "price"), dir)
-    // CHECK-referenced column refuses
+    // a CHECK constraint FOLLOWS the rename: the stored predicate
+    // rewrites through the mapping and keeps enforcing under the new
+    // name — both on the library write path and after renaming BACK
     Versioned.addCheckConstraint(spark, dir, "pos", "price > 0")
-    val ec = intercept[IllegalArgumentException] {
-      Versioned.renameColumns(spark, dir, Seq("price" -> "cost"))
+    Versioned.renameColumns(spark, dir, Seq("price" -> "cost"))
+    val rewritten = Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get)
+    assert(rewritten.exists { case (n, sql) => n == "pos" && sql.contains("cost") },
+      rewritten.toString)
+    val ecv = intercept[Exception] {
+      Versioned.writeVersion(Seq((11L, -5.0)).toDF("id", "cost"), dir, SaveMode.Append)
     }
-    assert(ec.getMessage.contains("pos"), ec.getMessage)
+    assert(ecv.getMessage.contains("pos"), ecv.getMessage)
+    Versioned.writeVersion(Seq((11L, 5.0)).toDF("id", "cost"), dir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir).count() == 11)
+    // rename BACK to the physical name: the mapping drops, the
+    // constraint text follows again
+    Versioned.renameColumns(spark, dir, Seq("cost" -> "price"))
+    assert(Versioned.columnMapping(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty)
+    assert(Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get)
+      .exists { case (n, sql) => n == "pos" && sql.contains("price") })
+    Versioned.renameColumns(spark, dir, Seq("price" -> "cost"))
     Versioned.dropCheckConstraint(spark, dir, "pos")
+    Versioned.renameColumns(spark, dir, Seq("cost" -> "price"))
 
     // NOT NULL survives the rename (the line is physical-keyed)
     Versioned.alterTableAtomic(spark, dir,
@@ -4135,6 +4157,23 @@ class ExtSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE graft_cm.`$dir` RENAME COLUMN name TO score")
     }
     assert(e.getMessage.contains("physical storage name"), e.getMessage)
+
+    // a CHECK constraint FOLLOWS a rename at the SQL seam too: the
+    // rewritten predicate keeps enforcing (plan-side CheckInvariant
+    // reads the table's reported constraints) under the NEW name
+    spark.sql(s"ALTER TABLE graft_cm.`$dir` ADD CONSTRAINT pos CHECK (rating > 0)")
+    spark.sql(s"ALTER TABLE graft_cm.`$dir` RENAME COLUMN rating TO stars")
+    assert(Versioned.checkConstraints(spark, dir,
+      Versioned.latestVersion(spark, dir).get)
+      .exists { case (n, sql) => n == "pos" && sql.contains("stars") })
+    val ev = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_cm.`$dir` VALUES (9, 'z', -1.0)")
+    }
+    assert(ev.getMessage.toLowerCase.contains("pos") ||
+      ev.getMessage.toLowerCase.contains("check"), ev.getMessage)
+    spark.sql(s"INSERT INTO graft_cm.`$dir` VALUES (9, 'z', 1.0)")
+    assert(spark.sql(s"SELECT stars FROM graft_cm.`$dir` WHERE doc_id = 9")
+      .as[Double].head() == 1.0)
     spark.sql(s"DROP TABLE graft_cm.`$dir`")
   }
 
