@@ -1784,6 +1784,42 @@ object SparkEntry {
       got.orderBy("o_orderkey")
     },
 
+    // CONVERT IN PLACE (Delta `CONVERT TO DELTA`'s role — the r12
+    // verdict's stretch #8; every migration story starts here): adopt
+    // an existing PLAIN parquet directory as version 0 — one footer
+    // harvest plus one manifest commit, zero bytes move — after which
+    // the full versioned surface (stats skipping, appends, time
+    // travel, SQL catalog) serves the adopted files unchanged.
+    "q149_convert_in_place" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.col
+      val tbl = scratchPath("convert_plain", d)
+      // a PLAIN parquet table, as any pre-migration pipeline leaves it
+      new scala.reflect.io.Directory(new java.io.File(tbl)).deleteRecursively()
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        org.apache.spark.sql.functions.round(col("o_totalprice"), 2).as("price"))
+      src.filter(col("status") === "F").repartition(2).write.parquet(tbl)
+      assert(Versioned.convertParquetDir(s, tbl) == 0)
+      // the footer harvest upgrades the adopted files to the skipping
+      // read path immediately
+      val all = Versioned.planDataFiles(s, tbl, 0, Seq.empty)
+      val none = Versioned.planDataFiles(s, tbl, 0,
+        Seq(org.apache.spark.sql.sources.LessThan("price", -1.0)))
+      assert(all.nonEmpty && none.isEmpty,
+        s"converted files must stats-skip (planned ${none.length}/${all.length})")
+      // the chain lives on: appends land nonce'd dirs BESIDE the
+      // adopted files; time travel serves the pre-append adoption
+      Versioned.writeVersion(src.filter(col("status") === "P"), tbl,
+        org.apache.spark.sql.SaveMode.Append)
+      assert(Versioned.readVersion(s, tbl, 0).count() ==
+        src.filter(col("status") === "F").count(),
+        "v0 must serve exactly the adopted state")
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      s.sql(s"SELECT o_orderkey, status, price FROM versioned.`$tbl` " +
+        "WHERE price > 1000.0 ORDER BY o_orderkey")
+    },
+
     // TYPE WIDENING (Delta type widening's role): `ALTER COLUMN … TYPE`
     // up the integral ladder (or to double) is a METADATA-ONLY commit —
     // Spark 4's parquet readers promote the old int32 bytes natively,
@@ -4033,6 +4069,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the converted chain serves the adopted F rows plus the appended
+    // P rows — one union, same selection as the plain predicate
+    "q149_convert_in_place" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |  AND ROUND(o_totalprice, 2) > 1000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // same point-lookup contract through the partitioned chain (the

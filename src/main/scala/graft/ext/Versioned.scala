@@ -951,6 +951,90 @@ object Versioned {
     0
   }
 
+  // ───────────── CONVERT in place (adopt plain parquet) ─────────────
+
+  /** Delta `CONVERT TO DELTA`'s role: adopt an existing PLAIN parquet
+    * directory as version 0 of a versioned chain IN PLACE — one footer
+    * harvest (the stats/skipping upgrade every migration wants anyway)
+    * plus one manifest commit; zero bytes move. The v0 manifest
+    * references the directory by ABSOLUTE path exactly like a shallow
+    * [[cloneTable]] ref, so every later operation — appends, CoW
+    * rewrites, deletes, OPTIMIZE, time travel — works unchanged: new
+    * versions land nonce'd dirs BESIDE the adopted files, and
+    * [[pruneVersions]] (which reclaims only `v########_*` children)
+    * can never touch the originals. The flip side, documented like the
+    * clone caveat: once an overwrite or compaction retires the adopted
+    * files from every kept version, prune does NOT reclaim them —
+    * delete the originals by hand when the pre-convert layout is no
+    * longer wanted.
+    *
+    * A hive-partitioned directory converts by declaring its partition
+    * columns (their types come from Spark's own inference and must be
+    * hive-path-exact); the per-file stats then record each file's
+    * partition values and the partitioned manifest index serves
+    * PartitionFilters pruning immediately. Refusals, never surprises:
+    * an already-versioned dir, hive `col=value` segments without the
+    * declaration (the union read would null-fill the partition
+    * columns), and parquet inside HIDDEN subtrees (a crashed writer's
+    * `_temporary` leftovers would silently join the table — clean
+    * first). */
+  def convertParquetDir(spark: SparkSession, dir: String,
+                        partCols: Seq[String] = Seq.empty,
+                        protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    require(fs.exists(root), s"no directory at $dir")
+    require(latestVersion(spark, dir).isEmpty,
+      s"$dir is already a versioned chain — CONVERT adopts plain parquet only")
+    val rootAbs = fs.makeQualified(root).toUri.getPath
+    require(!rootAbs.contains(":") && !rootAbs.contains(","),
+      s"converted tables are addressed by colon/comma-free absolute paths " +
+        s"(the line-based manifest embeds them); got '$rootAbs'")
+    val hiddenHits = scala.collection.mutable.ArrayBuffer.empty[String]
+    var anyParquet = false
+    var anyHiveSegment = false
+    def walk(p: Path, hidden: Boolean): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val h = hidden || n.startsWith("_") || n.startsWith(".")
+        if (st.isDirectory) {
+          if (n.contains('=') && !h) anyHiveSegment = true
+          walk(st.getPath, h)
+        } else if (n.endsWith(".parquet")) {
+          if (h) hiddenHits += st.getPath.toString else anyParquet = true
+        }
+      }
+    walk(root, hidden = false)
+    require(hiddenHits.isEmpty,
+      s"$dir holds parquet inside hidden staging subtrees (${hiddenHits.head}, " +
+        s"${hiddenHits.length} total) — a reader must never see a crashed " +
+        "writer's leftovers; clean them first")
+    require(anyParquet, s"no parquet files under $dir — nothing to convert")
+    require(partCols.nonEmpty || !anyHiveSegment,
+      s"$dir is hive-partitioned (col=value subdirs) — declare the partition " +
+        "columns, or the union read would null-fill them")
+    val inferred = asNullable(spark.read.parquet(dir).schema)
+    partCols.foreach { c =>
+      require(inferred.fieldNames.contains(c),
+        s"partition column '$c' not in inferred schema ${inferred.fieldNames.mkString(",")}")
+      require(Skipping.partitionableType(inferred(c).dataType),
+        s"partition column '$c' has type ${inferred(c).dataType} — hive-path-exact " +
+          "types only (string/int/long/short/byte/date/boolean)")
+    }
+    // recorded read order: data columns first, partition columns last
+    val schema = StructType(
+      inferred.fields.filterNot(f => partCols.contains(f.name)) ++
+        partCols.map(c => inferred(c)))
+    val (rows, cols, files) =
+      if (partCols.isEmpty) Skipping.collectDirStats(spark, root, schema)
+      else Skipping.collectDirStatsPartitioned(spark, root, schema,
+        StructType(partCols.map(c => schema(c))))
+    val v0: Seq[Line] = Seq(SchemaEntry(schema)) ++
+      (if (partCols.nonEmpty) Seq(PartitionEntry(partCols)) else Seq.empty) ++
+      Seq(DataEntry(rootAbs), StatsEntry(rootAbs, rows, cols, files))
+    commitManifest(spark, dir, 0, v0.map(renderLine), protocol)
+    0
+  }
+
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
     * previous version's file set. Returns the committed version.

@@ -227,6 +227,16 @@ private[sql] object VersionedProcedures {
           Int.box(from)))
       }),
 
+    proc("convert",
+      "CONVERT TO DELTA's role: adopt an existing plain parquet directory as " +
+        "version 0 in place (footer harvest + one manifest commit, zero bytes " +
+        "move; partition_cols => comma-separated hive partition columns)",
+      params = Seq(in("table", StringType),
+        inDefault("partition_cols", StringType, "''")),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(Int.box(Versioned.convertParquetDir(spark, args.str(0),
+        args.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))))),
+
     proc("backfill_stats",
       "one footer sweep upgrading pre-stats / pre-file-list manifests to the skipping read path",
       params = Seq(in("table", StringType)),

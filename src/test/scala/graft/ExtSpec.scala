@@ -4673,6 +4673,69 @@ class ExtSpec extends AnyFunSuite {
     assert(nf.length == 1, s"bounds + bloom should isolate the new file: $nf")
   }
 
+  test("CONVERT in place: a plain hive-partitioned dir adopts as v0; refusals; prune never touches the adopted files") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_convert").toString
+    val dir = root + "/t"
+    val rows = (0 until 400).map(i => (i.toLong, i % 4, s"v$i"))
+    rows.toDF("id", "bucket", "payload").repartition(2)
+      .write.partitionBy("bucket").parquet(dir)
+    // hive layout without the declaration refuses (null-filled
+    // partition columns would be silent corruption)
+    assert(intercept[IllegalArgumentException] {
+      Versioned.convertParquetDir(spark, dir)
+    }.getMessage.contains("hive-partitioned"))
+    assert(Versioned.convertParquetDir(spark, dir, Seq("bucket")) == 0)
+    // re-convert refuses: already a chain
+    assert(intercept[IllegalArgumentException] {
+      Versioned.convertParquetDir(spark, dir, Seq("bucket"))
+    }.getMessage.contains("already a versioned chain"))
+    // the adopted files serve partitioned: pruning + exactness
+    assert(Versioned.readLatest(spark, dir).count() == 400)
+    val all = Versioned.planDataFiles(spark, dir, 0, Seq.empty)
+    val one = Versioned.planDataFiles(spark, dir, 0, Seq(EqualTo("bucket", 1)))
+    assert(one.nonEmpty && one.length < all.length, s"$one of $all")
+    // the chain lives its own life: partitioned append + CoW UPDATE
+    Versioned.writeVersionPartitioned(
+      Seq((400L, 0, "new")).toDF("id", "bucket", "payload"), dir, Seq("bucket"),
+      SaveMode.Append)
+    spark.conf.set("spark.sql.catalog.graft_cv", "graft.sql.VersionedCatalog")
+    spark.sql(s"UPDATE graft_cv.`$dir` SET payload = 'upd' WHERE id = 3")
+    assert(spark.sql(s"SELECT payload FROM graft_cv.`$dir` WHERE id = 3")
+      .as[String].head() == "upd")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cv.`$dir`").as[Long].head() == 401)
+    // time travel to the adoption
+    assert(Versioned.readVersion(spark, dir, 0).count() == 400)
+    // prune reclaims only v########_* children — NEVER the adopted
+    // files, even after they leave every kept version
+    Versioned.writeVersion(Versioned.readLatest(spark, dir), dir) // overwrite: retires refs
+    Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/bucket=1")),
+      "prune must never reclaim the adopted plain files")
+    assert(Versioned.readLatest(spark, dir).count() == 401)
+
+    // hidden staging leftovers refuse the conversion outright
+    val dirty = root + "/dirty"
+    Seq((1L, "x")).toDF("id", "p").write.parquet(dirty)
+    Seq((2L, "y")).toDF("id", "p").write
+      .parquet(dirty + "/_temporary_leftover/part")
+    assert(intercept[IllegalArgumentException] {
+      Versioned.convertParquetDir(spark, dirty)
+    }.getMessage.contains("hidden staging"))
+
+    // …and the SQL procedure drives the same conversion
+    val flat = root + "/flat"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score").write.parquet(flat)
+    assert(spark.sql(s"CALL graft_cv.system.convert('$flat')")
+      .as[Int].head() == 0)
+    assert(spark.sql(s"SELECT sum(score) FROM graft_cv.`$flat`")
+      .as[Double].head() == 30.0)
+  }
+
   test("rename refuses a physical name the comma-delimited colmap line cannot carry") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_colmap_comma").toString + "/t"
