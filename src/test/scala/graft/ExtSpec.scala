@@ -4673,6 +4673,51 @@ class ExtSpec extends AnyFunSuite {
     assert(nf.length == 1, s"bounds + bloom should isolate the new file: $nf")
   }
 
+  test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.{Maintenance, ManifestStore, RenameCommit, Versioned}
+    val root = java.nio.file.Files.createTempDirectory("graft_maint_seams").toString
+    // 1) the partitioned compact branch honors the CALLER's commit
+    // protocol (it used to hard-code put-if-absent; CommitProtocol is
+    // sealed, so the pin is behavioral: the rename-protocol store runs
+    // the whole partition-shaped rewrite end to end)
+    val pdir = root + "/p"
+    val rows = (0 until 800).map(i => (i.toLong, i % 4, s"v$i")).toDF("id", "bucket", "payload")
+    Versioned.writeVersionPartitioned(rows.repartition(4), pdir, Seq("bucket"))
+    Versioned.writeVersionPartitioned(rows.repartition(4), pdir, Seq("bucket"), SaveMode.Append)
+    val st = Maintenance.compact(spark, pdir, 512L * 1024 * 1024,
+      store = new ManifestStore(RenameCommit))
+    assert(st.filesAfter < st.filesBefore && st.totalBytes > 0, st.toString)
+    assert(Versioned.readLatest(spark, pdir).count() == 1600)
+    // 2) a LEGACY pre-file-list chain with the fragmentation gate on:
+    // the probe skips (compact = None) but retention still runs —
+    // enabling the gate must never abort the whole maintenance tick
+    val ldir = root + "/l"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), ldir)
+    val v0name = new java.io.File(ldir).listFiles().map(_.getName)
+      .find(_.startsWith("v00000000_data")).get
+    Versioned.commitManifest(spark, ldir, 1, Seq(v0name)) // schema-less legacy manifest
+    val maint = Maintenance.maintainVersioned(spark, ldir, keepLast = 5,
+      compactTargetBytes = 1L)
+    assert(maint.compact.isEmpty, "legacy probe must skip the gate, not abort")
+    assert(Versioned.readLatest(spark, ldir).count() == 1)
+    // 3) 4-column z-order at DEFAULT bits derives min(16, 63/N)
+    val zdir = root + "/z"
+    Versioned.writeVersion((0 until 400).map(i =>
+      (i.toLong, (i * 7 % 100).toLong, (i * 13 % 100).toLong, (i * 17 % 100).toLong))
+      .toDF("a", "b", "c", "d").repartition(2), zdir)
+    spark.conf.set("spark.sql.catalog.graft_ms", "graft.sql.VersionedCatalog")
+    val zv = spark.sql(s"CALL graft_ms.system.zorder_by('$zdir', 'a,b,c,d')")
+      .as[Int].head()
+    assert(zv > 0 && Versioned.readVersion(spark, zdir, zv).count() == 400)
+    // 4) scoped and unscoped compact_files report the SAME bytes
+    // meaning (the bytes the rewrite processed, never 0)
+    val scoped = spark.sql(
+      s"CALL graft_ms.system.compact_files('$pdir', where => 'bucket = 1')")
+      .select("bytes").as[Long].head()
+    assert(scoped > 0, s"scoped compact_files must report the selected bytes, got $scoped")
+  }
+
   test("CONVERT in place: a plain hive-partitioned dir adopts as v0; refusals; prune never touches the adopted files") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources.EqualTo
