@@ -838,12 +838,16 @@ object Versioned {
       batch.map(n => BloomEntry(n, phys, built.getOrElse(n, Map.empty)))
     }
     // first commit: the declaration + the first batch (an empty table
-    // commits the declaration alone)
+    // commits the declaration alone). The ops START by retiring any
+    // PRIOR declaration and every old blob — a bare `+bloomcol` only
+    // replaces the singleton line, and a stale old-column bitset left
+    // live would answer the NEW column's lookups with false negatives
+    // (the delta-resolved state must equal the checkpoint's fullLines)
     val first: Seq[Line] = decl +: batches.headOption.map(buildEntries).getOrElse(Seq.empty)
     var v = prev + 1
     commitChild(spark, dir, v, prev,
       ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]) ++ first,
-      first.map(addOp), protocol)
+      "-bloomcol" +: first.map(addOp), protocol)
     // remaining batches: one bounded build + commit each; each commit
     // is a child of the CURRENT latest, so a concurrent append between
     // batches keeps its own (write-time) blooms
@@ -992,18 +996,20 @@ object Versioned {
     val hiddenHits = scala.collection.mutable.ArrayBuffer.empty[String]
     var anyParquet = false
     var anyHiveSegment = false
-    def walk(p: Path, hidden: Boolean): Unit =
+    var anyNested = false
+    def walk(p: Path, hidden: Boolean, depth: Int): Unit =
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
         val h = hidden || n.startsWith("_") || n.startsWith(".")
         if (st.isDirectory) {
           if (n.contains('=') && !h) anyHiveSegment = true
-          walk(st.getPath, h)
+          walk(st.getPath, h, depth + 1)
         } else if (n.endsWith(".parquet")) {
-          if (h) hiddenHits += st.getPath.toString else anyParquet = true
+          if (h) hiddenHits += st.getPath.toString
+          else { anyParquet = true; if (depth > 0) anyNested = true }
         }
       }
-    walk(root, hidden = false)
+    walk(root, hidden = false, depth = 0)
     require(hiddenHits.isEmpty,
       s"$dir holds parquet inside hidden staging subtrees (${hiddenHits.head}, " +
         s"${hiddenHits.length} total) — a reader must never see a crashed " +
@@ -1012,6 +1018,14 @@ object Versioned {
     require(partCols.nonEmpty || !anyHiveSegment,
       s"$dir is hive-partitioned (col=value subdirs) — declare the partition " +
         "columns, or the union read would null-fill them")
+    // nested NON-hive parquet would silently miss the flat footer
+    // harvest (top-level listing): the committed stats would claim 0
+    // of those rows and value-predicate reads would prune dirs that
+    // hold data. Refuse; a flat parquet table has flat files.
+    require(partCols.nonEmpty || !anyNested,
+      s"$dir holds parquet in NESTED subdirectories without a hive layout — " +
+        "CONVERT adopts flat or hive-partitioned tables only; flatten or " +
+        "declare the partition columns")
     val inferred = asNullable(spark.read.parquet(dir).schema)
     partCols.foreach { c =>
       require(inferred.fieldNames.contains(c),
@@ -1125,11 +1139,16 @@ object Versioned {
           if (mode == SaveMode.Append) None
           else emptyPartitionedStreamCommit(df.sparkSession, dir, appId, batchId,
             schema, partCols, protocol)
-        } else
+        } else {
+          // a renamed chain's streaming APPEND lands PHYSICAL names,
+          // same boundary as every append entry point (per attempt:
+          // a racer's rename between retries must re-translate)
+          val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
           writeVersionCore(df.sparkSession, dir, protocol, mode,
             txn = Some((appId, batchId)),
             partitionBy = Some(StructType(partCols.map(c => schema(c)))))(tmp =>
-            df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
+            out.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
+        }
       }
     if (mode == SaveMode.Append) withCommitRetry(maxAttempts)(attempt)
     else attempt()
@@ -1261,8 +1280,13 @@ object Versioned {
       lines(spark, dir, v0).collect { case c: ConstraintEntry => c }
     if (validatedConstraints.nonEmpty && newEntries.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val staged = spark.read.schema(schema)
-        .parquet(new Path(root, replacementDir.get).toString)
+      // constraint SQL is LOGICAL text (it follows renames); the
+      // staged files carry PHYSICAL names — evaluate under logical,
+      // the same boundary writeVersionCore's sibling check applies
+      val staged = toLogicalDf(
+        spark.read.schema(schema)
+          .parquet(new Path(root, replacementDir.get).toString),
+        colMapOf(lines(spark, dir, v0)))
       validatedConstraints.foreach { c =>
         require(staged.filter(not(coalesce(expr(c.predicateSql), lit(true)))).isEmpty,
           s"rewrite of $dir violates CHECK constraint '${c.name}' " +
@@ -2426,7 +2450,9 @@ object Versioned {
         val dataSchema = StructType(s.fields.filterNot(f => names.contains(f.name)))
         spark.baseRelationToDataFrame(
           org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-            new ManifestFileIndex(new Path(dir), s, fileListed, partSchema),
+            new ManifestFileIndex(new Path(dir), s, fileListed, partSchema,
+              bloomCol = ls.collectFirst { case BloomColEntry(c, _) => c },
+              blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap),
             partSchema, dataSchema, None,
             new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
             Map.empty)(spark))

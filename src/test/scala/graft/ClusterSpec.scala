@@ -50,14 +50,25 @@ class ClusterSpec extends AnyFunSuite {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val buf = new StringBuilder
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream))
-    var line = reader.readLine()
-    while (line != null) { buf.append(line).append('\n'); line = reader.readLine() }
+    // drain stdout on a DAEMON thread: reading to EOF on the test
+    // thread before waitFor would block forever on a hung smoke JVM
+    // and turn the 10-minute timeout into dead code
+    val buf = new java.lang.StringBuilder
+    val drainer = new Thread(() => {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = reader.readLine()
+      while (line != null) {
+        buf.synchronized { buf.append(line).append('\n') }
+        line = reader.readLine()
+      }
+    }, "cluster-smoke-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     val finished = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) p.destroyForcibly()
-    val outStr = buf.toString
+    drainer.join(10000)
+    val outStr = buf.synchronized(buf.toString)
     assert(finished, s"cluster smoke timed out\n${outStr.takeRight(4000)}")
     assert(p.exitValue() == 0 && outStr.contains("CLUSTER_SMOKE OK"),
       s"cluster smoke failed (exit ${p.exitValue()}):\n${outStr.takeRight(6000)}")

@@ -4021,6 +4021,18 @@ class ExtSpec extends AnyFunSuite {
     assert(ecv.getMessage.contains("pos"), ecv.getMessage)
     Versioned.writeVersion(Seq((11L, 5.0)).toDF("id", "cost"), dir, SaveMode.Append)
     assert(Versioned.readLatest(spark, dir).count() == 11)
+    // a CoW rewrite under the followed constraint: commitFileRewrite
+    // must validate the staged (PHYSICAL-named) files under LOGICAL
+    // names, or every UPDATE on a renamed-constrained table dies with
+    // UNRESOLVED_COLUMN even for valid rows
+    spark.conf.set("spark.sql.catalog.graft_cf", "graft.sql.VersionedCatalog")
+    spark.sql(s"UPDATE graft_cf.`$dir` SET cost = cost + 1.0 WHERE id = 1")
+    assert(spark.sql(s"SELECT cost FROM graft_cf.`$dir` WHERE id = 1")
+      .as[Double].head() == 2.0)
+    // …and a VIOLATING rewrite still refuses through the rename
+    assert(intercept[Exception] {
+      spark.sql(s"UPDATE graft_cf.`$dir` SET cost = -9.0 WHERE id = 2")
+    }.getMessage.contains("pos"))
     // rename BACK to the physical name: the mapping drops, the
     // constraint text follows again
     Versioned.renameColumns(spark, dir, Seq("cost" -> "price"))
@@ -4622,6 +4634,20 @@ class ExtSpec extends AnyFunSuite {
       "scoped rewrite must stage the PHYSICAL column name")
     assert(Versioned.readLatest(spark, dir).count() == preCount)
     assert(Versioned.readLatest(spark, dir).filter($"text" === "v9").count() == 1)
+    // a STREAMING partitioned append translates too: the batch lands
+    // the physical name (an untranslated epoch would grow a duplicate
+    // logical column and split values across it)
+    val preStream = Versioned.liveDataDirs(spark, dir).toSet
+    Versioned.writeVersionStreamBatch(
+      Seq((7777L, 3, "stream")).toDF("id", "bucket", "text"), dir,
+      appId = "cmpart-app", batchId = 1L, partCols = Seq("bucket"))
+    val streamDirs = Versioned.liveDataDirs(spark, dir).filterNot(preStream)
+    assert(streamDirs.nonEmpty &&
+      streamDirs.forall(nd => spark.read.parquet(nd).columns.contains("payload")),
+      "streaming partitioned append must stage the PHYSICAL column name")
+    assert(Versioned.readLatest(spark, dir).filter($"text" === "stream").count() == 1)
+    assert(!Versioned.readLatest(spark, dir).columns.contains("payload"),
+      "no duplicate logical column may appear")
     // time travel across the rename serves the old name
     assert(Versioned.readVersion(spark, dir, 0).columns.toSeq == Seq("id", "payload", "bucket"))
   }
@@ -4671,6 +4697,36 @@ class ExtSpec extends AnyFunSuite {
     val v2 = Versioned.latestVersion(spark, dir).get
     val nf = Versioned.planDataFiles(spark, dir, v2, Seq(EqualTo("id", 5001L)))
     assert(nf.length == 1, s"bounds + bloom should isolate the new file: $nf")
+    // the LIBRARY DataFrame read consults the blooms too (not just the
+    // SQL tier's index): a point lookup must scan fewer files than live
+    def filesRead(dfq: org.apache.spark.sql.DataFrame): Long = {
+      dfq.collect()
+      val exec = dfq.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      exec.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val liveN = filesRead(Versioned.readLatest(spark, dir))
+    val lookupN = filesRead(Versioned.readLatest(spark, dir).filter($"id" === 4L))
+    assert(lookupN > 0 && lookupN < liveN,
+      s"library partitioned read must bloom-prune ($lookupN of $liveN files)")
+    // RE-DECLARING on another column retires the OLD blobs in the
+    // delta OPS, not just the checkpoint: a stale id-bitset left live
+    // would be consulted as if it were a payload bloom and answer the
+    // new column's lookups with FALSE NEGATIVES. With limit 1, the
+    // first commit carries only the first batch — mid-backfill, keys
+    // living in un-landed dirs must still read (no bloom = keep).
+    spark.conf.set("spark.graft.bloom.backfillFilesPerCommit", "1")
+    val vRe = try Versioned.declareBloomColumn(spark, dir, "payload")
+              finally spark.conf.unset("spark.graft.bloom.backfillFilesPerCommit")
+    assert(Versioned.bloomColumn(spark, dir, vRe).map(_._1).contains("payload"))
+    val vMid = Versioned.versions(spark, dir)
+      .filter(v => Versioned.bloomColumn(spark, dir, v).exists(_._1 == "payload")).min
+    for (p <- Seq("p0", "p3", "p998", "p1999"))
+      assert(Versioned.readVersion(spark, dir, vMid).filter($"payload" === p).count() == 1,
+        s"payload $p lost mid-backfill — a stale old-column bitset is being consulted")
   }
 
   test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {
@@ -4762,6 +4818,15 @@ class ExtSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/bucket=1")),
       "prune must never reclaim the adopted plain files")
     assert(Versioned.readLatest(spark, dir).count() == 401)
+
+    // nested NON-hive parquet refuses: the flat harvest lists only
+    // top-level files, so adopting such a dir would commit stats that
+    // miss rows and value predicates would prune live data
+    val nested = root + "/nested"
+    Seq((1L, "x")).toDF("id", "p").write.parquet(nested + "/2024-01-01")
+    assert(intercept[IllegalArgumentException] {
+      Versioned.convertParquetDir(spark, nested)
+    }.getMessage.contains("NESTED"))
 
     // hidden staging leftovers refuse the conversion outright
     val dirty = root + "/dirty"
