@@ -1784,6 +1784,40 @@ object SparkEntry {
       got.orderBy("o_orderkey")
     },
 
+    // GENERATED COLUMNS (Delta GENERATED ALWAYS AS role): the catalog
+    // declares SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS, Spark
+    // validates the expression at CREATE time, and the STORE enforces
+    // the semantics — library writes COMPUTE an omitted generated
+    // column; EVERY commit validates value <=> expr like an implicit
+    // CHECK, so no write path (SQL insert, CoW rewrite, staged DSv2)
+    // can silently diverge from the declaration.
+    "q150_generated_columns" -> { (s, d) =>
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_generated", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q150")
+      s.sql(s"CREATE TABLE versioned.`$tbl` (o_orderkey BIGINT, price DOUBLE, " +
+        "bucket INT GENERATED ALWAYS AS (CAST(o_orderkey % 4 AS INT)))")
+      // SQL INSERT provides the generated column; the commit VALIDATES
+      s.sql(s"INSERT INTO versioned.`$tbl` " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), CAST(o_orderkey % 4 AS INT) " +
+        "FROM orders_q150 WHERE o_orderstatus = 'F'")
+      // a MISMATCHING value refuses — the declaration is enforced
+      assert(refusesWith("GENERATED") {
+        s.sql(s"INSERT INTO versioned.`$tbl` " +
+          "SELECT o_orderkey, ROUND(o_totalprice, 2), CAST(o_orderkey % 4 AS INT) + 1 " +
+          "FROM orders_q150 WHERE o_orderstatus = 'O'")
+      }, "a mismatching generated value must refuse")
+      // the library write OMITS the column: it computes itself
+      import org.apache.spark.sql.functions.{col, round}
+      graft.ext.Versioned.writeVersion(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+        tbl, org.apache.spark.sql.SaveMode.Append)
+      s.sql(s"SELECT o_orderkey, price, bucket FROM versioned.`$tbl` " +
+        "WHERE price > 1000.0 ORDER BY o_orderkey")
+    },
+
     // CONVERT IN PLACE (Delta `CONVERT TO DELTA`'s role — the r12
     // verdict's stretch #8; every migration story starts here): adopt
     // an existing PLAIN parquet directory as version 0 — one footer
@@ -1794,7 +1828,11 @@ object SparkEntry {
       import graft.ext.Versioned
       import org.apache.spark.sql.functions.col
       val tbl = scratchPath("convert_plain", d)
-      // a PLAIN parquet table, as any pre-migration pipeline leaves it
+      // a PLAIN parquet table, as any pre-migration pipeline leaves it.
+      // Re-runs drop through the CHAIN drop (it evicts the manifest
+      // cache — a raw recursive delete would leave the re-created v0
+      // serving the previous pass's parse, whose data dirs are gone)
+      graft.ext.Versioned.dropTableChain(s, tbl)
       new scala.reflect.io.Directory(new java.io.File(tbl)).deleteRecursively()
       val src = Tables.orders(s, d).select(col("o_orderkey"),
         col("o_orderstatus").as("status"),
@@ -4069,6 +4107,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the computed generated column equals its expression on both the
+    // validated SQL insert and the omitted-column library append
+    "q150_generated_columns" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |  CAST(o_orderkey % 4 AS INT) AS bucket
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |  AND ROUND(o_totalprice, 2) > 1000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // the converted chain serves the adopted F rows plus the appended

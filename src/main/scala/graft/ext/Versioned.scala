@@ -653,6 +653,44 @@ object Versioned {
     df.toDF(df.columns.map(c => m.getOrElse(c, c)): _*)
   }
 
+  // ───────────── GENERATED columns (GENERATED ALWAYS AS (expr)) ─────────────
+
+  /** The field-metadata key Spark's DDL uses for `GENERATED ALWAYS AS`
+    * (GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY). Spark
+    * validates the expression at CREATE time (deterministic, no
+    * subqueries, references only non-generated columns) and stores it
+    * here; the STORE owns the semantics — [[withGeneratedColumns]]
+    * computes an omitted column at the df write seams, and every
+    * commit validates value <=> expr like an implicit CHECK, so a
+    * DSv2-staged rewrite can never silently diverge from the
+    * declaration. */
+  private[graft] val GenerationKey = "GENERATION_EXPRESSION"
+
+  /** (field name in `schema`'s own name space, generation SQL) of
+    * every generated column. The SQL text speaks LOGICAL names. */
+  private[graft] def generatedColumnsOf(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(GenerationKey) =>
+        f.name -> f.metadata.getString(GenerationKey)
+    }
+
+  /** Fill OMITTED generated columns of a LOGICAL-named DataFrame from
+    * their expressions (SQL INSERT arrives with every column and is
+    * validated instead; the library seams get Delta's compute-on-write
+    * convenience). No-op on chains without generated columns. */
+  private def withGeneratedColumns(df: DataFrame, dir: String): DataFrame =
+    latestVersion(df.sparkSession, dir).flatMap { v =>
+      val ls = lines(df.sparkSession, dir, v)
+      ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, colMapOf(ls)) }
+    }.fold(df) { logical =>
+      generatedColumnsOf(logical)
+        .filterNot { case (n, _) => df.columns.exists(_.equalsIgnoreCase(n)) }
+        .foldLeft(df) { case (d, (n, sql)) =>
+          d.withColumn(n, org.apache.spark.sql.functions.expr(sql)
+            .cast(logical(n).dataType))
+        }
+    }
+
   /** Stats maps are keyed by PHYSICAL names (they come from parquet
     * footers); the explicit skipping APIs take filters in LOGICAL
     * names — rekey the stats (and rename the schema) instead of
@@ -700,11 +738,13 @@ object Versioned {
     val prior = colMapOf(ls)
     val logical = toLogicalSchema(physical, prior)
     var m = prior
-    // CHECK constraints FOLLOW the rename (Delta's behavior): their
-    // stored predicate is LOGICAL text, rewritten through the mapping
-    // in the same metadata-only commit
+    // CHECK constraints and GENERATION expressions FOLLOW the rename
+    // (Delta's behavior): their stored SQL is LOGICAL text, rewritten
+    // through the mapping in the same metadata-only commit
     var constraints = ls.collect { case c: ConstraintEntry => c }
     val rewrittenConstraints = scala.collection.mutable.LinkedHashSet.empty[String]
+    var physSchema = physical
+    var genRewritten = false
     renames.foreach { case (from, to) =>
       require(to.nonEmpty && !to.exists(c => c == ',' || c == '=' || c == ':' ||
           c == '\n' || c == '\r'),
@@ -732,6 +772,18 @@ object Versioned {
           ConstraintEntry(cn, renameInConstraintSql(spark, sql, resolved, to))
         } else c
       }
+      physSchema = StructType(physSchema.fields.map { f =>
+        if (f.metadata.contains(GenerationKey) &&
+            constraintRefCols(spark, f.metadata.getString(GenerationKey))
+              .contains(resolved.toLowerCase)) {
+          genRewritten = true
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GenerationKey, renameInConstraintSql(spark,
+              f.metadata.getString(GenerationKey), resolved, to))
+            .build())
+        } else f
+      })
       val phys = m.getOrElse(resolved, resolved)
       // the PHYSICAL name embeds in the comma-delimited colmap line
       // too (the files legally carry names the logical validation
@@ -756,9 +808,12 @@ object Versioned {
       }
     val newLines = newLines0.map {
       case c: ConstraintEntry => constraintByName(c.name)
+      case s: SchemaEntry if genRewritten => SchemaEntry(physSchema)
       case other => other
     }
-    val ops = ops0 ++ constraints.filter(c => rewrittenConstraints.contains(c.name)).map(addOp)
+    val ops = ops0 ++
+      constraints.filter(c => rewrittenConstraints.contains(c.name)).map(addOp) ++
+      (if (genRewritten) Seq(addOp(SchemaEntry(physSchema))) else Seq.empty)
     commitChild(spark, dir, v, prev, newLines, ops, protocol)
     v
   }
@@ -1058,10 +1113,13 @@ object Versioned {
   def writeVersion(df: DataFrame, dir: String,
                    mode: SaveMode = SaveMode.Overwrite,
                    protocol: CommitProtocol = PutIfAbsentCommit): Int = {
-    // a renamed chain's APPEND must land PHYSICAL column names (an
-    // overwrite resets the physical layout from its own files and
-    // needs no translation — writeVersionCore drops the mapping)
-    val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
+    // omitted GENERATED columns fill first (both modes: the definition
+    // carries through data overwrites); a renamed chain's APPEND then
+    // lands PHYSICAL column names (an overwrite resets the physical
+    // layout from its own files and needs no translation —
+    // writeVersionCore drops the mapping)
+    val in = withGeneratedColumns(df, dir)
+    val out = if (mode == SaveMode.Append) toPhysicalLatest(in, dir) else in
     writeVersionWith(df.sparkSession, dir, protocol, mode)(tmp =>
       out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
   }
@@ -1108,12 +1166,16 @@ object Versioned {
                               maxAttempts: Int = 16,
                               partCols: Seq[String] = Seq.empty): Option[Int] = {
     require(appId.nonEmpty, "appId must be non-empty")
+    // omitted GENERATED columns fill once up front (the expressions
+    // come from the chain's definition; a concurrent redefinition
+    // mid-batch is outside the streaming contract)
+    val dfIn = withGeneratedColumns(df, dir)
     val attempt: () => Option[Int] =
       if (partCols.isEmpty) { () =>
         // re-resolve the column mapping PER ATTEMPT: a concurrent
         // rename between OCC retries must not leave this batch's
         // files under stale names
-        val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
+        val out = if (mode == SaveMode.Append) toPhysicalLatest(dfIn, dir) else dfIn
         writeVersionCore(df.sparkSession, dir, protocol, mode,
           txn = Some((appId, batchId)))(tmp =>
           out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
@@ -1127,7 +1189,7 @@ object Versioned {
         // dirs), so Append skips it outright (nothing to land —
         // exactly-once holds by vacuity) and Complete commits the
         // empty state METADATA-ONLY, schema + spec + txn watermark.
-        val schema = df.schema
+        val schema = dfIn.schema
         partCols.foreach { c =>
           require(schema.fieldNames.contains(c),
             s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1135,7 +1197,7 @@ object Versioned {
             s"partition column '$c' has type ${schema(c).dataType} — hive-path-exact " +
               "types only (string/int/long/short/byte/date/boolean)")
         }
-        if (df.isEmpty) {
+        if (dfIn.isEmpty) {
           if (mode == SaveMode.Append) None
           else emptyPartitionedStreamCommit(df.sparkSession, dir, appId, batchId,
             schema, partCols, protocol)
@@ -1143,7 +1205,7 @@ object Versioned {
           // a renamed chain's streaming APPEND lands PHYSICAL names,
           // same boundary as every append entry point (per attempt:
           // a racer's rename between retries must re-translate)
-          val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
+          val out = if (mode == SaveMode.Append) toPhysicalLatest(dfIn, dir) else dfIn
           writeVersionCore(df.sparkSession, dir, protocol, mode,
             txn = Some((appId, batchId)),
             partitionBy = Some(StructType(partCols.map(c => schema(c)))))(tmp =>
@@ -1278,19 +1340,32 @@ object Versioned {
     if (removedNonEmpty.isEmpty && newEntries.isEmpty) return None
     val validatedConstraints =
       lines(spark, dir, v0).collect { case c: ConstraintEntry => c }
-    if (validatedConstraints.nonEmpty && newEntries.nonEmpty) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      // constraint SQL is LOGICAL text (it follows renames); the
-      // staged files carry PHYSICAL names — evaluate under logical,
-      // the same boundary writeVersionCore's sibling check applies
+    val rewriteGenCols = generatedColumnsOf(schema)
+    if ((validatedConstraints.nonEmpty || rewriteGenCols.nonEmpty) && newEntries.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not, col => fcol}
+      // constraint/generation SQL is LOGICAL text (it follows
+      // renames); the staged files carry PHYSICAL names — evaluate
+      // under logical, the same boundary writeVersionCore applies
+      val cmapHere = colMapOf(lines(spark, dir, v0))
+      val invHere = cmapHere.map(_.swap)
       val staged = toLogicalDf(
         spark.read.schema(schema)
           .parquet(new Path(root, replacementDir.get).toString),
-        colMapOf(lines(spark, dir, v0)))
+        cmapHere)
       validatedConstraints.foreach { c =>
         require(staged.filter(not(coalesce(expr(c.predicateSql), lit(true)))).isEmpty,
           s"rewrite of $dir violates CHECK constraint '${c.name}' " +
             s"(${c.predicateSql}); nothing was committed")
+      }
+      // GENERATED columns hold through row-level rewrites too: an
+      // UPDATE/MERGE that produced value != expr refuses (update the
+      // generated column consistently, or update through a path that
+      // recomputes it)
+      rewriteGenCols.foreach { case (n, sql) =>
+        val l = invHere.getOrElse(n, n)
+        require(staged.filter(not(fcol(l) <=> expr(sql))).isEmpty,
+          s"rewrite of $dir violates GENERATED column '$l' = ($sql); " +
+            "nothing was committed")
       }
     }
     // NOT NULL columns: the replacement's footer harvest already holds
@@ -1451,9 +1526,11 @@ object Versioned {
     require(partCols.nonEmpty, "partCols must be non-empty")
     val spark = df.sparkSession
     val staged = stageDataDir(spark, dir)
-    // staged files land BESIDE the chain's existing files — a renamed
-    // chain needs them in PHYSICAL names like any append
-    toPhysicalLatest(df, dir).write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+    // omitted GENERATED columns fill first; staged files land BESIDE
+    // the chain's existing files — a renamed chain needs them in
+    // PHYSICAL names like any append
+    toPhysicalLatest(withGeneratedColumns(df, dir), dir)
+      .write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(new Path(new Path(dir), staged).toString)
     commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol)
   }
@@ -1548,10 +1625,13 @@ object Versioned {
                               mode: SaveMode = SaveMode.Overwrite,
                               protocol: CommitProtocol = PutIfAbsentCommit): Int = {
     require(partCols.nonEmpty, "partCols must be non-empty — use writeVersion")
-    // a renamed chain's APPEND lands PHYSICAL column names, same as
-    // the unpartitioned entry point (partition columns are never
-    // renamed, so partCols needs no translation)
-    val out = if (mode == SaveMode.Append) toPhysicalLatest(df, dir) else df
+    // omitted GENERATED columns fill first (they may BE the partition
+    // columns — partition-by-derived-date is the canonical use); a
+    // renamed chain's APPEND then lands PHYSICAL column names
+    // (partition columns are never renamed, so partCols needs no
+    // translation)
+    val in = withGeneratedColumns(df, dir)
+    val out = if (mode == SaveMode.Append) toPhysicalLatest(in, dir) else in
     val schema = out.schema
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1680,13 +1760,19 @@ object Versioned {
         }.toMap
         StructType(newSchema0.fields.map { f =>
           priorMd.get(f.name) match {
-            case Some(md) if md.contains("CURRENT_DEFAULT") || md.contains("EXISTS_DEFAULT") =>
+            case Some(md) if md.contains("CURRENT_DEFAULT") || md.contains("EXISTS_DEFAULT") ||
+                md.contains(GenerationKey) =>
               val mb = new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
               if (md.contains("CURRENT_DEFAULT"))
                 mb.putString("CURRENT_DEFAULT", md.getString("CURRENT_DEFAULT"))
               if (md.contains("EXISTS_DEFAULT"))
                 mb.putString("EXISTS_DEFAULT", md.getString("EXISTS_DEFAULT"))
+              // GENERATED ALWAYS AS is table definition like DEFAULTs:
+              // a data overwrite re-attaches it to its footer-derived
+              // fields (REPLACE TABLE starts clean)
+              if (md.contains(GenerationKey))
+                mb.putString(GenerationKey, md.getString(GenerationKey))
               f.copy(metadata = mb.build())
             case _ => f
           }
@@ -1728,6 +1814,31 @@ object Versioned {
           s"write to $dir violates CHECK constraint '${culprit.name}' " +
             s"(${culprit.predicateSql}); nothing was committed")
       }
+    }
+    // GENERATED columns: value <=> expr on every committed row — the
+    // implicit-CHECK backstop that covers ALL write paths (the df
+    // entry points compute omitted columns; a DSv2-staged write that
+    // produced a mismatching value refuses here instead of silently
+    // diverging from the declaration). Null-safe: a null expression
+    // result must be stored as null. REPLACE TABLE starts a fresh
+    // definition, so nothing prior applies — the declared schema's own
+    // metadata (if any) still validates.
+    val genCols = generatedColumnsOf(newSchema)
+    if (genCols.nonEmpty && rows > 0) {
+      import org.apache.spark.sql.functions.{expr, not, col => fcol}
+      val stagedG = toLogicalDf(
+        spark.read.schema(newSchema).parquet(dataPath.toString), stagedMap)
+      def logicalName(n: String) = if (stagedPhysical) invChain.getOrElse(n, n) else n
+      def violatesGen(n: String, sql: String) =
+        not(fcol(logicalName(n)) <=> expr(sql))
+      genCols.find { case (n, sql) => !stagedG.filter(violatesGen(n, sql)).isEmpty }
+        .foreach { case (n, sql) =>
+          if (preWritten.isEmpty) fs.delete(dataPath, true)
+          throw new IllegalArgumentException(
+            s"write to $dir violates GENERATED column '${logicalName(n)}' = ($sql) — " +
+              "provide the computed value, or omit the column on a library write " +
+              "(it fills itself); nothing was committed")
+        }
     }
     // NOT NULL columns: validate the JUST-WRITTEN dir from its footer
     // harvest — zero extra IO in the passing case (null counts are
@@ -1947,6 +2058,12 @@ object Versioned {
     if (!protocol.putIfAbsent(fs, manifestPath(dir, v), bytes))
       throw new IllegalStateException(
         s"version $v at $dir was committed concurrently — retry the write")
+    // a SUCCESSFUL claim proves any cached parse under this key
+    // described a DELETED file (a raw `rm -r` of a chain followed by
+    // re-creation at the same path — CONVERT, CREATE — is the one
+    // drop path that cannot evict for itself); serving it would
+    // resurrect the old chain's file list
+    evictManifestCache(spark, dir, Seq(v))
   }
 
   /** Absolute paths of every dir the NEWEST version references — data
@@ -3190,6 +3307,17 @@ object Versioned {
           throw new IllegalArgumentException(
             s"cannot drop '$l': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
         }
+        // a GENERATED column's dependencies are load-bearing the same
+        // way (dropping the generated column itself is fine — its
+        // expression leaves with it)
+        generatedColumnsOf(prior).find { case (g, sql) =>
+          !g.equalsIgnoreCase(n) &&
+            constraintRefCols(spark, sql).contains(l.toLowerCase)
+        }.foreach { case (g, _) =>
+          throw new IllegalArgumentException(
+            s"cannot drop '$l': GENERATED column '${cmap.map(_.swap).getOrElse(g, g)}' " +
+              "is computed from it — drop the generated column first")
+        }
         // this single-purpose commit cannot remove the constraint line
         // with the column; the atomic ALTER can (and does)
         require(!ls.exists { case NotNullEntry(c) => c.equalsIgnoreCase(n); case _ => false },
@@ -3405,6 +3533,18 @@ object Versioned {
       checkRefs.find(_._2.contains(l.toLowerCase)).foreach { case (cn, _) =>
         throw new IllegalArgumentException(
           s"cannot drop '$l': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
+      }
+      // a GENERATED column's dependencies are load-bearing the same
+      // way — unless the generated column drops in the SAME statement
+      generatedColumnsOf(prior).find { case (g, sql) =>
+        !g.equalsIgnoreCase(n) &&
+          !resolvedDrops.exists(_._2.equalsIgnoreCase(g)) &&
+          constraintRefCols(spark, sql).contains(l.toLowerCase)
+      }.foreach { case (g, _) =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$l': GENERATED column '${cmap.map(_.swap).getOrElse(g, g)}' " +
+            "is computed from it — drop the generated column first (or in the " +
+            "same statement)")
       }
     }
     // type widenings: resolve (logical) names, require a legal

@@ -75,7 +75,14 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     * PRE-DATE the column from EXISTS_DEFAULT instead of null. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // GENERATED ALWAYS AS (expr): Spark validates the expression
+      // (deterministic, non-generated refs, no subqueries) and hands
+      // it over as GENERATION_EXPRESSION field metadata; the STORE
+      // enforces the semantics — library writes compute an omitted
+      // generated column, and EVERY commit validates value = expr
+      // like an implicit CHECK (see Versioned.generatedColumnsOf)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** Tables are paths; there is no namespace to enumerate. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -221,12 +228,29 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
                            properties: java.util.Map[String, String]): Table =
     createWithConstraints(ident, schema, partitions, properties, Seq.empty)
 
+  /** `TableInfo.schema()` bridges v2 Columns to StructType but DROPS
+    * `generationExpression` (it rides as its own Column field, not in
+    * the metadata JSON) — re-attach it under Spark's own metadata key
+    * so the recorded schema carries the declaration the store
+    * enforces. */
+  private def schemaWithGeneration(info: TableInfo): StructType = {
+    val gens = info.columns().flatMap(c =>
+      Option(c.generationExpression()).map(c.name() -> _)).toMap
+    if (gens.isEmpty) info.schema()
+    else StructType(info.schema().fields.map { f =>
+      gens.get(f.name).fold(f)(g => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(Versioned.GenerationKey, g).build()))
+    })
+  }
+
   /** The [[TableInfo]] form is the one that carries inline
     * constraints (`CREATE TABLE t (…, CONSTRAINT c CHECK (…))`) —
     * the default chain would silently DROP them on the way down to
     * the StructType form. */
   override def createTable(ident: Identifier, info: TableInfo): Table =
-    createWithConstraints(ident, info.schema(), info.partitions(),
+    createWithConstraints(ident, schemaWithGeneration(info), info.partitions(),
       info.properties(), checksOf(info.constraints()))
 
   private def checksOf(cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
@@ -428,17 +452,18 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     noCtasConstraints(info)
-    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+    stageCreate(ident, schemaWithGeneration(info), info.partitions(), info.properties())
   }
 
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
     noCtasConstraints(info)
-    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+    stageReplace(ident, schemaWithGeneration(info), info.partitions(), info.properties())
   }
 
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
     noCtasConstraints(info)
-    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
+    stageCreateOrReplace(ident, schemaWithGeneration(info), info.partitions(),
+      info.properties())
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,

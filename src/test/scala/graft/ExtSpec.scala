@@ -4774,6 +4774,91 @@ class ExtSpec extends AnyFunSuite {
     assert(scoped > 0, s"scoped compact_files must report the selected bytes, got $scoped")
   }
 
+  test("GENERATED columns: library writes compute, every commit validates, renames follow, dependencies are load-bearing") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    spark.conf.set("spark.sql.catalog.graft_gc", "graft.sql.VersionedCatalog")
+    val root = java.nio.file.Files.createTempDirectory("graft_gencol").toString
+    val dir = root + "/t"
+    spark.sql(s"CREATE TABLE graft_gc.`$dir` (id BIGINT, ts TIMESTAMP, " +
+      "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    // SQL INSERT provides the value; the commit validates it
+    spark.sql(s"INSERT INTO graft_gc.`$dir` VALUES " +
+      "(1, TIMESTAMP'2026-01-02 03:04:05', DATE'2026-01-02')")
+    assert(intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_gc.`$dir` VALUES " +
+        "(2, TIMESTAMP'2026-01-02 03:04:05', DATE'1999-12-31')")
+    }.getMessage.contains("GENERATED"))
+    // library append OMITS the column: computed; null dependency
+    // computes null (null-safe validation)
+    Versioned.writeVersion(
+      Seq((2L, java.sql.Timestamp.valueOf("2026-02-03 00:00:00")),
+          (3L, null.asInstanceOf[java.sql.Timestamp])).toDF("id", "ts"),
+      dir, SaveMode.Append)
+    assert(spark.sql(s"SELECT CAST(d AS STRING) FROM graft_gc.`$dir` WHERE id = 2")
+      .as[String].head() == "2026-02-03")
+    assert(spark.sql(s"SELECT count(*) FROM graft_gc.`$dir` WHERE id = 3 AND d IS NULL")
+      .as[Long].head() == 1)
+    // CoW UPDATE of an unrelated column passes; breaking the
+    // declaration refuses (value <=> expr holds on EVERY commit)
+    spark.sql(s"UPDATE graft_gc.`$dir` SET id = 10 WHERE id = 1")
+    assert(intercept[Exception] {
+      spark.sql(s"UPDATE graft_gc.`$dir` SET d = DATE'1999-12-31' WHERE id = 2")
+    }.getMessage.contains("GENERATED"))
+    // a data OVERWRITE carries the definition (like DEFAULTs): the
+    // omitted column computes on the overwrite too
+    Versioned.writeVersion(
+      Seq((7L, java.sql.Timestamp.valueOf("2026-07-07 07:07:07"))).toDF("id", "ts"),
+      dir, SaveMode.Overwrite)
+    assert(spark.sql(s"SELECT CAST(d AS STRING) FROM graft_gc.`$dir` WHERE id = 7")
+      .as[String].head() == "2026-07-07")
+    // RENAME of the dependency column: the generation expression
+    // follows (stored SQL is logical text, like CHECK constraints)
+    spark.sql(s"ALTER TABLE graft_gc.`$dir` RENAME COLUMN ts TO event_ts")
+    Versioned.writeVersion(
+      Seq((8L, java.sql.Timestamp.valueOf("2026-08-08 08:08:08"))).toDF("id", "event_ts"),
+      dir, SaveMode.Append)
+    assert(spark.sql(s"SELECT CAST(d AS STRING) FROM graft_gc.`$dir` WHERE id = 8")
+      .as[String].head() == "2026-08-08")
+    // …and renaming the GENERATED column itself keeps it computing
+    spark.sql(s"ALTER TABLE graft_gc.`$dir` RENAME COLUMN d TO event_date")
+    Versioned.writeVersion(
+      Seq((9L, java.sql.Timestamp.valueOf("2026-09-09 09:09:09"))).toDF("id", "event_ts"),
+      dir, SaveMode.Append)
+    assert(spark.sql(s"SELECT CAST(event_date AS STRING) FROM graft_gc.`$dir` WHERE id = 9")
+      .as[String].head() == "2026-09-09")
+    // the dependency is load-bearing: dropping it refuses; dropping
+    // the generated column itself is fine
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_gc.`$dir` DROP COLUMN event_ts")
+    }.getMessage.contains("GENERATED"))
+    spark.sql(s"ALTER TABLE graft_gc.`$dir` DROP COLUMN event_date")
+    assert(!spark.table(s"graft_gc.`$dir`").columns.contains("event_date"))
+
+    // PARTITION BY a generated column — the canonical derived-date
+    // layout: the library write computes it, the hive layout and
+    // partition pruning ride on the computed values
+    val pdir = root + "/p"
+    Versioned.writeVersionPartitioned(
+      (0 until 100).map(i => (i.toLong, i % 5)).toDF("id", "g"), pdir, Seq("g"))
+    // (a pre-existing partitioned chain gains nothing here — build a
+    // fresh one through SQL with the generated partition column)
+    val gdir = root + "/gp"
+    spark.sql(s"CREATE TABLE graft_gc.`$gdir` (id BIGINT, " +
+      "g INT GENERATED ALWAYS AS (CAST(id % 5 AS INT))) PARTITIONED BY (g)")
+    Versioned.writeVersionPartitioned(
+      (0 until 100).map(i => i.toLong).toDF("id"), gdir, Seq("g"), SaveMode.Append)
+    assert(spark.sql(s"SELECT count(*) FROM graft_gc.`$gdir` WHERE g = 2")
+      .as[Long].head() == 20)
+    val planned = Versioned.planDataFiles(spark, gdir,
+      Versioned.latestVersion(spark, gdir).get,
+      Seq(org.apache.spark.sql.sources.EqualTo("g", 2)))
+    val allG = Versioned.planDataFiles(spark, gdir,
+      Versioned.latestVersion(spark, gdir).get, Seq.empty)
+    assert(planned.nonEmpty && planned.length < allG.length,
+      s"generated partition column must prune ($planned of $allG)")
+  }
+
   test("CONVERT in place: a plain hive-partitioned dir adopts as v0; refusals; prune never touches the adopted files") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources.EqualTo
