@@ -674,21 +674,30 @@ object Versioned {
         f.name -> f.metadata.getString(GenerationKey)
     }
 
-  /** Fill OMITTED generated columns of a LOGICAL-named DataFrame from
-    * their expressions (SQL INSERT arrives with every column and is
-    * validated instead; the library seams get Delta's compute-on-write
-    * convenience). No-op on chains without generated columns. */
-  private def withGeneratedColumns(df: DataFrame, dir: String): DataFrame =
-    latestVersion(df.sparkSession, dir).flatMap { v =>
+  /** The shared df write-entry preparation, ONE manifest resolve for
+    * both duties: fill OMITTED generated columns whose dependencies
+    * the df carries (SQL inserts arrive complete and are validated
+    * instead; a df also missing a DEPENDENCY leaves the column absent
+    * — an append's union read serves null there, which the null-safe
+    * validation accepts, and an overwrite retires the declaration),
+    * then translate logical→physical when the write lands beside a
+    * renamed chain's files. */
+  private def prepareWrite(df: DataFrame, dir: String, translate: Boolean): DataFrame =
+    latestVersion(df.sparkSession, dir).fold(df) { v =>
       val ls = lines(df.sparkSession, dir, v)
-      ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, colMapOf(ls)) }
-    }.fold(df) { logical =>
-      generatedColumnsOf(logical)
-        .filterNot { case (n, _) => df.columns.exists(_.equalsIgnoreCase(n)) }
-        .foldLeft(df) { case (d, (n, sql)) =>
-          d.withColumn(n, org.apache.spark.sql.functions.expr(sql)
-            .cast(logical(n).dataType))
-        }
+      val cmap = colMapOf(ls)
+      val logical = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
+      val filled = logical.fold(df) { s =>
+        generatedColumnsOf(s)
+          .filterNot { case (n, _) => df.columns.exists(_.equalsIgnoreCase(n)) }
+          .filter { case (_, sql) => constraintRefCols(df.sparkSession, sql)
+            .forall(r => df.columns.exists(_.equalsIgnoreCase(r))) }
+          .foldLeft(df) { case (d, (n, sql)) =>
+            d.withColumn(n, org.apache.spark.sql.functions.expr(sql)
+              .cast(s(n).dataType))
+          }
+      }
+      if (translate) toPhysical(filled, cmap) else filled
     }
 
   /** Stats maps are keyed by PHYSICAL names (they come from parquet
@@ -1113,13 +1122,11 @@ object Versioned {
   def writeVersion(df: DataFrame, dir: String,
                    mode: SaveMode = SaveMode.Overwrite,
                    protocol: CommitProtocol = PutIfAbsentCommit): Int = {
-    // omitted GENERATED columns fill first (both modes: the definition
-    // carries through data overwrites); a renamed chain's APPEND then
+    // omitted GENERATED columns fill, and a renamed chain's APPEND
     // lands PHYSICAL column names (an overwrite resets the physical
     // layout from its own files and needs no translation —
-    // writeVersionCore drops the mapping)
-    val in = withGeneratedColumns(df, dir)
-    val out = if (mode == SaveMode.Append) toPhysicalLatest(in, dir) else in
+    // writeVersionCore drops the mapping): one manifest resolve
+    val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
     writeVersionWith(df.sparkSession, dir, protocol, mode)(tmp =>
       out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
   }
@@ -1166,16 +1173,12 @@ object Versioned {
                               maxAttempts: Int = 16,
                               partCols: Seq[String] = Seq.empty): Option[Int] = {
     require(appId.nonEmpty, "appId must be non-empty")
-    // omitted GENERATED columns fill once up front (the expressions
-    // come from the chain's definition; a concurrent redefinition
-    // mid-batch is outside the streaming contract)
-    val dfIn = withGeneratedColumns(df, dir)
     val attempt: () => Option[Int] =
       if (partCols.isEmpty) { () =>
-        // re-resolve the column mapping PER ATTEMPT: a concurrent
-        // rename between OCC retries must not leave this batch's
-        // files under stale names
-        val out = if (mode == SaveMode.Append) toPhysicalLatest(dfIn, dir) else dfIn
+        // re-resolve the column mapping (and fill omitted GENERATED
+        // columns) PER ATTEMPT: a concurrent rename between OCC
+        // retries must not leave this batch's files under stale names
+        val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
         writeVersionCore(df.sparkSession, dir, protocol, mode,
           txn = Some((appId, batchId)))(tmp =>
           out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
@@ -1189,7 +1192,12 @@ object Versioned {
         // dirs), so Append skips it outright (nothing to land —
         // exactly-once holds by vacuity) and Complete commits the
         // empty state METADATA-ONLY, schema + spec + txn watermark.
-        val schema = dfIn.schema
+        // fill omitted GENERATED columns + translate PER ATTEMPT, same
+        // boundary as every append entry point (the partition column
+        // may itself be generated); the TRANSLATED schema names equal
+        // the logical ones for partition columns (never renamed)
+        val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
+        val schema = out.schema
         partCols.foreach { c =>
           require(schema.fieldNames.contains(c),
             s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1197,15 +1205,11 @@ object Versioned {
             s"partition column '$c' has type ${schema(c).dataType} — hive-path-exact " +
               "types only (string/int/long/short/byte/date/boolean)")
         }
-        if (dfIn.isEmpty) {
+        if (out.isEmpty) {
           if (mode == SaveMode.Append) None
           else emptyPartitionedStreamCommit(df.sparkSession, dir, appId, batchId,
             schema, partCols, protocol)
         } else {
-          // a renamed chain's streaming APPEND lands PHYSICAL names,
-          // same boundary as every append entry point (per attempt:
-          // a racer's rename between retries must re-translate)
-          val out = if (mode == SaveMode.Append) toPhysicalLatest(dfIn, dir) else dfIn
           writeVersionCore(df.sparkSession, dir, protocol, mode,
             txn = Some((appId, batchId)),
             partitionBy = Some(StructType(partCols.map(c => schema(c)))))(tmp =>
@@ -1360,12 +1364,17 @@ object Versioned {
       // GENERATED columns hold through row-level rewrites too: an
       // UPDATE/MERGE that produced value != expr refuses (update the
       // generated column consistently, or update through a path that
-      // recomputes it)
-      rewriteGenCols.foreach { case (n, sql) =>
-        val l = invHere.getOrElse(n, n)
-        require(staged.filter(not(fcol(l) <=> expr(sql))).isEmpty,
-          s"rewrite of $dir violates GENERATED column '$l' = ($sql); " +
-            "nothing was committed")
+      // recomputes it). One combined job in the passing case.
+      if (rewriteGenCols.nonEmpty) {
+        def violatesGen(n: String, sql: String) =
+          not(fcol(invHere.getOrElse(n, n)) <=> expr(sql))
+        if (!staged.filter(rewriteGenCols.map((violatesGen _).tupled).reduce(_ || _)).isEmpty) {
+          val (n, sql) = rewriteGenCols.find { case (cn, csql) =>
+            !staged.filter(violatesGen(cn, csql)).isEmpty }.get
+          throw new IllegalArgumentException(
+            s"rewrite of $dir violates GENERATED column '${invHere.getOrElse(n, n)}' " +
+              s"= ($sql); nothing was committed")
+        }
       }
     }
     // NOT NULL columns: the replacement's footer harvest already holds
@@ -1529,7 +1538,7 @@ object Versioned {
     // omitted GENERATED columns fill first; staged files land BESIDE
     // the chain's existing files — a renamed chain needs them in
     // PHYSICAL names like any append
-    toPhysicalLatest(withGeneratedColumns(df, dir), dir)
+    prepareWrite(df, dir, translate = true)
       .write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(new Path(new Path(dir), staged).toString)
     commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol)
@@ -1627,11 +1636,9 @@ object Versioned {
     require(partCols.nonEmpty, "partCols must be non-empty — use writeVersion")
     // omitted GENERATED columns fill first (they may BE the partition
     // columns — partition-by-derived-date is the canonical use); a
-    // renamed chain's APPEND then lands PHYSICAL column names
-    // (partition columns are never renamed, so partCols needs no
-    // translation)
-    val in = withGeneratedColumns(df, dir)
-    val out = if (mode == SaveMode.Append) toPhysicalLatest(in, dir) else in
+    // renamed chain's APPEND lands PHYSICAL column names (partition
+    // columns are never renamed, so partCols needs no translation)
+    val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
     val schema = out.schema
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1735,9 +1742,21 @@ object Versioned {
             "writeVersion/appendVersionWithRetry (they translate) instead of a raw callback")
       }
     }
+    // parquet footers round-trip Spark field metadata, so a df read
+    // FROM a generated table and written elsewhere would smuggle its
+    // GENERATION_EXPRESSION into the new chain and silently turn on
+    // enforcement the user never declared — generation is DDL, so the
+    // footer-derived schema is STRIPPED of it here and the definition
+    // re-enters only through the legitimate carriers (an append's
+    // union keeps the prior fields; an overwrite's re-attach below)
+    val dirSchemaClean = StructType(dirSchema.fields.map { f =>
+      if (!f.metadata.contains(GenerationKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(GenerationKey).build())
+    })
     val newSchema0 = (mode, prev) match {
-      case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchema)
-      case _                          => dirSchema
+      case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchemaClean)
+      case _                          => dirSchemaClean
     }
     // do the STAGED files carry the chain's physical names? Appends do
     // (translated entry points + the guard above); a staged
@@ -1770,8 +1789,17 @@ object Versioned {
                 mb.putString("EXISTS_DEFAULT", md.getString("EXISTS_DEFAULT"))
               // GENERATED ALWAYS AS is table definition like DEFAULTs:
               // a data overwrite re-attaches it to its footer-derived
-              // fields (REPLACE TABLE starts clean)
-              if (md.contains(GenerationKey))
+              // fields (REPLACE TABLE starts clean). An overwrite
+              // whose data OMITS a dependency column retires the
+              // declaration with it (the bloom-declaration precedent)
+              // — the expression could never evaluate again
+              if (md.contains(GenerationKey) &&
+                  constraintRefCols(spark, md.getString(GenerationKey)).forall(r =>
+                    // the expression text is LOGICAL; staged-physical
+                    // overwrites carry physical field names
+                    newSchema0.fieldNames.exists(n =>
+                      (if (stagedPhysical) invChain.getOrElse(n, n) else n)
+                        .equalsIgnoreCase(r))))
                 mb.putString(GenerationKey, md.getString(GenerationKey))
               f.copy(metadata = mb.build())
             case _ => f
@@ -1831,14 +1859,17 @@ object Versioned {
       def logicalName(n: String) = if (stagedPhysical) invChain.getOrElse(n, n) else n
       def violatesGen(n: String, sql: String) =
         not(fcol(logicalName(n)) <=> expr(sql))
-      genCols.find { case (n, sql) => !stagedG.filter(violatesGen(n, sql)).isEmpty }
-        .foreach { case (n, sql) =>
-          if (preWritten.isEmpty) fs.delete(dataPath, true)
-          throw new IllegalArgumentException(
-            s"write to $dir violates GENERATED column '${logicalName(n)}' = ($sql) — " +
-              "provide the computed value, or omit the column on a library write " +
-              "(it fills itself); nothing was committed")
-        }
+      // ONE combined job in the passing case (the CHECK pattern); the
+      // culprit is identified only on violation
+      if (!stagedG.filter(genCols.map((violatesGen _).tupled).reduce(_ || _)).isEmpty) {
+        val (n, sql) = genCols.find { case (cn, csql) =>
+          !stagedG.filter(violatesGen(cn, csql)).isEmpty }.get
+        if (preWritten.isEmpty) fs.delete(dataPath, true)
+        throw new IllegalArgumentException(
+          s"write to $dir violates GENERATED column '${logicalName(n)}' = ($sql) — " +
+            "provide the computed value, or omit the column on a library write " +
+            "(it fills itself); nothing was committed")
+      }
     }
     // NOT NULL columns: validate the JUST-WRITTEN dir from its footer
     // harvest — zero extra IO in the passing case (null counts are
@@ -2062,8 +2093,28 @@ object Versioned {
     // described a DELETED file (a raw `rm -r` of a chain followed by
     // re-creation at the same path — CONVERT, CREATE — is the one
     // drop path that cannot evict for itself); serving it would
-    // resurrect the old chain's file list
-    evictManifestCache(spark, dir, Seq(v))
+    // resurrect the old chain's file list. A v0 claim means the WHOLE
+    // prior chain is gone — its higher versions may be cached too,
+    // and a time-travel read would serve them without touching disk
+    if (v == 0) evictManifestCacheDir(spark, dir)
+    else evictManifestCache(spark, dir, Seq(v))
+  }
+
+  /** Drop every cached parse of any manifest under `dir` — the
+    * fresh-chain (v0) claim path. */
+  private def evictManifestCacheDir(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    val prefix = fs.makeQualified(new Path(root, VDIR)).toString + "/"
+    manifestCache.synchronized {
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          manifestCacheWeight -= e.getValue._2
+          it.remove()
+        }
+      }
+    }
   }
 
   /** Absolute paths of every dir the NEWEST version references — data
@@ -3308,15 +3359,18 @@ object Versioned {
             s"cannot drop '$l': CHECK constraint '$cn' reads it — DROP CONSTRAINT first")
         }
         // a GENERATED column's dependencies are load-bearing the same
-        // way (dropping the generated column itself is fine — its
+        // way — unless the generated column drops in the SAME call
+        // (dropping the generated column itself is always fine: its
         // expression leaves with it)
         generatedColumnsOf(prior).find { case (g, sql) =>
           !g.equalsIgnoreCase(n) &&
+            !resolved.exists(_._2.equalsIgnoreCase(g)) &&
             constraintRefCols(spark, sql).contains(l.toLowerCase)
         }.foreach { case (g, _) =>
           throw new IllegalArgumentException(
             s"cannot drop '$l': GENERATED column '${cmap.map(_.swap).getOrElse(g, g)}' " +
-              "is computed from it — drop the generated column first")
+              "is computed from it — drop the generated column first (or in the " +
+              "same call)")
         }
         // this single-purpose commit cannot remove the constraint line
         // with the column; the atomic ALTER can (and does)

@@ -4835,6 +4835,46 @@ class ExtSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft_gc.`$dir` DROP COLUMN event_date")
     assert(!spark.table(s"graft_gc.`$dir`").columns.contains("event_date"))
 
+    // the declaration does NOT leak: parquet footers round-trip field
+    // metadata, so a df read FROM a generated table and written to a
+    // FRESH chain must not smuggle enforcement in
+    val cleanDir = root + "/clean"
+    val src2 = root + "/src2"
+    spark.sql(s"CREATE TABLE graft_gc.`$src2` (id BIGINT, ts TIMESTAMP, " +
+      "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    spark.sql(s"INSERT INTO graft_gc.`$src2` VALUES " +
+      "(1, TIMESTAMP'2026-01-02 03:04:05', DATE'2026-01-02')")
+    Versioned.writeVersion(Versioned.readLatest(spark, src2), cleanDir)
+    assert(Versioned.recordedSchema(spark, cleanDir, 0).get
+      .fields.forall(!_.metadata.contains("GENERATION_EXPRESSION")),
+      "generation metadata must not ride footer round-trips into fresh chains")
+    // …so a 'wrong' d on the fresh chain is just data
+    Versioned.writeVersion(
+      Seq((9L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        java.sql.Date.valueOf("1999-12-31"))).toDF("id", "ts", "d"),
+      cleanDir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, cleanDir).count() == 2)
+    // an OVERWRITE that omits the dependency RETIRES the declaration
+    // (the bloom precedent) instead of dying unresolvable
+    val rdir = root + "/retire"
+    spark.sql(s"CREATE TABLE graft_gc.`$rdir` (id BIGINT, ts TIMESTAMP, " +
+      "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    spark.sql(s"INSERT INTO graft_gc.`$rdir` VALUES " +
+      "(1, TIMESTAMP'2026-01-02 03:04:05', DATE'2026-01-02')")
+    Versioned.writeVersion(Seq(Tuple1(5L)).toDF("id"), rdir, SaveMode.Overwrite)
+    assert(Versioned.recordedSchema(spark, rdir,
+      Versioned.latestVersion(spark, rdir).get).get
+      .fields.forall(!_.metadata.contains("GENERATION_EXPRESSION")))
+    // a combined library drop of dependency + generated column works
+    // in ONE call (the atomic-ALTER parity)
+    val cdir = root + "/combined"
+    spark.sql(s"CREATE TABLE graft_gc.`$cdir` (id BIGINT, ts TIMESTAMP, " +
+      "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    spark.sql(s"INSERT INTO graft_gc.`$cdir` VALUES " +
+      "(1, TIMESTAMP'2026-01-02 03:04:05', DATE'2026-01-02')")
+    Versioned.dropColumns(spark, cdir, Seq("ts", "d"))
+    assert(spark.table(s"graft_gc.`$cdir`").columns.toSeq == Seq("id"))
+
     // PARTITION BY a generated column — the canonical derived-date
     // layout: the library write computes it, the hive layout and
     // partition pruning ride on the computed values
