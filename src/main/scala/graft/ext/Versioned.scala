@@ -4115,6 +4115,63 @@ private[ext] object Skipping {
   import graft.ext.Versioned.{ColStats, FileStats}
   import scala.jdk.CollectionConverters._
 
+  /** What the footer harvest needs to know about one file before
+    * opening it — listing output, small and serializable, so the
+    * harvest itself can run either on the driver or as Spark tasks. */
+  private final case class HarvestSpec(path: String, bytes: Long, name: String,
+                                       partVals: Seq[(String, Option[String])])
+
+  /** Hadoop `Configuration` is not `Serializable`; this is the
+    * standard write()/readFields() envelope so harvest tasks see the
+    * driver's filesystem configuration. */
+  private final class SerConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Read the footers of `specs`, sequentially on the driver below
+    * `spark.graft.stats.distributedHarvestMinFiles` (default 64 —
+    * per-commit O(delta) dirs stay a few in-process reads with no job
+    * overhead), as a SPARK JOB at or above it: CONVERT and
+    * backfillStats run this over a WHOLE table, and a 10⁶-footer
+    * sweep is hours single-threaded on the driver but minutes as
+    * tasks (Delta's CONVERT distributes exactly this step). Only the
+    * small FileStats structs come back to the driver. Output is
+    * name-sorted so both paths commit byte-identical stats lines. */
+  private def harvestFileStats(spark: SparkSession, schema: StructType,
+                               specs: Seq[HarvestSpec]): Seq[FileStats] = {
+    val sorted = specs.sortBy(_.name)
+    val minFiles = spark.conf.getOption("spark.graft.stats.distributedHarvestMinFiles")
+      .map(_.toInt).getOrElse(64)
+    if (sorted.length < math.max(1, minFiles)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      sorted.map(sp => fileStats(conf, new Path(sp.path), sp.bytes, sp.name,
+        schema, sp.partVals))
+    } else {
+      val sc = spark.sparkContext
+      val bc = sc.broadcast(new SerConf(sc.hadoopConfiguration))
+      val slices = math.max(1, math.min(sorted.length, sc.defaultParallelism * 4))
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"graft: distributed footer harvest (${sorted.length} files)")
+      try {
+        sc.parallelize(sorted, slices).map { sp =>
+          fileStats(bc.value.value, new Path(sp.path), sp.bytes, sp.name,
+            schema, sp.partVals)
+        }.collect().toSeq.sortBy(_.name)
+      } finally {
+        sc.setJobDescription(prev)
+        bc.destroy()
+      }
+    }
+  }
+
   /** (rows, per-column stats, per-file stats) of one just-written data
     * dir, from its parquet footers. A column of unsupported type, or
     * with any untrusted footer, is recorded as fully-unknown (present
@@ -4127,15 +4184,20 @@ private[ext] object Skipping {
     * INSIDE a commit (one append at 100 TB is thousands of files —
     * dir-level min/max over them spans the full key range and prunes
     * nothing), the dir aggregate is what lets [[readVersionSkipping]]
-    * and the DSv2 seam drop whole dirs without touching file lists. */
+    * and the DSv2 seam drop whole dirs without touching file lists.
+    *
+    * The driver only LISTS; footer reads dispatch through
+    * [[harvestFileStats]] (driver below the file threshold, Spark
+    * tasks at or above it). */
   def collectDirStats(spark: SparkSession, dataPath: Path,
                       dirSchema: StructType): (Long, Map[String, ColStats], Seq[FileStats]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dataPath.getFileSystem(conf)
-    val perFile = fs.listStatus(dataPath)
+    val specs = fs.listStatus(dataPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => fileStats(conf, st, st.getPath.getName, dirSchema, Seq.empty)).toSeq
-    aggregateDir(dirSchema, perFile)
+      .map(st => HarvestSpec(st.getPath.toString, st.getLen,
+        st.getPath.getName, Seq.empty)).toSeq
+    aggregateDir(dirSchema, harvestFileStats(spark, dirSchema, specs))
   }
 
   /** The partitioned-dir variant: the data dir holds a hive-layout
@@ -4157,7 +4219,7 @@ private[ext] object Skipping {
         else Seq.empty
       }
     val basePrefix = dataPath.toUri.getPath.stripSuffix("/") + "/"
-    val perFile = walk(dataPath).map { st =>
+    val specs = walk(dataPath).map { st =>
       val rel = st.getPath.toUri.getPath.stripPrefix(basePrefix)
       val segs = rel.split('/').dropRight(1)
         .flatMap { seg =>
@@ -4174,9 +4236,9 @@ private[ext] object Skipping {
           else partValueToCanonical(ExternalCatalogUtils.unescapePathName(raw), f.dataType)
         (f.name, canon)
       }.toSeq
-      fileStats(conf, st, rel, fullSchema, partVals)
+      HarvestSpec(st.getPath.toString, st.getLen, rel, partVals)
     }
-    aggregateDir(fullSchema, perFile)
+    aggregateDir(fullSchema, harvestFileStats(spark, fullSchema, specs))
   }
 
   /** Hive partition-path string → the canonical stats domain of the
@@ -4210,9 +4272,11 @@ private[ext] object Skipping {
 
   /** Footer scan of one file. `partVals` are canonical partition
     * values to overlay as exact bounds (None value = hive null
-    * partition → all-null stats for that column). */
+    * partition → all-null stats for that column). Runs on the driver
+    * OR inside a harvest task — everything it touches is
+    * serializable state of this object. */
   private def fileStats(conf: org.apache.hadoop.conf.Configuration,
-                        st: org.apache.hadoop.fs.FileStatus, name: String,
+                        file: Path, len: Long, name: String,
                         schema: StructType,
                         partVals: Seq[(String, Option[String])]): FileStats = {
     val supported = schema.fields.map(f => f.name -> f.dataType)
@@ -4221,7 +4285,7 @@ private[ext] object Skipping {
     // per column: (min, max, nulls, valueCount, trusted)
     val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long, Long, Boolean)]
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter
       for (block <- footer.getBlocks.asScala) {
@@ -4257,7 +4321,7 @@ private[ext] object Skipping {
       case (c, Some(canon)) => c -> ColStats(Some(canon), Some(canon), Some(0L))
       case (c, None)        => c -> ColStats(None, None, Some(fileRows))
     }
-    FileStats(name, st.getLen, Some(fileRows), cols ++ partCols)
+    FileStats(name, len, Some(fileRows), cols ++ partCols)
   }
 
   private[ext] def aggregateDir(dirSchema: StructType, perFile: Seq[FileStats])

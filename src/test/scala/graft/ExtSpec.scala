@@ -4971,6 +4971,69 @@ class ExtSpec extends AnyFunSuite {
       .as[Double].head() == 30.0)
   }
 
+  test("distributed footer harvest: over-threshold CONVERT runs as Spark tasks with stats identical to the driver path") {
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_harvest").toString
+    val src = root + "/src"
+    (0 until 4000).map(i => (i.toLong, s"p$i", (i % 97).toDouble))
+      .toDF("id", "payload", "score").repartitionByRange(8, $"id").write.parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the SAME bytes under two roots, so the two harvest paths must
+    // commit byte-identical stats lines (file names and sizes match)
+    val seqDir = root + "/seq"; val distDir = root + "/dist"
+    for (d <- Seq(seqDir, distDir); st <- fs.listStatus(new org.apache.hadoop.fs.Path(src))
+         if st.getPath.getName.endsWith(".parquet")) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(d, st.getPath.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // listener: count tasks of jobs the harvest labeled
+    val harvestTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val harvestStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties.getProperty("spark.job.description"))
+              .exists(_.contains("distributed footer harvest")))
+          j.stageIds.foreach(harvestStages.add(_))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (harvestStages.contains(t.stageId)) harvestTasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // below threshold: the driver path, zero harvest jobs
+      spark.conf.set("spark.graft.stats.distributedHarvestMinFiles", "1000000")
+      assert(Versioned.convertParquetDir(spark, seqDir) == 0)
+      // over threshold: the harvest is a Spark job with real tasks
+      spark.conf.set("spark.graft.stats.distributedHarvestMinFiles", "1")
+      assert(Versioned.convertParquetDir(spark, distDir) == 0)
+      val deadline = System.currentTimeMillis() + 15000
+      while (harvestTasks.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(harvestTasks.get() >= 1,
+        "the over-threshold harvest must run as executor tasks")
+      // identical committed state modulo the embedded root path
+      def manifest(d: String): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(d, "_versions/00000000.manifest"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.replace(
+          fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toUri.getPath, "<root>")
+        finally in.close()
+      }
+      assert(manifest(seqDir) == manifest(distDir),
+        "distributed harvest must commit byte-identical stats")
+      assert(harvestStages.size() == 1,
+        "the driver-path convert must not have launched a harvest job")
+      // both serve identically
+      assert(Versioned.readLatest(spark, distDir).count() == 4000)
+      assert(Versioned.planDataFiles(spark, distDir, 0,
+        Seq(org.apache.spark.sql.sources.EqualTo("id", 1L))).length <
+        Versioned.planDataFiles(spark, distDir, 0, Seq.empty).length)
+    } finally {
+      spark.conf.unset("spark.graft.stats.distributedHarvestMinFiles")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("rename refuses a physical name the comma-delimited colmap line cannot carry") {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_colmap_comma").toString + "/t"
