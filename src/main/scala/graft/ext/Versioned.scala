@@ -882,9 +882,19 @@ object Versioned {
     val decl = BloomColEntry(phys, bits)
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
     val liveDirs = ls.collect { case DataEntry(n) => n }
+    // the per-commit cap bounds the DRIVER-transient bitset pull, so
+    // its default derives from BYTES, not a file count — a bare file
+    // cap would silently scale the pull with `bits` (10⁴ files is
+    // 320 MB at the default 32 KiB blob but 2.5 GB at 2²¹ bits). An
+    // explicit backfillFilesPerCommit still wins; the 2¹⁶ file
+    // ceiling bounds the name-list side when blobs are tiny.
     val batchLimit = math.max(1,
       spark.conf.getOption("spark.graft.bloom.backfillFilesPerCommit")
-        .map(_.toInt).getOrElse(10000))
+        .map(_.toInt).getOrElse {
+          val bytesCap = spark.conf.getOption("spark.graft.bloom.backfillBytesPerCommit")
+            .map(_.toLong).getOrElse(256L * 1024 * 1024)
+          math.min(1L << 16, math.max(1L, bytesCap / (bits / 8))).toInt
+        })
     def weight(n: String) = stats.get(n).map(_.files.length).getOrElse(batchLimit)
     val batches = liveDirs.foldLeft(Vector.empty[(Vector[String], Int)]) {
       case (acc, n) =>

@@ -4729,6 +4729,36 @@ class ExtSpec extends AnyFunSuite {
         s"payload $p lost mid-backfill — a stale old-column bitset is being consulted")
   }
 
+  test("bloom backfill default batch is BYTE-sized: wider bits shrink the per-commit file cap") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_bytes").toString + "/t"
+    Versioned.writeVersion(Seq((0L, "p0")).toDF("id", "payload").repartition(1), dir)
+    for (i <- 1 until 6)
+      Versioned.writeVersion(Seq((i.toLong, s"p$i")).toDF("id", "payload").repartition(1),
+        dir, SaveMode.Append)
+    // byte cap = 4 default blobs: at default bits (32 KiB/file) the
+    // derived limit is 4 files/commit → 6 one-file dirs land as 2
+    // backfill commits; at 2²¹ bits (256 KiB/file) the SAME byte cap
+    // derives limit 1 → 6 commits. A file-count default would have
+    // silently grown the driver pull 8× instead.
+    spark.conf.set("spark.graft.bloom.backfillBytesPerCommit", (4 * 32768).toString)
+    try {
+      val vPre = Versioned.latestVersion(spark, dir).get
+      val vDefault = Versioned.declareBloomColumn(spark, dir, "id")
+      assert(vDefault == vPre + 2,
+        s"default bits at a 4-blob byte cap must land 6 dirs as 2 commits, got ${vDefault - vPre}")
+      val vWide = Versioned.declareBloomColumn(spark, dir, "id", bits = 1 << 21)
+      assert(vWide == vDefault + 6,
+        s"2²¹-bit blooms at the same byte cap must land as 6 commits, got ${vWide - vDefault}")
+      // both declarations end with working point-lookup pruning
+      val all = Versioned.planDataFiles(spark, dir, vWide, Seq.empty)
+      val one = Versioned.planDataFiles(spark, dir, vWide,
+        Seq(org.apache.spark.sql.sources.EqualTo("id", 3L)))
+      assert(all.length == 6 && one.length == 1, s"$one of $all")
+    } finally spark.conf.unset("spark.graft.bloom.backfillBytesPerCommit")
+  }
+
   test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.{Maintenance, ManifestStore, RenameCommit, Versioned}
