@@ -221,11 +221,29 @@ object Versioned {
     * by REPLACE TABLE. */
   private final case class BloomColEntry(col: String, bits: Int) extends Line
 
-  /** One data dir's per-file blooms for the declared column
-    * (`bloom:<dir>:<col>:<file>=<base64>,…`). Replaced wholesale when
-    * a file rewrite trims the dir; dropped with the dir. */
+  /** One data dir's per-file blooms for the declared column. Two
+    * serializations, one in-memory shape:
+    *
+    *   - INLINE (`bloom:<dir>:<col>:<file>=<base64>,…`), `sidecar`
+    *     None — small dirs keep the store's zero-metadata-call plan
+    *     contract;
+    *   - SIDECAR (`bloomref:<dir>:<col>:<absolute sidecar path>`),
+    *     `sidecar` Some — once a dir's blob payload crosses
+    *     `spark.graft.bloom.sidecarMinBytes` the blobs move to an
+    *     immutable content-addressed file under `_versions/blooms/`
+    *     and the manifest carries ONE line. Without this a 10⁶-file
+    *     chain at the default 32 KiB blob is a ~44 GB manifest that
+    *     every checkpoint re-writes; with it the manifest stays
+    *     O(dirs) and each sidecar is read once per JVM (cached — the
+    *     file is immutable, its name is its content hash).
+    *
+    * Replaced wholesale when a file rewrite trims the dir (the trim
+    * drops the ref: content changed ⇒ new sidecar or back inline);
+    * dropped with the dir. [[pruneVersions]] reclaims local sidecars
+    * no surviving manifest references. */
   private final case class BloomEntry(dir: String, col: String,
-                                      files: Map[String, Array[Byte]]) extends Line
+                                      files: Map[String, Array[Byte]],
+                                      sidecar: Option[String] = None) extends Line
 
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
@@ -312,6 +330,13 @@ object Versioned {
           require(j > 0, s"malformed bloom file entry: $e")
           e.substring(0, j) -> Bloom.fromBase64(e.substring(j + 1))
         }.toMap)
+    } else if (line.startsWith("bloomref:")) {
+      // dir and col are ':'-free (commit-time guards); the TAIL is the
+      // sidecar's absolute path, taken whole (split limit 3)
+      val parts = line.drop(9).split(":", 3)
+      require(parts.length == 3 && parts.forall(_.nonEmpty),
+        s"malformed bloom-sidecar manifest line: $line")
+      BloomEntry(parts(0), parts(1), loadBloomSidecar(parts(2)), Some(parts(2)))
     } else if (line.startsWith("colmap:")) {
       ColMapEntry(line.drop(7).split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
         val i = e.indexOf('=')
@@ -571,6 +596,127 @@ object Versioned {
       }
     }
 
+  // ───────────── bloom sidecar files (manifest stays O(dirs)) ─────────────
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Versioned")
+
+  /** Per-dir blob payload (rendered bytes) at or above which
+    * [[externalizeBlooms]] moves the blobs to a sidecar file. The
+    * default keeps a dir's manifest share under ~256 KiB (~6 files at
+    * the default 32 KiB blob) — small tables stay zero-metadata-call,
+    * large commits stop growing the manifest with file count. */
+  private def bloomSidecarMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.bloom.sidecarMinBytes")
+      .map(_.toLong).getOrElse(256L * 1024)
+
+  private def bloomsDirPath(root: Path) = new Path(root, s"$VDIR/blooms")
+
+  /** Sidecar parse cache. Sound because sidecar files are IMMUTABLE —
+    * content-addressed names, written once, never rewritten (a trim
+    * writes a NEW sidecar). Bounded by blob bytes; one hot entry
+    * always stays. */
+  private val bloomSidecarCacheMaxBytes = 256L * 1024 * 1024
+  private var bloomSidecarCacheBytes = 0L
+  private val bloomSidecarCache =
+    new java.util.LinkedHashMap[String, (Map[String, Array[Byte]], Long)](64, 0.75f, true)
+
+  /** Read one sidecar (cached). A MISSING sidecar degrades to an empty
+    * map with a warning rather than bricking the table: blooms are
+    * one-sided skipping metadata — no bloom means every file is read,
+    * never a wrong row. The case is reachable only by external
+    * interference (the documented clone caveat: the SOURCE owns a
+    * cloned ref's file and its prune may reclaim it). The failure is
+    * NOT cached, so a restored file heals on the next parse. */
+  private def loadBloomSidecar(path: String): Map[String, Array[Byte]] = {
+    bloomSidecarCache.synchronized(Option(bloomSidecarCache.get(path))) match {
+      case Some((cached, _)) => cached
+      case None =>
+        val spark = SparkSession.active
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parsed: Option[Map[String, Array[Byte]]] =
+          try {
+            val in = fs.open(p)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(_.nonEmpty).map { e =>
+                var k = e.length
+                while (k > 0 && e.charAt(k - 1) == '=') k -= 1
+                val j = e.lastIndexOf('=', k - 1)
+                require(j > 0, s"malformed bloom sidecar entry in $path: $e")
+                e.substring(0, j) -> Bloom.fromBase64(e.substring(j + 1))
+              }.toMap)
+            finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              log.warn(s"bloom sidecar $path is missing — point-lookup skipping " +
+                "degrades to reading every file of its dir (results stay exact); " +
+                "was the clone SOURCE pruned?")
+              None
+          }
+        parsed match {
+          case None => Map.empty
+          case Some(m) =>
+            val w = m.valuesIterator.map(_.length.toLong).sum
+            bloomSidecarCache.synchronized {
+              if (bloomSidecarCache.put(path, (m, w)) == null) bloomSidecarCacheBytes += w
+              val it = bloomSidecarCache.entrySet().iterator()
+              while (bloomSidecarCacheBytes > bloomSidecarCacheMaxBytes &&
+                     bloomSidecarCache.size() > 1 && it.hasNext) {
+                val eldest = it.next()
+                if (eldest.getKey != path) {
+                  bloomSidecarCacheBytes -= eldest.getValue._2
+                  it.remove()
+                }
+              }
+            }
+            m
+        }
+    }
+  }
+
+  /** Move heavy inline bloom entries to sidecar files — called at
+    * every seam that CREATES blobs (per-commit build, backfill,
+    * rewrite trim/replacement), before the entry renders into a
+    * manifest. Entries already carrying a ref pass through (the file
+    * exists and is immutable); light entries stay inline. The write
+    * is tmp + rename so the content-addressed name only ever appears
+    * COMPLETE, and losing a same-name race is benign (same hash =
+    * same bytes). */
+  private def externalizeBlooms(spark: SparkSession, dir: String,
+                                entries: Seq[Line]): Seq[Line] = {
+    lazy val minBytes = bloomSidecarMinBytes(spark)
+    entries.map {
+      case b @ BloomEntry(_, _, files, None) if files.nonEmpty =>
+        val payload = files.iterator.map { case (f, bits) =>
+          f.length + 2L + 4L * ((bits.length + 2) / 3)
+        }.sum
+        if (payload < minBytes) b
+        else {
+          val body = (files.toSeq.sortBy(_._1)
+            .map { case (f, bb) => s"$f=${Bloom.toBase64(bb)}" }.mkString("\n") + "\n")
+            .getBytes("UTF-8")
+          val hash = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(body).take(16).map("%02x".format(_)).mkString
+          val (fs, root) = fsFor(spark, dir)
+          val target = new Path(bloomsDirPath(root), s"$hash.bloom")
+          if (!fs.exists(target)) {
+            fs.mkdirs(target.getParent)
+            val tmp = new Path(target.getParent,
+              s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+            val out = fs.create(tmp, false)
+            try out.write(body) finally out.close()
+            if (!fs.rename(tmp, target)) {
+              // lost the race to an identical writer — their bytes serve
+              fs.delete(tmp, false)
+              require(fs.exists(target), s"bloom sidecar rename to $target failed")
+            }
+          }
+          b.copy(sidecar = Some(fs.makeQualified(target).toUri.getPath))
+        }
+      case other => other
+    }
+  }
+
   private def renderLine(l: Line): String = l match {
     case DataEntry(n)      => n
     case DvEntry(k, n)     => s"dv:$k:$n"
@@ -582,7 +728,8 @@ object Versioned {
     case NotNullEntry(c)   => s"notnull:$c"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
     case BloomColEntry(c, bits) => s"bloomcol:$c:$bits"
-    case BloomEntry(d, c, fs) => s"bloom:$d:$c:" +
+    case BloomEntry(d, c, _, Some(ref)) => s"bloomref:$d:$c:$ref"
+    case BloomEntry(d, c, fs, None) => s"bloom:$d:$c:" +
       fs.toSeq.sortBy(_._1).map { case (f, b) => s"$f=${Bloom.toBase64(b)}" }.mkString(",")
     case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
     case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
@@ -909,7 +1056,8 @@ object Versioned {
       val built = Bloom.buildBlooms(spark,
         batch.map(n => n -> new Path(new Path(dir), n).toString),
         physical, phys, bits)
-      batch.map(n => BloomEntry(n, phys, built.getOrElse(n, Map.empty)))
+      externalizeBlooms(spark, dir,
+        batch.map(n => BloomEntry(n, phys, built.getOrElse(n, Map.empty))))
     }
     // first commit: the declaration + the first batch (an empty table
     // commits the declaration alone). The ops START by retiring any
@@ -1343,11 +1491,11 @@ object Versioned {
       else {
         // a bloom-indexed table's replacement dir gets its own blobs
         // (same O(delta) column scan as any commit)
-        val bloom = lines(spark, dir, v0)
+        val bloom = externalizeBlooms(spark, dir, lines(spark, dir, v0)
           .collectFirst { case b: BloomColEntry => b }.toSeq.map { b =>
             BloomEntry(nd, b.col,
               Bloom.buildDirBlooms(spark, p.toString, schema, b.col, b.bits))
-          }
+          })
         Seq(DataEntry(nd), StatsEntry(nd, rows, cols, files)) ++ bloom
       }
     }
@@ -1462,11 +1610,16 @@ object Versioned {
       }
       // a trimmed dir's bloom line sheds the removed files' blobs with
       // it (a stale blob is only wasted bytes — the file is gone from
-      // the stats list — but the manifest must not grow garbage)
+      // the stats list — but the manifest must not grow garbage). The
+      // trim DROPS any sidecar ref (content changed; sidecars are
+      // immutable) and re-externalizes if still heavy — the old
+      // sidecar orphans and pruneVersions reclaims it
       val trimmedBlooms = replacedStats.keySet.flatMap { d =>
         bloomByDir.get(d).map { b =>
           val keep = replacedStats(d).files.map(_.name).toSet
-          val trimmed = b.copy(files = b.files.filter { case (f, _) => keep.contains(f) })
+          val trimmed = externalizeBlooms(spark, dir, Seq(
+            b.copy(files = b.files.filter { case (f, _) => keep.contains(f) },
+              sidecar = None))).head.asInstanceOf[BloomEntry]
           ops += addOp(trimmed)
           d -> trimmed
         }
@@ -1977,8 +2130,8 @@ object Versioned {
       // union schema always carries the prior columns
     val bloomLines: Seq[Line] = bloomDecl match {
       case Some(b) if rows > 0 =>
-        Seq(BloomEntry(dataDir, b.col,
-          Bloom.buildDirBlooms(spark, dataPath.toString, newSchema, b.col, b.bits)))
+        externalizeBlooms(spark, dir, Seq(BloomEntry(dataDir, b.col,
+          Bloom.buildDirBlooms(spark, dataPath.toString, newSchema, b.col, b.bits))))
       case _ => Seq.empty
     }
     // appends carry the declaration inside prevLines; an overwrite
@@ -3863,6 +4016,25 @@ object Versioned {
             now - st.getModificationTime >= orphanMinAgeMs
         }
         .foreach(st => fs.delete(st.getPath, false))
+      // bloom sidecars referenced by NO surviving manifest are dead
+      // (a trim/re-declare orphaned them, or their versions were just
+      // dropped). The age guard covers the one race: a concurrent
+      // commit writes its sidecar BEFORE claiming its manifest, so a
+      // young unreferenced sidecar may be a commit in flight. Only
+      // LOCAL files are candidates — a cloned ref points into the
+      // SOURCE's tree, which this listing never sees.
+      val bloomsDir = bloomsDirPath(root)
+      if (fs.exists(bloomsDir)) {
+        val referenced = keep.iterator.flatMap(v =>
+          lines(spark, dir, v).iterator.collect {
+            case BloomEntry(_, _, _, Some(ref)) => ref
+          }).toSet
+        fs.listStatus(bloomsDir)
+          .filter(st => !referenced.contains(
+            fs.makeQualified(st.getPath).toUri.getPath) &&
+            now - st.getModificationTime >= orphanMinAgeMs)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
     }
     PruneStats(drop, dead.map(_.getPath.getName).toSeq,
       young.map(_.getPath.getName).toSeq)

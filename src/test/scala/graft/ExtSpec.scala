@@ -4759,6 +4759,96 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bloom.backfillBytesPerCommit")
   }
 
+  test("bloom sidecars keep the manifest O(dirs): refs not blobs, identical pruning, lifecycle through trim/prune/clone, missing-file degrade") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_sc").toString
+    val dir = root + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ids interleaved across commits: bounds never prune, only blooms
+    def batch(mod: Long) = (0L until 2000L).filter(i => (i / 2) % 2 == mod)
+      .map(i => (i, s"p$i")).toDF("id", "payload").repartition(2)
+    def bloomFiles(d: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(d, "_versions/blooms")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    spark.conf.set("spark.graft.bloom.sidecarMinBytes", "1")
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+      Versioned.writeVersion(batch(0), dir)
+      Versioned.declareBloomColumn(spark, dir, "id") // backfill seam
+      Versioned.writeVersion(batch(1), dir, SaveMode.Append) // write seam
+      val v = Versioned.latestVersion(spark, dir).get
+      // the manifest carries REFS: no inline blob line, and the full
+      // checkpoint stays tiny while the blobs (2 dirs × 2 × 32 KiB)
+      // live in sidecar files
+      val cp = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        dir, f"_versions/$v%08d.checkpoint"))
+      assert(cp.getLen < 8192,
+        s"checkpoint must stay O(dirs) with sidecars, got ${cp.getLen} bytes")
+      val scFiles = bloomFiles(dir)
+      assert(scFiles.size == 2, s"one sidecar per dir expected: $scFiles")
+      // pruning through sidecars = pruning inline: twin table, same
+      // data, blobs kept in the manifest
+      val twin = root + "/twin"
+      spark.conf.set("spark.graft.bloom.sidecarMinBytes", Long.MaxValue.toString)
+      Versioned.writeVersion(batch(0), twin)
+      Versioned.declareBloomColumn(spark, twin, "id")
+      Versioned.writeVersion(batch(1), twin, SaveMode.Append)
+      spark.conf.set("spark.graft.bloom.sidecarMinBytes", "1")
+      for (k <- Seq(0L, 5L, 1999L)) {
+        val a = Versioned.planDataFiles(spark, dir, v,
+          Seq(EqualTo("id", k))).map(_.split('/').last).sorted
+        val b = Versioned.planDataFiles(spark, twin,
+          Versioned.latestVersion(spark, twin).get,
+          Seq(EqualTo("id", k))).map(_.split('/').last).length
+        assert(a.length == b && a.length < 4,
+          s"sidecar pruning must equal inline pruning for key $k: ${a.length} vs $b")
+        assert(Versioned.readLatest(spark, dir).filter($"id" === k).count() == 1)
+      }
+      // clone serves point lookups through the SOURCE's sidecars
+      // (refs are absolute; no blob copies)
+      val tgt = root + "/clone"
+      Versioned.cloneTable(spark, dir, tgt)
+      assert(bloomFiles(tgt).isEmpty, "a shallow clone must not copy sidecars")
+      assert(Versioned.planDataFiles(spark, tgt, 0, Seq(EqualTo("id", 5L))).length <
+        Versioned.planDataFiles(spark, tgt, 0, Seq.empty).length,
+        "the clone must bloom-prune through the source's sidecar")
+      // trim (CoW UPDATE) re-externalizes the surviving blobs; the old
+      // sidecar orphans and prune reclaims it while keeping the live ones
+      spark.conf.set("spark.sql.catalog.graft_bsc", "graft.sql.VersionedCatalog")
+      spark.sql(s"UPDATE graft_bsc.`$dir` SET payload = 'upd' WHERE id = 5")
+      val afterTrim = bloomFiles(dir)
+      assert(afterTrim.size > scFiles.size,
+        s"the trim must write new sidecars, not rewrite old ones: $afterTrim")
+      Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0L)
+      val afterPrune = bloomFiles(dir)
+      assert(afterPrune.nonEmpty && (afterPrune & scFiles) != scFiles,
+        s"prune must reclaim orphaned sidecars: kept $afterPrune of $scFiles + $afterTrim")
+      assert(spark.sql(s"SELECT payload FROM graft_bsc.`$dir` WHERE id = 5")
+        .as[String].head() == "upd")
+      assert(Versioned.readLatest(spark, dir).filter($"id" === 7L).count() == 1)
+      // a MISSING sidecar (external interference — e.g. the clone
+      // caveat) degrades to reading the dir, never to wrong rows or a
+      // brick: craft a never-parsed version, delete its sidecar
+      val t3 = root + "/t3"
+      Versioned.writeVersion(batch(0), t3)
+      Versioned.declareBloomColumn(spark, t3, "id")
+      bloomFiles(t3).foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(t3, s"_versions/blooms/$n"), false))
+      assert(Versioned.readLatest(spark, t3).count() == 1000)
+      val all3 = Versioned.planDataFiles(spark, t3,
+        Versioned.latestVersion(spark, t3).get, Seq(EqualTo("id", 4L)))
+      assert(all3.length == 2, s"no bloom = no skipping, all files read: $all3")
+    } finally {
+      spark.conf.unset("spark.graft.bloom.sidecarMinBytes")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
   test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.{Maintenance, ManifestStore, RenameCommit, Versioned}
