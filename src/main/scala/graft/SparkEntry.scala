@@ -1818,6 +1818,42 @@ object SparkEntry {
         "WHERE price > 1000.0 ORDER BY o_orderkey")
     },
 
+    // IDENTITY COLUMNS (Delta `GENERATED ALWAYS AS IDENTITY` role —
+    // the r13 verdict's ask #3, the last CREATE-TABLE capability gap):
+    // a `hwm:` manifest line tracks the next value; omitted (or
+    // Spark-padded-null) identity columns fill DISTRIBUTED with
+    // hwm + step·monotonically_increasing_id() — zero extra jobs,
+    // may-have-gaps like Delta — and the commit advances the mark
+    // under the same atomic claim as the data. Determinism for the
+    // oracle: one sorted partition makes the assignment a pure
+    // row_number formula DuckDB can replay.
+    "q151_identity_columns" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, round}
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("sql_identity", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      s.sql(s"CREATE TABLE versioned.`$tbl` (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 1000 INCREMENT BY 2), o_orderkey BIGINT, price DOUBLE)")
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      def sortedBatch(m: Int) = src.filter(col("o_orderkey") % 3 === m)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      Versioned.writeVersion(sortedBatch(0), tbl, org.apache.spark.sql.SaveMode.Append)
+      // the second insert continues ABOVE the first batch's mark
+      Versioned.writeVersion(sortedBatch(1), tbl, org.apache.spark.sql.SaveMode.Append)
+      // GENERATED ALWAYS refuses explicit values — in the write pass
+      assert(refusesWith("GENERATED ALWAYS AS IDENTITY") {
+        s.sql(s"INSERT INTO versioned.`$tbl` (id, o_orderkey, price) " +
+          "VALUES (9, 9, 9.0)")
+      }, "an explicit value into an ALWAYS identity column must refuse")
+      // uniqueness is the contract the mark exists for
+      val ids = s.sql(s"SELECT count(*) AS n, count(DISTINCT id) AS d " +
+        s"FROM versioned.`$tbl`").collect().head
+      assert(ids.getLong(0) == ids.getLong(1), "identity values must be unique")
+      s.sql(s"SELECT id, o_orderkey, price FROM versioned.`$tbl` ORDER BY id")
+    },
+
     // CONVERT IN PLACE (Delta `CONVERT TO DELTA`'s role — the r12
     // verdict's stretch #8; every migration story starts here): adopt
     // an existing PLAIN parquet directory as version 0 — one footer
@@ -4117,6 +4153,22 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |  AND ROUND(o_totalprice, 2) > 1000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the identity assignment over one sorted partition is a pure
+    // row_number formula: batch 1 ids are 1000 + 2·rank, batch 2
+    // continues at the advanced mark 1000 + 2·|batch 1|
+    "q151_identity_columns" ->
+      """WITH b1 AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |b2 AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT CAST(1000 + 2 * r AS BIGINT) AS id, o_orderkey, price FROM b1
+        |UNION ALL
+        |SELECT CAST(1000 + 2 * (SELECT count(*) FROM b1) + 2 * r AS BIGINT) AS id,
+        |  o_orderkey, price FROM b2
+        |ORDER BY id""".stripMargin,
 
     // the converted chain serves the adopted F rows plus the appended
     // P rows — one union, same selection as the plain predicate

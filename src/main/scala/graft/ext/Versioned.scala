@@ -245,6 +245,15 @@ object Versioned {
                                       files: Map[String, Array[Byte]],
                                       sidecar: Option[String] = None) extends Line
 
+  /** IDENTITY high-water mark (`hwm:<physCol>:<next>`): the NEXT
+    * value a `GENERATED … AS IDENTITY` assignment may use. Advanced
+    * in the SAME atomic commit as the data it covers (the claim IS
+    * the OCC), monotone in the step's direction, initialized to the
+    * declared start at CREATE. Identity values may have GAPS (the
+    * distributed assignment trades density for zero extra jobs,
+    * Delta's documented contract); they never repeat. */
+  private final case class HwmEntry(col: String, next: Long) extends Line
+
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -303,6 +312,12 @@ object Versioned {
       val c = line.drop(8)
       require(c.nonEmpty, s"malformed not-null manifest line: $line")
       NotNullEntry(c)
+    } else if (line.startsWith("hwm:")) {
+      val rest = line.drop(4)
+      val i = rest.lastIndexOf(':')
+      require(i > 0 && i < rest.length - 1,
+        s"malformed identity high-water-mark manifest line: $line")
+      HwmEntry(rest.substring(0, i), rest.substring(i + 1).toLong)
     } else if (line.startsWith("bloomcol:")) {
       val rest = line.drop(9)
       val i = rest.lastIndexOf(':')
@@ -485,6 +500,8 @@ object Versioned {
           case e: ConstraintEntry => e.name.equalsIgnoreCase(c.name); case _ => false } :+ c
         case nn: NotNullEntry  => acc.filterNot {
           case e: NotNullEntry => e.col.equalsIgnoreCase(nn.col); case _ => false } :+ nn
+        case h: HwmEntry       => acc.filterNot {
+          case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } :+ h
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
         case bc: BloomColEntry => acc.filterNot(_.isInstanceOf[BloomColEntry]) :+ bc
         case b: BloomEntry     => acc.filterNot {
@@ -521,6 +538,9 @@ object Versioned {
       } else if (op.startsWith("-notnull:")) {
         val c = op.drop(9)
         acc.filterNot { case NotNullEntry(e) => e.equalsIgnoreCase(c); case _ => false }
+      } else if (op.startsWith("-hwm:")) {
+        val c = op.drop(5) // the identity column was dropped
+        acc.filterNot { case HwmEntry(e, _) => e.equalsIgnoreCase(c); case _ => false }
       } else if (op == "-colmap") {
         acc.filterNot(_.isInstanceOf[ColMapEntry]) // rename chain folded back to identity
       } else throw new IllegalStateException(s"malformed delta-manifest op: $op")
@@ -726,6 +746,7 @@ object Versioned {
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
     case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
     case NotNullEntry(c)   => s"notnull:$c"
+    case HwmEntry(c, n)    => s"hwm:$c:$n"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
     case BloomColEntry(c, bits) => s"bloomcol:$c:$bits"
     case BloomEntry(d, c, _, Some(ref)) => s"bloomref:$d:$c:$ref"
@@ -821,6 +842,39 @@ object Versioned {
         f.name -> f.metadata.getString(GenerationKey)
     }
 
+  /** Spark's own field-metadata keys for `GENERATED … AS IDENTITY`
+    * (IdentityColumn.IDENTITY_INFO_*): the parsed start/step/
+    * explicit-insert policy rides the schema the manifest records,
+    * exactly like GENERATION_EXPRESSION — the declaration IS schema. */
+  private val IdStartKey = "identity.start"
+  private val IdStepKey = "identity.step"
+  private val IdAllowKey = "identity.allowExplicitInsert"
+
+  private[graft] def identityMetadata(base: org.apache.spark.sql.types.Metadata,
+                                      start: Long, step: Long,
+                                      allowExplicitInsert: Boolean)
+      : org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder().withMetadata(base)
+      .putLong(IdStartKey, start).putLong(IdStepKey, step)
+      .putBoolean(IdAllowKey, allowExplicitInsert).build()
+
+  /** One declared identity column: field name in the schema's own
+    * name space + the parsed spec. `GENERATED ALWAYS` refuses
+    * explicit values at the df entry points; `BY DEFAULT` accepts
+    * them (uniqueness among EXPLICIT values is the caller's contract,
+    * as in Delta — the mark only guarantees generated values never
+    * collide with anything already assigned or accepted). */
+  private[graft] final case class IdentitySpec(col: String, start: Long, step: Long,
+                                               allowExplicitInsert: Boolean)
+
+  private[graft] def identityColumnsOf(schema: StructType): Seq[IdentitySpec] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(IdStartKey) && f.metadata.contains(IdStepKey) =>
+        IdentitySpec(f.name, f.metadata.getLong(IdStartKey),
+          f.metadata.getLong(IdStepKey),
+          f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey))
+    }
+
   /** The shared df write-entry preparation, ONE manifest resolve for
     * both duties: fill OMITTED generated columns whose dependencies
     * the df carries (SQL inserts arrive complete and are validated
@@ -829,8 +883,9 @@ object Versioned {
     * validation accepts, and an overwrite retires the declaration),
     * then translate logical→physical when the write lands beside a
     * renamed chain's files. */
-  private def prepareWrite(df: DataFrame, dir: String, translate: Boolean): DataFrame =
-    latestVersion(df.sparkSession, dir).fold(df) { v =>
+  private def prepareWrite(df: DataFrame, dir: String,
+                           translate: Boolean): (DataFrame, Option[Int]) =
+    latestVersion(df.sparkSession, dir).fold((df, Option.empty[Int])) { v =>
       val ls = lines(df.sparkSession, dir, v)
       val cmap = colMapOf(ls)
       val logical = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
@@ -844,7 +899,51 @@ object Versioned {
               .cast(s(n).dataType))
           }
       }
-      if (translate) toPhysical(filled, cmap) else filled
+      // GENERATED … AS IDENTITY: NULL values of an identity column
+      // assign DISTRIBUTED — id = hwm + step · monotonically_
+      // increasing_id() — zero extra jobs (no count pass, no global
+      // sort; Delta's documented may-have-gaps contract,
+      // deliberately: an exact per-partition offset pass would
+      // recompute the whole input lineage once more, which at 100 TB
+      // doubles the insert). NULL is the omission signal because it
+      // is what Spark's own analyzer pads when a SQL INSERT lists
+      // the other columns (the V1 seam never sees the column list);
+      // a library df that omits the column entirely gets it added.
+      // GENERATED ALWAYS refuses non-null explicit values IN the
+      // assignment expression (raise_error fires inside the single
+      // write pass — no validation job); BY DEFAULT keeps them.
+      // Uniqueness against concurrent writers: the commit refuses
+      // when its parent is not the version this assignment read
+      // (identityBasis below), and the retry wrappers re-fill.
+      var idBasis: Option[Int] = None
+      val withIds = logical.fold(filled) { s =>
+        identityColumnsOf(s).foldLeft(filled) { (d, spec) =>
+          import org.apache.spark.sql.functions.{coalesce, concat, lit,
+            monotonically_increasing_id, raise_error, when, col => fcol}
+          val phys = cmap.getOrElse(spec.col, spec.col)
+          val base = ls.collectFirst {
+            case HwmEntry(c, n) if c.equalsIgnoreCase(phys) => n
+          }.getOrElse(spec.start)
+          val dt = s(spec.col).dataType
+          val assigned =
+            (lit(base) + lit(spec.step) * monotonically_increasing_id()).cast(dt)
+          idBasis = Some(v)
+          if (!d.columns.exists(_.equalsIgnoreCase(spec.col)))
+            d.withColumn(spec.col, assigned)
+          else if (spec.allowExplicitInsert)
+            d.withColumn(spec.col, coalesce(fcol(spec.col), assigned))
+          else
+            d.withColumn(spec.col, when(fcol(spec.col).isNotNull,
+              raise_error(concat(
+                lit(s"column '${spec.col}' is GENERATED ALWAYS AS IDENTITY — " +
+                  "explicit values refuse (got "),
+                fcol(spec.col).cast("string"),
+                lit("); omit the column, or declare GENERATED BY DEFAULT")))
+                .cast(dt))
+              .otherwise(assigned))
+        }
+      }
+      (if (translate) toPhysical(withIds, cmap) else withIds, idBasis)
     }
 
   /** Stats maps are keyed by PHYSICAL names (they come from parquet
@@ -1284,9 +1383,10 @@ object Versioned {
     // lands PHYSICAL column names (an overwrite resets the physical
     // layout from its own files and needs no translation —
     // writeVersionCore drops the mapping): one manifest resolve
-    val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
-    writeVersionWith(df.sparkSession, dir, protocol, mode)(tmp =>
-      out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+    val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
+    writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
+      identityBasis = idFilled)(tmp =>
+      out.write.mode(SaveMode.ErrorIfExists).parquet(tmp)).get
   }
 
   /** [[toPhysical]] against the chain's CURRENT mapping (no-op when
@@ -1336,9 +1436,9 @@ object Versioned {
         // re-resolve the column mapping (and fill omitted GENERATED
         // columns) PER ATTEMPT: a concurrent rename between OCC
         // retries must not leave this batch's files under stale names
-        val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
+        val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
         writeVersionCore(df.sparkSession, dir, protocol, mode,
-          txn = Some((appId, batchId)))(tmp =>
+          txn = Some((appId, batchId)), identityBasis = idFilled)(tmp =>
           out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
       } else { () =>
         // PARTITIONED sink (`writeStream.partitionBy(...)`): each
@@ -1354,7 +1454,7 @@ object Versioned {
         // boundary as every append entry point (the partition column
         // may itself be generated); the TRANSLATED schema names equal
         // the logical ones for partition columns (never renamed)
-        val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
+        val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
         val schema = out.schema
         partCols.foreach { c =>
           require(schema.fieldNames.contains(c),
@@ -1370,7 +1470,8 @@ object Versioned {
         } else {
           writeVersionCore(df.sparkSession, dir, protocol, mode,
             txn = Some((appId, batchId)),
-            partitionBy = Some(StructType(partCols.map(c => schema(c)))))(tmp =>
+            partitionBy = Some(StructType(partCols.map(c => schema(c)))),
+            identityBasis = idFilled)(tmp =>
             out.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
         }
       }
@@ -1464,7 +1565,8 @@ object Versioned {
                                        exclusivePartitions: Set[Seq[Option[String]]] =
                                          Set.empty,
                                        preHarvested: Option[(Long, Map[String, ColStats], Seq[FileStats])] =
-                                         None): Option[Int] = {
+                                         None,
+                                       identityBasis: Option[Int] = None): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
@@ -1625,6 +1727,31 @@ object Versioned {
         }
       }.toMap
       newEntries.foreach(l => ops += addOp(l))
+      // IDENTITY high-water marks advance with the rewrite commit: a
+      // MERGE-inserted (or dynamic-overwrite-filled) value above the
+      // mark moves it, so later generated values can never collide.
+      // A dynamic overwrite whose FILL basis went stale under a
+      // concurrent commit aborts like every other stale-snapshot
+      // conflict (each retry attempt re-reads the mark; the staged
+      // values do not change, so a moved mark is unrecoverable here).
+      identityBasis.foreach { b =>
+        if (prev != b) conflict(
+          s"filled identity values against version $b but the table is at $prev")
+      }
+      val hwmRw: Seq[Line] = identityColumnsOf(schema).flatMap { spec =>
+        val base = ls.collectFirst {
+          case HwmEntry(c, n) if c.equalsIgnoreCase(spec.col) => n
+        }.getOrElse(spec.start)
+        val bounds = newEntries.collectFirst { case s: StatsEntry => s }
+          .flatMap(_.cols.get(spec.col)).filter(_.min.nonEmpty)
+          .map(cs => (cs.min.get.toLong, cs.max.get.toLong))
+        val next = bounds.fold(base) { case (mn, mx) =>
+          if (spec.step > 0) math.max(base, Math.addExact(mx, spec.step))
+          else math.min(base, Math.addExact(mn, spec.step))
+        }
+        if (next == base) None else Some(HwmEntry(spec.col, next))
+      }
+      hwmRw.foreach(l => ops += addOp(l))
       val emptied = removedNonEmpty.keySet -- replacedStats.keySet
       val fullLines = ls.flatMap {
         case DataEntry(n) if emptied.contains(n) => None
@@ -1632,8 +1759,10 @@ object Versioned {
         case s: StatsEntry if replacedStats.contains(s.name) => Some(replacedStats(s.name))
         case b: BloomEntry if emptied.contains(b.dir) => None
         case b: BloomEntry if trimmedBlooms.contains(b.dir) => Some(trimmedBlooms(b.dir))
+        case h: HwmEntry if hwmRw.exists {
+          case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } => None
         case other => Some(other)
-      } ++ newEntries
+      } ++ newEntries ++ hwmRw
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
       Some(v)
     }
@@ -1654,7 +1783,8 @@ object Versioned {
   private[graft] def commitDynamicPartitionOverwrite(spark: SparkSession, dir: String,
                                                      stagedHive: String,
                                                      partCols: Seq[String],
-                                                     protocol: CommitProtocol = PutIfAbsentCommit)
+                                                     protocol: CommitProtocol = PutIfAbsentCommit,
+                                                     identityBasis: Option[Int] = None)
       : Option[Int] = {
     val (fs, root) = fsFor(spark, dir)
     val v0 = latestVersion(spark, dir).getOrElse(
@@ -1685,7 +1815,8 @@ object Versioned {
       case ScopedDvEntry(k, n, _) => (k, n)
     }
     commitFileRewrite(spark, dir, victims, Some(stagedHive), partCols, dvSnapshot,
-      protocol, exclusivePartitions = touched, preHarvested = Some(harvested))
+      protocol, exclusivePartitions = touched, preHarvested = Some(harvested),
+      identityBasis = identityBasis)
   }
 
   /** [[writeVersionPartitioned]] with DYNAMIC overwrite semantics:
@@ -1698,13 +1829,14 @@ object Versioned {
     require(partCols.nonEmpty, "partCols must be non-empty")
     val spark = df.sparkSession
     val staged = stageDataDir(spark, dir)
-    // omitted GENERATED columns fill first; staged files land BESIDE
-    // the chain's existing files — a renamed chain needs them in
-    // PHYSICAL names like any append
-    prepareWrite(df, dir, translate = true)
-      .write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+    // omitted GENERATED columns (identity included) fill first;
+    // staged files land BESIDE the chain's existing files — a renamed
+    // chain needs them in PHYSICAL names like any append
+    val (outDyn, idFilledDyn) = prepareWrite(df, dir, translate = true)
+    outDyn.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(new Path(new Path(dir), staged).toString)
-    commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol)
+    commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol,
+      identityBasis = idFilledDyn)
   }
 
   /** The ATOMIC CTAS / RTAS commit (the StagingTableCatalog seam):
@@ -1801,7 +1933,7 @@ object Versioned {
     // columns — partition-by-derived-date is the canonical use); a
     // renamed chain's APPEND lands PHYSICAL column names (partition
     // columns are never renamed, so partCols needs no translation)
-    val out = prepareWrite(df, dir, translate = mode == SaveMode.Append)
+    val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
     val schema = out.schema
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
@@ -1813,7 +1945,7 @@ object Versioned {
     // (what Spark's partitioned reader emits)
     val partSchema = StructType(partCols.map(c => schema(c)))
     writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
-      partitionBy = Some(partSchema))(tmp =>
+      partitionBy = Some(partSchema), identityBasis = idFilled)(tmp =>
       out.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
   }
 
@@ -1824,7 +1956,8 @@ object Versioned {
                                extraLines: Seq[Line] = Seq.empty,
                                preWritten: Option[String] = None,
                                requireFresh: Boolean = false,
-                               replaceDefinition: Boolean = false)
+                               replaceDefinition: Boolean = false,
+                               identityBasis: Option[Int] = None)
                               (write: String => Unit): Option[Int] = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned writes are Overwrite or Append, got $mode")
@@ -1836,6 +1969,17 @@ object Versioned {
     // put-if-absent itself fail
     if (requireFresh) require(prev.isEmpty,
       s"table $dir was created concurrently — retry as REPLACE, or drop it")
+    // IDENTITY assignment basis: the fill read the high-water mark of
+    // a specific version; if anything committed since, the assigned
+    // values may collide with the interloper's — refuse BEFORE any
+    // byte is written and let the retry wrappers re-fill. (The
+    // version claim below closes the remaining window: a commit that
+    // lands after this check makes the put-if-absent itself fail.)
+    identityBasis.foreach { b =>
+      if (!prev.contains(b)) throw new IllegalStateException(
+        s"identity assignment at $dir was based on version $b but the table is " +
+          s"now at ${prev.getOrElse(-1)} — committed concurrently — retry the write")
+    }
     val v = prev.map(_ + 1).getOrElse(0)
     // a streaming sink's first batch may CREATE the table; a plain
     // library Append to a non-existent table stays an error (it
@@ -1913,9 +2057,10 @@ object Versioned {
     // re-enters only through the legitimate carriers (an append's
     // union keeps the prior fields; an overwrite's re-attach below)
     val dirSchemaClean = StructType(dirSchema.fields.map { f =>
-      if (!f.metadata.contains(GenerationKey)) f
+      if (!f.metadata.contains(GenerationKey) && !f.metadata.contains(IdStartKey)) f
       else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).remove(GenerationKey).build())
+        .withMetadata(f.metadata).remove(GenerationKey)
+        .remove(IdStartKey).remove(IdStepKey).remove(IdAllowKey).build())
     })
     val newSchema0 = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => unionSchema(schemaOf(spark, dir, p), dirSchemaClean)
@@ -1943,13 +2088,23 @@ object Versioned {
         StructType(newSchema0.fields.map { f =>
           priorMd.get(f.name) match {
             case Some(md) if md.contains("CURRENT_DEFAULT") || md.contains("EXISTS_DEFAULT") ||
-                md.contains(GenerationKey) =>
+                md.contains(GenerationKey) || md.contains(IdStartKey) =>
               val mb = new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
               if (md.contains("CURRENT_DEFAULT"))
                 mb.putString("CURRENT_DEFAULT", md.getString("CURRENT_DEFAULT"))
               if (md.contains("EXISTS_DEFAULT"))
                 mb.putString("EXISTS_DEFAULT", md.getString("EXISTS_DEFAULT"))
+              // IDENTITY is table definition like DEFAULTs: a data
+              // overwrite keeps the declaration (and its hwm line
+              // rides the definition-carry below) — REPLACE TABLE
+              // starts clean
+              if (md.contains(IdStartKey)) {
+                mb.putLong(IdStartKey, md.getLong(IdStartKey))
+                mb.putLong(IdStepKey, md.getLong(IdStepKey))
+                if (md.contains(IdAllowKey))
+                  mb.putBoolean(IdAllowKey, md.getBoolean(IdAllowKey))
+              }
               // GENERATED ALWAYS AS is table definition like DEFAULTs:
               // a data overwrite re-attaches it to its footer-derived
               // fields (REPLACE TABLE starts clean). An overwrite
@@ -2102,6 +2257,37 @@ object Versioned {
         }
       case _ => Seq.empty
     }
+    // IDENTITY high-water marks: advance in the SAME atomic claim as
+    // the data (the version's put-if-absent IS the OCC — the basis
+    // check at the top of this commit plus the claim make a stale
+    // assignment impossible). Explicit BY DEFAULT values above the
+    // mark advance it too — generated values can then never collide
+    // with them; explicit values below it leave it unchanged.
+    val idSpecsCore = identityColumnsOf(newSchema)
+    val hwmLines: Seq[Line] = idSpecsCore.map { spec =>
+      val base = (if (replaceDefinition) None else prev).flatMap(p =>
+        lines(spark, dir, p).collectFirst {
+          case HwmEntry(c, n) if c.equalsIgnoreCase(spec.col) => n
+        }).getOrElse(spec.start)
+      val bounds: Option[(Long, Long)] =
+        if (rows == 0) None
+        else colStats.get(spec.col) match {
+          case Some(cs) if cs.min.nonEmpty =>
+            Some((cs.min.get.toLong, cs.max.get.toLong))
+          case Some(cs) if cs.nulls.isDefined => None // trusted all-null dir
+          case None => None // column absent from this commit's files
+          case Some(_) => // untrusted footer: one bounded agg over the new dir
+            val r = spark.read.schema(newSchema).parquet(dataPath.toString)
+              .agg(org.apache.spark.sql.functions.min(spec.col).cast("long"),
+                org.apache.spark.sql.functions.max(spec.col).cast("long")).head()
+            if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
+      val next = bounds.fold(base) { case (mn, mx) =>
+        if (spec.step > 0) math.max(base, Math.addExact(mx, spec.step))
+        else math.min(base, Math.addExact(mn, spec.step))
+      }
+      HwmEntry(spec.col, next)
+    }
     val prevLines = (mode, prev) match {
       case (SaveMode.Append, Some(p)) => lines(spark, dir, p).filterNot {
         case _: SchemaEntry => true
@@ -2109,6 +2295,9 @@ object Versioned {
         // this writer's txn watermark is being replaced; other
         // writers' watermarks ride along
         case TxnEntry(_, a) => txn.exists(_._1 == a)
+        // re-emitted fresh below (the advanced mark replaces it)
+        case h: HwmEntry => hwmLines.exists {
+          case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false }
         case _ => false
       }
       case _ => Seq.empty
@@ -2143,7 +2332,7 @@ object Versioned {
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
         prevLines ++ carriedConstraints ++ carriedColMap ++ carriedBloomDecl ++
-        carriedTxns ++
+        carriedTxns ++ hwmLines ++
         txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines ++ bloomLines :+
         DataEntry(dataDir) :+ stats)
     // … then the atomic manifest commit publishes it. An APPEND
@@ -2159,6 +2348,7 @@ object Versioned {
         txn.foreach { case (a, b) => ops += addOp(TxnEntry(b, a)) }
         extraLines.foreach(l => ops += addOp(l))
         bloomLines.foreach(l => ops += addOp(l))
+        hwmLines.foreach(l => ops += addOp(l)) // replace-by-col semantics
         ops += addOp(DataEntry(dataDir))
         ops += addOp(stats)
         commitChild(spark, dir, v, p, newLines, ops.result(), protocol)
@@ -3377,9 +3567,25 @@ object Versioned {
     // recorded schema itself stays fully-nullable — append chains
     // null-backfill, and the constraint is what enforces)
     val notNull = ordered.fields.filterNot(_.nullable).map(f => NotNullEntry(f.name))
+    // identity declarations open their high-water mark at the start
+    // value; the column name embeds in the ':'-split hwm line
+    val idSpecs = identityColumnsOf(ordered)
+    idSpecs.foreach { s =>
+      require(s.step != 0, s"identity column '${s.col}' cannot step by 0")
+      require(ordered(s.col).dataType == org.apache.spark.sql.types.LongType ||
+          ordered(s.col).dataType == org.apache.spark.sql.types.IntegerType,
+        s"identity column '${s.col}' must be BIGINT or INT, got ${ordered(s.col).dataType}")
+      require(!s.col.exists(c => c == ':' || c == ',' || c == '\n' || c == '\r') &&
+          s.col == s.col.trim,
+        s"identity column name '${s.col}' cannot carry a high-water-mark line")
+      require(!partCols.exists(_.equalsIgnoreCase(s.col)),
+        s"identity column '${s.col}' cannot be a partition column (every insert " +
+          "would open new partitions)")
+    }
     val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
       ((if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols))) ++
-        notNull ++ constraints.map { case (n, sql) => ConstraintEntry(n, sql) })
+        notNull ++ constraints.map { case (n, sql) => ConstraintEntry(n, sql) } ++
+        idSpecs.map(s => HwmEntry(s.col, s.start)))
     commitManifest(spark, dir, 0, ls.map(renderLine), protocol)
     0
   }
@@ -3899,10 +4105,16 @@ object Versioned {
       case BloomColEntry(c, _) => dropSet.exists(_.equalsIgnoreCase(c))
       case _ => false
     }
+    // a dropped identity column takes its high-water mark with it (a
+    // stale mark would collide with a later column of the same name)
+    val droppedHwm = ls.collect {
+      case h: HwmEntry if dropSet.exists(_.equalsIgnoreCase(h.col)) => h.col
+    }
     val kept = ls.filterNot {
       case _: SchemaEntry => true
       case c: ConstraintEntry => dropCheckNames.exists(_.equalsIgnoreCase(c.name))
       case n: NotNullEntry => droppedNn.exists(_.col.equalsIgnoreCase(n.col))
+      case h: HwmEntry => droppedHwm.exists(_.equalsIgnoreCase(h.col))
       case _: ColMapEntry => mapShrank // re-added below when non-empty
       case _: BloomColEntry | _: BloomEntry => dropsBloomCol
       case _ => false
@@ -3921,7 +4133,8 @@ object Versioned {
         resolvedSet.map { case (_, p) => NotNullEntry(p) }),
       (addOp(SchemaEntry(finalSchema)) +:
         (dropCheckNames.map(n => s"-constraint:$n") ++
-          droppedNn.map(n => s"-notnull:${n.col}") ++ mapOps ++
+          droppedNn.map(n => s"-notnull:${n.col}") ++
+          droppedHwm.map(c => s"-hwm:$c") ++ mapOps ++
           (if (dropsBloomCol) Seq("-bloomcol") else Seq.empty))) ++
         alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) } ++
         resolvedSet.map { case (_, p) => addOp(NotNullEntry(p)) },

@@ -82,7 +82,14 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       // enforces the semantics — library writes compute an omitted
       // generated column, and EVERY commit validates value = expr
       // like an implicit CHECK (see Versioned.generatedColumnsOf)
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // GENERATED … AS IDENTITY: Spark parses the spec (start/step/
+      // explicit-insert policy) and hands it over on the v2 Column;
+      // the STORE owns assignment — a `hwm:` manifest line tracks the
+      // next value, library/SQL inserts fill the omitted column
+      // distributed, and the commit advances the mark under the same
+      // OCC claim as the data (see Versioned.identityColumnsOf)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Tables are paths; there is no namespace to enumerate. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -236,12 +243,19 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
   private def schemaWithGeneration(info: TableInfo): StructType = {
     val gens = info.columns().flatMap(c =>
       Option(c.generationExpression()).map(c.name() -> _)).toMap
-    if (gens.isEmpty) info.schema()
+    val ids = info.columns().flatMap(c =>
+      Option(c.identityColumnSpec()).map(c.name() -> _)).toMap
+    if (gens.isEmpty && ids.isEmpty) info.schema()
     else StructType(info.schema().fields.map { f =>
-      gens.get(f.name).fold(f)(g => f.copy(metadata =
+      val withGen = gens.get(f.name).fold(f)(g => f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putString(Versioned.GenerationKey, g).build()))
+      // identityColumnSpec is ALSO its own Column field the schema()
+      // bridge drops — re-attach under Spark's own metadata keys
+      ids.get(f.name).fold(withGen)(spec => withGen.copy(metadata =
+        Versioned.identityMetadata(withGen.metadata, spec.getStart,
+          spec.getStep, spec.isAllowExplicitInsert)))
     })
   }
 

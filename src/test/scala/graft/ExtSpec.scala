@@ -4849,6 +4849,78 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("identity columns: SQL CREATE + omitted-column inserts assign unique step-aligned ids; ALWAYS refuses explicit; racing appenders never collide") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_identity").toString
+    val dir = root + "/t"
+    spark.conf.set("spark.sql.catalog.graft_id", "graft.sql.VersionedCatalog")
+    spark.sql(s"CREATE TABLE graft_id.`$dir` (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 100 INCREMENT BY 3), data STRING)")
+    // SQL INSERT with the column omitted assigns from the mark
+    spark.sql(s"INSERT INTO graft_id.`$dir` (data) VALUES ('a'), ('b'), ('c')")
+    val got1 = spark.sql(s"SELECT id, data FROM graft_id.`$dir` ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got1.map(_._1).distinct.length == 3, s"ids must be unique: $got1")
+    assert(got1.forall { case (i, _) => i >= 100 && (i - 100) % 3 == 0 },
+      s"ids must start at 100 and step by 3: $got1")
+    // a second insert continues ABOVE the first (per-writer monotone)
+    spark.sql(s"INSERT INTO graft_id.`$dir` (data) VALUES ('d')")
+    val got2 = spark.sql(s"SELECT id FROM graft_id.`$dir`").as[Long].collect().toSeq
+    assert(got2.distinct.length == 4 && got2.max > got1.map(_._1).max)
+    // GENERATED ALWAYS refuses explicit values (raise_error fires
+    // inside the write pass — walk the task-failure cause chain)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_id.`$dir` (id, data) VALUES (9999, 'x')")
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    assert(causes(e).exists(_.contains("GENERATED ALWAYS AS IDENTITY")),
+      s"got: ${causes(e).mkString(" | ")}")
+    // …and the refused write committed nothing
+    assert(spark.sql(s"SELECT count(*) FROM graft_id.`$dir`").as[Long].head() == 4)
+    // library appends fill too, and survive CoW UPDATE + time travel
+    Versioned.writeVersion(Seq(("lib1"), ("lib2")).toDF("data"), dir, SaveMode.Append)
+    val all = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSeq
+    assert(all.distinct.length == 6 && all.forall(i => (i - 100) % 3 == 0), all.toString)
+    spark.sql(s"UPDATE graft_id.`$dir` SET data = 'upd' WHERE data = 'a'")
+    assert(spark.sql(s"SELECT count(DISTINCT id) FROM graft_id.`$dir`")
+      .as[Long].head() == 6, "CoW rewrite must carry existing ids verbatim")
+    // BY DEFAULT accepts explicit values AND advances the mark past them
+    val d2 = root + "/byDefault"
+    spark.sql(s"CREATE TABLE graft_id.`$d2` (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY, data STRING)")
+    spark.sql(s"INSERT INTO graft_id.`$d2` (id, data) VALUES (500, 'explicit')")
+    spark.sql(s"INSERT INTO graft_id.`$d2` (data) VALUES ('generated')")
+    val byDef = spark.sql(s"SELECT id, data FROM graft_id.`$d2`")
+      .as[(Long, String)].collect().toMap.map(_.swap)
+    assert(byDef("explicit") == 500L && byDef("generated") > 500L,
+      s"generated ids must clear an accepted explicit value: $byDef")
+    // RACING appenders: two writers, retry wrappers, zero collisions —
+    // the commit claim is the OCC and a stale assignment basis refuses
+    val d3 = root + "/race"
+    spark.sql(s"CREATE TABLE graft_id.`$d3` (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY, data STRING)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (0 until 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            for (i <- 0 until 5)
+              Versioned.appendVersionWithRetry(
+                Seq.tabulate(20)(j => s"w$w-$i-$j").toDF("data"), d3)
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val raced = Versioned.readLatest(spark, d3).select("id").as[Long].collect().toSeq
+    assert(raced.length == 200 && raced.distinct.length == 200,
+      s"racing appenders collided: ${raced.length} rows, ${raced.distinct.length} distinct")
+    // time travel: the pre-UPDATE version still serves its own ids
+    assert(Versioned.readVersion(spark, dir, 1).select("id").as[Long].collect()
+      .toSeq.sorted == got1.map(_._1).sorted)
+  }
+
   test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.{Maintenance, ManifestStore, RenameCommit, Versioned}
