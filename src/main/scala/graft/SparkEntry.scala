@@ -1818,6 +1818,45 @@ object SparkEntry {
         "WHERE price > 1000.0 ORDER BY o_orderkey")
     },
 
+    // GENERATED-PARTITION FILTER DERIVATION (Delta's optimization —
+    // the r13 verdict's ask #4): a predicate on the SOURCE column of
+    // a `GENERATED ALWAYS AS (g(src))` PARTITION column derives the
+    // partition filter — month(o_orderdate) partitions hold SEVEN
+    // years of interleaved dates, so o_orderdate bounds keep roughly
+    // half the files while the derived m = month(v) isolates one
+    // partition. Skipping-only: the derived filter never joins the
+    // re-applied predicates; the commit-time value⇔expr validation is
+    // what makes the implication sound.
+    "q152_generated_partition_derivation" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, round}
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      val tbl = scratchPath("gen_part_derive", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tbl`")
+      s.sql(s"CREATE TABLE versioned.`$tbl` (o_orderkey BIGINT, o_orderdate DATE, " +
+        "price DOUBLE, m INT GENERATED ALWAYS AS (MONTH(o_orderdate))) " +
+        "PARTITIONED BY (m)")
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"))
+      // the library append COMPUTES m; one file per month partition
+      Versioned.writeVersionPartitioned(src.repartition(1), tbl, Seq("m"),
+        org.apache.spark.sql.SaveMode.Append)
+      val probe = src.agg(org.apache.spark.sql.functions.max("o_orderdate"))
+        .collect().head.getDate(0)
+      val v = Versioned.latestVersion(s, tbl).get
+      val all = Versioned.planDataFiles(s, tbl, v, Seq.empty)
+      val one = Versioned.planDataFiles(s, tbl, v,
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderdate", probe)))
+      val mOf = probe.toLocalDate.getMonthValue
+      assert(one.nonEmpty && one.length < all.length &&
+        one.forall(_.contains(s"m=$mOf")),
+        s"the src-only equality must isolate the m=$mOf partition " +
+          s"(${one.length}/${all.length}: $one)")
+      s.sql(s"SELECT o_orderkey, o_orderdate, price, m FROM versioned.`$tbl` " +
+        s"WHERE o_orderdate = DATE'$probe' ORDER BY o_orderkey")
+    },
+
     // IDENTITY COLUMNS (Delta `GENERATED ALWAYS AS IDENTITY` role —
     // the r13 verdict's ask #3, the last CREATE-TABLE capability gap):
     // a `hwm:` manifest line tracks the next value; omitted (or
@@ -4152,6 +4191,17 @@ object SparkEntry {
         |  CAST(o_orderkey % 4 AS INT) AS bucket
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |  AND ROUND(o_totalprice, 2) > 1000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the derived-prune read returns exactly the max-date rows with
+    // the generated month column
+    "q152_generated_partition_derivation" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  ROUND(o_totalprice, 2) AS price,
+        |  CAST(month(o_orderdate) AS INT) AS m
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) =
+        |  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
     // the identity assignment over one sorted partition is a pure

@@ -2873,10 +2873,15 @@ object Versioned {
     val cmap = colMapOf(ls)
     val schema = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    // a predicate on the SOURCE of a generated partition column
+    // derives a partition predicate — skipping-only, never re-applied
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val all = filters ++ schema.toSeq.flatMap(s =>
+      Skipping.derivePartitionFilters(spark, s, partCols, filters))
     ls.collect { case DataEntry(n) => n }.filter { name =>
       stats.get(name) match {
         case Some(st) if schema.nonEmpty =>
-          !filters.exists(f =>
+          !all.exists(f =>
             Skipping.excludes(st.rows, rekeyToLogical(st.cols, cmap), schema.get, f))
         case _ => true
       }
@@ -2902,12 +2907,17 @@ object Versioned {
     def bloomKeeps(dirName: String, fileName: String): Boolean =
       bloomCol.isEmpty || blooms.get(dirName).flatMap(_.get(fileName)).forall(bits =>
         !filters.exists(flt => Bloom.excludes(flt, bloomCol.get, bits)))
+    // derived generated-partition filters prune FILES too (each file
+    // carries its partition values as point stats)
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val all = filters ++ schema.toSeq.flatMap(s =>
+      Skipping.derivePartitionFilters(spark, s, partCols, filters))
     val keptDirs = planDataDirs(spark, dir, v, filters)
     keptDirs.flatMap { name =>
       stats.get(name) match {
         case Some(st) if schema.nonEmpty && st.files.nonEmpty =>
           st.files.filter(f => (f.rows.isEmpty ||
-              !filters.exists(flt => Skipping.excludes(f.rows.get,
+              !all.exists(flt => Skipping.excludes(f.rows.get,
                 rekeyToLogical(f.cols, cmap), schema.get, flt))) &&
               bloomKeeps(name, f.name))
             .map(f => s"$name/${f.name}")
@@ -4318,8 +4328,14 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
-    val translated = dataFilters.flatMap(f =>
+    val pushed = dataFilters.flatMap(f =>
       org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+    // a predicate on the SOURCE of a generated partition column
+    // derives a partition predicate (skipping-only, evaluated against
+    // the recorded point stats — the original filters stay on the
+    // scan, so a shape outside the proven set just derives nothing)
+    val translated = pushed ++ Skipping.derivePartitionFilters(
+      SparkSession.active, schema, partitionSchema.fieldNames.toSeq, pushed)
     // two-granularity prune, both one-sided: dir bounds first (cheap,
     // one check covering every file of the dir), then each surviving
     // dir's PER-FILE bounds — the level that still cuts when one
@@ -4468,8 +4484,12 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val translated = dataFilters.flatMap(f =>
+    val pushed = dataFilters.flatMap(f =>
       org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(f))
+    // generated-partition derivation: a src-only WHERE prunes the
+    // partitioned groups through each file's partition point stats
+    val translated = pushed ++ Skipping.derivePartitionFilters(
+      spark, fullSchema, partSchema.fieldNames.toSeq, pushed)
     if (translated.isEmpty) base
     else base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
@@ -4509,6 +4529,115 @@ private[ext] object Skipping {
   import org.apache.spark.sql.functions.{col, lit}
   import graft.ext.Versioned.{ColStats, FileStats}
   import scala.jdk.CollectionConverters._
+
+  // ───── partition-filter derivation from GENERATED columns ─────
+  // Delta's optimization, re-derived for this store: when a PARTITION
+  // column is `GENERATED ALWAYS AS (g(src))`, a pushed predicate on
+  // src implies one on the partition column — src = v implies
+  // part = g(v) for any deterministic g, and src ≥ v implies
+  // part ≥ g(v) when g is MONOTONE non-decreasing (cast-to-date,
+  // year, date_trunc, trunc, substring prefix). The derived filters
+  // join the SKIPPING evaluation only (dir bounds, per-file bounds,
+  // partition point stats) — they are never added to the re-applied
+  // predicates, so a wrong derivation could only ever under-prune,
+  // and the derivation itself refuses anything outside the proven
+  // shapes. The commit-time value⇔expr validation is what makes the
+  // implication sound: every stored row satisfies part = g(src).
+
+  private final case class GenShape(src: String, monotone: Boolean)
+
+  /** Structural match of a generation expression against the proven
+    * shapes. Monotone set: identity, CAST(src AS DATE), year,
+    * date_trunc, trunc, substring(src, 1, n). Equality-only set
+    * (deterministic but not monotone): month/day/hour/… and other
+    * casts. Anything else derives nothing. */
+  private def genShape(spark: SparkSession, sql: String): Option[GenShape] = try {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    spark.sessionState.sqlParser.parseExpression(sql) match {
+      case a: UnresolvedAttribute => attr(a).map(GenShape(_, monotone = true))
+      case c: Cast => attr(c.child).map(GenShape(_, monotone = c.dataType == DateType))
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("year", Seq(x)) => attr(x).map(GenShape(_, monotone = true))
+          case ("date_trunc", Seq(Literal(_, _), x)) => attr(x).map(GenShape(_, monotone = true))
+          case ("trunc", Seq(x, Literal(_, _))) => attr(x).map(GenShape(_, monotone = true))
+          case ("substring" | "substr", Seq(x, Literal(p, _), Literal(_, _)))
+              if p == 1 => attr(x).map(GenShape(_, monotone = true))
+          case ("month" | "day" | "dayofmonth" | "hour" | "quarter" | "dayofyear"
+                | "weekofyear", Seq(x)) => attr(x).map(GenShape(_, monotone = false))
+          case ("date_format", Seq(x, Literal(_, _))) =>
+            attr(x).map(GenShape(_, monotone = false))
+          case _ => None
+        }
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Evaluate g(v) on the driver — one single-row local plan; any
+    * failure (type mismatch, overflow, null result) derives nothing. */
+  private def evalGen(spark: SparkSession, sql: String, srcField: StructField,
+                      target: DataType, v: Any): Option[Any] = try {
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(v)),
+      StructType(Seq(StructField(srcField.name, srcField.dataType, nullable = true))))
+    val r = df.select(org.apache.spark.sql.functions.expr(sql).cast(target)).head()
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The derived partition filters for one pushed-filter conjunction.
+    * `schema` must speak the FILTERS' name space and carry the
+    * GENERATION_EXPRESSION metadata (a renamed chain's physical seam
+    * simply derives nothing — one-sided). */
+  private[graft] def derivePartitionFilters(spark: SparkSession, schema: StructType,
+                                            partCols: Seq[String],
+                                            filters: Seq[Filter]): Seq[Filter] = {
+    if (filters.isEmpty || partCols.isEmpty) return Seq.empty
+    val gens = graft.ext.Versioned.generatedColumnsOf(schema)
+      .filter { case (n, _) => partCols.exists(_.equalsIgnoreCase(n)) }
+    if (gens.isEmpty) return Seq.empty
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val flat = filters.flatMap(conjuncts)
+    gens.flatMap { case (partName, sql) =>
+      genShape(spark, sql).toSeq.flatMap { sh =>
+        (schema.fieldNames.find(_.equalsIgnoreCase(sh.src)),
+          schema.fieldNames.find(_.equalsIgnoreCase(partName))) match {
+          case (Some(srcName), Some(pName)) =>
+            val srcField = schema(srcName)
+            val target = schema(pName).dataType
+            def g(v: Any) = evalGen(spark, sql, srcField, target, v)
+            def isSrc(a: String) = a.equalsIgnoreCase(srcName)
+            flat.flatMap {
+              case EqualTo(a, v) if isSrc(a) && v != null =>
+                g(v).map(EqualTo(pName, _))
+              case EqualNullSafe(a, v) if isSrc(a) && v != null =>
+                g(v).map(EqualTo(pName, _))
+              case In(a, vs) if isSrc(a) && vs.nonEmpty && vs.forall(_ != null) =>
+                val gs = vs.toSeq.map(g)
+                if (gs.forall(_.isDefined)) Seq(In(pName, gs.map(_.get).toArray))
+                else Seq.empty
+              case GreaterThan(a, v) if sh.monotone && isSrc(a) && v != null =>
+                g(v).map(GreaterThanOrEqual(pName, _))
+              case GreaterThanOrEqual(a, v) if sh.monotone && isSrc(a) && v != null =>
+                g(v).map(GreaterThanOrEqual(pName, _))
+              case LessThan(a, v) if sh.monotone && isSrc(a) && v != null =>
+                g(v).map(LessThanOrEqual(pName, _))
+              case LessThanOrEqual(a, v) if sh.monotone && isSrc(a) && v != null =>
+                g(v).map(LessThanOrEqual(pName, _))
+              case _ => Seq.empty
+            }
+          case _ => Seq.empty
+        }
+      }
+    }
+  }
 
   /** What the footer harvest needs to know about one file before
     * opening it — listing output, small and serializable, so the

@@ -5091,6 +5091,72 @@ class ExtSpec extends AnyFunSuite {
       s"generated partition column must prune ($planned of $allG)")
   }
 
+  test("generated-partition filter derivation: a src-only WHERE prunes partitions bounds cannot; monotone ranges derive; unproven shapes derive nothing") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources._
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_genpart").toString
+    spark.conf.set("spark.sql.catalog.graft_gpd", "graft.sql.VersionedCatalog")
+    // month(ts) partitions with TWO years per month: every early
+    // month's ts RANGE contains a mid-2025 probe (bounds keep ~half
+    // the files), while the derived m = month(v) keeps exactly one —
+    // the pin that the DERIVATION, not the src bounds, did the work
+    val dir = root + "/t"
+    spark.sql(s"CREATE TABLE graft_gpd.`$dir` (id BIGINT, ts TIMESTAMP, " +
+      "m INT GENERATED ALWAYS AS (MONTH(ts))) PARTITIONED BY (m)")
+    val rows = for (y <- Seq(2025, 2026); mo <- 1 to 12) yield
+      ((y.toLong * 100 + mo), java.sql.Timestamp.valueOf(f"$y-$mo%02d-10 12:00:00"))
+    Versioned.writeVersionPartitioned(
+      rows.toDF("id", "ts").repartition(1), dir, Seq("m"), SaveMode.Append)
+    val v = Versioned.latestVersion(spark, dir).get
+    val all = Versioned.planDataFiles(spark, dir, v, Seq.empty)
+    assert(all.length == 12, s"one file per month partition expected: $all")
+    val probe = java.sql.Timestamp.valueOf("2025-06-15 00:00:00")
+    val eq = Versioned.planDataFiles(spark, dir, v, Seq(EqualTo("ts", probe)))
+    assert(eq.length == 1 && eq.head.contains("m=6"),
+      s"derivation must isolate the m=6 partition (ts bounds alone keep 6 files): $eq")
+    // absent probes read empty but never lose present rows
+    assert(Versioned.readLatest(spark, dir)
+      .filter($"ts" === java.sql.Timestamp.valueOf("2025-06-10 12:00:00")).count() == 1)
+    // the SQL tier's partitioned index derives too: the scan plans
+    // ONE file for a src-only equality
+    val scanned = spark.sql(s"SELECT id FROM graft_gpd.`$dir` " +
+      "WHERE ts = TIMESTAMP'2025-06-10 12:00:00'")
+    assert(scanned.as[Long].collect().toSeq == Seq(202506L))
+    // monotone shape: CAST(ts AS DATE) derives RANGE filters
+    val d2 = root + "/range"
+    spark.sql(s"CREATE TABLE graft_gpd.`$d2` (id BIGINT, ts TIMESTAMP, " +
+      "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) PARTITIONED BY (d)")
+    Versioned.writeVersionPartitioned(
+      (1 to 5).map(i => (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-0$i 08:00:00")))
+        .toDF("id", "ts").repartition(1), d2, Seq("d"), SaveMode.Append)
+    val v2 = Versioned.latestVersion(spark, d2).get
+    // ts > Jan 3 noon derives d >= Jan 3: the boundary partition must
+    // stay (a later ts the same day would live there), earlier days prune
+    val gt = Versioned.planDataFiles(spark, d2, v2,
+      Seq(GreaterThan("ts", java.sql.Timestamp.valueOf("2026-01-03 12:00:00"))))
+    assert(gt.length == 3 && !gt.exists(f =>
+        f.contains("d=2026-01-01") || f.contains("d=2026-01-02")),
+      s"monotone derivation must prune the pre-boundary partitions: $gt")
+    // results stay exact through the derived prune
+    assert(Versioned.readLatest(spark, d2)
+      .filter($"ts" > java.sql.Timestamp.valueOf("2026-01-03 12:00:00")).count() == 2)
+    // an UNPROVEN shape derives nothing (one-sided): hash(id) is
+    // deterministic but outside the proven set — every file stays
+    val d3 = root + "/hash"
+    spark.sql(s"CREATE TABLE graft_gpd.`$d3` (id BIGINT, " +
+      "h INT GENERATED ALWAYS AS (CAST(pmod(hash(id), 4) AS INT))) PARTITIONED BY (h)")
+    Versioned.writeVersionPartitioned(
+      (0 until 40).map(_.toLong).toDF("id").repartition(1), d3, Seq("h"), SaveMode.Append)
+    val v3 = Versioned.latestVersion(spark, d3).get
+    // id bounds prune per-file, so probe INSIDE every file's range:
+    // pruning may only come from id stats, never from a bogus h guess
+    val all3 = Versioned.planDataFiles(spark, d3, v3, Seq.empty)
+    val got3 = Versioned.readLatest(spark, d3).filter($"id" === 17L)
+    assert(got3.count() == 1, "unproven shapes must not lose rows")
+    assert(all3.nonEmpty)
+  }
+
   test("CONVERT in place: a plain hive-partitioned dir adopts as v0; refusals; prune never touches the adopted files") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources.EqualTo
