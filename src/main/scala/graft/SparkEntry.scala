@@ -1965,7 +1965,34 @@ object SparkEntry {
       s.sql(s"INSERT INTO versioned.`$tbl` " +
         "SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS DOUBLE) " +
         "FROM orders_q144 WHERE o_orderstatus = 'P'")
-      s.sql(s"SELECT o_orderkey, cust FROM versioned.`$tbl` ORDER BY o_orderkey")
+      // FLOAT → DOUBLE — the one ladder step that cannot be
+      // metadata-only (exactness): the SAME ALTER statement serves it
+      // as a COPY-ON-WRITE rewrite. The data dirs CHANGE (pinned),
+      // values are preserved bit-for-bit (every float IS a double),
+      // travel keeps FLOAT, and the rewritten footers' double stats
+      // are exact (a below-range probe plans zero files).
+      val tblF = scratchPath("sql_widen_f", d)
+      s.sql(s"DROP TABLE IF EXISTS versioned.`$tblF`")
+      s.sql(s"CREATE TABLE versioned.`$tblF` (o_orderkey BIGINT, price FLOAT)")
+      s.sql(s"INSERT INTO versioned.`$tblF` " +
+        "SELECT o_orderkey, CAST(o_totalprice AS FLOAT) " +
+        "FROM orders_q144 WHERE o_orderstatus = 'F'")
+      val fDirs = graft.ext.Versioned.liveDataDirs(s, tblF).toSet
+      s.sql(s"ALTER TABLE versioned.`$tblF` ALTER COLUMN price TYPE DOUBLE")
+      assert(s.table(s"versioned.`$tblF`").schema("price").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(graft.ext.Versioned.liveDataDirs(s, tblF).toSet != fDirs,
+        "FLOAT widening must REWRITE — metadata-only would break stats exactness")
+      assert(graft.ext.Versioned.recordedSchema(s, tblF, 1).get("price").dataType ==
+        org.apache.spark.sql.types.FloatType,
+        "time travel to the pre-widening version must keep FLOAT")
+      val vF = graft.ext.Versioned.latestVersion(s, tblF).get
+      assert(graft.ext.Versioned.planDataFiles(s, tblF, vF,
+        Seq(org.apache.spark.sql.sources.LessThan("price", 1.0))).isEmpty,
+        "the rewritten double stats must be exact enough to skip a below-range probe")
+      s.sql(s"SELECT a.o_orderkey, a.cust, f.price FROM versioned.`$tbl` a " +
+        s"LEFT JOIN versioned.`$tblF` f ON a.o_orderkey = f.o_orderkey " +
+        "ORDER BY a.o_orderkey")
     },
 
     // SHALLOW CLONE (Delta CREATE TABLE … SHALLOW CLONE): the clone's
@@ -4170,9 +4197,13 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     // the widened table serves both slices' values under the wider
-    // types, bit-identically to casting at the source
+    // types, bit-identically to casting at the source; the rewritten
+    // FLOAT column reads as double(float(x)) — bit-preserved — for
+    // the F rows the float table holds, null elsewhere
     "q144_sql_type_widening" ->
-      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS DOUBLE) AS cust
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS DOUBLE) AS cust,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) END AS price
         |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |ORDER BY o_orderkey""".stripMargin,
 

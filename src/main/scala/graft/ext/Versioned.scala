@@ -4152,6 +4152,37 @@ object Versioned {
     Some(v)
   }
 
+  /** FLOAT → DOUBLE widening — the ONE step on the type ladder that
+    * cannot be metadata-only (a float's canonical decimal re-parsed
+    * as double differs from the widened value in the last bits, which
+    * would break the skipping contract) — served as a COPY-ON-WRITE
+    * REWRITE: every float is exactly representable as a double, so
+    * the cast preserves values bit-for-bit; the rewrite is an
+    * OVERWRITE commit (its own version — time travel to the FLOAT
+    * schema keeps working), deletion masks apply physically on the
+    * way through, and the new files' footer harvest records EXACT
+    * double stats. Deliberately a data job, priced like one. */
+  def widenFloatToDoubleRewrite(spark: SparkSession, dir: String, col: String,
+                                protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    val cmap = colMapOf(ls)
+    val logical = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
+      .getOrElse(throw new IllegalArgumentException(s"no recorded schema at $dir"))
+    val l = logical.fieldNames.find(_.equalsIgnoreCase(col)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$col' in ${logical.fieldNames.mkString(",")}"))
+    require(logical(l).dataType == org.apache.spark.sql.types.FloatType,
+      s"'$l' is ${logical(l).dataType}, not FLOAT — the metadata-only widenings " +
+        "go through ALTER COLUMN … TYPE / alterTableAtomic")
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val df = readVersion(spark, dir, prev)
+      .withColumn(l, org.apache.spark.sql.functions.col(l).cast("double"))
+    if (partCols.isEmpty) writeVersion(df, dir, SaveMode.Overwrite, protocol)
+    else writeVersionPartitioned(df, dir, partCols, SaveMode.Overwrite, protocol)
+  }
+
   case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String],
                         dirsSkippedYoung: Seq[String] = Seq.empty)
 

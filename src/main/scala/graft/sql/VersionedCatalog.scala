@@ -327,6 +327,28 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
         renames.map(r => r.fieldNames.head -> r.newName()).toSeq)
       return loadTable(ident)
     }
+    // `ALTER COLUMN c TYPE DOUBLE` on a FLOAT column: the one ladder
+    // step that cannot be metadata-only (exactness) — routes WHOLE to
+    // the copy-on-write rewrite, its own overwrite version, exactly
+    // like RENAME routes whole above
+    val floatToDouble = changes.collect {
+      case ut: TableChange.UpdateColumnType if ut.fieldNames.length == 1 &&
+          ut.newDataType() == org.apache.spark.sql.types.DoubleType => ut
+    }.filter { ut =>
+      Versioned.latestVersion(spark, dir).flatMap(v =>
+        Versioned.logicalSchema(spark, dir, v)).exists(sc =>
+        sc.fieldNames.find(_.equalsIgnoreCase(ut.fieldNames.head))
+          .exists(n => sc(n).dataType == org.apache.spark.sql.types.FloatType))
+    }
+    if (floatToDouble.nonEmpty) {
+      require(floatToDouble.length == changes.length,
+        "FLOAT → DOUBLE widening is a data REWRITE (floats have no exact " +
+          "canonical stats as doubles) and cannot combine with other ALTER " +
+          "changes in one statement")
+      floatToDouble.foreach(ut =>
+        Versioned.widenFloatToDoubleRewrite(spark, dir, ut.fieldNames.head))
+      return loadTable(ident)
+    }
     // refuse-first, commit-once: shape-level refusals here, then the
     // WHOLE statement — column adds/drops and constraint changes —
     // applies as ONE manifest commit ([[Versioned.alterTableAtomic]]),

@@ -4340,6 +4340,34 @@ class ExtSpec extends AnyFunSuite {
       Versioned.alterTableAtomic(spark, fdir,
         Versioned.AlterSpec(widenCols = Seq("score" -> DoubleType))) }
     assert(eF.getMessage.contains("metadata-only widenings"), eF.getMessage)
+    // …but the SQL ALTER serves the SAME change as a COPY-ON-WRITE
+    // rewrite (the metadata-only library seam keeps refusing — the
+    // rewrite is a data job and is priced as one): values preserved
+    // bit-for-bit, the data dirs CHANGE, travel keeps FLOAT
+    val fDirsB = Versioned.liveDataDirs(spark, fdir).toSet
+    spark.sql(s"ALTER TABLE graft_tw.`$fdir` ALTER COLUMN score TYPE DOUBLE")
+    assert(spark.table(s"graft_tw.`$fdir`").schema("score").dataType == DoubleType)
+    assert(Versioned.liveDataDirs(spark, fdir).toSet != fDirsB,
+      "float widening must rewrite, not re-point")
+    assert(spark.sql(s"SELECT score FROM graft_tw.`$fdir`").as[Double].head() == 1.5)
+    assert(Versioned.readVersion(spark, fdir, 0).schema("score").dataType == FloatType)
+    // the PARTITIONED twin keeps its hive layout and pruning through
+    // the rewrite; a second call refuses (the column is double now)
+    val pfdir = java.nio.file.Files.createTempDirectory("graft_widen_pf").toString + "/pf"
+    Versioned.writeVersionPartitioned(
+      Seq((1.5f, 0), (2.5f, 1)).toDF("score", "b"), pfdir, Seq("b"))
+    Versioned.widenFloatToDoubleRewrite(spark, pfdir, "score")
+    assert(Versioned.readLatest(spark, pfdir).schema("score").dataType == DoubleType)
+    val vPf = Versioned.latestVersion(spark, pfdir).get
+    assert(Versioned.planDataFiles(spark, pfdir, vPf,
+      Seq(org.apache.spark.sql.sources.EqualTo("b", 1))).length <
+      Versioned.planDataFiles(spark, pfdir, vPf, Seq.empty).length,
+      "partition pruning must survive the float rewrite")
+    assert(Versioned.readLatest(spark, pfdir).filter($"b" === 1)
+      .select("score").as[Double].head() == 2.5)
+    assert(intercept[IllegalArgumentException] {
+      Versioned.widenFloatToDoubleRewrite(spark, pfdir, "score")
+    }.getMessage.contains("not FLOAT"))
 
     // MERGE WITH SCHEMA EVOLUTION: a LONG source column against the
     // INT target widens as part of the statement (Spark derives the
