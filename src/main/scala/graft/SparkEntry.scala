@@ -1827,6 +1827,53 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // STREAMING ADMISSION CONTROL (Delta source's maxFilesPerTrigger /
+    // maxBytesPerTrigger / startingVersion roles): without rate
+    // limits the initial snapshot of a 100 TB table is ONE
+    // micro-batch. The source admits whole commit-dirs per trigger,
+    // weighted from manifest stats lines (zero filesystem metadata),
+    // under ProcessingTime AND AvailableNow (SupportsAdmissionControl
+    // + SupportsTriggerAvailableNow, the FileStreamSource shape). The
+    // meter pins: one batch per commit under maxFilesPerTrigger=1,
+    // batch sizes exactly the per-commit row counts, union exactly
+    // the table — which is what the oracle checks.
+    "q153_stream_rate_limit" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{col, round, lit}
+      val tbl = scratchPath("stream_rate", d)
+      Versioned.dropTableChain(s, tbl)
+      val outDir = tbl + "_batches"
+      val ckpt = tbl + "_ckpt"
+      new scala.reflect.io.Directory(new java.io.File(outDir)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      def slice(m: Int) = src.filter(col("o_orderkey") % 3 === m).coalesce(1)
+      Versioned.writeVersion(slice(0), tbl)
+      Versioned.writeVersion(slice(1), tbl, SaveMode.Append)
+      Versioned.writeVersion(slice(2), tbl, SaveMode.Append)
+      val q = s.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", tbl).option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      val got = s.read.parquet(outDir)
+      // one batch per commit-dir, in commit order, sized exactly
+      val perBatch = got.groupBy("batch").count()
+        .orderBy("batch").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (0 to 2).map(m => (m.toLong, slice(m).count()))
+      assert(perBatch.toSeq == expected,
+        s"rate-limited drain must serve one bounded batch per commit: " +
+          s"got ${perBatch.toSeq}, want $expected")
+      got.select(col("o_orderkey"), col("price")).orderBy("o_orderkey")
+    },
+
     "q152_generated_partition_derivation" -> { (s, d) =>
       import graft.ext.Versioned
       import org.apache.spark.sql.functions.{col, round}
@@ -4226,6 +4273,12 @@ object SparkEntry {
 
     // the derived-prune read returns exactly the max-date rows with
     // the generated month column
+    // the union of the rate-limited micro-batches is exactly the
+    // table — per-batch bounds are asserted in-query
+    "q153_stream_rate_limit" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q152_generated_partition_derivation" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |  ROUND(o_totalprice, 2) AS price,

@@ -3052,6 +3052,31 @@ object Versioned {
       colMapOf(ls))
   }
 
+  /** One data dir's weight for streaming admission control. */
+  private[graft] final case class DirAdmission(absDir: String, files: Long, bytes: Long)
+
+  /** Per-data-dir admission stats of version `v` — file count and
+    * total bytes straight from the manifest's stats lines (ZERO
+    * filesystem IO — rate-limiting a 100 TB stream must not list or
+    * stat anything), in manifest (append) order. A dir recorded
+    * before the per-file-list format counts as one file of unknown
+    * (0) size — it still admits, just without a byte weight. The
+    * streaming source's `maxFilesPerTrigger` / `maxBytesPerTrigger`
+    * admit whole dirs from this list: a dir is one commit's write
+    * (the atomicity unit), so it is also the admission unit. */
+  private[graft] def dirAdmission(spark: SparkSession, dir: String, v: Int)
+      : IndexedSeq[DirAdmission] = {
+    val ls = lines(spark, dir, v)
+    def abs(n: String) = new Path(new Path(dir), n).toString
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    ls.collect { case DataEntry(n) =>
+      val (f, b) = stats.get(n).filter(_.files.nonEmpty)
+        .map(e => (e.files.size.toLong, e.files.map(_.bytes).sum))
+        .getOrElse((1L, 0L))
+      DirAdmission(abs(n), f, b)
+    }.toIndexedSeq
+  }
+
   /** The enforced NOT NULL columns of a version, in manifest order,
     * under their LOGICAL names (the lines store the physical ones). */
   def notNullColumns(spark: SparkSession, dir: String, v: Int): Seq[String] = {

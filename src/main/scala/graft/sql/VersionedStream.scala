@@ -1,6 +1,8 @@
 package graft.sql
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -16,16 +18,17 @@ import graft.ext.Versioned
   *     .option("path", dir).load()
   * }}}
   *
-  * Offsets are VERSION NUMBERS; a micro-batch serves exactly the data
-  * dirs that manifests (start, end] added. Commit atomicity does the
-  * heavy lifting: a writer's files are invisible until its manifest
-  * lands, so the stream can NEVER observe half a commit — the exact
-  * property a raw file-watcher source over the same directory lacks
-  * (it would stream uncommitted and orphaned writer files; measured
-  * in StreamingSpec).
+  * Offsets are VERSION NUMBERS, optionally refined to a position
+  * INSIDE a version's data-dir list (admission control, below). A
+  * micro-batch serves exactly the data dirs between two offsets.
+  * Commit atomicity does the heavy lifting: a writer's files are
+  * invisible until its manifest lands, so the stream can NEVER
+  * observe half a commit — the exact property a raw file-watcher
+  * source over the same directory lacks (it would stream uncommitted
+  * and orphaned writer files; measured in StreamingSpec).
   *
   * Semantics mirror Delta's source contract:
-  *   - the FIRST batch serves the full table as of stream start
+  *   - the FIRST batch(es) serve the full table as of stream start
   *     through the MASKED read (pre-stream deletes are subtracted —
   *     they were never served rows);
   *   - subsequent batches serve appended dirs only;
@@ -42,13 +45,40 @@ import graft.ext.Versioned
   *     rows flow, pre-mask — the stream is an append feed, not a
   *     snapshot serve).
   *
+  * ADMISSION CONTROL (the 100 TB posture — without it the initial
+  * snapshot of a large table is ONE micro-batch, which no cluster
+  * survives; Delta's source has the same three knobs):
+  *   - `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each batch.
+  *     The admission unit is a DATA DIR (one commit's write — the
+  *     atomicity unit); dirs are admitted in manifest order until the
+  *     next dir would exceed a bound, always at least one. Weights
+  *     come from the manifest's stats lines — rate limiting reads NO
+  *     filesystem metadata. Both the initial snapshot and a backlog
+  *     of appends split into bounded batches; partial positions are
+  *     encoded in the offset (`v/k` = first k dirs of version v's
+  *     list served; `v/k/s` while still inside the initial snapshot,
+  *     which stays pinned to — and masked by — the snapshot version's
+  *     line set, so a split snapshot is still ONE consistent
+  *     snapshot). Implemented as [[SupportsAdmissionControl]] +
+  *     [[SupportsTriggerAvailableNow]] (the FileStreamSource shape),
+  *     so the limits hold under ProcessingTime, Once AND AvailableNow
+  *     triggers — AvailableNow pins its endpoint at prepare time and
+  *     drains to it in bounded batches.
+  *   - `startingVersion` (a version number, or "latest") skips the
+  *     initial snapshot and serves appends from that version on
+  *     (inclusive) — the restart-a-pipeline-without-rereading-history
+  *     knob. "latest" is resolved ONCE and pinned in the stream's
+  *     checkpoint metadata, so a crash-replay of batch 0 cannot
+  *     re-resolve it later and silently drop the commits in between.
+  *
   * The schema is FROZEN at stream start (recorded manifest schema);
   * later evolved dirs read through it — extra columns ignored,
   * missing columns null-backfilled — the streaming-contract behavior.
   *
-  * Scale shape: getOffset is one manifest listing; each batch is one
-  * multi-path parquet scan over only the NEW dirs, planned with the
-  * frozen schema (zero footer reads). No state beyond the offset. */
+  * Scale shape: latestOffset is manifest arithmetic only; each batch
+  * is one multi-path parquet scan over only its admitted dirs,
+  * planned with the frozen schema (zero footer reads). No state
+  * beyond the offset. */
 class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
 
@@ -125,9 +155,26 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
+    val maxFiles = parameters.get("maxFilesPerTrigger").map { s =>
+      val n = s.trim.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $s")
+      n
+    }
+    val maxBytes = parameters.get("maxBytesPerTrigger").map { s =>
+      val n = s.trim.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $s")
+      n
+    }
+    val startingVersion = parameters.get("startingVersion").map(_.trim).map { s =>
+      require(s == "latest" || (s.nonEmpty && s.forall(_.isDigit)),
+        s"startingVersion must be a version number or 'latest', got '$s'")
+      s
+    }
     new VersionedStreamSource(spark, dir,
       schema.getOrElse(resolveSchema(spark, dir)),
-      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+      startingVersion = startingVersion, metadataPath = metadataPath)
   }
 }
 
@@ -154,74 +201,272 @@ private[sql] class VersionedStreamSink(spark: SparkSession, dir: String,
   override def toString: String = s"VersionedStreamSink[$dir, appId=$appId]"
 }
 
-private[sql] case class VersionOffset(v: Long)
+/** A stream position. `served < 0` = version `v` fully served (the
+  * legacy single-number encoding, byte-compatible with pre-admission
+  * checkpoints); `served >= 0` = the first `served` dirs of version
+  * `v`'s data-dir list served; `snap` = still inside the initial
+  * snapshot (which stays pinned to version `v`'s line set — masked,
+  * consistent). */
+private[sql] case class VersionOffset(v: Long, served: Long = -1L, snap: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Offset {
-  override def json(): String = v.toString
+  def complete: Boolean = served < 0L
+  override def json(): String =
+    if (complete) v.toString
+    else if (snap) s"$v/$served/s"
+    else s"$v/$served"
+}
+
+private[sql] object VersionOffset {
+  def parse(json: String): VersionOffset = json.trim.split('/') match {
+    case Array(v)         => VersionOffset(v.trim.toLong)
+    case Array(v, k)      => VersionOffset(v.trim.toLong, k.trim.toLong)
+    case Array(v, k, "s") => VersionOffset(v.trim.toLong, k.trim.toLong, snap = true)
+    case _ => throw new IllegalArgumentException(s"bad versioned-stream offset: $json")
+  }
 }
 
 private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
                                          frozenSchema: StructType,
-                                         ignoreDeletes: Boolean) extends Source {
+                                         ignoreDeletes: Boolean,
+                                         maxFilesPerTrigger: Option[Int] = None,
+                                         maxBytesPerTrigger: Option[Long] = None,
+                                         startingVersion: Option[String] = None,
+                                         metadataPath: String = "")
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def schema: StructType = frozenSchema
 
+  // ───────────── offsets and positions ─────────────
+
+  private def asVersionOffset(o: AnyRef): VersionOffset = o match {
+    case v: VersionOffset => v
+    case other: OffsetV2  => VersionOffset.parse(other.json())
+    case other => throw new IllegalStateException(s"unexpected stream offset $other")
+  }
+
+  private def dirCount(v: Long): Int =
+    if (v < 0) 0 else Versioned.versionInfo(spark, dir, v.toInt).dataDirs.size
+
+  /** A position's index into the (shared, append-ordered) dir list. */
+  private def globalIdx(o: VersionOffset): Long =
+    if (o.complete) dirCount(o.v).toLong else o.served
+
+  /** The fresh-stream base when `startingVersion` is set: everything
+    * at or before this position is skipped (no initial snapshot).
+    * "latest" is resolved once and PINNED in the stream's checkpoint
+    * metadata — a crash-replay of batch 0 must slice from the same
+    * base, not from a later re-resolution that would silently drop
+    * the commits in between. */
+  private lazy val startingBase: Option[VersionOffset] = startingVersion.map { sv =>
+    val marker = new Path(metadataPath, "graft.startingVersion")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val pinned =
+      if (metadataPath.nonEmpty && fs.exists(marker)) {
+        val in = fs.open(marker)
+        try Some(VersionOffset.parse(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+        finally in.close()
+      } else None
+    pinned.getOrElse {
+      val latest = Versioned.latestVersion(spark, dir).getOrElse(-1)
+      val resolved = sv match {
+        case "latest" => VersionOffset(latest.toLong)
+        case n =>
+          val v = java.lang.Long.parseLong(n)
+          require(v <= latest + 1L,
+            s"startingVersion $v is beyond the latest committed version $latest at $dir")
+          if (v == 0L) VersionOffset(0L, 0L) else VersionOffset(v - 1L)
+      }
+      if (metadataPath.nonEmpty) {
+        val out = fs.create(marker, true)
+        try out.write(resolved.json().getBytes("UTF-8")) finally out.close()
+      }
+      resolved
+    }
+  }
+
+  // ───────────── admission control ─────────────
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n)).toSeq
+    ls match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def boundsOf(limit: ReadLimit): (Option[Long], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles     => (Some(f.maxFiles.toLong), None)
+    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft((Option.empty[Long], Option.empty[Long])) {
+        case ((f, b), x: ReadMaxFiles) => (Some(x.maxFiles.toLong), b)
+        case ((f, b), x: ReadMaxBytes) => (f, Some(x.maxBytes))
+        case (acc, _)                  => acc
+      }
+    // an engine-side limit shape this source doesn't know: fall back
+    // to the declared options (never silently unbounded)
+    case _ => (maxFilesPerTrigger.map(_.toLong), maxBytesPerTrigger)
+  }
+
+  /** Admit dirs from `from` in list order until the NEXT dir would
+    * exceed a bound — always at least one (a single oversized commit
+    * must still flow, Delta's same at-least-one contract). */
+  private def advance(adm: IndexedSeq[Versioned.DirAdmission], from: Long,
+                      maxF: Option[Long], maxB: Option[Long]): Long = {
+    if (maxF.isEmpty && maxB.isEmpty) return adm.size.toLong
+    var k = from.toInt
+    var f = 0L
+    var b = 0L
+    while (k < adm.size) {
+      val d = adm(k)
+      val df = math.max(d.files, 1L)
+      if (k > from && (maxF.exists(f + df > _) || maxB.exists(b + d.bytes > _)))
+        return k.toLong
+      f += df; b += d.bytes; k += 1
+    }
+    adm.size.toLong
+  }
+
+  /** One admission step from `pos` toward `effLatest` under bounds. */
+  private def admit(pos: VersionOffset, effLatest: Int,
+                    maxF: Option[Long], maxB: Option[Long]): VersionOffset = {
+    if (pos.snap && !pos.complete) {
+      // mid-snapshot: stay pinned to the snapshot version's dir list
+      val adm = Versioned.dirAdmission(spark, dir, pos.v.toInt)
+      val k2 = advance(adm, pos.served, maxF, maxB)
+      if (k2 >= adm.size) VersionOffset(pos.v) // snapshot complete
+      else VersionOffset(pos.v, k2, snap = true)
+    } else {
+      val baseIdx = globalIdx(pos)
+      if (pos.v >= effLatest.toLong && pos.complete) return pos
+      if (pos.v > effLatest.toLong) return pos // AvailableNow target behind us
+      val adm = Versioned.dirAdmission(spark, dir, effLatest)
+      if (baseIdx >= adm.size) {
+        // no new dirs up to effLatest — still advance the version
+        // pointer past metadata-only (and delete-only: getBatch's
+        // checks must see them) commits
+        return if (pos.v < effLatest.toLong) VersionOffset(effLatest.toLong) else pos
+      }
+      val k2 = advance(adm, baseIdx, maxF, maxB)
+      // the SMALLEST version whose dir list covers k2 dirs: the
+      // tightest end version, so the drop/delete checks between
+      // (pos.v, end] cover only what this batch actually crosses
+      var vp = math.max(pos.v, 0L).toInt
+      while (vp < effLatest && dirCount(vp.toLong) < k2) vp += 1
+      if (k2 >= dirCount(vp.toLong)) VersionOffset(vp.toLong)
+      else VersionOffset(vp.toLong, k2)
+    }
+  }
+
+  @volatile private var availableNowTarget: Option[VersionOffset] = None
+
+  /** Pin the AvailableNow endpoint: the stream drains to the latest
+    * version AS OF PREPARE in bounded batches, then stops — commits
+    * landing mid-drain wait for the next run. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(VersionOffset(
+      Versioned.latestVersion(spark, dir).getOrElse(-1).toLong))
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset).map(asVersionOffset)
+      .filter(o => o.v >= 0L || !o.complete) // initialOffset sentinel = fresh
+    val latestNow = Versioned.latestVersion(spark, dir) match {
+      case Some(l) => l
+      case None    => return startOffset // nothing committed yet
+    }
+    val effLatest = availableNowTarget
+      .map(t => math.min(latestNow.toLong, t.v).toInt).getOrElse(latestNow)
+    if (effLatest < 0) return startOffset // AvailableNow over an empty table
+    val pos = start.orElse(startingBase)
+      .getOrElse(VersionOffset(effLatest.toLong, 0L, snap = true))
+    val (maxF, maxB) = boundsOf(limit)
+    val next = admit(pos, effLatest, maxF, maxB)
+    if (next == pos) startOffset else next
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    Versioned.latestVersion(spark, dir).map(v => VersionOffset(v.toLong)).orNull
+
+  override def initialOffset(): OffsetV2 = VersionOffset(-1L)
+
+  override def deserializeOffset(json: String): OffsetV2 = VersionOffset.parse(json)
+
+  override def commit(end: OffsetV2): Unit = () // stateless — the offset IS the state
+
+  /** The legacy (non-admission) poll: the engine never calls this on
+    * a [[SupportsAdmissionControl]] source, but keep it correct — the
+    * uncapped latest position. */
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     Versioned.latestVersion(spark, dir).map(v => VersionOffset(v.toLong))
 
-  private def versionOf(o: org.apache.spark.sql.execution.streaming.Offset): Int =
-    o match {
-      case VersionOffset(v) => v.toInt
-      case other            => other.json().trim.toInt // restart: SerializedOffset
-    }
+  // ───────────── serving ─────────────
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
-    val endV = versionOf(end)
+    import org.apache.spark.sql.functions.col
+    val endOff = asVersionOffset(end)
+    val endV = endOff.v.toInt
     val endInfo = Versioned.versionInfo(spark, dir, endV)
-    val endDirs = endInfo.dataDirs.toSet
-    val batch = start.map(versionOf) match {
-      case None =>
-        // first batch: the full table as of stream start, served
-        // through the MASKED read — deletes that predate the stream
-        // were never "served rows", so the initial snapshot must
-        // subtract them exactly like any other read (Delta's initial
-        // snapshot does the same); columns projected to the frozen
-        // stream schema
-        import org.apache.spark.sql.functions.col
-        Versioned.readVersion(spark, dir, endV)
-          .select(frozenSchema.fieldNames.map(col).toSeq: _*)
-      case Some(startV) =>
-        val startInfo = Versioned.versionInfo(spark, dir, startV)
-        val startDirs = startInfo.dataDirs.toSet
-        val dropped = startDirs -- endDirs
-        if (dropped.nonEmpty) throw new IllegalStateException(
-          s"versioned stream at $dir hit a non-append commit between v$startV and " +
-            s"v$endV (${dropped.size} data dir(s) dropped — overwrite or restore). " +
+    val endDirs = endInfo.dataDirs
+    val endIdx = if (endOff.complete) endDirs.size.toLong else endOff.served
+
+    // base position: an explicit start offset, else the pinned
+    // startingVersion base, else zero (initial snapshot from the top)
+    val startOff = start.map(asVersionOffset)
+      .filter(o => o.v >= 0L || !o.complete) // initialOffset sentinel = fresh
+      .orElse(startingBase)
+    // a batch is masked while it belongs to the initial snapshot:
+    // either the very first slice (no start offset at all) or a
+    // continuation whose start carries the snapshot flag
+    val masked = startOff.isEmpty || startOff.exists(_.snap)
+    val baseIdx = startOff.map(globalIdx).getOrElse(0L)
+
+    // integrity checks when the batch crosses versions (unchanged
+    // semantics from the version-granular source)
+    startOff.map(_.v).filter(v => v >= 0L && v < endV.toLong).foreach { sv =>
+      val startInfo = Versioned.versionInfo(spark, dir, sv.toInt)
+      val startDirs = startInfo.dataDirs
+      val dropped = startDirs.toSet -- endDirs.toSet
+      if (dropped.nonEmpty) throw new IllegalStateException(
+        s"versioned stream at $dir hit a non-append commit between v$sv and " +
+          s"v$endV (${dropped.size} data dir(s) dropped — overwrite or restore). " +
           "Streaming serves appends only; restart the stream from the new state.")
-        // scoped dvs (SQL DELETEs) never merge, so a set change is a
-        // real DELETE — no content-compare fallback needed
-        if (!ignoreDeletes &&
-            ((startInfo.dvDirs != endInfo.dvDirs &&
-              !sameDvContent(startInfo.dvDirs, endInfo.dvDirs)) ||
-             startInfo.scopedDvs != endInfo.scopedDvs))
-          throw new IllegalStateException(
-            s"versioned stream at $dir hit a DELETE between v$startV and v$endV; " +
-              "rows already served cannot be unserved. Pass " +
-              "option ignoreDeletes=true to keep streaming appends past deletes.")
-        val newDirs = endInfo.dataDirs.filterNot(startDirs.contains)
-        if (newDirs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
-        else {
-          // manifest-aware subset read, RAW (pre-mask — the stream is
-          // an append feed): serves partitioned chains correctly (the
-          // files don't hold partition columns; a plain schema'd read
-          // would emit them as null) and plans from manifest bytes
-          import org.apache.spark.sql.functions.col
-          Versioned.readVersionDirs(spark, dir, endV, newDirs.toSet, applyDv = false)
-            .select(frozenSchema.fieldNames.map(col).toSeq: _*)
-        }
+      // append-only must also preserve ORDER: offsets slice the shared
+      // dir list by index, so a reordering is as fatal as a drop
+      if (endDirs.take(startDirs.size) != startDirs) throw new IllegalStateException(
+        s"versioned stream at $dir: data-dir order changed between v$sv and v$endV — " +
+          "not an append chain. Restart the stream from the new state.")
+      // scoped dvs (SQL DELETEs) never merge, so a set change is a
+      // real DELETE — no content-compare fallback needed
+      if (!ignoreDeletes &&
+          ((startInfo.dvDirs != endInfo.dvDirs &&
+            !sameDvContent(startInfo.dvDirs, endInfo.dvDirs)) ||
+           startInfo.scopedDvs != endInfo.scopedDvs))
+        throw new IllegalStateException(
+          s"versioned stream at $dir hit a DELETE between v$sv and v$endV; " +
+            "rows already served cannot be unserved. Pass " +
+            "option ignoreDeletes=true to keep streaming appends past deletes.")
     }
+
+    val serve = endDirs.slice(math.min(baseIdx, endIdx.toLong).toInt, endIdx.toInt)
+    val batch =
+      if (serve.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
+      else
+        // manifest-aware subset read: partitioned chains re-attach
+        // partition values (the files don't hold the column), colmap
+        // serves logical names, and stats plan from manifest bytes.
+        // Snapshot slices apply the masks (applyDv) — pre-stream
+        // deletes were never served rows, and scoped dvs apply only
+        // to the dirs they scope; append slices serve RAW, pre-mask
+        // (the stream is an append feed, not a snapshot serve).
+        Versioned.readVersionDirs(spark, dir, endV, serve.toSet, applyDv = masked)
+          .select(frozenSchema.fieldNames.map(col).toSeq: _*)
     // the engine asserts isStreaming on the returned plan — stamp it
     // the way FileStreamSource does
     org.apache.spark.sql.classic.GraftStreamShim.streamingFrom(spark, batch, frozenSchema)

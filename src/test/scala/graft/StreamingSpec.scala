@@ -664,4 +664,177 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(rootMsg(eOw).contains("non-append"), s"wrong failure: ${rootMsg(eOw)}")
   }
+
+  /** Drain a rate-limited stream into a per-batch map (batchId →
+    * rows). foreachBatch replays carry the SAME batchId, so keying by
+    * id makes the union exactly-once even across restarts. */
+  private def drainBatches(dir: String, ckpt: String, opts: Map[String, String])
+      : scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]] = {
+    val acc = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]]
+    val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).options(opts).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        acc.put(id, df.collect().map(r => (r.getLong(0), r.getString(1))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    acc
+  }
+
+  test("versioned streaming source admission control: maxFilesPerTrigger/maxBytesPerTrigger bound every batch; split snapshot stays masked; AvailableNow drains to completion") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vadm").toString + "/t"
+    // 4 commits, one file each, 10 rows each
+    def commit(from: Int, tag: String): Unit = {
+      val df = (from until from + 10).map(i => (i.toLong, tag)).toDF("id", "v").coalesce(1)
+      if (Versioned.latestVersion(spark, dir).isEmpty) Versioned.writeVersion(df, dir)
+      else Versioned.writeVersion(df, dir, SaveMode.Append)
+    }
+    commit(0, "a"); commit(10, "b"); commit(20, "c"); commit(30, "d")
+    // a pre-stream DELETE: the split snapshot must still subtract it
+    Versioned.deleteByKeys(spark, dir, Seq(5L).toDF("id"), "id")
+
+    // ── maxFilesPerTrigger=1: the initial snapshot splits into one
+    // batch per dir, each masked, and AvailableNow drains ALL of them
+    // (the SupportsTriggerAvailableNow path — a capped first offset
+    // must not become the run's endpoint)
+    val ckpt1 = Files.createTempDirectory("graft_vadm_c1").toString
+    val acc1 = drainBatches(dir, ckpt1, Map("maxFilesPerTrigger" -> "1"))
+    val nonEmpty1 = acc1.values.filter(_.nonEmpty).toSeq
+    assert(nonEmpty1.size == 4, s"expected 4 single-dir snapshot slices, got ${acc1.size}")
+    assert(nonEmpty1.forall(_.length <= 10), "a batch exceeded one dir's rows")
+    val all1 = acc1.values.flatten.map(_._1).toSet
+    assert(all1 == (0L until 40L).toSet - 5L,
+      s"split snapshot must be complete and masked, got ${all1.toSeq.sorted}")
+
+    // ── appends backlog under maxFilesPerTrigger=2: two more commits
+    // arrive; the SAME checkpoint admits them two-dirs-then-done
+    commit(40, "e"); commit(50, "f"); commit(60, "g")
+    val acc2 = drainBatches(dir, ckpt1, Map("maxFilesPerTrigger" -> "2"))
+    val sizes2 = acc2.values.map(_.length).toSeq.sorted
+    assert(sizes2 == Seq(10, 20), s"expected a 2-dir batch then a 1-dir batch, got $sizes2")
+    assert(acc2.values.flatten.map(_._1).toSet == (40L until 70L).toSet,
+      "appends backlog must serve exactly the new commits")
+
+    // ── maxBytesPerTrigger: a tiny byte budget still admits at least
+    // one dir per batch (7 commits → 7 batches); a huge one drains in
+    // a single batch. Weights come from manifest stats — no listing.
+    val accTiny = drainBatches(dir,
+      Files.createTempDirectory("graft_vadm_c2").toString,
+      Map("maxBytesPerTrigger" -> "1"))
+    assert(accTiny.values.count(_.nonEmpty) == 7,
+      s"1-byte budget must admit exactly one dir per batch, got ${accTiny.size}")
+    val accBig = drainBatches(dir,
+      Files.createTempDirectory("graft_vadm_c3").toString,
+      Map("maxBytesPerTrigger" -> (10L * 1024 * 1024 * 1024).toString))
+    assert(accBig.values.count(_.nonEmpty) == 1,
+      s"a 10 GiB budget must drain the snapshot in one batch, got ${accBig.size}")
+    assert(accBig.values.flatten.map(_._1).toSet == (0L until 70L).toSet - 5L)
+
+    // ── restart MID-snapshot: stop a rate-limited ProcessingTime
+    // stream after its first slices, then drain the same checkpoint —
+    // no row is lost or duplicated across the restart boundary
+    val ckptR = Files.createTempDirectory("graft_vadm_cr").toString
+    val accR = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]]
+    val qR = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckptR)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        accR.put(id, df.collect().map(r => (r.getLong(0), r.getString(1))))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (accR.size < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    qR.stop(); qR.awaitTermination(120000)
+    assert(accR.size >= 2, "the rate-limited stream never produced its first slices")
+    val qR2 = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckptR)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        accR.put(id, df.collect().map(r => (r.getLong(0), r.getString(1))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    qR2.awaitTermination(120000)
+    val allR = accR.values.flatten.map(_._1).toSeq
+    assert(allR.size == allR.toSet.size, "restart duplicated rows across batches")
+    assert(allR.toSet == (0L until 70L).toSet - 5L,
+      s"restart lost rows: ${((0L until 70L).toSet - 5L) -- allR.toSet}")
+  }
+
+  test("versioned streaming source startingVersion: skips the snapshot, serves raw appends from the pinned version; 'latest' serves only post-start commits; beyond-latest refuses") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vsv").toString + "/t"
+    def commit(from: Int, tag: String): Unit = {
+      val df = (from until from + 3).map(i => (i.toLong, tag)).toDF("id", "v").coalesce(1)
+      if (Versioned.latestVersion(spark, dir).isEmpty) Versioned.writeVersion(df, dir)
+      else Versioned.writeVersion(df, dir, SaveMode.Append)
+    }
+    commit(0, "a") // v0
+    commit(3, "b") // v1
+    Versioned.deleteByKeys(spark, dir, Seq(1L).toDF("id"), "id") // v2: a dv
+    commit(6, "c") // v3
+
+    // startingVersion=1: no snapshot; versions >= 1 serve as RAW
+    // appends (the dv-delete at v2 is crossed → needs ignoreDeletes;
+    // raw means the pre-stream-deleted id 1 does NOT mask here — but
+    // id 1 lives in v0, which startingVersion=1 skips entirely)
+    val acc1 = drainBatches(dir,
+      Files.createTempDirectory("graft_vsv_c1").toString,
+      Map("startingVersion" -> "1", "ignoreDeletes" -> "true"))
+    assert(acc1.values.flatten.map(_._1).toSet == Set(3L, 4L, 5L, 6L, 7L, 8L),
+      s"startingVersion=1 must serve v1..v3 only, got ${acc1.values.flatten.toSeq.sorted}")
+
+    // startingVersion=0 serves EVERYTHING as raw appends — including
+    // the row a pre-stream dv masks out of a fresh snapshot stream
+    val acc0 = drainBatches(dir,
+      Files.createTempDirectory("graft_vsv_c0").toString,
+      Map("startingVersion" -> "0", "ignoreDeletes" -> "true"))
+    assert(acc0.values.flatten.map(_._1).toSet == (0L until 9L).toSet,
+      "startingVersion=0 must serve raw appends incl. the dv-masked row")
+    val snap = drainBatches(dir,
+      Files.createTempDirectory("graft_vsv_cs").toString, Map.empty)
+    assert(snap.values.flatten.map(_._1).toSet == (0L until 9L).toSet - 1L,
+      "the default snapshot stream must stay masked")
+
+    // 'latest': nothing now; only commits after stream start flow
+    val ckptL = Files.createTempDirectory("graft_vsv_cl").toString
+    val accL = drainBatches(dir, ckptL, Map("startingVersion" -> "latest"))
+    assert(accL.values.forall(_.isEmpty),
+      s"'latest' must serve nothing at start, got ${accL.values.flatten.toSeq}")
+    commit(9, "d") // v4
+    val accL2 = drainBatches(dir, ckptL, Map("startingVersion" -> "latest"))
+    assert(accL2.values.flatten.map(_._1).toSet == Set(9L, 10L, 11L),
+      "'latest' must serve exactly the post-start commit")
+
+    // beyond latest+1 refuses loudly, not silently-empty
+    val eBad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir).option("startingVersion", "99").load()
+        .writeStream.format("memory").queryName("vsv_bad")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(eBad).contains("beyond the latest"),
+      s"wrong failure: ${rootMsg(eBad)}")
+
+    // rate limits compose with startingVersion
+    val accC = drainBatches(dir,
+      Files.createTempDirectory("graft_vsv_cc").toString,
+      Map("startingVersion" -> "3", "maxFilesPerTrigger" -> "1"))
+    assert(accC.values.count(_.nonEmpty) == 2 &&
+      accC.values.flatten.map(_._1).toSet == (6L until 12L).toSet,
+      s"startingVersion=3 + maxFilesPerTrigger=1 must serve v3,v4 as two slices, " +
+        s"got ${accC.values.map(_.toSeq).toSeq}")
+  }
 }
