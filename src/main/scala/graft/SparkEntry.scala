@@ -1827,6 +1827,49 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // REPLACE WHERE (Delta `replaceWhere` / Spark SQL `INSERT INTO …
+    // REPLACE WHERE`): ONE atomic commit that swaps exactly the
+    // predicate slice — the reload-a-slice primitive two commits
+    // (DELETE + append) cannot give a concurrent reader. A
+    // partition-only predicate drops the slice's files from manifest
+    // partition values with ZERO data read (the 100 TB path);
+    // inserted rows are validated against the predicate inside the
+    // write pass. The meter pins single-commit atomicity, verbatim
+    // carry of untouched partition files, and the exact swapped
+    // content against DuckDB.
+    "q154_replace_where" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, lit, round}
+      val tbl = scratchPath("replace_where", d)
+      Versioned.dropTableChain(s, tbl)
+      new scala.reflect.io.Directory(new java.io.File(tbl)).deleteRecursively()
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus").as("status"))
+      Versioned.writeVersionPartitioned(src.repartition(2), tbl, Seq("status"))
+      val v0 = Versioned.latestVersion(s, tbl).get
+      val before = Versioned.planDataFiles(s, tbl, v0, Seq.empty)
+      // re-land the F slice re-scored — one atomic commit
+      val reload = src.filter(col("status") === "F")
+        .withColumn("price", round(col("price") + lit(1000.0), 2))
+      val v1 = Versioned.replaceWhere(reload, tbl, "status = 'F'").get
+      assert(v1 == v0 + 1, "replaceWhere must land as ONE commit")
+      val after = Versioned.planDataFiles(s, tbl, v1, Seq.empty)
+      val untouched = before.filterNot(_.contains("status=F"))
+      assert(untouched.nonEmpty && untouched.forall(after.contains),
+        "untouched partitions must carry their files VERBATIM")
+      assert(before.filter(_.contains("status=F")).forall(f => !after.contains(f)),
+        "the replaced partition's files must all drop")
+      // mis-scoped inserts refuse inside the write pass
+      assert(refusesWith("does not satisfy") {
+        Versioned.replaceWhere(reload.withColumn("status", lit("X")),
+          tbl, "status = 'F'")
+      }, "a row outside the predicate must refuse the whole replace")
+      s.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+      s.sql(s"SELECT o_orderkey, price, status FROM versioned.`$tbl` " +
+        "ORDER BY o_orderkey")
+    },
+
     // STREAMING ADMISSION CONTROL (Delta source's maxFilesPerTrigger /
     // maxBytesPerTrigger / startingVersion roles): without rate
     // limits the initial snapshot of a 100 TB table is ONE
@@ -4273,6 +4316,16 @@ object SparkEntry {
 
     // the derived-prune read returns exactly the max-date rows with
     // the generated month column
+    // the F slice swaps for its re-scored reload; every other status
+    // carries verbatim (file identity asserted in-query)
+    "q154_replace_where" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN ROUND(ROUND(o_totalprice, 2) + 1000.0, 2)
+        |       ELSE ROUND(o_totalprice, 2) END AS price,
+        |  o_orderstatus AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // the union of the rate-limited micro-batches is exactly the
     // table — per-batch bounds are asserted in-query
     "q153_stream_rate_limit" ->

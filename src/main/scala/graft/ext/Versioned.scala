@@ -4208,6 +4208,198 @@ object Versioned {
     else writeVersionPartitioned(df, dir, partCols, SaveMode.Overwrite, protocol)
   }
 
+  /** Delta `replaceWhere` / Spark SQL `INSERT INTO … REPLACE WHERE`'s
+    * role: ONE atomic commit that removes every row matching
+    * `predicateSql` and inserts `df` — the reload-a-slice primitive
+    * (re-land one day of a date-partitioned table, re-score one
+    * source's documents) that two commits (DELETE + append) cannot
+    * give a concurrent reader, who must never observe the slice
+    * half-gone or doubled.
+    *
+    * The inserted rows must THEMSELVES satisfy the predicate —
+    * otherwise "replace where X" would also smuggle rows outside X
+    * into the table (Delta's replaceWhere constraint check). Enforced
+    * IN the write pass via raise_error: a mis-scoped reload refuses
+    * before a byte is referenced, with no extra validation job.
+    *
+    * Two selection tiers, by predicate shape:
+    *   - PARTITION-ONLY predicate on a partitioned chain: the exact
+    *     file set comes from the manifest's partition values
+    *     ([[partitionScopedFiles]]) — the replaced files DROP with
+    *     zero data read; the commit is remove(files)+add(new dir).
+    *     This is the 100 TB path: replacing one partition of a
+    *     million-file table reads nothing outside the new data.
+    *   - general predicate: one-sided dir-stats pruning selects the
+    *     candidate dirs ([[planDataDirs]] — any dir that COULD hold a
+    *     matching row); their NON-matching rows ride into the
+    *     replacement dir (masked read: deleted rows do not
+    *     resurrect), everything else carries verbatim through the
+    *     file-granular commit. NULL predicate rows are kept, standard
+    *     WHERE semantics. Conjuncts the pushdown translator cannot
+    *     carry only widen the candidate set — never the semantics.
+    *
+    * CHECK constraints, GENERATED columns, NOT NULL, blooms, identity
+    * marks, and the dv-snapshot conflict check all apply through
+    * [[commitFileRewrite]], exactly as for any row-level rewrite; the
+    * commit commutes with concurrent appends to untouched files and
+    * surfaces (not retries) a stale snapshot. Streams over the table
+    * see a non-append commit, as they must.
+    *
+    * Returns the committed version; None when the statement was a
+    * complete no-op (no row matched AND `df` was empty). */
+  def replaceWhere(df: DataFrame, dir: String, predicateSql: String,
+                   protocol: CommitProtocol = PutIfAbsentCommit,
+                   maxAttempts: Int = 16): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, raise_error, when, col => fcol}
+    val spark = df.sparkSession
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"replaceWhere needs an existing table at $dir — write version 0 first"))
+    val ls0 = lines(spark, dir, v0)
+    val cmap = colMapOf(ls0)
+    val physSchema = ls0.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalArgumentException(
+        s"replaceWhere at $dir needs a recorded schema (pre-schema manifest)"))
+    val logicalSchema = toLogicalSchema(physSchema, cmap)
+    val partCols = ls0.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val (fs, root) = fsFor(spark, dir)
+
+    // resolve the predicate against the table's LOGICAL schema once —
+    // a typo'd column refuses here, before any write
+    val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logicalSchema)
+      .filter(expr(predicateSql))
+    val resolvedCond = probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.headOption.getOrElse(throw new IllegalArgumentException(
+      s"could not resolve replaceWhere predicate '$predicateSql'"))
+    def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjunctsOf(l) ++ conjunctsOf(r)
+      case x => Seq(x)
+    }
+    val pushed = conjunctsOf(resolvedCond).flatMap(
+      org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(_))
+
+    val partitionOnly = partCols.nonEmpty && {
+      val refs = spark.sessionState.sqlParser.parseExpression(predicateSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.mkString(".")
+      }
+      refs.nonEmpty && refs.forall(n => partCols.exists(_.equalsIgnoreCase(n)))
+    }
+
+    val (removed: Map[String, Set[String]], survivors: Option[DataFrame]) =
+      if (partitionOnly)
+        (partitionScopedFiles(spark, dir, v0, predicateSql), None)
+      else {
+        val candNames = planDataDirs(spark, dir, v0, pushed)
+        val stats = ls0.collect { case e: StatsEntry => e.name -> e }.toMap
+        require(candNames.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+          s"replaceWhere at $dir needs manifest file lists for every candidate " +
+            "dir — run backfillStats to upgrade pre-file-list manifests")
+        val rm = candNames.map(n => n -> stats(n).files.map(_.name).toSet).toMap
+        val surv =
+          if (candNames.isEmpty) None
+          else Some(readVersionDirs(spark, dir, v0,
+              candNames.map(n => new Path(root, n).toString).toSet, applyDv = true)
+            .filter(not(coalesce(expr(predicateSql), lit(false)))))
+        (rm, surv)
+      }
+
+    // the inserted rows must satisfy the predicate — raise_error
+    // fires inside the single write pass on the first violator
+    val guardCol = logicalSchema.fields.head.name
+    val guarded = df.withColumn(guardCol,
+      when(coalesce(expr(predicateSql), lit(false)), fcol(guardCol))
+        .otherwise(raise_error(lit(
+          s"replaceWhere at $dir: an inserted row does not satisfy the " +
+            s"predicate ($predicateSql); nothing was committed"))
+          .cast(logicalSchema(guardCol).dataType)))
+    // the shared entry prep: fill omitted GENERATED columns, assign
+    // identity values, translate logical→physical for renamed chains
+    val (physNew0, idBasis) = prepareWrite(guarded, dir, translate = true)
+    val physNew = physNew0.select(physSchema.fields.map(f =>
+      fcol(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val payload = survivors match {
+      case None    => physNew
+      case Some(s) =>
+        toPhysical(s, cmap)
+          .select(physSchema.fieldNames.map(fcol).toSeq: _*)
+          .unionByName(physNew)
+    }
+
+    val staged = stageDataDir(spark, dir)
+    val stagedPath = new Path(root, staged)
+    val w = payload.write.mode(SaveMode.ErrorIfExists)
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+      .parquet(stagedPath.toString)
+
+    val dvSnapshot = ls0.collect {
+      case DvEntry(k, n)          => (k, n)
+      case ScopedDvEntry(k, n, _) => (k, n)
+    }
+    try commitFileRewrite(spark, dir, removed, Some(staged), partCols,
+      dvSnapshot, protocol, maxAttempts, identityBasis = idBasis)
+    catch { case t: Throwable => fs.delete(stagedPath, true); throw t }
+  }
+
+  /** Render pushed-down overwrite filters as ONE predicate-SQL string
+    * (what [[replaceWhere]] takes — the SQL seam's
+    * `INSERT INTO … REPLACE WHERE` hands the store `sources.Filter`s).
+    * None when a filter shape or literal the store cannot re-apply
+    * exactly is present: the seam then refuses at ANALYSIS time
+    * rather than mis-scope a replace. Rendered by hand — a filter
+    * tree is tiny and closed, and the predicate must round-trip
+    * through the SQL parser byte-faithfully. */
+  private[graft] def filtersPredicateSql(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): String = v match {
+      case null                  => "NULL"
+      case s: String             => "'" + s.replace("'", "''") + "'"
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        "'" + s.toString.replace("'", "''") + "'"
+      case d: java.sql.Date      => s"DATE '$d'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case b: Boolean            => b.toString
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+      case n @ (_: Float | _: Double) => s"CAST($n AS DOUBLE)"
+      case n: java.math.BigDecimal => n.toPlainString
+      case n: BigDecimal         => n.underlying.toPlainString
+      case other => throw new IllegalArgumentException(
+        s"literal ${other.getClass.getName} does not render to predicate SQL")
+    }
+    def col(a: String): String =
+      if (a.contains(".") || a.contains("`")) throw new IllegalArgumentException(
+        s"nested or backquoted attribute '$a' does not render to predicate SQL")
+      else "`" + a + "`"
+    def render(f: Filter): String = f match {
+      case EqualTo(a, v)            => s"${col(a)} = ${lit(v)}"
+      case EqualNullSafe(a, v)      => s"${col(a)} <=> ${lit(v)}"
+      case GreaterThan(a, v)        => s"${col(a)} > ${lit(v)}"
+      case GreaterThanOrEqual(a, v) => s"${col(a)} >= ${lit(v)}"
+      case LessThan(a, v)           => s"${col(a)} < ${lit(v)}"
+      case LessThanOrEqual(a, v)    => s"${col(a)} <= ${lit(v)}"
+      case In(a, vs)                => s"${col(a)} IN (${vs.map(lit).mkString(", ")})"
+      case IsNull(a)                => s"${col(a)} IS NULL"
+      case IsNotNull(a)             => s"${col(a)} IS NOT NULL"
+      case StringStartsWith(a, p)   =>
+        s"${col(a)} LIKE ${lit(p.replace("\\", "\\\\").replace("%", "\\%")
+          .replace("_", "\\_") + "%")}"
+      case And(l, r)                => s"(${render(l)} AND ${render(r)})"
+      case Or(l, r)                 => s"(${render(l)} OR ${render(r)})"
+      case Not(c)                   => s"(NOT ${render(c)})"
+      case other => throw new IllegalArgumentException(
+        s"filter $other does not render to predicate SQL")
+    }
+    if (filters.isEmpty) None
+    else try Some(filters.map(render).mkString("(", " AND ", ")"))
+    catch { case _: IllegalArgumentException => None }
+  }
+
   case class PruneStats(versionsDropped: Seq[Int], dirsDeleted: Seq[String],
                         dirsSkippedYoung: Seq[String] = Seq.empty)
 

@@ -1391,6 +1391,7 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
 
   private var overwrite = false
   private var dynamic = false
+  private var replacePredicate: Option[String] = None
 
   /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` (the
     * reference pipeline's own write mode — S7 — now on the versioned
@@ -1405,22 +1406,31 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
     dynamic = true; this
   }
 
-  // the declared OVERWRITE_BY_FILTER capability is honored for exactly
-  // one filter shape: the trivial AlwaysTrue conjunction (INSERT
-  // OVERWRITE / DataFrameWriterV2.overwrite(lit(true))), which is the
-  // truncate this store expresses as a fresh single-dir version. A
-  // selective overwrite-by-filter would be a partial rewrite this
-  // store doesn't do — canOverwrite refuses it at ANALYSIS time (clear
-  // error) instead of passing analysis and dying at write planning.
+  // the declared OVERWRITE_BY_FILTER capability serves two shapes:
+  // the trivial AlwaysTrue conjunction (INSERT OVERWRITE /
+  // DataFrameWriterV2.overwrite(lit(true))) is the truncate this
+  // store expresses as a fresh single-dir version; any other
+  // translatable conjunction is `INSERT INTO … REPLACE WHERE` — ONE
+  // atomic predicate-scoped replace through
+  // [[Versioned.replaceWhere]] (exact partition-pruned drop when the
+  // predicate is partition-only; stats-pruned copy-on-write
+  // otherwise, inserted rows validated against the predicate in the
+  // write pass). A filter shape the store cannot re-apply exactly
+  // refuses at ANALYSIS time (clear error) instead of passing
+  // analysis and dying at write planning.
   override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
+    filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue) ||
+      Versioned.filtersPredicateSql(filters.toSeq).isDefined
 
   override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(canOverwrite(filters),
-      s"versioned tables overwrite whole state only (INSERT OVERWRITE); " +
-        s"got filters ${filters.mkString(", ")} — DELETE keys first, or rewrite via the library")
-    overwrite = true; this
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) overwrite = true
+    else replacePredicate = Some(Versioned.filtersPredicateSql(filters.toSeq).getOrElse(
+      throw new IllegalArgumentException(
+        s"versioned REPLACE WHERE cannot re-apply filters ${filters.mkString(", ")} " +
+          "exactly — use a predicate of =, <=>, <, <=, >, >=, IN, IS [NOT] NULL, " +
+          "LIKE 'p%', AND, OR")))
+    this
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
@@ -1430,14 +1440,17 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
                               overwriteFlag: Boolean): Unit = {
-            (overwrite || overwriteFlag, partCols.isEmpty) match {
-              case (true, true)   =>
-                Versioned.writeVersion(data, dir, org.apache.spark.sql.SaveMode.Overwrite)
-              case (false, true)  => Versioned.appendVersionWithRetry(data, dir)
-              case (true, false)  =>
-                Versioned.writeVersionPartitioned(data, dir, partCols)
-              case (false, false) =>
-                Versioned.appendVersionPartitionedWithRetry(data, dir, partCols)
+            replacePredicate match {
+              case Some(pred) => Versioned.replaceWhere(data, dir, pred)
+              case None => (overwrite || overwriteFlag, partCols.isEmpty) match {
+                case (true, true)   =>
+                  Versioned.writeVersion(data, dir, org.apache.spark.sql.SaveMode.Overwrite)
+                case (false, true)  => Versioned.appendVersionWithRetry(data, dir)
+                case (true, false)  =>
+                  Versioned.writeVersionPartitioned(data, dir, partCols)
+                case (false, false) =>
+                  Versioned.appendVersionPartitionedWithRetry(data, dir, partCols)
+              }
             }
             ()
           }

@@ -5336,4 +5336,103 @@ class ExtSpec extends AnyFunSuite {
     Versioned.renameColumns(spark, dir, Seq("v" -> "w"))
     assert(Versioned.readLatest(spark, dir).columns.toSeq == Seq("a,b", "w"))
   }
+
+  test("replaceWhere: one atomic commit replaces exactly the predicate slice; partition-only predicates drop without a read; untouched files carry verbatim; mis-scoped inserts refuse; masked rows do not resurrect") {
+    import java.nio.file.Files
+    import graft.ext.Versioned
+
+    // ── partitioned chain, partition-only predicate: exact drop+add
+    val pdir = Files.createTempDirectory("graft_rw_part").toString + "/t"
+    Versioned.writeVersionPartitioned(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "f", 30.0), (4L, "f", 40.0),
+        (5L, "p", 50.0)).toDF("id", "status", "price"),
+      pdir, Seq("status"))
+    val v0 = Versioned.latestVersion(spark, pdir).get
+    val before = Versioned.planDataFiles(spark, pdir, v0, Seq.empty)
+    val vNew = Versioned.replaceWhere(
+      Seq((30L, "f", 33.0), (40L, "f", 44.0)).toDF("id", "status", "price"),
+      pdir, "status = 'f'").get
+    assert(vNew == v0 + 1, "replaceWhere must land as ONE commit")
+    val after = Versioned.planDataFiles(spark, pdir, vNew, Seq.empty)
+    val untouched = before.filterNot(_.contains("status=f"))
+    assert(untouched.forall(after.contains),
+      s"untouched partition files must carry VERBATIM: $untouched vs $after")
+    assert(!after.exists(f => before.contains(f) && f.contains("status=f")),
+      "the replaced partition's files must drop")
+    assert(Versioned.readLatest(spark, pdir)
+      .select($"id", $"status", $"price").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (5L, "p", 50.0),
+        (30L, "f", 33.0), (40L, "f", 44.0)),
+      "replace must swap exactly the predicate slice")
+    assert(Versioned.readVersion(spark, pdir, v0).count() == 5,
+      "time travel to the pre-replace version must serve the old slice")
+
+    // a mis-scoped insert (row outside the predicate) refuses with
+    // nothing committed — the guard fires inside the write pass
+    val eBad = intercept[Exception] {
+      Versioned.replaceWhere(
+        Seq((9L, "zz", 9.0)).toDF("id", "status", "price"), pdir, "status = 'f'")
+    }
+    def chain(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(chain(eBad).contains("does not satisfy"), s"wrong failure: ${chain(eBad)}")
+    assert(Versioned.latestVersion(spark, pdir).get == vNew,
+      "a refused replace must commit nothing")
+
+    // ── unpartitioned chain, DATA-column predicate: stats-pruned
+    // copy-on-write; NULL-predicate rows are kept (standard WHERE);
+    // a scoped-dv-masked survivor stays deleted through the rewrite
+    val dir = Files.createTempDirectory("graft_rw_gen").toString + "/t"
+    def rows(from: Int, tag: String) =
+      (from until from + 10).map(i =>
+        (i.toLong, if (i == 13) null else tag, i.toDouble)).toDF("id", "v", "price")
+    Versioned.writeVersion(rows(0, "a").coalesce(1), dir)
+    Versioned.writeVersion(rows(10, "b").coalesce(1), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    Versioned.writeVersion(rows(20, "c").coalesce(1), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    Versioned.deleteByKeysScoped(spark, dir, Seq(11L).toDF("id"), "id")
+    val vg0 = Versioned.latestVersion(spark, dir).get
+    val beforeG = Versioned.planDataFiles(spark, dir, vg0, Seq.empty)
+    val vg1 = Versioned.replaceWhere(
+      Seq((12L, "b", 99.0), (17L, "b", 99.0)).toDF("id", "v", "price"),
+      dir, "id >= 12 AND id < 18 AND v = 'b'").get
+    val afterG = Versioned.planDataFiles(spark, dir, vg1, Seq.empty)
+    // the [0,10) and [20,30) dirs cannot hold a matching row — their
+    // files carry verbatim (stats pruning scoped the rewrite)
+    val outer = beforeG.filter(f => afterG.contains(f))
+    assert(outer.size == 2,
+      s"exactly the two non-candidate files must carry verbatim: $beforeG vs $afterG")
+    val got = Versioned.readLatest(spark, dir)
+      .select($"id", $"v", $"price").orderBy("id")
+      .as[(Long, Option[String], Double)].collect().toSeq
+    val expect = (
+      (0 until 10).map(i => (i.toLong, Some("a").filter(_ => i != 13), i.toDouble)) ++
+      Seq((10L, Some("b"), 10.0), // 11 stays deleted (scoped dv, applied through the rewrite)
+        (12L, Some("b"), 99.0),   // replaced
+        (13L, None, 13.0),        // NULL predicate → kept, standard WHERE semantics
+        (17L, Some("b"), 99.0),   // replaced
+        (18L, Some("b"), 18.0), (19L, Some("b"), 19.0)) ++
+      (20 until 30).map(i => (i.toLong, Some("c"), i.toDouble))
+    ).map { case (i, v, p) => (i, v: Option[String], p) }.sortBy(_._1)
+    assert(got == expect, s"got $got")
+
+    // ── SQL seam: Spark's own INSERT INTO … REPLACE WHERE routes here
+    spark.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+    spark.sql(s"INSERT INTO versioned.`$pdir` REPLACE WHERE status = 'p' " +
+      "SELECT * FROM VALUES (500L, 5.5, 'p'), (501L, 5.5, 'p') AS t(id, price, status)")
+    assert(Versioned.readLatest(spark, pdir).filter($"status" === "p")
+      .select($"id").as[Long].collect().toSet == Set(500L, 501L),
+      "SQL REPLACE WHERE must swap the partition slice atomically")
+    assert(Versioned.readLatest(spark, pdir).count() == 6)
+
+    // an EMPTY insert is a pure predicate-scoped delete, still atomic
+    val vDel = Versioned.replaceWhere(
+      Seq.empty[(Long, String, Double)].toDF("id", "status", "price"),
+      pdir, "status = 'p'")
+    assert(vDel.nonEmpty && Versioned.readLatest(spark, pdir)
+      .filter($"status" === "p").isEmpty,
+      "replaceWhere with no rows must delete the slice")
+  }
 }
