@@ -1827,6 +1827,50 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // STREAMING CHANGE DATA FEED (Delta `readChangeFeed` streaming):
+    // micro-batches serve per-commit change rows — keys + values +
+    // _change_type (insert/delete/update_preimage/update_postimage) +
+    // _commit_version — recorded feeds (writeVersionWithChangeFeed)
+    // served O(feed) with zero diff work, other commits derived per
+    // step. The meter replays one recorded commit's feed through a
+    // real stream and hash-checks the classified rows against a
+    // DuckDB reconstruction of the same diff.
+    "q155_stream_cdf" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, lit, round, when}
+      val tbl = scratchPath("stream_cdf", d)
+      Versioned.dropTableChain(s, tbl)
+      new scala.reflect.io.Directory(new java.io.File(tbl)).deleteRecursively()
+      val ckpt = tbl + "_ckpt"
+      val outDir = tbl + "_feed"
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(outDir)).deleteRecursively()
+      val s0 = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val s1 = s0.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price", when(col("o_orderkey") % 2 === 0,
+          round(col("price") + 100.0, 2)).otherwise(col("price")))
+      Versioned.writeVersionWithChangeFeed(s0, tbl, Seq("o_orderkey"))
+      Versioned.writeVersionWithChangeFeed(s1, tbl, Seq("o_orderkey"))
+      assert(Versioned.hasRecordedChanges(s, tbl, 0, 1, Seq("o_orderkey")),
+        "the commit must carry a RECORDED feed — the O(feed) serve path")
+      val q = s.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", tbl).option("readChangeFeed", "true")
+        .option("keys", "o_orderkey").option("startingVersion", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          df.write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.read.parquet(outDir)
+        .select(col("o_orderkey"), col("price"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("o_orderkey", "_change_type")
+    },
+
     // REPLACE WHERE (Delta `replaceWhere` / Spark SQL `INSERT INTO …
     // REPLACE WHERE`): ONE atomic commit that swaps exactly the
     // predicate slice — the reload-a-slice primitive two commits
@@ -4316,6 +4360,23 @@ object SparkEntry {
 
     // the derived-prune read returns exactly the max-date rows with
     // the generated month column
+    // the streamed feed of commit 1 is exactly the classified diff
+    // S0 → S1: deletes (key%5=0), update pre/post images (key%2=0),
+    // unchanged rows emit nothing
+    "q155_stream_cdf" ->
+      """WITH s0 AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, price, 'delete' AS _change_type,
+        |  CAST(1 AS INT) AS _commit_version
+        |FROM s0 WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, price, 'update_preimage', CAST(1 AS INT)
+        |FROM s0 WHERE o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, ROUND(price + 100.0, 2), 'update_postimage', CAST(1 AS INT)
+        |FROM s0 WHERE o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+
     // the F slice swaps for its re-scored reload; every other status
     // carries verbatim (file identity asserted in-query)
     "q154_replace_where" ->

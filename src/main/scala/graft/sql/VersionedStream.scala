@@ -141,12 +141,25 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
       .getOrElse(Versioned.readVersion(spark, dir, v).schema)
   }
 
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  /** The CDF stream's schema: the table's value columns plus Delta
+    * CDF's two metadata columns. */
+  private def cdfSchema(value: StructType): StructType =
+    StructType(value.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required"))
-    (shortName(), schema.getOrElse(resolveSchema(sqlContext.sparkSession, dir)))
+    val value = schema.getOrElse(resolveSchema(sqlContext.sparkSession, dir))
+    (shortName(), if (cdfMode(parameters)) cdfSchema(value) else value)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -165,16 +178,28 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
       require(n > 0, s"maxBytesPerTrigger must be positive, got $s")
       n
     }
+    val cdf = cdfMode(parameters)
+    // a CDF stream with no explicit start serves changes from NOW —
+    // Delta's contract; 'latest' also reuses its pinning machinery so
+    // a batch-0 replay cannot re-resolve later
     val startingVersion = parameters.get("startingVersion").map(_.trim).map { s =>
       require(s == "latest" || (s.nonEmpty && s.forall(_.isDigit)),
         s"startingVersion must be a version number or 'latest', got '$s'")
       s
-    }
+    }.orElse(if (cdf) Some("latest") else None)
+    val cdfKeys = parameters.get("keys").map(
+      _.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    if (cdf) require(cdfKeys.nonEmpty,
+      "readChangeFeed needs option 'keys' (comma-separated key columns — this " +
+        "store's change feeds are key-classified, recorded at write time by " +
+        "writeVersionWithChangeFeed and derived per commit otherwise)")
+    val value = schema.getOrElse(resolveSchema(spark, dir))
     new VersionedStreamSource(spark, dir,
-      schema.getOrElse(resolveSchema(spark, dir)),
+      if (cdf) cdfSchema(value) else value,
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
       maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
-      startingVersion = startingVersion, metadataPath = metadataPath)
+      startingVersion = startingVersion, metadataPath = metadataPath,
+      cdf = cdf, cdfKeys = cdfKeys)
   }
 }
 
@@ -225,13 +250,28 @@ private[sql] object VersionOffset {
   }
 }
 
+/** `cdf = true` turns the source into Delta's STREAMING CHANGE DATA
+  * FEED (`readChangeFeed`): each micro-batch serves the per-commit
+  * change rows of the versions it crosses — keys + value columns +
+  * `_change_type` (insert / delete / update_preimage /
+  * update_postimage) + `_commit_version` — recorded feeds
+  * ([[Versioned.writeVersionWithChangeFeed]]) served O(feed), other
+  * commits derived per step. No initial snapshot: the default base
+  * is 'latest' (changes from NOW, pinned in checkpoint metadata);
+  * `startingVersion = N` replays history from commit N on, version 0
+  * serving its full state as `insert` rows. Deletes and overwrites
+  * do NOT fail a CDF stream — they ARE its rows. Admission control:
+  * `maxFilesPerTrigger` caps COMMITS per batch here (a feed has no
+  * per-dir stats line to weigh; the commit is the natural unit). */
 private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
                                          frozenSchema: StructType,
                                          ignoreDeletes: Boolean,
                                          maxFilesPerTrigger: Option[Int] = None,
                                          maxBytesPerTrigger: Option[Long] = None,
                                          startingVersion: Option[String] = None,
-                                         metadataPath: String = "")
+                                         metadataPath: String = "",
+                                         cdf: Boolean = false,
+                                         cdfKeys: Seq[String] = Seq.empty)
     extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def schema: StructType = frozenSchema
@@ -275,7 +315,8 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
           val v = java.lang.Long.parseLong(n)
           require(v <= latest + 1L,
             s"startingVersion $v is beyond the latest committed version $latest at $dir")
-          if (v == 0L) VersionOffset(0L, 0L) else VersionOffset(v - 1L)
+          if (v == 0L) { if (cdf) VersionOffset(-1L) else VersionOffset(0L, 0L) }
+          else VersionOffset(v - 1L)
       }
       if (metadataPath.nonEmpty) {
         val out = fs.create(marker, true)
@@ -384,6 +425,16 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
     val pos = start.orElse(startingBase)
       .getOrElse(VersionOffset(effLatest.toLong, 0L, snap = true))
     val (maxF, maxB) = boundsOf(limit)
+    if (cdf) {
+      // change-feed admission: whole COMMITS per batch (a feed dir
+      // carries no stats line to weigh — the commit is the unit);
+      // the step saturates at the pending count (an unbounded cap
+      // must not overflow the add)
+      if (pos.v >= effLatest.toLong) return startOffset
+      val pending = effLatest.toLong - pos.v
+      val step = math.max(1L, math.min(maxF.getOrElse(pending), pending))
+      return VersionOffset(pos.v + step)
+    }
     val next = admit(pos, effLatest, maxF, maxB)
     if (next == pos) startOffset else next
   }
@@ -410,6 +461,38 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
     import org.apache.spark.sql.functions.col
     val endOff = asVersionOffset(end)
     val endV = endOff.v.toInt
+
+    if (cdf) {
+      // change-feed batch: the per-commit feeds of versions
+      // (from, endV] — recorded O(feed) where present, derived per
+      // step otherwise; version 0 serves its state as inserts
+      import org.apache.spark.sql.functions.lit
+      val from = start.map(asVersionOffset).orElse(startingBase)
+        .map(_.v.toInt).getOrElse(-1)
+      val parts = (from + 1 to endV).map { v =>
+        if (v == 0)
+          Versioned.readVersion(spark, dir, 0)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(0))
+        else Versioned.changeFeed(spark, dir, v - 1, v, cdfKeys)
+      }
+      val all =
+        if (parts.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
+        else {
+          // evolution-tolerant: older feeds lack newer columns —
+          // null-pad to the frozen CDF schema, the streaming contract
+          val u = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+          frozenSchema.fields.foldLeft(u) { (d, f) =>
+            if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+        }
+      return org.apache.spark.sql.classic.GraftStreamShim.streamingFrom(spark,
+        all.select(frozenSchema.fieldNames.map(col).toSeq: _*), frozenSchema)
+    }
+
     val endInfo = Versioned.versionInfo(spark, dir, endV)
     val endDirs = endInfo.dataDirs
     val endIdx = if (endOff.complete) endDirs.size.toLong else endOff.served

@@ -837,4 +837,79 @@ class StreamingSpec extends AnyFunSuite {
       s"startingVersion=3 + maxFilesPerTrigger=1 must serve v3,v4 as two slices, " +
         s"got ${accC.values.map(_.toSeq).toSeq}")
   }
+
+  test("versioned streaming CHANGE DATA FEED: per-commit change rows with _change_type/_commit_version; recorded feeds serve; deletes and overwrites flow as rows; default base is 'latest'; replay from version 0 serves inserts") {
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vcdf").toString + "/t"
+    // v0: initial state; v1: one update + one delete + one insert
+    // (recorded feed); v2: an overwrite that only updates
+    Versioned.writeVersionWithChangeFeed(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+    Versioned.writeVersionWithChangeFeed(
+      Seq((1L, "a2"), (3L, "c"), (4L, "d")).toDF("id", "v"), dir, Seq("id"))
+    Versioned.writeVersionWithChangeFeed(
+      Seq((1L, "a2"), (3L, "c3"), (4L, "d")).toDF("id", "v"), dir, Seq("id"))
+
+    def drainCdf(ckpt: String, opts: Map[String, String])
+        : scala.collection.concurrent.TrieMap[Long, Array[(Long, String, String, Int)]] = {
+      val acc = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String, String, Int)]]
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir).option("readChangeFeed", "true").option("keys", "id")
+        .options(opts).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          acc.put(id, df.collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getInt(3))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      acc
+    }
+
+    // full replay from version 0: v0 as inserts, then exact feeds
+    val accAll = drainCdf(Files.createTempDirectory("graft_vcdf_c0").toString,
+      Map("startingVersion" -> "0"))
+    val rows = accAll.values.flatten.toSet
+    val expected = Set(
+      (1L, "a", "insert", 0), (2L, "b", "insert", 0), (3L, "c", "insert", 0),
+      (1L, "a", "update_preimage", 1), (1L, "a2", "update_postimage", 1),
+      (2L, "b", "delete", 1), (4L, "d", "insert", 1),
+      (3L, "c", "update_preimage", 2), (3L, "c3", "update_postimage", 2))
+    assert(rows == expected, s"got ${rows.toSeq.sortBy(r => (r._4, r._1, r._3))}")
+
+    // the schema carries the two CDF metadata columns
+    val cdfDf = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).option("readChangeFeed", "true").option("keys", "id").load()
+    assert(cdfDf.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+
+    // default base is 'latest': nothing now, only post-start commits
+    val ckptL = Files.createTempDirectory("graft_vcdf_cl").toString
+    assert(drainCdf(ckptL, Map.empty).values.forall(_.isEmpty))
+    Versioned.writeVersionWithChangeFeed(
+      Seq((1L, "a2"), (4L, "d4")).toDF("id", "v"), dir, Seq("id")) // v3: del 3, upd 4
+    val accL = drainCdf(ckptL, Map.empty)
+    assert(accL.values.flatten.toSet == Set(
+      (3L, "c3", "delete", 3),
+      (4L, "d", "update_preimage", 3), (4L, "d4", "update_postimage", 3)),
+      s"got ${accL.values.flatten.toSeq}")
+
+    // maxFilesPerTrigger caps COMMITS per CDF batch
+    val accRl = drainCdf(Files.createTempDirectory("graft_vcdf_cr").toString,
+      Map("startingVersion" -> "1", "maxFilesPerTrigger" -> "1"))
+    assert(accRl.values.count(_.nonEmpty) == 3,
+      s"3 commits at 1/trigger must be 3 batches, got ${accRl.size}")
+    assert(accRl.values.flatten.map(_._4).toSet == Set(1, 2, 3))
+
+    // keys are required — the feed is key-classified
+    val eKeys = intercept[Exception] {
+      spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir).option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("vcdf_nokeys")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    }
+    def chain(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(chain(eKeys).contains("keys"), s"wrong failure: ${chain(eKeys)}")
+  }
 }
