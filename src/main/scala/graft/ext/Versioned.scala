@@ -254,6 +254,17 @@ object Versioned {
     * Delta's documented contract); they never repeat. */
   private final case class HwmEntry(col: String, next: Long) extends Line
 
+  /** The IN-COMMIT timestamp (`ts:<epochMillis>`) — Delta's
+    * inCommitTimestamps role. `TIMESTAMP AS OF` resolved by file
+    * MODIFICATION time breaks the moment the log leaves one
+    * filesystem's custody: object-store copies, backup restores, and
+    * clones all reset mtime, and multi-writer clock skew can make it
+    * non-monotone. The commit seam stamps every manifest with a
+    * RECORDED clock instead, forced monotone against the parent
+    * (`max(now, parent+1)`); readers fall back to mtime only for
+    * manifests that predate the line. */
+  private final case class TsEntry(millis: Long) extends Line
+
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
                                            files: Seq[FileStats]) extends Line
@@ -318,6 +329,8 @@ object Versioned {
       require(i > 0 && i < rest.length - 1,
         s"malformed identity high-water-mark manifest line: $line")
       HwmEntry(rest.substring(0, i), rest.substring(i + 1).toLong)
+    } else if (line.startsWith("ts:")) {
+      TsEntry(line.drop(3).trim.toLong)
     } else if (line.startsWith("bloomcol:")) {
       val rest = line.drop(9)
       val i = rest.lastIndexOf(':')
@@ -502,6 +515,7 @@ object Versioned {
           case e: NotNullEntry => e.col.equalsIgnoreCase(nn.col); case _ => false } :+ nn
         case h: HwmEntry       => acc.filterNot {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } :+ h
+        case t: TsEntry        => t +: acc.filterNot(_.isInstanceOf[TsEntry])
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
         case bc: BloomColEntry => acc.filterNot(_.isInstanceOf[BloomColEntry]) :+ bc
         case b: BloomEntry     => acc.filterNot {
@@ -575,8 +589,12 @@ object Versioned {
   private def commitChild(spark: SparkSession, dir: String, v: Int, parent: Int,
                           fullLines: => Seq[Line], ops: => Seq[String],
                           protocol: CommitProtocol): Unit = {
-    commitManifest(spark, dir, v, s"parent:$parent" +: ops, protocol)
-    if (checkpointDue(spark, v)) writeCheckpoint(spark, dir, v, fullLines, protocol)
+    val ts = commitManifest(spark, dir, v, s"parent:$parent" +: ops, protocol)
+    // the sidecar must carry the same in-commit clock the manifest
+    // was stamped with — a checkpoint-resolved read and a fold-
+    // resolved read of the same version answer TIMESTAMP AS OF alike
+    if (checkpointDue(spark, v)) writeCheckpoint(spark, dir, v,
+      TsEntry(ts) +: fullLines.filterNot(_.isInstanceOf[TsEntry]), protocol)
   }
 
   private def addOp(l: Line): String = "+" + renderLine(l)
@@ -747,6 +765,7 @@ object Versioned {
     case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
     case NotNullEntry(c)   => s"notnull:$c"
     case HwmEntry(c, n)    => s"hwm:$c:$n"
+    case TsEntry(ms)       => s"ts:$ms"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
     case BloomColEntry(c, bits) => s"bloomcol:$c:$bits"
     case BloomEntry(d, c, _, Some(ref)) => s"bloomref:$d:$c:$ref"
@@ -2433,12 +2452,30 @@ object Versioned {
     * — under [[PutIfAbsentCommit]] via the conditional create itself,
     * under [[RenameCommit]] via the HDFS rename-to-existing failure
     * (best-effort pre-check on POSIX). */
+  /** Returns the in-commit timestamp stamped on the manifest, so the
+    * delta path's checkpoint sidecar can carry the same clock. */
   private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
                                     dirs: Seq[String],
-                                    protocol: CommitProtocol = PutIfAbsentCommit): Unit = {
+                                    protocol: CommitProtocol = PutIfAbsentCommit): Long = {
     val (fs, root) = fsFor(spark, dir)
     fs.mkdirs(new Path(root, VDIR))
-    val bytes = (dirs.mkString("\n") + "\n").getBytes("UTF-8")
+    // stamp the IN-COMMIT timestamp at the single commit seam, forced
+    // monotone against the parent — every commit path (append delta,
+    // overwrite, clone, restore, convert) carries it. Any ts the
+    // caller's line set brought along (clone/restore render old
+    // state) is dropped first: the stamp is THIS commit's clock, not
+    // the copied history's.
+    val body = dirs.filterNot(l => l.startsWith("ts:") || l.startsWith("+ts:"))
+    val parentTs =
+      if (v == 0) None
+      else try lines(spark, dir, v - 1).collectFirst { case TsEntry(m) => m }
+      catch { case _: Exception => None }
+    val ts = math.max(System.currentTimeMillis(), parentTs.fold(Long.MinValue)(_ + 1L))
+    val stamped = body.headOption.filter(_.startsWith("parent:")) match {
+      case Some(h) => h +: (s"+ts:$ts" +: body.tail)
+      case None    => s"ts:$ts" +: body
+    }
+    val bytes = (stamped.mkString("\n") + "\n").getBytes("UTF-8")
     if (!protocol.putIfAbsent(fs, manifestPath(dir, v), bytes))
       throw new IllegalStateException(
         s"version $v at $dir was committed concurrently — retry the write")
@@ -2451,6 +2488,7 @@ object Versioned {
     // and a time-travel read would serve them without touching disk
     if (v == 0) evictManifestCacheDir(spark, dir)
     else evictManifestCache(spark, dir, Seq(v))
+    ts
   }
 
   /** Drop every cached parse of any manifest under `dir` — the
@@ -2740,7 +2778,7 @@ object Versioned {
       val rows = if (dataDirs.forall(stats.contains)) Some(dataDirs.map(stats).sum)
         else None
       (v,
-        new java.sql.Timestamp(fs.getFileStatus(manifestPath(dir, v)).getModificationTime),
+        new java.sql.Timestamp(commitTimestamp(spark, dir, v)),
         dataDirs.length,
         ls.count(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]),
         ls.collectFirst { case SchemaEntry(s) => s.fields.length },
@@ -2748,15 +2786,22 @@ object Versioned {
     }.toDF("version", "committed_at", "n_data_dirs", "n_dv_dirs", "n_columns", "n_rows")
   }
 
-  /** The newest version whose manifest was committed at or before
-    * `tsMillis` — `TIMESTAMP AS OF` resolution (manifest mtime as the
-    * commit clock; see [[history]] for the caveat). */
-  def versionAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Option[Int] = {
-    val (fs, _) = fsFor(spark, dir)
-    versions(spark, dir).filter(v =>
-      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+  /** One version's commit clock: the RECORDED in-commit timestamp
+    * (`ts:` line — survives object-store copies, restores, clones,
+    * and is monotone by construction), falling back to the manifest
+    * file's modification time only for manifests that predate the
+    * line. */
+  def commitTimestamp(spark: SparkSession, dir: String, v: Int): Long =
+    lines(spark, dir, v).collectFirst { case TsEntry(m) => m }.getOrElse {
+      val (fs, _) = fsFor(spark, dir)
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime
+    }
+
+  /** The newest version whose commit clock is at or before `tsMillis`
+    * — `TIMESTAMP AS OF` resolution over [[commitTimestamp]]. */
+  def versionAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Option[Int] =
+    versions(spark, dir).filter(v => commitTimestamp(spark, dir, v) <= tsMillis)
       .lastOption
-  }
 
   /** Upgrade a pre-round-8 table to the full skipping/schema read path
     * WITHOUT rewriting a byte of data: harvest footer stats for every

@@ -5298,11 +5298,13 @@ class ExtSpec extends AnyFunSuite {
         Thread.sleep(50)
       assert(harvestTasks.get() >= 1,
         "the over-threshold harvest must run as executor tasks")
-      // identical committed state modulo the embedded root path
+      // identical committed state modulo the embedded root path and
+      // the in-commit timestamp (each commit's own clock, by design)
       def manifest(d: String): String = {
         val in = fs.open(new org.apache.hadoop.fs.Path(d, "_versions/00000000.manifest"))
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.replace(
-          fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toUri.getPath, "<root>")
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filterNot(_.startsWith("ts:")).mkString("\n").replace(
+            fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toUri.getPath, "<root>")
         finally in.close()
       }
       assert(manifest(seqDir) == manifest(distDir),
@@ -5435,4 +5437,58 @@ class ExtSpec extends AnyFunSuite {
       .filter($"status" === "p").isEmpty,
       "replaceWhere with no rows must delete the slice")
   }
+
+  test("in-commit timestamps: every commit records a monotone clock; TIMESTAMP AS OF resolves by the RECORDED time, immune to mtime tampering; checkpoints carry the same clock") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_ict").toString + "/t"
+    Versioned.writeVersion(Seq((0L, "a")).toDF("id", "v"), dir)
+    // cross the default checkpoint interval (10) so a sidecar lands
+    (1 to 11).foreach(i => Versioned.writeVersion(
+      Seq((i.toLong, "a")).toDF("id", "v"), dir, SaveMode.Append))
+    val latest = Versioned.latestVersion(spark, dir).get
+    assert(latest == 11)
+    val ts = (0 to latest).map(v => Versioned.commitTimestamp(spark, dir, v))
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"in-commit clocks must be strictly monotone, got $ts")
+
+    // the object-store-copy scenario: every manifest's mtime jumps to
+    // NOW+1h (a restore/copy resets times) — the recorded clock must
+    // keep TIMESTAMP AS OF exact where mtime resolution would answer
+    // "no version existed yet" or the wrong one
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val far = System.currentTimeMillis() + 3600L * 1000
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_versions"))
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .foreach(st => fs.setTimes(st.getPath, far, -1))
+    assert(Versioned.versionAsOfTimestamp(spark, dir, ts(3)) == Some(3),
+      "travel must resolve by the RECORDED commit clock, not mtime")
+    assert(Versioned.versionAsOfTimestamp(spark, dir, ts(0) - 1) == None)
+    assert(Versioned.versionAsOfTimestamp(spark, dir, ts(latest)) == Some(latest))
+
+    // history serves the recorded clock too
+    val hist = Versioned.history(spark, dir).orderBy("version")
+      .select($"committed_at").as[java.sql.Timestamp].collect().map(_.getTime)
+    assert(hist.toSeq == ts, "history must report the in-commit clock")
+
+    // the checkpoint sidecar carries the SAME clock the manifest was
+    // stamped with (a checkpoint-resolved read answers alike)
+    val cpPath = new org.apache.hadoop.fs.Path(dir, f"_versions/${10}%08d.checkpoint")
+    assert(fs.exists(cpPath), "v10 must have a checkpoint at the default interval")
+    val cpIn = fs.open(cpPath)
+    val cpText = try scala.io.Source.fromInputStream(cpIn, "UTF-8").mkString
+      finally cpIn.close()
+    assert(cpText.contains(s"ts:${ts(10)}"),
+      s"the v10 checkpoint must carry ts:${ts(10)}")
+
+    // a restore is a NEW commit: fresh clock, still monotone — the
+    // restored state does not time-travel the clock backwards
+    Versioned.restoreVersion(spark, dir, 0)
+    val vr = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.commitTimestamp(spark, dir, vr) > ts.last,
+      "a restore commit must carry its own (newer) clock")
+  }
+
 }
