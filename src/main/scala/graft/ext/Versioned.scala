@@ -1295,6 +1295,135 @@ object Versioned {
     0
   }
 
+  /** Delta `CREATE TABLE … DEEP CLONE src`'s role: a FULLY INDEPENDENT
+    * fork — every referenced byte (data files, deletion vectors, bloom
+    * sidecars) COPIES into the target, which then shares nothing with
+    * the source: vacuum, prune, or DROP the source and the clone
+    * serves on. This retires the shallow clone's documented caveat
+    * (the source owns a shallow ref's files and its prune may reclaim
+    * them) at the price of the copy.
+    *
+    * The copy is a SPARK JOB — the file list comes from the manifest
+    * (per-file stats lists; dirs without one fall back to a driver
+    * listing), and tasks stream each file src→dst, so cloning a
+    * 100 TB table is cluster-wide IO, not a driver loop. Because
+    * bytes move through streams (not manifest refs), deep clone also
+    * lifts two shallow-clone restrictions: the target may live on a
+    * DIFFERENT filesystem namespace (the migration story), and
+    * SQL-DELETE scoped masks clone fine — local dir names are
+    * preserved, so their scopes stay valid; masks apply in the clone
+    * exactly as in the source. Absolute refs (a shallow-cloned or
+    * converted source) localize under deterministic names, every
+    * keyed line (stats, dv, scoped-dv scopes, blooms) rewritten
+    * through the same map.
+    *
+    * Carried: schema, partition spec, stats (file names unchanged —
+    * skipping works immediately), constraints, NOT NULL, column
+    * mapping, identity marks, bloom declaration + blobs/sidecars.
+    * Dropped like the shallow clone: txn watermarks and recorded
+    * change feeds (they speak the source's writer ids and version
+    * numbers). The clone starts its OWN history at version 0 with a
+    * fresh in-commit timestamp. */
+  def cloneTableDeep(spark: SparkSession, sourceDir: String, targetDir: String,
+                     version: Option[Int] = None,
+                     protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    val srcV = version.getOrElse(latestVersion(spark, sourceDir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $sourceDir")))
+    require(versions(spark, sourceDir).contains(srcV),
+      s"no version $srcV at $sourceDir")
+    require(latestVersion(spark, targetDir).isEmpty,
+      s"target $targetDir already exists — DROP it, or clone elsewhere")
+    val (srcFs, srcRoot) = fsFor(spark, sourceDir)
+    val (tgtFs, tgtRoot) = fsFor(spark, targetDir)
+    val rootAbs = srcFs.makeQualified(srcRoot).toString
+    val tgtAbs = tgtFs.makeQualified(tgtRoot).toString
+    val ls = lines(spark, sourceDir, srcV)
+    def abs(n: String) =
+      if (n.startsWith("/")) srcFs.makeQualified(new Path(n)).toString
+      else s"${rootAbs.stripSuffix("/")}/$n"
+
+    // every referenced dir localizes: local names keep themselves
+    // (scoped-dv scopes reference them), absolute refs get a
+    // deterministic content-addressed local name
+    val dirRefs = (ls.collect { case DataEntry(n) => n } ++
+      ls.collect { case DvEntry(_, n) => n } ++
+      ls.collect { case ScopedDvEntry(_, n, _) => n }).distinct
+    def md8(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val nameMap: Map[String, String] = dirRefs.map { r =>
+      r -> (if (r.startsWith("/")) s"v00000000_adopted_${md8(r)}" else r)
+    }.toMap
+    val sidecarRefs = ls.collect {
+      case BloomEntry(_, _, _, Some(ref)) => ref }.distinct
+    val sidecarMap: Map[String, String] = sidecarRefs.map { ref =>
+      ref -> s"${tgtAbs.stripSuffix("/")}/$VDIR/blooms/${new Path(ref).getName}"
+    }.toMap
+
+    // the copy list: (src file, dst file) — manifest-served for
+    // stats-listed data dirs (zero listing), driver-listed for dv
+    // dirs and pre-file-list dirs (small / legacy)
+    val stats = ls.collect { case s: StatsEntry => s.name -> s }.toMap
+    val copies = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    dirRefs.foreach { ref =>
+      val srcDir = abs(ref)
+      val dstDir = s"${tgtAbs.stripSuffix("/")}/${nameMap(ref)}"
+      stats.get(ref).filter(_.files.nonEmpty) match {
+        case Some(st) =>
+          st.files.foreach(f => copies += ((s"$srcDir/${f.name}", s"$dstDir/${f.name}")))
+        case None =>
+          val srcDirPath = new Path(srcDir)
+          val base = srcFs.makeQualified(srcDirPath).toString.stripSuffix("/") + "/"
+          val it = srcFs.listFiles(srcDirPath, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val full = st.getPath.toString
+            require(full.startsWith(base), s"listing escaped $base: $full")
+            copies += ((full, s"$dstDir/${full.stripPrefix(base)}"))
+          }
+      }
+    }
+    sidecarRefs.foreach(ref => copies += ((ref, sidecarMap(ref))))
+
+    // distributed copy: tasks stream each file; cross-namespace is
+    // fine (both ends resolve their own filesystem from the conf)
+    if (copies.nonEmpty) {
+      val sc = spark.sparkContext
+      val bc = sc.broadcast(new Skipping.SerConf(sc.hadoopConfiguration))
+      val slices = math.max(1, math.min(copies.length, sc.defaultParallelism * 4))
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"graft: deep clone copy (${copies.length} files)")
+      try {
+        sc.parallelize(copies.toSeq, slices).foreach { case (s, d) =>
+          val conf = bc.value.value
+          val sp = new Path(s)
+          val dp = new Path(d)
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+              false, true, conf))
+            throw new java.io.IOException(s"deep clone copy failed: $s -> $d")
+        }
+      } finally {
+        sc.setJobDescription(prev)
+        bc.destroy()
+      }
+    }
+
+    val cloned: Seq[Line] = ls.flatMap {
+      case DataEntry(n)       => Some(DataEntry(nameMap(n)))
+      case s: StatsEntry      => Some(s.copy(name = nameMap.getOrElse(s.name, s.name)))
+      case DvEntry(k, n)      => Some(DvEntry(k, nameMap(n)))
+      case ScopedDvEntry(k, n, sc0) =>
+        Some(ScopedDvEntry(k, nameMap(n), sc0.map(x => nameMap.getOrElse(x, x))))
+      case b: BloomEntry      => Some(b.copy(dir = nameMap.getOrElse(b.dir, b.dir),
+        sidecar = b.sidecar.map(sidecarMap)))
+      case _: TxnEntry        => None // the source's writers' replay guards
+      case _: ChangesEntry    => None // speaks the source's version numbers
+      case other              => Some(other)
+    }
+    commitManifest(spark, targetDir, 0, cloned.map(renderLine), protocol)
+    0
+  }
+
   // ───────────── CONVERT in place (adopt plain parquet) ─────────────
 
   /** Delta `CONVERT TO DELTA`'s role: adopt an existing PLAIN parquet
@@ -4941,7 +5070,7 @@ private[ext] object Skipping {
   /** Hadoop `Configuration` is not `Serializable`; this is the
     * standard write()/readFields() envelope so harvest tasks see the
     * driver's filesystem configuration. */
-  private final class SerConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  private[ext] final class SerConf(@transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)

@@ -151,15 +151,22 @@ private[sql] object VersionedProcedures {
         Versioned.AlterSpec(setNotNull = Seq(args.str(1)))).map(Int.box).orNull))),
 
     proc("clone",
-      "SHALLOW CLONE: create target as a new chain referencing the source " +
-        "version's files by absolute path — zero data copied; the clone appends, " +
-        "rewrites and retains independently (the SOURCE owns the shared files: " +
-        "vacuuming the source can orphan a clone, Delta's own caveat)",
+      "SHALLOW CLONE by default: create target as a new chain referencing the " +
+        "source version's files by absolute path — zero data copied; the clone " +
+        "appends, rewrites and retains independently (the SOURCE owns the shared " +
+        "files: vacuuming the source can orphan a clone, Delta's own caveat). " +
+        "deep => true copies every referenced byte as a Spark job instead — a " +
+        "fully independent fork that survives source vacuum/DROP, may target " +
+        "another filesystem, and carries scoped delete masks",
       params = Seq(in("source", StringType), in("target", StringType),
-        inDefault("version", IntegerType, "-1")),
+        inDefault("version", IntegerType, "-1"),
+        inDefault("deep", BooleanType, "false")),
       out = StructType(Seq(StructField("version", IntegerType))))(
-      (spark, args) => Seq(row(Int.box(Versioned.cloneTable(spark, args.str(0),
-        args.str(1), if (args.int(2) < 0) None else Some(args.int(2))))))),
+      (spark, args) => Seq(row(Int.box {
+        val v = if (args.int(2) < 0) None else Some(args.int(2))
+        if (args.bool(3)) Versioned.cloneTableDeep(spark, args.str(0), args.str(1), v)
+        else Versioned.cloneTable(spark, args.str(0), args.str(1), v)
+      }))),
 
     proc("set_bloom",
       "declare the table's bloom-indexed point-lookup column (integral/string, " +

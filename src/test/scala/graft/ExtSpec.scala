@@ -5491,4 +5491,83 @@ class ExtSpec extends AnyFunSuite {
       "a restore commit must carry its own (newer) clock")
   }
 
+  test("DEEP CLONE: a fully independent fork — the copy runs as a Spark job, scoped delete masks carry, absolute refs localize, and the clone survives dropping the source entirely") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val srcDir = Files.createTempDirectory("graft_dclone_src").toString + "/t"
+    Versioned.writeVersion(
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(2), srcDir)
+    Versioned.writeVersion(
+      (20 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(2), srcDir,
+      SaveMode.Append)
+    // a SQL-style scoped delete: the shallow clone REFUSES this shape;
+    // deep clone must carry it (local dir names preserved)
+    Versioned.deleteByKeysScoped(spark, srcDir, Seq(5L, 25L).toDF("id"), "id")
+    Versioned.declareBloomColumn(spark, srcDir, "id")
+    val expect = Versioned.readLatest(spark, srcDir)
+      .as[(Long, String)].collect().toSet
+    assert(expect.size == 38 && !expect.exists(r => r._1 == 5L || r._1 == 25L))
+
+    // the copy must be a SPARK JOB (cluster-wide IO, not a driver loop)
+    val copyTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val copyStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties).map(_.getProperty("spark.job.description"))
+            .exists(p => p != null && p.contains("deep clone copy")))
+          j.stageIds.foreach(copyStages.add(_))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (copyStages.contains(t.stageId)) copyTasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val tgtDir = Files.createTempDirectory("graft_dclone_tgt").toString + "/t"
+    try {
+      assert(Versioned.cloneTableDeep(spark, srcDir, tgtDir) == 0)
+      val deadline = System.currentTimeMillis() + 15000
+      while (copyTasks.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(copyTasks.get() >= 1, "the deep-clone copy must run as executor tasks")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // identical serve, skipping works immediately, masks apply
+    assert(Versioned.readLatest(spark, tgtDir).as[(Long, String)].collect().toSet
+      == expect, "the clone must serve exactly the source's masked state")
+    val all = Versioned.planDataFiles(spark, tgtDir, 0, Seq.empty)
+    val pruned = Versioned.planDataFiles(spark, tgtDir, 0,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 1L)))
+    assert(all.nonEmpty && pruned.length < all.length,
+      s"carried stats/blooms must prune (${pruned.length}/${all.length})")
+
+    // THE pin: drop the source chain entirely — the deep clone shares
+    // nothing and serves on (the shallow clone's documented caveat,
+    // retired)
+    assert(Versioned.dropTableChain(spark, srcDir))
+    assert(Versioned.readLatest(spark, tgtDir).as[(Long, String)].collect().toSet
+      == expect, "the clone must survive DROP of the source")
+    // and lives its own life
+    Versioned.writeVersion(Seq((100L, "x")).toDF("id", "v"), tgtDir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, tgtDir).count() == 39)
+
+    // ABSOLUTE refs localize: a shallow clone's refs point into its
+    // source; deep-cloning the shallow clone must copy those bytes
+    // and rewrite every keyed line — then BOTH ancestors can vanish
+    val base2 = Files.createTempDirectory("graft_dclone_b2").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), base2)
+    val shallow2 = Files.createTempDirectory("graft_dclone_s2").toString + "/t"
+    Versioned.cloneTable(spark, base2, shallow2)
+    val deep2 = Files.createTempDirectory("graft_dclone_d2").toString + "/t"
+    assert(Versioned.cloneTableDeep(spark, shallow2, deep2) == 0)
+    assert(Versioned.dropTableChain(spark, shallow2))
+    assert(Versioned.dropTableChain(spark, base2))
+    assert(Versioned.readLatest(spark, deep2).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")),
+      "localized absolute refs must survive dropping both ancestors")
+
+    // SQL surface: CALL system.clone(…, deep => true)
+    spark.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+    val deep3 = Files.createTempDirectory("graft_dclone_d3").toString + "/t"
+    spark.sql(s"CALL versioned.system.clone('$tgtDir', '$deep3', deep => true)")
+    assert(Versioned.readLatest(spark, deep3).count() == 39)
+  }
 }
