@@ -1827,6 +1827,53 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // MULTI-COLUMN BLOOM INDEXES (Delta's per-column bloom filter
+    // indexes): a table declares several point-lookup columns, each
+    // with its own per-file blooms keyed (column, dir) in the
+    // manifest — a lookup on EITHER column prunes through its own
+    // index even when every commit interleaves both key ranges
+    // (bounds prune nothing). The meter declares two, asserts each
+    // prunes its own lookups in-query, and hash-checks a two-sided
+    // point lookup against DuckDB.
+    "q156_multi_bloom" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{col, round}
+      import org.apache.spark.sql.sources.EqualTo
+      val tbl = scratchPath("multi_bloom", d)
+      Versioned.dropTableChain(s, tbl)
+      new scala.reflect.io.Directory(new java.io.File(tbl)).deleteRecursively()
+      val src = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      // both key ranges interleave across both commits
+      Versioned.writeVersion(src.filter(col("o_orderkey") % 2 === 0).repartition(2), tbl)
+      Versioned.writeVersion(src.filter(col("o_orderkey") % 2 === 1).repartition(2), tbl,
+        SaveMode.Append)
+      Versioned.declareBloomColumn(s, tbl, "o_orderkey")
+      val v = Versioned.declareBloomColumn(s, tbl, "o_custkey")
+      assert(Versioned.bloomColumns(s, tbl, v).map(_._1)
+        == Seq("o_orderkey", "o_custkey"), "both declarations must be live")
+      val pk = src.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .collect().head.getLong(0)
+      // a SINGLE-order customer: its key lives in exactly one file, so
+      // the custkey bloom provably prunes (a many-order customer could
+      // legitimately appear in every file)
+      val ck = src.groupBy("o_custkey").count()
+        .filter(col("count") === 1)
+        .agg(org.apache.spark.sql.functions.min("o_custkey"))
+        .collect().head.getLong(0)
+      val all = Versioned.planDataFiles(s, tbl, v, Seq.empty)
+      val byKey = Versioned.planDataFiles(s, tbl, v, Seq(EqualTo("o_orderkey", pk)))
+      val byCust = Versioned.planDataFiles(s, tbl, v, Seq(EqualTo("o_custkey", ck)))
+      assert(byKey.nonEmpty && byKey.length < all.length,
+        s"the o_orderkey bloom must prune (${byKey.length}/${all.length})")
+      assert(byCust.nonEmpty && byCust.length < all.length,
+        s"the o_custkey bloom must prune (${byCust.length}/${all.length})")
+      Versioned.readLatest(s, tbl)
+        .filter(col("o_orderkey") === pk || col("o_custkey") === ck)
+        .orderBy("o_orderkey")
+    },
+
     // STREAMING CHANGE DATA FEED (Delta `readChangeFeed` streaming):
     // micro-batches serve per-commit change rows — keys + values +
     // _change_type (insert/delete/update_preimage/update_postimage) +
@@ -4360,6 +4407,18 @@ object SparkEntry {
 
     // the derived-prune read returns exactly the max-date rows with
     // the generated month column
+    // a two-sided point lookup over both bloom-indexed columns (the
+    // custkey probe is the smallest single-order customer — see the
+    // query's pruning rationale)
+    "q156_multi_bloom" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+        |   OR o_custkey = (SELECT min(o_custkey) FROM
+        |        (SELECT o_custkey FROM orders GROUP BY o_custkey
+        |         HAVING count(*) = 1))
+        |ORDER BY o_orderkey""".stripMargin,
+
     // the streamed feed of commit 1 is exactly the classified diff
     // S0 → S1: deletes (key%5=0), update pre/post images (key%2=0),
     // unchanged rows emit nothing

@@ -517,9 +517,11 @@ object Versioned {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } :+ h
         case t: TsEntry        => t +: acc.filterNot(_.isInstanceOf[TsEntry])
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
-        case bc: BloomColEntry => acc.filterNot(_.isInstanceOf[BloomColEntry]) :+ bc
+        case bc: BloomColEntry => acc.filterNot {
+          case e: BloomColEntry => e.col.equalsIgnoreCase(bc.col); case _ => false } :+ bc
         case b: BloomEntry     => acc.filterNot {
-          case e: BloomEntry => e.dir == b.dir; case _ => false } :+ b
+          case e: BloomEntry => e.dir == b.dir && e.col.equalsIgnoreCase(b.col)
+          case _ => false } :+ b
         case d: DataEntry      => if (acc.contains(d)) acc else acc :+ d
         case other             => acc :+ other // dv, changes: plain adds
       } else if (op.startsWith("-data:")) {
@@ -530,8 +532,17 @@ object Versioned {
           case b: BloomEntry      => b.dir == n
           case _ => false
         }
+      } else if (op.startsWith("-bloomcol:")) {
+        // undeclare ONE column: its declaration and its blobs drop;
+        // other declared columns' blooms stay live
+        val c = op.drop(10)
+        acc.filterNot {
+          case e: BloomColEntry => e.col.equalsIgnoreCase(c)
+          case e: BloomEntry    => e.col.equalsIgnoreCase(c)
+          case _ => false
+        }
       } else if (op.startsWith("-bloomcol")) {
-        // undeclaring drops every (now-stale) bloom blob with it
+        // undeclaring (all columns) drops every (now-stale) blob with it
         acc.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry])
       } else if (op.startsWith("-bloom:")) {
         val n = op.drop(7)
@@ -1179,15 +1190,21 @@ object Versioned {
     }
     // first commit: the declaration + the first batch (an empty table
     // commits the declaration alone). The ops START by retiring any
-    // PRIOR declaration and every old blob — a bare `+bloomcol` only
-    // replaces the singleton line, and a stale old-column bitset left
-    // live would answer the NEW column's lookups with false negatives
-    // (the delta-resolved state must equal the checkpoint's fullLines)
+    // prior declaration OF THIS COLUMN and its old blobs (a stale
+    // bitset left live would answer the new build's lookups with
+    // false negatives); OTHER declared columns' declarations and
+    // blooms stay untouched — bloom indexes are per-column, and a
+    // table may declare several (Delta's per-column bloom indexes).
     val first: Seq[Line] = decl +: batches.headOption.map(buildEntries).getOrElse(Seq.empty)
+    def notThisCol(l: Line): Boolean = l match {
+      case e: BloomColEntry => !e.col.equalsIgnoreCase(phys)
+      case e: BloomEntry    => !e.col.equalsIgnoreCase(phys)
+      case _ => true
+    }
     var v = prev + 1
     commitChild(spark, dir, v, prev,
-      ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]) ++ first,
-      "-bloomcol" +: first.map(addOp), protocol)
+      ls.filter(notThisCol) ++ first,
+      s"-bloomcol:$phys" +: first.map(addOp), protocol)
     // remaining batches: one bounded build + commit each; each commit
     // is a child of the CURRENT latest, so a concurrent append between
     // batches keeps its own (write-time) blooms
@@ -1197,7 +1214,8 @@ object Versioned {
       val cur = lines(spark, dir, base)
       val names = batch.toSet
       commitChild(spark, dir, base + 1, base,
-        cur.filterNot { case b: BloomEntry => names.contains(b.dir); case _ => false } ++
+        cur.filterNot { case b: BloomEntry =>
+          names.contains(b.dir) && b.col.equalsIgnoreCase(phys); case _ => false } ++
           entries,
         entries.map(addOp), protocol)
       v = base + 1
@@ -1205,28 +1223,50 @@ object Versioned {
     v
   }
 
-  /** Drop the bloom declaration (and every blob) — metadata-only. */
+  /** Drop a bloom declaration (and its blobs) — metadata-only.
+    * `col = None` drops EVERY declared column (the original
+    * whole-index undeclare); a named column drops only its own
+    * declaration and blooms, other columns stay live. */
   def dropBloomColumn(spark: SparkSession, dir: String,
+                      col: Option[String] = None,
                       protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] = {
     val prev = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val ls = lines(spark, dir, prev)
-    if (!ls.exists(_.isInstanceOf[BloomColEntry])) None
+    val phys = col.map { c =>
+      val cmap = colMapOf(ls)
+      cmap.getOrElse(
+        cmap.keys.find(_.equalsIgnoreCase(c)).getOrElse(c), c)
+    }
+    val victim: Line => Boolean = phys match {
+      case None => l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]
+      case Some(p) => {
+        case e: BloomColEntry => e.col.equalsIgnoreCase(p)
+        case e: BloomEntry    => e.col.equalsIgnoreCase(p)
+        case _ => false
+      }
+    }
+    if (!ls.exists { case e: BloomColEntry => victim(e); case _ => false }) None
     else {
       val v = prev + 1
       commitChild(spark, dir, v, prev,
-        ls.filterNot(l => l.isInstanceOf[BloomColEntry] || l.isInstanceOf[BloomEntry]),
-        Seq("-bloomcol"), protocol)
+        ls.filterNot(victim),
+        Seq(phys.fold("-bloomcol")(p => s"-bloomcol:$p")), protocol)
       Some(v)
     }
   }
 
-  /** The declared bloom column (LOGICAL name) and its per-file bits,
-    * for observability. */
-  def bloomColumn(spark: SparkSession, dir: String, v: Int): Option[(String, Int)] = {
+  /** The FIRST declared bloom column (LOGICAL name) and its per-file
+    * bits — kept for single-index observers; see [[bloomColumns]]. */
+  def bloomColumn(spark: SparkSession, dir: String, v: Int): Option[(String, Int)] =
+    bloomColumns(spark, dir, v).headOption
+
+  /** Every declared bloom column (LOGICAL names) with its per-file
+    * bits, in manifest order. */
+  def bloomColumns(spark: SparkSession, dir: String, v: Int): Seq[(String, Int)] = {
     val ls = lines(spark, dir, v)
     val inv = colMapOf(ls).map(_.swap)
-    ls.collectFirst { case BloomColEntry(c, bits) => (inv.getOrElse(c, c), bits) }
+    ls.collect { case BloomColEntry(c, bits) => (inv.getOrElse(c, c), bits) }
   }
 
   // ───────────── shallow CLONE (zero-copy table fork) ─────────────
@@ -1739,10 +1779,10 @@ object Versioned {
       // removal ops ARE the whole change
       if (rows == 0L) { fs.delete(p, true); Seq.empty }
       else {
-        // a bloom-indexed table's replacement dir gets its own blobs
-        // (same O(delta) column scan as any commit)
+        // a bloom-indexed table's replacement dir gets its own blobs,
+        // one per DECLARED column (same O(delta) scans as any commit)
         val bloom = externalizeBlooms(spark, dir, lines(spark, dir, v0)
-          .collectFirst { case b: BloomColEntry => b }.toSeq.map { b =>
+          .collect { case b: BloomColEntry => b }.map { b =>
             BloomEntry(nd, b.col,
               Bloom.buildDirBlooms(spark, p.toString, schema, b.col, b.bits))
           })
@@ -1846,7 +1886,7 @@ object Versioned {
       }
       val v = prev + 1
       val ops = Seq.newBuilder[String]
-      val bloomByDir = ls.collect { case b: BloomEntry => b.dir -> b }.toMap
+      val bloomByDir = ls.collect { case b: BloomEntry => b }.groupBy(_.dir)
       val replacedStats = removedNonEmpty.flatMap { case (d, files) =>
         val st = stats(d)
         val remaining = st.files.filterNot(f => files.contains(f.name))
@@ -1865,13 +1905,13 @@ object Versioned {
       // immutable) and re-externalizes if still heavy — the old
       // sidecar orphans and pruneVersions reclaims it
       val trimmedBlooms = replacedStats.keySet.flatMap { d =>
-        bloomByDir.get(d).map { b =>
+        bloomByDir.getOrElse(d, Seq.empty).map { b =>
           val keep = replacedStats(d).files.map(_.name).toSet
           val trimmed = externalizeBlooms(spark, dir, Seq(
             b.copy(files = b.files.filter { case (f, _) => keep.contains(f) },
               sidecar = None))).head.asInstanceOf[BloomEntry]
           ops += addOp(trimmed)
-          d -> trimmed
+          (d, b.col) -> trimmed
         }
       }.toMap
       newEntries.foreach(l => ops += addOp(l))
@@ -1906,7 +1946,8 @@ object Versioned {
         case s: StatsEntry if emptied.contains(s.name) => None
         case s: StatsEntry if replacedStats.contains(s.name) => Some(replacedStats(s.name))
         case b: BloomEntry if emptied.contains(b.dir) => None
-        case b: BloomEntry if trimmedBlooms.contains(b.dir) => Some(trimmedBlooms(b.dir))
+        case b: BloomEntry if trimmedBlooms.contains((b.dir, b.col)) =>
+          Some(trimmedBlooms((b.dir, b.col)))
         case h: HwmEntry if hwmRw.exists {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } => None
         case other => Some(other)
@@ -2451,30 +2492,30 @@ object Versioned {
       case _ => Seq.empty
     }
     val stats = StatsEntry(dataDir, rows, colStats, dirFiles)
-    // declared bloom column: build this commit's per-file blooms (one
-    // column-pruned scan of the NEW dir — O(delta), only when the
-    // table opted in). A fresh overwrite re-keys the declaration to
-    // the logical name like the NOT NULL lines (the mapping drops).
-    val prevBloomDecl = prev.flatMap(p =>
-        lines(spark, dir, p).collectFirst { case b: BloomColEntry => b })
+    // declared bloom columns: build this commit's per-file blooms,
+    // one column-pruned scan of the NEW dir per declaration —
+    // O(delta), only when the table opted in. A fresh overwrite
+    // re-keys each declaration to the logical name like the NOT NULL
+    // lines (the mapping drops).
+    val prevBloomDecls = prev.toSeq.flatMap(p =>
+        lines(spark, dir, p).collect { case b: BloomColEntry => b })
       .filter(_ => !replaceDefinition)
-    val bloomDecl = prevBloomDecl.map { b =>
+    val bloomDecls = prevBloomDecls.map { b =>
       if (stagedPhysical) b else BloomColEntry(invChain.getOrElse(b.col, b.col), b.bits)
     }.filter(b => newSchema.fieldNames.contains(b.col))
-      // an overwrite whose data omits the declared column retires the
+      // an overwrite whose data omits a declared column retires that
       // declaration with the column (building a bloom over a missing
       // column would fail every later write); appends keep it — the
       // union schema always carries the prior columns
-    val bloomLines: Seq[Line] = bloomDecl match {
-      case Some(b) if rows > 0 =>
-        externalizeBlooms(spark, dir, Seq(BloomEntry(dataDir, b.col,
+    val bloomLines: Seq[Line] =
+      if (rows > 0 && bloomDecls.nonEmpty)
+        externalizeBlooms(spark, dir, bloomDecls.map(b => BloomEntry(dataDir, b.col,
           Bloom.buildDirBlooms(spark, dataPath.toString, newSchema, b.col, b.bits))))
-      case _ => Seq.empty
-    }
-    // appends carry the declaration inside prevLines; an overwrite
-    // (which resets the line set) re-adds it here
+      else Seq.empty
+    // appends carry the declarations inside prevLines; an overwrite
+    // (which resets the line set) re-adds them here
     val carriedBloomDecl: Seq[Line] = (mode, prev) match {
-      case (SaveMode.Overwrite, Some(_)) => bloomDecl.toSeq
+      case (SaveMode.Overwrite, Some(_)) => bloomDecls
       case _ => Seq.empty
     }
     val newLines = SchemaEntry(newSchema) +:
@@ -3074,13 +3115,16 @@ object Versioned {
     val inv = cmap.map(_.swap)
     val schema = ls.collectFirst { case SchemaEntry(s) => toLogicalSchema(s, cmap) }
     val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
-    // declared bloom column (LOGICAL name for matching the filters) +
-    // the per-dir blobs: the point-lookup prune bounds cannot do
-    val bloomCol = ls.collectFirst { case BloomColEntry(c, _) => inv.getOrElse(c, c) }
-    val blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap
+    // declared bloom columns (LOGICAL names for matching the filters)
+    // + the per-(col, dir) blobs: the point-lookup prune bounds
+    // cannot do — every declared column gets its own consultation
+    val bloomColsHere = ls.collect { case BloomColEntry(c, _) => inv.getOrElse(c, c) -> c }
+    val blooms = ls.collect { case b: BloomEntry => (b.col, b.dir) -> b.files }.toMap
     def bloomKeeps(dirName: String, fileName: String): Boolean =
-      bloomCol.isEmpty || blooms.get(dirName).flatMap(_.get(fileName)).forall(bits =>
-        !filters.exists(flt => Bloom.excludes(flt, bloomCol.get, bits)))
+      bloomColsHere.forall { case (logicalC, physC) =>
+        blooms.get((physC, dirName)).flatMap(_.get(fileName)).forall(bits =>
+          !filters.exists(flt => Bloom.excludes(flt, logicalC, bits)))
+      }
     // derived generated-partition filters prune FILES too (each file
     // carries its partition values as point stats)
     val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
@@ -3156,8 +3200,8 @@ object Versioned {
         spark.baseRelationToDataFrame(
           org.apache.spark.sql.execution.datasources.HadoopFsRelation(
             new ManifestFileIndex(new Path(dir), s, fileListed, partSchema,
-              bloomCol = ls.collectFirst { case BloomColEntry(c, _) => c },
-              blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap),
+              bloomCols = ls.collect { case BloomColEntry(c, _) => c },
+              blooms = ls.collect { case b: BloomEntry => (b.col, b.dir) -> b.files }.toMap),
             partSchema, dataSchema, None,
             new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
             Map.empty)(spark))
@@ -3171,8 +3215,8 @@ object Versioned {
         spark.baseRelationToDataFrame(
           org.apache.spark.sql.execution.datasources.HadoopFsRelation(
             new ManifestFileIndex(new Path(dir), s, fileListed,
-              bloomCol = ls.collectFirst { case BloomColEntry(c, _) => c },
-              blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap),
+              bloomCols = ls.collect { case BloomColEntry(c, _) => c },
+              blooms = ls.collect { case b: BloomEntry => (b.col, b.dir) -> b.files }.toMap),
             org.apache.spark.sql.types.StructType(Nil), s, None,
             new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
             Map.empty)(spark))
@@ -3299,8 +3343,8 @@ object Versioned {
       None
     } else Some(new ManifestPartitioningIndex(spark, new Path(dir), schema,
       StructType(partCols.map(c => schema(c))), dataDirs.map(stats),
-      bloomCol = ls.collectFirst { case BloomColEntry(c, _) => c },
-      blooms = ls.collect { case b: BloomEntry => b.dir -> b.files }.toMap))
+      bloomCols = ls.collect { case BloomColEntry(c, _) => c },
+      blooms = ls.collect { case b: BloomEntry => (b.col, b.dir) -> b.files }.toMap))
   }
 
   /** The files of version `v` a row-level rewrite of `filters` must
@@ -4307,12 +4351,12 @@ object Versioned {
       dropSet.exists(_.equalsIgnoreCase(n.col)) ||
         resolvedDropNn.exists(_.equalsIgnoreCase(n.col)))
     val mapShrank = finalMap != cmap
-    // dropping the bloom-indexed column retires the index with it
+    // dropping a bloom-indexed column retires ITS index with it
     // (like a NOT NULL line): an orphaned declaration would make every
-    // later write try to bloom a column its files no longer carry
-    val dropsBloomCol = ls.exists {
-      case BloomColEntry(c, _) => dropSet.exists(_.equalsIgnoreCase(c))
-      case _ => false
+    // later write try to bloom a column its files no longer carry.
+    // Other declared columns' indexes stay live.
+    val droppedBloomCols = ls.collect {
+      case BloomColEntry(c, _) if dropSet.exists(_.equalsIgnoreCase(c)) => c
     }
     // a dropped identity column takes its high-water mark with it (a
     // stale mark would collide with a later column of the same name)
@@ -4325,7 +4369,8 @@ object Versioned {
       case n: NotNullEntry => droppedNn.exists(_.col.equalsIgnoreCase(n.col))
       case h: HwmEntry => droppedHwm.exists(_.equalsIgnoreCase(h.col))
       case _: ColMapEntry => mapShrank // re-added below when non-empty
-      case _: BloomColEntry | _: BloomEntry => dropsBloomCol
+      case b: BloomColEntry => droppedBloomCols.exists(_.equalsIgnoreCase(b.col))
+      case b: BloomEntry => droppedBloomCols.exists(_.equalsIgnoreCase(b.col))
       case _ => false
     }
     val mapLine =
@@ -4344,7 +4389,7 @@ object Versioned {
         (dropCheckNames.map(n => s"-constraint:$n") ++
           droppedNn.map(n => s"-notnull:${n.col}") ++
           droppedHwm.map(c => s"-hwm:$c") ++ mapOps ++
-          (if (dropsBloomCol) Seq("-bloomcol") else Seq.empty))) ++
+          droppedBloomCols.map(c => s"-bloomcol:$c"))) ++
         alter.addChecks.map { case (n, sql) => addOp(ConstraintEntry(n, sql)) } ++
         resolvedSet.map { case (_, p) => addOp(NotNullEntry(p)) },
       protocol)
@@ -4708,10 +4753,10 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
                                      dirs: Seq[Versioned.StatsEntry],
                                      override val partitionSchema: StructType =
                                        StructType(Nil),
-                                     // declared bloom column (PHYSICAL — the pushed
-                                     // filters here already are) + per-dir blobs
-                                     bloomCol: Option[String] = None,
-                                     blooms: Map[String, Map[String, Array[Byte]]] =
+                                     // declared bloom columns (PHYSICAL — the pushed
+                                     // filters here already are) + per-(col, dir) blobs
+                                     bloomCols: Seq[String] = Seq.empty,
+                                     blooms: Map[(String, String), Map[String, Array[Byte]]] =
                                        Map.empty)
   extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -4770,11 +4815,11 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
       files.filter { case (fs, _) =>
         (fs.rows.isEmpty ||
           !translated.exists(f => Skipping.excludes(fs.rows.get, fs.cols, schema, f))) &&
-        // third granularity: the declared column's per-file bloom
+        // third granularity: each declared column's per-file bloom
         // (point lookups on interleaved keys — bounds overlap, the
         // bloom still proves absence)
-        bloomCol.forall(c =>
-          blooms.get(st.name).flatMap(_.get(fs.name)).forall(bits =>
+        bloomCols.forall(c =>
+          blooms.get((c, st.name)).flatMap(_.get(fs.name)).forall(bits =>
             !translated.exists(f => Bloom.excludes(f, c, bits))))
       }
     }
@@ -4825,8 +4870,8 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
                                                fullSchema: StructType,
                                                partSchema: StructType,
                                                dirs: Seq[Versioned.StatsEntry],
-                                               bloomCol: Option[String] = None,
-                                               blooms: Map[String, Map[String, Array[Byte]]] =
+                                               bloomCols: Seq[String] = Seq.empty,
+                                               blooms: Map[(String, String), Map[String, Array[Byte]]] =
                                                  Map.empty)
   extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
     spark, Map.empty, Some(fullSchema),
@@ -4851,12 +4896,15 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
   // blooms keyed by RESOLVED path (the manifest spelling of a cloned
   // chain's dir is an absolute path — a parent-NAME lookup would
   // silently miss and forfeit the pruning)
-  private val bloomByPath: Map[Path, Array[Byte]] =
-    if (bloomCol.isEmpty) Map.empty
+  private val bloomByPath: Map[(String, Path), Array[Byte]] =
+    if (bloomCols.isEmpty) Map.empty
     else dirs.flatMap { st =>
-      blooms.get(st.name).toSeq.flatMap { m =>
-        val dirPath = new Path(tableDir, st.name)
-        st.files.flatMap(f => m.get(f.name).map(b => new Path(dirPath, f.name) -> b))
+      bloomCols.flatMap { c =>
+        blooms.get((c, st.name)).toSeq.flatMap { m =>
+          val dirPath = new Path(tableDir, st.name)
+          st.files.flatMap(f =>
+            m.get(f.name).map(b => (c, new Path(dirPath, f.name)) -> b))
+        }
       }
     }.toMap
 
@@ -4915,8 +4963,8 @@ private[graft] class ManifestPartitioningIndex(spark: SparkSession, tableDir: Pa
     if (translated.isEmpty) base
     else base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
-        val bloomKeeps = bloomCol.forall(c =>
-          bloomByPath.get(f.getPath).forall(bits =>
+        val bloomKeeps = bloomCols.forall(c =>
+          bloomByPath.get((c, f.getPath)).forall(bits =>
             !translated.exists(flt => Bloom.excludes(flt, c, bits))))
         bloomKeeps && (statsByPath.get(f.getPath) match {
           case Some(fs) if fs.rows.nonEmpty =>

@@ -119,7 +119,8 @@ private[sql] object VersionedProcedures {
           Int.box(Versioned.checkConstraints(spark, dir, v).length),
           Int.box(info.dvDirs.map(_._2.length).sum + info.scopedDvs.length),
           info.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
-          Versioned.bloomColumn(spark, dir, v).map(_._1).orNull))
+          Some(Versioned.bloomColumns(spark, dir, v).map(_._1).mkString(","))
+            .filter(_.nonEmpty).orNull))
       }),
 
     proc("partitions",
@@ -169,9 +170,11 @@ private[sql] object VersionedProcedures {
       }))),
 
     proc("set_bloom",
-      "declare the table's bloom-indexed point-lookup column (integral/string, " +
-        "unpartitioned chains): backfills a per-file bloom for every live dir in " +
-        "one commit; every later write builds its own dir's blooms at O(delta). " +
+      "declare A bloom-indexed point-lookup column (integral/string) — a table " +
+        "may declare several, each with its own per-file index: backfills this " +
+        "column's blooms for every live dir in bounded commits; every later " +
+        "write builds its own dir's blooms at O(delta). Re-declaring a column " +
+        "rebuilds it; other declared columns are untouched. " +
         "bits omitted or 0 uses the 2^18-bit (32 KiB/file) default",
       params = Seq(in("table", StringType), in("column", StringType),
         inDefault("bits", IntegerType, "0")),
@@ -181,11 +184,15 @@ private[sql] object VersionedProcedures {
         if (args.int(2) <= 0) graft.ext.Bloom.defaultBits else args.int(2)))))),
 
     proc("drop_bloom",
-      "drop the bloom declaration and every per-file blob (metadata-only)",
-      params = Seq(in("table", StringType)),
+      "drop bloom declarations and their per-file blobs (metadata-only): " +
+        "column omitted/empty drops EVERY declared column; a named column " +
+        "drops only its own index",
+      params = Seq(in("table", StringType),
+        inDefault("column", StringType, "''")),
       out = StructType(Seq(StructField("version", IntegerType))))(
       (spark, args) => Seq(row(
-        Versioned.dropBloomColumn(spark, args.str(0)).map(Int.box).orNull))),
+        Versioned.dropBloomColumn(spark, args.str(0),
+          Some(args.str(1).trim).filter(_.nonEmpty)).map(Int.box).orNull))),
 
     proc("drop_not_null",
       "drop a NOT NULL constraint (metadata-only commit; SQL ALTER COLUMN … DROP " +

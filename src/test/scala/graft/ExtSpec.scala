@@ -4740,18 +4740,19 @@ class ExtSpec extends AnyFunSuite {
     val lookupN = filesRead(Versioned.readLatest(spark, dir).filter($"id" === 4L))
     assert(lookupN > 0 && lookupN < liveN,
       s"library partitioned read must bloom-prune ($lookupN of $liveN files)")
-    // RE-DECLARING on another column retires the OLD blobs in the
-    // delta OPS, not just the checkpoint: a stale id-bitset left live
-    // would be consulted as if it were a payload bloom and answer the
-    // new column's lookups with FALSE NEGATIVES. With limit 1, the
-    // first commit carries only the first batch — mid-backfill, keys
-    // living in un-landed dirs must still read (no bloom = keep).
+    // DECLARING a second column is ADDITIVE (per-column indexes,
+    // Delta's shape): both declarations live, each consulting only
+    // its own (col, dir)-keyed blobs — a stale cross-column bitset
+    // read is structurally impossible. With limit 1, the first commit
+    // carries only the first batch — mid-backfill, keys living in
+    // un-landed dirs must still read (no bloom = keep).
     spark.conf.set("spark.graft.bloom.backfillFilesPerCommit", "1")
     val vRe = try Versioned.declareBloomColumn(spark, dir, "payload")
               finally spark.conf.unset("spark.graft.bloom.backfillFilesPerCommit")
-    assert(Versioned.bloomColumn(spark, dir, vRe).map(_._1).contains("payload"))
+    assert(Versioned.bloomColumns(spark, dir, vRe).map(_._1).toSet
+      == Set("id", "payload"), "declarations must be per-column additive")
     val vMid = Versioned.versions(spark, dir)
-      .filter(v => Versioned.bloomColumn(spark, dir, v).exists(_._1 == "payload")).min
+      .filter(v => Versioned.bloomColumns(spark, dir, v).exists(_._1 == "payload")).min
     for (p <- Seq("p0", "p3", "p998", "p1999"))
       assert(Versioned.readVersion(spark, dir, vMid).filter($"payload" === p).count() == 1,
         s"payload $p lost mid-backfill — a stale old-column bitset is being consulted")
@@ -5489,6 +5490,54 @@ class ExtSpec extends AnyFunSuite {
     val vr = Versioned.latestVersion(spark, dir).get
     assert(Versioned.commitTimestamp(spark, dir, vr) > ts.last,
       "a restore commit must carry its own (newer) clock")
+  }
+
+  test("MULTI-COLUMN bloom indexes: each declared column prunes its own point lookups; appends build all declared blooms; per-column drop keeps the others live") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbloom").toString + "/t"
+    // both key columns INTERLEAVE across commits: bounds prune nothing,
+    // only the right column's bloom can
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, i * 3 + 1, s"p$i")).toDF("id", "user", "payload")
+    Versioned.writeVersion(mk(0L until 1000L by 2).repartition(2), dir)
+    Versioned.writeVersion(mk(1L until 1000L by 2).repartition(2), dir, SaveMode.Append)
+    Versioned.declareBloomColumn(spark, dir, "id")
+    val v1 = Versioned.declareBloomColumn(spark, dir, "user")
+    assert(Versioned.bloomColumns(spark, dir, v1).map(_._1) == Seq("id", "user"))
+
+    val all = Versioned.planDataFiles(spark, dir, v1, Seq.empty)
+    assert(all.length == 4)
+    val byId = Versioned.planDataFiles(spark, dir, v1, Seq(EqualTo("id", 42L)))
+    assert(byId.nonEmpty && byId.length < 4, s"id bloom must prune: $byId")
+    val byUser = Versioned.planDataFiles(spark, dir, v1, Seq(EqualTo("user", 127L)))
+    assert(byUser.nonEmpty && byUser.length < 4, s"user bloom must prune: $byUser")
+    // correctness either way: the row is found, absent keys are empty
+    assert(Versioned.readLatest(spark, dir).filter($"user" === 127L)
+      .select($"id").as[Long].head() == 42L)
+    assert(Versioned.readLatest(spark, dir).filter($"user" === 128L).isEmpty)
+
+    // an APPEND builds blooms for EVERY declared column
+    Versioned.writeVersion(mk(Seq(5000L)), dir, SaveMode.Append)
+    val v2 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.planDataFiles(spark, dir, v2, Seq(EqualTo("user", 15001L))).length == 1)
+    assert(Versioned.planDataFiles(spark, dir, v2, Seq(EqualTo("id", 5000L))).length == 1)
+
+    // per-column DROP: id's index retires, user's stays live
+    val v3 = Versioned.dropBloomColumn(spark, dir, Some("id")).get
+    assert(Versioned.bloomColumns(spark, dir, v3).map(_._1) == Seq("user"))
+    assert(Versioned.planDataFiles(spark, dir, v3, Seq(EqualTo("id", 42L))).length == 4,
+      "dropping the id index must stop id pruning: all 4 interleaved files return " +
+        "(bounds still exclude the 5000-key file)")
+    assert(Versioned.planDataFiles(spark, dir, v3, Seq(EqualTo("user", 127L))).length ==
+      byUser.length, "the user index must survive dropping id's")
+
+    // the SQL surface drops one column by name; detail reports the rest
+    spark.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+    spark.sql(s"CALL versioned.system.drop_bloom('$dir', 'user')")
+    val v4 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.bloomColumns(spark, dir, v4).isEmpty)
   }
 
   test("DEEP CLONE: a fully independent fork — the copy runs as a Spark job, scoped delete masks carry, absolute refs localize, and the clone survives dropping the source entirely") {
