@@ -1827,6 +1827,45 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // DEEP CLONE (Delta `CREATE TABLE … DEEP CLONE`): a fully
+    // independent fork — every referenced byte copies via a Spark
+    // job; the meter proves independence the hard way (the SOURCE
+    // CHAIN IS DROPPED mid-query and the clone serves on, carrying
+    // the source's deletion masks and stats), then hash-checks the
+    // fork's content against DuckDB.
+    "q157_deep_clone" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{col, round}
+      val src = scratchPath("dclone_src", d)
+      val tgt = scratchPath("dclone_tgt", d)
+      Versioned.dropTableChain(s, src)
+      Versioned.dropTableChain(s, tgt)
+      new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(tgt)).deleteRecursively()
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice"), 2).as("price"))
+      Versioned.writeVersion(base.filter(col("o_orderkey") % 2 === 0), src)
+      Versioned.writeVersion(base.filter(col("o_orderkey") % 2 === 1), src,
+        SaveMode.Append)
+      // a pre-clone DELETE: the fork must carry the mask's effect
+      Versioned.deleteByKeysScoped(s,  src,
+        base.filter(col("status") === "P").select(col("o_orderkey")), "o_orderkey")
+      assert(Versioned.cloneTableDeep(s, src, tgt) == 0)
+      // independence, proven destructively: the source chain vanishes
+      assert(Versioned.dropTableChain(s, src),
+        "the source must drop cleanly mid-query")
+      val got = Versioned.readLatest(s, tgt)
+      // the fork still stats-prunes from its carried manifest
+      val all = Versioned.planDataFiles(s, tgt, 0, Seq.empty)
+      val none = Versioned.planDataFiles(s, tgt, 0,
+        Seq(org.apache.spark.sql.sources.LessThan("price", -1.0)))
+      assert(all.nonEmpty && none.isEmpty,
+        "carried stats must skip on the fork without the source")
+      got.orderBy("o_orderkey")
+    },
+
     // MULTI-COLUMN BLOOM INDEXES (Delta's per-column bloom filter
     // indexes): a table declares several point-lookup columns, each
     // with its own per-file blooms keyed (column, dir) in the
@@ -4407,6 +4446,14 @@ object SparkEntry {
 
     // the derived-prune read returns exactly the max-date rows with
     // the generated month column
+    // the fork serves the source's masked state (P rows deleted
+    // pre-clone) after the source chain is dropped
+    "q157_deep_clone" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |ORDER BY o_orderkey""".stripMargin,
+
     // a two-sided point lookup over both bloom-indexed columns (the
     // custkey probe is the smallest single-order customer — see the
     // query's pruning rationale)
