@@ -1393,10 +1393,22 @@ object Versioned {
     val nameMap: Map[String, String] = dirRefs.map { r =>
       r -> (if (r.startsWith("/")) s"v00000000_adopted_${md8(r)}" else r)
     }.toMap
-    val sidecarRefs = ls.collect {
-      case BloomEntry(_, _, _, Some(ref)) => ref }.distinct
+    // rewritten refs keep the store's scheme-free absolute-path form
+    // (`toUri.getPath`, what externalizeBlooms writes): pruneVersions'
+    // sidecar reclaim compares refs in exactly that spelling — a
+    // scheme-qualified ref would never match and the copied sidecar
+    // would age out as garbage. Scheme-free refs resolve on the
+    // DEFAULT filesystem only, so a cross-namespace target INLINES
+    // the blobs instead (they are already parsed in memory; the
+    // clone's own next declare/backfill re-externalizes if heavy).
+    val refsRoundTrip = tgtFs.getUri ==
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration).getUri
+    val tgtPathAbs = tgtFs.makeQualified(tgtRoot).toUri.getPath
+    val sidecarRefs =
+      if (!refsRoundTrip) Seq.empty
+      else ls.collect { case BloomEntry(_, _, _, Some(ref)) => ref }.distinct
     val sidecarMap: Map[String, String] = sidecarRefs.map { ref =>
-      ref -> s"${tgtAbs.stripSuffix("/")}/$VDIR/blooms/${new Path(ref).getName}"
+      ref -> s"${tgtPathAbs.stripSuffix("/")}/$VDIR/blooms/${new Path(ref).getName}"
     }.toMap
 
     // the copy list: (src file, dst file) — manifest-served for
@@ -1455,7 +1467,7 @@ object Versioned {
       case ScopedDvEntry(k, n, sc0) =>
         Some(ScopedDvEntry(k, nameMap(n), sc0.map(x => nameMap.getOrElse(x, x))))
       case b: BloomEntry      => Some(b.copy(dir = nameMap.getOrElse(b.dir, b.dir),
-        sidecar = b.sidecar.map(sidecarMap)))
+        sidecar = if (refsRoundTrip) b.sidecar.map(sidecarMap) else None))
       case _: TxnEntry        => None // the source's writers' replay guards
       case _: ChangesEntry    => None // speaks the source's version numbers
       case other              => Some(other)
@@ -4606,8 +4618,13 @@ object Versioned {
       case IsNull(a)                => s"${col(a)} IS NULL"
       case IsNotNull(a)             => s"${col(a)} IS NOT NULL"
       case StringStartsWith(a, p)   =>
-        s"${col(a)} LIKE ${lit(p.replace("\\", "\\\\").replace("%", "\\%")
-          .replace("_", "\\_") + "%")}"
+        // a prefix holding LIKE metacharacters (or a backslash, which
+        // the SQL parser would re-interpret) cannot round-trip through
+        // predicate text exactly — refuse rather than widen the scope
+        if (p.exists(c => c == '%' || c == '_' || c == '\\'))
+          throw new IllegalArgumentException(
+            s"prefix '$p' holds LIKE metacharacters; it does not render to predicate SQL")
+        s"${col(a)} LIKE ${lit(p + "%")}"
       case And(l, r)                => s"(${render(l)} AND ${render(r)})"
       case Or(l, r)                 => s"(${render(l)} OR ${render(r)})"
       case Not(c)                   => s"(NOT ${render(c)})"

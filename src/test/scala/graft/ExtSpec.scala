@@ -5618,5 +5618,28 @@ class ExtSpec extends AnyFunSuite {
     val deep3 = Files.createTempDirectory("graft_dclone_d3").toString + "/t"
     spark.sql(s"CALL versioned.system.clone('$tgtDir', '$deep3', deep => true)")
     assert(Versioned.readLatest(spark, deep3).count() == 39)
+
+    // SIDECAR blooms: the copied sidecar's ref rewrites in the
+    // reclaim-comparable (scheme-free) spelling — the fork's own
+    // vacuum must NOT reap it, and lookups load it with no ancestor
+    val sdir = Files.createTempDirectory("graft_dclone_sc").toString + "/t"
+    def mkI(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "v")
+    Versioned.writeVersion(mkI(0L until 100L by 2).coalesce(1), sdir)
+    Versioned.writeVersion(mkI(1L until 100L by 2).coalesce(1), sdir, SaveMode.Append)
+    spark.conf.set("spark.graft.bloom.sidecarMinBytes", "1")
+    try Versioned.declareBloomColumn(spark, sdir, "id")
+    finally spark.conf.unset("spark.graft.bloom.sidecarMinBytes")
+    val stgt = Files.createTempDirectory("graft_dclone_sct").toString + "/t"
+    assert(Versioned.cloneTableDeep(spark, sdir, stgt) == 0)
+    assert(Versioned.dropTableChain(spark, sdir))
+    def bloomPlan() = Versioned.planDataFiles(spark, stgt,
+      Versioned.latestVersion(spark, stgt).get,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 2L)))
+    val planned0 = bloomPlan()
+    assert(planned0.length == 1,
+      s"the fork's copied sidecar bloom must prune (planned $planned0)")
+    Versioned.pruneVersions(spark, stgt, keepLast = 1, orphanMinAgeMs = 0L)
+    assert(bloomPlan() == planned0,
+      "the fork's own vacuum must not reap its copied bloom sidecar")
   }
 }
