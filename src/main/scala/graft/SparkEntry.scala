@@ -1894,20 +1894,23 @@ object SparkEntry {
         == Seq("o_orderkey", "o_custkey"), "both declarations must be live")
       val pk = src.agg(org.apache.spark.sql.functions.max("o_orderkey"))
         .collect().head.getLong(0)
-      // a SINGLE-order customer: its key lives in exactly one file, so
-      // the custkey bloom provably prunes (a many-order customer could
-      // legitimately appear in every file)
-      val ck = src.groupBy("o_custkey").count()
-        .filter(col("count") === 1)
-        .agg(org.apache.spark.sql.functions.min("o_custkey"))
-        .collect().head.getLong(0)
+      // the FEWEST-orders customer (ties → smallest key): with one
+      // order its key lives in exactly one file, so the custkey bloom
+      // provably prunes; at scales where every customer has several
+      // orders the strict-prune assertion relaxes (a many-order key
+      // can legitimately appear in every file) but the lookup itself
+      // still hash-checks
+      val ckRow = src.groupBy("o_custkey").count()
+        .orderBy(col("count"), col("o_custkey")).limit(1).collect().head
+      val (ck, ckCount) = (ckRow.getLong(0), ckRow.getLong(1))
       val all = Versioned.planDataFiles(s, tbl, v, Seq.empty)
       val byKey = Versioned.planDataFiles(s, tbl, v, Seq(EqualTo("o_orderkey", pk)))
       val byCust = Versioned.planDataFiles(s, tbl, v, Seq(EqualTo("o_custkey", ck)))
       assert(byKey.nonEmpty && byKey.length < all.length,
         s"the o_orderkey bloom must prune (${byKey.length}/${all.length})")
-      assert(byCust.nonEmpty && byCust.length < all.length,
-        s"the o_custkey bloom must prune (${byCust.length}/${all.length})")
+      assert(byCust.nonEmpty && (ckCount > 1 || byCust.length < all.length),
+        s"the o_custkey bloom must prune a single-order key " +
+          s"(${byCust.length}/${all.length}, count=$ckCount)")
       Versioned.readLatest(s, tbl)
         .filter(col("o_orderkey") === pk || col("o_custkey") === ck)
         .orderBy("o_orderkey")
@@ -4455,15 +4458,14 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     // a two-sided point lookup over both bloom-indexed columns (the
-    // custkey probe is the smallest single-order customer — see the
-    // query's pruning rationale)
+    // custkey probe is the fewest-orders customer, ties to the
+    // smallest key — see the query's pruning rationale)
     "q156_multi_bloom" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
-        |   OR o_custkey = (SELECT min(o_custkey) FROM
-        |        (SELECT o_custkey FROM orders GROUP BY o_custkey
-        |         HAVING count(*) = 1))
+        |   OR o_custkey = (SELECT o_custkey FROM orders
+        |        GROUP BY o_custkey ORDER BY count(*), o_custkey LIMIT 1)
         |ORDER BY o_orderkey""".stripMargin,
 
     // the streamed feed of commit 1 is exactly the classified diff
