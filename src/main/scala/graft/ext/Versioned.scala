@@ -4711,7 +4711,34 @@ object Versioned {
       droppedRefs.contains(st.getPath.getName) ||
         now - st.getModificationTime >= orphanMinAgeMs)
     if (!dryRun) {
-      dead.foreach(st => fs.delete(st.getPath, true))
+      // the reclaim is the one O(dead dirs) byte-touching pass of a
+      // retention run: below the threshold the driver deletes
+      // directly (no job for a handful of dirs); at or above it the
+      // deletes dispatch as a Spark job — a 100 TB table's first
+      // vacuum after a retention-policy change reclaims tens of
+      // thousands of dirs, and a driver RPC loop over them is the
+      // same wall the footer harvest already hit
+      val minDist = spark.conf
+        .getOption("spark.graft.vacuum.distributedDeleteMinDirs")
+        .map(_.toInt).getOrElse(64)
+      if (dead.length < math.max(1, minDist))
+        dead.foreach(st => fs.delete(st.getPath, true))
+      else {
+        val sc = spark.sparkContext
+        val bc = sc.broadcast(new Skipping.SerConf(sc.hadoopConfiguration))
+        val paths = dead.map(_.getPath.toString).toSeq
+        val slices = math.max(1, math.min(paths.length, sc.defaultParallelism * 4))
+        val prevDesc = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(s"graft: distributed vacuum reclaim (${paths.length} dirs)")
+        try sc.parallelize(paths, slices).foreach { p =>
+          val pp = new Path(p)
+          pp.getFileSystem(bc.value.value).delete(pp, true)
+          ()
+        } finally {
+          sc.setJobDescription(prevDesc)
+          bc.destroy()
+        }
+      }
       // staging files from commits that crashed between create and
       // publish are invisible to readers but never self-clean; both
       // protocols' staging prefixes are swept (`.tmp-` = RenameCommit,

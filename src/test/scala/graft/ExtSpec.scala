@@ -5492,6 +5492,59 @@ class ExtSpec extends AnyFunSuite {
       "a restore commit must carry its own (newer) clock")
   }
 
+  test("distributed vacuum reclaim: over-threshold dead dirs delete as Spark tasks; below threshold stays driver-direct; results identical") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    def build(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dvac").toString + "/t"
+      Versioned.writeVersion(Seq((0L, "x")).toDF("id", "v"), dir)
+      (1 to n).foreach(i => Versioned.writeVersion(
+        Seq((i.toLong, "x")).toDF("id", "v"), dir)) // OVERWRITES: each orphans the last
+      dir
+    }
+    val reclaimTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reclaimStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties).map(_.getProperty("spark.job.description"))
+            .exists(p => p != null && p.contains("distributed vacuum reclaim")))
+          j.stageIds.foreach(reclaimStages.add(_))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (reclaimStages.contains(t.stageId)) reclaimTasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // below threshold: driver-direct, no reclaim job
+      val small = build(3)
+      spark.conf.set("spark.graft.vacuum.distributedDeleteMinDirs", "1000000")
+      val stSmall = Versioned.pruneVersions(spark, small, keepLast = 1,
+        orphanMinAgeMs = 0L)
+      assert(stSmall.dirsDeleted.size == 3 && reclaimTasks.get() == 0,
+        s"below-threshold reclaim must stay on the driver (${stSmall.dirsDeleted})")
+      // over threshold: the deletes run as executor tasks
+      val big = build(8)
+      spark.conf.set("spark.graft.vacuum.distributedDeleteMinDirs", "2")
+      val stBig = Versioned.pruneVersions(spark, big, keepLast = 1,
+        orphanMinAgeMs = 0L)
+      val deadline = System.currentTimeMillis() + 15000
+      while (reclaimTasks.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(stBig.dirsDeleted.size == 8, stBig.dirsDeleted.toString)
+      assert(reclaimTasks.get() >= 1,
+        "the over-threshold reclaim must run as executor tasks")
+      // identical outcome either way: only the live dir remains
+      val fs = new org.apache.hadoop.fs.Path(big)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val left = fs.listStatus(new org.apache.hadoop.fs.Path(big))
+        .map(_.getPath.getName).filter(_.startsWith("v")).toSeq
+      assert(left.size == 1, s"exactly the live dir must survive: $left")
+      assert(Versioned.readLatest(spark, big).count() == 1)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.vacuum.distributedDeleteMinDirs")
+    }
+  }
+
   test("MULTI-COLUMN bloom indexes: each declared column prunes its own point lookups; appends build all declared blooms; per-column drop keeps the others live") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources.EqualTo
