@@ -4540,8 +4540,15 @@ object Versioned {
       }
 
     // the inserted rows must satisfy the predicate — raise_error
-    // fires inside the single write pass on the first violator
-    val guardCol = logicalSchema.fields.head.name
+    // fires inside the single write pass on the first violator. The
+    // guard anchors on a column the insert actually CARRIES (the df
+    // may legitimately omit generated/identity columns, which the
+    // write prep fills later)
+    val guardCol = logicalSchema.fields
+      .find(f => df.columns.exists(_.equalsIgnoreCase(f.name))).map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"replaceWhere at $dir: the insert shares no column with the table schema " +
+          s"(${logicalSchema.fieldNames.mkString(", ")})"))
     val guarded = df.withColumn(guardCol,
       when(coalesce(expr(predicateSql), lit(false)), fcol(guardCol))
         .otherwise(raise_error(lit(

@@ -5439,6 +5439,40 @@ class ExtSpec extends AnyFunSuite {
       "replaceWhere with no rows must delete the slice")
   }
 
+  test("replaceWhere on an identity-bearing table: omitted ids fill above the mark, survivors keep theirs verbatim, uniqueness holds through the swap") {
+    import graft.ext.Versioned
+    spark.conf.set("spark.sql.catalog.versioned", "graft.sql.VersionedCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rw_ident").toString + "/t"
+    spark.sql(s"DROP TABLE IF EXISTS versioned.`$dir`")
+    spark.sql(s"CREATE TABLE versioned.`$dir` (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 100 INCREMENT BY 1), k BIGINT, grp STRING)")
+    spark.sql(s"INSERT INTO versioned.`$dir` (k, grp) " +
+      "SELECT * FROM VALUES (1L, 'a'), (2L, 'a'), (3L, 'b') AS t(k, grp)")
+    val before = Versioned.readLatest(spark, dir)
+      .select($"id", $"k", $"grp").as[(Long, Long, String)].collect()
+    val keptBefore = before.filter(_._3 == "a").toSet
+    val maxId = before.map(_._1).max
+    // replace the 'b' slice; the reload OMITS the identity column —
+    // the write-entry prep must fill it above the mark, while the
+    // surviving 'a' rows ride through with their ids VERBATIM
+    Versioned.replaceWhere(
+      Seq((30L, "b"), (31L, "b")).toDF("k", "grp"), dir, "grp = 'b'")
+    val after = Versioned.readLatest(spark, dir)
+      .select($"id", $"k", $"grp").as[(Long, Long, String)].collect()
+    assert(after.filter(_._3 == "a").toSet == keptBefore,
+      "survivors must keep their identity values verbatim")
+    val newIds = after.filter(_._3 == "b").map(_._1)
+    assert(newIds.forall(_ > maxId),
+      s"reload ids must assign ABOVE the mark (max pre-swap $maxId, got ${newIds.toSeq})")
+    assert(after.map(_._1).distinct.length == after.length,
+      "identity uniqueness must hold through the swap")
+    // and the mark advanced: a later plain insert stays unique too
+    spark.sql(s"INSERT INTO versioned.`$dir` (k, grp) VALUES (99L, 'c')")
+    val all = Versioned.readLatest(spark, dir).select($"id").as[Long].collect()
+    assert(all.distinct.length == all.length,
+      "the mark must advance past the swap's assignments")
+  }
+
   test("in-commit timestamps: every commit records a monotone clock; TIMESTAMP AS OF resolves by the RECORDED time, immune to mtime tampering; checkpoints carry the same clock") {
     import java.nio.file.Files
     import org.apache.spark.sql.SaveMode
