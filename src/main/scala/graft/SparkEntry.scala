@@ -1954,7 +1954,15 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(300000)
-      s.read.parquet(outDir)
+      val feed = s.read.parquet(outDir)
+      // the CDF metadata contract: _commit_timestamp is the RECORDED
+      // in-commit clock of the one streamed commit, not a read-time
+      // mtime — one distinct value, equal to the manifest's ts: line
+      val tsVals = feed.select(col("_commit_timestamp")).distinct().collect()
+      assert(tsVals.length == 1 && tsVals(0).getTimestamp(0).getTime ==
+        Versioned.commitTimestamp(s, tbl, 1),
+        "_commit_timestamp must serve the recorded in-commit clock of v1")
+      feed
         .select(col("o_orderkey"), col("price"), col("_change_type"),
           col("_commit_version"))
         .orderBy("o_orderkey", "_change_type")
@@ -4475,13 +4483,13 @@ object SparkEntry {
       """WITH s0 AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         |  FROM orders WHERE o_orderkey % 3 = 0)
         |SELECT o_orderkey, price, 'delete' AS _change_type,
-        |  CAST(1 AS INT) AS _commit_version
+        |  CAST(1 AS BIGINT) AS _commit_version
         |FROM s0 WHERE o_orderkey % 5 = 0
         |UNION ALL
-        |SELECT o_orderkey, price, 'update_preimage', CAST(1 AS INT)
+        |SELECT o_orderkey, price, 'update_preimage', CAST(1 AS BIGINT)
         |FROM s0 WHERE o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
         |UNION ALL
-        |SELECT o_orderkey, ROUND(price + 100.0, 2), 'update_postimage', CAST(1 AS INT)
+        |SELECT o_orderkey, ROUND(price + 100.0, 2), 'update_postimage', CAST(1 AS BIGINT)
         |FROM s0 WHERE o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
         |ORDER BY o_orderkey, _change_type""".stripMargin,
 

@@ -955,8 +955,24 @@ object Versioned {
             case HwmEntry(c, n) if c.equalsIgnoreCase(phys) => n
           }.getOrElse(spec.start)
           val dt = s(spec.col).dataType
+          val assignedRaw = lit(base) + lit(spec.step) * monotonically_increasing_id()
+          // BIGINT casts are the identity (declarations refuse anything
+          // narrower). A LEGACY chain that declared INT before the
+          // refusal gets an in-pass range guard instead of a silent
+          // mod-2³² wrap: partition p's offset is step·p·2³³, which any
+          // non-zero p pushes out of the int range — the raise_error
+          // fires inside the single write pass, no validation job
           val assigned =
-            (lit(base) + lit(spec.step) * monotonically_increasing_id()).cast(dt)
+            if (dt == org.apache.spark.sql.types.LongType) assignedRaw.cast(dt)
+            else when(assignedRaw.between(Int.MinValue.toLong, Int.MaxValue.toLong),
+                assignedRaw.cast(dt))
+              .otherwise(raise_error(concat(
+                lit(s"identity column '${spec.col}' is ${dt.simpleString} and the " +
+                  "assigned value "),
+                assignedRaw.cast("string"),
+                lit(" leaves its range — the distributed assignment needs BIGINT; " +
+                  "redeclare the column (Delta's identity contract)")))
+                .cast(dt))
           idBasis = Some(v)
           if (!d.columns.exists(_.equalsIgnoreCase(spec.col)))
             d.withColumn(spec.col, assigned)
@@ -1766,7 +1782,16 @@ object Versioned {
                                          Set.empty,
                                        preHarvested: Option[(Long, Map[String, ColStats], Seq[FileStats])] =
                                          None,
-                                       identityBasis: Option[Int] = None): Option[Int] = {
+                                       identityBasis: Option[Int] = None,
+                                       // REPLACE WHERE's WriteSerializable leg: (the basis
+                                       // version's data-dir names, the predicate's pushed
+                                       // conjuncts in LOGICAL names, the predicate text).
+                                       // A dir committed concurrently whose stats cannot
+                                       // EXCLUDE the predicate conflicts — 'replace where X'
+                                       // must not commit past appended rows matching X
+                                       replaceConflict: Option[(Set[String],
+                                         Seq[org.apache.spark.sql.sources.Filter], String)] =
+                                         None): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
@@ -1886,6 +1911,23 @@ object Versioned {
       val prevPart = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
       if (prevPart != partCols)
         conflict(s"saw the partition spec change to ${prevPart.mkString(",")}")
+      replaceConflict.foreach { case (basis, filters, predSql) =>
+        val cmapNow = colMapOf(ls)
+        val logicalNow = toLogicalSchema(
+          ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(schema), cmapNow)
+        val newcomers = ls.collect {
+          case s: StatsEntry if !basis.contains(s.name) => s }
+        // a newcomer survives only when some pushed conjunct PROVES it
+        // holds no matching row; an untranslatable predicate (no
+        // conjuncts) keeps every newcomer — conservative, like Delta
+        val overlapping = newcomers.filterNot(st =>
+          filters.exists(f => Skipping.excludes(st.rows,
+            rekeyToLogical(st.cols, cmapNow), logicalNow, f)))
+        if (overlapping.nonEmpty) conflict(
+          s"saw ${overlapping.length} concurrently-committed dir(s) whose rows may " +
+            s"match the replace predicate ($predSql) — a REPLACE WHERE must not " +
+            "commit past concurrent writes it would have replaced")
+      }
       if (exclusivePartitions.nonEmpty) {
         val foreign = ls.collect { case s: StatsEntry => s }.flatMap { st =>
           val mine = removedNonEmpty.getOrElse(st.name, Set.empty)
@@ -2465,6 +2507,21 @@ object Versioned {
     // mark advance it too — generated values can then never collide
     // with them; explicit values below it leave it unchanged.
     val idSpecsCore = identityColumnsOf(newSchema)
+    // a FRESH identity declaration (no prior hwm line — a df whose
+    // schema carries the identity metadata creating or re-defining a
+    // table) holds to the same BIGINT-only contract as createTable;
+    // legacy chains that declared INT before the refusal keep working
+    // through prepareWrite's in-pass range guard
+    idSpecsCore.foreach { spec =>
+      val preDeclared = (if (replaceDefinition) None else prev).exists(p =>
+        lines(spark, dir, p).exists {
+          case HwmEntry(c, _) => c.equalsIgnoreCase(spec.col); case _ => false })
+      require(preDeclared ||
+          newSchema(spec.col).dataType == org.apache.spark.sql.types.LongType,
+        s"identity column '${spec.col}' must be BIGINT, got " +
+          s"${newSchema(spec.col).dataType} — a narrower cast collapses the " +
+          "distributed assignment's partition offsets mod 2³² into duplicate ids")
+    }
     val hwmLines: Seq[Line] = idSpecsCore.map { spec =>
       val base = (if (replaceDefinition) None else prev).flatMap(p =>
         lines(spark, dir, p).collectFirst {
@@ -3837,9 +3894,12 @@ object Versioned {
     val idSpecs = identityColumnsOf(ordered)
     idSpecs.foreach { s =>
       require(s.step != 0, s"identity column '${s.col}' cannot step by 0")
-      require(ordered(s.col).dataType == org.apache.spark.sql.types.LongType ||
-          ordered(s.col).dataType == org.apache.spark.sql.types.IntegerType,
-        s"identity column '${s.col}' must be BIGINT or INT, got ${ordered(s.col).dataType}")
+      require(ordered(s.col).dataType == org.apache.spark.sql.types.LongType,
+        s"identity column '${s.col}' must be BIGINT, got ${ordered(s.col).dataType} — " +
+          "the distributed assignment is hwm + step·monotonically_increasing_id(), " +
+          "whose per-partition offsets (step·partitionId·2³³) collapse mod 2³² after " +
+          "a narrower cast: an INT identity silently assigns DUPLICATE ids on any " +
+          "multi-partition insert. Delta's identity contract is BIGINT-only too.")
       require(!s.col.exists(c => c == ':' || c == ',' || c == '\n' || c == '\r') &&
           s.col == s.col.trim,
         s"identity column name '${s.col}' cannot carry a high-water-mark line")
@@ -4539,26 +4599,29 @@ object Versioned {
         (rm, surv)
       }
 
+    // the shared entry prep runs FIRST — fill omitted GENERATED
+    // columns and assign identity values, still in LOGICAL names — so
+    // a predicate referencing a generated column the insert omitted
+    // (a generated-partition reload, typically) guards against the
+    // FILLED value instead of failing analysis
+    val (filled, idBasis) = prepareWrite(df, dir, translate = false)
     // the inserted rows must satisfy the predicate — raise_error
     // fires inside the single write pass on the first violator. The
-    // guard anchors on a column the insert actually CARRIES (the df
-    // may legitimately omit generated/identity columns, which the
-    // write prep fills later)
+    // guard anchors on a column the prepared rows actually CARRY (a
+    // df missing a generated column's DEPENDENCIES can still leave
+    // the column absent)
     val guardCol = logicalSchema.fields
-      .find(f => df.columns.exists(_.equalsIgnoreCase(f.name))).map(_.name)
+      .find(f => filled.columns.exists(_.equalsIgnoreCase(f.name))).map(_.name)
       .getOrElse(throw new IllegalArgumentException(
         s"replaceWhere at $dir: the insert shares no column with the table schema " +
           s"(${logicalSchema.fieldNames.mkString(", ")})"))
-    val guarded = df.withColumn(guardCol,
+    val guarded = filled.withColumn(guardCol,
       when(coalesce(expr(predicateSql), lit(false)), fcol(guardCol))
         .otherwise(raise_error(lit(
           s"replaceWhere at $dir: an inserted row does not satisfy the " +
             s"predicate ($predicateSql); nothing was committed"))
           .cast(logicalSchema(guardCol).dataType)))
-    // the shared entry prep: fill omitted GENERATED columns, assign
-    // identity values, translate logical→physical for renamed chains
-    val (physNew0, idBasis) = prepareWrite(guarded, dir, translate = true)
-    val physNew = physNew0.select(physSchema.fields.map(f =>
+    val physNew = toPhysical(guarded, cmap).select(physSchema.fields.map(f =>
       fcol(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val payload = survivors match {
       case None    => physNew
@@ -4579,7 +4642,9 @@ object Versioned {
       case ScopedDvEntry(k, n, _) => (k, n)
     }
     try commitFileRewrite(spark, dir, removed, Some(staged), partCols,
-      dvSnapshot, protocol, maxAttempts, identityBasis = idBasis)
+      dvSnapshot, protocol, maxAttempts, identityBasis = idBasis,
+      replaceConflict = Some((ls0.collect { case DataEntry(n) => n }.toSet,
+        pushed, predicateSql)))
     catch { case t: Throwable => fs.delete(stagedPath, true); throw t }
   }
 
@@ -4594,14 +4659,30 @@ object Versioned {
   private[graft] def filtersPredicateSql(
       filters: Seq[org.apache.spark.sql.sources.Filter]): Option[String] = {
     import org.apache.spark.sql.sources._
+    // string literals re-parse under Spark's DEFAULT lexer
+    // (escapedStringLiterals=false), which interprets backslash
+    // escapes — a raw backslash must double or 'a\tb' round-trips to
+    // a different string and the replace silently mis-scopes. Quote
+    // doubling ('') is the lexer's other escape; backslashes double
+    // FIRST (the quote escape introduces none).
+    def str(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    // timestamp values render in UTC WITH an explicit offset: a bare
+    // `TIMESTAMP '…'` literal re-reads under whatever
+    // spark.sql.session.timeZone the re-parse runs in, shifting the
+    // predicate when it differs from the writer's zone
+    def ts(i: java.time.Instant): String =
+      "TIMESTAMP '" + java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i) + "+00:00'"
     def lit(v: Any): String = v match {
       case null                  => "NULL"
-      case s: String             => "'" + s.replace("'", "''") + "'"
-      case s: org.apache.spark.unsafe.types.UTF8String =>
-        "'" + s.toString.replace("'", "''") + "'"
+      case s: String             => str(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => str(s.toString)
       case d: java.sql.Date      => s"DATE '$d'"
       case d: java.time.LocalDate => s"DATE '$d'"
-      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case t: java.sql.Timestamp => ts(t.toInstant)
+      case t: java.time.Instant  => ts(t)
       case b: Boolean            => b.toString
       case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
       case n @ (_: Float | _: Double) => s"CAST($n AS DOUBLE)"

@@ -145,13 +145,18 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
   /** The CDF stream's schema: the table's value columns plus Delta
-    * CDF's two metadata columns. */
+    * CDF's three metadata columns — `_commit_version` is a LONG and
+    * `_commit_timestamp` is served from the recorded in-commit clock,
+    * the column set consumers ported from the reference's change feed
+    * expect. */
   private def cdfSchema(value: StructType): StructType =
     StructType(value.fields :+
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType) :+
       org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.IntegerType))
+        org.apache.spark.sql.types.LongType) :+
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -189,6 +194,14 @@ class VersionedStreamProvider extends StreamSourceProvider with StreamSinkProvid
     }.orElse(if (cdf) Some("latest") else None)
     val cdfKeys = parameters.get("keys").map(
       _.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    // a change feed has no stats line to weigh bytes from — the
+    // admission unit is the COMMIT. Silently ignoring a byte cap
+    // would contradict the documented rate-limit contract; refuse it
+    // with the working knob named
+    if (cdf) require(maxBytes.isEmpty,
+      "maxBytesPerTrigger does not apply to readChangeFeed streams (a feed is " +
+        "admitted whole commits, which carry no byte weight) — cap commits per " +
+        "batch with maxFilesPerTrigger instead")
     if (cdf) require(cdfKeys.nonEmpty,
       "readChangeFeed needs option 'keys' (comma-separated key columns — this " +
         "store's change feeds are key-classified, recorded at write time by " +
@@ -470,11 +483,18 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
       val from = start.map(asVersionOffset).orElse(startingBase)
         .map(_.v.toInt).getOrElse(-1)
       val parts = (from + 1 to endV).map { v =>
-        if (v == 0)
-          Versioned.readVersion(spark, dir, 0)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(0))
-        else Versioned.changeFeed(spark, dir, v - 1, v, cdfKeys)
+        // _commit_version serves as LONG and _commit_timestamp from
+        // the recorded in-commit clock (mtime fallback for manifests
+        // predating the ts: line) — the Delta CDF column contract
+        val commitTs = new java.sql.Timestamp(
+          Versioned.commitTimestamp(spark, dir, v))
+        val base =
+          if (v == 0)
+            Versioned.readVersion(spark, dir, 0)
+              .withColumn("_change_type", lit("insert"))
+          else Versioned.changeFeed(spark, dir, v - 1, v, cdfKeys)
+        base.withColumn("_commit_version", lit(v.toLong))
+          .withColumn("_commit_timestamp", lit(commitTs))
       }
       val all =
         if (parts.isEmpty)

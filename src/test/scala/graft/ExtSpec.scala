@@ -4950,6 +4950,66 @@ class ExtSpec extends AnyFunSuite {
       .toSeq.sorted == got1.map(_._1).sorted)
   }
 
+  test("INT identity refuses: declarations demand BIGINT; a legacy INT chain's multi-partition insert refuses in-pass instead of wrapping mod 2^32") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types.{IntegerType, Metadata, StringType, StructField, StructType}
+    import graft.ext.Versioned
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val root = java.nio.file.Files.createTempDirectory("graft_int_identity").toString
+    // 1) SQL declaration refuses with the BIGINT remedy named
+    spark.conf.set("spark.sql.catalog.graft_iid", "graft.sql.VersionedCatalog")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_iid.`$root/sqlInt` (id INT GENERATED ALWAYS " +
+        "AS IDENTITY, data STRING)")
+    }
+    assert(causes(e1).exists(_.contains("BIGINT")), causes(e1).mkString(" | "))
+    // 2) library createTable refuses too
+    val schemaInt = StructType(Seq(
+      StructField("id", IntegerType, nullable = true,
+        metadata = Versioned.identityMetadata(Metadata.empty, 100L, 3L,
+          allowExplicitInsert = false)),
+      StructField("data", StringType)))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.createTable(spark, root + "/libInt", schemaInt)
+    }
+    assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+    // 3) a stray df whose schema CARRIES identity metadata cannot
+    // smuggle a declaration past the refusal: fresh writes strip it
+    // (declarations enter only through createTable / SQL CREATE), so
+    // the write lands a PLAIN int column — no hwm line, values verbatim
+    val dfInt = Seq((7, "a")).toDF("id", "data")
+      .select(col("id").as("id", schemaInt("id").metadata), col("data"))
+    Versioned.writeVersion(dfInt, root + "/dfInt")
+    assert(Versioned.readLatest(spark, root + "/dfInt").select("id")
+      .as[Int].collect().toSeq == Seq(7))
+    assert(!new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root + "/dfInt/_versions/00000000.manifest")), "UTF-8").contains("hwm:"),
+      "a stray metadata-bearing df must not open a high-water mark")
+    // 4) a LEGACY chain that declared INT before the refusal: the
+    // in-pass range guard fires on a multi-partition insert (partition
+    // p's raw id carries step·p·2³³, far outside the int range) —
+    // duplicate ids can never commit silently
+    val legacy = root + "/legacy"
+    Versioned.commitManifest(spark, legacy, 0,
+      Seq("schema:" + schemaInt.json, "hwm:id:100"))
+    val e4 = intercept[Exception] {
+      Versioned.writeVersion(
+        Seq.tabulate(8)(i => s"r$i").toDF("data").repartition(4),
+        legacy, SaveMode.Append)
+    }
+    assert(causes(e4).exists(m => m.contains("BIGINT") && m.contains("range")),
+      causes(e4).mkString(" | "))
+    assert(Versioned.latestVersion(spark, legacy).contains(0),
+      "the refused insert must commit nothing")
+    // …and a SINGLE-partition legacy insert inside the int range still
+    // works (the guard refuses the hazard, not the table)
+    Versioned.writeVersion(Seq("ok").toDF("data").coalesce(1), legacy, SaveMode.Append)
+    val ids = Versioned.readLatest(spark, legacy).select("id")
+      .as[Int].collect().toSeq
+    assert(ids == Seq(100), s"got $ids")
+  }
+
   test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.{Maintenance, ManifestStore, RenameCommit, Versioned}

@@ -859,7 +859,7 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           acc.put(id, df.collect().map(r => (r.getLong(0), r.getString(1),
-            r.getString(2), r.getInt(3))))
+            r.getString(2), r.getLong(3).toInt)))
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -881,7 +881,26 @@ class StreamingSpec extends AnyFunSuite {
     // the schema carries the two CDF metadata columns
     val cdfDf = spark.readStream.format("graft.sql.VersionedStreamProvider")
       .option("path", dir).option("readChangeFeed", "true").option("keys", "id").load()
-    assert(cdfDf.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    assert(cdfDf.columns.toSeq ==
+      Seq("id", "v", "_change_type", "_commit_version", "_commit_timestamp"))
+    assert(cdfDf.schema("_commit_version").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(cdfDf.schema("_commit_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+
+    // a byte cap has no meaning over a feed admitted whole commits —
+    // it refuses with the working knob named, never silently unbounded
+    val eBytes = intercept[Exception] {
+      spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", dir).option("readChangeFeed", "true").option("keys", "id")
+        .option("maxBytesPerTrigger", "1024").load()
+        .writeStream.format("memory").queryName("vcdf_bytes")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    }
+    def chainB(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(chainB(eBytes).contains("maxFilesPerTrigger"),
+      s"wrong failure: ${chainB(eBytes)}")
 
     // default base is 'latest': nothing now, only post-start commits
     val ckptL = Files.createTempDirectory("graft_vcdf_cl").toString
