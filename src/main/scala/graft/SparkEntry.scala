@@ -1827,6 +1827,52 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // NAMED VERSIONED TABLES (the Delta+metastore role — reference:
+    // hive-site.xml names gold tables for Trino): `db.t` resolves
+    // under a warehouse ROOT, so the registry IS the filesystem (the
+    // public Iceberg HadoopCatalog design) — restart-surviving with
+    // no metastore service and no second source of truth. The meter
+    // drives CREATE NAMESPACE / CREATE by name / INSERT / time travel
+    // BY NAME / SHOW TABLES / external LOCATION registration, then
+    // hash-checks the named table's content against DuckDB.
+    "q158_sql_named_table" -> { (s, d) =>
+      import graft.ext.Versioned
+      val wh = scratchPath("named_wh", d)
+      new scala.reflect.io.Directory(new java.io.File(wh)).deleteRecursively()
+      s.conf.set("spark.sql.catalog.graft_named", "graft.sql.VersionedCatalog")
+      s.conf.set("spark.sql.catalog.graft_named.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_named.gold")
+      s.sql("CREATE TABLE graft_named.gold.orders7 (o_orderkey BIGINT, " +
+        "price DOUBLE, status STRING)")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q158")
+      s.sql("INSERT INTO graft_named.gold.orders7 " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus " +
+        "FROM orders_q158 WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'")
+      s.sql("INSERT INTO graft_named.gold.orders7 " +
+        "SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus " +
+        "FROM orders_q158 WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'O'")
+      // time travel BY NAME: v1 serves only the first insert
+      val fCount = s.sql("SELECT count(*) FROM orders_q158 " +
+        "WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'").head().getLong(0)
+      assert(s.sql("SELECT count(*) FROM graft_named.gold.orders7 VERSION AS OF 1")
+        .head().getLong(0) == fCount, "VERSION AS OF must resolve through the name")
+      assert(s.sql("SHOW TABLES IN graft_named.gold").select("tableName")
+        .collect().map(_.getString(0)).contains("orders7"))
+      // the managed chain lives at <warehouse>/gold/orders7 — register
+      // the SAME chain under an EXTERNAL name and the reads agree
+      s.sql("CREATE TABLE graft_named.gold.orders7_ext USING graft " +
+        s"LOCATION '$wh/gold/orders7'")
+      assert(s.sql("SELECT count(*) FROM graft_named.gold.orders7_ext")
+        .head().getLong(0) ==
+        s.sql("SELECT count(*) FROM graft_named.gold.orders7").head().getLong(0))
+      // …and dropping the external NAME keeps the chain (pointer-only)
+      s.sql("DROP TABLE graft_named.gold.orders7_ext")
+      assert(Versioned.latestVersion(s, s"$wh/gold/orders7").contains(2),
+        "dropping an external name must not touch the chain")
+      s.sql("SELECT o_orderkey, price, status FROM graft_named.gold.orders7 " +
+        "ORDER BY o_orderkey")
+    },
+
     // DEEP CLONE (Delta `CREATE TABLE … DEEP CLONE`): a fully
     // independent fork — every referenced byte copies via a Spark
     // job; the meter proves independence the hard way (the SOURCE
@@ -4474,6 +4520,16 @@ object SparkEntry {
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
         |   OR o_custkey = (SELECT o_custkey FROM orders
         |        GROUP BY o_custkey ORDER BY count(*), o_custkey LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // create-by-name → two inserts → the named table IS the %7 slice
+    // of orders in both statuses (travel/SHOW/external legs assert
+    // in-query)
+    "q158_sql_named_table" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |  o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0 AND o_orderstatus IN ('F', 'O')
         |ORDER BY o_orderkey""".stripMargin,
 
     // the streamed feed of commit 1 is exactly the classified diff

@@ -254,6 +254,26 @@ object Versioned {
     * Delta's documented contract); they never repeat. */
   private final case class HwmEntry(col: String, next: Long) extends Line
 
+  /** The FORMAT-VERSION gate (`protocol:<n>`) — Delta's protocol
+    * action's role. The manifest format has accreted ~20 line types
+    * across rounds; without a recorded version the first line type a
+    * FUTURE writer adds would hit an older reader's fallthrough and
+    * parse as garbage instead of a clean refusal. Every commit stamps
+    * the writer's protocol (at the same single seam as `ts:`); a
+    * reader meeting a HIGHER number — or any unknown `<word>:` line
+    * type, the belt to this suspender — refuses with "upgrade
+    * required" rather than misread committed state. Bump
+    * [[SupportedProtocol]] exactly when a change would make an older
+    * reader WRONG (new line type, changed line semantics) — never for
+    * additive metadata an old reader can safely ignore. */
+  private final case class ProtocolEntry(n: Int) extends Line
+
+  /** The highest manifest protocol this build reads and the one it
+    * writes. History: 1 = every format through round 15 (the strict
+    * parser and the stamp itself landed together — all earlier
+    * manifests are protocol-1 shaped and read unchanged). */
+  private[ext] val SupportedProtocol = 1
+
   /** The IN-COMMIT timestamp (`ts:<epochMillis>`) — Delta's
     * inCommitTimestamps role. `TIMESTAMP AS OF` resolved by file
     * MODIFICATION time breaks the moment the log leaves one
@@ -265,9 +285,31 @@ object Versioned {
     * manifests that predate the line. */
   private final case class TsEntry(millis: Long) extends Line
 
+  /** One data dir's statistics — dir-aggregate rows/col bounds plus
+    * the per-FILE list reads plan from. Two serializations, one
+    * in-memory shape (the [[BloomEntry]] sidecar pattern):
+    *
+    *   - INLINE (`stats:<dir>:<json>`), `sidecar` None — small dirs
+    *     keep the zero-metadata-call contract;
+    *   - SIDECAR (`statsref:<dir>:<absolute path>`), `sidecar` Some —
+    *     once a dir's stats JSON crosses
+    *     `spark.graft.stats.sidecarMinBytes` the payload moves to an
+    *     immutable content-addressed file under `_versions/stats/`
+    *     and the manifest carries ONE line. This is the LAST O(files)
+    *     metadata surface: at 10⁶ files the inline form is tens of MB
+    *     of JSON re-written every checkpoint and parsed per JVM
+    *     (Delta's answer is the parquet checkpoint + v2 sidecars).
+    *
+    * Unlike a bloom blob, the file list is LOAD-BEARING (reads plan
+    * from it; a trimmed dir's physical files include REMOVED ones), so
+    * a missing sidecar REFUSES the parse rather than degrade — the
+    * Delta-honest posture for required metadata. Shallow AND deep
+    * clones copy stats sidecars into the target (they are small), so
+    * only external interference can orphan one. */
   private[ext] final case class StatsEntry(name: String, rows: Long,
                                            cols: Map[String, ColStats],
-                                           files: Seq[FileStats]) extends Line
+                                           files: Seq[FileStats],
+                                           sidecar: Option[String] = None) extends Line
 
   /** Footer-aggregated statistics of one column over one data dir.
     * `min`/`max` are canonical strings in the column's comparison
@@ -300,6 +342,16 @@ object Versioned {
       require(i > 0, s"malformed stats manifest line: $line")
       val (rows, cols, files) = StatsJson.parse(rest.substring(i + 1))
       StatsEntry(rest.substring(0, i), rows, cols, files)
+    } else if (line.startsWith("statsref:")) {
+      // dir names are ':'-free (commit-time guards); the TAIL is the
+      // sidecar's absolute scheme-free path, taken whole
+      val rest = line.drop(9)
+      val i = rest.indexOf(':')
+      require(i > 0 && i < rest.length - 1,
+        s"malformed stats-sidecar manifest line: $line")
+      val (rows, cols, files) = loadStatsSidecar(rest.substring(i + 1))
+      StatsEntry(rest.substring(0, i), rows, cols, files,
+        Some(rest.substring(i + 1)))
     } else if (line.startsWith("changes:")) {
       val parts = line.drop(8).split(":", 4)
       require(parts.length == 4, s"malformed change-feed manifest line: $line")
@@ -331,6 +383,14 @@ object Versioned {
       HwmEntry(rest.substring(0, i), rest.substring(i + 1).toLong)
     } else if (line.startsWith("ts:")) {
       TsEntry(line.drop(3).trim.toLong)
+    } else if (line.startsWith("protocol:")) {
+      val n = line.drop(9).trim.toInt
+      if (n > SupportedProtocol) throw new IllegalStateException(
+        s"this table was written with graft manifest protocol $n; this reader " +
+          s"supports protocol $SupportedProtocol — upgrade the engine before " +
+          "reading (refusing is the contract: misparsing a newer format risks " +
+          "silently wrong state)")
+      ProtocolEntry(n)
     } else if (line.startsWith("bloomcol:")) {
       val rest = line.drop(9)
       val i = rest.lastIndexOf(':')
@@ -383,6 +443,18 @@ object Versioned {
       require(i > 0 && i < rest.length - 1,
         s"malformed deletion-vector manifest line: $line")
       DvEntry(rest.substring(0, i), rest.substring(i + 1))
+    } else if (line.matches("[A-Za-z][A-Za-z0-9_.-]*:.*")) {
+      // STRICT fallthrough: a word-shaped `<kind>:` prefix this reader
+      // does not know is a FUTURE line type, never a data dir — data
+      // entries are machine-named `v%08d_<kind>_<nonce>` or colon-free
+      // absolute paths (commit-time guards), so they can never match.
+      // Treating the line as a phantom DataEntry (the old fallthrough)
+      // would at best fail the read on a missing dir and at worst
+      // serve a WRONG dir set.
+      throw new IllegalStateException(
+        s"unknown manifest entry type '${line.takeWhile(_ != ':')}:' — written " +
+          s"by a newer graft (this reader supports manifest protocol " +
+          s"$SupportedProtocol); upgrade the engine before reading this table")
     } else DataEntry(line)
 
   /** Parsed-manifest LRU cache. Sound because a committed manifest is
@@ -516,6 +588,7 @@ object Versioned {
         case h: HwmEntry       => acc.filterNot {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } :+ h
         case t: TsEntry        => t +: acc.filterNot(_.isInstanceOf[TsEntry])
+        case p: ProtocolEntry  => p +: acc.filterNot(_.isInstanceOf[ProtocolEntry])
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
         case bc: BloomColEntry => acc.filterNot {
           case e: BloomColEntry => e.col.equalsIgnoreCase(bc.col); case _ => false } :+ bc
@@ -601,11 +674,13 @@ object Versioned {
                           fullLines: => Seq[Line], ops: => Seq[String],
                           protocol: CommitProtocol): Unit = {
     val ts = commitManifest(spark, dir, v, s"parent:$parent" +: ops, protocol)
-    // the sidecar must carry the same in-commit clock the manifest
-    // was stamped with — a checkpoint-resolved read and a fold-
-    // resolved read of the same version answer TIMESTAMP AS OF alike
+    // the sidecar must carry the same in-commit clock (and protocol
+    // stamp) the manifest was stamped with — a checkpoint-resolved
+    // read and a fold-resolved read of the same version answer
+    // TIMESTAMP AS OF alike and gate alike
     if (checkpointDue(spark, v)) writeCheckpoint(spark, dir, v,
-      TsEntry(ts) +: fullLines.filterNot(_.isInstanceOf[TsEntry]), protocol)
+      TsEntry(ts) +: ProtocolEntry(SupportedProtocol) +: fullLines.filterNot(l =>
+        l.isInstanceOf[TsEntry] || l.isInstanceOf[ProtocolEntry]), protocol)
   }
 
   private def addOp(l: Line): String = "+" + renderLine(l)
@@ -766,6 +841,109 @@ object Versioned {
     }
   }
 
+  // ───────────── stats sidecar files (manifest stays O(dirs)) ─────────────
+
+  /** Per-dir stats-JSON bytes at or above which [[externalizeStats]]
+    * moves the payload to a sidecar file. The default (256 KiB, a few
+    * hundred files' worth of JSON) keeps small tables zero-metadata-
+    * call while a large commit stops growing the manifest with file
+    * count. */
+  private def statsSidecarMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.stats.sidecarMinBytes")
+      .map(_.toLong).getOrElse(256L * 1024)
+
+  private def statsDirPath(root: Path) = new Path(root, s"$VDIR/stats")
+
+  /** Sidecar parse cache — sound because the files are IMMUTABLE
+    * (content-addressed, written once; a trim writes a NEW sidecar).
+    * Weighted by recorded file count, the same unit as the manifest
+    * cache; one hot entry always stays. */
+  private val statsSidecarCacheMaxFiles = 2L * 1000 * 1000
+  private var statsSidecarCacheFiles = 0L
+  private val statsSidecarCache =
+    new java.util.LinkedHashMap[String, ((Long, Map[String, ColStats], Seq[FileStats]), Long)](
+      64, 0.75f, true)
+
+  /** Read one stats sidecar (cached). A MISSING file REFUSES with the
+    * remedy named — unlike a bloom blob, the file list is what reads
+    * PLAN from, and a silent fallback to directory listing would serve
+    * rows a CoW rewrite already removed from a trimmed dir. */
+  private def loadStatsSidecar(path: String): (Long, Map[String, ColStats], Seq[FileStats]) = {
+    statsSidecarCache.synchronized(Option(statsSidecarCache.get(path))) match {
+      case Some((cached, _)) => cached
+      case None =>
+        val spark = SparkSession.active
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parsed =
+          try {
+            val in = fs.open(p)
+            try StatsJson.parse(
+              scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+            finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"stats sidecar $path is MISSING — the manifest's per-file lists " +
+                  "live there and reads plan from them, so this table cannot be " +
+                  "served exactly. Restore the file, or re-create the state it " +
+                  "described (was a foreign table's prune pointed at this tree?)")
+          }
+        statsSidecarCache.synchronized {
+          val w = 1L + parsed._3.length
+          if (statsSidecarCache.put(path, (parsed, w)) == null)
+            statsSidecarCacheFiles += w
+          val it = statsSidecarCache.entrySet().iterator()
+          while (statsSidecarCacheFiles > statsSidecarCacheMaxFiles &&
+                 statsSidecarCache.size() > 1 && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != path) {
+              statsSidecarCacheFiles -= eldest.getValue._2
+              it.remove()
+            }
+          }
+        }
+        parsed
+    }
+  }
+
+  /** Move heavy inline stats entries to sidecar files — called at
+    * every seam that CREATES a stats line (commit harvest, CONVERT,
+    * backfill, rewrite trim/replacement), before the entry renders
+    * into a manifest. Entries already carrying a ref pass through
+    * (immutable file, exists); light entries stay inline. tmp+rename
+    * so the content-addressed name only ever appears COMPLETE; losing
+    * a same-name race is benign (same hash = same bytes). */
+  private def externalizeStats(spark: SparkSession, dir: String,
+                               entries: Seq[Line]): Seq[Line] = {
+    lazy val minBytes = statsSidecarMinBytes(spark)
+    entries.map {
+      case s @ StatsEntry(_, rows, cols, files, None) if files.nonEmpty =>
+        val json = StatsJson.render(rows, cols, files)
+        if (json.length < minBytes) s
+        else {
+          val body = (json + "\n").getBytes("UTF-8")
+          val hash = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(body).take(16).map("%02x".format(_)).mkString
+          val (fs, root) = fsFor(spark, dir)
+          val target = new Path(statsDirPath(root), s"$hash.stats")
+          if (!fs.exists(target)) {
+            fs.mkdirs(target.getParent)
+            val tmp = new Path(target.getParent,
+              s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+            val out = fs.create(tmp, false)
+            try out.write(body) finally out.close()
+            if (!fs.rename(tmp, target)) {
+              fs.delete(tmp, false)
+              require(fs.exists(target), s"stats sidecar rename to $target failed")
+            }
+          }
+          s.copy(sidecar = Some(fs.makeQualified(target).toUri.getPath))
+        }
+      case other => other
+    }
+  }
+
   private def renderLine(l: Line): String = l match {
     case DataEntry(n)      => n
     case DvEntry(k, n)     => s"dv:$k:$n"
@@ -777,13 +955,15 @@ object Versioned {
     case NotNullEntry(c)   => s"notnull:$c"
     case HwmEntry(c, n)    => s"hwm:$c:$n"
     case TsEntry(ms)       => s"ts:$ms"
+    case ProtocolEntry(n)  => s"protocol:$n"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
     case BloomColEntry(c, bits) => s"bloomcol:$c:$bits"
     case BloomEntry(d, c, _, Some(ref)) => s"bloomref:$d:$c:$ref"
     case BloomEntry(d, c, fs, None) => s"bloom:$d:$c:" +
       fs.toSeq.sortBy(_._1).map { case (f, b) => s"$f=${Bloom.toBase64(b)}" }.mkString(",")
     case ChangesEntry(f, t, ks, n) => s"changes:$f:$t:${ks.mkString(",")}:$n"
-    case StatsEntry(n, r, c, f) => s"stats:$n:${StatsJson.render(r, c, f)}"
+    case StatsEntry(n, _, _, _, Some(ref)) => s"statsref:$n:$ref"
+    case StatsEntry(n, r, c, f, None) => s"stats:$n:${StatsJson.render(r, c, f)}"
   }
 
   /** The recorded union schema of a version, if its manifest carries
@@ -1338,9 +1518,29 @@ object Versioned {
         "name — apply them physically (INSERT OVERWRITE the read, or compact) first")
     def abs(n: String) =
       if (n.startsWith("/")) n else s"${rootAbs.stripSuffix("/")}/$n"
+    // stats sidecars COPY into the clone (KB-scale metadata, one small
+    // file per large dir): the file lists are load-bearing, so leaving
+    // them as refs into the source's tree would extend the shallow-
+    // clone caveat from "skipping degrades" (blooms) to "reads refuse"
+    // the moment the source prunes. Content-addressed names make the
+    // copy idempotent and collision-free.
+    val (tgtFs2, tgtRoot) = fsFor(spark, targetDir)
+    val tgtStatsDir = statsDirPath(tgtRoot)
+    def localizeStats(s: StatsEntry): StatsEntry = s.sidecar match {
+      case None => s.copy(name = abs(s.name))
+      case Some(ref) =>
+        val target = new Path(tgtStatsDir, new Path(ref).getName)
+        if (!tgtFs2.exists(target)) {
+          tgtFs2.mkdirs(tgtStatsDir)
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(ref), tgtFs2, target,
+            false, true, spark.sparkContext.hadoopConfiguration)
+        }
+        s.copy(name = abs(s.name),
+          sidecar = Some(tgtFs2.makeQualified(target).toUri.getPath))
+    }
     val cloned: Seq[Line] = ls.flatMap {
       case DataEntry(n)      => Some(DataEntry(abs(n)))
-      case s: StatsEntry     => Some(s.copy(name = abs(s.name)))
+      case s: StatsEntry     => Some(localizeStats(s))
       case DvEntry(k, n)     => Some(DvEntry(k, abs(n)))
       case b: BloomEntry     => Some(b.copy(dir = abs(b.dir)))
       case _: TxnEntry       => None // the source's writers' replay guards
@@ -1380,6 +1580,10 @@ object Versioned {
     * change feeds (they speak the source's writer ids and version
     * numbers). The clone starts its OWN history at version 0 with a
     * fresh in-commit timestamp. */
+  /** (bytesCopied, filesSkipped) of the LAST deep-clone copy job in
+    * this JVM — a test seam for the resume contract, not an API. */
+  @volatile private[graft] var lastDeepCloneCounts: (Long, Long) = (0L, 0L)
+
   def cloneTableDeep(spark: SparkSession, sourceDir: String, targetDir: String,
                      version: Option[Int] = None,
                      protocol: CommitProtocol = PutIfAbsentCommit): Int = {
@@ -1426,6 +1630,16 @@ object Versioned {
     val sidecarMap: Map[String, String] = sidecarRefs.map { ref =>
       ref -> s"${tgtPathAbs.stripSuffix("/")}/$VDIR/blooms/${new Path(ref).getName}"
     }.toMap
+    // stats sidecars copy the same way (same-namespace targets); a
+    // cross-namespace target re-externalizes them INTO the target
+    // below instead — the file lists are load-bearing and must never
+    // stay refs into the source's tree on a deep clone
+    val statsRefs =
+      if (!refsRoundTrip) Seq.empty
+      else ls.collect { case StatsEntry(_, _, _, _, Some(ref)) => ref }.distinct
+    val statsMap: Map[String, String] = statsRefs.map { ref =>
+      ref -> s"${tgtPathAbs.stripSuffix("/")}/$VDIR/stats/${new Path(ref).getName}"
+    }.toMap
 
     // the copy list: (src file, dst file) — manifest-served for
     // stats-listed data dirs (zero listing), driver-listed for dv
@@ -1451,12 +1665,23 @@ object Versioned {
       }
     }
     sidecarRefs.foreach(ref => copies += ((ref, sidecarMap(ref))))
+    statsRefs.foreach(ref => copies += ((ref, statsMap(ref))))
 
     // distributed copy: tasks stream each file; cross-namespace is
-    // fine (both ends resolve their own filesystem from the conf)
+    // fine (both ends resolve their own filesystem from the conf).
+    // RESUMABLE: the commit lands only after every byte, so a crashed
+    // 100 TB clone leaves files but no manifest — the re-run must not
+    // start from zero. Each task skips a destination that already
+    // exists with the SOURCE's length (source files are immutable and
+    // content moves whole-file, so equal length = completed copy; a
+    // crashed partial is shorter and re-copies with overwrite). The
+    // skip check is a per-file metadata call INSIDE the task —
+    // distributed, never a driver loop.
     if (copies.nonEmpty) {
       val sc = spark.sparkContext
       val bc = sc.broadcast(new Skipping.SerConf(sc.hadoopConfiguration))
+      val copied = sc.longAccumulator("graft.deepClone.bytesCopied")
+      val skipped = sc.longAccumulator("graft.deepClone.filesSkipped")
       val slices = math.max(1, math.min(copies.length, sc.defaultParallelism * 4))
       val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"graft: deep clone copy (${copies.length} files)")
@@ -1465,11 +1690,25 @@ object Versioned {
           val conf = bc.value.value
           val sp = new Path(s)
           val dp = new Path(d)
-          if (!org.apache.hadoop.fs.FileUtil.copy(
-              sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
-              false, true, conf))
-            throw new java.io.IOException(s"deep clone copy failed: $s -> $d")
+          val sfs = sp.getFileSystem(conf)
+          val dfs = dp.getFileSystem(conf)
+          val srcLen = sfs.getFileStatus(sp).getLen
+          val done =
+            try dfs.getFileStatus(dp).getLen == srcLen
+            catch { case _: java.io.FileNotFoundException => false }
+          if (done) skipped.add(1L)
+          else {
+            if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+                false, true, conf))
+              throw new java.io.IOException(s"deep clone copy failed: $s -> $d")
+            copied.add(srcLen)
+          }
         }
+        if (skipped.value > 0)
+          log.info(s"deep clone $sourceDir -> $targetDir resumed: " +
+            s"${skipped.value} of ${copies.length} files were already complete; " +
+            s"${copied.value} bytes copied this run")
+        lastDeepCloneCounts = (copied.value, skipped.value)
       } finally {
         sc.setJobDescription(prev)
         bc.destroy()
@@ -1478,7 +1717,12 @@ object Versioned {
 
     val cloned: Seq[Line] = ls.flatMap {
       case DataEntry(n)       => Some(DataEntry(nameMap(n)))
-      case s: StatsEntry      => Some(s.copy(name = nameMap.getOrElse(s.name, s.name)))
+      case s: StatsEntry      =>
+        val renamed = s.copy(name = nameMap.getOrElse(s.name, s.name))
+        Some(
+          if (refsRoundTrip) renamed.copy(sidecar = renamed.sidecar.map(statsMap))
+          else externalizeStats(spark, targetDir,
+            Seq(renamed.copy(sidecar = None))).head.asInstanceOf[StatsEntry])
       case DvEntry(k, n)      => Some(DvEntry(k, nameMap(n)))
       case ScopedDvEntry(k, n, sc0) =>
         Some(ScopedDvEntry(k, nameMap(n), sc0.map(x => nameMap.getOrElse(x, x))))
@@ -1581,7 +1825,8 @@ object Versioned {
         StructType(partCols.map(c => schema(c))))
     val v0: Seq[Line] = Seq(SchemaEntry(schema)) ++
       (if (partCols.nonEmpty) Seq(PartitionEntry(partCols)) else Seq.empty) ++
-      Seq(DataEntry(rootAbs), StatsEntry(rootAbs, rows, cols, files))
+      (DataEntry(rootAbs) +:
+        externalizeStats(spark, dir, Seq(StatsEntry(rootAbs, rows, cols, files))))
     commitManifest(spark, dir, 0, v0.map(renderLine), protocol)
     0
   }
@@ -1791,6 +2036,12 @@ object Versioned {
                                        // must not commit past appended rows matching X
                                        replaceConflict: Option[(Set[String],
                                          Seq[org.apache.spark.sql.sources.Filter], String)] =
+                                         None,
+                                       // a pre-written change-feed dir (keys, dirName) to
+                                       // record in the SAME commit — the rewrite's version
+                                       // numbers are known only inside the retry, so the
+                                       // ChangesEntry is stamped here
+                                       changeFeed: Option[(Seq[String], String)] =
                                          None): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
@@ -1823,7 +2074,8 @@ object Versioned {
             BloomEntry(nd, b.col,
               Bloom.buildDirBlooms(spark, p.toString, schema, b.col, b.bits))
           })
-        Seq(DataEntry(nd), StatsEntry(nd, rows, cols, files)) ++ bloom
+        (DataEntry(nd) +:
+          externalizeStats(spark, dir, Seq(StatsEntry(nd, rows, cols, files)))) ++ bloom
       }
     }
     if (removedNonEmpty.isEmpty && newEntries.isEmpty) return None
@@ -1947,7 +2199,11 @@ object Versioned {
         if (remaining.isEmpty) { ops += s"-data:$d"; None }
         else {
           val (rows, cols, _) = Skipping.aggregateDir(schema, remaining)
-          val replaced = StatsEntry(d, rows, cols, remaining)
+          // a trim's content changed ⇒ the old sidecar (if any) drops
+          // and the survivor re-externalizes if still heavy — the
+          // orphaned file ages out through pruneVersions
+          val replaced = externalizeStats(spark, dir,
+            Seq(StatsEntry(d, rows, cols, remaining))).head.asInstanceOf[StatsEntry]
           ops += addOp(replaced)
           Some(d -> replaced)
         }
@@ -1994,6 +2250,12 @@ object Versioned {
         if (next == base) None else Some(HwmEntry(spec.col, next))
       }
       hwmRw.foreach(l => ops += addOp(l))
+      // the recorded feed speaks THIS commit's version numbers —
+      // derived content is basis-exact (the conflict checks above
+      // refuse anything that would make it stale)
+      val feedLines: Seq[Line] = changeFeed.toSeq.map { case (ks, nd) =>
+        ChangesEntry(prev, v, ks, nd) }
+      feedLines.foreach(l => ops += addOp(l))
       val emptied = removedNonEmpty.keySet -- replacedStats.keySet
       val fullLines = ls.flatMap {
         case DataEntry(n) if emptied.contains(n) => None
@@ -2005,7 +2267,7 @@ object Versioned {
         case h: HwmEntry if hwmRw.exists {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } => None
         case other => Some(other)
-      } ++ newEntries ++ hwmRw
+      } ++ newEntries ++ hwmRw ++ feedLines
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
       Some(v)
     }
@@ -2560,7 +2822,8 @@ object Versioned {
       }
       case _ => Seq.empty
     }
-    val stats = StatsEntry(dataDir, rows, colStats, dirFiles)
+    val stats = externalizeStats(spark, dir,
+      Seq(StatsEntry(dataDir, rows, colStats, dirFiles))).head.asInstanceOf[StatsEntry]
     // declared bloom columns: build this commit's per-file blooms,
     // one column-pruned scan of the NEW dir per declaration —
     // O(delta), only when the table opted in. A fresh overwrite
@@ -2704,15 +2967,19 @@ object Versioned {
     // caller's line set brought along (clone/restore render old
     // state) is dropped first: the stamp is THIS commit's clock, not
     // the copied history's.
-    val body = dirs.filterNot(l => l.startsWith("ts:") || l.startsWith("+ts:"))
+    // the protocol stamp shares the seam: every commit declares the
+    // format version it wrote (caller-carried stamps drop for the
+    // same reason the ts does — clone/restore render old state)
+    val body = dirs.filterNot(l => l.startsWith("ts:") || l.startsWith("+ts:") ||
+      l.startsWith("protocol:") || l.startsWith("+protocol:"))
     val parentTs =
       if (v == 0) None
       else try lines(spark, dir, v - 1).collectFirst { case TsEntry(m) => m }
       catch { case _: Exception => None }
     val ts = math.max(System.currentTimeMillis(), parentTs.fold(Long.MinValue)(_ + 1L))
     val stamped = body.headOption.filter(_.startsWith("parent:")) match {
-      case Some(h) => h +: (s"+ts:$ts" +: body.tail)
-      case None    => s"ts:$ts" +: body
+      case Some(h) => h +: s"+ts:$ts" +: s"+protocol:$SupportedProtocol" +: body.tail
+      case None    => s"ts:$ts" +: s"protocol:$SupportedProtocol" +: body
     }
     val bytes = (stamped.mkString("\n") + "\n").getBytes("UTF-8")
     if (!protocol.putIfAbsent(fs, manifestPath(dir, v), bytes))
@@ -3086,12 +3353,16 @@ object Versioned {
         StatsEntry(n, rows, cols, dirFiles)
       }
       // idempotence: a nested-layout dir (no top-level files) harvests
-      // the same empty entry every time — only a real change commits
-      val changed = harvested.exists(h => !stats.get(h.name).contains(h))
+      // the same empty entry every time — only a real CONTENT change
+      // commits (the prior entry may carry a sidecar ref; compare the
+      // stats themselves, not the serialization)
+      val changed = harvested.exists(h => !stats.get(h.name)
+        .exists(p => (p.rows, p.cols, p.files) == (h.rows, h.cols, h.files)))
       if (!changed && hasSchema) None
       else {
         val v = prev + 1
         val schema = schemaOf(spark, dir, prev) // derives once when absent
+        val externalized = externalizeStats(spark, dir, harvested)
         val replaced = harvested.map(_.name).toSet
         val kept = ls.filterNot {
           case _: SchemaEntry => true
@@ -3099,8 +3370,8 @@ object Versioned {
           case _              => false
         }
         commitChild(spark, dir, v, prev,
-          SchemaEntry(schema) +: (kept ++ harvested),
-          addOp(SchemaEntry(schema)) +: harvested.map(addOp), protocol)
+          SchemaEntry(schema) +: (kept ++ externalized),
+          addOp(SchemaEntry(schema)) +: externalized.map(addOp), protocol)
         Some(v)
       }
     }
@@ -4540,7 +4811,14 @@ object Versioned {
     * complete no-op (no row matched AND `df` was empty). */
   def replaceWhere(df: DataFrame, dir: String, predicateSql: String,
                    protocol: CommitProtocol = PutIfAbsentCommit,
-                   maxAttempts: Int = 16): Option[Int] = {
+                   maxAttempts: Int = 16,
+                   // non-empty = RECORD the change feed in the same commit
+                   // (writeVersionWithChangeFeed's role for the replace):
+                   // the diff is known AT WRITE TIME — pre-image rows are the
+                   // predicate's matches, post-image rows are the insert — so
+                   // a bulk reload is exactly the commit where deriving CDF
+                   // later (O(both versions)) is most wasteful
+                   keys: Seq[String] = Seq.empty): Option[Int] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, raise_error, when, col => fcol}
     val spark = df.sparkSession
     val v0 = latestVersion(spark, dir).getOrElse(
@@ -4637,6 +4915,30 @@ object Versioned {
     (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
       .parquet(stagedPath.toString)
 
+    // requested CDF capture: the classified diff of the SLICE — rows
+    // matching the predicate at v0 (masked read: deleted rows were
+    // never served, so they emit no delete) against the slice's NEW
+    // content read back from the STAGED bytes (not a re-evaluation of
+    // the insert plan, whose identity assignment is not deterministic
+    // across jobs). Survivors don't match the predicate, so the
+    // staged-side filter isolates exactly the inserted slice; untouched
+    // rows appear on neither side and emit nothing. Invisible until
+    // the manifest lands, like the data dir.
+    val feedDir = if (keys.isEmpty) None else {
+      keys.foreach(k => require(k.matches("[A-Za-z0-9_]+"),
+        s"key column must be word-shaped (it is embedded in the manifest), got '$k'"))
+      val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val chDir = f"v${v0 + 1}%08d_changes_$nonce"
+      val stagedNew = toLogicalDf(
+          spark.read.schema(physSchema).parquet(stagedPath.toString), cmap)
+        .select(logicalSchema.fieldNames.map(fcol).toSeq: _*)
+        .filter(coalesce(expr(predicateSql), lit(false)))
+      diffFeedFrames(
+        readVersion(spark, dir, v0).filter(expr(predicateSql)), stagedNew, keys)
+        .write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, chDir).toString)
+      Some((keys, chDir))
+    }
+
     val dvSnapshot = ls0.collect {
       case DvEntry(k, n)          => (k, n)
       case ScopedDvEntry(k, n, _) => (k, n)
@@ -4644,8 +4946,13 @@ object Versioned {
     try commitFileRewrite(spark, dir, removed, Some(staged), partCols,
       dvSnapshot, protocol, maxAttempts, identityBasis = idBasis,
       replaceConflict = Some((ls0.collect { case DataEntry(n) => n }.toSet,
-        pushed, predicateSql)))
-    catch { case t: Throwable => fs.delete(stagedPath, true); throw t }
+        pushed, predicateSql)),
+      changeFeed = feedDir)
+    catch { case t: Throwable =>
+      fs.delete(stagedPath, true)
+      feedDir.foreach { case (_, nd) => fs.delete(new Path(root, nd), true) }
+      throw t
+    }
   }
 
   /** Render pushed-down overwrite filters as ONE predicate-SQL string
@@ -4852,6 +5159,21 @@ object Versioned {
             case BloomEntry(_, _, _, Some(ref)) => ref
           }).toSet
         fs.listStatus(bloomsDir)
+          .filter(st => !referenced.contains(
+            fs.makeQualified(st.getPath).toUri.getPath) &&
+            now - st.getModificationTime >= orphanMinAgeMs)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+      // stats sidecars reclaim identically: a trim or overwrite
+      // orphaned the old content-addressed file, or its versions were
+      // just dropped; the age guard covers the commit-in-flight race
+      val statsDir = statsDirPath(root)
+      if (fs.exists(statsDir)) {
+        val referenced = keep.iterator.flatMap(v =>
+          lines(spark, dir, v).iterator.collect {
+            case StatsEntry(_, _, _, _, Some(ref)) => ref
+          }).toSet
+        fs.listStatus(statsDir)
           .filter(st => !referenced.contains(
             fs.makeQualified(st.getPath).toUri.getPath) &&
             now - st.getModificationTime >= orphanMinAgeMs)

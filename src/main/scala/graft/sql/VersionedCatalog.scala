@@ -57,11 +57,16 @@ import graft.ext.Versioned
   * library, which owns table lifecycle.
   */
 class VersionedCatalog extends TableCatalog with StagingTableCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with SupportsNamespaces {
   private var catName: String = "versioned"
+  private var warehouse: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    // `spark.sql.catalog.<name>.warehouse` turns on NAME addressing:
+    // `db.t` resolves under this root (see [[pathOf]])
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
 
   override def name(): String = catName
 
@@ -91,9 +96,156 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       // OCC claim as the data (see Versioned.identityColumnsOf)
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
-  /** Tables are paths; there is no namespace to enumerate. */
+  // ── name addressing (the Delta+metastore role, without the service) ──
+  //
+  // With `spark.sql.catalog.<cat>.warehouse=/root` configured, a
+  // name-shaped identifier `db.t` resolves to the DIRECTORY
+  // `<warehouse>/db/t` — the registry IS the filesystem (the public
+  // Iceberg HadoopCatalog design), so resolution survives JVM
+  // restarts with no metastore service, no single live-connection
+  // bottleneck (embedded derby's), and no second source of truth that
+  // can disagree with the storage. Two table flavors, Delta's own
+  // split:
+  //
+  //   - MANAGED: the chain lives AT `<warehouse>/db/t`; DROP deletes
+  //     data (the chain root).
+  //   - EXTERNAL (`CREATE TABLE db.t … LOCATION '/abs/path'`): the
+  //     dir holds ONE `_location` pointer file naming the chain root
+  //     elsewhere; DROP removes the POINTER only — Delta's external-
+  //     table contract. A LOCATION pointing at an EXISTING chain
+  //     registers it (CONVERT-then-register migration path).
+  //
+  // Path-shaped identifiers (`` cat.`/abs/path` ``) keep working
+  // unchanged beside names — with no warehouse configured they are
+  // the only form, the pre-round-15 behavior.
+
+  private val LocationFile = "_location"
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  private def isPathIdent(ident: Identifier): Boolean =
+    (ident.namespace() :+ ident.name()).mkString("/").startsWith("/")
+
+  private def requireWarehouse(what: String): String = warehouse.getOrElse(
+    throw new UnsupportedOperationException(
+      s"$what needs name addressing — set spark.sql.catalog.$catName.warehouse " +
+        "to a root directory, or address tables by absolute path " +
+        s"(`$catName`.`/abs/path`)"))
+
+  private def namedDir(ident: Identifier): String =
+    (requireWarehouse(s"table ${ident.toString}") +:
+      (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  /** Follow a named table's `_location` pointer, if present. */
+  private def resolveNamed(ident: Identifier): String = {
+    val dir = namedDir(ident)
+    val marker = new org.apache.hadoop.fs.Path(dir, LocationFile)
+    val fs = hadoopFs(marker)
+    if (!fs.exists(marker)) dir
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_versions")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(p, LocationFile))
+
+  /** `SHOW TABLES IN cat.db` — the dirs under the namespace that ARE
+    * tables (a committed chain or an external pointer). Path-addressed
+    * tables have no namespace to enumerate, as before. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val nsPath = new org.apache.hadoop.fs.Path(
+          (w +: namespace.toSeq).mkString("/"))
+        val fs = hadoopFs(nsPath)
+        if (!fs.exists(nsPath))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchNamespaceException(namespace.toSeq)
+        fs.listStatus(nsPath).filter(_.isDirectory)
+          .filter(st => isTableDir(fs, st.getPath))
+          .map(st => Identifier.of(namespace, st.getPath.getName))
+          .sortBy(_.name())
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    // the EMPTY namespace always exists — path-addressed identifiers
+    // live there, warehouse or not
+    namespace.isEmpty || warehouse.exists { w =>
+      val p = new org.apache.hadoop.fs.Path((w +: namespace.toSeq).mkString("/"))
+      val fs = hadoopFs(p)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory && !isTableDir(fs, p)
+    }
+
+  override def listNamespaces(): Array[Array[String]] = warehouse match {
+    case None => Array.empty
+    case Some(w) =>
+      val p = new org.apache.hadoop.fs.Path(w)
+      val fs = hadoopFs(p)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .filterNot(st => isTableDir(fs, st.getPath))
+        .map(st => Array(st.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val p = new org.apache.hadoop.fs.Path((w +: namespace.toSeq).mkString("/"))
+        val fs = hadoopFs(p)
+        if (!fs.exists(p))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchNamespaceException(namespace.toSeq)
+        fs.listStatus(p).filter(_.isDirectory)
+          .filterNot(st => isTableDir(fs, st.getPath))
+          .map(st => namespace :+ st.getPath.getName)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    val w = requireWarehouse(s"namespace ${namespace.mkString(".")}")
+    require(namespace.forall(n => !n.contains("/") && !n.startsWith("_") &&
+        !n.startsWith(".")),
+      s"namespace levels must be plain directory names, got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    val p = new org.apache.hadoop.fs.Path((w +: namespace.toSeq).mkString("/"))
+    hadoopFs(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' namespaces are directories and carry no properties")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val w = requireWarehouse(s"namespace ${namespace.mkString(".")}")
+    if (!namespaceExists(namespace)) false
+    else {
+      val p = new org.apache.hadoop.fs.Path((w +: namespace.toSeq).mkString("/"))
+      val fs = hadoopFs(p)
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
+      fs.delete(p, true)
+    }
+  }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
@@ -114,8 +266,13 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     load(ident, Some(v.toString))
   }
 
+  /** The chain-root directory an identifier addresses: a `/`-leading
+    * identifier IS the path (the pre-name idiom, unchanged); anything
+    * else resolves by NAME under the configured warehouse, following
+    * an external table's `_location` pointer. */
   private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+    if (isPathIdent(ident)) (ident.namespace() :+ ident.name()).mkString("/")
+    else resolveNamed(ident)
 
   private def load(ident: Identifier, version: Option[String]): Table = {
     val spark = SparkSession.active
@@ -291,8 +448,41 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
                                     properties: java.util.Map[String, String],
                                     checks: Seq[(String, String)]): Table = {
     val spark = SparkSession.active
-    val dir = pathOf(ident)
     requireNoProperties(properties)
+    // Spark qualifies LOCATION to a URI (`file:/…`) before it reaches
+    // the catalog — normalize to the store's scheme-free absolute form
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(raw => new org.apache.hadoop.fs.Path(raw.stripSuffix("/")).toUri.getPath)
+      .filter(_.nonEmpty)
+    val dir =
+      if (isPathIdent(ident)) pathOf(ident)
+      else location match {
+        case None => namedDir(ident) // MANAGED: the chain lives in place
+        case Some(loc) => // EXTERNAL: a `_location` pointer names the chain
+          require(loc.startsWith("/") && !loc.contains(":") && !loc.contains(","),
+            s"LOCATION must be a colon/comma-free absolute path, got '$loc'")
+          val named = new org.apache.hadoop.fs.Path(namedDir(ident))
+          val fs = hadoopFs(named)
+          if (isTableDir(fs, named))
+            throw new org.apache.spark.sql.catalyst.analysis
+              .TableAlreadyExistsException(ident)
+          val existing = Versioned.latestVersion(spark, loc).nonEmpty
+          if (existing) require(schema.fields.isEmpty,
+            s"a versioned chain already exists at $loc — register it with no " +
+              "column list (CREATE TABLE … USING graft LOCATION), or pick a " +
+              "fresh location to create with this schema")
+          else require(schema.fields.nonEmpty,
+            s"no versioned chain at $loc — give a column list to create one there")
+          if (!existing)
+            Versioned.createTable(spark, loc, schema, partColsOf(partitions),
+              constraints = checks)
+          // the pointer lands LAST: a crash before it leaves no
+          // half-registered name (at worst an unregistered chain)
+          fs.mkdirs(named)
+          val out = fs.create(new org.apache.hadoop.fs.Path(named, LocationFile), false)
+          try out.write((loc + "\n").getBytes("UTF-8")) finally out.close()
+          return load(ident, None)
+      }
     if (Versioned.latestVersion(spark, dir).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     Versioned.createTable(spark, dir, schema, partColsOf(partitions),
@@ -442,15 +632,52 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     load(ident, None)
   }
 
-  /** `DROP TABLE` — deletes the chain root ([[Versioned.dropTableChain]]);
-    * false (no such table) for a dir that is not a versioned chain. */
-  override def dropTable(ident: Identifier): Boolean =
-    Versioned.dropTableChain(SparkSession.active, pathOf(ident))
+  /** `DROP TABLE` — path-addressed and MANAGED named tables delete the
+    * chain root ([[Versioned.dropTableChain]]); an EXTERNAL named
+    * table drops only its `_location` pointer and the chain's bytes
+    * stay (Delta's external-table contract). False = no such table. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    if (isPathIdent(ident)) Versioned.dropTableChain(spark, pathOf(ident))
+    else {
+      val named = new org.apache.hadoop.fs.Path(namedDir(ident))
+      val fs = hadoopFs(named)
+      if (fs.exists(new org.apache.hadoop.fs.Path(named, LocationFile)))
+        fs.delete(named, true) // the pointer dir only — the chain stays
+      else Versioned.dropTableChain(spark, named.toString)
+    }
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"catalog '$catName' addresses tables BY PATH — renaming is moving the " +
-        "chain directory, which the storage layer owns")
+  /** `ALTER TABLE … RENAME TO` — an EXTERNAL named table renames by
+    * moving its tiny pointer dir (pure metadata, Delta-with-metastore
+    * semantics). Managed and path-addressed tables refuse with the
+    * remedy: their name IS their storage location, and renaming would
+    * move every byte (object stores have no atomic dir move). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (isPathIdent(oldIdent) || isPathIdent(newIdent))
+      throw new UnsupportedOperationException(
+        s"catalog '$catName' path-addressed tables cannot rename — the identifier " +
+          "IS the chain directory; register the path as an external NAMED table " +
+          "(CREATE TABLE db.t USING graft LOCATION …) and rename that")
+    val oldDir = new org.apache.hadoop.fs.Path(namedDir(oldIdent))
+    val newDir = new org.apache.hadoop.fs.Path(namedDir(newIdent))
+    val fs = hadoopFs(oldDir)
+    if (!isTableDir(fs, oldDir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(oldDir, LocationFile)))
+      throw new UnsupportedOperationException(
+        s"table ${oldIdent.toString} is MANAGED — its name is its storage " +
+          "location, and renaming would move the whole chain; DEEP CLONE to the " +
+          "new name (or make the table external) instead")
+    if (fs.exists(newDir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    require(fs.exists(newDir.getParent) || fs.mkdirs(newDir.getParent),
+      s"cannot create namespace dir ${newDir.getParent}")
+    require(fs.rename(oldDir, newDir),
+      s"rename $oldDir -> $newDir failed at the filesystem")
+  }
 
   private def requireNoProperties(properties: java.util.Map[String, String]): Unit = {
     // Spark stamps reserved bookkeeping props (owner, provider) on

@@ -4788,6 +4788,253 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bloom.backfillBytesPerCommit")
   }
 
+  test("named versioned tables: warehouse-rooted names — CREATE/INSERT/travel by name, SHOW TABLES/NAMESPACES, external LOCATION registration, DROP semantics, pointer rename") {
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_named").toString
+    val wh = root + "/wh"
+    spark.conf.set("spark.sql.catalog.graft_nm", "graft.sql.VersionedCatalog")
+    spark.conf.set("spark.sql.catalog.graft_nm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graft_nm.db")
+    assert(spark.sql("SHOW NAMESPACES IN graft_nm").select("namespace")
+      .as[String].collect().toSet == Set("db"))
+    // MANAGED: the chain lives at <warehouse>/db/t; name resolution is
+    // the filesystem, so it needs no service and survives restarts
+    spark.sql("CREATE TABLE graft_nm.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_nm.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_nm.db.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM graft_nm.db.t").count() == 3)
+    assert(spark.sql("SELECT * FROM graft_nm.db.t VERSION AS OF 1").count() == 2)
+    assert(Versioned.latestVersion(spark, s"$wh/db/t").contains(2),
+      "the managed chain must live at <warehouse>/db/t — library APIs interop")
+    assert(spark.sql("SHOW TABLES IN graft_nm.db").select("tableName")
+      .as[String].collect().toSet == Set("t"))
+    // EXTERNAL: LOCATION registers an EXISTING chain under a name;
+    // DROP removes only the pointer and the chain's bytes stay
+    val ext = root + "/extchain"
+    Versioned.writeVersion(Seq((10L, "x"), (11L, "y")).toDF("id", "v"), ext)
+    spark.sql(s"CREATE TABLE graft_nm.db.ext USING graft LOCATION '$ext'")
+    assert(spark.sql("SELECT v FROM graft_nm.db.ext WHERE id = 11")
+      .as[String].head() == "y")
+    spark.sql("INSERT INTO graft_nm.db.ext VALUES (12, 'z')")
+    assert(Versioned.readLatest(spark, ext).count() == 3,
+      "writes through the name must land in the external chain")
+    // pointer RENAME is pure metadata
+    spark.sql("ALTER TABLE graft_nm.db.ext RENAME TO db.ext2")
+    assert(spark.sql("SELECT count(*) FROM graft_nm.db.ext2").as[Long].head() == 3)
+    assert(spark.sql("SHOW TABLES IN graft_nm.db").select("tableName")
+      .as[String].collect().toSet == Set("t", "ext2"))
+    // managed tables refuse rename with the remedy named
+    val eRen = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_nm.db.t RENAME TO db.t2") }
+    assert(eRen.getMessage.contains("MANAGED"), eRen.getMessage)
+    spark.sql("DROP TABLE graft_nm.db.ext2")
+    assert(Versioned.latestVersion(spark, ext).contains(1),
+      "dropping an external table must keep the chain's bytes")
+    // managed DROP deletes the chain
+    spark.sql("DROP TABLE graft_nm.db.t")
+    assert(Versioned.latestVersion(spark, s"$wh/db/t").isEmpty)
+    assert(spark.sql("SHOW TABLES IN graft_nm.db").count() == 0)
+    spark.sql("DROP NAMESPACE graft_nm.db")
+    assert(spark.sql("SHOW NAMESPACES IN graft_nm").count() == 0)
+    // path addressing keeps working beside names, same catalog
+    assert(spark.sql(s"SELECT count(*) FROM graft_nm.`$ext`").as[Long].head() == 3)
+  }
+
+  test("replaceWhere with keys records the change feed in the same commit: changesBetween serves it O(feed), classified exactly; untouched rows emit nothing") {
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_rw_cdf").toString + "/t"
+    // v0: evens (untouched slice) + odds 1,3,5 (the replaced slice)
+    Versioned.writeVersion(
+      Seq((0L, 0L, "e0"), (2L, 0L, "e2"), (4L, 0L, "e4"),
+        (1L, 1L, "x1"), (3L, 1L, "x3"), (5L, 1L, "x5")).toDF("id", "bucket", "v"),
+      dir)
+    // reload the bucket=1 slice: 1 keeps its value (no event), 3
+    // changes (update pre/post), 5 disappears (delete), 7 is new (insert)
+    val v = Versioned.replaceWhere(
+      Seq((1L, 1L, "x1"), (3L, 1L, "y3"), (7L, 1L, "n7")).toDF("id", "bucket", "v"),
+      dir, "bucket = 1", keys = Seq("id")).get
+    assert(v == 1)
+    assert(Versioned.hasRecordedChanges(spark, dir, 0, 1, Seq("id")),
+      "the replace commit must carry a RECORDED feed — the O(feed) serve path")
+    val feed = Versioned.changesBetween(spark, dir, 0, 1, Seq("id"))
+      .select($"id", $"v", $"_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed == Set(
+      (3L, "x3", "update_preimage"), (3L, "y3", "update_postimage"),
+      (5L, "x5", "delete"), (7L, "n7", "insert")),
+      s"got $feed")
+    // the table itself swapped exactly
+    assert(Versioned.readLatest(spark, dir).orderBy("id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq ==
+      Seq((0L, "e0"), (1L, "x1"), (2L, "e2"), (3L, "y3"), (4L, "e4"), (7L, "n7")))
+  }
+
+  test("deep clone resumes: a crashed partial copy re-runs without re-copying completed files; partial files re-copy; the fork serves exactly") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_deepresume").toString
+    val src = root + "/src"
+    val tgt = root + "/tgt"
+    Versioned.writeVersion(spark.range(0, 500).toDF("id")
+      .withColumn("p", concat(lit("a"), $"id")).repartition(3), src)
+    Versioned.writeVersion(spark.range(500, 900).toDF("id")
+      .withColumn("p", concat(lit("b"), $"id")).repartition(2), src, SaveMode.Append)
+    // simulate the CRASHED first run: copy two data files whole and
+    // one TRUNCATED, then die before any manifest lands
+    val srcRoot = new java.io.File(src)
+    val dataFiles = srcRoot.listFiles().filter(_.getName.startsWith("v0"))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (d.getName, f))).sortBy(_._2.getName).toSeq
+    assert(dataFiles.length == 5)
+    def tgtPath(dirName: String, fileName: String) =
+      java.nio.file.Paths.get(s"$tgt/$dirName/$fileName")
+    val complete = dataFiles.take(2)
+    val partial = dataFiles(2)
+    complete.foreach { case (d, f) =>
+      java.nio.file.Files.createDirectories(tgtPath(d, f.getName).getParent)
+      java.nio.file.Files.copy(f.toPath, tgtPath(d, f.getName))
+    }
+    java.nio.file.Files.createDirectories(tgtPath(partial._1, partial._2.getName).getParent)
+    java.nio.file.Files.write(tgtPath(partial._1, partial._2.getName),
+      java.nio.file.Files.readAllBytes(partial._2.toPath).take(100))
+    Thread.sleep(1100) // mtime resolution guard for the no-recopy assert
+    val mtimes = complete.map { case (d, f) =>
+      (d, f.getName) -> java.nio.file.Files.getLastModifiedTime(tgtPath(d, f.getName))
+    }.toMap
+    // the RE-RUN completes the clone without touching the survivors
+    assert(Versioned.cloneTableDeep(spark, src, tgt) == 0)
+    val (bytesCopied, skipped) = Versioned.lastDeepCloneCounts
+    assert(skipped == 2, s"2 completed files must skip, got $skipped")
+    val expectedBytes = dataFiles.drop(2).map(_._2.length).sum
+    assert(bytesCopied == expectedBytes,
+      s"re-run must copy exactly the missing/partial bytes: $bytesCopied vs $expectedBytes")
+    complete.foreach { case (d, f) =>
+      assert(java.nio.file.Files.getLastModifiedTime(tgtPath(d, f.getName)) ==
+        mtimes((d, f.getName)), s"completed file $d/${f.getName} was re-copied")
+    }
+    assert(java.nio.file.Files.size(tgtPath(partial._1, partial._2.getName)) ==
+      partial._2.length, "the truncated file must re-copy whole")
+    // independence + exactness
+    assert(Versioned.dropTableChain(spark, src))
+    assert(Versioned.readLatest(spark, tgt).count() == 900)
+    assert(Versioned.readLatest(spark, tgt).agg(sum($"id")).as[Long].head() ==
+      (0L until 900L).sum)
+  }
+
+  test("stats sidecars keep the manifest O(dirs): refs not JSON, identical pruning, lifecycle through trim/prune/clone/deep-clone, missing-file refusal") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import graft.ext.Versioned
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_sc").toString
+    val dir = root + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def statsFiles(d: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(d, "_versions/stats")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    def manifestText(d: String, v: Int): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        f"$d/_versions/$v%08d.manifest")), "UTF-8")
+    def batch(lo: Long, hi: Long, parts: Int) =
+      spark.range(lo, hi).toDF("id")
+        .withColumn("payload", concat(lit("p"), $"id"))
+        .repartitionByRange(parts, $"id") // disjoint per-file bounds → prunable
+    spark.conf.set("spark.graft.stats.sidecarMinBytes", "1")
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+      // v0: 2 files; v1: a 16-file append — the manifest must carry one
+      // REF line per dir, and the 16-file increment must not be an
+      // order of magnitude bigger than the 2-file one (O(dirs), not
+      // O(files): the JSON lives in the sidecar)
+      Versioned.writeVersion(batch(0, 1000, 2), dir)
+      Versioned.writeVersion(batch(1000, 9000, 16), dir, SaveMode.Append)
+      assert(manifestText(dir, 0).contains("statsref:") &&
+        !manifestText(dir, 0).contains("\"files\""),
+        s"v0 manifest must carry a ref, not inline JSON:\n${manifestText(dir, 0)}")
+      val m1 = manifestText(dir, 1)
+      assert(m1.contains("+statsref:") && !m1.contains("\"files\""))
+      assert(m1.length < manifestText(dir, 0).length * 3,
+        s"a 16-file increment must stay O(dirs): v0=${manifestText(dir, 0).length}B " +
+          s"v1=${m1.length}B")
+      assert(statsFiles(dir).size == 2, s"one sidecar per dir: ${statsFiles(dir)}")
+      // the checkpoint stays O(dirs) too
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        dir, "_versions/00000001.checkpoint")).getLen < 4096)
+
+      // pruning through sidecars = pruning inline (twin keeps JSON in
+      // the manifest): same dirs dropped, same files planned
+      val twin = root + "/twin"
+      spark.conf.set("spark.graft.stats.sidecarMinBytes", Long.MaxValue.toString)
+      Versioned.writeVersion(batch(0, 1000, 2), twin)
+      Versioned.writeVersion(batch(1000, 9000, 16), twin, SaveMode.Append)
+      spark.conf.set("spark.graft.stats.sidecarMinBytes", "1")
+      assert(!manifestText(twin, 1).contains("statsref:"))
+      for (f <- Seq(EqualTo("id", 7500L), GreaterThan("id", 995L), EqualTo("id", 3L))) {
+        val a = Versioned.planDataFiles(spark, dir, 1, Seq(f)).map(_.split('/').last)
+        val b = Versioned.planDataFiles(spark, twin, 1, Seq(f)).map(_.split('/').last)
+        assert(a.length == b.length && a.length < 18,
+          s"sidecar pruning must equal inline pruning for $f: ${a.length} vs ${b.length}")
+      }
+      assert(Versioned.readLatest(spark, dir).count() == 9000)
+      assert(Versioned.readVersionSkipping(spark, dir, 1,
+        Seq(EqualTo("id", 7500L))).count() == 1)
+
+      // SHALLOW clone copies the (small) sidecars: the file lists are
+      // load-bearing, so the clone must survive the source trimming +
+      // pruning away the sidecars it was born from
+      val tgt = root + "/clone"
+      Versioned.cloneTable(spark, dir, tgt)
+      assert(statsFiles(tgt) == statsFiles(dir),
+        "a shallow clone must copy stats sidecars (content-addressed names match)")
+      assert(!manifestText(tgt, 0).contains(s"$dir/_versions/stats"),
+        "the clone's refs must point into its OWN tree")
+      spark.conf.set("spark.sql.catalog.graft_ssc", "graft.sql.VersionedCatalog")
+      spark.sql(s"UPDATE graft_ssc.`$dir` SET payload = 'upd' WHERE id = 42")
+      Versioned.pruneVersions(spark, dir, keepLast = 1, orphanMinAgeMs = 0L)
+      assert(Versioned.readLatest(spark, tgt).count() == 9000)
+      assert(Versioned.readVersionSkipping(spark, tgt, 0,
+        Seq(EqualTo("id", 7500L))).count() == 1,
+        "the clone must keep planning from its copied sidecars after source prune")
+
+      // the trim re-externalized the survivor and prune reclaimed the
+      // orphaned sidecar while the live ones stayed
+      val after = statsFiles(dir)
+      assert(after.nonEmpty && after != statsFiles(tgt),
+        s"trim+prune must retire the old sidecar: $after vs ${statsFiles(tgt)}")
+      assert(spark.sql(s"SELECT payload FROM graft_ssc.`$dir` WHERE id = 42")
+        .as[String].head() == "upd")
+
+      // DEEP clone: refs remap into the target and the fork is
+      // independent — drop the source chain, the deep clone serves on
+      val deep = root + "/deep"
+      Versioned.cloneTableDeep(spark, dir, deep)
+      assert(!manifestText(deep, 0).contains(s"$dir/"),
+        "a deep clone must reference nothing in the source tree")
+      assert(statsFiles(deep).nonEmpty)
+      assert(Versioned.dropTableChain(spark, dir))
+      assert(Versioned.readLatest(spark, deep).count() == 9000)
+      assert(Versioned.readVersionSkipping(spark, deep, 0,
+        Seq(EqualTo("id", 7500L))).count() == 1)
+
+      // a MISSING sidecar REFUSES with the remedy named (file lists
+      // are load-bearing: a dir-listing fallback could serve rows a
+      // trim already removed) — never a silent wrong answer
+      val mp = java.nio.file.Paths.get(s"$deep/_versions/00000001.manifest")
+      java.nio.file.Files.write(mp,
+        "parent:0\n+statsref:bogusdir:/nonexistent/sidecar.stats\n".getBytes("UTF-8"))
+      val e = intercept[Exception] { Versioned.readVersion(spark, deep, 1) }
+      assert(causes(e).exists(m => m.contains("stats sidecar") && m.contains("MISSING")),
+        causes(e).mkString(" | "))
+    } finally {
+      spark.conf.unset("spark.graft.stats.sidecarMinBytes")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
+
   test("bloom sidecars keep the manifest O(dirs): refs not blobs, identical pruning, lifecycle through trim/prune/clone, missing-file degrade") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources.EqualTo
@@ -5008,6 +5255,46 @@ class ExtSpec extends AnyFunSuite {
     val ids = Versioned.readLatest(spark, legacy).select("id")
       .as[Int].collect().toSeq
     assert(ids == Seq(100), s"got $ids")
+  }
+
+  test("manifest protocol gate: every commit stamps protocol:1 (checkpoints too); a higher protocol or an unknown line type refuses with upgrade-required; existing chains read unchanged") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    def read(p: String) =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val root = java.nio.file.Files.createTempDirectory("graft_protocol").toString
+    val dir = root + "/t"
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "2")
+    try {
+      Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+      Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+      Versioned.writeVersion(Seq((4L, "d")).toDF("id", "v"), dir, SaveMode.Append)
+      // full manifest, delta manifest, and checkpoint all carry the stamp
+      assert(read(s"$dir/_versions/00000000.manifest").contains("protocol:1"))
+      assert(read(s"$dir/_versions/00000001.manifest").contains("+protocol:1"))
+      assert(read(s"$dir/_versions/00000002.checkpoint").contains("protocol:1"))
+      assert(Versioned.readLatest(spark, dir).count() == 4)
+
+      // a FUTURE writer's chain: protocol 2 refuses, naming both numbers
+      val mp = java.nio.file.Paths.get(s"$dir/_versions/00000003.manifest")
+      java.nio.file.Files.write(mp, "parent:2\n+protocol:2\n".getBytes("UTF-8"))
+      val e1 = intercept[Exception] { Versioned.readVersion(spark, dir, 3) }
+      assert(causes(e1).exists(m => m.contains("protocol 2") && m.contains("upgrade")),
+        causes(e1).mkString(" | "))
+      // …and versions at or below the gate still serve
+      assert(Versioned.readVersion(spark, dir, 2).count() == 4)
+
+      // an UNKNOWN line type refuses as upgrade-required, never parses
+      // as a phantom data dir (the old fallthrough's failure mode)
+      // (a refused parse is never cached — the rewritten file re-reads)
+      java.nio.file.Files.write(mp,
+        "parent:2\n+wormhole:fancy-new-state\n".getBytes("UTF-8"))
+      val e2 = intercept[Exception] { Versioned.readVersion(spark, dir, 3) }
+      assert(causes(e2).exists(m => m.contains("wormhole") && m.contains("upgrade")),
+        causes(e2).mkString(" | "))
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
   }
 
   test("maintenance seams: protocol-threaded partitioned compact, legacy-gated maintain, 4-col zorder defaults, scoped compact bytes") {

@@ -179,4 +179,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(fork("read").contains("METASTORE_ROWS=3"),
       "fresh JVM must resolve gold_dim_time from the derby metastore")
   }
+
+  test("named versioned tables: a name created in one JVM resolves (and time-travels) after a restart") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_namedwh").toString + "/wh"
+    val cp = sys.props("java.class.path")
+    val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    def fork(mode: String): String = {
+      val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+        "graft.tools.NamedTableCheck", mode, wh)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"NamedTableCheck $mode failed:\n$out")
+      out
+    }
+    assert(fork("write").contains("NAMED_WROTE=db.t"))
+    val read = fork("read")
+    assert(read.contains("NAMED_ROWS=3/2"),
+      s"fresh JVM must resolve named.db.t and time-travel it: $read")
+    assert(read.contains("NAMED_SHOW=t"), s"SHOW TABLES must survive restart: $read")
+  }
 }

@@ -931,4 +931,86 @@ class StreamingSpec extends AnyFunSuite {
       .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
     assert(chain(eKeys).contains("keys"), s"wrong failure: ${chain(eKeys)}")
   }
+
+  test("versioned streaming source across ADD COLUMNS: a running stream keeps its frozen schema; a restart from the same checkpoint serves the widened schema; old files null-backfill") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types.{StringType, StructField}
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vwiden").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dir)
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v").coalesce(1), dir,
+      SaveMode.Append)
+
+    // ── leg 1: the widen + a widened APPEND land while the stream
+    // RUNS — the frozen schema keeps serving (the new column is
+    // dropped from in-flight batches), never a failure
+    val ckpt = Files.createTempDirectory("graft_vwiden_c").toString
+    val cols = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
+    val served = new scala.collection.concurrent.TrieMap[Long, Array[Long]]
+    @volatile var widened = false
+    val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cols.add(df.columns.toSeq)
+        served.put(id, df.collect().map(_.getLong(0)))
+        if (!widened) {
+          widened = true
+          Versioned.addColumns(spark, dir, Seq(StructField("extra", StringType)))
+          Versioned.writeVersion(Seq((4L, "d", "X")).toDF("id", "v", "extra")
+            .coalesce(1), dir, SaveMode.Append)
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    while (!served.values.flatten.toSet.contains(4L) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    q.stop(); q.awaitTermination(120000)
+    assert(served.values.flatten.toSet == Set(1L, 2L, 3L, 4L),
+      s"the running stream must keep serving across the widen: ${served.values.flatten.toSeq}")
+    assert(cols.toArray.forall(_ == Seq("id", "v")),
+      s"a RUNNING stream keeps its frozen schema (Delta's contract): got $cols")
+
+    // ── leg 2: a RESTART from the SAME checkpoint re-resolves the
+    // table's widened schema and serves the new column from there on
+    Versioned.writeVersion(Seq((5L, "e", "Y")).toDF("id", "v", "extra")
+      .coalesce(1), dir, SaveMode.Append)
+    val cols2 = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
+    val rows2 = new scala.collection.concurrent.TrieMap[Long, Array[(Long, Option[String])]]
+    val q2 = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cols2.add(df.columns.toSeq)
+        rows2.put(id, df.collect().map(r =>
+          (r.getLong(0), Option(r.getString(df.columns.indexOf("extra"))))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(cols2.toArray.forall(_ == Seq("id", "v", "extra")),
+      s"a restart must serve the widened schema: got $cols2")
+    val afterRestart = rows2.values.flatten.toMap
+    assert(afterRestart == Map(5L -> Some("Y")),
+      s"the restart serves only the un-served commit, with the new column: $afterRestart")
+
+    // ── leg 3: a FRESH stream's initial snapshot null-backfills the
+    // column for files that PRE-DATE it
+    val rows3 = new scala.collection.concurrent.TrieMap[Long, Array[(Long, Option[String])]]
+    val q3 = spark.readStream.format("graft.sql.VersionedStreamProvider")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_vwiden_c3").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        rows3.put(id, df.collect().map(r =>
+          (r.getLong(0), Option(r.getString(df.columns.indexOf("extra"))))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    assert(rows3.values.flatten.toMap == Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some("X"), 5L -> Some("Y")),
+      s"old files must null-backfill the widened column: ${rows3.values.flatten.toMap}")
+  }
 }
