@@ -1827,6 +1827,34 @@ object SparkEntry {
     // partition. Skipping-only: the derived filter never joins the
     // re-applied predicates; the commit-time value⇔expr validation is
     // what makes the implication sound.
+    // THE format("graft") BATCH PROVIDER (Delta's format("delta")
+    // idiom): load/save by PATH through the DataSource V2 seam — the
+    // same tiered serving (skipping index, dv masks, column mapping)
+    // and the same manifest-commit writes as the catalog, no catalog
+    // registration needed. The meter writes one slice through the
+    // library, APPENDS the second through the format writer, travels
+    // with versionAsOf, and hash-checks the final content.
+    "q159_format_graft" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, round}
+      val tbl = scratchPath("fmt_graft", d)
+      Versioned.dropTableChain(s, tbl)
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus").as("status"))
+      Versioned.writeVersion(src.filter(col("status") === "F"), tbl)
+      src.filter(col("status") === "O")
+        .write.format("graft").mode("append").save(tbl)
+      assert(Versioned.latestVersion(s, tbl).contains(1),
+        "the format append must land as ONE commit")
+      assert(s.read.format("graft").option("versionAsOf", "0").load(tbl)
+        .count() == src.filter(col("status") === "F").count(),
+        "versionAsOf must travel through the provider")
+      s.read.format("graft").load(tbl)
+        .select(col("o_orderkey"), col("price"), col("status"))
+        .orderBy("o_orderkey")
+    },
+
     // NAMED VERSIONED TABLES (the Delta+metastore role — reference:
     // hive-site.xml names gold tables for Trino): `db.t` resolves
     // under a warehouse ROOT, so the registry IS the filesystem (the
@@ -4522,6 +4550,15 @@ object SparkEntry {
         |        GROUP BY o_custkey ORDER BY count(*), o_custkey LIMIT 1)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // library write (F) + format("graft") append (O) → the chain IS
+    // the two statuses (travel asserted in-query)
+    "q159_format_graft" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |  o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')
+        |ORDER BY o_orderkey""".stripMargin,
+
     // create-by-name → two inserts → the named table IS the %7 slice
     // of orders in both statuses (travel/SHOW/external legs assert
     // in-query)
@@ -4783,15 +4820,15 @@ object SparkEntry {
         |  FROM orders WHERE o_orderstatus = 'P')
         |SELECT o_orderkey, price, _change_type, _commit_version FROM (
         |  SELECT o_orderkey, price, 'update_preimage' AS _change_type,
-        |         1 AS _commit_version
+        |         CAST(1 AS BIGINT) AS _commit_version
         |  FROM f WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey, price + 100.0 AS price, 'update_postimage', 1
+        |  SELECT o_orderkey, price + 100.0 AS price, 'update_postimage', CAST(1 AS BIGINT)
         |  FROM f WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey, price, 'delete', 2 FROM f WHERE o_orderkey % 10 = 3
+        |  SELECT o_orderkey, price, 'delete', CAST(2 AS BIGINT) FROM f WHERE o_orderkey % 10 = 3
         |  UNION ALL
-        |  SELECT o_orderkey, price, 'insert', 2 FROM p)
+        |  SELECT o_orderkey, price, 'insert', CAST(2 AS BIGINT) FROM p)
         |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin,
 
     "q88_zorder_key" -> {

@@ -3961,9 +3961,14 @@ object Versioned {
   def changeFeed(spark: SparkSession, dir: String, vFrom: Int, vTo: Int,
                  keys: Seq[String]): DataFrame = {
     require(vFrom < vTo, s"need at least one commit in the span, got ($vFrom, $vTo]")
+    // the CDF metadata contract (batch and stream alike): a LONG
+    // `_commit_version` plus `_commit_timestamp` from the recorded
+    // in-commit clock (mtime fallback for pre-ts manifests)
     (vFrom + 1 to vTo).map(v =>
       changesBetween(spark, dir, v - 1, v, keys)
-        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v.toLong))
+        .withColumn("_commit_timestamp", org.apache.spark.sql.functions.lit(
+          new java.sql.Timestamp(commitTimestamp(spark, dir, v)))))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -5138,7 +5143,11 @@ object Versioned {
       // publish are invisible to readers but never self-clean; both
       // protocols' staging prefixes are swept (`.tmp-` = RenameCommit,
       // `.put-` = PutIfAbsentCommit's local emulation)
-      fs.listStatus(new Path(root, VDIR))
+      // the sidecar dirs stage through the same tmp+rename discipline —
+      // their crashed leftovers sweep with the same age guard
+      (new Path(root, VDIR) +: Seq(bloomsDirPath(root), statsDirPath(root))
+          .filter(fs.exists(_)))
+        .flatMap(fs.listStatus(_))
         .filter { st =>
           val n = st.getPath.getName
           (n.startsWith(".tmp-") || n.startsWith(".put-")) &&

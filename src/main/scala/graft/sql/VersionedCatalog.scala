@@ -277,80 +277,10 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
   private def load(ident: Identifier, version: Option[String]): Table = {
     val spark = SparkSession.active
     val dir = pathOf(ident)
-    val vs = Versioned.versions(spark, dir)
-    if (vs.isEmpty)
+    if (Versioned.versions(spark, dir).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    val v = version.map { raw =>
-      val n = try raw.trim.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"VERSION AS OF wants an integer version, got '$raw'")
-      }
-      require(vs.contains(n), s"no version $n at $dir (have ${vs.mkString(",")})")
-      n
-    }.getOrElse(vs.last)
-    val info0 = Versioned.versionInfo(spark, dir, v)
-    // enforced NOT NULL columns serve as non-nullable SCHEMA — Spark's
-    // ANSI store assignment then injects the plan-side runtime null
-    // check into every SQL write (the commit-time footer check stays
-    // the uniform backstop), and readers see the real contract.
-    // Everything in info0 is PHYSICAL names — nullability marks first
-    // (notNull is physical too), THEN the schema renames to logical.
-    val cmap = info0.colMap // logical → physical
-    val inv = cmap.map(_.swap)
-    val info = info0.schema match {
-      case Some(s) =>
-        val marked =
-          if (info0.notNull.isEmpty) s
-          else StructType(s.fields.map(f =>
-            if (info0.notNull.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
-            else f))
-        info0.copy(schema = Some(Versioned.toLogicalSchema(marked, cmap)))
-      case _ => info0
-    }
-    // dv key columns translate to logical for the SCAN-side mask (it
-    // evaluates against the logical read schema); the RAW physical
-    // pairs stay on the rewrite seams (candidate scans, dv snapshots)
-    def dvLogical(xs: Seq[(String, Seq[String])]) =
-      xs.map { case (k, ds) => (inv.getOrElse(k, k), ds) }
-    def scopedLogical(xs: Seq[(String, String, Set[String])]) =
-      xs.map { case (k, d, sc) => (inv.getOrElse(k, k), d, sc) }
-    val tableName = s"$catName.$dir@v$v"
-    val base: Table with SupportsRead = info.schema match {
-      case Some(schema) if info.partitionCols.nonEmpty =>
-        // PARTITIONED chain: the files hold only data columns — the
-        // partition values live in the per-commit hive subtrees and
-        // the manifest. Spark's own discovery refuses this layout
-        // (sibling nonce'd roots → CONFLICTING_DIRECTORY_STRUCTURES),
-        // so the tier is served by the MANIFEST-BACKED partitioning
-        // index plugged into Spark's public ParquetScanBuilder: the
-        // native partitioned scan (PartitionFilters pruning,
-        // vectorized read, row-group pushdown) planned from manifest
-        // bytes, plus per-file stats skipping on the survivors. A
-        // RENAMED chain's mapping rides the same seam as the flat
-        // tier (partition columns themselves never rename, so the
-        // hive layout and PartitionFilters stay name-stable).
-        new PartitionedVersionedTable(tableName, spark, dir, v, schema,
-          info.partitionCols, cmap)
-      case Some(schema) =>
-        new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema, cmap)
-      case None =>
-        // pre-schema manifest: mergeSchema fallback, exactly like the
-        // library read path — correct, with the legacy plan-time cost.
-        // WRAPPED rather than returned raw: ParquetTable implements
-        // SupportsWrite with a DIRECT file write into its paths, which
-        // against this store would add files to an immutable data dir
-        // — visible to every version referencing it, history rewritten.
-        // The wrapper serves reads through the native table and routes
-        // writes through the manifest commit like every other tier.
-        new LegacyVersionedTable(VersionedSqlUtil.parquetTable(tableName, spark,
-          new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
-          info.dataDirs, None), spark, dir, v)
-    }
-    if (info.dvDirs.isEmpty && info.scopedDvs.isEmpty) base
-    else new DvMaskedTable(base, base.schema(), dvLogical(info.dvDirs), spark, dir, v,
-      info.partitionCols, scopedLogical(info.scopedDvs), cmap,
-      info.dvDirs, info.scopedDvs)
+    VersionedTableLoader.tableForPath(spark, dir, version, catName)
   }
 
   /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
@@ -759,6 +689,90 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     requireNoProperties(properties)
     new VersionedStagedTable(spark, pathOf(ident), schema, partColsOf(partitions),
       fresh = Versioned.latestVersion(spark, pathOf(ident)).isEmpty)
+  }
+}
+
+/** The one table-construction seam: every serving tier (catalog
+  * identifiers, the `format("graft")` batch provider) resolves a
+  * chain root + optional version to the SAME tiered Table — skipping
+  * index, partitioned manifest index, dv mask, legacy fallback. */
+private[sql] object VersionedTableLoader {
+
+  def tableForPath(spark: SparkSession, dir: String, version: Option[String],
+                   display: String): Table = {
+    val vs = Versioned.versions(spark, dir)
+    if (vs.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(Seq(dir))
+    val v = version.map { raw =>
+      val n = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF wants an integer version, got '$raw'")
+      }
+      require(vs.contains(n), s"no version $n at $dir (have ${vs.mkString(",")})")
+      n
+    }.getOrElse(vs.last)
+    val info0 = Versioned.versionInfo(spark, dir, v)
+    // enforced NOT NULL columns serve as non-nullable SCHEMA — Spark's
+    // ANSI store assignment then injects the plan-side runtime null
+    // check into every SQL write (the commit-time footer check stays
+    // the uniform backstop), and readers see the real contract.
+    // Everything in info0 is PHYSICAL names — nullability marks first
+    // (notNull is physical too), THEN the schema renames to logical.
+    val cmap = info0.colMap // logical → physical
+    val inv = cmap.map(_.swap)
+    val info = info0.schema match {
+      case Some(s) =>
+        val marked =
+          if (info0.notNull.isEmpty) s
+          else StructType(s.fields.map(f =>
+            if (info0.notNull.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+            else f))
+        info0.copy(schema = Some(Versioned.toLogicalSchema(marked, cmap)))
+      case _ => info0
+    }
+    // dv key columns translate to logical for the SCAN-side mask (it
+    // evaluates against the logical read schema); the RAW physical
+    // pairs stay on the rewrite seams (candidate scans, dv snapshots)
+    def dvLogical(xs: Seq[(String, Seq[String])]) =
+      xs.map { case (k, ds) => (inv.getOrElse(k, k), ds) }
+    def scopedLogical(xs: Seq[(String, String, Set[String])]) =
+      xs.map { case (k, d, sc) => (inv.getOrElse(k, k), d, sc) }
+    val tableName = s"$display.$dir@v$v"
+    val base: Table with SupportsRead = info.schema match {
+      case Some(schema) if info.partitionCols.nonEmpty =>
+        // PARTITIONED chain: the files hold only data columns — the
+        // partition values live in the per-commit hive subtrees and
+        // the manifest. Spark's own discovery refuses this layout
+        // (sibling nonce'd roots → CONFLICTING_DIRECTORY_STRUCTURES),
+        // so the tier is served by the MANIFEST-BACKED partitioning
+        // index plugged into Spark's public ParquetScanBuilder: the
+        // native partitioned scan (PartitionFilters pruning,
+        // vectorized read, row-group pushdown) planned from manifest
+        // bytes, plus per-file stats skipping on the survivors. A
+        // RENAMED chain's mapping rides the same seam as the flat
+        // tier (partition columns themselves never rename, so the
+        // hive layout and PartitionFilters stay name-stable).
+        new PartitionedVersionedTable(tableName, spark, dir, v, schema,
+          info.partitionCols, cmap)
+      case Some(schema) =>
+        new SkippingTable(tableName, spark, dir, v, info.dataDirs, schema, cmap)
+      case None =>
+        // pre-schema manifest: mergeSchema fallback, exactly like the
+        // library read path — correct, with the legacy plan-time cost.
+        // WRAPPED rather than returned raw: ParquetTable implements
+        // SupportsWrite with a DIRECT file write into its paths, which
+        // against this store would add files to an immutable data dir
+        // — visible to every version referencing it, history rewritten.
+        // The wrapper serves reads through the native table and routes
+        // writes through the manifest commit like every other tier.
+        new LegacyVersionedTable(VersionedSqlUtil.parquetTable(tableName, spark,
+          new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
+          info.dataDirs, None), spark, dir, v)
+    }
+    if (info.dvDirs.isEmpty && info.scopedDvs.isEmpty) base
+    else new DvMaskedTable(base, base.schema(), dvLogical(info.dvDirs), spark, dir, v,
+      info.partitionCols, scopedLogical(info.scopedDvs), cmap,
+      info.dvDirs, info.scopedDvs)
   }
 }
 
@@ -1660,6 +1674,15 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
     this
   }
 
+  // Delta's `.option("replaceWhere", predicate)` writer idiom: an
+  // OVERWRITE carrying the option scopes to the predicate slice —
+  // the same one-commit Versioned.replaceWhere as the SQL seam, with
+  // the predicate given as TEXT instead of pushed filters. An append
+  // carrying it refuses (an append cannot replace).
+  private def optionReplaceWhere: Option[String] =
+    info.flatMap(i => Option(i.options().get("replaceWhere")))
+      .map(_.trim).filter(_.nonEmpty)
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     if (dynamic) dynamicWrite()
     else new org.apache.spark.sql.connector.write.V1Write {
@@ -1667,7 +1690,13 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
                               overwriteFlag: Boolean): Unit = {
-            replacePredicate match {
+            val effective = replacePredicate.orElse(optionReplaceWhere.map { p =>
+              require(overwrite || overwriteFlag,
+                "option 'replaceWhere' needs mode(\"overwrite\") — an append " +
+                  "cannot replace rows")
+              p
+            })
+            effective match {
               case Some(pred) => Versioned.replaceWhere(data, dir, pred)
               case None => (overwrite || overwriteFlag, partCols.isEmpty) match {
                 case (true, true)   =>

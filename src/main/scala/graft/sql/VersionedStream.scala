@@ -560,7 +560,7 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
       if (serve.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
-      else
+      else {
         // manifest-aware subset read: partitioned chains re-attach
         // partition values (the files don't hold the column), colmap
         // serves logical names, and stats plan from manifest bytes.
@@ -568,8 +568,19 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
         // deletes were never served rows, and scoped dvs apply only
         // to the dirs they scope; append slices serve RAW, pre-mask
         // (the stream is an append feed, not a snapshot serve).
-        Versioned.readVersionDirs(spark, dir, endV, serve.toSet, applyDv = masked)
-          .select(frozenSchema.fieldNames.map(col).toSeq: _*)
+        val read = Versioned.readVersionDirs(spark, dir, endV, serve.toSet,
+          applyDv = masked)
+        // evolution-tolerant both ways: a RESTART after ADD COLUMNS
+        // may replay a batch whose end version PREDATES the widen —
+        // the frozen (now wider) schema null-pads what that version's
+        // recorded schema lacks, exactly as old FILES null-backfill
+        // under a wider recorded schema
+        frozenSchema.fields.foldLeft(read) { (d, f) =>
+          if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+          else d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        }.select(frozenSchema.fieldNames.map(col).toSeq: _*)
+      }
     // the engine asserts isStreaming on the returned plan — stamp it
     // the way FileStreamSource does
     org.apache.spark.sql.classic.GraftStreamShim.streamingFrom(spark, batch, frozenSchema)

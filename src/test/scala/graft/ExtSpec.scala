@@ -2490,10 +2490,16 @@ class ExtSpec extends AnyFunSuite {
     Versioned.writeVersionWithChangeFeed(v2, dirA, Seq("id"))
     val hops = Versioned.changeFeed(spark, dirA, 0, 2, Seq("id"))
       .select("id", "v", "_change_type", "_commit_version")
-      .as[(Long, String, String, Int)].collect().toSet
-    assert(hops == expected.map { case (i, s, t) => (i, s, t, 1) } ++ Set(
-      (2L, "B", "delete", 2), (4L, "d", "update_preimage", 2),
-      (4L, "D", "update_postimage", 2)), hops.toString)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(hops == expected.map { case (i, s, t) => (i, s, t, 1L) } ++ Set(
+      (2L, "B", "delete", 2L), (4L, "d", "update_preimage", 2L),
+      (4L, "D", "update_postimage", 2L)), hops.toString)
+    // …and _commit_timestamp serves each commit's RECORDED clock
+    val tsByV = Versioned.changeFeed(spark, dirA, 0, 2, Seq("id"))
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert((1 to 2).forall(v => tsByV(v.toLong).getTime ==
+      Versioned.commitTimestamp(spark, dirA, v)), tsByV.toString)
     // retention: pruning v0/v1 reclaims their dirs — the DERIVE path
     // for (1→2) is gone with them, but the feed recorded in v2's
     // surviving manifest still serves (the whole point of recording)
@@ -2516,9 +2522,9 @@ class ExtSpec extends AnyFunSuite {
     def feedSql(vFrom: Int, vTo: Int) = spark.sql(
       s"SELECT id, v, _change_type, _commit_version " +
         s"FROM versioned_table_changes('$dir', $vFrom, $vTo, 'id')")
-      .as[(Long, String, String, Int)].collect().toSet
-    val expected = Set((2L, "b", "update_preimage", 1), (2L, "B", "update_postimage", 1),
-      (3L, "c", "delete", 1), (4L, "d", "insert", 1))
+      .as[(Long, String, String, Long)].collect().toSet
+    val expected = Set((2L, "b", "update_preimage", 1L), (2L, "B", "update_postimage", 1L),
+      (3L, "c", "delete", 1L), (4L, "d", "insert", 1L))
     assert(feedSql(0, 1) == expected, feedSql(0, 1).toString)
     // prune v0's data away: the DERIVE path for (0→1) is gone, but the
     // feed recorded in v1's manifest still serves THROUGH SQL — the
@@ -2530,8 +2536,8 @@ class ExtSpec extends AnyFunSuite {
     val v2 = Seq((1L, "a"), (4L, "D")).toDF("id", "v")
     Versioned.writeVersion(v2, dir)
     assert(!Versioned.hasRecordedChanges(spark, dir, 1, 2, Seq("id")))
-    assert(feedSql(1, 2) == Set((2L, "B", "delete", 2),
-      (4L, "d", "update_preimage", 2), (4L, "D", "update_postimage", 2)))
+    assert(feedSql(1, 2) == Set((2L, "B", "delete", 2L),
+      (4L, "d", "update_preimage", 2L), (4L, "D", "update_postimage", 2L)))
     // and a TVF composes like any relation — filter + aggregate over it
     val nUpdates = spark.sql(
       s"SELECT count(*) AS n FROM versioned_table_changes('$dir', 0, 2, 'id') " +
@@ -4786,6 +4792,62 @@ class ExtSpec extends AnyFunSuite {
         Seq(org.apache.spark.sql.sources.EqualTo("id", 3L)))
       assert(all.length == 6 && one.length == 1, s"$one of $all")
     } finally spark.conf.unset("spark.graft.bloom.backfillBytesPerCommit")
+  }
+
+  test("format(\"graft\") batch provider: load/save by path, versionAsOf/timestampAsOf travel, manifest-commit writes, masked serve, fresh-path refusal") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val dir = root + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+    // reads: latest, by version, by the recorded in-commit clock
+    assert(spark.read.format("graft").load(dir).count() == 3)
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(dir)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    val t0 = Versioned.commitTimestamp(spark, dir, 0)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", t0.toString).load(dir).count() == 2)
+    // a DELETE's mask applies through the provider like any other read
+    Versioned.deleteByKeys(spark, dir, Seq(2L).toDF("id"), "id")
+    assert(spark.read.format("graft").load(dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // writes are MANIFEST COMMITS through the same WriteBuilder as SQL
+    Seq((4L, "d")).toDF("id", "v").write.format("graft").mode("append").save(dir)
+    assert(Versioned.latestVersion(spark, dir).contains(3),
+      "a format-append must land as one commit")
+    assert(spark.read.format("graft").load(dir).count() == 3)
+    Seq((9L, "z")).toDF("id", "v").write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // …and history survives: the overwrite is a VERSION, not a reset
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(dir)
+      .count() == 2)
+    // Delta's `.option("replaceWhere", …)` writer idiom: the overwrite
+    // scopes to the predicate slice in ONE commit
+    val d2 = root + "/rw"
+    Versioned.writeVersion(Seq((1L, "F", "x1"), (2L, "O", "y2"), (3L, "F", "x3"))
+      .toDF("id", "s", "v"), d2)
+    Seq((9L, "F", "z9")).toDF("id", "s", "v")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "s = 'F'").save(d2)
+    assert(spark.read.format("graft").load(d2)
+      .select("id").as[Long].collect().toSet == Set(2L, 9L),
+      "replaceWhere must swap exactly the predicate slice")
+    assert(Versioned.latestVersion(spark, d2).contains(1))
+    // …and an APPEND carrying the option refuses
+    val eRw = intercept[Exception] {
+      Seq((8L, "F", "w")).toDF("id", "s", "v")
+        .write.format("graft").mode("append")
+        .option("replaceWhere", "s = 'F'").save(d2) }
+    def chainMsg(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+      .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(chainMsg(eRw).contains("replaceWhere"), chainMsg(eRw))
+    // a path with no committed chain refuses (create through
+    // writeVersion / SQL CREATE — the provider serves existing tables)
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(root + "/nope") }
+    assert(e.getMessage != null)
   }
 
   test("named versioned tables: warehouse-rooted names — CREATE/INSERT/travel by name, SHOW TABLES/NAMESPACES, external LOCATION registration, DROP semantics, pointer rename") {

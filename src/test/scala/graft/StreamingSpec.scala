@@ -932,6 +932,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(chain(eKeys).contains("keys"), s"wrong failure: ${chain(eKeys)}")
   }
 
+  test("versioned streaming sink schema evolution: a widened micro-batch union-evolves the sink table like any append; earlier rows null-backfill") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types.{StringType, StructField}
+    import graft.ext.Versioned
+    val root = Files.createTempDirectory("graft_vsinkev").toString
+    val src = root + "/src"
+    val sink = root + "/sink"
+    val ckpt = root + "/ckpt"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v").coalesce(1), src)
+    def drainInto(): Unit = {
+      val q = spark.readStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", src).load()
+        .writeStream.format("graft.sql.VersionedStreamProvider")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drainInto()
+    assert(Versioned.readLatest(spark, sink).columns.toSeq == Seq("id", "v"))
+    // widen the SOURCE and append a widened commit; the restarted
+    // stream serves the new column and the SINK union-evolves
+    Versioned.addColumns(spark, src, Seq(StructField("extra", StringType)))
+    Versioned.writeVersion(Seq((2L, "b", "X")).toDF("id", "v", "extra").coalesce(1),
+      src, SaveMode.Append)
+    drainInto()
+    val got = Versioned.readLatest(spark, sink)
+    assert(got.columns.toSet == Set("id", "v", "extra"),
+      s"the sink must union-evolve: ${got.columns.toSeq}")
+    assert(got.select($"id", $"v", $"extra").as[(Long, String, Option[String])]
+      .collect().toSet == Set((1L, "a", None), (2L, "b", Some("X"))),
+      "earlier sink rows must null-backfill the widened column")
+  }
+
   test("versioned streaming source across ADD COLUMNS: a running stream keeps its frozen schema; a restart from the same checkpoint serves the widened schema; old files null-backfill") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.types.{StringType, StructField}
