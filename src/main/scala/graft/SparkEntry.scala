@@ -1855,6 +1855,73 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // OPTIMIZED WRITES (Delta optimizeWrite's role): a 16-task query
+    // landing in a 3-partition table writes tasks × partitions ≈ 48
+    // files per commit unless the batch is reshaped — with
+    // `spark.graft.optimizeWrite.enabled` the write REBALANCES by the
+    // partition columns (AQE sizes output to the advisory target and
+    // splits skew), so the commit lands one file per partition value.
+    // The meter asserts the file shape from manifest bytes, then
+    // hash-checks that reshaping changed NOTHING about the content.
+    "q160_optimize_write" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, round}
+      val tbl = scratchPath("optwrite", d)
+      Versioned.dropTableChain(s, tbl)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"),
+        col("l_returnflag").as("rf"))
+        .repartition(16) // the adversarial shape: 16 tasks, tiny data
+      s.conf.set("spark.graft.optimizeWrite.enabled", "true")
+      try Versioned.writeVersionPartitioned(li, tbl, Seq("rf"))
+      finally s.conf.unset("spark.graft.optimizeWrite.enabled")
+      val v = Versioned.latestVersion(s, tbl).get
+      val nFiles = Versioned.allLiveFilesMap(s, tbl, v)
+        .valuesIterator.map(_.size).sum
+      val nParts = 3 // l_returnflag ∈ {A, N, R} at every sf
+      assert(nFiles <= nParts,
+        s"optimizeWrite must land ~one file per partition value, got $nFiles")
+      Versioned.readLatest(s, tbl)
+        .select(col("l_orderkey"), col("l_linenumber"), col("price"), col("rf"))
+        // the synthetic lineitem has duplicate (orderkey, linenumber)
+        // pairs — order by every column or tie order is engine-chosen
+        .orderBy("l_orderkey", "l_linenumber", "price", "rf")
+    },
+
+    // BOUNDED AUTO COMPACTION (Delta autoCompact's role): every
+    // commit's post-commit tick probes the manifest and coalesces the
+    // smallest sub-target dirs through the FILE-GRANULAR rewrite
+    // (commutes with appends to untouched dirs; O(picked bytes),
+    // never O(table)). The meter appends eight one-file slices — a
+    // streaming-shaped fragment fleet — and asserts the live dir
+    // count stays bounded with zero explicit maintenance calls, then
+    // hash-checks that compaction preserved every row.
+    "q161_auto_compact" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{col, round}
+      val tbl = scratchPath("autocompact", d)
+      Versioned.dropTableChain(s, tbl)
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus").as("status"))
+      s.conf.set("spark.graft.autoCompact.enabled", "true")
+      s.conf.set("spark.graft.autoCompact.minDirs", "4")
+      try
+        (0 until 8).foreach(i => Versioned.writeVersion(
+          src.filter(col("o_orderkey") % 8 === i).coalesce(1), tbl,
+          if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+      finally {
+        s.conf.unset("spark.graft.autoCompact.enabled")
+        s.conf.unset("spark.graft.autoCompact.minDirs")
+      }
+      val dirs = Versioned.versionInfo(s, tbl,
+        Versioned.latestVersion(s, tbl).get).dataDirs
+      assert(dirs.length < 4,
+        s"the post-commit tick must keep the fleet bounded, got $dirs")
+      Versioned.readLatest(s, tbl).orderBy("o_orderkey")
+    },
+
     // NAMED VERSIONED TABLES (the Delta+metastore role — reference:
     // hive-site.xml names gold tables for Trino): `db.t` resolves
     // under a warehouse ROOT, so the registry IS the filesystem (the
@@ -4548,6 +4615,22 @@ object SparkEntry {
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
         |   OR o_custkey = (SELECT o_custkey FROM orders
         |        GROUP BY o_custkey ORDER BY count(*), o_custkey LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the reshaped (rebalanced) partitioned write preserves content
+    // exactly — the table IS lineitem's (key, line, price, flag)
+    "q160_optimize_write" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice, 2) AS price, l_returnflag AS rf
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price, rf""".stripMargin,
+
+    // eight modulo slices append then auto-coalesce — compaction
+    // preserves every row, so the table IS orders re-projected
+    "q161_auto_compact" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |  o_orderstatus AS status
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // library write (F) + format("graft") append (O) → the chain IS

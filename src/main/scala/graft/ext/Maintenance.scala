@@ -499,8 +499,11 @@ object Maintenance {
         Versioned.columnMapping(spark, dir, v))
       .write.partitionBy(partCols: _*)
       .mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+    // compaction and Z-order PRESERVE served content — the commit
+    // carries the dataChange=false flag so downstream streams skip it
+    // instead of dying on the dropped dirs (Delta's OPTIMIZE contract)
     Versioned.commitFileRewrite(spark, dir, files, Some(staged), partCols,
-      dvSnapshot, protocol)
+      dvSnapshot, protocol, dataChange = false)
       .map(cv => (files.valuesIterator.map(_.size).sum, selectedBytes, cv))
   }
 }

@@ -285,6 +285,19 @@ object Versioned {
     * manifests that predate the line. */
   private final case class TsEntry(millis: Long) extends Line
 
+  /** The DATA-CHANGE=FALSE marker (`rearrange:1`) — Delta's
+    * `dataChange=false` file-action role, version-scoped. Present in
+    * version v's resolved lines ⟺ v's commit REARRANGED bytes without
+    * changing served content (small-dir compaction, partition-scoped
+    * compaction/Z-order): files moved, rows didn't. Streaming sources
+    * skip such versions instead of failing the appends-only premise,
+    * and change feeds emit nothing for them. The flag never inherits:
+    * delta resolution strips the parent's before folding ops, full
+    * manifests drop it at the commit seam (clone/restore render old
+    * state), and checkpoints carry it only for the flagged version
+    * itself. */
+  private final case class RearrangeEntry() extends Line
+
   /** One data dir's statistics — dir-aggregate rows/col bounds plus
     * the per-FILE list reads plan from. Two serializations, one
     * in-memory shape (the [[BloomEntry]] sidecar pattern):
@@ -383,6 +396,8 @@ object Versioned {
       HwmEntry(rest.substring(0, i), rest.substring(i + 1).toLong)
     } else if (line.startsWith("ts:")) {
       TsEntry(line.drop(3).trim.toLong)
+    } else if (line.startsWith("rearrange:")) {
+      RearrangeEntry()
     } else if (line.startsWith("protocol:")) {
       val n = line.drop(9).trim.toInt
       if (n > SupportedProtocol) throw new IllegalStateException(
@@ -571,9 +586,12 @@ object Versioned {
     } finally in.close()
   }
 
-  /** Fold one delta manifest's ops over the parent's resolved lines. */
+  /** Fold one delta manifest's ops over the parent's resolved lines.
+    * The parent's rearrange flag strips FIRST — it describes the
+    * parent's own commit, never this one's; a rearrange commit
+    * re-adds it through its `+rearrange:1` op. */
   private def applyOps(base: Seq[Line], ops: Seq[String]): Seq[Line] =
-    ops.foldLeft(base) { (acc, op) =>
+    ops.foldLeft(base.filterNot(_.isInstanceOf[RearrangeEntry])) { (acc, op) =>
       if (op.startsWith("+")) parseLine(op.drop(1)) match {
         case s: SchemaEntry    => s +: acc.filterNot(_.isInstanceOf[SchemaEntry])
         case p: PartitionEntry => p +: acc.filterNot(_.isInstanceOf[PartitionEntry])
@@ -673,14 +691,25 @@ object Versioned {
   private def commitChild(spark: SparkSession, dir: String, v: Int, parent: Int,
                           fullLines: => Seq[Line], ops: => Seq[String],
                           protocol: CommitProtocol): Unit = {
-    val ts = commitManifest(spark, dir, v, s"parent:$parent" +: ops, protocol)
+    val opsV = ops
+    val ts = commitManifest(spark, dir, v, s"parent:$parent" +: opsV, protocol)
     // the sidecar must carry the same in-commit clock (and protocol
     // stamp) the manifest was stamped with — a checkpoint-resolved
     // read and a fold-resolved read of the same version answer
-    // TIMESTAMP AS OF alike and gate alike
-    if (checkpointDue(spark, v)) writeCheckpoint(spark, dir, v,
-      TsEntry(ts) +: ProtocolEntry(SupportedProtocol) +: fullLines.filterNot(l =>
-        l.isInstanceOf[TsEntry] || l.isInstanceOf[ProtocolEntry]), protocol)
+    // TIMESTAMP AS OF alike and gate alike. The rearrange flag is
+    // version-scoped: the checkpoint carries it iff THIS commit's ops
+    // declared it — an inherited one (the parent was the rearrange)
+    // strips, matching the fold resolution.
+    if (checkpointDue(spark, v)) {
+      val rearr: Seq[Line] =
+        if (opsV.exists(_.startsWith("+rearrange:"))) Seq(RearrangeEntry())
+        else Seq.empty
+      writeCheckpoint(spark, dir, v,
+        TsEntry(ts) +: ProtocolEntry(SupportedProtocol) +:
+          (rearr ++ fullLines.filterNot(l =>
+            l.isInstanceOf[TsEntry] || l.isInstanceOf[ProtocolEntry] ||
+              l.isInstanceOf[RearrangeEntry])), protocol)
+    }
   }
 
   private def addOp(l: Line): String = "+" + renderLine(l)
@@ -955,6 +984,7 @@ object Versioned {
     case NotNullEntry(c)   => s"notnull:$c"
     case HwmEntry(c, n)    => s"hwm:$c:$n"
     case TsEntry(ms)       => s"ts:$ms"
+    case RearrangeEntry()  => "rearrange:1"
     case ProtocolEntry(n)  => s"protocol:$n"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
     case BloomColEntry(c, bits) => s"bloomcol:$c:$bits"
@@ -1845,9 +1875,12 @@ object Versioned {
     // layout from its own files and needs no translation —
     // writeVersionCore drops the mapping): one manifest resolve
     val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
-    writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
+    val v = writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
       identityBasis = idFilled)(tmp =>
-      out.write.mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+      optimizeWriteShape(out, Seq.empty).write
+        .mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+    autoCompactTick(df.sparkSession, dir, protocol)
+    v
   }
 
   /** [[toPhysical]] against the chain's CURRENT mapping (no-op when
@@ -1900,7 +1933,8 @@ object Versioned {
         val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
         writeVersionCore(df.sparkSession, dir, protocol, mode,
           txn = Some((appId, batchId)), identityBasis = idFilled)(tmp =>
-          out.write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+          optimizeWriteShape(out, Seq.empty).write
+            .mode(SaveMode.ErrorIfExists).parquet(tmp))
       } else { () =>
         // PARTITIONED sink (`writeStream.partitionBy(...)`): each
         // batch lands hive-laid-out inside its commit's data dir —
@@ -1933,11 +1967,17 @@ object Versioned {
             txn = Some((appId, batchId)),
             partitionBy = Some(StructType(partCols.map(c => schema(c)))),
             identityBasis = idFilled)(tmp =>
-            out.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
+            optimizeWriteShape(out, partCols).write
+              .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
         }
       }
-    if (mode == SaveMode.Append) withCommitRetry(maxAttempts)(attempt)
-    else attempt()
+    val r =
+      if (mode == SaveMode.Append) withCommitRetry(maxAttempts)(attempt)
+      else attempt()
+    // the epoch stream is THE small-file generator autoCompact exists
+    // for — tick after every committed (not replayed/empty) epoch
+    if (r.nonEmpty) autoCompactTick(df.sparkSession, dir, protocol)
+    r
   }
 
   /** Complete-mode empty epoch on a partitioned sink: the overwrite
@@ -2042,7 +2082,13 @@ object Versioned {
                                        // numbers are known only inside the retry, so the
                                        // ChangesEntry is stamped here
                                        changeFeed: Option[(Seq[String], String)] =
-                                         None): Option[Int] = {
+                                         None,
+                                       // false = the rewrite PRESERVES served content
+                                       // (compaction, Z-order): the commit stamps the
+                                       // version-scoped `rearrange:1` flag so streaming
+                                       // sources skip it and change feeds emit nothing —
+                                       // Delta's dataChange=false
+                                       dataChange: Boolean = true): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
@@ -2256,6 +2302,7 @@ object Versioned {
       val feedLines: Seq[Line] = changeFeed.toSeq.map { case (ks, nd) =>
         ChangesEntry(prev, v, ks, nd) }
       feedLines.foreach(l => ops += addOp(l))
+      if (!dataChange) ops += addOp(RearrangeEntry())
       val emptied = removedNonEmpty.keySet -- replacedStats.keySet
       val fullLines = ls.flatMap {
         case DataEntry(n) if emptied.contains(n) => None
@@ -2338,10 +2385,13 @@ object Versioned {
     // staged files land BESIDE the chain's existing files — a renamed
     // chain needs them in PHYSICAL names like any append
     val (outDyn, idFilledDyn) = prepareWrite(df, dir, translate = true)
-    outDyn.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+    optimizeWriteShape(outDyn, partCols).write
+      .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(new Path(new Path(dir), staged).toString)
-    commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol,
+    val r = commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol,
       identityBasis = idFilledDyn)
+    if (r.nonEmpty) autoCompactTick(spark, dir, protocol)
+    r
   }
 
   /** The ATOMIC CTAS / RTAS commit (the StagingTableCatalog seam):
@@ -2449,9 +2499,205 @@ object Versioned {
     // recorded read order: data columns first, partition columns last
     // (what Spark's partitioned reader emits)
     val partSchema = StructType(partCols.map(c => schema(c)))
-    writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
+    val v = writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
       partitionBy = Some(partSchema), identityBasis = idFilled)(tmp =>
-      out.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+      optimizeWriteShape(out, partCols).write
+        .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
+    autoCompactTick(df.sparkSession, dir, protocol)
+    v
+  }
+
+  /** Delta OPTIMIZE WRITE's role — reshape a batch about to land so
+    * its file count tracks the AQE advisory size instead of the
+    * query's shuffle shape (a 200-task aggregate otherwise lands 200
+    * files PER COMMIT, and a month of commits is a small-file fleet).
+    * Conf-gated, default off: `spark.graft.optimizeWrite.enabled=true`.
+    * The implementation is the engine's own REBALANCE hint — AQE sizes
+    * the output partitions to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (the file-size
+    * target) and SPLITS skewed ones, which is Delta's optimized-writes
+    * bin-packing done by the optimizer this library already rides.
+    * Partitioned writes rebalance BY the partition columns so each
+    * hive partition's rows converge onto few writer tasks (without
+    * this every task writes a sliver of every partition:
+    * tasks × partitions files per commit). */
+  private def optimizeWriteShape(out: DataFrame, partCols: Seq[String]): DataFrame = {
+    val conf = out.sparkSession.conf
+    if (!conf.getOption("spark.graft.optimizeWrite.enabled").exists(_.toBoolean)) out
+    // REBALANCE is an AQE feature; without AQE the hint plans a plain
+    // shuffle to spark.sql.shuffle.partitions — MORE files, not fewer.
+    // A streaming sink's cloned session is the case that matters
+    // (ResolveWriteToStream force-disables AQE there): fall through to
+    // the batch's natural shape and let the autoCompact tick absorb
+    // the fragments instead.
+    else if (!conf.getOption("spark.sql.adaptive.enabled").forall(_.toBoolean)) out
+    else if (partCols.nonEmpty) out.hint("rebalance", partCols: _*)
+    else out.hint("rebalance")
+  }
+
+  /** BOUNDED small-dir compaction — Delta AUTO COMPACT's role as a
+    * library op. Coalesces up to `maxDirs` of the SMALLEST live data
+    * dirs, each under `targetBytes`, into one rewritten dir (masked
+    * read: dv'd rows apply physically on the way through), committed
+    * FILE-GRANULARLY so it commutes with concurrent appends to
+    * untouched dirs. Cost is O(bytes of the picked dirs), never
+    * O(table) — the property that lets the post-commit tick run after
+    * every streaming epoch without becoming the epoch. Legacy dirs
+    * without manifest file lists never qualify (removal is
+    * file-granular); a healthy table pays one manifest read. Returns
+    * the committed version, None when fewer than `minDirs` qualify. */
+  def compactSmallDirs(spark: SparkSession, dir: String,
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       minDirs: Int = 8, maxDirs: Int = 64,
+                       protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] = {
+    require(minDirs >= 2, "minDirs must be at least 2 — compacting one dir is a no-op")
+    require(targetBytes > 0 && maxDirs >= minDirs,
+      s"need targetBytes > 0 and maxDirs >= minDirs, got $targetBytes/$maxDirs/$minDirs")
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls0 = lines(spark, dir, v0)
+    val physSchema = ls0.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalArgumentException(
+        s"compactSmallDirs at $dir needs a recorded schema — run backfillStats"))
+    val partCols = ls0.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val stats = ls0.collect { case e: StatsEntry => e.name -> e }.toMap
+    val weighed = ls0.collect { case DataEntry(n) => n }
+      .flatMap(n => stats.get(n).filter(_.files.nonEmpty)
+        .map(s => (n, s.files.map(_.bytes).sum)))
+    val small = weighed.filter(_._2 < targetBytes).sortBy(_._2).take(maxDirs)
+    if (small.length < minDirs) return None
+    val (fs, root) = fsFor(spark, dir)
+    val removed = small.map { case (n, _) => n -> stats(n).files.map(_.name).toSet }.toMap
+    val candPaths = small.map { case (n, _) => new Path(root, n).toString }.toSet
+    val cmap = colMapOf(ls0)
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val payload = toPhysical(
+        readVersionDirs(spark, dir, v0, candPaths, applyDv = true), cmap)
+      .select(physSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .coalesce(nOut)
+    val staged = stageDataDir(spark, dir)
+    val stagedPath = new Path(root, staged)
+    val w = payload.write.mode(SaveMode.ErrorIfExists)
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(stagedPath.toString)
+    val dvSnapshot = ls0.collect {
+      case DvEntry(k, n)          => (k, n)
+      case ScopedDvEntry(k, n, _) => (k, n)
+    }
+    try commitFileRewrite(spark, dir, removed, Some(staged), partCols, dvSnapshot,
+      protocol, dataChange = false)
+    catch { case t: Throwable => fs.delete(stagedPath, true); throw t }
+  }
+
+  /** Delta `FSCK REPAIR TABLE`'s role: find manifest references to
+    * data files GONE from storage (out-of-band deletion, a botched
+    * restore, a partial copy) and — with `repair = true` — commit one
+    * file-granular version dropping exactly those references, so
+    * reads stop dying on FileNotFound. The rows were lost either way;
+    * the repair makes the loss EXPLICIT, versioned, and
+    * time-travel-auditable (the pre-repair version still names them).
+    * Existence probes dispatch as a Spark job at or above
+    * `spark.graft.fsck.distributedMinFiles` (default 64) referenced
+    * files — never an O(table) driver loop. A dir emptied by the
+    * repair drops from the manifest, and a downstream STREAM correctly
+    * fails on it (data it may not have served vanished — that is a
+    * data change, nothing like a rearrangement). Returns the missing
+    * (dirName, fileName) pairs; empty = clean, and nothing commits. */
+  def fsck(spark: SparkSession, dir: String, repair: Boolean = false,
+           protocol: CommitProtocol = PutIfAbsentCommit): Seq[(String, String)] = {
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, v0)
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val (fs, root) = fsFor(spark, dir)
+    val expected = ls.collect { case DataEntry(n) => n }.flatMap { d =>
+      stats.get(d).toSeq.flatMap(_.files.map(f =>
+        (d, f.name, new Path(new Path(root, d), f.name).toString)))
+    }
+    val minFiles = spark.conf.getOption("spark.graft.fsck.distributedMinFiles")
+      .map(_.toInt).getOrElse(64)
+    val missing: Seq[(String, String)] =
+      if (expected.length < math.max(1, minFiles))
+        expected.collect { case (d, n, p) if !fs.exists(new Path(p)) => (d, n) }
+      else {
+        val sc = spark.sparkContext
+        val bc = sc.broadcast(new Skipping.SerConf(sc.hadoopConfiguration))
+        val slices = math.max(1, math.min(expected.length, sc.defaultParallelism * 4))
+        val prev = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(s"graft: fsck existence probe (${expected.length} files)")
+        try sc.parallelize(expected, slices).filter { case (_, _, p) =>
+            val hp = new Path(p)
+            !hp.getFileSystem(bc.value.value).exists(hp)
+          }.map { case (d, n, _) => (d, n) }.collect().toSeq.sorted
+        finally { sc.setJobDescription(prev); bc.destroy() }
+      }
+    if (repair && missing.nonEmpty) {
+      val removed = missing.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+      val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+      val dvSnapshot = ls.collect {
+        case DvEntry(k, n)          => (k, n)
+        case ScopedDvEntry(k, n, _) => (k, n)
+      }
+      commitFileRewrite(spark, dir, removed, None, partCols, dvSnapshot, protocol)
+    }
+    missing
+  }
+
+  /** Was version `v` a content-preserving REARRANGEMENT (dataChange =
+    * false: compaction, Z-order)? Streaming sources skip such versions
+    * instead of failing the appends-only premise; change feeds emit
+    * nothing for them. */
+  private[graft] def isRearrange(spark: SparkSession, dir: String, v: Int): Boolean =
+    lines(spark, dir, v).exists(_.isInstanceOf[RearrangeEntry])
+
+  /** The data dirs version `v` ADDED over `v-1` (absolute paths, in
+    * v's list order) — the streaming source's serving unit: offsets
+    * index per-version deltas, so a rearrangement (which removes dirs
+    * and adds its coalesced one) can't shift anything already served.
+    * A rearrange version's delta is EMPTY by definition — its added
+    * dir holds only rows the original dirs already served. */
+  private[graft] def addedDataDirs(spark: SparkSession, dir: String, v: Int)
+      : Seq[String] = {
+    if (v < 0) return Seq.empty
+    if (isRearrange(spark, dir, v)) return Seq.empty
+    def abs(n: String) = new Path(new Path(dir), n).toString
+    val cur = lines(spark, dir, v).collect { case DataEntry(n) => n }
+    if (v == 0) cur.map(abs)
+    else {
+      val prev = lines(spark, dir, v - 1).collect { case DataEntry(n) => n }.toSet
+      cur.filterNot(prev).map(abs)
+    }
+  }
+
+  /** [[dirAdmission]] restricted to version `v`'s ADDED dirs — the
+    * admission weights of one version's delta. */
+  private[graft] def dirAdmissionDelta(spark: SparkSession, dir: String, v: Int)
+      : IndexedSeq[DirAdmission] = {
+    val added = addedDataDirs(spark, dir, v).toSet
+    if (added.isEmpty) IndexedSeq.empty
+    else dirAdmission(spark, dir, v).filter(d => added.contains(d.absDir))
+  }
+
+  /** Post-commit AUTO COMPACT tick (Delta autoCompact's role): when
+    * `spark.graft.autoCompact.enabled=true`, a successful write probes
+    * the manifest and coalesces the smallest fragments via
+    * [[compactSmallDirs]] (knobs: `spark.graft.autoCompact.targetBytes`
+    * default 128 MiB, `.minDirs` default 8, `.maxDirs` default 64).
+    * The user's write has ALREADY committed when the tick runs, so a
+    * tick failure — an OCC loss to a concurrent writer, a legacy
+    * manifest — must not fail the write that triggered it: it drops,
+    * and the next write re-probes. */
+  private def autoCompactTick(spark: SparkSession, dir: String,
+                              protocol: CommitProtocol): Unit = {
+    if (!spark.conf.getOption("spark.graft.autoCompact.enabled").exists(_.toBoolean))
+      return
+    def num(k: String, d: Long) =
+      spark.conf.getOption(s"spark.graft.autoCompact.$k").map(_.toLong).getOrElse(d)
+    try compactSmallDirs(spark, dir,
+      targetBytes = num("targetBytes", 128L * 1024 * 1024),
+      minDirs = num("minDirs", 8L).toInt,
+      maxDirs = num("maxDirs", 64L).toInt,
+      protocol = protocol)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def writeVersionCore(spark: SparkSession, dir: String,
@@ -2970,8 +3216,12 @@ object Versioned {
     // the protocol stamp shares the seam: every commit declares the
     // format version it wrote (caller-carried stamps drop for the
     // same reason the ts does — clone/restore render old state)
+    // the version-scoped rearrange flag drops from FULL line sets the
+    // same way (clone/restore render a flagged version's old state);
+    // a delta commit's own `+rearrange:1` op survives untouched
     val body = dirs.filterNot(l => l.startsWith("ts:") || l.startsWith("+ts:") ||
-      l.startsWith("protocol:") || l.startsWith("+protocol:"))
+      l.startsWith("protocol:") || l.startsWith("+protocol:") ||
+      l.startsWith("rearrange:"))
     val parentTs =
       if (v == 0) None
       else try lines(spark, dir, v - 1).collectFirst { case TsEntry(m) => m }

@@ -1683,6 +1683,26 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
     info.flatMap(i => Option(i.options().get("replaceWhere")))
       .map(_.trim).filter(_.nonEmpty)
 
+  // Delta's IDEMPOTENT-WRITE writer options (`txnAppId` +
+  // `txnVersion`): the commit records the (appId, version) watermark
+  // in the same atomic manifest, and a RETRY of an already-committed
+  // version is detected from manifest bytes and skipped before a byte
+  // is written — the foreachBatch-retry contract, on the batch writer.
+  // The machinery IS the streaming sink's ([[Versioned
+  // .writeVersionStreamBatch]]); the options just expose it.
+  private def txnOption: Option[(String, Long)] =
+    info.flatMap { i =>
+      val app = Option(i.options().get("txnAppId")).map(_.trim).filter(_.nonEmpty)
+      val ver = Option(i.options().get("txnVersion")).map(_.trim).filter(_.nonEmpty)
+      (app, ver) match {
+        case (Some(a), Some(v)) => Some((a, v.toLong))
+        case (None, None)       => None
+        case _ => throw new IllegalArgumentException(
+          "idempotent writes need BOTH txnAppId and txnVersion (Delta's same " +
+            "option pair) — got only one")
+      }
+    }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     if (dynamic) dynamicWrite()
     else new org.apache.spark.sql.connector.write.V1Write {
@@ -1696,9 +1716,19 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
                   "cannot replace rows")
               p
             })
-            effective match {
-              case Some(pred) => Versioned.replaceWhere(data, dir, pred)
-              case None => (overwrite || overwriteFlag, partCols.isEmpty) match {
+            (effective, txnOption) match {
+              case (Some(pred), None) => Versioned.replaceWhere(data, dir, pred)
+              case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                "txnAppId/txnVersion does not compose with replaceWhere yet — " +
+                  "make the reload idempotent at the orchestrator, or use the " +
+                  "plain overwrite")
+              case (None, Some((app, ver))) =>
+                Versioned.writeVersionStreamBatch(data, dir, app, ver,
+                  mode = if (overwrite || overwriteFlag)
+                    org.apache.spark.sql.SaveMode.Overwrite
+                  else org.apache.spark.sql.SaveMode.Append,
+                  partCols = partCols)
+              case (None, None) => (overwrite || overwriteFlag, partCols.isEmpty) match {
                 case (true, true)   =>
                   Versioned.writeVersion(data, dir, org.apache.spark.sql.SaveMode.Overwrite)
                 case (false, true)  => Versioned.appendVersionWithRetry(data, dir)
@@ -1722,6 +1752,9 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
     * commit. Abort leaves only invisible orphans. */
   private def dynamicWrite(): org.apache.spark.sql.connector.write.Write = {
     import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
+    require(txnOption.isEmpty,
+      "txnAppId/txnVersion does not compose with dynamic partition overwrite — " +
+        "silently ignoring the guard would break the idempotence contract")
     val winfo = info.get
     val stagedFlat = Versioned.stageDataDir(spark, dir)
     val flatPath = new org.apache.hadoop.fs.Path(

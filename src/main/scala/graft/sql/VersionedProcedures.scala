@@ -285,6 +285,37 @@ private[sql] object VersionedProcedures {
           case None => Seq(row(Int.box(0), Int.box(0), Long.box(0L)))
         }),
 
+    proc("compact_small",
+      "bounded small-dir compaction (Delta AUTO COMPACT's role, on demand): " +
+        "coalesce up to max_dirs of the smallest live dirs under " +
+        "target_file_bytes into one rewritten dir; file-granular commit, " +
+        "commutes with concurrent appends; NULL version = nothing qualified",
+      params = Seq(in("table", StringType),
+        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
+        inDefault("min_dirs", IntegerType, "2"),
+        inDefault("max_dirs", IntegerType, "64")),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Versioned.compactSmallDirs(spark, args.str(0), args.long(1),
+          args.int(2), args.int(3)).map(Int.box).orNull))),
+
+    proc("fsck",
+      "find manifest references to data files GONE from storage (Delta FSCK " +
+        "REPAIR TABLE's role); repair => true commits one file-granular " +
+        "version dropping exactly those references (the loss becomes explicit " +
+        "and versioned); zero rows = clean, nothing committed",
+      params = Seq(in("table", StringType),
+        inDefault("repair", BooleanType, "false")),
+      out = StructType(Seq(StructField("dir", StringType),
+        StructField("file", StringType),
+        StructField("repaired", BooleanType))))(
+      (spark, args) => {
+        val repair = args.bool(1)
+        Versioned.fsck(spark, args.str(0), repair).map { case (d, f) =>
+          row(d, f, java.lang.Boolean.valueOf(repair))
+        }
+      }),
+
     proc("history",
       "DESCRIBE HISTORY from manifest bytes: one row per committed version",
       params = Seq(in("table", StringType)),

@@ -395,24 +395,37 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
       if (k2 >= adm.size) VersionOffset(pos.v) // snapshot complete
       else VersionOffset(pos.v, k2, snap = true)
     } else {
-      val baseIdx = globalIdx(pos)
+      // per-version DELTA admission: a non-snap offset (v, k) means
+      // versions ≤ v-1 fully served and the first k dirs of v's ADDED
+      // list served (complete = all of v's). Indexing deltas — not a
+      // shared global list — is what lets a rearrangement commit
+      // (compaction: dirs dropped, coalesced dir added, rows
+      // preserved) pass through without shifting anything already
+      // served; its own delta is empty by definition.
       if (pos.v >= effLatest.toLong && pos.complete) return pos
       if (pos.v > effLatest.toLong) return pos // AvailableNow target behind us
-      val adm = Versioned.dirAdmission(spark, dir, effLatest)
-      if (baseIdx >= adm.size) {
-        // no new dirs up to effLatest — still advance the version
-        // pointer past metadata-only (and delete-only: getBatch's
-        // checks must see them) commits
-        return if (pos.v < effLatest.toLong) VersionOffset(effLatest.toLong) else pos
+      var f = 0L; var b = 0L; var admitted = 0L
+      var w = math.max(pos.v, 0L).toInt
+      var from = if (pos.complete) { w = pos.v.toInt + 1; 0L } else pos.served
+      while (w <= effLatest) {
+        val adm = Versioned.dirAdmissionDelta(spark, dir, w)
+        var k = from
+        while (k < adm.size) {
+          val d = adm(k.toInt)
+          val df = math.max(d.files, 1L)
+          if (admitted > 0 &&
+              (maxF.exists(f + df > _) || maxB.exists(b + d.bytes > _)))
+            return VersionOffset(w.toLong, k)
+          f += df; b += d.bytes; admitted += 1; k += 1
+        }
+        from = 0L
+        w += 1
       }
-      val k2 = advance(adm, baseIdx, maxF, maxB)
-      // the SMALLEST version whose dir list covers k2 dirs: the
-      // tightest end version, so the drop/delete checks between
-      // (pos.v, end] cover only what this batch actually crosses
-      var vp = math.max(pos.v, 0L).toInt
-      while (vp < effLatest && dirCount(vp.toLong) < k2) vp += 1
-      if (k2 >= dirCount(vp.toLong)) VersionOffset(vp.toLong)
-      else VersionOffset(vp.toLong, k2)
+      // everything through effLatest admitted (possibly zero dirs —
+      // the version pointer still advances past metadata-only and
+      // delete-only commits so getBatch's checks see them)
+      if (admitted == 0 && pos.v >= effLatest.toLong) pos
+      else VersionOffset(effLatest.toLong)
     }
   }
 
@@ -482,19 +495,25 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
       import org.apache.spark.sql.functions.lit
       val from = start.map(asVersionOffset).orElse(startingBase)
         .map(_.v.toInt).getOrElse(-1)
-      val parts = (from + 1 to endV).map { v =>
-        // _commit_version serves as LONG and _commit_timestamp from
-        // the recorded in-commit clock (mtime fallback for manifests
-        // predating the ts: line) — the Delta CDF column contract
-        val commitTs = new java.sql.Timestamp(
-          Versioned.commitTimestamp(spark, dir, v))
-        val base =
-          if (v == 0)
-            Versioned.readVersion(spark, dir, 0)
-              .withColumn("_change_type", lit("insert"))
-          else Versioned.changeFeed(spark, dir, v - 1, v, cdfKeys)
-        base.withColumn("_commit_version", lit(v.toLong))
-          .withColumn("_commit_timestamp", lit(commitTs))
+      val parts = (from + 1 to endV).flatMap { v =>
+        // a flagged REARRANGEMENT (dataChange=false: compaction,
+        // Z-order) changes no served row — skip it outright instead
+        // of paying the O(both versions) derive to learn that
+        if (v > 0 && Versioned.isRearrange(spark, dir, v)) None
+        else {
+          // _commit_version serves as LONG and _commit_timestamp from
+          // the recorded in-commit clock (mtime fallback for manifests
+          // predating the ts: line) — the Delta CDF column contract
+          val commitTs = new java.sql.Timestamp(
+            Versioned.commitTimestamp(spark, dir, v))
+          val base =
+            if (v == 0)
+              Versioned.readVersion(spark, dir, 0)
+                .withColumn("_change_type", lit("insert"))
+            else Versioned.changeFeed(spark, dir, v - 1, v, cdfKeys)
+          Some(base.withColumn("_commit_version", lit(v.toLong))
+            .withColumn("_commit_timestamp", lit(commitTs)))
+        }
       }
       val all =
         if (parts.isEmpty)
@@ -515,7 +534,6 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
 
     val endInfo = Versioned.versionInfo(spark, dir, endV)
     val endDirs = endInfo.dataDirs
-    val endIdx = if (endOff.complete) endDirs.size.toLong else endOff.served
 
     // base position: an explicit start offset, else the pinned
     // startingVersion base, else zero (initial snapshot from the top)
@@ -526,25 +544,53 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
     // either the very first slice (no start offset at all) or a
     // continuation whose start carries the snapshot flag
     val masked = startOff.isEmpty || startOff.exists(_.snap)
-    val baseIdx = startOff.map(globalIdx).getOrElse(0L)
 
-    // integrity checks when the batch crosses versions (unchanged
-    // semantics from the version-granular source)
+    // what to serve: the pinned snapshot version's full list sliced by
+    // index (masked phase), or the ADDED-dirs deltas of the versions
+    // this batch crosses (append phase) — per-version deltas, so a
+    // flagged rearrangement (compaction: dirs dropped, rows preserved)
+    // contributes nothing and shifts nothing already served
+    val serveByVersion: Seq[(Int, Seq[String])] =
+      if (masked) {
+        val baseIdx = startOff.map(globalIdx).getOrElse(0L)
+        val endIdx = if (endOff.complete) endDirs.size.toLong else endOff.served
+        Seq(endV -> endDirs.slice(math.min(baseIdx, endIdx).toInt, endIdx.toInt))
+      } else {
+        val sOff = startOff.get
+        val sv = sOff.v.toInt
+        val out = Seq.newBuilder[(Int, Seq[String])]
+        if (!sOff.complete && sv >= 0) {
+          val d = Versioned.addedDataDirs(spark, dir, sv)
+          val upto = if (endV == sv && !endOff.complete) endOff.served.toInt else d.size
+          out += sv -> d.slice(sOff.served.toInt, upto)
+        }
+        var w = math.max(sv, -1) + 1
+        while (w <= endV) {
+          // integrity per crossed version: a commit that DROPPED dirs
+          // is fatal — overwrite or restore broke the appends-only
+          // premise — UNLESS it declared itself a content-preserving
+          // rearrangement (dataChange=false), which streams skip
+          if (!Versioned.isRearrange(spark, dir, w)) {
+            val prevSet = Versioned.versionInfo(spark, dir, w - 1).dataDirs.toSet
+            val dropped = prevSet -- Versioned.versionInfo(spark, dir, w).dataDirs.toSet
+            if (dropped.nonEmpty) throw new IllegalStateException(
+              s"versioned stream at $dir hit a non-append commit at v$w " +
+                s"(${dropped.size} data dir(s) dropped — overwrite or restore). " +
+                "Streaming serves appends only; restart the stream from the new state.")
+          }
+          val d = Versioned.addedDataDirs(spark, dir, w)
+          val upto = if (w == endV && !endOff.complete) endOff.served.toInt else d.size
+          out += w -> d.slice(0, upto)
+          w += 1
+        }
+        out.result()
+      }
+
+    // delete checks on the endpoints (unchanged semantics): scoped dvs
+    // (SQL DELETEs) never merge, so a set change is a real DELETE —
+    // no content-compare fallback needed
     startOff.map(_.v).filter(v => v >= 0L && v < endV.toLong).foreach { sv =>
       val startInfo = Versioned.versionInfo(spark, dir, sv.toInt)
-      val startDirs = startInfo.dataDirs
-      val dropped = startDirs.toSet -- endDirs.toSet
-      if (dropped.nonEmpty) throw new IllegalStateException(
-        s"versioned stream at $dir hit a non-append commit between v$sv and " +
-          s"v$endV (${dropped.size} data dir(s) dropped — overwrite or restore). " +
-          "Streaming serves appends only; restart the stream from the new state.")
-      // append-only must also preserve ORDER: offsets slice the shared
-      // dir list by index, so a reordering is as fatal as a drop
-      if (endDirs.take(startDirs.size) != startDirs) throw new IllegalStateException(
-        s"versioned stream at $dir: data-dir order changed between v$sv and v$endV — " +
-          "not an append chain. Restart the stream from the new state.")
-      // scoped dvs (SQL DELETEs) never merge, so a set change is a
-      // real DELETE — no content-compare fallback needed
       if (!ignoreDeletes &&
           ((startInfo.dvDirs != endInfo.dvDirs &&
             !sameDvContent(startInfo.dvDirs, endInfo.dvDirs)) ||
@@ -555,9 +601,9 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
             "option ignoreDeletes=true to keep streaming appends past deletes.")
     }
 
-    val serve = endDirs.slice(math.min(baseIdx, endIdx.toLong).toInt, endIdx.toInt)
+    val nonEmpty = serveByVersion.filter(_._2.nonEmpty)
     val batch =
-      if (serve.isEmpty)
+      if (nonEmpty.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozenSchema)
       else {
@@ -568,8 +614,19 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
         // deletes were never served rows, and scoped dvs apply only
         // to the dirs they scope; append slices serve RAW, pre-mask
         // (the stream is an append feed, not a snapshot serve).
-        val read = Versioned.readVersionDirs(spark, dir, endV, serve.toSet,
-          applyDv = masked)
+        // ONE multi-dir read through the end version when it still
+        // lists every served dir (every batch not racing a
+        // rearrangement); a dir compacted away LATER IN THE RANGE
+        // reads through the manifest of the version that added it —
+        // the physical files outlive the rearrange until retention.
+        val endSet = endDirs.toSet
+        val all = nonEmpty.flatMap(_._2)
+        val read =
+          if (all.forall(endSet.contains))
+            Versioned.readVersionDirs(spark, dir, endV, all.toSet, applyDv = masked)
+          else nonEmpty.map { case (w, ds) =>
+            Versioned.readVersionDirs(spark, dir, w, ds.toSet, applyDv = masked)
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
         // evolution-tolerant both ways: a RESTART after ADD COLUMNS
         // may replay a batch whose end version PREDATES the widen —
         // the frozen (now wider) schema null-pads what that version's

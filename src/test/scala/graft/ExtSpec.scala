@@ -4843,11 +4843,13 @@ class ExtSpec extends AnyFunSuite {
     def chainMsg(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
       .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
     assert(chainMsg(eRw).contains("replaceWhere"), chainMsg(eRw))
-    // a path with no committed chain refuses (create through
-    // writeVersion / SQL CREATE — the provider serves existing tables)
+    // a path with no committed chain refuses AT SCAN PLANNING (the
+    // load itself serves the capability-less placeholder so the
+    // streaming-sink probe can pass — the refusal lands on first use,
+    // naming the create paths)
     val e = intercept[Exception] {
-      spark.read.format("graft").load(root + "/nope") }
-    assert(e.getMessage != null)
+      spark.read.format("graft").load(root + "/nope").collect() }
+    assert(chainMsg(e).contains("no versions committed yet"), chainMsg(e))
   }
 
   test("named versioned tables: warehouse-rooted names — CREATE/INSERT/travel by name, SHOW TABLES/NAMESPACES, external LOCATION registration, DROP semantics, pointer rename") {
@@ -6137,5 +6139,226 @@ class ExtSpec extends AnyFunSuite {
     Versioned.pruneVersions(spark, stgt, keepLast = 1, orphanMinAgeMs = 0L)
     assert(bloomPlan() == planned0,
       "the fork's own vacuum must not reap its copied bloom sidecar")
+  }
+
+  test("optimized writes: rebalance shapes commits to the AQE advisory size; partitioned writes converge per partition; no-op when AQE or the flag is off") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft_ow").toString
+    val df = spark.range(0, 4000)
+      .select($"id", ($"id" % 5).cast("string").as("k")).repartition(16)
+    def nFiles(d: String): Int = {
+      val v = Versioned.latestVersion(spark, d).get
+      Versioned.allLiveFilesMap(spark, d, v).valuesIterator.map(_.size).sum
+    }
+    // OFF (the default): the commit inherits the query's 16-task shape
+    Versioned.writeVersion(df, s"$base/off")
+    assert(nFiles(s"$base/off") == 16)
+    spark.conf.set("spark.graft.optimizeWrite.enabled", "true")
+    try {
+      // ON: AQE rebalance coalesces a tiny batch to one advisory-sized file
+      Versioned.writeVersion(df, s"$base/on")
+      assert(nFiles(s"$base/on") <= 2, s"got ${nFiles(s"$base/on")} files")
+      assert(Versioned.readLatest(spark, s"$base/on").count() == 4000)
+      // PARTITIONED: rebalance BY the partition columns — files track
+      // partition values, not tasks × partitions (16×5 without it)
+      Versioned.writeVersionPartitioned(df, s"$base/onp", Seq("k"))
+      assert(nFiles(s"$base/onp") <= 5, s"got ${nFiles(s"$base/onp")} files")
+      assert(Versioned.readLatest(spark, s"$base/onp").count() == 4000)
+      // AQE off → the hint would shuffle to spark.sql.shuffle.partitions
+      // and make MORE files — the shape must fall through untouched
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        Versioned.writeVersion(df, s"$base/noaqe")
+        assert(nFiles(s"$base/noaqe") == 16)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.graft.optimizeWrite.enabled")
+  }
+
+  test("bounded auto compaction: compactSmallDirs coalesces only the small dirs, applies dv masks physically, commutes with history; the post-commit tick keeps an append-fleet bounded; off by default") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft_ac").toString
+    val dir = s"$base/t"
+    def dirsOf(d: String): Seq[String] = {
+      val v = Versioned.latestVersion(spark, d).get
+      Versioned.versionInfo(spark, d, v).dataDirs
+    }
+    // ten tiny commits + one BIG dir that must NOT be rewritten
+    Versioned.writeVersion(spark.range(0, 200000)
+      .select($"id", lit("big").as("v")), dir)
+    val bigDir = dirsOf(dir).head
+    (0 until 10).foreach(i => Versioned.writeVersion(
+      Seq((1000000L + i, s"x$i")).toDF("id", "v").coalesce(1), dir, SaveMode.Append))
+    // a dv'd key inside a small dir applies PHYSICALLY on the way through
+    Versioned.deleteByKeys(spark, dir,
+      Seq(1000003L).toDF("id"), "id")
+    val expect = Versioned.readLatest(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val preV = Versioned.latestVersion(spark, dir).get
+    assert(dirsOf(dir).length == 11)
+    // target sized BETWEEN the fragments (~1 KB each) and the big dir
+    // (~1.5 MB): selection is by size, not by age or order
+    val v = Versioned.compactSmallDirs(spark, dir,
+      targetBytes = 100L * 1024, minDirs = 4)
+    assert(v.nonEmpty)
+    val after = dirsOf(dir)
+    assert(after.length == 2, s"10 small dirs must coalesce to 1: $after")
+    assert(after.contains(bigDir), "the big dir must carry VERBATIM, never rewritten")
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet == expect)
+    // the masked row is gone PHYSICALLY from the rewritten dir
+    val rewritten = after.filterNot(_ == bigDir).head
+    val rewrittenRows = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, rewritten).toString)
+    assert(rewrittenRows.where($"id" === 1000003L).isEmpty)
+    // history intact: the pre-compact version still serves all 11 dirs
+    assert(Versioned.readVersion(spark, dir, preV)
+      .as[(Long, String)].collect().toSet == expect)
+    // nothing left to do — the re-probe pays one manifest read
+    assert(Versioned.compactSmallDirs(spark, dir,
+      targetBytes = 100L * 1024, minDirs = 4).isEmpty)
+
+    // the POST-COMMIT tick: with the conf on, an append fleet stays
+    // bounded without any explicit call
+    val dir2 = s"$base/auto"
+    spark.conf.set("spark.graft.autoCompact.enabled", "true")
+    spark.conf.set("spark.graft.autoCompact.minDirs", "4")
+    try {
+      (0 until 12).foreach(i => Versioned.writeVersion(
+        Seq((i.toLong, s"a$i")).toDF("id", "v").coalesce(1), dir2,
+        if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+      assert(dirsOf(dir2).length < 4,
+        s"the tick must keep the dir count bounded: ${dirsOf(dir2)}")
+      assert(Versioned.readLatest(spark, dir2).count() == 12)
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.enabled")
+      spark.conf.unset("spark.graft.autoCompact.minDirs")
+    }
+    // off by default: the same fleet fragments
+    val dir3 = s"$base/noauto"
+    (0 until 6).foreach(i => Versioned.writeVersion(
+      Seq((i.toLong, s"b$i")).toDF("id", "v").coalesce(1), dir3,
+      if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    assert(dirsOf(dir3).length == 6)
+  }
+
+  test("fsck: reports manifest refs to vanished files (driver and distributed probes agree); repair drops exactly those refs in one commit; clean tables report nothing and commit nothing") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft_fsck").toString
+    val dir = s"$base/t"
+    (0 until 3).foreach(i => Versioned.writeVersion(
+      Seq((i.toLong, s"x$i")).toDF("id", "v").coalesce(1), dir,
+      if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    assert(Versioned.fsck(spark, dir).isEmpty)
+    val vClean = Versioned.latestVersion(spark, dir).get
+    assert(vClean == 2, "fixture: three commits")
+    // vanish v1's single data file OUT OF BAND (the failure fsck exists for)
+    val v1dir = Versioned.addedDataDirs(spark, dir, 1).head
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(v1dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.delete(victim, false))
+    // report-only: driver probe and the distributed probe agree
+    val reported = Versioned.fsck(spark, dir)
+    assert(reported.map(_._2) == Seq(victim.getName), reported.toString)
+    spark.conf.set("spark.graft.fsck.distributedMinFiles", "1")
+    try assert(Versioned.fsck(spark, dir) == reported)
+    finally spark.conf.unset("spark.graft.fsck.distributedMinFiles")
+    assert(Versioned.latestVersion(spark, dir).contains(vClean),
+      "report-only must not commit")
+    // repair: ONE commit drops exactly the dead refs; reads serve again
+    Versioned.fsck(spark, dir, repair = true)
+    assert(Versioned.latestVersion(spark, dir).contains(vClean + 1))
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((0L, "x0"), (2L, "x2")))
+    assert(Versioned.fsck(spark, dir).isEmpty)
+    // the loss is auditable: the pre-repair version still names the file
+    assert(Versioned.versionInfo(spark, dir, vClean).dataDirs.contains(v1dir))
+  }
+
+  test("idempotent batch writes: txnAppId/txnVersion dedupes retried format(\"graft\") writes; new versions land; half the pair refuses") {
+    import graft.ext.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft_txn").toString
+    val dir = s"$base/t"
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    def write(ver: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "v").write.format("graft")
+        .option("txnAppId", "loader-7").option("txnVersion", ver.toString)
+        .mode("append").save(dir)
+    write(0L, Seq((2L, "b")))
+    assert(Versioned.readLatest(spark, dir).count() == 2)
+    // a RETRY of the same (appId, version) is detected from manifest
+    // bytes and skipped — no duplicate rows, no new version
+    val vBefore = Versioned.latestVersion(spark, dir).get
+    write(0L, Seq((2L, "b")))
+    assert(Versioned.readLatest(spark, dir).count() == 2)
+    assert(Versioned.latestVersion(spark, dir).contains(vBefore))
+    // the next version lands; an OLD version number skips even then
+    write(1L, Seq((3L, "c")))
+    write(0L, Seq((99L, "dup")))
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // half the option pair refuses with both names spelled
+    val e = intercept[Exception] {
+      Seq((4L, "d")).toDF("id", "v").write.format("graft")
+        .option("txnAppId", "loader-7").mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("txnVersion")), msgs(e).mkString("; "))
+    // idempotent OVERWRITE: the retry must not double-commit a version
+    Seq((10L, "x")).toDF("id", "v").write.format("graft")
+      .option("txnAppId", "loader-7").option("txnVersion", "2")
+      .mode("overwrite").save(dir)
+    val vOver = Versioned.latestVersion(spark, dir).get
+    Seq((10L, "x")).toDF("id", "v").write.format("graft")
+      .option("txnAppId", "loader-7").option("txnVersion", "2")
+      .mode("overwrite").save(dir)
+    assert(Versioned.latestVersion(spark, dir).contains(vOver))
+    assert(Versioned.readLatest(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((10L, "x")))
+  }
+
+  test("rearrange flag (dataChange=false): compaction commits flag, the flag is version-scoped, checkpoint resolution agrees, restore/DML never flag") {
+    import graft.ext.{Maintenance, Versioned}
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft_rflag").toString
+    val dir = s"$base/t"
+    // checkpoint EVERY commit so the flagged version resolves through
+    // its checkpoint sidecar, not only the delta fold — both paths
+    // must agree on the version-scoped flag
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+      (0 until 5).foreach(i => Versioned.writeVersion(
+        Seq((i.toLong, s"x$i")).toDF("id", "v").coalesce(1), dir,
+        if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+      assert(!Versioned.isRearrange(spark, dir, 4))
+      val cv = Versioned.compactSmallDirs(spark, dir, minDirs = 2).get
+      assert(Versioned.isRearrange(spark, dir, cv),
+        "the compaction commit must carry the dataChange=false flag")
+      // version-scoped: the NEXT commit clears it
+      Versioned.writeVersion(Seq((50L, "y")).toDF("id", "v"), dir, SaveMode.Append)
+      val after = Versioned.latestVersion(spark, dir).get
+      assert(after == cv + 1 && !Versioned.isRearrange(spark, dir, after))
+      // a RESTORE to the flagged version is NOT itself a rearrange —
+      // it genuinely drops dirs, and streams must fail on it
+      val rv = Versioned.restoreVersion(spark, dir, cv)
+      assert(!Versioned.isRearrange(spark, dir, rv))
+      // partition-scoped manual compaction flags too
+      val dirP = s"$base/p"
+      (0 until 4).foreach(i => Versioned.writeVersionPartitioned(
+        Seq((i.toLong, (i % 2).toString)).toDF("id", "k").coalesce(1), dirP,
+        Seq("k"), if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+      val Some((_, _, pv)) = Maintenance.compactVersionedWhere(
+        spark, dirP, "k = '0'", 128L * 1024 * 1024)
+      assert(Versioned.isRearrange(spark, dirP, pv),
+        "partition-scoped compaction preserves content — it must flag")
+      // row-level DML is a DATA change: replaceWhere must not flag
+      val rw = Versioned.replaceWhere(
+        Seq((0L, "0")).toDF("id", "k"), dirP, "k = '0'").get
+      assert(!Versioned.isRearrange(spark, dirP, rw))
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
   }
 }

@@ -999,6 +999,11 @@ class StreamingSpec extends AnyFunSuite {
     val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
     while (!served.values.flatten.toSet.contains(4L) && System.nanoTime() < deadline)
       Thread.sleep(20)
+    // drain + COMMIT the epoch that served 4 before stopping — a stop
+    // right after the sink observes the rows races the engine's own
+    // offset commit, and leg 2 would (legitimately, at-least-once)
+    // see that epoch replayed
+    q.processAllAvailable()
     q.stop(); q.awaitTermination(120000)
     assert(served.values.flatten.toSet == Set(1L, 2L, 3L, 4L),
       s"the running stream must keep serving across the widen: ${served.values.flatten.toSeq}")
@@ -1045,5 +1050,183 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows3.values.flatten.toMap == Map(1L -> None, 2L -> None, 3L -> None,
       4L -> Some("X"), 5L -> Some("Y")),
       s"old files must null-backfill the widened column: ${rows3.values.flatten.toMap}")
+  }
+
+  test("dataChange=false: a mid-stream compaction is SKIPPED, never fatal and never re-served; a lagging restart reads the pre-compaction dirs; CDF emits nothing for it; an overwrite still fails") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_rearr").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_rearr_c").toString
+    // five one-file commits: v0..v4
+    (0 until 5).foreach(i => Versioned.writeVersion(
+      Seq((i.toLong, s"x$i")).toDF("id", "v").coalesce(1), dir,
+      if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+
+    def drain(c: String): Set[(Long, String)] = {
+      val got = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]]
+      val q = spark.readStream.format("graft").option("path", dir)
+        .option("maxFilesPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", c)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          got.put(id, df.collect().map(r => (r.getLong(0), r.getString(1)))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      got.values.flatten.toSet
+    }
+    // serve the full table (snapshot), then compact it mid-history
+    assert(drain(ckpt) == (0 until 5).map(i => (i.toLong, s"x$i")).toSet)
+    val preDirs = Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).dataDirs
+    val cv = Versioned.compactSmallDirs(spark, dir, minDirs = 2)
+    assert(cv.nonEmpty, "fixture: the compaction must fire")
+    // ── the compaction alone serves NOTHING (its coalesced dir holds
+    // only rows already served) and does not fail the stream
+    assert(drain(ckpt).isEmpty)
+    // ── appends after the compaction flow normally
+    Versioned.writeVersion(Seq((100L, "y")).toDF("id", "v").coalesce(1), dir,
+      SaveMode.Append)
+    assert(drain(ckpt) == Set((100L, "y")))
+
+    // ── a LAGGING stream (checkpoint parked before the compaction)
+    // still serves the original small dirs — the rearranged-away
+    // files outlive the commit until retention reclaims them
+    val ckptLag = Files.createTempDirectory("graft_rearr_lag").toString
+    val dir2 = Files.createTempDirectory("graft_rearr2").toString + "/t"
+    (0 until 4).foreach(i => Versioned.writeVersion(
+      Seq((i.toLong, s"a$i")).toDF("id", "v").coalesce(1), dir2,
+      if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    // park the stream at startingVersion 1 (v0 skipped): batch 0
+    // (one dir under maxFilesPerTrigger=1) commits, batch 1 THROWS —
+    // the offset rests mid-history, deterministically
+    val got2 = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]]
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft").option("path", dir2)
+        .option("startingVersion", "1").option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckptLag)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id >= 1L) throw new RuntimeException("park the checkpoint here")
+          got2.put(id, df.collect().map(r => (r.getLong(0), r.getString(1)))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+    }
+    assert(got2.values.flatten.toSet == Set((1L, "a1")))
+    // compact behind the parked offset, then resume: v2/v3's original
+    // dirs still serve (physical files outlive the rearrange)
+    assert(Versioned.compactSmallDirs(spark, dir2, minDirs = 2).nonEmpty)
+    val got3 = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]]
+    val q3 = spark.readStream.format("graft").option("path", dir2).load()
+      .writeStream.option("checkpointLocation", ckptLag)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        got3.put(id, df.collect().map(r => (r.getLong(0), r.getString(1)))); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    assert(got3.values.flatten.toSet == Set((2L, "a2"), (3L, "a3")),
+      s"the lagging resume must serve exactly the un-served appends: ${got3.values.flatten.toSet}")
+
+    // ── a CDF stream crossing the rearrange version emits nothing
+    // for it (and doesn't pay the derive)
+    val gotCdf = new scala.collection.concurrent.TrieMap[Long, Array[(Long, String)]]
+    val qc = spark.readStream.format("graft").option("path", dir2)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("keys", "id").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_rearr_cdf").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        gotCdf.put(id, df.collect().map(r =>
+          (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("_change_type"))))); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination(120000)
+    assert(gotCdf.values.flatten.toSet ==
+      Set((1L, "insert"), (2L, "insert"), (3L, "insert")),
+      s"the rearrange version must emit NO change rows: ${gotCdf.values.flatten.toSet}")
+
+    // ── a REAL overwrite still fails the stream (the premise broke)
+    Versioned.writeVersion(Seq((999L, "z")).toDF("id", "v"), dir2, SaveMode.Overwrite)
+    val eO = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").option("path", dir2).load()
+        .writeStream.option("checkpointLocation", ckptLag)
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eO).exists(_.contains("non-append commit")), msgs(eO).mkString("; "))
+  }
+
+  test("format(\"graft\") streaming: the batch short name serves readStream AND writeStream; the first sink epoch creates the chain; CDF rides the same name; travel options refuse") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val src = Files.createTempDirectory("graft_fmt_src").toString + "/t"
+    val dst = Files.createTempDirectory("graft_fmt_dst").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_fmt_ckpt").toString
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(120000)
+    }
+    // dst does NOT exist yet — the V1-fallback sink's first epoch must
+    // create it (the DSv2 probe sees the capability-less placeholder,
+    // not a refusal)
+    run()
+    def sunk() = Versioned.readLatest(spark, dst).as[(Long, String)].collect().toSet
+    assert(sunk() == Set((1L, "a"), (2L, "b")))
+    // the exactly-once txn watermark rides the same path as the
+    // long-name provider
+    assert(Versioned.lastCommittedBatch(spark, dst, ckpt).contains(0L))
+    // appends flow incrementally on restart from the same checkpoint
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), src, SaveMode.Append)
+    run()
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // round trip inside ONE format string: the batch reader serves
+    // what the streaming sink committed
+    assert(spark.read.format("graft").load(dst).count() == 3)
+
+    // a CDF stream through the same name (schema + replayed inserts)
+    val qc = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("keys", "id").load(src)
+      .writeStream.format("memory").queryName("fmt_cdf")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_fmt_cdf").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination(120000)
+    val cdf = spark.table("fmt_cdf")
+    assert(Seq("_change_type", "_commit_version", "_commit_timestamp")
+      .forall(cdf.columns.contains))
+    assert(cdf.where($"_change_type" === "insert").count() == 3)
+
+    // time travel is a batch notion — the stream refuses both options
+    // with the working knob named
+    Seq("versionAsOf" -> "0", "timestampAsOf" -> "2026-01-01 00:00:00").foreach {
+      case (k, v) =>
+        val e = intercept[Exception] {
+          spark.readStream.format("graft").option(k, v).load(src)
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("startingVersion")), msgs(e).mkString("; "))
+    }
+
+    // batch read of a chain with no versions refuses at analysis,
+    // naming the create paths (the placeholder's whole purpose is
+    // that the STREAM sink doesn't hit this)
+    val missing = Files.createTempDirectory("graft_fmt_missing").toString + "/t"
+    val eB = intercept[Exception] {
+      spark.read.format("graft").load(missing).collect()
+    }
+    def msgsB(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgsB(t.getCause)
+    assert(msgsB(eB).exists(_.contains("no versions committed yet")),
+      msgsB(eB).mkString("; "))
   }
 }
