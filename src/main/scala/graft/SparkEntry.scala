@@ -1855,6 +1855,119 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // MAINTENANCE UNDER A LIVE STREAM (Delta's dataChange=false
+    // contract): a compaction mid-stream is a flagged REARRANGEMENT —
+    // the running feed skips it (nothing re-served, nothing fatal)
+    // because stream offsets index per-version ADDED-dir deltas, and
+    // appends after it flow normally. The meter drains a snapshot,
+    // compacts, proves the maintenance commit serves ZERO rows, then
+    // appends one more slice and proves exactly it arrives — and the
+    // union of everything served hash-checks against the source.
+    "q162_stream_maintenance" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{col, round}
+      val tbl = scratchPath("stream_maint", d)
+      Versioned.dropTableChain(s, tbl)
+      val outDir = tbl + "_served"
+      val ckpt = tbl + "_ckpt"
+      new scala.reflect.io.Directory(new java.io.File(outDir)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      def slice(m: Int) = src.filter(col("o_orderkey") % 5 === m).coalesce(1)
+      Versioned.writeVersion(slice(0), tbl)
+      (1 to 3).foreach(m => Versioned.writeVersion(slice(m), tbl, SaveMode.Append))
+      def drain(): Long = {
+        val q = s.readStream.format("graft").option("path", tbl).load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           _: Long) =>
+            df.write.mode("append").parquet(outDir); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.read.parquet(outDir).count()
+      }
+      val afterSnapshot = drain()
+      // compaction mid-stream: a dataChange=false commit
+      val cv = Versioned.compactSmallDirs(s, tbl, minDirs = 2)
+      assert(cv.nonEmpty, "the maintenance compaction must fire")
+      assert(Versioned.isRearrange(s, tbl, cv.get))
+      assert(drain() == afterSnapshot,
+        "a rearrangement must serve ZERO rows to a running stream")
+      // appends after the compaction flow normally — exactly slice 4
+      Versioned.writeVersion(slice(4), tbl, SaveMode.Append)
+      assert(drain() == afterSnapshot + slice(4).count(),
+        "the post-compaction append must arrive, alone")
+      s.read.parquet(outDir).orderBy("o_orderkey")
+    },
+
+    // FSCK (Delta FSCK REPAIR TABLE's role): manifest refs to files
+    // VANISHED out of band (botched copy, fat-fingered rm) are found
+    // by a distributed existence probe and — on repair — dropped in
+    // one auditable file-granular commit, so reads stop dying on
+    // FileNotFound. The meter vanishes one commit's file, proves
+    // report-only commits nothing, repairs, and hash-checks the
+    // surviving content (the lost slice is exactly o_orderkey%3=1).
+    "q163_fsck" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{col, round}
+      val tbl = scratchPath("fsck", d)
+      Versioned.dropTableChain(s, tbl)
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      def slice(m: Int) = src.filter(col("o_orderkey") % 3 === m).coalesce(1)
+      Versioned.writeVersion(slice(0), tbl)
+      Versioned.writeVersion(slice(1), tbl, SaveMode.Append)
+      Versioned.writeVersion(slice(2), tbl, SaveMode.Append)
+      assert(Versioned.fsck(s, tbl).isEmpty, "a healthy table reports clean")
+      // vanish v1's single data file OUT OF BAND
+      val v1dir = Versioned.addedDataDirs(s, tbl, 1).head
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val victim = fs.listStatus(new org.apache.hadoop.fs.Path(v1dir))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(fs.delete(victim, false))
+      val vBefore = Versioned.latestVersion(s, tbl).get
+      assert(Versioned.fsck(s, tbl).map(_._2) == Seq(victim.getName))
+      assert(Versioned.latestVersion(s, tbl).contains(vBefore),
+        "report-only must not commit")
+      Versioned.fsck(s, tbl, repair = true)
+      assert(Versioned.latestVersion(s, tbl).contains(vBefore + 1))
+      assert(Versioned.fsck(s, tbl).isEmpty, "repaired = clean")
+      Versioned.readLatest(s, tbl).orderBy("o_orderkey")
+    },
+
+    // IDEMPOTENT BATCH WRITES (Delta's txnAppId/txnVersion writer
+    // options): a retried write whose (appId, version) the manifest
+    // already records SKIPS before a byte is written — the
+    // foreachBatch-retry contract on the batch writer. The meter
+    // retries one slice and replays a stale version; the hash check
+    // proves no duplicate ever landed (a dup would double slice 1).
+    "q164_idempotent_write" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.{col, round}
+      val tbl = scratchPath("idem", d)
+      Versioned.dropTableChain(s, tbl)
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      def slice(m: Int) = src.filter(col("o_orderkey") % 3 === m)
+      Versioned.writeVersion(slice(0), tbl)
+      def write(ver: Long, m: Int): Unit =
+        slice(m).write.format("graft")
+          .option("txnAppId", "q164-loader").option("txnVersion", ver.toString)
+          .mode("append").save(tbl)
+      write(0L, 1)
+      write(0L, 1) // the retry: detected from manifest bytes, skipped
+      write(1L, 2)
+      write(0L, 2) // a STALE replay after progress: still skipped
+      assert(Versioned.latestVersion(s, tbl).contains(2),
+        "exactly two txn commits must have landed")
+      Versioned.readLatest(s, tbl).orderBy("o_orderkey")
+    },
+
     // OPTIMIZED WRITES (Delta optimizeWrite's role): a 16-task query
     // landing in a 3-partition table writes tasks × partitions ≈ 48
     // files per commit unless the batch is reshaped — with
@@ -4615,6 +4728,28 @@ object SparkEntry {
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
         |   OR o_custkey = (SELECT o_custkey FROM orders
         |        GROUP BY o_custkey ORDER BY count(*), o_custkey LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // snapshot + zero-row maintenance commit + one post-compaction
+    // append — everything ever served IS the source projection
+    "q162_stream_maintenance" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // slice %3=1's single file vanished out of band; the repaired
+    // table IS the two surviving slices
+    "q163_fsck" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // one library write + two txn commits, retries skipped — the
+    // table IS all three slices exactly once
+    "q164_idempotent_write" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // the reshaped (rebalanced) partitioned write preserves content
