@@ -70,6 +70,19 @@ object Maintenance {
           Versioned.allLiveFilesMap(spark, path, afterV).valuesIterator.map(_.size).sum,
           bytes)
       }
+      // FLAT chain on the manifest store: compaction preserves content
+      // — commit it file-granularly with the dataChange=false flag
+      // (commutes with concurrent appends; streams skip it). Legacy
+      // pre-file-list manifests fall back to the overwrite below.
+      val beforeFlat = store.liveFiles(spark, path)
+      val bytesFlat = beforeFlat.map(_._2).sum
+      val nOutFlat = math.max(1, math.ceil(bytesFlat.toDouble / targetFileBytes).toInt)
+      Versioned.rewriteAllAsRearrange(spark, path, ms.protocol)(
+          _.repartition(nOutFlat)) match {
+        case Some(_) => return CompactStats(beforeFlat.length,
+          store.liveFiles(spark, path).length, bytesFlat)
+        case None => () // legacy or empty: the overwrite path below
+      }
       case _ => ()
     }
     store.recover(spark, path)
@@ -389,13 +402,20 @@ object Maintenance {
       if (nFiles > 0) nFiles
       else math.max(1, math.ceil(
         Versioned.liveFiles(spark, dir).map(_._2).sum / (128.0 * 1024 * 1024)).toInt)
-    val current = Versioned.readLatest(spark, dir)
-    Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
-      current.withColumn("__zkey", zKeyN(zCols.map(col), bits))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__zkey", zKeyN(zCols.map(col), bits))
         .repartitionByRange(nOut, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
-        .write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+    // Z-order preserves content: commit it file-granularly with the
+    // dataChange=false flag — concurrent appends commute (bounded OCC
+    // retry, not a lost overwrite race) and downstream streams skip
+    // it. Legacy pre-file-list manifests fall back to the overwrite.
+    Versioned.rewriteAllAsRearrange(spark, dir, protocol)(shape).getOrElse {
+      val current = Versioned.readLatest(spark, dir)
+      Versioned.writeVersionWith(spark, dir, protocol)(tmp =>
+        shape(current).write.mode(SaveMode.ErrorIfExists).parquet(tmp))
+    }
   }
 
   /** Delta `OPTIMIZE tbl WHERE part = … ZORDER BY (colA, colB)` —

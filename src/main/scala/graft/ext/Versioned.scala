@@ -2088,7 +2088,14 @@ object Versioned {
                                        // version-scoped `rearrange:1` flag so streaming
                                        // sources skip it and change feeds emit nothing —
                                        // Delta's dataChange=false
-                                       dataChange: Boolean = true): Option[Int] = {
+                                       dataChange: Boolean = true,
+                                       // true = the rewrite covered EVERY live file with
+                                       // the masks applied physically, so the dv lines
+                                       // retire with the files they masked (the
+                                       // whole-table OPTIMIZE contract). A PARTIAL
+                                       // rewrite must keep them — untouched dirs still
+                                       // need the mask.
+                                       dropDvs: Boolean = false): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
     if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
@@ -2303,6 +2310,13 @@ object Versioned {
         ChangesEntry(prev, v, ks, nd) }
       feedLines.foreach(l => ops += addOp(l))
       if (!dataChange) ops += addOp(RearrangeEntry())
+      val droppedDvNames: Set[String] =
+        if (!dropDvs) Set.empty
+        else ls.collect {
+          case DvEntry(_, n)          => n
+          case ScopedDvEntry(_, n, _) => n
+        }.toSet
+      droppedDvNames.foreach(n => ops += s"-dv:$n")
       val emptied = removedNonEmpty.keySet -- replacedStats.keySet
       val fullLines = ls.flatMap {
         case DataEntry(n) if emptied.contains(n) => None
@@ -2313,6 +2327,8 @@ object Versioned {
           Some(trimmedBlooms((b.dir, b.col)))
         case h: HwmEntry if hwmRw.exists {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } => None
+        case DvEntry(_, n) if droppedDvNames.contains(n) => None
+        case ScopedDvEntry(_, n, _) if droppedDvNames.contains(n) => None
         case other => Some(other)
       } ++ newEntries ++ hwmRw ++ feedLines
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
@@ -2585,6 +2601,49 @@ object Versioned {
     }
     try commitFileRewrite(spark, dir, removed, Some(staged), partCols, dvSnapshot,
       protocol, dataChange = false)
+    catch { case t: Throwable => fs.delete(stagedPath, true); throw t }
+  }
+
+  /** Whole-table CONTENT-PRESERVING rewrite (flat chains) as a
+    * file-granular dataChange=false commit — the flat OPTIMIZE /
+    * Z-ORDER seam. `shape` rearranges the masked read (repartition,
+    * Morton sort); the commit removes every prior file, adds the
+    * staged dir, and stamps the rearrange flag, so it COMMUTES with
+    * concurrent appends (they surface as a bounded OCC retry, not a
+    * lost overwrite race) and downstream STREAMS skip it. Deletion
+    * vectors RETIRE with the commit (the masked read applied every
+    * mask physically and the rewrite covered every file — the
+    * whole-table OPTIMIZE contract: "overwrite or compact to apply
+    * the mask physically" keeps holding). Returns None when the
+    * manifest predates file lists or the table is empty — callers
+    * fall back to the legacy overwrite. */
+  private[ext] def rewriteAllAsRearrange(spark: SparkSession, dir: String,
+                                         protocol: CommitProtocol)
+                                        (shape: DataFrame => DataFrame): Option[Int] = {
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls0 = lines(spark, dir, v0)
+    val physSchema = ls0.collectFirst { case SchemaEntry(s) => s }.getOrElse(return None)
+    val partCols = ls0.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    require(partCols.isEmpty,
+      s"$dir is partitioned — rewrite through the partition-shaped path")
+    val removed =
+      try allLiveFilesMap(spark, dir, v0)
+      catch { case _: IllegalArgumentException => return None }
+    if (removed.valuesIterator.forall(_.isEmpty)) return None
+    val (fs, root) = fsFor(spark, dir)
+    val cmap = colMapOf(ls0)
+    val payload = toPhysical(shape(readVersion(spark, dir, v0)), cmap)
+      .select(physSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val staged = stageDataDir(spark, dir)
+    val stagedPath = new Path(root, staged)
+    payload.write.mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+    val dvSnapshot = ls0.collect {
+      case DvEntry(k, n)          => (k, n)
+      case ScopedDvEntry(k, n, _) => (k, n)
+    }
+    try commitFileRewrite(spark, dir, removed, Some(staged), Seq.empty, dvSnapshot,
+      protocol, dataChange = false, dropDvs = true)
     catch { case t: Throwable => fs.delete(stagedPath, true); throw t }
   }
 

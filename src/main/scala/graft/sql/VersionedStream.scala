@@ -566,17 +566,32 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
         }
         var w = math.max(sv, -1) + 1
         while (w <= endV) {
+          val isRearr = Versioned.isRearrange(spark, dir, w)
           // integrity per crossed version: a commit that DROPPED dirs
           // is fatal — overwrite or restore broke the appends-only
           // premise — UNLESS it declared itself a content-preserving
-          // rearrangement (dataChange=false), which streams skip
-          if (!Versioned.isRearrange(spark, dir, w)) {
-            val prevSet = Versioned.versionInfo(spark, dir, w - 1).dataDirs.toSet
-            val dropped = prevSet -- Versioned.versionInfo(spark, dir, w).dataDirs.toSet
+          // rearrangement (dataChange=false), which streams skip.
+          // The DELETE check walks the same steps: a dv-set change is
+          // a real DELETE (rows already served cannot be unserved)
+          // except AT a rearrangement, where the masks were applied
+          // PHYSICALLY to the rewritten files and retired — nothing
+          // served changed.
+          if (!isRearr && w > 0) {
+            val prevInfo = Versioned.versionInfo(spark, dir, w - 1)
+            val curInfo = Versioned.versionInfo(spark, dir, w)
+            val dropped = prevInfo.dataDirs.toSet -- curInfo.dataDirs.toSet
             if (dropped.nonEmpty) throw new IllegalStateException(
               s"versioned stream at $dir hit a non-append commit at v$w " +
                 s"(${dropped.size} data dir(s) dropped — overwrite or restore). " +
                 "Streaming serves appends only; restart the stream from the new state.")
+            if (!ignoreDeletes &&
+                ((prevInfo.dvDirs != curInfo.dvDirs &&
+                  !sameDvContent(prevInfo.dvDirs, curInfo.dvDirs)) ||
+                 prevInfo.scopedDvs != curInfo.scopedDvs))
+              throw new IllegalStateException(
+                s"versioned stream at $dir hit a DELETE at v$w; " +
+                  "rows already served cannot be unserved. Pass " +
+                  "option ignoreDeletes=true to keep streaming appends past deletes.")
           }
           val d = Versioned.addedDataDirs(spark, dir, w)
           val upto = if (w == endV && !endOff.complete) endOff.served.toInt else d.size
@@ -585,21 +600,6 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
         }
         out.result()
       }
-
-    // delete checks on the endpoints (unchanged semantics): scoped dvs
-    // (SQL DELETEs) never merge, so a set change is a real DELETE —
-    // no content-compare fallback needed
-    startOff.map(_.v).filter(v => v >= 0L && v < endV.toLong).foreach { sv =>
-      val startInfo = Versioned.versionInfo(spark, dir, sv.toInt)
-      if (!ignoreDeletes &&
-          ((startInfo.dvDirs != endInfo.dvDirs &&
-            !sameDvContent(startInfo.dvDirs, endInfo.dvDirs)) ||
-           startInfo.scopedDvs != endInfo.scopedDvs))
-        throw new IllegalStateException(
-          s"versioned stream at $dir hit a DELETE between v$sv and v$endV; " +
-            "rows already served cannot be unserved. Pass " +
-            "option ignoreDeletes=true to keep streaming appends past deletes.")
-    }
 
     val nonEmpty = serveByVersion.filter(_._2.nonEmpty)
     val batch =

@@ -6359,6 +6359,24 @@ class ExtSpec extends AnyFunSuite {
       val rw = Versioned.replaceWhere(
         Seq((0L, "0")).toDF("id", "k"), dirP, "k = '0'").get
       assert(!Versioned.isRearrange(spark, dirP, rw))
+      // flat whole-table Z-ORDER and compact_files flag too, commute
+      // with the chain (no overwrite serialization), and RETIRE the
+      // dv lines they applied physically
+      val dirF = s"$base/f"
+      Versioned.writeVersion(spark.range(0, 100).toDF("id")
+        .withColumn("k", $"id" % 7).repartition(4), dirF)
+      Versioned.deleteByKeys(spark, dirF, Seq(5L).toDF("id"), "id")
+      val zv = Maintenance.zorderVersionedCols(spark, dirF, Seq("id", "k"), 1)
+      assert(Versioned.isRearrange(spark, dirF, zv))
+      assert(Versioned.versionInfo(spark, dirF, zv).dvDirs.isEmpty,
+        "a whole-table rewrite applies the mask physically and retires the dv")
+      assert(Versioned.readLatest(spark, dirF).count() == 99)
+      Versioned.writeVersion(Seq((200L, 0L)).toDF("id", "k").coalesce(1),
+        dirF, SaveMode.Append)
+      Maintenance.compact(spark, dirF, store = graft.ext.ManifestStore.conditionalPut)
+      val cvF = Versioned.latestVersion(spark, dirF).get
+      assert(Versioned.isRearrange(spark, dirF, cvF))
+      assert(Versioned.readLatest(spark, dirF).count() == 100)
     } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
   }
 }
