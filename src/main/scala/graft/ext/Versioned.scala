@@ -3597,8 +3597,10 @@ object Versioned {
         dataDirs.length,
         ls.count(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]),
         ls.collectFirst { case SchemaEntry(s) => s.fields.length },
-        rows)
-    }.toDF("version", "committed_at", "n_data_dirs", "n_dv_dirs", "n_columns", "n_rows")
+        rows,
+        ls.exists(_.isInstanceOf[RearrangeEntry]))
+    }.toDF("version", "committed_at", "n_data_dirs", "n_dv_dirs", "n_columns",
+      "n_rows", "rearranged")
   }
 
   /** One version's commit clock: the RECORDED in-commit timestamp

@@ -324,7 +324,8 @@ private[sql] object VersionedProcedures {
         StructField("n_data_dirs", IntegerType),
         StructField("n_dv_dirs", IntegerType),
         StructField("n_columns", IntegerType),
-        StructField("n_rows", LongType))))(
+        StructField("n_rows", LongType),
+        StructField("rearranged", BooleanType))))(
       (spark, args) =>
         // bounded by the version count (never data-sized — the one
         // shape a driver-local procedure result is safe for; the
