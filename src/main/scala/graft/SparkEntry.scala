@@ -1855,6 +1855,40 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // TBLPROPERTIES (Delta's table-property surface): CREATE TABLE
+    // records them in the v0 manifest, SHOW TBLPROPERTIES serves them
+    // from manifest bytes, and the engine's own knobs read them —
+    // `graft.autoCompact.*` here drives the post-commit tick for a
+    // fleet of SQL INSERTs with ZERO session configuration, the
+    // per-table way Delta's delta.autoOptimize.* works. The meter
+    // asserts the property-driven bound and hash-checks the content.
+    "q165_tblproperties" -> { (s, d) =>
+      import graft.ext.Versioned
+      import org.apache.spark.sql.functions.col
+      val tbl = scratchPath("props", d)
+      Versioned.dropTableChain(s, tbl)
+      s.conf.set("spark.sql.catalog.graft_q165", "graft.sql.VersionedCatalog")
+      s.sql(s"CREATE TABLE graft_q165.`$tbl` (o_orderkey BIGINT, price DOUBLE) " +
+        "TBLPROPERTIES('graft.autoCompact.enabled'='true', " +
+        "'graft.autoCompact.minDirs'='4')")
+      assert(Versioned.tableProperties(s, tbl, 0)
+        .get("graft.autoCompact.enabled").contains("true"))
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey", "ROUND(o_totalprice, 2) AS price")
+        .createOrReplaceTempView("orders_q165")
+      (0 until 8).foreach(i => s.sql(
+        s"INSERT INTO graft_q165.`$tbl` " +
+          s"SELECT * FROM orders_q165 WHERE o_orderkey % 8 = $i"))
+      val dirs = Versioned.versionInfo(s, tbl,
+        Versioned.latestVersion(s, tbl).get).dataDirs
+      assert(dirs.length < 4,
+        s"the TABLE PROPERTY alone must drive the tick, got $dirs")
+      val shown = s.sql(s"SHOW TBLPROPERTIES graft_q165.`$tbl`")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("graft.autoCompact.minDirs").contains("4"), shown.toString)
+      s.sql(s"SELECT o_orderkey, price FROM graft_q165.`$tbl` ORDER BY o_orderkey")
+    },
+
     // MAINTENANCE UNDER A LIVE STREAM (Delta's dataChange=false
     // contract): a compaction mid-stream is a flagged REARRANGEMENT —
     // the running feed skips it (nothing re-served, nothing fatal)
@@ -4728,6 +4762,13 @@ object SparkEntry {
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
         |   OR o_custkey = (SELECT o_custkey FROM orders
         |        GROUP BY o_custkey ORDER BY count(*), o_custkey LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // eight SQL-INSERT slices auto-coalesce under the table property —
+    // compaction preserves every row, the table IS orders re-projected
+    "q165_tblproperties" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // snapshot + zero-row maintenance commit + one post-compaction

@@ -285,6 +285,16 @@ object Versioned {
     * manifests that predate the line. */
   private final case class TsEntry(millis: Long) extends Line
 
+  /** One TABLE PROPERTY (`prop:<key>:<value>`) — Delta's
+    * TBLPROPERTIES role. Keys are dotted-word-shaped (they embed in
+    * the manifest), values one-line; properties REPLACE by key, drop
+    * with `-prop:<key>`, survive data overwrites like constraints
+    * (table definition, not data) and reset on REPLACE TABLE. The
+    * engine itself consults `graft.autoCompact.*` and
+    * `graft.optimizeWrite.enabled` here when the session conf doesn't
+    * override — Delta's delta.autoOptimize.* idiom. */
+  private[ext] final case class PropEntry(key: String, value: String) extends Line
+
   /** The DATA-CHANGE=FALSE marker (`rearrange:1`) — Delta's
     * `dataChange=false` file-action role, version-scoped. Present in
     * version v's resolved lines ⟺ v's commit REARRANGED bytes without
@@ -396,6 +406,11 @@ object Versioned {
       HwmEntry(rest.substring(0, i), rest.substring(i + 1).toLong)
     } else if (line.startsWith("ts:")) {
       TsEntry(line.drop(3).trim.toLong)
+    } else if (line.startsWith("prop:")) {
+      val rest = line.drop(5)
+      val i = rest.indexOf(':')
+      require(i > 0, s"malformed table-property manifest line: $line")
+      PropEntry(rest.substring(0, i), rest.substring(i + 1))
     } else if (line.startsWith("rearrange:")) {
       RearrangeEntry()
     } else if (line.startsWith("protocol:")) {
@@ -606,6 +621,8 @@ object Versioned {
         case h: HwmEntry       => acc.filterNot {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } :+ h
         case t: TsEntry        => t +: acc.filterNot(_.isInstanceOf[TsEntry])
+        case p: PropEntry      => acc.filterNot {
+          case e: PropEntry => e.key.equalsIgnoreCase(p.key); case _ => false } :+ p
         case p: ProtocolEntry  => p +: acc.filterNot(_.isInstanceOf[ProtocolEntry])
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
         case bc: BloomColEntry => acc.filterNot {
@@ -651,6 +668,9 @@ object Versioned {
       } else if (op.startsWith("-constraint:")) {
         val n = op.drop(12)
         acc.filterNot { case ConstraintEntry(e, _) => e.equalsIgnoreCase(n); case _ => false }
+      } else if (op.startsWith("-prop:")) {
+        val k = op.drop(6)
+        acc.filterNot { case PropEntry(e, _) => e.equalsIgnoreCase(k); case _ => false }
       } else if (op.startsWith("-notnull:")) {
         val c = op.drop(9)
         acc.filterNot { case NotNullEntry(e) => e.equalsIgnoreCase(c); case _ => false }
@@ -984,6 +1004,7 @@ object Versioned {
     case NotNullEntry(c)   => s"notnull:$c"
     case HwmEntry(c, n)    => s"hwm:$c:$n"
     case TsEntry(ms)       => s"ts:$ms"
+    case PropEntry(k, v)   => s"prop:$k:$v"
     case RearrangeEntry()  => "rearrange:1"
     case ProtocolEntry(n)  => s"protocol:$n"
     case ColMapEntry(es)   => s"colmap:${es.map { case (l, p) => s"$l=$p" }.mkString(",")}"
@@ -1877,7 +1898,7 @@ object Versioned {
     val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
     val v = writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
       identityBasis = idFilled)(tmp =>
-      optimizeWriteShape(out, Seq.empty).write
+      optimizeWriteShape(out, dir, Seq.empty).write
         .mode(SaveMode.ErrorIfExists).parquet(tmp)).get
     autoCompactTick(df.sparkSession, dir, protocol)
     v
@@ -1933,7 +1954,7 @@ object Versioned {
         val (out, idFilled) = prepareWrite(df, dir, translate = mode == SaveMode.Append)
         writeVersionCore(df.sparkSession, dir, protocol, mode,
           txn = Some((appId, batchId)), identityBasis = idFilled)(tmp =>
-          optimizeWriteShape(out, Seq.empty).write
+          optimizeWriteShape(out, dir, Seq.empty).write
             .mode(SaveMode.ErrorIfExists).parquet(tmp))
       } else { () =>
         // PARTITIONED sink (`writeStream.partitionBy(...)`): each
@@ -1967,7 +1988,7 @@ object Versioned {
             txn = Some((appId, batchId)),
             partitionBy = Some(StructType(partCols.map(c => schema(c)))),
             identityBasis = idFilled)(tmp =>
-            optimizeWriteShape(out, partCols).write
+            optimizeWriteShape(out, dir, partCols).write
               .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp))
         }
       }
@@ -2401,7 +2422,7 @@ object Versioned {
     // staged files land BESIDE the chain's existing files — a renamed
     // chain needs them in PHYSICAL names like any append
     val (outDyn, idFilledDyn) = prepareWrite(df, dir, translate = true)
-    optimizeWriteShape(outDyn, partCols).write
+    optimizeWriteShape(outDyn, dir, partCols).write
       .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(new Path(new Path(dir), staged).toString)
     val r = commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol,
@@ -2464,6 +2485,7 @@ object Versioned {
          else lines(spark, dir, prev).collect {
            case c: ConstraintEntry => c
            case n: NotNullEntry => NotNullEntry(prevInv.getOrElse(n.col, n.col))
+           case p: PropEntry => p
          })
       val ordered =
         if (partCols.isEmpty) declared
@@ -2517,7 +2539,7 @@ object Versioned {
     val partSchema = StructType(partCols.map(c => schema(c)))
     val v = writeVersionCore(df.sparkSession, dir, protocol, mode, txn = None,
       partitionBy = Some(partSchema), identityBasis = idFilled)(tmp =>
-      optimizeWriteShape(out, partCols).write
+      optimizeWriteShape(out, dir, partCols).write
         .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
     autoCompactTick(df.sparkSession, dir, protocol)
     v
@@ -2537,9 +2559,14 @@ object Versioned {
     * hive partition's rows converge onto few writer tasks (without
     * this every task writes a sliver of every partition:
     * tasks × partitions files per commit). */
-  private def optimizeWriteShape(out: DataFrame, partCols: Seq[String]): DataFrame = {
+  private def optimizeWriteShape(out: DataFrame, dir: String,
+                                 partCols: Seq[String]): DataFrame = {
     val conf = out.sparkSession.conf
-    if (!conf.getOption("spark.graft.optimizeWrite.enabled").exists(_.toBoolean)) out
+    // session conf wins both ways; else the TABLE PROPERTY
+    // `graft.optimizeWrite.enabled` (Delta's autoOptimize layering)
+    if (!effectiveSetting(out.sparkSession, dir,
+        "spark.graft.optimizeWrite.enabled", "graft.optimizeWrite.enabled")
+        .exists(_.toBoolean)) out
     // REBALANCE is an AQE feature; without AQE the hint plans a plain
     // shuffle to spark.sql.shuffle.partitions — MORE files, not fewer.
     // A streaming sink's cloned session is the case that matters
@@ -2701,6 +2728,73 @@ object Versioned {
     missing
   }
 
+  /** The TABLE PROPERTIES of version `v` — Delta's TBLPROPERTIES.
+    * Versioned like everything else: travel to an old version and its
+    * recorded properties serve. */
+  def tableProperties(spark: SparkSession, dir: String, v: Int): Map[String, String] =
+    lines(spark, dir, v).collect { case PropEntry(k, x) => k -> x }.toMap
+
+  /** `ALTER TABLE … SET TBLPROPERTIES`: one metadata commit replacing
+    * the named keys (case-insensitively), everything else verbatim.
+    * Keys are dotted-word-shaped, values one-line — both embed in the
+    * manifest. Returns the committed version. */
+  def setTableProperties(spark: SparkSession, dir: String,
+                         props: Map[String, String],
+                         protocol: CommitProtocol = PutIfAbsentCommit): Int = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
+    props.foreach { case (k, x) =>
+      require(k.matches("[A-Za-z0-9_.\\-]+"),
+        s"property key must be dotted-word-shaped (it embeds in the manifest), got '$k'")
+      require(!x.exists(c => c == '\n' || c == '\r'),
+        s"property value for '$k' must be one line")
+    }
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    val entries = props.toSeq.sortBy(_._1).map { case (k, x) => PropEntry(k, x) }
+    val fullLines = ls.filterNot {
+      case e: PropEntry => props.keys.exists(_.equalsIgnoreCase(e.key))
+      case _ => false
+    } ++ entries
+    val v = prev + 1
+    commitChild(spark, dir, v, prev, fullLines, entries.map(addOp), protocol)
+    v
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES`: drop the named keys (missing
+    * keys are a no-op — the UNSET IF EXISTS contract). Returns the
+    * committed version, None when nothing matched (no empty commit). */
+  def unsetTableProperties(spark: SparkSession, dir: String, keys: Seq[String],
+                           protocol: CommitProtocol = PutIfAbsentCommit): Option[Int] = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    val present = keys.filter(k => ls.exists {
+      case e: PropEntry => e.key.equalsIgnoreCase(k); case _ => false })
+    if (present.isEmpty) return None
+    val fullLines = ls.filterNot {
+      case e: PropEntry => present.exists(_.equalsIgnoreCase(e.key))
+      case _ => false
+    }
+    val v = prev + 1
+    commitChild(spark, dir, v, prev, fullLines,
+      present.sorted.map(k => s"-prop:$k"), protocol)
+    Some(v)
+  }
+
+  /** A tuning knob's EFFECTIVE value: the session conf when set (the
+    * operator's explicit override, both directions), else the table
+    * property, else None — Delta's conf-over-TBLPROPERTIES layering
+    * for its autoOptimize knobs. */
+  private def effectiveSetting(spark: SparkSession, dir: String,
+                               confKey: String, propKey: String): Option[String] =
+    spark.conf.getOption(confKey).orElse(
+      try latestVersion(spark, dir).flatMap(v =>
+        tableProperties(spark, dir, v).collectFirst {
+          case (k, x) if k.equalsIgnoreCase(propKey) => x })
+      catch { case scala.util.control.NonFatal(_) => None })
+
   /** Was version `v` a content-preserving REARRANGEMENT (dataChange =
     * false: compaction, Z-order)? Streaming sources skip such versions
     * instead of failing the appends-only premise; change feeds emit
@@ -2747,16 +2841,27 @@ object Versioned {
     * and the next write re-probes. */
   private def autoCompactTick(spark: SparkSession, dir: String,
                               protocol: CommitProtocol): Unit = {
-    if (!spark.conf.getOption("spark.graft.autoCompact.enabled").exists(_.toBoolean))
+    // session conf wins both ways; else the TABLE PROPERTY
+    // `graft.autoCompact.enabled` (Delta's autoOptimize layering)
+    if (!effectiveSetting(spark, dir, "spark.graft.autoCompact.enabled",
+        "graft.autoCompact.enabled").exists(_.toBoolean))
       return
     def num(k: String, d: Long) =
-      spark.conf.getOption(s"spark.graft.autoCompact.$k").map(_.toLong).getOrElse(d)
-    try compactSmallDirs(spark, dir,
-      targetBytes = num("targetBytes", 128L * 1024 * 1024),
-      minDirs = num("minDirs", 8L).toInt,
-      maxDirs = num("maxDirs", 64L).toInt,
-      protocol = protocol)
-    catch { case scala.util.control.NonFatal(_) => () }
+      effectiveSetting(spark, dir, s"spark.graft.autoCompact.$k",
+        s"graft.autoCompact.$k").map(_.toLong).getOrElse(d)
+    try {
+      compactSmallDirs(spark, dir,
+        targetBytes = num("targetBytes", 128L * 1024 * 1024),
+        minDirs = num("minDirs", 8L).toInt,
+        maxDirs = num("maxDirs", 64L).toInt,
+        protocol = protocol)
+      ()
+    } catch {
+      case scala.util.control.NonFatal(t) => log.warn(
+        s"autoCompact tick at $dir dropped (${t.getClass.getSimpleName}: " +
+          s"${t.getMessage}) — the write that triggered it already committed; " +
+          "the next write re-probes")
+    }
   }
 
   private def writeVersionCore(spark: SparkSession, dir: String,
@@ -3042,6 +3147,13 @@ object Versioned {
         nn ++ activeConstraints
       case _ => Seq.empty
     }
+    // table PROPERTIES are definition too: a data overwrite keeps
+    // them, REPLACE TABLE resets them, appends carry inside prevLines
+    val carriedProps: Seq[Line] = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(p)) if !replaceDefinition =>
+        lines(spark, dir, p).collect { case pr: PropEntry => pr }
+      case _ => Seq.empty
+    }
     // the mapping itself: appends carry it inside prevLines; a STAGED
     // overwrite (catalog CoW rewrite — its files are physical-named)
     // carries it explicitly, restricted to columns still present; a
@@ -3157,8 +3269,8 @@ object Versioned {
     }
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
-        prevLines ++ carriedConstraints ++ carriedColMap ++ carriedBloomDecl ++
-        carriedTxns ++ hwmLines ++
+        prevLines ++ carriedConstraints ++ carriedProps ++ carriedColMap ++
+        carriedBloomDecl ++ carriedTxns ++ hwmLines ++
         txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines ++ bloomLines :+
         DataEntry(dataDir) :+ stats)
     // … then the atomic manifest commit publishes it. An APPEND
@@ -4450,8 +4562,15 @@ object Versioned {
   def createTable(spark: SparkSession, dir: String, schema: StructType,
                   partCols: Seq[String] = Seq.empty,
                   protocol: CommitProtocol = PutIfAbsentCommit,
-                  constraints: Seq[(String, String)] = Seq.empty): Int = {
+                  constraints: Seq[(String, String)] = Seq.empty,
+                  props: Map[String, String] = Map.empty): Int = {
     require(schema.fields.nonEmpty, "cannot create a table with no columns")
+    props.foreach { case (k, x) =>
+      require(k.matches("[A-Za-z0-9_.\\-]+"),
+        s"property key must be dotted-word-shaped (it embeds in the manifest), got '$k'")
+      require(!x.exists(c => c == '\n' || c == '\r'),
+        s"property value for '$k' must be one line")
+    }
     require(latestVersion(spark, dir).isEmpty,
       s"table $dir already exists (has committed versions)")
     constraints.foreach { case (n, sql) =>
@@ -4497,7 +4616,8 @@ object Versioned {
     val ls: Seq[Line] = SchemaEntry(asNullable(ordered)) +:
       ((if (partCols.isEmpty) Seq.empty[Line] else Seq[Line](PartitionEntry(partCols))) ++
         notNull ++ constraints.map { case (n, sql) => ConstraintEntry(n, sql) } ++
-        idSpecs.map(s => HwmEntry(s.col, s.start)))
+        idSpecs.map(s => HwmEntry(s.col, s.start)) ++
+        props.toSeq.sortBy(_._1).map { case (k, x) => PropEntry(k, x) })
     commitManifest(spark, dir, 0, ls.map(renderLine), protocol)
     0
   }

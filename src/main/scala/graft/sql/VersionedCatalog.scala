@@ -378,7 +378,7 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
                                     properties: java.util.Map[String, String],
                                     checks: Seq[(String, String)]): Table = {
     val spark = SparkSession.active
-    requireNoProperties(properties)
+    val userProps = userPropertiesOf(properties)
     // Spark qualifies LOCATION to a URI (`file:/…`) before it reaches
     // the catalog — normalize to the store's scheme-free absolute form
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
@@ -405,7 +405,7 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
             s"no versioned chain at $loc — give a column list to create one there")
           if (!existing)
             Versioned.createTable(spark, loc, schema, partColsOf(partitions),
-              constraints = checks)
+              constraints = checks, props = userProps)
           // the pointer lands LAST: a crash before it leaves no
           // half-registered name (at worst an unregistered chain)
           fs.mkdirs(named)
@@ -416,7 +416,7 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     if (Versioned.latestVersion(spark, dir).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     Versioned.createTable(spark, dir, schema, partColsOf(partitions),
-      constraints = checks)
+      constraints = checks, props = userProps)
     load(ident, None)
   }
 
@@ -436,6 +436,22 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     // touched, reads serve the new name, time travel keeps the old.
     // A rename statement carries exactly its RenameColumn changes, so
     // it routes whole (its own single commit) before the AlterSpec path.
+    // `ALTER TABLE … SET/UNSET TBLPROPERTIES` — metadata-only commits
+    // through the manifest's prop: lines (Delta's TBLPROPERTIES role);
+    // a property statement carries exactly its property changes, so it
+    // routes whole before the AlterSpec path, like renames
+    val propSets = changes.collect { case s: TableChange.SetProperty => s }
+    val propUnsets = changes.collect { case r: TableChange.RemoveProperty => r }
+    if (propSets.nonEmpty || propUnsets.nonEmpty) {
+      require(propSets.length + propUnsets.length == changes.length,
+        "SET/UNSET TBLPROPERTIES cannot combine with other ALTER changes in one statement")
+      if (propSets.nonEmpty)
+        Versioned.setTableProperties(spark, dir,
+          propSets.map(s => s.property() -> s.value()).toMap)
+      if (propUnsets.nonEmpty)
+        Versioned.unsetTableProperties(spark, dir, propUnsets.map(_.property()).toSeq)
+      return loadTable(ident)
+    }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     if (renames.nonEmpty) {
       require(renames.length == changes.length,
@@ -609,19 +625,36 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
       s"rename $oldDir -> $newDir failed at the filesystem")
   }
 
-  private def requireNoProperties(properties: java.util.Map[String, String]): Unit = {
-    // Spark stamps reserved bookkeeping props (owner, provider) on
-    // every CREATE; anything user-set would be silently lost by a
-    // store whose manifest is the whole catalog state — refuse it
+  /** The USER-set table properties of a CREATE, with Spark's reserved
+    * bookkeeping keys (owner, provider, location, …) stripped — those
+    * describe the catalog call, not the table. `option.`-prefixed keys
+    * refuse: write options are per-statement, and persisting them as
+    * properties would silently change later statements' behavior. */
+  private def userPropertiesOf(properties: java.util.Map[String, String])
+      : Map[String, String] = {
     val foreign = new java.util.HashMap[String, String](properties)
     foreign.remove(TableCatalog.PROP_OWNER)
     foreign.remove(TableCatalog.PROP_PROVIDER)
     foreign.remove(TableCatalog.PROP_LOCATION)
     foreign.remove(TableCatalog.PROP_EXTERNAL)
     foreign.remove(TableCatalog.PROP_COMMENT)
-    if (!foreign.isEmpty) throw new UnsupportedOperationException(
-      s"versioned tables store no table properties; got ${foreign.keySet()}")
+    import scala.jdk.CollectionConverters._
+    val m = foreign.asScala.toMap
+    m.keys.find(_.toLowerCase.startsWith("option.")).foreach(k =>
+      throw new UnsupportedOperationException(
+        s"'$k' is a write option, not a table property — pass it per statement"))
+    m
   }
+
+  /** The STAGING seams (CTAS/RTAS) don't thread properties into their
+    * atomic commit — refuse rather than silently drop, with the
+    * working path named. */
+  private def requireNoProperties(properties: java.util.Map[String, String]): Unit =
+    if (userPropertiesOf(properties).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"CTAS/RTAS does not carry TBLPROPERTIES " +
+          s"(got ${userPropertiesOf(properties).keys.mkString(", ")}) — create, " +
+          "then ALTER TABLE … SET TBLPROPERTIES (one metadata commit)")
 
   // ── atomic CTAS / RTAS: the StagingTableCatalog seam ──
   // The SQL insert writes parquet into a nonce'd INVISIBLE dir claimed
@@ -932,6 +965,15 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
   * contractually true then. */
 private[sql] trait ReportsCheckConstraints extends Table { this: VersionedDeletes =>
   protected def vcVersion: Int
+  /** TBLPROPERTIES serve from the version's manifest — SHOW
+    * TBLPROPERTIES / DESCRIBE EXTENDED read them here, versioned like
+    * everything else (travel to an old version, see its properties). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Versioned.tableProperties(vdSpark, vdDir, vcVersion)
+      .foreach { case (k, x) => m.put(k, x) }
+    m
+  }
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     Versioned.checkConstraints(vdSpark, vdDir, vcVersion).map { case (n, sql) =>
       org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)

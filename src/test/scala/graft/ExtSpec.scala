@@ -6242,6 +6242,85 @@ class ExtSpec extends AnyFunSuite {
     assert(dirsOf(dir3).length == 6)
   }
 
+  test("TBLPROPERTIES: SET/UNSET commit metadata versions; SHOW serves from the manifest; versions keep their own; graft.autoCompact.* properties drive the tick with the session conf winning both ways; overwrite keeps, RTAS resets") {
+    import graft.ext.Versioned
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft_props").toString
+    val dir = s"$base/t"
+    spark.conf.set("spark.sql.catalog.graft_tp", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(Seq((1L, "a")).toDF("id", "v"), dir)
+    // SET through SQL: one metadata commit
+    spark.sql(s"ALTER TABLE graft_tp.`$dir` SET TBLPROPERTIES(" +
+      "'owner.team'='curation', 'graft.autoCompact.minDirs'='4')")
+    assert(Versioned.latestVersion(spark, dir).contains(1))
+    assert(Versioned.tableProperties(spark, dir, 1) ==
+      Map("owner.team" -> "curation", "graft.autoCompact.minDirs" -> "4"))
+    // SHOW TBLPROPERTIES serves them (the DSv2 properties() seam)
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft_tp.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("owner.team").contains("curation"), shown.toString)
+    // versioned like everything else: v0 has none, v1 has them
+    assert(Versioned.tableProperties(spark, dir, 0).isEmpty)
+    // replace-by-key, UNSET drops, missing key is a no-op
+    spark.sql(s"ALTER TABLE graft_tp.`$dir` SET TBLPROPERTIES('owner.team'='data')")
+    assert(Versioned.tableProperties(spark, dir,
+      Versioned.latestVersion(spark, dir).get)("owner.team") == "data")
+    spark.sql(s"ALTER TABLE graft_tp.`$dir` UNSET TBLPROPERTIES('owner.team')")
+    assert(!Versioned.tableProperties(spark, dir,
+      Versioned.latestVersion(spark, dir).get).contains("owner.team"))
+    assert(Versioned.unsetTableProperties(spark, dir, Seq("never.there")).isEmpty)
+    // a data OVERWRITE keeps properties (definition, not data);
+    // REPLACE TABLE resets them
+    Versioned.writeVersion(Seq((9L, "z")).toDF("id", "v"), dir, SaveMode.Overwrite)
+    assert(Versioned.tableProperties(spark, dir,
+      Versioned.latestVersion(spark, dir).get)
+      .get("graft.autoCompact.minDirs").contains("4"))
+    spark.sql(s"REPLACE TABLE graft_tp.`$dir` (id BIGINT, v STRING)")
+    assert(Versioned.tableProperties(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty)
+
+    // ── the PROPERTY-driven autoCompact tick: no session conf at all
+    val dir2 = s"$base/auto"
+    Versioned.writeVersion(Seq((0L, "x0")).toDF("id", "v").coalesce(1), dir2)
+    Versioned.setTableProperties(spark, dir2, Map(
+      "graft.autoCompact.enabled" -> "true", "graft.autoCompact.minDirs" -> "4"))
+    (1 until 10).foreach(i => Versioned.writeVersion(
+      Seq((i.toLong, s"x$i")).toDF("id", "v").coalesce(1), dir2, SaveMode.Append))
+    def dirsOf(d: String) = Versioned.versionInfo(spark, d,
+      Versioned.latestVersion(spark, d).get).dataDirs
+    assert(dirsOf(dir2).length < 4,
+      s"the table property alone must drive the tick: ${dirsOf(dir2)}")
+    assert(Versioned.readLatest(spark, dir2).count() == 10)
+    // the session conf OVERRIDES the property — in BOTH directions
+    spark.conf.set("spark.graft.autoCompact.enabled", "false")
+    try {
+      val before = dirsOf(dir2).length
+      (10 until 16).foreach(i => Versioned.writeVersion(
+        Seq((i.toLong, s"x$i")).toDF("id", "v").coalesce(1), dir2, SaveMode.Append))
+      assert(dirsOf(dir2).length == before + 6,
+        "conf=false must win over property=true")
+    } finally spark.conf.unset("spark.graft.autoCompact.enabled")
+    // malformed keys refuse before any commit
+    val bad = intercept[Exception] {
+      Versioned.setTableProperties(spark, dir2, Map("no colons" -> "x")) }
+    assert(bad.getMessage.contains("word-shaped"), bad.getMessage)
+
+    // CREATE TABLE … TBLPROPERTIES lands them in the v0 commit
+    val dir3 = s"$base/created"
+    spark.sql(s"CREATE TABLE graft_tp.`$dir3` (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.autoCompact.enabled'='true', 'pii.scrubbed'='false')")
+    assert(Versioned.tableProperties(spark, dir3, 0) == Map(
+      "graft.autoCompact.enabled" -> "true", "pii.scrubbed" -> "false"))
+    // CTAS refuses properties with the ALTER path named (no silent drop)
+    val dir4 = s"$base/ctas"
+    val eC = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_tp.`$dir4` TBLPROPERTIES('a.b'='c') " +
+        s"AS SELECT * FROM graft_tp.`$dir3`") }
+    def msgsC(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgsC(t.getCause)
+    assert(msgsC(eC).exists(_.contains("SET TBLPROPERTIES")), msgsC(eC).mkString("; "))
+  }
+
   test("fsck: reports manifest refs to vanished files (driver and distributed probes agree); repair drops exactly those refs in one commit; clean tables report nothing and commit nothing") {
     import graft.ext.Versioned
     import org.apache.spark.sql.SaveMode
