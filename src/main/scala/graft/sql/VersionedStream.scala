@@ -19,8 +19,14 @@ import graft.ext.Versioned
   * }}}
   *
   * Offsets are VERSION NUMBERS, optionally refined to a position
-  * INSIDE a version's data-dir list (admission control, below). A
-  * micro-batch serves exactly the data dirs between two offsets.
+  * INSIDE a version's ADDED-dir delta (admission control, below;
+  * during the initial snapshot the position indexes the pinned
+  * snapshot version's FULL list instead — the `/s` flag). Indexing
+  * per-version deltas rather than one shared global list is what
+  * lets a dataChange=false REARRANGEMENT (compaction: dirs dropped,
+  * coalesced dir added, rows preserved) pass through without
+  * shifting anything already served. A micro-batch serves exactly
+  * the added dirs between two offsets.
   * Commit atomicity does the heavy lifting: a writer's files are
   * invisible until its manifest lands, so the stream can NEVER
   * observe half a commit — the exact property a raw file-watcher
@@ -245,6 +251,14 @@ private[sql] class VersionedStreamSink(spark: SparkSession, dir: String,
   * `v`'s data-dir list served; `snap` = still inside the initial
   * snapshot (which stays pinned to version `v`'s line set — masked,
   * consistent). */
+/** `v` = versions ≤ v-1 fully served; `served` ≥ 0 = the first
+  * `served` dirs of v's ADDED-dir delta served (complete = all of
+  * v's); `snap` = still inside the initial snapshot, where `served`
+  * indexes the PINNED snapshot version's full list instead. Offsets
+  * from builds predating the delta semantics parse unchanged
+  * (complete offsets mean the same thing under append-only history);
+  * only a mid-flight PARTIAL append-phase offset would re-slice — no
+  * cross-build checkpoint carries one. */
 private[sql] case class VersionOffset(v: Long, served: Long = -1L, snap: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Offset {
   def complete: Boolean = served < 0L
