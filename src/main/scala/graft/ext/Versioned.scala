@@ -5725,7 +5725,7 @@ private[ext] class ManifestFileIndex(tableDir: Path, schema: StructType,
       // group's values (the PartitioningAwareFileIndex contract) —
       // partition pruning from manifest bytes, no directory listing
       val groups = kept.groupBy { case (fs, _) => partKey(fs) }.toSeq
-        .sortBy(_._1.map(_.getOrElse(" ")).mkString("/"))
+        .sortBy(_._1.map(_.getOrElse("\u0000")).mkString("/"))
       val pruned = if (partitionFilters.isEmpty) groups
       else {
         import org.apache.spark.sql.catalyst.expressions._

@@ -51,10 +51,14 @@ import graft.ext.Versioned
   * [[UncreatedGraftTable]] placeholder — zero capabilities, never
   * scannable — instead of refusing at inferSchema.
   *
-  * `timestampAsOf` takes `yyyy-MM-dd HH:mm:ss[.fff]` (session-zone
-  * free: resolved against the recorded in-commit clocks, which are
-  * epoch instants) or epoch MILLIseconds. Time travel is a BATCH
-  * notion — a stream refuses both options (use `startingVersion`). */
+  * `timestampAsOf` takes `yyyy-MM-dd HH:mm:ss[.fff]` or epoch
+  * MILLIseconds. A wall-clock string is resolved in
+  * `spark.sql.session.timeZone` — the SAME zone SQL
+  * `TIMESTAMP AS OF '<s>'` resolves its literal in (both route
+  * through Catalyst's `stringToTimestamp`), NOT the JVM default —
+  * and then compared against the recorded in-commit clocks, which
+  * are epoch instants. Time travel is a BATCH notion — a stream
+  * refuses both options (use `startingVersion`). */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with StreamSourceProvider with StreamSinkProvider {
 
@@ -75,7 +79,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     byVersion.orElse(byTs.map { raw =>
       val millis =
         if (raw.forall(_.isDigit)) raw.toLong
-        else java.sql.Timestamp.valueOf(raw).getTime
+        else {
+          // session zone, not the JVM default: the option must pick the
+          // same version as SQL `TIMESTAMP AS OF` for the same string,
+          // whatever zone the cluster JVMs happen to run in
+          val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw), zone)
+            .getOrElse(throw new IllegalArgumentException(
+              s"timestampAsOf: cannot parse '$raw' as a timestamp " +
+                "(yyyy-MM-dd HH:mm:ss[.fff] or epoch millis)"))
+          Math.floorDiv(micros, 1000L)
+        }
       Versioned.versionAsOfTimestamp(spark, dir, millis).getOrElse(
         throw new IllegalArgumentException(
           s"no version of $dir committed at or before $raw")).toString

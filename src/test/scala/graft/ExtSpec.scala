@@ -4852,6 +4852,51 @@ class ExtSpec extends AnyFunSuite {
     assert(chainMsg(e).contains("no versions committed yet"), chainMsg(e))
   }
 
+  test("format(\"graft\") timestampAsOf resolves wall-clock strings in spark.sql.session.timeZone — same version as SQL TIMESTAMP AS OF, whatever the JVM default zone") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_tz").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Thread.sleep(250)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(250)
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+    // a zone 5h30 off anything the JVM default plausibly is (and with no
+    // DST ambiguity): the same wall-clock STRING names a different
+    // instant here than in UTC or any whole-hour JVM zone — if the
+    // option parsed via the JVM default, the versions below would skew
+    val zone = java.time.ZoneId.of("Asia/Kolkata")
+    assert(zone != java.time.ZoneId.systemDefault(),
+      "fixture needs session zone != JVM zone")
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(zone)
+      .format(java.time.Instant.ofEpochMilli(tMid))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", zone.getId)
+    spark.conf.set("spark.sql.catalog.graft_fmt_tz", "graft.sql.VersionedCatalog")
+    try {
+      val viaOption = spark.read.format("graft")
+        .option("timestampAsOf", lit).load(dir)
+        .select("id").as[Long].collect().toSet
+      val viaSql = spark.sql(
+        s"SELECT id FROM graft_fmt_tz.`$dir` TIMESTAMP AS OF '$lit'")
+        .as[Long].collect().toSet
+      assert(viaOption == Set(1L, 2L),
+        s"option must resolve the mid-commit instant IN THE SESSION ZONE to v0, served $viaOption")
+      assert(viaOption == viaSql,
+        s"option ($viaOption) and SQL TIMESTAMP AS OF ($viaSql) must pick the same version")
+      // epoch-millis input stays zone-free
+      assert(spark.read.format("graft")
+        .option("timestampAsOf", tMid.toString).load(dir).count() == 2)
+      // and garbage refuses with the format named
+      val eBad = intercept[Exception] { spark.read.format("graft")
+        .option("timestampAsOf", "not a time").load(dir).collect() }
+      def chainMsg(t: Throwable) = Iterator.iterate[Throwable](t)(_.getCause)
+        .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
+      assert(chainMsg(eBad).contains("cannot parse"), chainMsg(eBad))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("named versioned tables: warehouse-rooted names — CREATE/INSERT/travel by name, SHOW TABLES/NAMESPACES, external LOCATION registration, DROP semantics, pointer rename") {
     import graft.ext.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_named").toString
