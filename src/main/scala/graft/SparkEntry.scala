@@ -1889,6 +1889,41 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, price FROM graft_q165.`$tbl` ORDER BY o_orderkey")
     },
 
+    // POSITIONAL deletion vectors (Delta's row-index DV role): a
+    // range + multi-column DELETE — exactly what the key-set masks
+    // cannot express — commits as ONE (file, row_index) sidecar. The
+    // meter asserts FROM MANIFEST BYTES that the data-file list is
+    // identical across both deletes (zero parquet rewritten where the
+    // old routing rewrote every touched file), that the pre-delete
+    // version still serves every row, and that compacting the two
+    // sidecars into one changes nothing served; the result is the
+    // complement read the oracle replays as WHERE NOT(...)
+    "q166_positional_delete" -> { (s, d) =>
+      import graft.ext.Versioned
+      val tbl = scratchPath("pdv_delete", d)
+      Versioned.dropTableChain(s, tbl)
+      s.conf.set("spark.sql.catalog.graft_q166", "graft.sql.VersionedCatalog")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q166")
+      s.sql(s"CREATE TABLE graft_q166.`$tbl` AS " +
+        "SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price " +
+        "FROM orders_q166 WHERE o_orderstatus IN ('F', 'P')")
+      val v0 = Versioned.latestVersion(s, tbl).get
+      val filesBefore = Versioned.planDataFiles(s, tbl, v0, Seq.empty).toSet
+      val rowsBefore = s.sql(s"SELECT count(*) FROM graft_q166.`$tbl`").head().getLong(0)
+      s.sql(s"DELETE FROM graft_q166.`$tbl` WHERE price > 150000.0 AND status = 'F'")
+      s.sql(s"DELETE FROM graft_q166.`$tbl` WHERE price < 1500.0 AND status = 'P'")
+      val v2 = Versioned.latestVersion(s, tbl).get
+      assert(v2 == v0 + 2, s"each DELETE must be one metadata commit, got $v0 -> $v2")
+      assert(Versioned.planDataFiles(s, tbl, v2, Seq.empty).toSet == filesBefore,
+        "positional DELETEs must leave the data-file list byte-identical")
+      assert(s.sql(s"SELECT count(*) FROM graft_q166.`$tbl` VERSION AS OF $v0")
+        .head().getLong(0) == rowsBefore,
+        "the pre-delete version must still serve every row")
+      assert(Versioned.compactDeletionVectors(s, tbl).nonEmpty,
+        "two sidecars must merge into one")
+      s.sql(s"SELECT o_orderkey, status, price FROM graft_q166.`$tbl` ORDER BY o_orderkey")
+    },
+
     // MAINTENANCE UNDER A LIVE STREAM (Delta's dataChange=false
     // contract): a compaction mid-stream is a flagged REARRANGEMENT —
     // the running feed skips it (nothing re-served, nothing fatal)
@@ -4769,6 +4804,16 @@ object SparkEntry {
     "q165_tblproperties" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // two positional DELETEs masked rows in place (no file rewritten)
+    // — the served table is the plain complement of both predicates
+    "q166_positional_delete" ->
+      """SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')
+        |  AND NOT (ROUND(o_totalprice, 2) > 150000.0 AND o_orderstatus = 'F')
+        |  AND NOT (ROUND(o_totalprice, 2) < 1500.0 AND o_orderstatus = 'P')
         |ORDER BY o_orderkey""".stripMargin,
 
     // snapshot + zero-row maintenance commit + one post-compaction

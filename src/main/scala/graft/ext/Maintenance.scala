@@ -507,7 +507,8 @@ object Maintenance {
     // applied, as (keyCol, dir NAME) pairs
     def nameOf(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
     val dvSnapshot = info.dvDirs.flatMap { case (k, ds) => ds.map(d => (k, nameOf(d))) } ++
-      info.scopedDvs.map { case (k, d, _) => (k, nameOf(d)) }
+      info.scopedDvs.map { case (k, d, _) => (k, nameOf(d)) } ++
+      info.posDvs.map(d => (Versioned.PdvSnapshotKey, nameOf(d)))
     val staged = Versioned.stageDataDir(spark, dir)
     val stagedPath = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(dir), staged)

@@ -142,6 +142,26 @@ object Versioned {
     * routes here so SQL users get SQL semantics. */
   private final case class ScopedDvEntry(keyCol: String, name: String,
                                          scope: Seq[String]) extends Line
+  /** A POSITIONAL deletion vector (`pdv:<dirName>`) — Delta's
+    * row-index deletion-vector role. The dir holds parquet rows
+    * `(_file STRING, _pos BIGINT)`: `_file` in the manifest's own
+    * file spelling (`<dataDirName>/<fileSubpath>`, or the absolute
+    * path for adopted/cloned refs — exactly [[planDataFiles]]'
+    * output), `_pos` the row's 0-based index within that parquet
+    * file. Any filter-expressible DELETE — range, multi-column,
+    * string predicates — commits as ONE such sidecar plus one
+    * manifest line: NO data file is rewritten (the key-set
+    * [[DvEntry]]/[[ScopedDvEntry]] forms cover only one-column
+    * equality/IN). Positions are inherently file-scoped, so SQL
+    * DELETE's "rows that exist now" semantics need no scope list: a
+    * file committed later is untouched by construction, and a
+    * removed file's entries are inert. Reads subtract by
+    * `(file, row_index)` using Spark's own parquet row-index
+    * generation (correct under row-group pruning, so predicate
+    * pushdown survives — the property the whole design rests on);
+    * rewrites/compaction apply the mask physically and retire the
+    * line. Size contract: `spark.graft.dv.maxPositions`. */
+  private final case class PdvEntry(name: String) extends Line
   private final case class SchemaEntry(schema: StructType) extends Line
   /** Delta `SetTransaction`'s role: the highest streaming batch id a
     * given writer (appId) has committed. Written by
@@ -473,6 +493,10 @@ object Versioned {
       require(i > 0 && i < rest.length - 1,
         s"malformed deletion-vector manifest line: $line")
       DvEntry(rest.substring(0, i), rest.substring(i + 1))
+    } else if (line.startsWith("pdv:")) {
+      val n = line.drop(4)
+      require(n.nonEmpty, s"malformed positional deletion-vector manifest line: $line")
+      PdvEntry(n)
     } else if (line.matches("[A-Za-z][A-Za-z0-9_.-]*:.*")) {
       // STRICT fallthrough: a word-shaped `<kind>:` prefix this reader
       // does not know is a FUTURE line type, never a data dir — data
@@ -660,6 +684,7 @@ object Versioned {
         acc.filterNot {
           case DvEntry(_, e) => e == n
           case ScopedDvEntry(_, e, _) => e == n
+          case PdvEntry(e) => e == n
           case _ => false
         }
       } else if (op.startsWith("-txn:")) {
@@ -997,6 +1022,7 @@ object Versioned {
     case DataEntry(n)      => n
     case DvEntry(k, n)     => s"dv:$k:$n"
     case ScopedDvEntry(k, n, sc) => s"dvs:$k:$n:${sc.mkString(",")}"
+    case PdvEntry(n)       => s"pdv:$n"
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
@@ -1567,6 +1593,10 @@ object Versioned {
     require(!ls.exists(_.isInstanceOf[ScopedDvEntry]),
       s"$sourceDir@v$srcV carries SQL-DELETE scoped masks, which group by local dir " +
         "name — apply them physically (INSERT OVERWRITE the read, or compact) first")
+    require(!ls.exists(_.isInstanceOf[PdvEntry]),
+      s"$sourceDir@v$srcV carries positional deletion vectors, whose file refs are " +
+        "root-relative — apply them physically (INSERT OVERWRITE the read, or " +
+        "compact) first, or deep clone")
     def abs(n: String) =
       if (n.startsWith("/")) n else s"${rootAbs.stripSuffix("/")}/$n"
     // stats sidecars COPY into the clone (KB-scale metadata, one small
@@ -1658,7 +1688,18 @@ object Versioned {
     // deterministic content-addressed local name
     val dirRefs = (ls.collect { case DataEntry(n) => n } ++
       ls.collect { case DvEntry(_, n) => n } ++
-      ls.collect { case ScopedDvEntry(_, n, _) => n }).distinct
+      ls.collect { case ScopedDvEntry(_, n, _) => n } ++
+      ls.collect { case PdvEntry(n) => n }).distinct
+    // a positional dv's `_file` refs survive the deep clone only
+    // because LOCAL dir names map to themselves; an adopted/absolute
+    // data ref renames, which would orphan any position pointing into
+    // it — refuse that (rare) combination with the same remedy as the
+    // shallow clone
+    require(!ls.exists(_.isInstanceOf[PdvEntry]) ||
+        ls.collect { case DataEntry(n) => n }.forall(!_.startsWith("/")),
+      s"$sourceDir@v$srcV carries positional deletion vectors over adopted " +
+        "(absolute-ref) data dirs, which the deep clone renames — apply the masks " +
+        "physically (INSERT OVERWRITE the read, or compact) first")
     def md8(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val nameMap: Map[String, String] = dirRefs.map { r =>
@@ -1777,6 +1818,7 @@ object Versioned {
       case DvEntry(k, n)      => Some(DvEntry(k, nameMap(n)))
       case ScopedDvEntry(k, n, sc0) =>
         Some(ScopedDvEntry(k, nameMap(n), sc0.map(x => nameMap.getOrElse(x, x))))
+      case PdvEntry(n)        => Some(PdvEntry(nameMap(n)))
       case b: BloomEntry      => Some(b.copy(dir = nameMap.getOrElse(b.dir, b.dir),
         sidecar = if (refsRoundTrip) b.sidecar.map(sidecarMap) else None))
       case _: TxnEntry        => None // the source's writers' replay guards
@@ -2226,6 +2268,7 @@ object Versioned {
       val dvNow = ls.collect {
         case DvEntry(k, n) => (k, seg(n))
         case ScopedDvEntry(k, n, _) => (k, seg(n))
+        case PdvEntry(n) => (PdvSnapshotKey, seg(n))
       }
       if (dvNow.toSet != dvSnapshot.map { case (k, n) => (k, seg(n)) }.toSet)
         conflict("saw the deletion-vector set change under it")
@@ -2336,6 +2379,7 @@ object Versioned {
         else ls.collect {
           case DvEntry(_, n)          => n
           case ScopedDvEntry(_, n, _) => n
+          case PdvEntry(n)            => n
         }.toSet
       droppedDvNames.foreach(n => ops += s"-dv:$n")
       val emptied = removedNonEmpty.keySet -- replacedStats.keySet
@@ -2350,6 +2394,7 @@ object Versioned {
           case e: HwmEntry => e.col.equalsIgnoreCase(h.col); case _ => false } => None
         case DvEntry(_, n) if droppedDvNames.contains(n) => None
         case ScopedDvEntry(_, n, _) if droppedDvNames.contains(n) => None
+        case PdvEntry(n) if droppedDvNames.contains(n) => None
         case other => Some(other)
       } ++ newEntries ++ hwmRw ++ feedLines
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
@@ -2402,6 +2447,7 @@ object Versioned {
     val dvSnapshot = ls.collect {
       case DvEntry(k, n) => (k, n)
       case ScopedDvEntry(k, n, _) => (k, n)
+      case PdvEntry(n) => (PdvSnapshotKey, n)
     }
     commitFileRewrite(spark, dir, victims, Some(stagedHive), partCols, dvSnapshot,
       protocol, exclusivePartitions = touched, preHarvested = Some(harvested),
@@ -2625,6 +2671,7 @@ object Versioned {
     val dvSnapshot = ls0.collect {
       case DvEntry(k, n)          => (k, n)
       case ScopedDvEntry(k, n, _) => (k, n)
+      case PdvEntry(n)            => (PdvSnapshotKey, n)
     }
     try commitFileRewrite(spark, dir, removed, Some(staged), partCols, dvSnapshot,
       protocol, dataChange = false)
@@ -2668,6 +2715,7 @@ object Versioned {
     val dvSnapshot = ls0.collect {
       case DvEntry(k, n)          => (k, n)
       case ScopedDvEntry(k, n, _) => (k, n)
+      case PdvEntry(n)            => (PdvSnapshotKey, n)
     }
     try commitFileRewrite(spark, dir, removed, Some(staged), Seq.empty, dvSnapshot,
       protocol, dataChange = false, dropDvs = true)
@@ -2722,6 +2770,7 @@ object Versioned {
       val dvSnapshot = ls.collect {
         case DvEntry(k, n)          => (k, n)
         case ScopedDvEntry(k, n, _) => (k, n)
+        case PdvEntry(n)            => (PdvSnapshotKey, n)
       }
       commitFileRewrite(spark, dir, removed, None, partCols, dvSnapshot, protocol)
     }
@@ -3446,6 +3495,7 @@ object Versioned {
       case DataEntry(n)  => new Path(new Path(dir), n).toString
       case DvEntry(_, n) => new Path(new Path(dir), n).toString
       case ScopedDvEntry(_, n, _) => new Path(new Path(dir), n).toString
+      case PdvEntry(n)   => new Path(new Path(dir), n).toString
     }
   }
 
@@ -3562,6 +3612,180 @@ object Versioned {
     v
   }
 
+  /** Positional-deletion-vector size contract: the ceiling on TOTAL
+    * recorded `(file, pos)` pairs per delete — every positional mask
+    * reader pulls the set to the driver and ships it with the task
+    * binary (the [[maxDvKeys]] shape, sorted-long arrays instead of a
+    * key hash set). Session override `spark.graft.dv.maxPositions`. */
+  def maxDvPositions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.maxPositions").map(_.toLong)
+      .getOrElse(10L * 1000 * 1000)
+
+  /** ANY-predicate DELETE as a POSITIONAL deletion vector — Delta's
+    * row-index DV role, the one row-level operation the key-set masks
+    * cannot express. `DELETE FROM t WHERE price < 10 AND cat = 'x'`
+    * on a 100 TB table becomes: (1) one candidate-file selection from
+    * the manifest's per-file stats (zero IO), (2) one scan of JUST
+    * those files recording `_metadata.row_index` per matching row —
+    * Spark's own parquet row-index generation, (3) one small
+    * `(_file, _pos)` parquet sidecar + one manifest line. NO data
+    * file is rewritten; time travel to pre-delete versions serves the
+    * rows; compaction/OPTIMIZE later applies the mask physically and
+    * retires it. Returns the committed version, or None when no row
+    * matched (a no-op DELETE commits nothing).
+    *
+    * The predicate is ANSI SQL over the table's (logical) columns.
+    * Size contract: [[maxDvPositions]] — a delete past it belongs in
+    * a copy-on-write rewrite (SQL UPDATE/DELETE's group-based path,
+    * or INSERT OVERWRITE of the complement read) and refuses with
+    * that remedy. */
+  def deleteWhere(spark: SparkSession, dir: String, predicateSql: String,
+                  protocol: CommitProtocol = PutIfAbsentCommit,
+                  maxAttempts: Int = 16): Option[Int] =
+    withCommitRetry(maxAttempts) { () =>
+      deleteWhereCore(spark, dir, Left(predicateSql), protocol)
+    }
+
+  /** [[deleteWhere]] over pre-translated V1 filters (LOGICAL names) —
+    * the SQL catalog's non-key DELETE routes here. */
+  private[graft] def deleteWherePositional(spark: SparkSession, dir: String,
+                                           filters: Seq[org.apache.spark.sql.sources.Filter],
+                                           protocol: CommitProtocol = PutIfAbsentCommit,
+                                           maxAttempts: Int = 16): Option[Int] =
+    withCommitRetry(maxAttempts) { () =>
+      deleteWhereCore(spark, dir, Right(filters), protocol)
+    }
+
+  /** A V1 filter as a Column predicate — the mirror of Spark's
+    * catalyst→sources translation for the handful of node kinds
+    * [[graft.sql]]'s DELETE routing admits. None for a kind outside
+    * that set (the router then refuses the statement to the
+    * copy-on-write path rather than delete the wrong rows). */
+  private[graft] def filterToColumn(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case AlwaysTrue               => Some(lit(true))
+      case AlwaysFalse              => Some(lit(false))
+      case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r)  => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c)    => filterToColumn(c).map(not)
+      case _         => None
+    }
+  }
+
+  private def deleteWhereCore(spark: SparkSession, dir: String,
+                              predicate: Either[String, Seq[org.apache.spark.sql.sources.Filter]],
+                              protocol: CommitProtocol): Option[Int] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val (fs, root) = fsFor(spark, dir)
+    val prev = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls = lines(spark, dir, prev)
+    val schema = ls.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalStateException(
+        s"positional DELETE at $dir needs a recorded schema — this manifest " +
+          "predates the schema line; rewrite the table (INSERT OVERWRITE) to upgrade"))
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val dataDirs = ls.collect { case DataEntry(n) => n }
+    if (dataDirs.isEmpty) return None // no current rows: nothing to delete
+    require(dataDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"positional DELETE at $dir needs manifest file lists for every data dir — " +
+        "run backfillStats to upgrade pre-file-list manifests")
+    require(!schema.fieldNames.contains(PdvFileCol) && !schema.fieldNames.contains(PdvPosCol),
+      s"positional DELETE reserves the column names $PdvFileCol/$PdvPosCol")
+    val cmap = colMapOf(ls)
+    // the predicate in both forms: a Column for the row filter
+    // (LOGICAL space — the scan renames physical→logical first) and
+    // LOGICAL V1 conjuncts for the stats-based candidate-file prune
+    val (predCol, logFilters) = predicate match {
+      case Right(filters) =>
+        val cols = filters.map(f => filterToColumn(f).getOrElse(
+          throw new IllegalArgumentException(
+            s"positional DELETE cannot express filter $f")))
+        (cols.reduceOption(_ && _).getOrElse(lit(true)), filters)
+      case Left(sql) =>
+        // resolve through the table's own read so names, types, and
+        // coercions mean exactly what the same WHERE means in a query
+        import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+        val analyzed = readVersion(spark, dir, prev).filter(expr(sql))
+          .queryExecution.analyzed
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+          case o          => Seq(o)
+        }
+        val cond = analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+        (expr(sql),
+          cond.toSeq.flatMap(conjuncts).flatMap(e =>
+            org.apache.spark.sql.execution.datasources.GraftFilterShim.translate(e)))
+    }
+    // candidate FILES from per-file stats (one-sided: a kept file may
+    // still match nothing); no translatable conjunct → every file
+    val cand: Map[String, Set[String]] =
+      rowLevelCandidateFiles(spark, dir, prev, logFilters).getOrElse(
+        dataDirs.map(d => d -> stats(d).files.map(_.name).toSet).toMap)
+    if (cand.forall(_._2.isEmpty)) return None // stats exclude every file
+    val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty)
+    val subsetIndex = manifestPartitioningIndexSubset(spark, dir, prev, cand)
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val raw = spark.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        subsetIndex, StructType(partCols.map(schema(_))), dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty)(spark))
+    val rootUri = rootUriPath(spark, dir)
+    // rows scan RAW (pre-mask): re-recording an already-masked row's
+    // position is a harmless union — and the raw scan keeps this one
+    // job free of the mask joins
+    val withMeta = raw.select(col("*"),
+      uriPathOfCol(col("_metadata.file_path")).as(PdvFileCol),
+      col("_metadata.row_index").as(PdvPosCol))
+    val fileCol = col(PdvFileCol)
+    val positions = toLogicalDf(withMeta, cmap)
+      .filter(predCol)
+      .select(
+        when(fileCol.startsWith(rootUri + "/"),
+          fileCol.substr(lit(rootUri.length + 2), lit(Int.MaxValue)))
+          .otherwise(fileCol).as("_file"),
+        col(PdvPosCol).cast("long").as("_pos"))
+    val v = prev + 1
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dvDir = f"v$v%08d_pdv_$nonce"
+    val dvPath = new Path(root, dvDir)
+    positions.write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
+    // size + emptiness from the just-written footers (metadata only),
+    // decided while the dir is still an invisible orphan
+    val nPos = Skipping.collectDirStats(spark, dvPath,
+      asNullable(positions.schema))._1
+    if (nPos == 0L) { fs.delete(dvPath, true); return None }
+    val cap = maxDvPositions(spark)
+    if (nPos > cap) {
+      fs.delete(dvPath, true)
+      throw new IllegalArgumentException(
+        s"deleteWhere: $nPos deleted positions exceeds the positional " +
+          s"deletion-vector size contract (spark.graft.dv.maxPositions=$cap). Every " +
+          "mask reader ships the position set with the task binary; a delete this " +
+          "size belongs in a rewrite instead: INSERT OVERWRITE the complement read " +
+          "(SELECT * FROM t WHERE NOT (predicate))")
+    }
+    val pdv: Line = PdvEntry(dvDir)
+    commitChild(spark, dir, v, prev, ls :+ pdv, Seq(addOp(pdv)), protocol)
+    Some(v)
+  }
+
   /** A delete-heavy table accumulates one dv dir per [[deleteByKeys]]
     * until the next overwrite applies the mask physically. This bounds
     * the chain WITHOUT waiting for that overwrite: merge all dv dirs
@@ -3618,7 +3842,8 @@ object Versioned {
         coverageGroups.length == scopedAll.length &&
           coverageGroups.forall { case (_, dvs, scope) =>
             dvs.length == 1 && dvs.head.scope == scope }
-      if (!dvByKey.exists(_._2.length > 1) && scopedUnchanged) None
+      val pdvAll = prevLines.collect { case e: PdvEntry => e }
+      if (!dvByKey.exists(_._2.length > 1) && scopedUnchanged && pdvAll.length <= 1) None
       else {
         val v = prev + 1
         val ops = Seq.newBuilder[String]
@@ -3656,9 +3881,25 @@ object Versioned {
         val verbatim = scopedOut.collect { case (e, false) => e }.toSet
         scopedAll.filterNot(verbatim).foreach(e => ops += s"-dv:${e.name}")
         scopedOut.collect { case (e, true) => e }.foreach(e => ops += addOp(e))
+        // positional dvs merge by (file, pos) union — one sidecar
+        // serves every accumulated DELETE's mask verbatim
+        val pdvOut: Seq[Line] =
+          if (pdvAll.length <= 1) pdvAll
+          else {
+            val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+            val pdvDir = f"v$v%08d_pdv_$nonce"
+            spark.read.parquet(pdvAll.map(e => new Path(root, e.name).toString): _*)
+              .select("_file", "_pos").distinct()
+              .write.mode(SaveMode.ErrorIfExists)
+              .parquet(new Path(root, pdvDir).toString)
+            pdvAll.foreach(e => ops += s"-dv:${e.name}")
+            ops += addOp(PdvEntry(pdvDir))
+            Seq(PdvEntry(pdvDir))
+          }
         val kept = prevLines.filterNot(l =>
-          l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]) ++
-          merged ++ scopedOut.map(_._1)
+          l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry] ||
+            l.isInstanceOf[PdvEntry]) ++
+          merged ++ scopedOut.map(_._1) ++ pdvOut
         commitChild(spark, dir, v, prev, kept, ops.result(), protocol)
         Some(v)
       }
@@ -3707,7 +3948,8 @@ object Versioned {
       (v,
         new java.sql.Timestamp(commitTimestamp(spark, dir, v)),
         dataDirs.length,
-        ls.count(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry]),
+        ls.count(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry] ||
+          l.isInstanceOf[PdvEntry]),
         ls.collectFirst { case SchemaEntry(s) => s.fields.length },
         rows,
         ls.exists(_.isInstanceOf[RearrangeEntry]))
@@ -3986,19 +4228,96 @@ object Versioned {
       case Some(s) => spark.read.schema(s).parquet(dataEntries.map(abs): _*)
       case None    => spark.read.option("mergeSchema", "true").parquet(dataEntries.map(abs): _*)
     }
+    // POSITIONAL masks ride Spark's own parquet row-index generation:
+    // `_metadata.row_index` is computed from row-group metadata, so it
+    // stays correct under row-group pruning — pushdown survives the
+    // mask. The metadata columns attach at the RELATION (they do not
+    // resolve past arbitrary plans), the subtraction is one left-anti
+    // join against the small (file, pos) set, broadcast by size.
+    val pdvDirs = ls.collect { case PdvEntry(n) => abs(n) }
+    val base1 =
+      if (pdvDirs.isEmpty || dataEntries.isEmpty) base
+      else base.select(org.apache.spark.sql.functions.col("*"),
+        uriPathOfCol(org.apache.spark.sql.functions.col("_metadata.file_path"))
+          .as(PdvFileCol),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as(PdvPosCol))
     val masked = ls.collect { case DvEntry(k, n) => (k, abs(n)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .foldLeft(base) { case (df, (k, dvs)) =>
+      .foldLeft(base1) { case (df, (k, dvs)) =>
         df.join(
           spark.read.parquet(dvs.map(_._2): _*)
             .select(org.apache.spark.sql.functions.col(k)).distinct(),
           Seq(k), "left_anti")
       }
+    val posMasked =
+      if (pdvDirs.isEmpty || dataEntries.isEmpty) masked
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val rootUri = rootUriPath(spark, dir)
+        val dv = spark.read.parquet(pdvDirs: _*)
+          .select(pdvAbsFileCol(col("_file"), rootUri).as("_file"), col("_pos"))
+          .distinct()
+        masked.join(broadcast(dv),
+            masked(PdvFileCol) === dv("_file") && masked(PdvPosCol) === dv("_pos"),
+            "left_anti")
+          .drop(PdvFileCol, PdvPosCol)
+      }
     // the ONE read-boundary translation: everything above (schema,
     // file index, stats, dv keys) ran in physical name space; the
     // final aliasing Project serves the logical names, and pushdown
     // through it translates user predicates back to physical for free
-    toLogicalDf(masked, colMapOf(ls))
+    toLogicalDf(posMasked, colMapOf(ls))
+  }
+
+  /** Temp column names the positional-mask join attaches; refused as
+    * data columns at delete time, dropped before rows are served. */
+  private[ext] val PdvFileCol = "__graft_pdv_file__"
+  private[ext] val PdvPosCol = "__graft_pdv_pos__"
+
+  /** The "key column" a positional dv reports in deletion-vector
+    * SNAPSHOTS (the rewrite-conflict sets): positional masks have no
+    * key column, and '#' keeps the sentinel outside every legal
+    * word-shaped column name. */
+  private[graft] val PdvSnapshotKey = "#pos"
+
+  /** The scheme-free path of a file URI STRING, keeping any
+    * percent-encoding verbatim — `file:///a/b` | `file:/a/b` |
+    * `hdfs://nn:8020/a/b` | `/a/b` all yield `/a/b`. The Scala twin
+    * of [[uriPathOfCol]]; the two MUST stay in lockstep — positional
+    * deletion vectors store `_file` in this spelling and every mask
+    * (DataFrame join and DSv2 reader) compares through one of the
+    * twins. */
+  private[graft] def uriPathOf(s: String): String = {
+    val afterAuthority = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$".r
+    val afterScheme = "^[a-zA-Z][a-zA-Z0-9+.-]*:(/.*)$".r
+    s match {
+      case afterAuthority(p) => p
+      case afterScheme(p)    => p
+      case other             => other
+    }
+  }
+
+  /** SQL twin of [[uriPathOf]] for `_metadata.file_path`. */
+  private def uriPathOfCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*/", "/"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+  }
+
+  /** The table root as a scheme-free absolute path — the prefix
+    * positional `_file` refs resolve against. */
+  private[graft] def rootUriPath(spark: SparkSession, dir: String): String = {
+    val (fs, root) = fsFor(spark, dir)
+    fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+  }
+
+  /** A positional dv `_file` (manifest spelling) as an absolute
+    * scheme-free path: local refs prefix the table root, adopted/
+    * cloned refs are already absolute. */
+  private def pdvAbsFileCol(c: Column, rootUri: String): Column = {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    when(c.startsWith("/"), c).otherwise(concat(lit(rootUri + "/"), c))
   }
 
   /** Everything the SQL catalog needs to plan one version: the
@@ -4012,6 +4331,8 @@ object Versioned {
                                               // (keyCol, absolute dv dir, scoped data-dir NAMES)
                                               scopedDvs: Seq[(String, String, Set[String])] =
                                                 Seq.empty,
+                                              // absolute POSITIONAL dv dirs ((_file,_pos) parquet)
+                                              posDvs: Seq[String] = Seq.empty,
                                               notNull: Seq[String] = Seq.empty,
                                               // logical→physical; EVERYTHING else in
                                               // this struct is raw PHYSICAL names —
@@ -4029,6 +4350,7 @@ object Versioned {
         .sortBy(_._1).map { case (k, xs) => (k, xs.map(_._2)) },
       ls.collectFirst { case PartitionEntry(cs) => cs }.getOrElse(Seq.empty),
       ls.collect { case ScopedDvEntry(k, n, sc) => (k, abs(n), sc.toSet) },
+      ls.collect { case PdvEntry(n) => abs(n) },
       ls.collect { case NotNullEntry(c) => c },
       colMapOf(ls))
   }
@@ -4079,7 +4401,8 @@ object Versioned {
                                      applyDv: Boolean): DataFrame = {
     val ls0 = lines(spark, dir, v)
     val ls = if (applyDv) ls0
-      else ls0.filterNot(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry])
+      else ls0.filterNot(l => l.isInstanceOf[DvEntry] || l.isInstanceOf[ScopedDvEntry] ||
+        l.isInstanceOf[PdvEntry])
     readVersionFrom(spark, dir, ls,
       n => keepAbs.contains(new Path(new Path(dir), n).toString))
   }
@@ -5378,6 +5701,7 @@ object Versioned {
     val dvSnapshot = ls0.collect {
       case DvEntry(k, n)          => (k, n)
       case ScopedDvEntry(k, n, _) => (k, n)
+      case PdvEntry(n)            => (PdvSnapshotKey, n)
     }
     try commitFileRewrite(spark, dir, removed, Some(staged), partCols,
       dvSnapshot, protocol, maxAttempts, identityBasis = idBasis,
@@ -5518,6 +5842,7 @@ object Versioned {
       case DataEntry(n) => n
       case DvEntry(_, n) => n
       case ScopedDvEntry(_, n, _) => n
+      case PdvEntry(n) => n
       case ChangesEntry(_, _, _, n) => n // a recorded feed is live state too
     }
     val live = keep.flatMap(dirNames).toSet
@@ -5536,7 +5861,7 @@ object Versioned {
     }
     val now = System.currentTimeMillis()
     val candidates = fs.listStatus(root)
-      .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv|changes)(_[0-9a-f]{8})?""") &&
+      .filter(st => st.getPath.getName.matches("""v\d{8}_(data|dv|pdv|changes)(_[0-9a-f]{8})?""") &&
         !live.contains(st.getPath.getName))
     val (dead, young) = candidates.partition(st =>
       droppedRefs.contains(st.getPath.getName) ||

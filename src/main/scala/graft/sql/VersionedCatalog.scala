@@ -802,10 +802,10 @@ private[sql] object VersionedTableLoader {
           new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
           info.dataDirs, None), spark, dir, v)
     }
-    if (info.dvDirs.isEmpty && info.scopedDvs.isEmpty) base
+    if (info.dvDirs.isEmpty && info.scopedDvs.isEmpty && info.posDvs.isEmpty) base
     else new DvMaskedTable(base, base.schema(), dvLogical(info.dvDirs), spark, dir, v,
       info.partitionCols, scopedLogical(info.scopedDvs), cmap,
-      info.dvDirs, info.scopedDvs)
+      info.dvDirs, info.scopedDvs, info.posDvs)
   }
 }
 
@@ -888,15 +888,19 @@ private[sql] object VersionedSqlUtil {
   * to pre-delete versions still serves the rows — the Delta SQL
   * surface (`DELETE FROM`) over this store's own mechanism.
   *
-  * Honest scope, refused at ANALYSIS time via canDeleteWhere:
-  * equality/IN predicates on ONE column only (plus redundant
-  * IsNotNull on the same column, which the optimizer adds). A range
-  * or multi-column DELETE is not a key mask — it needs the rewrite
-  * path (overwrite the filtered read), and pretending otherwise here
-  * would hide a full-table operation behind a metadata-looking one.
-  * An unfiltered `DELETE FROM t` truncates: one EMPTY overwrite
-  * commit (schema kept), the same "new version, history intact"
-  * shape as every other write.
+  * Routing, decided at ANALYSIS time via canDeleteWhere: an
+  * unfiltered `DELETE FROM t` truncates (one EMPTY overwrite commit,
+  * schema kept — the same "new version, history intact" shape as
+  * every other write); equality/IN on ONE column routes to the
+  * KEY-SET mask (plus redundant IsNotNull on the same column, which
+  * the optimizer adds); every OTHER fully-translatable predicate —
+  * range, multi-column, string — routes to a POSITIONAL deletion
+  * vector ([[Versioned.deleteWherePositional]]): one candidate-file
+  * stats prune, one scan recording `(file, row_index)` per matching
+  * row, one sidecar commit — Delta's row-index DV design, still zero
+  * data rewrite. Only a predicate Spark cannot translate to filters
+  * at all falls through to the copy-on-write rewrite path
+  * ([[VersionedRowOps]]).
   *
   * Semantics: SQL DELETE removes the rows that exist NOW — the mask
   * is SCOPED to the data dirs present at commit time
@@ -915,7 +919,7 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     VersionedDeletes.plan(vdSchema, filters) match {
-      case Some(Left(())) => // DELETE FROM t (no WHERE): truncate commit.
+      case Some(VersionedDeletes.Truncate) => // DELETE FROM t (no WHERE): truncate commit.
         // METADATA-ONLY empty overwrite through the staged-table empty
         // path: keeps the recorded schema, the PARTITION SPEC (a plain
         // unpartitioned writeVersion here would silently downgrade a
@@ -929,7 +933,7 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
           Versioned.stageDataDir(vdSpark, vdDir), // never written: routes to the empty commit
           vdSchema, partCols, fresh = false, replaceDefinition = false)
         ()
-      case Some(Right((keyCol, values))) =>
+      case Some(VersionedDeletes.KeyMask(keyCol, values)) =>
         if (values.nonEmpty) {
           import org.apache.spark.sql.functions.col
           val dt = vdSchema(keyCol).dataType
@@ -949,10 +953,15 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
           Versioned.deleteByKeysScopedWithRetry(vdSpark, vdDir, keys, keyCol)
         }
         ()
+      case Some(VersionedDeletes.Positional(fs)) =>
+        // any-predicate metadata delete: positions, not keys — one
+        // sidecar commit, zero data rewrite (Delta's row-index DVs)
+        Versioned.deleteWherePositional(vdSpark, vdDir, fs)
+        ()
       case None => throw new UnsupportedOperationException(
-        s"versioned DELETE supports equality/IN on one column (a deletion-vector " +
-          s"key mask); got ${filters.mkString(", ")} — rewrite instead: INSERT " +
-          "OVERWRITE the filtered read")
+        s"versioned DELETE takes a filter-translatable predicate (key mask or " +
+          s"positional deletion vector); got ${filters.mkString(", ")} — rewrite " +
+          "instead: INSERT OVERWRITE the filtered read")
     }
 }
 
@@ -989,21 +998,29 @@ private[sql] trait ReportsCheckConstraints extends Table { this: VersionedDelete
 private[sql] object VersionedDeletes {
   import org.apache.spark.sql.sources._
 
-  /** None = refuse; Left(()) = truncate; Right((col, keys)) = dv mask. */
-  def plan(schema: StructType,
-           filters: Array[Filter]): Option[Either[Unit, (String, Seq[Any])]] = {
+  sealed trait DeletePlan
+  /** `DELETE FROM t` without WHERE: one empty overwrite commit. */
+  case object Truncate extends DeletePlan
+  /** Single-column equality/IN: the KEY-SET deletion-vector commit. */
+  final case class KeyMask(col: String, values: Seq[Any]) extends DeletePlan
+  /** Any other fully-translatable predicate: the POSITIONAL
+    * deletion-vector commit (row indexes per file, zero rewrite). */
+  final case class Positional(filters: Seq[Filter]) extends DeletePlan
+
+  /** None = fall through to the copy-on-write rewrite path. */
+  def plan(schema: StructType, filters: Array[Filter]): Option[DeletePlan] = {
     def conjuncts(f: Filter): Seq[Filter] = f match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
     val cs = filters.toSeq.flatMap(conjuncts).filterNot(_ == AlwaysTrue)
-    if (cs.isEmpty) return Some(Left(()))
+    if (cs.isEmpty) return Some(Truncate)
     val keyed = cs.collect {
       case EqualTo(a, v) if v != null       => (a, Seq(v))
       case EqualNullSafe(a, v) if v != null => (a, Seq(v))
       case In(a, vs) if vs.forall(_ != null) => (a, vs.toSeq)
     }
-    keyed match {
+    val keyPlan = keyed match {
       case Seq((col, values)) =>
         val others = cs.filterNot {
           case EqualTo(a, _) => a == col
@@ -1013,9 +1030,18 @@ private[sql] object VersionedDeletes {
           case _ => false
         }
         if (others.isEmpty && col.matches("[A-Za-z0-9_]+") &&
-            schema.fieldNames.contains(col)) Some(Right((col, values)))
+            schema.fieldNames.contains(col)) Some(KeyMask(col, values))
         else None
       case _ => None
+    }
+    keyPlan.orElse {
+      // the positional path needs every conjunct expressible as a
+      // Column over plain top-level columns — anything else must fall
+      // through to the rewrite rather than delete the wrong rows
+      val ok = cs.forall(f => graft.ext.Versioned.filterToColumn(f).isDefined &&
+        f.references.forall(r =>
+          r.matches("[A-Za-z0-9_]+") && schema.fieldNames.contains(r)))
+      if (ok) Some(Positional(cs)) else None
     }
   }
 }
@@ -1069,6 +1095,11 @@ private[sql] trait VersionedRowOps
 
   /** Scoped deletion vectors (SQL DELETEs), same snapshot role. */
   protected def vroScopedDvs: Seq[(String, String, Set[String])] = Seq.empty
+
+  /** Positional deletion vectors (absolute dirs), same snapshot role
+    * — AND the candidate scan must apply them, or an UPDATE would
+    * resurrect position-deleted rows into its replacement files. */
+  protected def vroPosDvs: Seq[String] = Seq.empty
 
   /** Column mapping (logical→physical) of a RENAMED table: the
     * candidate scan and the staged replacement files must both speak
@@ -1127,9 +1158,10 @@ private[sql] trait VersionedRowOps
                 org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
                   vdSpark, subsetIndex, physSchema, dataSchema, options)
               val raw =
-                if (vroDvDirs.isEmpty && vroScopedDvs.isEmpty) parquetBuilder.build()
+                if (vroDvDirs.isEmpty && vroScopedDvs.isEmpty && vroPosDvs.isEmpty)
+                  parquetBuilder.build()
                 else new DvScanBuilder(parquetBuilder, physSchema, vroDvDirs,
-                  vroScopedDvs, vdDir).build()
+                  vroScopedDvs, vdDir, vroPosDvs).build()
               if (vroColMap.isEmpty) raw else new ColumnMappedScan(raw, vroColMap)
             case None => inner.build()
           }
@@ -1141,7 +1173,10 @@ private[sql] trait VersionedRowOps
           () => candidates, vroDvDirs.flatMap { case (k, dirs) =>
             dirs.map(d => (k, d.substring(d.lastIndexOf('/') + 1)))
           } ++ vroScopedDvs.map { case (k, d, _) =>
-            (k, d.substring(d.lastIndexOf('/') + 1)) }, vroColMap)
+            (k, d.substring(d.lastIndexOf('/') + 1))
+          } ++ vroPosDvs.map(d =>
+            (Versioned.PdvSnapshotKey, d.substring(d.lastIndexOf('/') + 1))),
+          vroColMap)
 
       override def description(): String = s"VersionedReplace[$vdDir]"
     }
@@ -1940,7 +1975,10 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  // lines). Identical to the mask params when the
                                  // table was never renamed.
                                  dvDirsPhysical: Seq[(String, Seq[String])] = Seq.empty,
-                                 scopedDvsPhysical: Seq[(String, String, Set[String])] = Seq.empty)
+                                 scopedDvsPhysical: Seq[(String, String, Set[String])] = Seq.empty,
+                                 // absolute POSITIONAL dv dirs — name-free masks,
+                                 // identical in logical and physical space
+                                 posDvs: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints {
 
@@ -1959,6 +1997,7 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
     if (dvDirsPhysical.nonEmpty) dvDirsPhysical else dvDirs
   override protected def vroScopedDvs: Seq[(String, String, Set[String])] =
     if (scopedDvsPhysical.nonEmpty) scopedDvsPhysical else scopedDvs
+  override protected def vroPosDvs: Seq[String] = posDvs
   override protected def vroColMap: Map[String, String] = colMap
   override def partitioning(): Array[Transform] =
     partCols.map(c =>
@@ -1970,7 +2009,8 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
     VersionedWrite.capabilities
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs, scopedDvs, dir)
+    new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs, scopedDvs, dir,
+      posDvs)
 
   // appends to a delete-bearing table are routine; the KEY-level mask
   // keeps deleted keys masked through them (the erasure contract)
@@ -1988,7 +2028,8 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
                                  scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
-                                 tableDir: String = "")
+                                 tableDir: String = "",
+                                 posDvs: Seq[String] = Seq.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -2021,13 +2062,14 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
     }
 
   override def build(): Scan =
-    new DvMaskedScan(inner.build(), requested, dvDirs, scopedDvs, tableDir)
+    new DvMaskedScan(inner.build(), requested, dvDirs, scopedDvs, tableDir, posDvs)
 }
 
 private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
                                 dvDirs: Seq[(String, Seq[String])],
                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
-                                tableDir: String = "") extends Scan
+                                tableDir: String = "",
+                                posDvs: Seq[String] = Seq.empty) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = requested
   override def description(): String = s"DvMasked(${inner.description()})"
@@ -2065,7 +2107,49 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
   }
 
   override def toBatch: Batch = new Batch {
-    private val innerBatch = inner.toBatch
+    /** POSITIONAL masks need each row's file row index. Spark's
+      * parquet readers generate it when the read schema carries the
+      * public [[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat.ROW_INDEX_FIELD]]
+      * marker — derived from row-group metadata, so it stays correct
+      * under row-group pruning and PREDICATE PUSHDOWN SURVIVES the
+      * mask (the property Delta's DV reads rest on). The field is
+      * injected into the underlying ParquetScan's readDataSchema; the
+      * stats/mapping wrappers above it only forward `toBatch`, so the
+      * injected scan's batch serves directly. */
+    private val (innerBatch, wide, rowIdxPos) =
+      if (posDvs.isEmpty) (inner.toBatch, inner.readSchema(), -1)
+      else {
+        def unwrap(s: Scan): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+          s match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan => p
+            case m: ManifestStatsScan => unwrap(m.inner)
+            case c: ColumnMappedScan  => unwrap(c.inner)
+            case other => throw new IllegalStateException(
+              s"positional deletion vectors need the manifest-backed parquet scan " +
+                s"tier, got ${other.getClass.getName} — run backfillStats to upgrade " +
+                "the table, or apply the masks physically (compact)")
+          }
+        val p = unwrap(inner)
+        // the TEMPORARY name is the marker the parquet readers key
+        // generation on (ParquetRowIndexUtil.findRowIndexColumnIndexInSchema);
+        // ROW_INDEX_FIELD's public name ("row_index") is the _metadata
+        // SUBFIELD name and would be demanded from the file itself
+        // nullable: the column is MISSING from every file by design —
+        // the reader null-fills missing nullable columns, then the
+        // row-index generator overwrites the vector with real indexes
+        val rif = org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)
+        val idx = p.readDataSchema.length
+        val injected = p.copy(readDataSchema = StructType(p.readDataSchema.fields :+ rif))
+        // the row layout is [data columns…, row index, partition
+        // columns…]; `wide` must mirror it under the names the outer
+        // projection resolves (the inner scan's, logical if mapped)
+        val w0 = inner.readSchema()
+        val w = StructType((w0.fields.take(idx) :+ rif) ++ w0.fields.drop(idx))
+        (injected.toBatch, w, idx)
+      }
 
     private lazy val rootUriPath: String = {
       val p = new org.apache.hadoop.fs.Path(tableDir)
@@ -2073,19 +2157,64 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
         .makeQualified(p).toUri.getPath
     }
 
+    /** Per-file deleted row indexes, sorted for binary search —
+      * driver-pulled once per batch, bounded by the same size
+      * contract the delete enforced ([[Versioned.maxDvPositions]],
+      * re-checked here as defense in depth). Keys are scheme-free
+      * absolute file paths in [[Versioned.uriPathOf]]'s spelling —
+      * the one normalization the delete, this pull, and the reader
+      * all share. */
+    private lazy val posMasks: Map[String, Array[Long]] =
+      if (posDvs.isEmpty) Map.empty
+      else {
+        val spark = SparkSession.active
+        val cap = Versioned.maxDvPositions(spark)
+        val limit = if (cap >= Int.MaxValue - 1) Int.MaxValue else cap.toInt + 1
+        val rows = spark.read.parquet(posDvs: _*)
+          .select("_file", "_pos").distinct().limit(limit).collect()
+        if (rows.length > cap) throw new IllegalStateException(
+          s"positional deletion vectors exceed the size contract " +
+            s"(spark.graft.dv.maxPositions=$cap): the in-reader mask ships the " +
+            "position set with the tasks. Apply the masks physically — compact, or " +
+            "INSERT OVERWRITE the masked read — before serving this version over SQL.")
+        rows.iterator.map { r =>
+          val f = r.getString(0)
+          val abs = if (f.startsWith("/")) f else s"$rootUriPath/$f"
+          (abs, r.getLong(1))
+        }.toArray.groupBy(_._1).map { case (f, xs) =>
+          f -> xs.map(_._2).distinct.sorted
+        }
+      }
+
+    /** The [[Versioned.uriPathOf]] spelling of a partitioned file's
+      * path — posMask keys and partition grouping both use it. */
+    private def fileKeyOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile): String =
+      Versioned.uriPathOf(f.filePath.toString)
+
     /** With SCOPED masks, a partition must be homogeneous in the data
       * dir its files come from (the scope decides per DIR whether a
-      * mask applies, the mask itself is evaluated per ROW): mixed
-      * FilePartitions split by dir, indices reassigned. */
+      * mask applies, the mask itself is evaluated per ROW); with
+      * POSITIONAL masks, homogeneous in the masked FILE (the mask set
+      * is per file and rows carry no file attribution): mixed
+      * FilePartitions split, indices reassigned. Splits of one file
+      * may stay together — the generated row index is split-correct. */
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = innerBatch.planInputPartitions()
-      if (scopedDvs.isEmpty) parts
+      if (scopedDvs.isEmpty && posDvs.isEmpty) parts
       else parts.flatMap {
         case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.groupBy(f =>
-            dataDirOf(rootUriPath, f.filePath.toPath.toUri.getPath)).values.toSeq
+          fp.files.groupBy { f =>
+            val scopeKey =
+              if (scopedDvs.isEmpty) ""
+              else dataDirOf(rootUriPath, f.filePath.toPath.toUri.getPath)
+            val posKey = {
+              val k = fileKeyOf(f)
+              if (posMasks.contains(k)) k else ""
+            }
+            (scopeKey, posKey)
+          }.values.toSeq
         case other => throw new IllegalStateException(
-          s"scoped deletion vectors need file-based partitions, got $other")
+          s"deletion-vector masks need file-based partitions, got $other")
       }.zipWithIndex.map { case (files, i) =>
         org.apache.spark.sql.execution.datasources.FilePartition(i, files)
       }.toArray
@@ -2093,7 +2222,6 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
 
     override def createReaderFactory(): PartitionReaderFactory = {
       val spark = SparkSession.active
-      val wide = inner.readSchema()
       // driver pull of the key sets, in INTERNAL row representation
       // (UTF8String etc.) so executor-side comparison is allocation-free.
       // The dv size contract is enforced at delete time
@@ -2133,7 +2261,8 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       }
       val projIdx = requested.fields.map(f => wide.fieldIndex(f.name))
       new DvReaderFactory(innerBatch.createReaderFactory(), wide, masks.toArray,
-        projIdx, scopedMasks.toArray, rootUriPath, scopeNamesByLen)
+        projIdx, scopedMasks.toArray, rootUriPath, scopeNamesByLen,
+        posMasks, rowIdxPos)
     }
   }
 }
@@ -2152,7 +2281,12 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
                                    scopedMasks: Array[(Int, DataType, java.util.HashSet[Any], Set[String])] =
                                      Array.empty,
                                    rootUriPath: String = "",
-                                   scopeNamesByLen: Array[String] = Array.empty)
+                                   scopeNamesByLen: Array[String] = Array.empty,
+                                   // absolute file path → its deleted row indexes
+                                   // (sorted); rowIdxPos names the generated
+                                   // row-index column's position in `wide`
+                                   posMasks: Map[String, Array[Long]] = Map.empty,
+                                   rowIdxPos: Int = -1)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -2170,18 +2304,33 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = inner.createReader(p)
+    def partitionFiles = p match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"deletion-vector masks need file-based partitions, got $other")
+    }
     val applicable: Array[(Int, DataType, java.util.HashSet[Any])] =
       if (scopedMasks.isEmpty) masks
       else {
-        val dirs = p match {
-          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            fp.files.map(f => dataDirOf(f.filePath.toPath.toUri.getPath)).toSet
-          case other => throw new IllegalStateException(
-            s"scoped deletion vectors need file-based partitions, got $other")
-        }
+        val dirs = partitionFiles.map(f =>
+          dataDirOf(f.filePath.toPath.toUri.getPath)).toSet
         masks ++ scopedMasks.collect {
           case (i, dt, set, scope) if dirs.subsetOf(scope) => (i, dt, set)
         }
+      }
+    // the partition's positional mask: partitions are FILE-homogeneous
+    // when positional masks exist (DvMaskedScan splits them), so the
+    // whole partition shares one mask set — or none
+    val posMask: Array[Long] =
+      if (posMasks.isEmpty) null
+      else {
+        val keys = partitionFiles
+          .map(f => graft.ext.Versioned.uriPathOf(f.filePath.toString))
+          .distinct.filter(posMasks.contains)
+        if (keys.isEmpty) null
+        else if (keys.length == 1) posMasks(keys.head)
+        else throw new IllegalStateException(
+          s"positional masks need file-homogeneous partitions; got ${keys.length}")
       }
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
       projIdx.toIndexedSeq.map(i =>
@@ -2192,9 +2341,11 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          val masked = applicable.exists { case (i, dt, set) =>
-            !row.isNullAt(i) && set.contains(row.get(i, dt))
-          }
+          val masked = (posMask != null &&
+            java.util.Arrays.binarySearch(posMask, row.getLong(rowIdxPos)) >= 0) ||
+            applicable.exists { case (i, dt, set) =>
+              !row.isNullAt(i) && set.contains(row.get(i, dt))
+            }
           if (!masked) { current = row; return true }
         }
         false

@@ -3006,7 +3006,7 @@ class ExtSpec extends AnyFunSuite {
     // a data rewrite that removes EVERY row keeps the contract (the
     // metadata-only replacement carries constraints, unlike RTAS)
     spark.sql(s"ALTER TABLE graft_ck.`$dir` ADD CONSTRAINT n_pos CHECK (n > 0)")
-    spark.sql(s"DELETE FROM graft_ck.`$dir` WHERE n >= 0 AND n <= 100") // non-key → rewrite
+    spark.sql(s"DELETE FROM graft_ck.`$dir` WHERE n >= 0 AND n <= 100") // non-key → positional dv
     assert(spark.sql(s"SELECT * FROM graft_ck.`$dir`").count() == 0)
     assert(Versioned.checkConstraints(spark, dir,
       Versioned.latestVersion(spark, dir).get).map(_._1) == Seq("n_pos"),
@@ -3328,13 +3328,16 @@ class ExtSpec extends AnyFunSuite {
       .getLines().next() == "parent:0")
     assert(spark.sql(s"SELECT price FROM graft_fg.`$dir` VERSION AS OF 0 WHERE id = 5")
       .as[Double].head() == 5.0)
-    // non-key DELETE (range predicate → the copy-on-write path) that
-    // empties its candidate file: the file drops, nothing is added
+    // non-key DELETE (range predicate) → a POSITIONAL deletion
+    // vector: the data-file list is untouched (the masked rows live
+    // on for time travel), one sidecar line carries the positions
     spark.sql(s"DELETE FROM graft_fg.`$dir` WHERE id >= 300 AND price >= 0.0")
     val afterDel = files(Versioned.latestVersion(spark, dir).get)
-    assert((after -- afterDel).size == 1 && (afterDel -- after).isEmpty,
-      s"empty replacement must just drop the file: $after vs $afterDel")
+    assert(afterDel == after,
+      s"a positional DELETE must not touch the data-file list: $after vs $afterDel")
     assert(spark.sql(s"SELECT count(*) AS c FROM graft_fg.`$dir`").as[Long].head() == 300)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_fg.`$dir` VERSION AS OF 1")
+      .as[Long].head() == 400, "pre-delete versions still serve the rows")
     // library seam: a rewrite captured BEFORE a disjoint append still
     // commits (file-granular commits commute where the old whole-table
     // overwrite surfaced a lost race)
@@ -3342,7 +3345,9 @@ class ExtSpec extends AnyFunSuite {
     val cand = Versioned.rowLevelCandidateFiles(spark, dir, v,
       Seq(EqualTo("id", 10L))).get
     assert(cand.values.map(_.size).sum == 1)
-    val dvSnap = Seq.empty[(String, String)]
+    // the snapshot carries the positional dv the DELETE just landed
+    val dvSnap = Versioned.versionInfo(spark, dir, v).posDvs
+      .map(d => (Versioned.PdvSnapshotKey, d))
     Versioned.writeVersion(spark.range(1000, 1100).toDF("id")
       .withColumn("price", lit(0.0)), dir, org.apache.spark.sql.SaveMode.Append)
     val committed = Versioned.commitFileRewrite(spark, dir, cand, None, Seq.empty, dvSnap)
@@ -3651,18 +3656,32 @@ class ExtSpec extends AnyFunSuite {
     // partition-pruned read of the moved rows stays exact
     assert(spark.sql(s"SELECT count(*) AS c FROM graft_pm.`$dir` WHERE p = 'z'")
       .as[Long].head() == 5L)
-    // a DELETE keyed on the partition column rewrites only that
-    // partition's files: y's carry verbatim through the commit
+    // a multi-column DELETE on the partition slice is a POSITIONAL
+    // mask: NO file moves at all — y's AND z's files carry verbatim,
+    // the served read just drops z's rows
     val yBefore = Versioned.partitionScopedFiles(spark, dir, v1, "p = 'y'")
+    val zBefore = Versioned.partitionScopedFiles(spark, dir, v1, "p = 'z'")
     spark.sql(s"DELETE FROM graft_pm.`$dir` WHERE p = 'z' AND id >= 0")
     val v2 = Versioned.latestVersion(spark, dir).get
     assert(Versioned.partitionScopedFiles(spark, dir, v2, "p = 'y'") == yBefore,
-      "partition-keyed DELETE must not rewrite other partitions")
+      "a positional DELETE must not rewrite other partitions")
+    assert(Versioned.partitionScopedFiles(spark, dir, v2, "p = 'z'") == zBefore,
+      "a positional DELETE leaves even the target partition's files in place")
     assert(Versioned.readLatest(spark, dir).count() == 95)
-    assert(!Versioned.partitionSummary(spark, dir, v2).exists(_._1 == "p=z"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pm.`$dir` WHERE p = 'z'")
+      .as[Long].head() == 0L)
+    // partition-scoped compaction applies the mask PHYSICALLY: the
+    // all-masked partition empties away, y's files still verbatim
+    assert(graft.ext.Maintenance.compactVersionedWhere(spark, dir, "p = 'z'").nonEmpty)
+    val v3 = Versioned.latestVersion(spark, dir).get
+    assert(!Versioned.partitionSummary(spark, dir, v3).exists(_._1 == "p=z"),
+      "physical apply must drop the emptied partition")
+    assert(Versioned.partitionScopedFiles(spark, dir, v3, "p = 'y'") == yBefore)
+    assert(Versioned.readLatest(spark, dir).count() == 95)
     // time travel serves every intermediate layout
     assert(Versioned.readVersion(spark, dir, 0).count() == 100)
     assert(Versioned.readVersion(spark, dir, v1).count() == 100)
+    assert(Versioned.readVersion(spark, dir, v2).count() == 95)
   }
 
   test("prefix skipping: LIKE 'p%' prunes dirs whose bounds cannot hold the prefix range; boundary dirs kept; byte-order edges safe") {
@@ -4895,6 +4914,145 @@ class ExtSpec extends AnyFunSuite {
         .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString(" | ")
       assert(chainMsg(eBad).contains("cannot parse"), chainMsg(eBad))
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("positional deletion vectors: any-predicate DELETE as a (file,pos) sidecar — data files untouched, travel intact, later appends unaffected, merge + physical apply, size cap") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdv").toString + "/t"
+    def mkDf(from: Long, until: Long, parts: Int) =
+      spark.range(from, until).select($"id", ($"id" % 10).cast("double").as("price"))
+        .repartitionByRange(parts, $"id")
+    Versioned.writeVersion(mkDf(0, 100, 4), dir)
+    Versioned.writeVersion(mkDf(100, 200, 2), dir, SaveMode.Append)
+    val filesBefore = Versioned.planDataFiles(spark, dir, 1, Seq.empty).toSet
+    assert(filesBefore.size == 6)
+    // a RANGE + multi-column predicate — exactly what the key-set
+    // masks cannot express — commits as one sidecar, ZERO rewrite
+    val v = Versioned.deleteWhere(spark, dir, "price < 3.0 AND id >= 50").get
+    assert(v == 2)
+    assert(Versioned.planDataFiles(spark, dir, v, Seq.empty).toSet == filesBefore,
+      "a positional DELETE must not touch the data-file list")
+    val want = (0L until 200L).filterNot(i => (i % 10) < 3 && i >= 50).toSet
+    assert(Versioned.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().toSet == want)
+    // pre-delete versions still travel
+    assert(Versioned.readVersion(spark, dir, 1).count() == 200)
+    // positions are file-scoped: a LATER append of a "deleted" row is
+    // visible (SQL DELETE's rows-that-exist-now semantics, inherent)
+    Versioned.writeVersion(Seq((51L, 0.0)).toDF("id", "price"), dir, SaveMode.Append)
+    assert(Versioned.readLatest(spark, dir)
+      .filter($"id" === 51L).select("price").as[Double].collect().toSeq == Seq(0.0))
+    // zero matches commit nothing
+    val vNow = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.deleteWhere(spark, dir, "id = -5").isEmpty)
+    assert(Versioned.latestVersion(spark, dir).contains(vNow))
+    // a second delete accumulates a second sidecar; compaction merges
+    // the two into ONE without changing served rows
+    Versioned.deleteWhere(spark, dir, "id = 199").get
+    def nDv = Versioned.history(spark, dir)
+      .orderBy($"version".desc).select("n_dv_dirs").as[Int].head()
+    assert(nDv == 2)
+    val served = Versioned.readLatest(spark, dir).select("id").as[Long].collect().toSet
+    assert(Versioned.compactDeletionVectors(spark, dir).nonEmpty)
+    assert(nDv == 1)
+    assert(Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == served)
+    // whole-table compaction applies the positions PHYSICALLY and
+    // retires the line; history still travels to the masked version
+    val stats = graft.ext.Maintenance.compact(spark, dir,
+      targetFileBytes = Long.MaxValue,
+      store = new graft.ext.ManifestStore(graft.ext.PutIfAbsentCommit))
+    assert(stats.filesAfter == 1)
+    assert(nDv == 0, "physical apply must retire the positional dv line")
+    assert(Versioned.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet == served)
+    assert(Versioned.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().toSet == want)
+    // the size contract refuses while the sidecar is still invisible
+    spark.conf.set("spark.graft.dv.maxPositions", "3")
+    try {
+      val vPre = Versioned.latestVersion(spark, dir).get
+      val e = intercept[IllegalArgumentException] {
+        Versioned.deleteWhere(spark, dir, "price >= 0.0") }
+      assert(e.getMessage.contains("maxPositions"), e.getMessage)
+      assert(Versioned.latestVersion(spark, dir).contains(vPre),
+        "a refused delete must commit nothing")
+    } finally spark.conf.unset("spark.graft.dv.maxPositions")
+  }
+
+  test("positional deletion vectors (SQL): non-key DELETE is a metadata commit — file list unchanged, filtered/aggregate reads masked, UPDATE never resurrects, key routing intact, partitioned + renamed chains") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_pdvsql").toString
+    val dir = root + "/t"
+    spark.conf.set("spark.sql.catalog.graft_pp", "graft.sql.VersionedCatalog")
+    def mkDf(from: Long, until: Long, parts: Int) =
+      spark.range(from, until).select($"id", ($"id" % 10).cast("double").as("price"))
+        .repartitionByRange(parts, $"id")
+    Versioned.writeVersion(mkDf(0, 100, 4), dir)
+    Versioned.writeVersion(mkDf(100, 200, 2), dir, SaveMode.Append)
+    val before = Versioned.planDataFiles(spark, dir, 1, Seq.empty).toSet
+    // ROUTING: a range+multi-column predicate takes the positional
+    // metadata path — no file rewritten, one dv line committed
+    spark.sql(s"DELETE FROM graft_pp.`$dir` WHERE price < 3.0 AND id >= 50")
+    val v = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.planDataFiles(spark, dir, v, Seq.empty).toSet == before,
+      "non-key DELETE must be a metadata commit")
+    val want = (0L until 200L).filterNot(i => (i % 10) < 3 && i >= 50).toSet
+    assert(spark.sql(s"SELECT id FROM graft_pp.`$dir`").as[Long].collect().toSet == want)
+    // the mask composes with pushdown shapes: filtered read, aggregate
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pp.`$dir` WHERE id >= 50")
+      .as[Long].head() == want.count(_ >= 50))
+    assert(spark.sql(
+        s"SELECT sum(price) AS s FROM graft_pp.`$dir` WHERE id >= 190")
+      .as[Double].head() == (190L until 200L).filter(want).map(_ % 10).sum.toDouble)
+    // travel: the pre-delete version serves every row
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pp.`$dir` VERSION AS OF 1")
+      .as[Long].head() == 200)
+    // UPDATE (copy-on-write) against the masked table: the candidate
+    // scan applies the positions, so deleted rows never resurrect
+    spark.sql(s"UPDATE graft_pp.`$dir` SET price = 99.0 WHERE id = 55")
+    val got2 = spark.sql(s"SELECT id, price FROM graft_pp.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got2.keySet == want, s"UPDATE resurrected deleted rows: ${got2.keySet -- want}")
+    assert(got2(55L) == 99.0)
+    // KEY routing is untouched: a single-key DELETE lands a key mask
+    // (still no file change), both masks compose on the same read
+    val filesPreKey = Versioned.planDataFiles(spark, dir,
+      Versioned.latestVersion(spark, dir).get, Seq.empty).toSet
+    spark.sql(s"DELETE FROM graft_pp.`$dir` WHERE id = 42")
+    assert(Versioned.planDataFiles(spark, dir,
+      Versioned.latestVersion(spark, dir).get, Seq.empty).toSet == filesPreKey)
+    assert(spark.sql(s"SELECT id FROM graft_pp.`$dir`").as[Long].collect().toSet ==
+      want - 42L)
+    // PARTITIONED chain: the positional mask rides the hive layout
+    // (partition values re-attach after the row-index column)
+    val pdir = root + "/p"
+    spark.sql(s"CREATE TABLE graft_pp.`$pdir` (id BIGINT, price DOUBLE, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO graft_pp.`$pdir` " +
+      "SELECT id, CAST(id % 10 AS DOUBLE), CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END " +
+      "FROM range(100)")
+    val pFiles = Versioned.planDataFiles(spark, pdir,
+      Versioned.latestVersion(spark, pdir).get, Seq.empty).toSet
+    spark.sql(s"DELETE FROM graft_pp.`$pdir` WHERE price < 3.0 AND cat = 'a'")
+    assert(Versioned.planDataFiles(spark, pdir,
+      Versioned.latestVersion(spark, pdir).get, Seq.empty).toSet == pFiles)
+    val wantP = (0L until 100L).filterNot(i => (i % 10) < 3 && i % 2 == 0).toSet
+    assert(spark.sql(s"SELECT id FROM graft_pp.`$pdir`").as[Long].collect().toSet == wantP)
+    assert(spark.sql(s"SELECT id FROM graft_pp.`$pdir` WHERE cat = 'a'")
+      .as[Long].collect().toSet == wantP.filter(_ % 2 == 0))
+    // RENAMED column: the logical predicate resolves through the
+    // mapping on the way in, the masked read serves logical names
+    val rdir = root + "/r"
+    Versioned.writeVersion(mkDf(0, 50, 2), rdir)
+    spark.sql(s"ALTER TABLE graft_pp.`$rdir` RENAME COLUMN price TO cost")
+    spark.sql(s"DELETE FROM graft_pp.`$rdir` WHERE cost < 3.0 AND id >= 20")
+    val wantR = (0L until 50L).filterNot(i => (i % 10) < 3 && i >= 20).toSet
+    assert(spark.sql(s"SELECT id FROM graft_pp.`$rdir`").as[Long].collect().toSet == wantR)
+    assert(spark.sql(s"SELECT sum(cost) AS s FROM graft_pp.`$rdir`")
+      .as[Double].head() == wantR.toSeq.map(_ % 10).sum.toDouble)
   }
 
   test("named versioned tables: warehouse-rooted names — CREATE/INSERT/travel by name, SHOW TABLES/NAMESPACES, external LOCATION registration, DROP semantics, pointer rename") {

@@ -785,9 +785,19 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val got = spark.sql(s"SELECT price FROM graft_rlp.`$dir` WHERE id = 5").as[Double].head()
     assert(got == 0.0)
-    // a range predicate prunes to its covering file
+    // a range DELETE no longer plans a rewrite scan AT ALL: it routes
+    // to the positional deletion-vector commit (the candidate-file
+    // prune runs inside that command — one covering file scanned for
+    // positions — and the data-file list is untouched)
+    val vPre = Versioned.latestVersion(spark, dir).get
+    val filesPre = Versioned.planDataFiles(spark, dir, vPre, Seq.empty).toSet
     assert(rewriteScanFiles(
-      s"DELETE FROM graft_rlp.`$dir` WHERE id >= 300 AND price >= 350.0") == 1)
+      s"DELETE FROM graft_rlp.`$dir` WHERE id >= 300 AND price >= 350.0") == 0,
+      "a positional DELETE must not plan a copy-on-write rewrite scan")
+    val vPost = Versioned.latestVersion(spark, dir).get
+    assert(vPost == vPre + 1)
+    assert(Versioned.planDataFiles(spark, dir, vPost, Seq.empty).toSet == filesPre,
+      "a positional DELETE must leave the data-file list untouched")
     assert(spark.sql(s"SELECT count(*) AS c FROM graft_rlp.`$dir`").as[Long].head() == 350)
   }
 
