@@ -1924,6 +1924,47 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, status, price FROM graft_q166.`$tbl` ORDER BY o_orderkey")
     },
 
+    // STREAMING BY TABLE NAME (Delta's day-one streaming surface):
+    // `readStream.table("cat.db.t")` drains a NAMED versioned table
+    // and `writeStream.toTable("cat.db.t2")` CREATES and feeds one —
+    // resolution rides the V2TableWithV1Fallback seam onto the same
+    // admission-controlled source and exactly-once txn sink as
+    // format("graft"). The meter drains a first slice, appends to the
+    // source BY NAME, drains again (only the delta flows — the txn
+    // watermark proves batch dedup), and reads the sink back by name
+    "q167_stream_by_name" -> { (s, d) =>
+      import graft.ext.Versioned
+      val wh = scratchPath("nmstream_wh", d)
+      val ckpt = scratchPath("nmstream_ckpt", d)
+      new scala.reflect.io.Directory(new java.io.File(wh)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+      s.conf.set("spark.sql.catalog.graft_q167", "graft.sql.VersionedCatalog")
+      s.conf.set("spark.sql.catalog.graft_q167.warehouse", wh)
+      s.sql("CREATE TABLE graft_q167.db.src (o_orderkey BIGINT, price DOUBLE)")
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey", "ROUND(o_totalprice, 2) AS price")
+        .createOrReplaceTempView("orders_q167")
+      s.sql("INSERT INTO graft_q167.db.src " +
+        "SELECT * FROM orders_q167 WHERE o_orderkey % 2 = 0")
+      def drain(): Unit = {
+        val q = s.readStream.table("graft_q167.db.src")
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_q167.db.dst")
+        q.awaitTermination(300000)
+        ()
+      }
+      drain() // creates dst under the warehouse, sinks the snapshot
+      s.sql("INSERT INTO graft_q167.db.src " +
+        "SELECT * FROM orders_q167 WHERE o_orderkey % 2 = 1")
+      drain() // restart from the same checkpoint: only the delta flows
+      assert(Versioned.lastCommittedBatch(s, s"$wh/db/dst", ckpt).exists(_ >= 1L),
+        "the sink must carry the checkpoint-keyed txn watermark")
+      s.sql("SELECT o_orderkey, price FROM graft_q167.db.dst ORDER BY o_orderkey")
+    },
+
     // MAINTENANCE UNDER A LIVE STREAM (Delta's dataChange=false
     // contract): a compaction mid-stream is a flagged REARRANGEMENT —
     // the running feed skips it (nothing re-served, nothing fatal)
@@ -4802,6 +4843,13 @@ object SparkEntry {
     // eight SQL-INSERT slices auto-coalesce under the table property —
     // compaction preserves every row, the table IS orders re-projected
     "q165_tblproperties" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // drained by name in two slices through the named source and the
+    // txn sink — the sunk table IS orders re-projected
+    "q167_stream_by_name" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,

@@ -280,7 +280,29 @@ class VersionedCatalog extends TableCatalog with StagingTableCatalog
     if (Versioned.versions(spark, dir).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    VersionedTableLoader.tableForPath(spark, dir, version, catName)
+    val t = VersionedTableLoader.tableForPath(spark, dir, version, catName)
+    // stamp the user-addressed identifier on the streaming fallback:
+    // the engine's post-batch refreshTable RESOLVES the fallback
+    // CatalogTable's identifier through the session, so it must be the
+    // real name, not a display synthetic (which ResolveSQLOnFile would
+    // even read as a direct file query when it collides with a
+    // datasource short name)
+    t match {
+      case f: GraftV1StreamFallback =>
+        val tid = ident.namespace() match {
+          case Array()   => // path-addressed: `cat`.`/abs/path`
+            org.apache.spark.sql.catalyst.TableIdentifier(ident.name(), Some(catName))
+          case Array(db) =>
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              ident.name(), Some(db), Some(catName))
+          case deeper    => // best effort; streams prefer 1-level namespaces
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              ident.name(), Some(deeper.mkString(".")), Some(catName))
+        }
+        f.withStreamIdent(tid)
+      case _ => ()
+    }
+    t
   }
 
   /** `CALL <catalog>.system.<proc>(…)` — the SQL maintenance surface
@@ -965,6 +987,56 @@ private[sql] trait VersionedDeletes extends org.apache.spark.sql.connector.catal
     }
 }
 
+/** STREAMING BY TABLE NAME — `spark.readStream.table("cat.db.t")` /
+  * `df.writeStream.toTable("cat.db.t")`, Delta's day-one streaming
+  * surface. The serving tables report batch capabilities only, so
+  * Spark's resolution consults this [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+  * seam: the analyzer (RelationResolution) wraps the returned
+  * CatalogTable as a streaming UnresolvedCatalogRelation, which
+  * FindDataSourceTable turns into a V1 StreamingRelation over the
+  * recorded `provider` ("graft") with `path` from the storage
+  * location — landing on the SAME
+  * [[VersionedStreamProvider]] source/sink (admission control,
+  * per-version-delta offsets, exactly-once txn sink) the
+  * `format("graft")` surface serves. DataStreamWriter.toTable routes
+  * the sink through the identical fallback. One caveat, documented:
+  * per-stream READER options (maxFilesPerTrigger, startingVersion,
+  * readChangeFeed) do not traverse the by-name fallback — Spark
+  * builds the fallback relation from the CatalogTable alone — so an
+  * option-bearing stream uses `format("graft").load(dir)`; the
+  * by-name surface is the zero-option common case. */
+private[sql] trait GraftV1StreamFallback
+    extends org.apache.spark.sql.GraftSqlShims.V2TableWithV1Fallback {
+  protected def vdSpark: SparkSession
+  protected def vdDir: String
+  protected def vdSchema: StructType
+
+  /** The user-addressed identifier, stamped by the catalog's load —
+    * the engine RESOLVES this identifier after every sink batch
+    * (refreshTable), so it must be the real catalog name. The
+    * synthetic fallback only serves loads that bypassed a catalog
+    * (never consulted for streaming there). */
+  @volatile private var streamIdent
+      : Option[org.apache.spark.sql.catalyst.TableIdentifier] = None
+  private[sql] def withStreamIdent(
+      id: org.apache.spark.sql.catalyst.TableIdentifier): Unit =
+    streamIdent = Some(id)
+
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val displayName = vdDir.substring(vdDir.lastIndexOf('/') + 1)
+    CatalogTable(
+      identifier = streamIdent.getOrElse(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          displayName, Some("graft_v1"))),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(vdDir).toUri)),
+      schema = vdSchema,
+      provider = Some("graft"))
+  }
+}
+
 /** Reports the version's enforced CHECK constraints through DSv2
   * `Table.constraints()` — Spark's own `ResolveTableConstraints` then
   * injects plan-side enforcement into every SQL write against the
@@ -1349,7 +1421,8 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
                                              partCols: Seq[String],
                                              colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps with ReportsCheckConstraints {
+    with VersionedRowOps with ReportsCheckConstraints
+    with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
@@ -1478,7 +1551,8 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  fullSchema: StructType,
                                  colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps with ReportsCheckConstraints {
+    with VersionedRowOps with ReportsCheckConstraints
+    with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
@@ -1872,7 +1946,8 @@ private[sql] class VersionedWriteBuilder(spark: SparkSession, dir: String,
 private[sql] class LegacyVersionedTable(inner: Table with SupportsRead,
                                         spark: SparkSession, dir: String, v: Int)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps with ReportsCheckConstraints {
+    with VersionedRowOps with ReportsCheckConstraints
+    with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
@@ -1980,7 +2055,8 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  // identical in logical and physical space
                                  posDvs: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
-    with VersionedRowOps with ReportsCheckConstraints {
+    with VersionedRowOps with ReportsCheckConstraints
+    with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
   override protected def vdDir: String = dir
