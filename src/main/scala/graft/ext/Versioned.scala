@@ -294,6 +294,31 @@ object Versioned {
     * manifests are protocol-1 shaped and read unchanged). */
   private[ext] val SupportedProtocol = 1
 
+  /** A PROTOCOL FEATURE declaration (`feature:<name>:required|optional`)
+    * — Delta's reader/writer table-feature role: independent format
+    * features gate independently instead of forcing a linear protocol
+    * bump. A reader meeting a REQUIRED feature it does not support
+    * refuses NAMING it (misreading committed state is never an
+    * option); an unsupported OPTIONAL feature is carried verbatim and
+    * ignored (it declares something a reader may exploit, never
+    * something it must understand). Features are stamped by the first
+    * commit that uses them (positional deletion vectors stamp `pdv`),
+    * ride appends and file rewrites with the lines they gate, and
+    * retire through the explicit [[dropTableFeature]] — which refuses
+    * while the feature is still in use. An OVERWRITE resets them
+    * together with the gated lines themselves: manifests here are
+    * FULL self-describing state, so unlike Delta's shared log a
+    * post-overwrite manifest genuinely contains nothing the feature
+    * gates, while time travel to gated versions re-reads their own
+    * declarations. Readers from builds predating this line type
+    * refuse it through the strict unknown-line gate, so the clean
+    * upgrade-required message still reaches them. */
+  private[ext] final case class FeatureEntry(name: String,
+                                             required: Boolean) extends Line
+
+  /** The protocol features this build understands. */
+  private[ext] val SupportedFeatures: Set[String] = Set("pdv")
+
   /** The IN-COMMIT timestamp (`ts:<epochMillis>`) — Delta's
     * inCommitTimestamps role. `TIMESTAMP AS OF` resolved by file
     * MODIFICATION time breaks the moment the log leaves one
@@ -497,6 +522,20 @@ object Versioned {
       val n = line.drop(4)
       require(n.nonEmpty, s"malformed positional deletion-vector manifest line: $line")
       PdvEntry(n)
+    } else if (line.startsWith("feature:")) {
+      val parts = line.drop(8).split(":", 2)
+      require(parts.length == 2 && parts(0).nonEmpty &&
+        (parts(1) == "required" || parts(1) == "optional"),
+        s"malformed protocol-feature manifest line: $line")
+      val required = parts(1) == "required"
+      if (required && !SupportedFeatures.contains(parts(0)))
+        throw new IllegalStateException(
+          s"this table requires the manifest protocol feature '${parts(0)}', which " +
+            s"this reader does not support (has: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
+            "— upgrade the engine before reading (refusing is the contract: " +
+            "misparsing state written under an unknown required feature risks " +
+            "silently wrong results)")
+      FeatureEntry(parts(0), required)
     } else if (line.matches("[A-Za-z][A-Za-z0-9_.-]*:.*")) {
       // STRICT fallthrough: a word-shaped `<kind>:` prefix this reader
       // does not know is a FUTURE line type, never a data dir — data
@@ -648,6 +687,8 @@ object Versioned {
         case p: PropEntry      => acc.filterNot {
           case e: PropEntry => e.key.equalsIgnoreCase(p.key); case _ => false } :+ p
         case p: ProtocolEntry  => p +: acc.filterNot(_.isInstanceOf[ProtocolEntry])
+        case f: FeatureEntry   => acc.filterNot {
+          case e: FeatureEntry => e.name.equalsIgnoreCase(f.name); case _ => false } :+ f
         case cm: ColMapEntry   => acc.filterNot(_.isInstanceOf[ColMapEntry]) :+ cm
         case bc: BloomColEntry => acc.filterNot {
           case e: BloomColEntry => e.col.equalsIgnoreCase(bc.col); case _ => false } :+ bc
@@ -696,6 +737,9 @@ object Versioned {
       } else if (op.startsWith("-prop:")) {
         val k = op.drop(6)
         acc.filterNot { case PropEntry(e, _) => e.equalsIgnoreCase(k); case _ => false }
+      } else if (op.startsWith("-feature:")) {
+        val n = op.drop(9)
+        acc.filterNot { case FeatureEntry(e, _) => e.equalsIgnoreCase(n); case _ => false }
       } else if (op.startsWith("-notnull:")) {
         val c = op.drop(9)
         acc.filterNot { case NotNullEntry(e) => e.equalsIgnoreCase(c); case _ => false }
@@ -1023,6 +1067,7 @@ object Versioned {
     case DvEntry(k, n)     => s"dv:$k:$n"
     case ScopedDvEntry(k, n, sc) => s"dvs:$k:$n:${sc.mkString(",")}"
     case PdvEntry(n)       => s"pdv:$n"
+    case FeatureEntry(n, req) => s"feature:$n:${if (req) "required" else "optional"}"
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
@@ -3782,9 +3827,51 @@ object Versioned {
           "(SELECT * FROM t WHERE NOT (predicate))")
     }
     val pdv: Line = PdvEntry(dvDir)
-    commitChild(spark, dir, v, prev, ls :+ pdv, Seq(addOp(pdv)), protocol)
+    // the first positional delete on a chain STAMPS the protocol
+    // feature — readers without pdv support then refuse by NAME
+    // instead of by raw unknown-line fallthrough
+    val feat: Seq[Line] =
+      if (ls.exists { case FeatureEntry(n, _) => n.equalsIgnoreCase("pdv")
+                      case _ => false }) Seq.empty
+      else Seq(FeatureEntry("pdv", required = true))
+    commitChild(spark, dir, v, prev, (ls ++ feat) :+ pdv,
+      feat.map(addOp) :+ addOp(pdv), protocol)
     Some(v)
   }
+
+  /** The protocol features version `v` declares, as (name, required). */
+  def tableFeatures(spark: SparkSession, dir: String, v: Int): Seq[(String, Boolean)] =
+    lines(spark, dir, v).collect { case FeatureEntry(n, r) => (n, r) }
+
+  /** Delta `ALTER TABLE … DROP FEATURE`'s role: retire a protocol
+    * feature declaration so pre-feature readers can serve the table
+    * again. Refuses while the feature is STILL IN USE (a `pdv` drop
+    * with live positional dv lines would un-gate readers that would
+    * then silently serve deleted rows — apply the masks physically
+    * first: compact, or INSERT OVERWRITE the masked read). One
+    * metadata commit. Returns the committed version; None when the
+    * feature was never declared. */
+  def dropTableFeature(spark: SparkSession, dir: String, feature: String,
+                       protocol: CommitProtocol = PutIfAbsentCommit,
+                       maxAttempts: Int = 16): Option[Int] =
+    withCommitRetry(maxAttempts) { () =>
+      val prev = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $dir"))
+      val ls = lines(spark, dir, prev)
+      if (!ls.exists { case FeatureEntry(n, _) => n.equalsIgnoreCase(feature)
+                       case _ => false }) return None
+      if (feature.equalsIgnoreCase("pdv"))
+        require(!ls.exists(_.isInstanceOf[PdvEntry]),
+          s"cannot drop feature 'pdv' at $dir: positional deletion vectors are " +
+            "still live — apply them physically first (compact, or INSERT " +
+            "OVERWRITE the masked read), then drop the feature")
+      val v = prev + 1
+      commitChild(spark, dir, v, prev,
+        ls.filterNot { case FeatureEntry(n, _) => n.equalsIgnoreCase(feature)
+                       case _ => false },
+        Seq(s"-feature:$feature"), protocol)
+      Some(v)
+    }
 
   /** A delete-heavy table accumulates one dv dir per [[deleteByKeys]]
     * until the next overwrite applies the mask physically. This bounds

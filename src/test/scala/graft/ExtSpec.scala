@@ -4981,6 +4981,63 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxPositions")
   }
 
+  test("protocol feature flags: pdv deletes stamp feature:pdv:required; an unknown REQUIRED feature refuses naming it; unknown OPTIONAL carries and is ignored; DROP FEATURE refuses while in use") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_feat").toString + "/t"
+    Versioned.writeVersion(spark.range(0, 20)
+      .select($"id", ($"id" % 10).cast("double").as("price")), dir)
+    // the first positional delete stamps the feature; reads by THIS
+    // build keep working (it supports pdv)
+    val v1 = Versioned.deleteWhere(spark, dir, "price < 3.0 AND id >= 5").get
+    assert(Versioned.tableFeatures(spark, dir, v1) == Seq(("pdv", true)))
+    assert(Versioned.tableFeatures(spark, dir, 0).isEmpty,
+      "features are versioned: the pre-delete manifest declares nothing")
+    // a second pdv delete does NOT re-stamp
+    Versioned.deleteWhere(spark, dir, "id = 19")
+    assert(Versioned.tableFeatures(spark, dir,
+      Versioned.latestVersion(spark, dir).get).count(_._1 == "pdv") == 1)
+    // the feature rides appends with the masks it gates
+    Versioned.writeVersion(Seq((100L, 0.0)).toDF("id", "price"), dir, SaveMode.Append)
+    assert(Versioned.tableFeatures(spark, dir,
+      Versioned.latestVersion(spark, dir).get) == Seq(("pdv", true)))
+    // DROP FEATURE refuses while positional masks are live…
+    val eIn = intercept[IllegalArgumentException] {
+      Versioned.dropTableFeature(spark, dir, "pdv") }
+    assert(eIn.getMessage.contains("still live"), eIn.getMessage)
+    // …succeeds after the masks apply physically, as one commit
+    graft.ext.Maintenance.compact(spark, dir,
+      targetFileBytes = Long.MaxValue,
+      store = new graft.ext.ManifestStore(graft.ext.PutIfAbsentCommit))
+    assert(Versioned.dropTableFeature(spark, dir, "pdv").nonEmpty)
+    assert(Versioned.tableFeatures(spark, dir,
+      Versioned.latestVersion(spark, dir).get).isEmpty)
+    assert(Versioned.dropTableFeature(spark, dir, "pdv").isEmpty, "idempotent")
+    // an unknown REQUIRED feature refuses BY NAME; optional is ignored.
+    // A FUTURE writer's manifests are emulated as full line sets: the
+    // live data dirs plus the new declaration (no schema line — the
+    // mergeSchema fallback serves)
+    val v = Versioned.latestVersion(spark, dir).get
+    val dirNames = Versioned.versionInfo(spark, dir, v).dataDirs
+      .map(d => d.substring(d.lastIndexOf('/') + 1))
+    Versioned.commitManifest(spark, dir, v + 1,
+      dirNames :+ "feature:quantum_masks:required")
+    val eReq = intercept[IllegalStateException] {
+      Versioned.readVersion(spark, dir, v + 1).count() }
+    assert(eReq.getMessage.contains("quantum_masks") &&
+      eReq.getMessage.contains("upgrade"), eReq.getMessage)
+    // …and the PREVIOUS version still reads (gating is per manifest)
+    assert(Versioned.readVersion(spark, dir, v).count() ==
+      20 - 3 - 1 + 1) // ids 10,11,12 then 19 deleted (applied physically), one append
+    Versioned.commitManifest(spark, dir, v + 2,
+      dirNames :+ "feature:hints_v2:optional")
+    assert(Versioned.readVersion(spark, dir, v + 2).count() ==
+      Versioned.readVersion(spark, dir, v).count(),
+      "an unsupported OPTIONAL feature must be ignored")
+    assert(Versioned.tableFeatures(spark, dir, v + 2) == Seq(("hints_v2", false)),
+      "the optional declaration itself carries verbatim")
+  }
+
   test("positional deletion vectors (SQL): non-key DELETE is a metadata commit — file list unchanged, filtered/aggregate reads masked, UPDATE never resurrects, key routing intact, partitioned + renamed chains") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
