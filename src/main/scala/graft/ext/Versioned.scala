@@ -640,13 +640,66 @@ object Versioned {
   private def checkpointPath(dir: String, v: Int) =
     new Path(dir, f"$VDIR/$v%08d.checkpoint")
 
+  /** Bytes above which [[writeCheckpoint]] SPILLS heavy inline
+    * payloads into the content-addressed stats/bloom sidecars
+    * (`spark.graft.checkpoint.spillBytes`, default 4 MiB). The
+    * checkpoint is the one metadata blob re-written every
+    * checkpointInterval commits and re-parsed per JVM; per-dir
+    * sidecars are immutable and cached ACROSS checkpoints, so
+    * spilling bounds the recurring cost to O(dirs) lines + O(changed
+    * dirs) sidecar reads — Delta's json-log + parquet-checkpoint
+    * split, expressed in this store's sidecar idiom. */
+  private def checkpointSpillBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.checkpoint.spillBytes")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+
   /** Materialize a version's resolved state as its checkpoint sidecar.
     * Derived data, so losing the put-if-absent race just means another
-    * writer checkpointed the same (immutable) content first. */
+    * writer checkpointed the same (immutable) content first.
+    *
+    * A checkpoint over [[checkpointSpillBytes]] spills its LARGEST
+    * inline stats/bloom payloads to sidecar files until it fits —
+    * largest-first, not wholesale, so a long tail of small dirs stays
+    * inline instead of becoming thousands of tiny sidecar files. The
+    * per-dir thresholds already externalize big single commits at
+    * write time; this seam catches the accumulation case (many small
+    * dirs whose inline lines are individually cheap but collectively
+    * tens of MB re-rendered every checkpoint). */
   private def writeCheckpoint(spark: SparkSession, dir: String, v: Int,
                               fullLines: Seq[Line], protocol: CommitProtocol): Unit = {
     val (fs, _) = fsFor(spark, dir)
-    val bytes = (fullLines.map(renderLine).mkString("\n") + "\n").getBytes("UTF-8")
+    def render(ls: Seq[Line]) =
+      (ls.map(renderLine).mkString("\n") + "\n").getBytes("UTF-8")
+    val budget = checkpointSpillBytes(spark)
+    var out = fullLines
+    var bytes = render(out)
+    if (bytes.length > budget) {
+      val sized = out.map(l => renderLine(l).length + 1L)
+      val spillable = out.zipWithIndex.collect {
+        case (s: StatsEntry, i) if s.sidecar.isEmpty && s.files.nonEmpty => (i, sized(i))
+        case (b: BloomEntry, i) if b.sidecar.isEmpty && b.files.nonEmpty => (i, sized(i))
+      }.sortBy(-_._2)
+      var total = sized.sum
+      val spill = scala.collection.mutable.Set[Int]()
+      val it = spillable.iterator
+      while (total > budget && it.hasNext) {
+        val (i, sz) = it.next()
+        spill += i
+        total -= math.max(0L, sz - 120L) // a ref line replaces the payload
+      }
+      if (spill.nonEmpty) {
+        val arr = out.toArray
+        spill.foreach { i =>
+          arr(i) = arr(i) match {
+            case s: StatsEntry => externalizeStats(spark, dir, Seq(s), force = true).head
+            case b: BloomEntry => externalizeBlooms(spark, dir, Seq(b), force = true).head
+            case other         => other
+          }
+        }
+        out = arr.toSeq
+        bytes = render(out)
+      }
+    }
     protocol.putIfAbsent(fs, checkpointPath(dir, v), bytes)
     ()
   }
@@ -925,14 +978,15 @@ object Versioned {
     * COMPLETE, and losing a same-name race is benign (same hash =
     * same bytes). */
   private def externalizeBlooms(spark: SparkSession, dir: String,
-                                entries: Seq[Line]): Seq[Line] = {
+                                entries: Seq[Line],
+                                force: Boolean = false): Seq[Line] = {
     lazy val minBytes = bloomSidecarMinBytes(spark)
     entries.map {
       case b @ BloomEntry(_, _, files, None) if files.nonEmpty =>
         val payload = files.iterator.map { case (f, bits) =>
           f.length + 2L + 4L * ((bits.length + 2) / 3)
         }.sum
-        if (payload < minBytes) b
+        if (!force && payload < minBytes) b
         else {
           val body = (files.toSeq.sortBy(_._1)
             .map { case (f, bb) => s"$f=${Bloom.toBase64(bb)}" }.mkString("\n") + "\n")
@@ -1033,12 +1087,13 @@ object Versioned {
     * so the content-addressed name only ever appears COMPLETE; losing
     * a same-name race is benign (same hash = same bytes). */
   private def externalizeStats(spark: SparkSession, dir: String,
-                               entries: Seq[Line]): Seq[Line] = {
+                               entries: Seq[Line],
+                               force: Boolean = false): Seq[Line] = {
     lazy val minBytes = statsSidecarMinBytes(spark)
     entries.map {
       case s @ StatsEntry(_, rows, cols, files, None) if files.nonEmpty =>
         val json = StatsJson.render(rows, cols, files)
-        if (json.length < minBytes) s
+        if (!force && json.length < minBytes) s
         else {
           val body = (json + "\n").getBytes("UTF-8")
           val hash = java.security.MessageDigest.getInstance("SHA-256")

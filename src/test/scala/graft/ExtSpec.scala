@@ -4981,6 +4981,49 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxPositions")
   }
 
+  test("checkpoint spill: an over-budget checkpoint externalizes its largest inline stats to sidecars — blob bytes bounded, reads/skipping/travel exact, prune's boundary materialization intact") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckspill").toString + "/t"
+    val budget = 4096L
+    spark.conf.set("spark.graft.checkpoint.spillBytes", budget.toString)
+    try {
+      // 11 commits whose stats lines GROW with i (longer string
+      // bounds), so the v10 checkpoint exceeds the budget and the
+      // largest-first spill has a genuine small tail to keep inline
+      def slice(i: Int) = spark.range(i * 10, i * 10 + 10)
+        .select($"id", concat(lit("v" * (5 + i * 20) + "_"), $"id".cast("string")).as("tag"))
+        .coalesce(1)
+      Versioned.writeVersion(slice(0), dir)
+      (1 to 10).foreach(i => Versioned.writeVersion(slice(i), dir, SaveMode.Append))
+      val ckFile = new java.io.File(s"$dir/_versions/00000010.checkpoint")
+      assert(ckFile.exists, "v10 is checkpoint-due (default interval 10)")
+      assert(ckFile.length <= budget,
+        s"the spilled checkpoint must fit the byte budget, got ${ckFile.length}")
+      val ckText = {
+        val src = scala.io.Source.fromFile(ckFile, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      assert(ckText.contains("statsref:"),
+        "heavy inline stats must have moved to content-addressed sidecars")
+      assert(ckText.contains("stats:"),
+        "largest-first spill keeps the small tail inline, never wholesale")
+      // reads, skipping and travel serve EXACTLY through the refs
+      assert(Versioned.readLatest(spark, dir).count() == 110)
+      assert(Versioned.readVersion(spark, dir, 4).count() == 50)
+      import org.apache.spark.sql.sources.EqualTo
+      assert(Versioned.planDataFiles(spark, dir, 10, Seq(EqualTo("id", 55L))).size == 1,
+        "per-file skipping stays exact through the spilled refs")
+      // prune: the boundary materialization writes ITS checkpoint
+      // under the same budget, and the reclaim pass must keep every
+      // sidecar a surviving CHECKPOINT references
+      Versioned.pruneVersions(spark, dir, keepLast = 3, orphanMinAgeMs = 0L)
+      assert(Versioned.readLatest(spark, dir).count() == 110)
+      assert(Versioned.readVersion(spark, dir, 8).count() == 90)
+      assert(Versioned.planDataFiles(spark, dir, 10, Seq(EqualTo("id", 55L))).size == 1)
+    } finally spark.conf.unset("spark.graft.checkpoint.spillBytes")
+  }
+
   test("protocol feature flags: pdv deletes stamp feature:pdv:required; an unknown REQUIRED feature refuses naming it; unknown OPTIONAL carries and is ignored; DROP FEATURE refuses while in use") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
