@@ -418,6 +418,64 @@ object Maintenance {
     }
   }
 
+  /** INCREMENTAL OPTIMIZE/Z-ORDER (Delta's clustering cadence): Morton-
+    * cluster ONLY the data dirs appended since the last rearrangement.
+    * A whole-table Z-order is O(table) per run — at 100 TB the only
+    * affordable cadence is "cluster the increment": dirs a previous
+    * OPTIMIZE produced (dataChange=false commits) are the CLUSTERED
+    * BASE and carry VERBATIM (same names, same stats lines, zero IO);
+    * the unclustered increment — appends since, plus any CoW
+    * replacement dirs — rewrites range-clustered among itself and
+    * commits file-granularly with the rearrange flag, so running
+    * streams skip it and concurrent appends commute. Per-file bounds
+    * stay tight per clustered batch, which is what the manifest's
+    * per-file pruning consumes — global ordering across batches is
+    * deliberately NOT re-established every run (that is the full
+    * [[zorderVersionedCols]], amortized to rare).
+    *
+    * Flat chains (a partitioned chain's affordable scope is a
+    * partition: [[zorderVersionedWhere]]). Returns
+    * (filesRewritten, bytesRewritten, version); None when everything
+    * live is already clustered base. */
+  def zorderVersionedIncremental(spark: SparkSession, dir: String, zCols: Seq[String],
+                                 nFiles: Int = 0, bits: Int = 16,
+                                 protocol: CommitProtocol = PutIfAbsentCommit)
+      : Option[(Int, Long, Int)] = {
+    val v = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val info = Versioned.versionInfo(spark, dir, v)
+    require(info.partitionCols.isEmpty,
+      s"$dir is partitioned — incremental OPTIMIZE scopes by partition there: " +
+        "zorderVersionedWhere/compactVersionedWhere")
+    val victims = Versioned.unclusteredLiveFiles(spark, dir, v)
+    if (victims.valuesIterator.forall(_.isEmpty)) return None
+    val selectedBytes = Versioned.fileBytesOf(spark, dir, v, victims)
+    val nOut =
+      if (nFiles > 0) nFiles
+      else math.max(1, math.ceil(selectedBytes / (128.0 * 1024 * 1024)).toInt)
+    def nameOf(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
+    val dvSnapshot = info.dvDirs.flatMap { case (k, ds) => ds.map(d => (k, nameOf(d))) } ++
+      info.scopedDvs.map { case (k, d, _) => (k, nameOf(d)) } ++
+      info.posDvs.map(d => (Versioned.PdvSnapshotKey, nameOf(d)))
+    val staged = Versioned.stageDataDir(spark, dir)
+    val stagedPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), staged)
+    // the masked subset read serves LOGICAL names; the staged
+    // replacement lands physical-named beside the chain's files,
+    // clustered among ITSELF (this increment's rows only)
+    Versioned.toPhysical(
+        Versioned.readVersionFiles(spark, dir, v, victims)
+          .withColumn("__zkey", zKeyN(zCols.map(col), bits))
+          .repartitionByRange(nOut, col("__zkey"))
+          .sortWithinPartitions("__zkey")
+          .drop("__zkey"),
+        Versioned.columnMapping(spark, dir, v))
+      .write.mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+    Versioned.commitFileRewrite(spark, dir, victims, Some(staged), Seq.empty,
+      dvSnapshot, protocol, dataChange = false)
+      .map(cv => (victims.valuesIterator.map(_.size).sum, selectedBytes, cv))
+  }
+
   /** Delta `OPTIMIZE tbl WHERE part = … ZORDER BY (colA, colB)` —
     * PARTITION-SCOPED z-order for a partitioned versioned chain. The
     * `where` predicate (partition columns only, evaluated EXACTLY per

@@ -2970,6 +2970,37 @@ object Versioned {
     }
   }
 
+  /** Version `v`'s live files restricted to dirs that are NOT part of
+    * the clustered base — the selection seam of an INCREMENTAL
+    * OPTIMIZE. A dir belongs to the clustered base iff the commit
+    * that ADDED it was a content-preserving rearrangement
+    * (dataChange=false: a previous OPTIMIZE/Z-order/compaction
+    * produced it); everything else — plain appends, CoW replacement
+    * dirs — is the increment a cadenced OPTIMIZE rewrites. Dir
+    * lineage is read from the retained manifest chain only; a dir
+    * whose adding commit was pruned away classifies conservatively as
+    * unclustered (re-clustering preserved content is wasted work,
+    * never wrong work). Returns dirName → file names; empty when the
+    * whole table is clustered base. */
+  private[graft] def unclusteredLiveFiles(spark: SparkSession, dir: String, v: Int)
+      : Map[String, Set[String]] = {
+    val ls = lines(spark, dir, v)
+    val stats = ls.collect { case e: StatsEntry => e.name -> e }.toMap
+    val liveDirs = ls.collect { case DataEntry(n) => n }
+    require(liveDirs.forall(n => stats.get(n).exists(_.files.nonEmpty)),
+      s"incremental OPTIMIZE at $dir needs manifest file lists for every data dir — " +
+        "run backfillStats to upgrade pre-file-list manifests")
+    val avail = versions(spark, dir).filter(_ <= v).toSet
+    val clustered = avail.iterator
+      .filter(w => w > 0 && avail.contains(w - 1) && isRearrange(spark, dir, w))
+      .flatMap { w =>
+        val prev = lines(spark, dir, w - 1).collect { case DataEntry(n) => n }.toSet
+        lines(spark, dir, w).collect { case DataEntry(n) => n }.filterNot(prev)
+      }.toSet
+    liveDirs.filterNot(clustered)
+      .map(d => d -> stats(d).files.map(_.name).toSet).toMap
+  }
+
   /** [[dirAdmission]] restricted to version `v`'s ADDED dirs — the
     * admission weights of one version's delta. */
   private[graft] def dirAdmissionDelta(spark: SparkSession, dir: String, v: Int)

@@ -4981,6 +4981,52 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxPositions")
   }
 
+  test("incremental OPTIMIZE: only dirs appended since the last rearrange rewrite; the clustered base carries verbatim; pruning tight per batch; streams see a rearrange; converges to a no-op") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.ext.{Maintenance, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("graft_inczorder").toString + "/t"
+    def slice(from: Long, until: Long, parts: Int) =
+      spark.range(from, until)
+        .select($"id".as("a"), (($"id" * 7919) % 1000).as("b"))
+        .repartition(parts)
+    Versioned.writeVersion(slice(0, 4000, 4), dir)
+    Versioned.writeVersion(slice(4000, 8000, 4), dir, SaveMode.Append)
+    // FULL optimize establishes the clustered base (a rearrange commit)
+    Maintenance.zorderVersionedCols(spark, dir, Seq("a", "b"), nFiles = 8)
+    val vBase = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.isRearrange(spark, dir, vBase))
+    val baseFiles = Versioned.planDataFiles(spark, dir, vBase, Seq.empty).toSet
+    // nothing unclustered right after: the incremental call is a no-op
+    assert(Maintenance.zorderVersionedIncremental(spark, dir, Seq("a", "b")).isEmpty)
+    // two appends form the increment
+    Versioned.writeVersion(slice(8000, 8500, 2), dir, SaveMode.Append)
+    Versioned.writeVersion(slice(8500, 9000, 2), dir, SaveMode.Append)
+    val vApp = Versioned.latestVersion(spark, dir).get
+    val appendedBytes = Versioned.fileBytesOf(spark, dir, vApp,
+      Versioned.unclusteredLiveFiles(spark, dir, vApp))
+    val (nRewritten, bytesRewritten, vInc) =
+      Maintenance.zorderVersionedIncremental(spark, dir, Seq("a", "b"), nFiles = 2).get
+    // the rewrite touched EXACTLY the appended files' bytes — the
+    // 8-file clustered base carried verbatim by name
+    assert(nRewritten == 4 && bytesRewritten == appendedBytes,
+      s"rewrote $nRewritten files / $bytesRewritten bytes; appended $appendedBytes")
+    val after = Versioned.planDataFiles(spark, dir, vInc, Seq.empty).toSet
+    assert(baseFiles.subsetOf(after),
+      "the clustered base must carry verbatim through an incremental OPTIMIZE")
+    assert((after -- baseFiles).size == 2, s"increment re-landed as 2 files: $after")
+    // content preserved; the commit is a rearrange streams skip
+    assert(Versioned.isRearrange(spark, dir, vInc))
+    assert(Versioned.readLatest(spark, dir).count() == 9000)
+    assert(Versioned.readVersion(spark, dir, vApp).count() == 9000)
+    // per-file pruning is tight inside BOTH clustered batches: a point
+    // predicate keeps few files of the 10
+    val kept = Versioned.planDataFiles(spark, dir, vInc, Seq(EqualTo("a", 8600L)))
+    assert(kept.size <= 2, s"expected a pruned point lookup, kept $kept")
+    // and the cadence converges: a second incremental run is a no-op
+    assert(Maintenance.zorderVersionedIncremental(spark, dir, Seq("a", "b")).isEmpty)
+  }
+
   test("checkpoint spill: an over-budget checkpoint externalizes its largest inline stats to sidecars — blob bytes bounded, reads/skipping/travel exact, prune's boundary materialization intact") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
