@@ -4845,11 +4845,106 @@ object Versioned {
   def changesBetween(spark: SparkSession, dir: String, vFrom: Int, vTo: Int,
                      keys: Seq[String]): DataFrame = {
     require(vFrom <= vTo, s"vFrom $vFrom must be <= vTo $vTo")
+    // KEYLESS form: a row-tracked table diffs on its stable row ids —
+    // Delta's row-tracking payoff. Both endpoints must carry the
+    // declaration (a span reaching before enablement has versions
+    // whose rows HAVE no ids; refuse with the remedy, never join on a
+    // null-backfilled key)
+    val effKeys =
+      if (keys.nonEmpty) keys
+      else {
+        def tracked(v: Int) =
+          lines(spark, dir, v).collectFirst { case SchemaEntry(s) => s }
+            .exists(s => identityColumnsOf(s).exists(_.col.equalsIgnoreCase(RowIdCol)))
+        require(tracked(vFrom) && tracked(vTo),
+          s"keyless changesBetween needs ROW TRACKING on both endpoints of the " +
+            s"span (v$vFrom, v$vTo) at $dir — enableRowTracking first, or pass " +
+            "key columns")
+        Seq(RowIdCol)
+      }
     // a feed RECORDED at vTo's commit for exactly this span and key
     // set serves directly — O(feed) instead of O(both versions)
-    recordedChanges(spark, dir, vFrom, vTo, keys)
+    recordedChanges(spark, dir, vFrom, vTo, effKeys)
       .getOrElse(diffFeedFrames(
-        readVersion(spark, dir, vFrom), readVersion(spark, dir, vTo), keys))
+        readVersion(spark, dir, vFrom), readVersion(spark, dir, vTo), effKeys))
+  }
+
+  /** The reserved ROW-TRACKING column: a BIGINT identity every
+    * row-tracked write assigns and every rewrite carries verbatim. */
+  val RowIdCol = "_row_id"
+
+  /** Delta ROW TRACKING's role: give every row a STABLE id —
+    * assigned at write, never repeated, carried VERBATIM through
+    * copy-on-write rewrites, compaction and Z-order (the rewrites
+    * move the rows WITH their columns, and the id is a column) — so
+    * [[changesBetween]] works KEYLESS and MERGE-style diffs stop
+    * paying the full-outer derive on user keys.
+    *
+    * Implementation is deliberately a composition of two existing
+    * contracts rather than new machinery: `_row_id` is declared a
+    * `GENERATED BY DEFAULT AS IDENTITY` BIGINT (the distributed
+    * assignment, gap-tolerant and never-repeating, with the
+    * high-water mark advanced in the same atomic commit), and the
+    * existing rows BACKFILL in one file-granular dataChange=false
+    * rewrite (served rows unchanged — pre-existing streams' frozen
+    * schemas ignore the new column). Unlike Delta's hidden metadata
+    * column the id is VISIBLE in the schema — the honest shape for a
+    * library (SELECT * shows it; writers may carry it through
+    * explicitly, e.g. a MERGE copying rows).
+    *
+    * Flat chains (a partitioned backfill would re-land the whole
+    * hive tree; scope partitioned adoption per partition first).
+    * Returns the backfill version (= the declaration version on an
+    * empty table). */
+  def enableRowTracking(spark: SparkSession, dir: String,
+                        protocol: CommitProtocol = PutIfAbsentCommit,
+                        maxAttempts: Int = 16): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, monotonically_increasing_id, col => fcol}
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $dir"))
+    val ls0 = lines(spark, dir, v0)
+    val schema0 = ls0.collectFirst { case SchemaEntry(s) => s }.getOrElse(
+      throw new IllegalArgumentException(
+        s"row tracking at $dir needs a recorded schema — commit once to record it"))
+    require(ls0.collectFirst { case PartitionEntry(cs) => cs }.forall(_.isEmpty),
+      s"$dir is partitioned — row tracking backfill is flat-chain only for now")
+    require(!schema0.fieldNames.exists(_.equalsIgnoreCase(RowIdCol)),
+      s"$dir already carries a '$RowIdCol' column — row tracking is enabled, or " +
+        "the name is taken")
+    // 1. declare: one metadata-only widen; appends from here assign
+    addColumns(spark, dir, Seq(org.apache.spark.sql.types.StructField(
+      RowIdCol, org.apache.spark.sql.types.LongType, nullable = true,
+      identityMetadata(org.apache.spark.sql.types.Metadata.empty,
+        start = 0L, step = 1L, allowExplicitInsert = true))), protocol)
+    // 2. backfill: every EXISTING row gets its id in one rearrange
+    withCommitRetry(maxAttempts) { () =>
+      val v = latestVersion(spark, dir).get
+      val victims = allLiveFilesMap(spark, dir, v)
+      if (victims.valuesIterator.forall(_.isEmpty)) v // empty table: declared is enabled
+      else {
+        val info = versionInfo(spark, dir, v)
+        def nameOf(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
+        val dvSnapshot =
+          info.dvDirs.flatMap { case (k, ds) => ds.map(d => (k, nameOf(d))) } ++
+            info.scopedDvs.map { case (k, d, _) => (k, nameOf(d)) } ++
+            info.posDvs.map(d => (PdvSnapshotKey, nameOf(d)))
+        val base = lines(spark, dir, v).collectFirst {
+          case HwmEntry(c, n) if c.equalsIgnoreCase(RowIdCol) => n }.getOrElse(0L)
+        val staged = stageDataDir(spark, dir)
+        val stagedPath = new Path(new Path(dir), staged)
+        toPhysical(
+            readVersionFiles(spark, dir, v, victims)
+              .withColumn(RowIdCol, coalesce(fcol(RowIdCol),
+                lit(base) + monotonically_increasing_id())),
+            columnMapping(spark, dir, v))
+          .write.mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+        // the rewrite commit advances the _row_id high-water mark from
+        // the staged footers' bounds — the same atomic-claim contract
+        // as every identity write
+        commitFileRewrite(spark, dir, victims, Some(staged), Seq.empty,
+          dvSnapshot, protocol, dataChange = false).getOrElse(v)
+      }
+    }
   }
 
   /** The recorded feed for (vFrom → vTo] over `keys`, if vTo's

@@ -4981,6 +4981,60 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxPositions")
   }
 
+  test("row tracking: stable _row_id assigned at write and backfill, survives compaction and UPDATE verbatim, keyless changesBetween equals the keyed derive") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowtrack").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_rt", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(spark.range(0, 50)
+      .select($"id".as("k"), concat(lit("v"), $"id".cast("string")).as("v"))
+      .repartition(2), dir)
+    Versioned.writeVersion(spark.range(50, 80)
+      .select($"id".as("k"), concat(lit("v"), $"id".cast("string")).as("v"))
+      .repartition(2), dir, SaveMode.Append)
+    // ENABLE: declaration + backfill; every existing row gets an id
+    Versioned.enableRowTracking(spark, dir)
+    def idsByKey() = Versioned.readLatest(spark, dir)
+      .select("k", Versioned.RowIdCol).as[(Long, Long)].collect().toMap
+    val ids0 = idsByKey()
+    assert(ids0.size == 80 && ids0.values.toSet.size == 80,
+      "backfilled ids must be assigned and distinct")
+    // appends CONTINUE above the mark — never repeating
+    Versioned.writeVersion(spark.range(80, 90)
+      .select($"id".as("k"), lit("x").as("v")), dir, SaveMode.Append)
+    val ids1 = idsByKey()
+    assert(ids1.size == 90 && ids1.values.toSet.size == 90)
+    assert(ids0.forall { case (k, rid) => ids1(k) == rid },
+      "appends must not disturb existing ids")
+    // ids SURVIVE compaction verbatim (they are columns; the rewrite
+    // moves rows with their columns)
+    graft.ext.Maintenance.compact(spark, dir, targetFileBytes = Long.MaxValue,
+      store = new graft.ext.ManifestStore(graft.ext.PutIfAbsentCommit))
+    assert(idsByKey() == ids1, "compaction must carry every id verbatim")
+    // …and a CoW UPDATE keeps the touched row's id
+    spark.sql(s"UPDATE graft_rt.`$dir` SET v = 'updated' WHERE k = 7")
+    val ids2 = idsByKey()
+    assert(ids2 == ids1, "UPDATE must preserve row ids")
+    // keyless CDF: delete one row, append one — the keyless diff
+    // classifies exactly like the keyed derive on the natural key
+    val vA = Versioned.latestVersion(spark, dir).get
+    spark.sql(s"DELETE FROM graft_rt.`$dir` WHERE k = 3")
+    Versioned.writeVersion(spark.range(90, 91)
+      .select($"id".as("k"), lit("y").as("v")), dir, SaveMode.Append)
+    val vB = Versioned.latestVersion(spark, dir).get
+    def classified(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "_change_type").as[(Long, String, String)]
+        .collect().toSet
+    val keyless = classified(Versioned.changesBetween(spark, dir, vA, vB, Seq.empty))
+    val keyed = classified(Versioned.changesBetween(spark, dir, vA, vB, Seq("k")))
+    assert(keyless == keyed, s"keyless ($keyless) vs keyed ($keyed)")
+    assert(keyless.exists(_._3 == "delete") && keyless.exists(_._3 == "insert"))
+    // a span reaching BEFORE enablement refuses keyless with the remedy
+    val ePre = intercept[IllegalArgumentException] {
+      Versioned.changesBetween(spark, dir, 0, vB, Seq.empty) }
+    assert(ePre.getMessage.contains("enableRowTracking"), ePre.getMessage)
+  }
+
   test("incremental OPTIMIZE: only dirs appended since the last rearrange rewrite; the clustered base carries verbatim; pruning tight per batch; streams see a rearrange; converges to a no-op") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.sources.EqualTo
