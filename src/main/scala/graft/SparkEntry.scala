@@ -1965,6 +1965,85 @@ object SparkEntry {
       s.sql("SELECT o_orderkey, price FROM graft_q167.db.dst ORDER BY o_orderkey")
     },
 
+    // ROW TRACKING (Delta's stable row ids): enableRowTracking
+    // declares _row_id as a BY DEFAULT identity and BACKFILLS existing
+    // rows in one dataChange=false rewrite; appends continue above the
+    // mark; a copy-on-write UPDATE carries ids verbatim; and the meter
+    // PROVES the payoff by asserting the KEYLESS changesBetween
+    // classifies identically to the keyed derive across a
+    // delete+append span. The result is the final state (ids
+    // projected away — they are engine-assigned and non-deterministic
+    // across runs, so the oracle compares the value columns)
+    "q168_row_tracking" -> { (s, d) =>
+      import graft.ext.Versioned
+      val tbl = scratchPath("row_tracking", d)
+      Versioned.dropTableChain(s, tbl)
+      s.conf.set("spark.sql.catalog.graft_q168", "graft.sql.VersionedCatalog")
+      val src = Tables.orders(s, d).selectExpr(
+        "o_orderkey", "ROUND(o_totalprice, 2) AS price")
+      Versioned.writeVersion(src.filter(col("o_orderkey") % 2 === 0), tbl)
+      Versioned.enableRowTracking(s, tbl)
+      Versioned.writeVersion(src.filter(col("o_orderkey") % 2 === 1), tbl,
+        org.apache.spark.sql.SaveMode.Append)
+      val ids = s.read.format("graft").load(tbl)
+        .select("o_orderkey", Versioned.RowIdCol).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ids.values.toSet.size == ids.size, "row ids must be distinct")
+      val vA = Versioned.latestVersion(s, tbl).get
+      s.sql(s"UPDATE graft_q168.`$tbl` SET price = 0.0 WHERE o_orderkey = 2")
+      s.sql(s"DELETE FROM graft_q168.`$tbl` WHERE o_orderkey = 4")
+      val vB = Versioned.latestVersion(s, tbl).get
+      val after = s.read.format("graft").load(tbl)
+        .select("o_orderkey", Versioned.RowIdCol).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after.forall { case (k, rid) => ids(k) == rid },
+        "UPDATE/DELETE must preserve surviving rows' ids")
+      def cls(df: org.apache.spark.sql.DataFrame) =
+        df.select("o_orderkey", "price", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(cls(Versioned.changesBetween(s, tbl, vA, vB, Seq.empty)) ==
+        cls(Versioned.changesBetween(s, tbl, vA, vB, Seq("o_orderkey"))),
+        "keyless CDF must classify exactly like the keyed derive")
+      s.sql(s"SELECT o_orderkey, price FROM graft_q168.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // INCREMENTAL OPTIMIZE (Delta's clustering cadence): a full
+    // Z-order establishes the clustered base; two appends form the
+    // increment; the incremental run rewrites EXACTLY the appended
+    // bytes (asserted) while the base's files carry verbatim BY NAME
+    // (asserted from manifest bytes) — the O(increment) maintenance
+    // cadence a 100 TB table can actually afford. The result is the
+    // final table, which the oracle replays as the plain projection
+    "q169_incremental_optimize" -> { (s, d) =>
+      import graft.ext.{Maintenance, Versioned}
+      val tbl = scratchPath("inc_optimize", d)
+      Versioned.dropTableChain(s, tbl)
+      val src = Tables.lineitem(s, d).selectExpr(
+        "l_orderkey", "l_linenumber", "ROUND(l_extendedprice, 2) AS price")
+      Versioned.writeVersion(src.filter(col("l_orderkey") % 4 < 2).repartition(4), tbl)
+      Maintenance.zorderVersionedCols(s, tbl, Seq("l_orderkey", "price"), nFiles = 4)
+      val base = Versioned.planDataFiles(s, tbl,
+        Versioned.latestVersion(s, tbl).get, Seq.empty).toSet
+      Versioned.writeVersion(src.filter(col("l_orderkey") % 4 === 2).repartition(2),
+        tbl, org.apache.spark.sql.SaveMode.Append)
+      Versioned.writeVersion(src.filter(col("l_orderkey") % 4 === 3).repartition(2),
+        tbl, org.apache.spark.sql.SaveMode.Append)
+      val vApp = Versioned.latestVersion(s, tbl).get
+      val appendedBytes = Versioned.fileBytesOf(s, tbl, vApp,
+        Versioned.unclusteredLiveFiles(s, tbl, vApp))
+      val (nFiles, bytes, vInc) = Maintenance.zorderVersionedIncremental(
+        s, tbl, Seq("l_orderkey", "price")).get
+      assert(bytes == appendedBytes && nFiles == 4,
+        s"the incremental run must rewrite exactly the increment: $nFiles/$bytes vs $appendedBytes")
+      val after = Versioned.planDataFiles(s, tbl, vInc, Seq.empty).toSet
+      assert(base.subsetOf(after), "the clustered base must carry verbatim by name")
+      assert(Versioned.isRearrange(s, tbl, vInc), "streams must see a rearrangement")
+      assert(Maintenance.zorderVersionedIncremental(
+        s, tbl, Seq("l_orderkey", "price")).isEmpty, "the cadence converges")
+      s.read.format("graft").load(tbl)
+        .orderBy("l_orderkey", "l_linenumber", "price")
+    },
+
     // MAINTENANCE UNDER A LIVE STREAM (Delta's dataChange=false
     // contract): a compaction mid-stream is a flagged REARRANGEMENT —
     // the running feed skips it (nothing re-served, nothing fatal)
@@ -4853,6 +4932,22 @@ object SparkEntry {
       """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // row-tracked table after one UPDATE and one DELETE — the served
+    // state is the plain projection with both applied
+    "q168_row_tracking" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey = 2 THEN 0.0 ELSE ROUND(o_totalprice, 2) END AS price
+        |FROM orders
+        |WHERE o_orderkey <> 4
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // base Z-order + incremental run preserve content exactly — the
+    // table IS lineitem's (key, line, price)
+    "q169_incremental_optimize" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price""".stripMargin,
 
     // two positional DELETEs masked rows in place (no file rewritten)
     // — the served table is the plain complement of both predicates
