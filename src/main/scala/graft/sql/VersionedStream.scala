@@ -601,7 +601,14 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
             if (!ignoreDeletes &&
                 ((prevInfo.dvDirs != curInfo.dvDirs &&
                   !sameDvContent(prevInfo.dvDirs, curInfo.dvDirs)) ||
-                 prevInfo.scopedDvs != curInfo.scopedDvs))
+                 prevInfo.scopedDvs != curInfo.scopedDvs ||
+                 // POSITIONAL deletes are deletes too: a pdv commit
+                 // masks rows already served. Content-compared, like
+                 // the key masks — dv compaction merges pdv dirs
+                 // WITHOUT changing the (file, pos) set and must not
+                 // read as a phantom DELETE
+                 (prevInfo.posDvs != curInfo.posDvs &&
+                  !samePdvContent(prevInfo.posDvs, curInfo.posDvs))))
               throw new IllegalStateException(
                 s"versioned stream at $dir hit a DELETE at v$w; " +
                   "rows already served cannot be unserved. Pass " +
@@ -679,6 +686,19 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
           .distinct().collect().map(_.get(0)).toSet
       }.filter(_._2.nonEmpty) // an empty key set masks nothing
     keySets(a) == keySets(b)
+  }
+
+  /** Positional-mask equality by (file, pos) CONTENT, the
+    * [[sameDvContent]] twin: compaction merges pdv dirs without
+    * changing the mask, and routine maintenance must not kill running
+    * consumers as a phantom DELETE. Only consulted when the dir sets
+    * differ; sets are bounded by the positional size contract. */
+  private def samePdvContent(a: Seq[String], b: Seq[String]): Boolean = {
+    def posSet(dirs: Seq[String]): Set[(String, Long)] =
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs: _*).select("_file", "_pos").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    posSet(a) == posSet(b)
   }
 
   override def stop(): Unit = ()

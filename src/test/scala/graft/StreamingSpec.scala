@@ -1230,6 +1230,68 @@ class StreamingSpec extends AnyFunSuite {
       msgsB(eB).mkString("; "))
   }
 
+  test("versioned streaming source: a POSITIONAL delete fails the stream like any DELETE; ignoreDeletes streams past; pdv compaction is not a phantom delete") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val dir = Files.createTempDirectory("graft_vstream_pdv").toString + "/t"
+    Versioned.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val ckpt = Files.createTempDirectory("graft_vspdv_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_vspdv_sink").toString + "/out"
+    def runCk(ignoreDeletes: Boolean = false) = {
+      val q = spark.readStream.format("graft")
+        .option("path", dir).option("ignoreDeletes", ignoreDeletes.toString)
+        .load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def sunk() = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    runCk()
+    assert(sunk() == Set((1L, "a"), (2L, "b")))
+    // a POSITIONAL delete masks a row already served — the stream must
+    // fail exactly like a key-mask DELETE would
+    assert(Versioned.deleteWhere(spark, dir, "id >= 2 AND v = 'b'").nonEmpty)
+    Versioned.writeVersion(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append)
+    val eDel = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCk()
+    }
+    assert(rootMsg(eDel).contains("DELETE"), s"wrong failure: ${rootMsg(eDel)}")
+    runCk(ignoreDeletes = true)
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // pdv COMPACTION mid-stream: dirs merge, the (file, pos) set does
+    // not — an ignoreDeletes=FALSE restart whose priming replay and
+    // next batch both cross the compaction must NOT read it as a
+    // phantom delete. (The engine re-primes a V1 source with the last
+    // COMMITTED batch's range on restart, so the pdv version itself
+    // is drained under ignoreDeletes=true first — the same discipline
+    // the key-mask leg follows.)
+    assert(Versioned.deleteWhere(spark, dir, "id = 1 AND v = 'a'").nonEmpty)
+    runCk(ignoreDeletes = true) // drain past the second pdv
+    assert(Versioned.compactDeletionVectors(spark, dir).nonEmpty)
+    Versioned.writeVersion(Seq((4L, "d")).toDF("id", "v"), dir, SaveMode.Append)
+    runCk(ignoreDeletes = true) // commit a batch spanning ONLY compaction+append
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    Versioned.writeVersion(Seq((5L, "e")).toDF("id", "v"), dir, SaveMode.Append)
+    runCk() // ignoreDeletes = FALSE: replay + new batch cross the
+            // compaction; the (file,pos) content compare keeps it alive
+    assert(sunk() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // a FRESH stream's snapshot is the masked read: both pdv'd rows gone
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("vspdv_snap")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_vspdv_snap").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("vspdv_snap").as[(Long, String)].collect().toSet ==
+      Set((3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
   test("streaming by TABLE NAME: readStream.table drains a named versioned table; writeStream.toTable creates and feeds one; restart serves only the appends, exactly once") {
     import graft.ext.Versioned
     val root = Files.createTempDirectory("graft_nmstream").toString
