@@ -117,7 +117,8 @@ private[sql] object VersionedProcedures {
           info.partitionCols.mkString(","),
           info.notNull.map(c => inv.getOrElse(c, c)).mkString(","),
           Int.box(Versioned.checkConstraints(spark, dir, v).length),
-          Int.box(info.dvDirs.map(_._2.length).sum + info.scopedDvs.length),
+          Int.box(info.dvDirs.map(_._2.length).sum + info.scopedDvs.length +
+            info.posDvs.length),
           info.colMap.toSeq.sorted.map { case (l, p) => s"$l->$p" }.mkString(","),
           Some(Versioned.bloomColumns(spark, dir, v).map(_._1).mkString(","))
             .filter(_.nonEmpty).orNull))
@@ -355,7 +356,45 @@ private[sql] object VersionedProcedures {
           Int.box(st.prune.dirsDeleted.length),
           st.compact.map(c => Int.box(c.filesBefore)).orNull,
           st.compact.map(c => Int.box(c.filesAfter)).orNull))
-      })
+      }),
+
+    proc("zorder_incremental",
+      "Morton-cluster ONLY the dirs appended since the last rearrangement " +
+        "(the clustered base carries verbatim — the O(increment) OPTIMIZE " +
+        "cadence); cols is comma-separated; NULL row when everything live " +
+        "is already clustered base",
+      params = Seq(in("table", StringType), in("cols", StringType),
+        inDefault("n_files", IntegerType, "0"),
+        inDefault("bits", IntegerType, "16")),
+      out = StructType(Seq(StructField("files_rewritten", IntegerType),
+        StructField("bytes_rewritten", LongType),
+        StructField("version", IntegerType))))(
+      (spark, args) => {
+        val zCols = args.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(zCols.nonEmpty, "cols must name at least one column")
+        Maintenance.zorderVersionedIncremental(spark, args.str(0), zCols,
+            args.int(2), args.int(3)) match {
+          case Some((n, b, v)) => Seq(row(Int.box(n), Long.box(b), Int.box(v)))
+          case None            => Seq(row(null, null, null))
+        }
+      }),
+
+    proc("enable_row_tracking",
+      "declare the _row_id identity column and backfill existing rows in one " +
+        "dataChange=false rewrite — keyless table_changes from then on",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Int.box(Versioned.enableRowTracking(spark, args.str(0)))))),
+
+    proc("drop_feature",
+      "retire a protocol feature declaration (refuses while the feature is " +
+        "still in use); NULL when the feature was never declared",
+      params = Seq(in("table", StringType), in("feature", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Versioned.dropTableFeature(spark, args.str(0), args.str(1))
+          .map(Int.box).orNull)))
   ).map(p => p.name() -> p).toMap
 
   // ── plumbing ──

@@ -3148,6 +3148,53 @@ class ExtSpec extends AnyFunSuite {
       "cause chain should name the available procedures")
   }
 
+  test("SQL CALL procedures: zorder_incremental / enable_row_tracking / drop_feature wrap the round-16 surface; detail counts positional dvs") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.{Maintenance, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlcall16").toString + "/t"
+    spark.conf.set("spark.sql.catalog.graft_p16", "graft.sql.VersionedCatalog")
+    def slice(from: Long, until: Long, parts: Int) =
+      spark.range(from, until)
+        .select($"id".as("a"), (($"id" * 7919) % 1000).as("b"))
+        .repartition(parts)
+    Versioned.writeVersion(slice(0, 2000, 4), dir)
+    Maintenance.zorderVersionedCols(spark, dir, Seq("a", "b"), nFiles = 4)
+    // nothing unclustered yet: NULL row, not zero rows (CALL is tabular)
+    val idle = spark.sql(
+      s"CALL graft_p16.system.zorder_incremental('$dir', 'a,b')").collect()
+    assert(idle.length == 1 && idle.head.isNullAt(0), idle.mkString(";"))
+    Versioned.writeVersion(slice(2000, 2500, 2), dir, SaveMode.Append)
+    val inc = spark.sql(s"CALL graft_p16.system.zorder_incremental(" +
+      s"table => '$dir', cols => 'a,b', n_files => 1)").collect().head
+    assert(inc.getInt(0) == 2 && inc.getLong(1) > 0L, inc.toString)
+    assert(inc.getInt(2) == Versioned.latestVersion(spark, dir).get)
+    assert(Versioned.isRearrange(spark, dir, inc.getInt(2)))
+    assert(Versioned.readLatest(spark, dir).count() == 2500)
+    // enable_row_tracking returns the backfill version; ids are live
+    val rtv = spark.sql(
+      s"CALL graft_p16.system.enable_row_tracking('$dir')").as[Int].head()
+    assert(rtv == Versioned.latestVersion(spark, dir).get)
+    val ids = Versioned.readLatest(spark, dir)
+      .select(Versioned.RowIdCol).as[Long].collect()
+    assert(ids.length == 2500 && ids.toSet.size == 2500)
+    // a positional DELETE shows up in detail's dv count…
+    Versioned.deleteWhere(spark, dir, "b < 10")
+    val det = spark.sql(s"CALL graft_p16.system.detail('$dir')").collect().head
+    assert(det.getInt(det.fieldIndex("num_dv_dirs")) == 1, det.toString)
+    // …and drop_feature refuses while that mask is live, by name
+    val eLive = intercept[Exception] {
+      spark.sql(s"CALL graft_p16.system.drop_feature('$dir', 'pdv')") }
+    assert(eLive.getMessage.contains("still live"), eLive.getMessage)
+    Maintenance.compact(spark, dir, targetFileBytes = Long.MaxValue,
+      store = new graft.ext.ManifestStore(graft.ext.PutIfAbsentCommit))
+    val dv = spark.sql(
+      s"CALL graft_p16.system.drop_feature('$dir', 'pdv')").as[Int].head()
+    assert(dv == Versioned.latestVersion(spark, dir).get)
+    // idempotent second drop: NULL (never declared any more)
+    assert(spark.sql(s"CALL graft_p16.system.drop_feature('$dir', 'pdv')")
+      .as[Option[Int]].head().isEmpty)
+  }
+
   test("txn watermarks survive Overwrite commits: a maintenance rewrite never re-opens the exactly-once window") {
     import graft.ext.Versioned
     import org.apache.spark.sql.SaveMode
