@@ -2258,13 +2258,47 @@ object Versioned {
                                        // whole-table OPTIMIZE contract). A PARTIAL
                                        // rewrite must keep them — untouched dirs still
                                        // need the mask.
-                                       dropDvs: Boolean = false): Option[Int] = {
+                                       dropDvs: Boolean = false,
+                                       // a pre-written POSITIONAL-dv sidecar committed
+                                       // WITH the rewrite (the delta-based UPDATE/MERGE/
+                                       // DELETE commit shape: mask + append, zero file
+                                       // removal): (staged sidecar dir, masked files per
+                                       // data dir — each must still be live at commit,
+                                       // or the positions would point at files a
+                                       // concurrent rewrite replaced)
+                                       addPdv: Option[(String, Map[String, Set[String]])] =
+                                         None): Option[Int] = {
     val removedNonEmpty = removed.filter(_._2.nonEmpty)
-    if (removedNonEmpty.isEmpty && replacementDir.isEmpty) return None
+    if (removedNonEmpty.isEmpty && replacementDir.isEmpty && addPdv.isEmpty) return None
     val (fs, root) = fsFor(spark, dir)
     val v0 = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val schema = schemaOf(spark, dir, v0)
+    // the sidecar's positions, from the just-written footers (metadata
+    // only): empty → no mask line (the dir is deleted); over the size
+    // contract → refuse whole (the reader ships the set with the task
+    // binary, exactly the deleteWhere contract)
+    val pdvEntry: Option[Line] = addPdv.flatMap { case (nd, _) =>
+      val p = new Path(root, nd)
+      val nPos = Skipping.collectDirStats(spark, p, asNullable(StructType(Seq(
+        StructField("_file", org.apache.spark.sql.types.StringType),
+        StructField("_pos", org.apache.spark.sql.types.LongType)))))._1
+      if (nPos == 0L) { fs.delete(p, true); None }
+      else {
+        val cap = maxDvPositions(spark)
+        if (nPos > cap) {
+          fs.delete(p, true)
+          replacementDir.foreach(rd => fs.delete(new Path(root, rd), true))
+          throw new IllegalArgumentException(
+            s"row-level rewrite: $nPos deleted positions exceeds the positional " +
+              s"deletion-vector size contract (spark.graft.dv.maxPositions=$cap). " +
+              "Every mask reader ships the position set with the task binary; a " +
+              "change this size belongs in a copy-on-write rewrite — re-run with " +
+              "spark.graft.rowops.mode=cow")
+        }
+        Some(PdvEntry(nd))
+      }
+    }
     // harvest + constraint-validate the replacement ONCE — its content
     // is snapshot-determined, not manifest-determined, so retries
     // reuse it (a caller that already harvested the staged dir passes
@@ -2294,7 +2328,7 @@ object Versioned {
           externalizeStats(spark, dir, Seq(StatsEntry(nd, rows, cols, files)))) ++ bloom
       }
     }
-    if (removedNonEmpty.isEmpty && newEntries.isEmpty) return None
+    if (removedNonEmpty.isEmpty && newEntries.isEmpty && pdvEntry.isEmpty) return None
     val validatedConstraints =
       lines(spark, dir, v0).collect { case c: ConstraintEntry => c }
     val rewriteGenCols = generatedColumnsOf(schema)
@@ -2360,6 +2394,18 @@ object Versioned {
         val have = stats.get(d).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
         val gone = files -- have
         if (gone.nonEmpty) conflict(s"lost ${gone.size} file(s) of $d to a concurrent rewrite")
+      }
+      // …and every file the new positional mask points into: positions
+      // are per file CONTENT — a concurrent rewrite that replaced a
+      // masked file would leave the mask aimed at bytes that no longer
+      // serve, silently resurrecting (or re-deleting) the wrong rows
+      if (pdvEntry.nonEmpty) addPdv.foreach { case (_, masked) =>
+        masked.foreach { case (d, files) =>
+          val have = stats.get(d).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+          val gone = files -- have
+          if (gone.nonEmpty)
+            conflict(s"lost ${gone.size} position-masked file(s) of $d to a concurrent rewrite")
+        }
       }
       // names normalize to their LAST segment: a cloned chain's dv
       // refs are absolute, the snapshot's were taken through the same
@@ -2473,6 +2519,15 @@ object Versioned {
       val feedLines: Seq[Line] = changeFeed.toSeq.map { case (ks, nd) =>
         ChangesEntry(prev, v, ks, nd) }
       feedLines.foreach(l => ops += addOp(l))
+      // the first positional mask on a chain STAMPS the protocol
+      // feature, exactly like deleteWhere's sidecar commit
+      val featRw: Seq[Line] =
+        if (pdvEntry.isEmpty || ls.exists {
+              case FeatureEntry(n, _) => n.equalsIgnoreCase("pdv"); case _ => false })
+          Seq.empty
+        else Seq(FeatureEntry("pdv", required = true))
+      featRw.foreach(l => ops += addOp(l))
+      pdvEntry.foreach(l => ops += addOp(l))
       if (!dataChange) ops += addOp(RearrangeEntry())
       val droppedDvNames: Set[String] =
         if (!dropDvs) Set.empty
@@ -2496,7 +2551,7 @@ object Versioned {
         case ScopedDvEntry(_, n, _) if droppedDvNames.contains(n) => None
         case PdvEntry(n) if droppedDvNames.contains(n) => None
         case other => Some(other)
-      } ++ newEntries ++ hwmRw ++ feedLines
+      } ++ newEntries ++ hwmRw ++ feedLines ++ featRw ++ pdvEntry.toSeq
       commitChild(spark, dir, v, prev, fullLines, ops.result(), protocol)
       Some(v)
     }

@@ -1422,6 +1422,7 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
                                              colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
@@ -1439,6 +1440,14 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
   override def capabilities(): java.util.Set[TableCapability] =
     VersionedWrite.capabilities
 
+  // `_file`/`_pos` row-address metadata ([[RowIds]]); partitioned
+  // chains always carry the manifest index this tier needs
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (RowIds.conflicts(fullSchema) ||
+        RowIds.conflicts(ColumnMapped.toPhysicalSchema(fullSchema, colMap)))
+      Array.empty
+    else RowIds.metadataColumns
+
   // a RENAMED chain's inner scan runs under the PHYSICAL schema (the
   // files' names; partition columns never rename, so the partition
   // index is name-stable) and [[ColumnMappedScanBuilder]] translates
@@ -1450,7 +1459,7 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
         spark, Versioned.manifestPartitioningIndex(spark, dir, v).get, physSchema,
         StructType(physSchema.fields.filterNot(f => partCols.contains(f.name))),
         options),
-      Versioned.manifestSizeOf(spark, dir, v))
+      Versioned.manifestSizeOf(spark, dir, v), dir)
     if (colMap.isEmpty) inner
     else new ColumnMappedScanBuilder(inner, colMap)
   }
@@ -1470,15 +1479,23 @@ private[sql] class PartitionedVersionedTable(tableName: String, spark: SparkSess
   * bytes) serves as before. */
 private[sql] class ManifestStatsScanBuilder(
     inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
-    rowsAndBytes: Option[(Long, Long)])
+    rowsAndBytes: Option[(Long, Long)],
+    // the table root, for `_file`/`_pos` metadata-column serving
+    // ([[RowIds]]); "" = this tier never sees them (e.g. a path whose
+    // table did not declare them)
+    tableDir: String = "")
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
   private var exactStillValid = true
+  private var rowIdsRequested: StructType = null // null = plain read
 
-  override def pruneColumns(req: StructType): Unit = inner.pruneColumns(req)
+  override def pruneColumns(req: StructType): Unit = {
+    if (RowIds.requestedIn(req, inner.schema).nonEmpty) rowIdsRequested = req
+    inner.pruneColumns(RowIds.strip(req, inner.schema))
+  }
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     if (filters.nonEmpty) exactStillValid = false
@@ -1500,11 +1517,17 @@ private[sql] class ManifestStatsScanBuilder(
 
   override def build(): Scan = {
     val scan = inner.build()
-    rowsAndBytes match {
+    val base = rowsAndBytes match {
       case Some((rows, bytes)) if exactStillValid =>
         new ManifestStatsScan(scan, rows, bytes)
       case _ => scan
     }
+    // `_file`/`_pos` requested on a mask-free table: the same serving
+    // tier the dv scans use, with no masks — row-index injection plus
+    // the partition-constant file slot
+    if (rowIdsRequested == null) base
+    else new DvMaskedScan(base, rowIdsRequested, Nil, Nil, tableDir, Nil,
+      serveRowIds = true)
   }
 }
 
@@ -1552,6 +1575,7 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
                                  colMap: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
@@ -1564,6 +1588,16 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     VersionedWrite.capabilities
+
+  // `_file`/`_pos` row-address metadata ([[RowIds]]) — hidden when a
+  // data column claims either name in LOGICAL or PHYSICAL space (a
+  // physical `_file` would collide inside the pruned parquet schema)
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (RowIds.conflicts(fullSchema) ||
+        RowIds.conflicts(ColumnMapped.toPhysicalSchema(fullSchema, colMap)) ||
+        Versioned.manifestPartitioningIndex(spark, dir, v).isEmpty)
+      Array.empty
+    else RowIds.metadataColumns
 
   // the manifest-backed index when the manifest carries file lists
   // (every commit from this code): the native parquet scan planned
@@ -1588,7 +1622,7 @@ private[sql] class SkippingTable(tableName: String, spark: SparkSession,
         val inner = new ManifestStatsScanBuilder(
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
             spark, index, physSchema, physSchema, options),
-          Versioned.manifestSizeOf(spark, dir, v))
+          Versioned.manifestSizeOf(spark, dir, v), dir)
         if (colMap.isEmpty) inner
         else new ColumnMappedScanBuilder(inner, colMap)
       case None =>
@@ -2037,6 +2071,52 @@ private[sql] class SkippingScanBuilder(spark: SparkSession, tableName: String,
   * partition readers — the same semantics as the library read path's
   * broadcast anti-join, expressed at the DSv2 seam so plain SQL gets
   * it. */
+/** Row-address metadata columns — Iceberg's `_file`/`_pos` role (per
+  * Iceberg `SparkTable.metadataColumns`; Spark's own `_metadata`
+  * serves only its FileTable classes): `_file` is the row's data file
+  * as the MANIFEST spells it (relative under the table root, absolute
+  * for a clone's foreign refs — the same spelling positional-dv
+  * sidecars key on), `_pos` the row's parquet row index within that
+  * file, derived from row-group metadata so it stays correct under
+  * row-group pruning. Non-null by declaration: every served row has
+  * both. These are also the delta-based row-level operations' row id
+  * ([[GraftDeltaOperation.rowId]]) — the reason UPDATE/MERGE/DELETE
+  * can commit position masks instead of rewriting touched files.
+  * Hidden when the table declares SAME-NAMED data columns (the user's
+  * columns win; delta row ops then fall back to copy-on-write). */
+private[graft] object RowIds {
+  val FileCol = "_file"
+  val PosCol = "_pos"
+  def conflicts(schema: StructType): Boolean =
+    schema.fieldNames.exists(n =>
+      n.equalsIgnoreCase(FileCol) || n.equalsIgnoreCase(PosCol))
+  /** The requested `_file`/`_pos` fields that are NOT data columns of
+    * `tableSchema` — the ones the scan must synthesize. */
+  def requestedIn(req: StructType, tableSchema: StructType): Seq[String] =
+    if (conflicts(tableSchema)) Seq.empty
+    else req.fieldNames.toSeq.filter(n => n == FileCol || n == PosCol)
+  def strip(req: StructType, tableSchema: StructType): StructType =
+    StructType(req.fields.filterNot(f =>
+      requestedIn(req, tableSchema).contains(f.name)))
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  val metadataColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data file serving the row, as the manifest spells it"
+    },
+    new MetadataColumn {
+      override def name(): String = PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row index within _file"
+    })
+}
+
 private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  fullSchema: StructType,
                                  dvDirs: Seq[(String, Seq[String])],
@@ -2056,6 +2136,7 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
                                  posDvs: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with VersionedDeletes
     with VersionedRowOps with ReportsCheckConstraints
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with GraftV1StreamFallback {
 
   override protected def vdSpark: SparkSession = spark
@@ -2084,6 +2165,16 @@ private[sql] class DvMaskedTable(inner: Table with SupportsRead,
   override def capabilities(): java.util.Set[TableCapability] =
     VersionedWrite.capabilities
 
+  // `_file`/`_pos` serve through [[DvScanBuilder]]'s own row-id tier
+  // (the masks and the row addresses share the injection machinery);
+  // hidden when the base tier can't row-index (no manifest file lists)
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (RowIds.conflicts(fullSchema) ||
+        RowIds.conflicts(ColumnMapped.toPhysicalSchema(fullSchema, colMap)) ||
+        Versioned.manifestPartitioningIndex(spark, dir, v).isEmpty)
+      Array.empty
+    else RowIds.metadataColumns
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DvScanBuilder(inner.newScanBuilder(options), fullSchema, dvDirs, scopedDvs, dir,
       posDvs)
@@ -2111,10 +2202,15 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
 
   private val keyCols = (dvDirs.map(_._1) ++ scopedDvs.map(_._1)).distinct.toSet
   private var requested: StructType = fullSchema
+  private var serveRowIds = false
 
   override def pruneColumns(req: StructType): Unit = {
+    // `_file`/`_pos` metadata columns are synthesized at THIS tier
+    // (never demanded from the files): strip them from the inner
+    // prune, remember them in the requested output
+    serveRowIds = RowIds.requestedIn(req, fullSchema).nonEmpty
     requested = req
-    val names = req.fieldNames.toSet
+    val names = RowIds.strip(req, fullSchema).fieldNames.toSet
     val widened = StructType(fullSchema.fields.filter(f =>
       names.contains(f.name) || keyCols.contains(f.name)))
     inner match {
@@ -2138,14 +2234,19 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
     }
 
   override def build(): Scan =
-    new DvMaskedScan(inner.build(), requested, dvDirs, scopedDvs, tableDir, posDvs)
+    new DvMaskedScan(inner.build(), requested, dvDirs, scopedDvs, tableDir, posDvs,
+      serveRowIds)
 }
 
 private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
                                 dvDirs: Seq[(String, Seq[String])],
                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
                                 tableDir: String = "",
-                                posDvs: Seq[String] = Seq.empty) extends Scan
+                                posDvs: Seq[String] = Seq.empty,
+                                // serve the `_file`/`_pos` fields of `requested`
+                                // ([[RowIds]]) — forces file-homogeneous partitions
+                                // and the row-index injection even with no mask
+                                serveRowIds: Boolean = false) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = requested
   override def description(): String = s"DvMasked(${inner.description()})"
@@ -2193,7 +2294,7 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       * stats/mapping wrappers above it only forward `toBatch`, so the
       * injected scan's batch serves directly. */
     private val (innerBatch, wide, rowIdxPos) =
-      if (posDvs.isEmpty) (inner.toBatch, inner.readSchema(), -1)
+      if (posDvs.isEmpty && !serveRowIds) (inner.toBatch, inner.readSchema(), -1)
       else {
         def unwrap(s: Scan): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
           s match {
@@ -2276,7 +2377,7 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       * may stay together — the generated row index is split-correct. */
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = innerBatch.planInputPartitions()
-      if (scopedDvs.isEmpty && posDvs.isEmpty) parts
+      if (scopedDvs.isEmpty && posDvs.isEmpty && !serveRowIds) parts
       else parts.flatMap {
         case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
           fp.files.groupBy { f =>
@@ -2285,7 +2386,9 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
               else dataDirOf(rootUriPath, f.filePath.toPath.toUri.getPath)
             val posKey = {
               val k = fileKeyOf(f)
-              if (posMasks.contains(k)) k else ""
+              // `_file` is partition-constant by construction: with
+              // row ids requested EVERY file is its own group
+              if (serveRowIds || posMasks.contains(k)) k else ""
             }
             (scopeKey, posKey)
           }.values.toSeq
@@ -2335,10 +2438,17 @@ private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
       val scopedMasks = scopedDvs.flatMap { case (k, dvDir, scope) =>
         pullKeys(k, Seq(dvDir)).map { case (i, dt, set) => (i, dt, set, scope) }
       }
-      val projIdx = requested.fields.map(f => wide.fieldIndex(f.name))
+      // `_pos` projects the injected row-index field; `_file` projects
+      // the appended partition-constant slot (index wide.length — the
+      // reader joins it on); data columns project from the wide row
+      val projIdx = requested.fields.map(_.name match {
+        case RowIds.FileCol if serveRowIds => wide.length
+        case RowIds.PosCol if serveRowIds  => rowIdxPos
+        case n                             => wide.fieldIndex(n)
+      })
       new DvReaderFactory(innerBatch.createReaderFactory(), wide, masks.toArray,
         projIdx, scopedMasks.toArray, rootUriPath, scopeNamesByLen,
-        posMasks, rowIdxPos)
+        posMasks, rowIdxPos, serveRowIds)
     }
   }
 }
@@ -2362,7 +2472,11 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
                                    // (sorted); rowIdxPos names the generated
                                    // row-index column's position in `wide`
                                    posMasks: Map[String, Array[Long]] = Map.empty,
-                                   rowIdxPos: Int = -1)
+                                   rowIdxPos: Int = -1,
+                                   // serve `_file` as a partition-constant slot
+                                   // appended at index wide.length (partitions are
+                                   // file-homogeneous by construction then)
+                                   serveRowIds: Boolean = false)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -2408,10 +2522,31 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
         else throw new IllegalStateException(
           s"positional masks need file-homogeneous partitions; got ${keys.length}")
       }
-    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-      projIdx.toIndexedSeq.map(i =>
+    // the partition's `_file` value, spelled as the MANIFEST does
+    // (relative under the root, absolute for foreign refs) — one
+    // constant per partition, joined onto every row at wide.length
+    val fileConst: org.apache.spark.sql.catalyst.InternalRow =
+      if (!serveRowIds) null
+      else {
+        val keys = partitionFiles
+          .map(f => graft.ext.Versioned.uriPathOf(f.filePath.toString)).distinct
+        if (keys.length != 1) throw new IllegalStateException(
+          s"row-id serving needs file-homogeneous partitions; got ${keys.length}")
+        val rootPrefix = rootUriPath.stripSuffix("/") + "/"
+        val spelled =
+          if (keys.head.startsWith(rootPrefix)) keys.head.stripPrefix(rootPrefix)
+          else keys.head
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(spelled)))
+      }
+    val bound = projIdx.toIndexedSeq.map(i =>
+      if (serveRowIds && i == wide.length)
         org.apache.spark.sql.catalyst.expressions.BoundReference(
-          i, wide(i).dataType, wide(i).nullable)))
+          i, org.apache.spark.sql.types.StringType, nullable = false)
+      else org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, wide(i).dataType, wide(i).nullable))
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(bound)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {
@@ -2426,7 +2561,8 @@ private[sql] class DvReaderFactory(inner: PartitionReaderFactory,
         }
         false
       }
-      override def get(): InternalRow = proj(current)
+      override def get(): InternalRow =
+        if (serveRowIds) proj(joined(current, fileConst)) else proj(current)
       override def close(): Unit = r.close()
     }
   }

@@ -5228,6 +5228,69 @@ class ExtSpec extends AnyFunSuite {
       "the optional declaration itself carries verbatim")
   }
 
+  test("_file/_pos metadata columns: row addresses on flat/partitioned/renamed chains, manifest spelling parity with pdv sidecars, masked reads, SELECT * unaffected, data-column conflict hides them") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_rowids").toString
+    val dir = root + "/t"
+    spark.conf.set("spark.sql.catalog.graft_mc", "graft.sql.VersionedCatalog")
+    def mkDf(from: Long, until: Long, parts: Int) =
+      spark.range(from, until).select($"id", ($"id" % 7).cast("double").as("price"))
+        .repartitionByRange(parts, $"id")
+    Versioned.writeVersion(mkDf(0, 100, 3), dir)
+    Versioned.writeVersion(mkDf(100, 160, 2), dir, SaveMode.Append)
+    val rows = spark.sql(s"SELECT id, _file, _pos FROM graft_mc.`$dir`")
+      .as[(Long, String, Long)].collect()
+    assert(rows.length == 160)
+    // every row uniquely addressed; files spelled as the manifest does
+    assert(rows.map(r => (r._2, r._3)).toSet.size == 160, "addresses must be unique")
+    val dirNames = Versioned.versionInfo(spark, dir, 1).dataDirs
+      .map(d => d.substring(d.lastIndexOf('/') + 1))
+    assert(rows.forall(r => dirNames.exists(d => r._2.startsWith(d + "/"))),
+      s"_file must be manifest-relative; got ${rows.head._2}")
+    assert(rows.forall(_._3 >= 0))
+    // spelling parity with the pdv machinery: the sidecar a positional
+    // DELETE writes for id=7 names EXACTLY the (_file,_pos) this read
+    // served for id=7
+    val addr7 = rows.find(_._1 == 7L).get
+    spark.sql(s"DELETE FROM graft_mc.`$dir` WHERE id = 7 AND price > -1")
+    val pdvDirs = Versioned.versionInfo(spark, dir,
+      Versioned.latestVersion(spark, dir).get).posDvs
+    assert(pdvDirs.nonEmpty, "the two-column predicate must route positionally")
+    val sidecar = spark.read.parquet(pdvDirs: _*).as[(String, Long)].collect().toSet
+    assert(sidecar == Set((addr7._2, addr7._3)),
+      s"sidecar $sidecar must equal the served address $addr7")
+    // the masked read still serves addresses — minus the deleted row
+    val after = spark.sql(s"SELECT id, _file, _pos FROM graft_mc.`$dir`")
+      .as[(Long, String, Long)].collect()
+    assert(after.length == 159 && !after.exists(_._1 == 7L))
+    // projection-only and * shapes unaffected
+    assert(spark.sql(s"SELECT * FROM graft_mc.`$dir`").columns.toSeq ==
+      Seq("id", "price"))
+    assert(spark.sql(s"SELECT _pos FROM graft_mc.`$dir` WHERE id = 8")
+      .as[Long].head() >= 0)
+    // PARTITIONED chain: addresses carry the hive subpath
+    val pdir = root + "/p"
+    Versioned.writeVersionPartitioned(
+      spark.range(0, 60).select($"id", ($"id" % 3).as("bucket")), pdir, Seq("bucket"))
+    val prows = spark.sql(s"SELECT id, _file, _pos FROM graft_mc.`$pdir`")
+      .as[(Long, String, Long)].collect()
+    assert(prows.length == 60 && prows.forall(_._2.contains("bucket=")))
+    assert(prows.map(r => (r._2, r._3)).toSet.size == 60)
+    // RENAMED chain: metadata names don't rename; data flows logical
+    Versioned.renameColumns(spark, dir, Seq("price" -> "cost"))
+    val mrows = spark.sql(s"SELECT cost, _file FROM graft_mc.`$dir` WHERE id = 8")
+      .as[(Double, String)].collect()
+    assert(mrows.length == 1 && mrows.head._1 == 1.0 &&
+      dirNames.exists(d => mrows.head._2.startsWith(d + "/")))
+    // a table OWNING a `_file` data column hides the metadata: the
+    // user's column serves
+    val cdir = root + "/c"
+    Versioned.writeVersion(Seq((1L, "mine")).toDF("id", "_file"), cdir)
+    assert(spark.sql(s"SELECT _file FROM graft_mc.`$cdir`")
+      .as[String].head() == "mine")
+  }
+
   test("positional deletion vectors (SQL): non-key DELETE is a metadata commit — file list unchanged, filtered/aggregate reads masked, UPDATE never resurrects, key routing intact, partitioned + renamed chains") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
