@@ -1181,7 +1181,26 @@ private[sql] trait VersionedRowOps
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+    () => {
+      // DELTA-BASED first ([[GraftDeltaOperation]] — position masks +
+      // appends, zero file rewrite): needs the manifest file lists
+      // (row addressing) and the `_file`/`_pos` names free; legacy
+      // manifests, shadowed names, and rowops.mode=cow keep the
+      // group-based copy-on-write below
+      val deltaOk = GraftDeltaOps.enabled(vdSpark) &&
+        !RowIds.conflicts(vdSchema) &&
+        !RowIds.conflicts(ColumnMapped.toPhysicalSchema(vdSchema, vroColMap)) &&
+        Versioned.manifestPartitioningIndex(vdSpark, vdDir, vcVersion).isDefined
+      if (deltaOk)
+        new GraftDeltaOperation(vdSpark, vdDir, vcVersion, vdSchema, vroPartCols,
+          vroDvDirs, vroScopedDvs, vroPosDvs, vroColMap, info)
+      else groupBasedOperation(info)
+    }
+
+  private def groupBasedOperation(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperation =
+    new org.apache.spark.sql.connector.write.RowLevelOperation {
       // the one operation instance is shared between the scan and the
       // write (RowLevelOperationTable caches it): the scan records the
       // candidate-file group here, the write's commit replaces exactly
@@ -2238,7 +2257,7 @@ private[sql] class DvScanBuilder(inner: ScanBuilder,
       serveRowIds)
 }
 
-private[sql] class DvMaskedScan(inner: Scan, requested: StructType,
+private[graft] class DvMaskedScan(val inner: Scan, requested: StructType,
                                 dvDirs: Seq[(String, Seq[String])],
                                 scopedDvs: Seq[(String, String, Set[String])] = Seq.empty,
                                 tableDir: String = "",

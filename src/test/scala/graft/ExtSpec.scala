@@ -10,6 +10,14 @@ class ExtSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Pin the copy-on-write row-level seam for a test asserting its
+    * file-rewrite semantics — the DEFAULT delta path (position mask +
+    * append, zero rewrite) has its own specs. */
+  private def withCow[T](body: => T): T = {
+    spark.conf.set("spark.graft.rowops.mode", "cow")
+    try body finally spark.conf.unset("spark.graft.rowops.mode")
+  }
+
   test("exact dedup keeps min id per identical text") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val got = Dedup.exact(docs, "text", "doc_id").orderBy("keep_id")
@@ -2672,6 +2680,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("SQL UPDATE and MERGE INTO: copy-on-write rewrites commit overwrite versions; dv applied physically; travel intact") {
+    withCow {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlrw").toString + "/t"
     Versioned.writeVersion(spark.range(0, 100).toDF("id")
@@ -2715,6 +2724,7 @@ class ExtSpec extends AnyFunSuite {
       merged(99L) == 1.0 && merged(104L) == 1.0 && merged(50L) == 500.0)
     // every rewrite is a plain version: full history walkable
     assert(Versioned.versions(spark, dir).length == 5)
+    }
   }
 
   test("versioned: restoreVersion threads the commit protocol (object-store path has no rename)") {
@@ -3346,6 +3356,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("file-granular copy-on-write: selective UPDATE/DELETE rewrite only candidate files; untouched files verbatim; disjoint commits commute") {
+    withCow {
     import graft.ext.Versioned
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
     val dir = java.nio.file.Files.createTempDirectory("graft_filecow").toString + "/t"
@@ -3417,9 +3428,11 @@ class ExtSpec extends AnyFunSuite {
     val exB = intercept[IllegalStateException] {
       Versioned.commitFileRewrite(spark, dir, cand3, None, Seq.empty, dvSnap) }
     assert(exB.getMessage.contains("deletion-vector"), exB.getMessage)
+    }
   }
 
   test("file-granular copy-on-write on PARTITIONED chains: other partitions' files verbatim, replacement re-lands hive-laid-out") {
+    withCow {
     import graft.ext.Versioned
     val dir = java.nio.file.Files.createTempDirectory("graft_filecowp").toString + "/t"
     spark.conf.set("spark.sql.catalog.graft_fgp", "graft.sql.VersionedCatalog")
@@ -3454,6 +3467,7 @@ class ExtSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graft_fgp.`$dir` VALUES (200, 1.0, 'c')")
     assert(spark.sql(s"SELECT id FROM graft_fgp.`$dir` WHERE cat = 'c'")
       .as[Long].collect().toSeq == Seq(200L))
+    }
   }
 
   test("SQL DELETE is statement-scoped; library deleteByKeys is key-level: a re-insert is visible after one, masked after the other") {
@@ -4206,7 +4220,11 @@ class ExtSpec extends AnyFunSuite {
     val vU = Versioned.latestVersion(spark, dir).get
     assert(Versioned.columnMapping(spark, dir, vU) == Map("rating" -> "score"),
       "the mapping must survive a copy-on-write UPDATE")
+    // the delta-path UPDATE commits a position-mask sidecar beside its
+    // appended rows — only the DATA dirs must carry the physical name
     val stagedU = Versioned.liveDataDirs(spark, dir).filterNot(dirsBeforeU)
+      .filterNot(_.contains("_pdv_"))
+    assert(stagedU.nonEmpty, "the UPDATE must append re-inserted rows")
     stagedU.foreach(d => assert(spark.read.parquet(d).columns.contains("score"),
       s"UPDATE replacement in $d must carry the physical name"))
 
@@ -4326,8 +4344,11 @@ class ExtSpec extends AnyFunSuite {
       Seq(EqualTo("doc_id", 42L))).length == planned.length)
 
     // a copy-on-write UPDATE re-blooms its replacement and trims the
-    // removed files' blobs; lookups stay correct
-    spark.sql(s"UPDATE graft_bl.`$dir` SET payload = 'patched' WHERE doc_id = 42")
+    // removed files' blobs; lookups stay correct (pinned cow: the
+    // delta path keeps the masked original live, which a bloom
+    // rightly cannot prune — positions filter it at read)
+    withCow {
+      spark.sql(s"UPDATE graft_bl.`$dir` SET payload = 'patched' WHERE doc_id = 42") }
     assert(spark.sql(s"SELECT payload FROM graft_bl.`$dir` WHERE doc_id = 42")
       .as[String].head() == "patched")
     val v6 = Versioned.latestVersion(spark, dir).get
@@ -5291,6 +5312,153 @@ class ExtSpec extends AnyFunSuite {
       .as[String].head() == "mine")
   }
 
+  test("delta-based UPDATE: position mask + appended rows, zero file rewrite — flat chain, travel, compaction applies, cow fallback by conf") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_deltaup").toString
+    val dir = root + "/t"
+    spark.conf.set("spark.sql.catalog.graft_du", "graft.sql.VersionedCatalog")
+    def mkDf(from: Long, until: Long, parts: Int) =
+      spark.range(from, until).select($"id", ($"id" % 10).cast("double").as("price"))
+        .repartitionByRange(parts, $"id")
+    Versioned.writeVersion(mkDf(0, 100, 4), dir)
+    Versioned.writeVersion(mkDf(100, 200, 2), dir, SaveMode.Append)
+    val before = Versioned.planDataFiles(spark, dir, 1, Seq.empty).toSet
+    // a selective UPDATE: every pre-existing file carries VERBATIM;
+    // the commit adds one position mask and one appended dir
+    spark.sql(s"UPDATE graft_du.`$dir` SET price = price + 100 WHERE id % 10 = 3 AND id < 50")
+    val v = Versioned.latestVersion(spark, dir).get
+    val after = Versioned.planDataFiles(spark, dir, v, Seq.empty).toSet
+    assert(before.subsetOf(after), "UPDATE must not rewrite any pre-existing file")
+    val info = Versioned.versionInfo(spark, dir, v)
+    assert(info.posDvs.length == 1, s"expected one position mask, got $info")
+    // served content: exactly the UPDATE semantics
+    val got = spark.sql(s"SELECT id, price FROM graft_du.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 200)
+    (0L until 200L).foreach { i =>
+      val want = if (i % 10 == 3 && i < 50) (i % 10) + 100.0 else (i % 10).toDouble
+      assert(got(i) == want, s"id=$i got ${got(i)} want $want")
+    }
+    // travel: the pre-update version is untouched
+    assert(spark.sql(s"SELECT sum(price) AS s FROM graft_du.`$dir` VERSION AS OF 1")
+      .as[Double].head() == (0L until 200L).map(_ % 10).sum.toDouble)
+    // compaction applies the mask physically and the content holds
+    graft.ext.Maintenance.compact(spark, dir, targetFileBytes = Long.MaxValue,
+      store = new graft.ext.ManifestStore(graft.ext.PutIfAbsentCommit))
+    val vc = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.versionInfo(spark, dir, vc).posDvs.isEmpty)
+    assert(spark.sql(s"SELECT id, price FROM graft_du.`$dir`")
+      .as[(Long, Double)].collect().toMap == got)
+    // cow fallback: same statement under rowops.mode=cow rewrites
+    // files instead of masking (no new pdv line)
+    spark.conf.set("spark.graft.rowops.mode", "cow")
+    try {
+      spark.sql(s"UPDATE graft_du.`$dir` SET price = 0.0 WHERE id = 7")
+      val v2 = Versioned.latestVersion(spark, dir).get
+      assert(Versioned.versionInfo(spark, dir, v2).posDvs.isEmpty,
+        "cow mode must not commit position masks")
+      assert(spark.sql(s"SELECT price FROM graft_du.`$dir` WHERE id = 7")
+        .as[Double].head() == 0.0)
+    } finally spark.conf.unset("spark.graft.rowops.mode")
+  }
+
+  test("delta-based row ops widen: MERGE and untranslatable DELETE as mask+append; partitioned and renamed chains; masked tables never resurrect; streams see delete+insert") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_deltamix").toString
+    val dir = root + "/t"
+    spark.conf.set("spark.sql.catalog.graft_dm", "graft.sql.VersionedCatalog")
+    Versioned.writeVersion(spark.range(0, 100)
+      .select($"id", ($"id" % 10).cast("double").as("price")).repartition(4), dir)
+    val before = Versioned.planDataFiles(spark, dir, 0, Seq.empty).toSet
+    // MERGE: matched updates + unmatched inserts, one mask + one dir
+    spark.range(95, 110).select($"id", lit(555.0).as("price"))
+      .createOrReplaceTempView("dm_src")
+    spark.sql(
+      s"""MERGE INTO graft_dm.`$dir` t USING dm_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.price = s.price
+         |WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, s.price)""".stripMargin)
+    val v1 = Versioned.latestVersion(spark, dir).get
+    assert(before.subsetOf(Versioned.planDataFiles(spark, dir, v1, Seq.empty).toSet),
+      "MERGE must not rewrite any pre-existing file")
+    assert(Versioned.versionInfo(spark, dir, v1).posDvs.length == 1)
+    val got1 = spark.sql(s"SELECT id, price FROM graft_dm.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got1.size == 110 && (95L until 110L).forall(got1(_) == 555.0) &&
+      got1(94L) == 4.0)
+    // untranslatable DELETE (pmod is no V1 filter): still mask-only
+    val filesPre = Versioned.planDataFiles(spark, dir, v1, Seq.empty).toSet
+    spark.sql(s"DELETE FROM graft_dm.`$dir` WHERE pmod(id, 7) = 3 AND price < 100")
+    val v2 = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.planDataFiles(spark, dir, v2, Seq.empty).toSet == filesPre,
+      "untranslatable DELETE must add no data dir and rewrite nothing")
+    val want2 = got1.keySet.filterNot(i => i % 7 == 3 && got1(i) < 100)
+    assert(spark.sql(s"SELECT id FROM graft_dm.`$dir`").as[Long].collect().toSet == want2)
+    // …and a second UPDATE on the ALREADY-masked table must not
+    // resurrect masked rows (the candidate scan applies the masks)
+    spark.sql(s"UPDATE graft_dm.`$dir` SET price = 77.0 WHERE id < 5")
+    val got3 = spark.sql(s"SELECT id, price FROM graft_dm.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got3.keySet == want2, s"resurrected: ${got3.keySet -- want2}")
+    assert((0L until 5L).filter(want2).forall(got3(_) == 77.0))
+    // PARTITIONED chain: mask + hive-laid-out appended dir
+    val pdir = root + "/p"
+    Versioned.writeVersionPartitioned(spark.range(0, 90)
+      .select($"id", ($"id" % 3).as("bucket"), lit(1.0).as("w")), pdir, Seq("bucket"))
+    val pBefore = Versioned.planDataFiles(spark, pdir, 0, Seq.empty).toSet
+    spark.sql(s"UPDATE graft_dm.`$pdir` SET w = 9.0 WHERE id >= 80")
+    val pv = Versioned.latestVersion(spark, pdir).get
+    assert(pBefore.subsetOf(Versioned.planDataFiles(spark, pdir, pv, Seq.empty).toSet))
+    assert(Versioned.versionInfo(spark, pdir, pv).posDvs.length == 1)
+    val pg = spark.sql(s"SELECT id, bucket, w FROM graft_dm.`$pdir`")
+      .as[(Long, Long, Double)].collect()
+    assert(pg.length == 90 && pg.forall { case (i, b, w) =>
+      b == i % 3 && w == (if (i >= 80) 9.0 else 1.0) })
+    // partition pruning still serves the updated rows (they re-landed
+    // hive-laid-out)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_dm.`$pdir` WHERE bucket = 2")
+      .as[Long].head() == 30)
+    // RENAMED chain: the staged insert carries PHYSICAL names
+    val rdir = root + "/r"
+    Versioned.writeVersion(spark.range(0, 40)
+      .select($"id", ($"id" % 5).cast("double").as("score")), rdir)
+    Versioned.renameColumns(spark, rdir, Seq("score" -> "rating"))
+    spark.sql(s"UPDATE graft_dm.`$rdir` SET rating = 50.0 WHERE rating < 2 AND id >= 20")
+    assert(Versioned.versionInfo(spark, rdir,
+      Versioned.latestVersion(spark, rdir).get).posDvs.length == 1)
+    val rg = spark.sql(s"SELECT id, rating FROM graft_dm.`$rdir`")
+      .as[(Long, Double)].collect().toMap
+    assert(rg.size == 40 && (0L until 40L).forall { i =>
+      rg(i) == (if (i % 5 < 2 && i >= 20) 50.0 else (i % 5).toDouble) })
+    // STREAMS: a delta commit feeds as its parts — deletes (with
+    // ignoreDeletes) skipped, inserts delivered
+    val sdir = root + "/s"
+    Versioned.writeVersion(spark.range(0, 20)
+      .select($"id", ($"id" % 10).cast("double").as("price")), sdir)
+    val ckpt = root + "/ckpt"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("path", sdir).option("ignoreDeletes", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").as[Long].collect().foreach(out.add); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(out.size == 20)
+    out.clear()
+    spark.sql(s"UPDATE graft_dm.`$sdir` SET price = 42.0 WHERE id IN (3, 4) AND price < 100")
+    drain()
+    val delivered = out.iterator()
+    val got = Iterator.continually(delivered).takeWhile(_.hasNext).map(_.next()).toSet
+    assert(got == Set(3L, 4L),
+      s"the stream must deliver exactly the update's re-inserted rows, got $got")
+  }
+
   test("positional deletion vectors (SQL): non-key DELETE is a metadata commit — file list unchanged, filtered/aggregate reads masked, UPDATE never resurrects, key routing intact, partitioned + renamed chains") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
@@ -5670,10 +5838,13 @@ class ExtSpec extends AnyFunSuite {
       assert(Versioned.planDataFiles(spark, tgt, 0, Seq(EqualTo("id", 5L))).length <
         Versioned.planDataFiles(spark, tgt, 0, Seq.empty).length,
         "the clone must bloom-prune through the source's sidecar")
-      // trim (CoW UPDATE) re-externalizes the surviving blobs; the old
-      // sidecar orphans and prune reclaims it while keeping the live ones
+      // trim (CoW UPDATE, pinned — the delta path keeps the masked
+      // original live so its sidecar would rightly survive) re-
+      // externalizes the surviving blobs; the old sidecar orphans and
+      // prune reclaims it while keeping the live ones
       spark.conf.set("spark.sql.catalog.graft_bsc", "graft.sql.VersionedCatalog")
-      spark.sql(s"UPDATE graft_bsc.`$dir` SET payload = 'upd' WHERE id = 5")
+      withCow {
+        spark.sql(s"UPDATE graft_bsc.`$dir` SET payload = 'upd' WHERE id = 5") }
       val afterTrim = bloomFiles(dir)
       assert(afterTrim.size > scFiles.size,
         s"the trim must write new sidecars, not rewrite old ones: $afterTrim")

@@ -766,12 +766,17 @@ class PlanSpec extends AnyFunSuite {
         case ce: org.apache.spark.sql.execution.CommandResultExec =>
           ce.commandPhysicalPlan
       }).getOrElse(fail(s"no executed command plan found in:\n${qe.commandExecuted}"))
+      def unwrap(s: org.apache.spark.sql.connector.read.Scan)
+          : org.apache.spark.sql.connector.read.Scan = s match {
+        case m: graft.sql.ManifestStatsScan => unwrap(m.inner)
+        // the delta rewrite's candidate scan serves row addresses
+        // through the mask tier even with no mask live
+        case d: graft.sql.DvMaskedScan => unwrap(d.inner)
+        case other => other
+      }
       cmd.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
-      }.map {
-        case m: graft.sql.ManifestStatsScan => m.inner
-        case other => other
-      }.collect {
+      }.map(unwrap).collect {
         case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
           f.fileIndex.inputFiles.length.toLong
       }.sum
