@@ -2044,6 +2044,122 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "price")
     },
 
+    // DELTA-BASED ROW-LEVEL OPS (merge-on-read; Delta's DV write
+    // path): a non-key UPDATE and a MERGE each commit ONE position
+    // mask + ONE appended dir — every pre-existing data file carries
+    // VERBATIM (asserted by name from manifest bytes). On 100 TB this
+    // is the difference between rewriting every touched file and
+    // writing kilobytes of positions plus the changed rows.
+    "q170_delta_update" -> { (s, d) =>
+      import graft.ext.Versioned
+      val tbl = scratchPath("delta_update", d)
+      Versioned.dropTableChain(s, tbl)
+      s.conf.set("spark.sql.catalog.graft_q170", "graft.sql.VersionedCatalog")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q170")
+      s.sql(s"CREATE TABLE graft_q170.`$tbl` AS " +
+        "SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price " +
+        "FROM orders_q170 WHERE o_orderstatus IN ('F', 'P')")
+      val v0 = Versioned.latestVersion(s, tbl).get
+      val filesBefore = Versioned.planDataFiles(s, tbl, v0, Seq.empty).toSet
+      val rowsBefore = s.sql(s"SELECT count(*) FROM graft_q170.`$tbl`").head().getLong(0)
+      // non-key UPDATE: with copy-on-write this would rewrite every
+      // file holding a cheap 'F' row — here it is mask + append
+      s.sql(s"UPDATE graft_q170.`$tbl` SET price = price + 10.0 " +
+        "WHERE price < 5000.0 AND status = 'F'")
+      // MERGE: matched updates + unmatched inserts, same commit shape
+      s.sql("SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders_q170 " +
+        "WHERE (o_orderstatus = 'F' AND o_orderkey % 37 = 0) " +
+        "   OR (o_orderstatus = 'O' AND o_orderkey % 50 = 0)")
+        .createOrReplaceTempView("src_q170")
+      s.sql(s"""MERGE INTO graft_q170.`$tbl` t USING src_q170 s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET t.price = 0.0
+                |WHEN NOT MATCHED THEN INSERT (o_orderkey, status, price)
+                |  VALUES (s.o_orderkey, 'O', 1.0)""".stripMargin)
+      val v2 = Versioned.latestVersion(s, tbl).get
+      assert(v2 == v0 + 2, s"UPDATE and MERGE must be one commit each, got $v0 -> $v2")
+      assert(filesBefore.subsetOf(Versioned.planDataFiles(s, tbl, v2, Seq.empty).toSet),
+        "delta-based row ops must not rewrite any pre-existing file")
+      assert(Versioned.versionInfo(s, tbl, v2).posDvs.nonEmpty,
+        "the commits must carry position masks")
+      assert(s.sql(s"SELECT count(*) FROM graft_q170.`$tbl` VERSION AS OF $v0")
+        .head().getLong(0) == rowsBefore,
+        "the pre-change version must still serve every row")
+      s.sql(s"SELECT o_orderkey, status, price FROM graft_q170.`$tbl` ORDER BY o_orderkey")
+    },
+
+    // AUTO CLUSTERING (liquid clustering's cadence as a TBLPROPERTY):
+    // the table declares its clustering columns once; every committed
+    // append's post-commit tick Morton-clusters the accumulated
+    // increment as an O(increment) rearrange — no scheduled OPTIMIZE
+    // job, and streams skip the maintenance commits. The meter proves
+    // the tick fired (rearrange version, zero unclustered bytes) and
+    // that point-lookup pruning actually bites in the ticked layout.
+    "q171_auto_cluster" -> { (s, d) =>
+      import graft.ext.{Maintenance, Versioned}
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.sources.EqualTo
+      val tbl = scratchPath("auto_cluster", d)
+      Versioned.dropTableChain(s, tbl)
+      s.conf.set("spark.sql.catalog.graft_q171", "graft.sql.VersionedCatalog")
+      val src = Tables.lineitem(s, d).selectExpr(
+        "l_orderkey", "l_linenumber", "ROUND(l_extendedprice, 2) AS price")
+      def slice(m: Int) = src.filter(col("l_orderkey") % 3 === m).repartition(2)
+      Versioned.writeVersion(slice(0), tbl)
+      s.sql(s"ALTER TABLE graft_q171.`$tbl` SET TBLPROPERTIES(" +
+        "'graft.autoCluster.columns'='l_orderkey,l_linenumber', " +
+        "'graft.autoCluster.minBytes'='1', " +
+        "'graft.autoCluster.targetBytes'='65536')")
+      Versioned.writeVersion(slice(1), tbl, SaveMode.Append)
+      Versioned.writeVersion(slice(2), tbl, SaveMode.Append)
+      val v = Versioned.latestVersion(s, tbl).get
+      assert(Versioned.isRearrange(s, tbl, v),
+        "the post-commit tick must cluster the increment")
+      assert(Versioned.unclusteredLiveFiles(s, tbl, v)
+        .valuesIterator.forall(_.isEmpty), "everything live is clustered base")
+      val all = Versioned.planDataFiles(s, tbl, v, Seq.empty)
+      val probe = src.selectExpr("l_orderkey").head().getLong(0)
+      // a tiny scale's increment legitimately lands as ONE file per
+      // tick — pruning is only assertable once the layout has files
+      // to drop
+      if (all.length > 2)
+        assert(Versioned.planDataFiles(s, tbl, v,
+            Seq(EqualTo("l_orderkey", probe))).length < all.length,
+          "the ticked layout must prune point lookups")
+      s.sql(s"SELECT l_orderkey, l_linenumber, price FROM graft_q171.`$tbl` " +
+        "ORDER BY l_orderkey, l_linenumber, price")
+    },
+
+    // COPY INTO (Delta's idempotent ingestion): a staging dir of
+    // parquet batches ingests into a versioned table with a PER-FILE
+    // ledger committed atomically with the data — a re-run is a
+    // no-op, a new staged file loads ALONE, and a crashed retry can
+    // never double-load. The cost model is O(new files) per run:
+    // list + set-difference + one distributed scan of the fresh
+    // files, never a re-read of what already landed.
+    "q172_copy_into" -> { (s, d) =>
+      import graft.ext.Versioned
+      val tbl = scratchPath("copy_into_t", d)
+      val stage = scratchPath("copy_into_src", d)
+      Versioned.dropTableChain(s, tbl)
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      s.conf.set("spark.sql.catalog.graft_q172", "graft.sql.VersionedCatalog")
+      val src = Tables.orders(s, d).selectExpr(
+        "o_orderkey", "ROUND(o_totalprice, 2) AS price")
+      def slice(m: Int) = src.filter(col("o_orderkey") % 3 === m).coalesce(1)
+      slice(0).write.parquet(s"$stage/b0")
+      slice(1).write.parquet(s"$stage/b1")
+      s.sql(s"CREATE TABLE graft_q172.`$tbl` (o_orderkey BIGINT, price DOUBLE)")
+      val Some((n1, r1, _)) = Versioned.copyInto(s, tbl, stage)
+      assert(n1 == 2 && r1 > 0, s"two staged files must load, got $n1/$r1")
+      assert(Versioned.copyInto(s, tbl, stage).isEmpty,
+        "the re-run must skip the whole ledger")
+      slice(2).write.parquet(s"$stage/b2")
+      val Some((n2, _, _)) = Versioned.copyInto(s, tbl, stage)
+      assert(n2 == 1, s"only the NEW staged file may load, got $n2")
+      assert(Versioned.copyInto(s, tbl, stage).isEmpty)
+      s.sql(s"SELECT o_orderkey, price FROM graft_q172.`$tbl` ORDER BY o_orderkey")
+    },
+
     // MAINTENANCE UNDER A LIVE STREAM (Delta's dataChange=false
     // contract): a compaction mid-stream is a flagged REARRANGEMENT —
     // the running feed skips it (nothing re-served, nothing fatal)
@@ -4948,6 +5064,43 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, price""".stripMargin,
+
+    // the delta-path UPDATE then MERGE, replayed as expressions over
+    // the base: F-rows under 5000 gained 10, matched %37 F-keys zeroed,
+    // unmatched %50 O-keys inserted as ('O', 1.0)
+    "q170_delta_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderstatus IN ('F', 'P')),
+        |upd AS (
+        |  SELECT o_orderkey, status,
+        |         CASE WHEN price < 5000.0 AND status = 'F'
+        |              THEN price + 10.0 ELSE price END AS price
+        |  FROM base)
+        |SELECT o_orderkey, status,
+        |       CASE WHEN status = 'F' AND o_orderkey % 37 = 0
+        |            THEN 0.0 ELSE price END AS price
+        |FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, 'O' AS status, 1.0 AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the ticked clustering rearranges, never changes content — the
+    // table IS the three slices' union
+    "q171_auto_cluster" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price""".stripMargin,
+
+    // three staged batches ingested exactly once each — the table IS
+    // the source projection
+    "q172_copy_into" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     // two positional DELETEs masked rows in place (no file rewritten)
     // — the served table is the plain complement of both predicates

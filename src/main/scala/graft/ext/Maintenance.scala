@@ -433,8 +433,11 @@ object Maintenance {
     * deliberately NOT re-established every run (that is the full
     * [[zorderVersionedCols]], amortized to rare).
     *
-    * Flat chains (a partitioned chain's affordable scope is a
-    * partition: [[zorderVersionedWhere]]). Returns
+    * On a PARTITIONED chain the increment re-lands hive-laid-out,
+    * range-clustered on (partition cols, Morton key) — each output
+    * file a compact rectangle WITHIN its partition, exactly the
+    * [[zorderVersionedWhere]] shape but scoped to the unclustered
+    * dirs instead of a partition predicate. Returns
     * (filesRewritten, bytesRewritten, version); None when everything
     * live is already clustered base. */
   def zorderVersionedIncremental(spark: SparkSession, dir: String, zCols: Seq[String],
@@ -444,9 +447,7 @@ object Maintenance {
     val v = Versioned.latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no versions at $dir"))
     val info = Versioned.versionInfo(spark, dir, v)
-    require(info.partitionCols.isEmpty,
-      s"$dir is partitioned — incremental OPTIMIZE scopes by partition there: " +
-        "zorderVersionedWhere/compactVersionedWhere")
+    val partCols = info.partitionCols
     val victims = Versioned.unclusteredLiveFiles(spark, dir, v)
     if (victims.valuesIterator.forall(_.isEmpty)) return None
     val selectedBytes = Versioned.fileBytesOf(spark, dir, v, victims)
@@ -462,16 +463,21 @@ object Maintenance {
       new org.apache.hadoop.fs.Path(dir), staged)
     // the masked subset read serves LOGICAL names; the staged
     // replacement lands physical-named beside the chain's files,
-    // clustered among ITSELF (this increment's rows only)
-    Versioned.toPhysical(
-        Versioned.readVersionFiles(spark, dir, v, victims)
-          .withColumn("__zkey", zKeyN(zCols.map(col), bits))
-          .repartitionByRange(nOut, col("__zkey"))
-          .sortWithinPartitions("__zkey")
-          .drop("__zkey"),
-        Versioned.columnMapping(spark, dir, v))
-      .write.mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
-    Versioned.commitFileRewrite(spark, dir, victims, Some(staged), Seq.empty,
+    // clustered among ITSELF (this increment's rows only). A
+    // partitioned chain clusters WITHIN partitions and re-lands
+    // hive-laid-out (a rewrite never downgrades the layout)
+    val keys = (partCols :+ "__zkey").map(col)
+    val shaped = Versioned.toPhysical(
+      Versioned.readVersionFiles(spark, dir, v, victims)
+        .withColumn("__zkey", zKeyN(zCols.map(col), bits))
+        .repartitionByRange(nOut, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop("__zkey"),
+      Versioned.columnMapping(spark, dir, v))
+    (if (partCols.isEmpty) shaped.write
+     else shaped.write.partitionBy(partCols: _*))
+      .mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+    Versioned.commitFileRewrite(spark, dir, victims, Some(staged), partCols,
       dvSnapshot, protocol, dataChange = false)
       .map(cv => (victims.valuesIterator.map(_.size).sum, selectedBytes, cv))
   }

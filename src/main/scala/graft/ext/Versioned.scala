@@ -171,6 +171,13 @@ object Versioned {
     * Format `txn:<batchId>:<appId>` (batch first: appIds may contain
     * colons — they default to checkpoint paths). */
   private final case class TxnEntry(batchId: Long, appId: String) extends Line
+  /** One SOURCE FILE already loaded by COPY INTO (`ingest:<absPath>`)
+    * — the per-file idempotence ledger (Delta COPY INTO's role): a
+    * re-run skips every path recorded here. Carried by appends inside
+    * prevLines and by data overwrites explicitly (like txn watermarks
+    * — maintenance must never re-open the exactly-once window);
+    * REPLACE TABLE resets it with the rest of the definition. */
+  private final case class IngestEntry(path: String) extends Line
   /** The table's partition columns, in order (`partition:<c1,c2>`).
     * A partitioned version's data dirs hold hive-layout subtrees
     * (`dataDir/col=value/part-*.parquet`); the recorded union schema
@@ -317,7 +324,7 @@ object Versioned {
                                              required: Boolean) extends Line
 
   /** The protocol features this build understands. */
-  private[ext] val SupportedFeatures: Set[String] = Set("pdv")
+  private[ext] val SupportedFeatures: Set[String] = Set("pdv", "ingest")
 
   /** The IN-COMMIT timestamp (`ts:<epochMillis>`) — Delta's
     * inCommitTimestamps role. `TIMESTAMP AS OF` resolved by file
@@ -522,6 +529,10 @@ object Versioned {
       val n = line.drop(4)
       require(n.nonEmpty, s"malformed positional deletion-vector manifest line: $line")
       PdvEntry(n)
+    } else if (line.startsWith("ingest:")) {
+      val p = line.drop(7)
+      require(p.nonEmpty, s"malformed ingest-ledger manifest line: $line")
+      IngestEntry(p)
     } else if (line.startsWith("feature:")) {
       val parts = line.drop(8).split(":", 2)
       require(parts.length == 2 && parts(0).nonEmpty &&
@@ -749,6 +760,7 @@ object Versioned {
           case e: BloomEntry => e.dir == b.dir && e.col.equalsIgnoreCase(b.col)
           case _ => false } :+ b
         case d: DataEntry      => if (acc.contains(d)) acc else acc :+ d
+        case i: IngestEntry    => if (acc.contains(i)) acc else acc :+ i
         case other             => acc :+ other // dv, changes: plain adds
       } else if (op.startsWith("-data:")) {
         val n = op.drop(6)
@@ -784,6 +796,10 @@ object Versioned {
       } else if (op.startsWith("-txn:")) {
         val a = op.drop(5)
         acc.filterNot { case TxnEntry(_, e) => e == a; case _ => false }
+      } else if (op == "-ingest") {
+        // forget the WHOLE COPY INTO ledger (retention reset): the
+        // next copyInto re-considers every source file
+        acc.filterNot(_.isInstanceOf[IngestEntry])
       } else if (op.startsWith("-constraint:")) {
         val n = op.drop(12)
         acc.filterNot { case ConstraintEntry(e, _) => e.equalsIgnoreCase(n); case _ => false }
@@ -1125,6 +1141,7 @@ object Versioned {
     case FeatureEntry(n, req) => s"feature:$n:${if (req) "required" else "optional"}"
     case SchemaEntry(s)    => s"schema:${s.json}"
     case TxnEntry(b, a)    => s"txn:$b:$a"
+    case IngestEntry(p)    => s"ingest:$p"
     case PartitionEntry(cs) => s"partition:${cs.mkString(",")}"
     case ConstraintEntry(n, sql) => s"constraint:$n:$sql"
     case NotNullEntry(c)   => s"notnull:$c"
@@ -2024,6 +2041,153 @@ object Versioned {
     0
   }
 
+  /** Delta `COPY INTO`'s role: idempotent file ingestion into an
+    * EXISTING versioned table. Lists the source's data files (hidden
+    * subtrees skipped, extension matched to `format`), skips every
+    * path already in the table's ingest ledger (`ingest:` lines),
+    * reads EXACTLY the fresh files, aligns them to the target's
+    * logical schema BY NAME with store-assignment casts (a source
+    * column the target lacks refuses; omitted target columns fall to
+    * the identity/default fill and the NOT NULL gate), and commits
+    * ONE append whose manifest atomically records the loaded paths —
+    * so a crashed or re-run ingestion never double-loads a file, with
+    * no sink-side state beyond the manifest itself. The ledger rides
+    * overwrites like txn watermarks (maintenance never re-opens the
+    * window), resets with REPLACE TABLE, and is retired explicitly by
+    * [[forgetIngestHistory]]. The first ingest stamps the `ingest`
+    * protocol feature (optional: readers without it still serve the
+    * data correctly).
+    *
+    * Scale shape: the listing is one recursive enumeration of the
+    * SOURCE (the same O(source files) every engine pays), the
+    * skip-set check is set arithmetic on the driver, and the read is
+    * a plain distributed scan of only the fresh files. The ledger
+    * grows O(total ingested files) in the manifest — the checkpoint
+    * spill bounds the recurring blob, and [[forgetIngestHistory]] is
+    * the retention valve once a source prefix is retired.
+    *
+    * Returns (filesLoaded, rowsLoaded, version); None when every
+    * listed file is already ingested. */
+  def copyInto(spark: SparkSession, dir: String, source: String,
+               format: String = "parquet",
+               schema: Option[StructType] = None,
+               options: Map[String, String] = Map.empty,
+               protocol: CommitProtocol = PutIfAbsentCommit,
+               maxAttempts: Int = 16): Option[(Int, Long, Int)] = {
+    val fmt = format.trim.toLowerCase(java.util.Locale.ROOT)
+    val exts = fmt match {
+      case "parquet" => Seq(".parquet")
+      case "json"    => Seq(".json", ".jsonl", ".json.gz")
+      case "csv"     => Seq(".csv", ".csv.gz", ".tsv")
+      case other => throw new IllegalArgumentException(
+        s"copyInto supports parquet/json/csv, got '$other'")
+    }
+    val (srcFs, srcRoot) = fsFor(spark, source)
+    require(srcFs.exists(srcRoot), s"no source directory at $source")
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = srcFs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (exts.exists(n.endsWith)) {
+          val spelled = uriPathOf(srcFs.makeQualified(st.getPath).toString)
+          require(!spelled.contains("\n") && !spelled.contains("\r"),
+            s"source file path embeds a newline — the line-based ledger cannot " +
+              s"record it: $spelled")
+          found += spelled
+        }
+      }
+    }
+    walk(srcRoot)
+    if (found.isEmpty) return None
+    withCommitRetry(maxAttempts) { () =>
+      val prev = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"COPY INTO needs an existing table at $dir — CREATE it first " +
+            "(the target schema governs the alignment)"))
+      val ls = lines(spark, dir, prev)
+      val loaded = ls.collect { case IngestEntry(p) => p }.toSet
+      val fresh = found.toSeq.filterNot(loaded).sorted
+      if (fresh.isEmpty) None
+      else {
+        val cmap = colMapOf(ls)
+        val logical = ls.collectFirst { case SchemaEntry(s) =>
+          toLogicalSchema(s, cmap) }.getOrElse(throw new IllegalArgumentException(
+            s"COPY INTO at $dir needs a recorded schema — commit once to record it"))
+        val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }
+          .getOrElse(Seq.empty)
+        var reader = spark.read.format(fmt).options(options)
+        schema.foreach(s => reader = reader.schema(s))
+        val raw = reader.load(fresh: _*)
+        val unknown = raw.columns.filterNot(c =>
+          logical.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(unknown.isEmpty,
+          s"COPY INTO source carries column(s) the target lacks: " +
+            s"${unknown.mkString(", ")} — ALTER TABLE ... ADD COLUMNS first, " +
+            "or project them away in a staging view")
+        val present = logical.fields.filter(f =>
+          raw.columns.exists(_.equalsIgnoreCase(f.name)))
+        require(present.nonEmpty, s"COPY INTO source shares no column with $dir")
+        require(partCols.forall(pc => present.exists(_.name.equalsIgnoreCase(pc))),
+          s"COPY INTO into the partitioned table $dir needs the partition " +
+            s"column(s) ${partCols.mkString(", ")} present in the source")
+        val aligned = raw.select(present.toSeq.map { f =>
+          org.apache.spark.sql.functions
+            .col(raw.columns.find(_.equalsIgnoreCase(f.name)).get)
+            .cast(f.dataType).as(f.name)
+        }: _*)
+        val feat: Seq[Line] =
+          if (ls.exists { case FeatureEntry(n, _) => n.equalsIgnoreCase("ingest")
+                          case _ => false }) Seq.empty
+          else Seq(FeatureEntry("ingest", required = false))
+        val extra = feat ++ fresh.map(IngestEntry)
+        val (out, idFilled) = prepareWrite(aligned, dir, translate = true)
+        // the basis pins the LEDGER read: anything committed between
+        // the skip-set read and the claim refuses (phrase-matched by
+        // withCommitRetry), and the retry re-reads the ledger — two
+        // racing copyInto runs can never both load a file
+        val basis = idFilled.orElse(Some(prev))
+        val v = writeVersionCore(spark, dir, protocol, SaveMode.Append,
+          txn = None,
+          partitionBy = if (partCols.isEmpty) None
+            else Some(StructType(partCols.map(c => logical(c)))),
+          extraLines = extra, identityBasis = basis) { tmp =>
+          val w = optimizeWriteShape(out, dir, partCols).write
+            .mode(SaveMode.ErrorIfExists)
+          (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(tmp)
+        }.get
+        maintenanceTick(spark, dir, protocol)
+        val added = addedDataDirs(spark, dir, v)
+          .map(a => a.substring(a.lastIndexOf('/') + 1)).toSet
+        val rows = lines(spark, dir, v).collect {
+          case s: StatsEntry if added.contains(s.name) => s.rows }.sum
+        Some((fresh.length, rows, v))
+      }
+    }
+  }
+
+  /** Retire the COPY INTO ledger in one metadata commit (the
+    * retention valve — and the precondition for dropping the `ingest`
+    * protocol feature): the next [[copyInto]] re-considers every
+    * source file, so forget only once a source prefix is itself
+    * retired or re-loading is intended. Returns the committed
+    * version; None when the ledger is already empty. */
+  def forgetIngestHistory(spark: SparkSession, dir: String,
+                          protocol: CommitProtocol = PutIfAbsentCommit,
+                          maxAttempts: Int = 16): Option[Int] =
+    withCommitRetry(maxAttempts) { () =>
+      val prev = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $dir"))
+      val ls = lines(spark, dir, prev)
+      if (!ls.exists(_.isInstanceOf[IngestEntry])) None
+      else {
+        val v = prev + 1
+        commitChild(spark, dir, v, prev,
+          ls.filterNot(_.isInstanceOf[IngestEntry]), Seq("-ingest"), protocol)
+        Some(v)
+      }
+    }
+
   /** Commit `df` as the next version. `SaveMode.Overwrite` starts the
     * table state from this write alone; `SaveMode.Append` extends the
     * previous version's file set. Returns the committed version.
@@ -2042,7 +2206,7 @@ object Versioned {
       identityBasis = idFilled)(tmp =>
       optimizeWriteShape(out, dir, Seq.empty).write
         .mode(SaveMode.ErrorIfExists).parquet(tmp)).get
-    autoCompactTick(df.sparkSession, dir, protocol)
+    maintenanceTick(df.sparkSession, dir, protocol)
     v
   }
 
@@ -2139,7 +2303,7 @@ object Versioned {
       else attempt()
     // the epoch stream is THE small-file generator autoCompact exists
     // for — tick after every committed (not replayed/empty) epoch
-    if (r.nonEmpty) autoCompactTick(df.sparkSession, dir, protocol)
+    if (r.nonEmpty) maintenanceTick(df.sparkSession, dir, protocol)
     r
   }
 
@@ -2628,7 +2792,7 @@ object Versioned {
       .parquet(new Path(new Path(dir), staged).toString)
     val r = commitDynamicPartitionOverwrite(spark, dir, staged, partCols, protocol,
       identityBasis = idFilledDyn)
-    if (r.nonEmpty) autoCompactTick(spark, dir, protocol)
+    if (r.nonEmpty) maintenanceTick(spark, dir, protocol)
     r
   }
 
@@ -2742,7 +2906,7 @@ object Versioned {
       partitionBy = Some(partSchema), identityBasis = idFilled)(tmp =>
       optimizeWriteShape(out, dir, partCols).write
         .partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists).parquet(tmp)).get
-    autoCompactTick(df.sparkSession, dir, protocol)
+    maintenanceTick(df.sparkSession, dir, protocol)
     v
   }
 
@@ -3063,6 +3227,69 @@ object Versioned {
     val added = addedDataDirs(spark, dir, v).toSet
     if (added.isEmpty) IndexedSeq.empty
     else dirAdmission(spark, dir, v).filter(d => added.contains(d.absDir))
+  }
+
+  /** The post-commit maintenance tick every write path fires:
+    * auto-clustering first (when declared, it merges AND Morton-
+    * clusters the increment — small files included), then auto
+    * compaction for tables that only declared that. Each section is
+    * independently gated and independently failure-isolated. */
+  private def maintenanceTick(spark: SparkSession, dir: String,
+                              protocol: CommitProtocol): Unit = {
+    autoClusterTick(spark, dir, protocol)
+    autoCompactTick(spark, dir, protocol)
+  }
+
+  /** Post-commit AUTO CLUSTER tick (Delta liquid clustering's
+    * cadence, property-driven): when the table (or session) declares
+    * `graft.autoCluster.columns`, a successful write probes the
+    * UNCLUSTERED increment from manifest bytes — O(dirs) driver
+    * arithmetic, no job — and once it passes
+    * `graft.autoCluster.minBytes` (default 256 MiB) Morton-clusters
+    * exactly that increment via
+    * [[Maintenance.zorderVersionedIncremental]]: an O(increment)
+    * dataChange=false rearrange that streams skip and concurrent
+    * appends commute with. The triggering write has already
+    * committed, so a tick failure drops with a warning and the next
+    * write re-probes. No recursion: the rearrange commits through
+    * commitFileRewrite, which never ticks. */
+  private def autoClusterTick(spark: SparkSession, dir: String,
+                              protocol: CommitProtocol): Unit = {
+    val cols = effectiveSetting(spark, dir, "spark.graft.autoCluster.columns",
+        "graft.autoCluster.columns")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    if (cols.isEmpty) return
+    try {
+      val minBytes = effectiveSetting(spark, dir,
+        "spark.graft.autoCluster.minBytes", "graft.autoCluster.minBytes")
+        .map(_.toLong).getOrElse(256L * 1024 * 1024)
+      val bits = effectiveSetting(spark, dir,
+        "spark.graft.autoCluster.bits", "graft.autoCluster.bits")
+        .map(_.toInt).getOrElse(16)
+      // target output file size (Delta's file-size tuning role):
+      // the increment re-lands as ceil(bytes / targetBytes) files
+      val targetBytes = effectiveSetting(spark, dir,
+        "spark.graft.autoCluster.targetBytes", "graft.autoCluster.targetBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      latestVersion(spark, dir).foreach { v =>
+        val victims = unclusteredLiveFiles(spark, dir, v)
+        val bytes =
+          if (victims.valuesIterator.forall(_.isEmpty)) 0L
+          else fileBytesOf(spark, dir, v, victims)
+        if (bytes >= math.max(1L, minBytes)) {
+          Maintenance.zorderVersionedIncremental(spark, dir, cols,
+            nFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt,
+            bits = bits, protocol = protocol)
+          ()
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(t) => log.warn(
+        s"autoCluster tick at $dir dropped (${t.getClass.getSimpleName}: " +
+          s"${t.getMessage}) — the write that triggered it already committed; " +
+          "the next write re-probes")
+    }
   }
 
   /** Post-commit AUTO COMPACT tick (Delta autoCompact's role): when
@@ -3414,6 +3641,23 @@ object Versioned {
         }
       case _ => Seq.empty
     }
+    // the COPY INTO ledger is writer bookkeeping like txn watermarks:
+    // a data overwrite keeps it (or a maintenance rewrite would
+    // re-open the per-file exactly-once window); REPLACE TABLE resets
+    // it with the definition; appends carry it inside prevLines
+    val carriedIngests: Seq[Line] = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(p)) if !replaceDefinition =>
+        lines(spark, dir, p).collect { case i: IngestEntry => i }
+      case _ => Seq.empty
+    }
+    // … and its protocol stamp rides with it (a feature flag carries
+    // through a data overwrite exactly when its subject lines do)
+    val carriedFeatures: Seq[Line] = (mode, prev) match {
+      case (SaveMode.Overwrite, Some(p)) if carriedIngests.nonEmpty =>
+        lines(spark, dir, p).collect {
+          case f: FeatureEntry if f.name.equalsIgnoreCase("ingest") => f }
+      case _ => Seq.empty
+    }
     // IDENTITY high-water marks: advance in the SAME atomic claim as
     // the data (the version's put-if-absent IS the OCC — the basis
     // check at the top of this commit plus the claim make a stale
@@ -3505,7 +3749,8 @@ object Versioned {
     val newLines = SchemaEntry(newSchema) +:
       (partitionBy.map(ps => PartitionEntry(ps.fieldNames.toSeq)).toSeq ++
         prevLines ++ carriedConstraints ++ carriedProps ++ carriedColMap ++
-        carriedBloomDecl ++ carriedTxns ++ hwmLines ++
+        carriedBloomDecl ++ carriedTxns ++ carriedIngests ++ carriedFeatures ++
+        hwmLines ++
         txn.map { case (a, b) => TxnEntry(b, a) } ++ extraLines ++ bloomLines :+
         DataEntry(dataDir) :+ stats)
     // … then the atomic manifest commit publishes it. An APPEND
@@ -4006,6 +4251,11 @@ object Versioned {
           s"cannot drop feature 'pdv' at $dir: positional deletion vectors are " +
             "still live — apply them physically first (compact, or INSERT " +
             "OVERWRITE the masked read), then drop the feature")
+      if (feature.equalsIgnoreCase("ingest"))
+        require(!ls.exists(_.isInstanceOf[IngestEntry]),
+          s"cannot drop feature 'ingest' at $dir: the COPY INTO ledger is " +
+            "still live — forgetIngestHistory first (re-runs would then " +
+            "re-load every source file), then drop the feature")
       val v = prev + 1
       commitChild(spark, dir, v, prev,
         ls.filterNot { case FeatureEntry(n, _) => n.equalsIgnoreCase(feature)
@@ -4947,10 +5197,10 @@ object Versioned {
     * library (SELECT * shows it; writers may carry it through
     * explicitly, e.g. a MERGE copying rows).
     *
-    * Flat chains (a partitioned backfill would re-land the whole
-    * hive tree; scope partitioned adoption per partition first).
-    * Returns the backfill version (= the declaration version on an
-    * empty table). */
+    * A partitioned chain's backfill re-lands the whole hive tree once
+    * (the adoption price, same as Delta's backfill); from then on
+    * appends assign incrementally. Returns the backfill version (= the
+    * declaration version on an empty table). */
   def enableRowTracking(spark: SparkSession, dir: String,
                         protocol: CommitProtocol = PutIfAbsentCommit,
                         maxAttempts: Int = 16): Int = {
@@ -4961,8 +5211,6 @@ object Versioned {
     val schema0 = ls0.collectFirst { case SchemaEntry(s) => s }.getOrElse(
       throw new IllegalArgumentException(
         s"row tracking at $dir needs a recorded schema — commit once to record it"))
-    require(ls0.collectFirst { case PartitionEntry(cs) => cs }.forall(_.isEmpty),
-      s"$dir is partitioned — row tracking backfill is flat-chain only for now")
     require(!schema0.fieldNames.exists(_.equalsIgnoreCase(RowIdCol)),
       s"$dir already carries a '$RowIdCol' column — row tracking is enabled, or " +
         "the name is taken")
@@ -4987,16 +5235,22 @@ object Versioned {
           case HwmEntry(c, n) if c.equalsIgnoreCase(RowIdCol) => n }.getOrElse(0L)
         val staged = stageDataDir(spark, dir)
         val stagedPath = new Path(new Path(dir), staged)
-        toPhysical(
-            readVersionFiles(spark, dir, v, victims)
-              .withColumn(RowIdCol, coalesce(fcol(RowIdCol),
-                lit(base) + monotonically_increasing_id())),
-            columnMapping(spark, dir, v))
-          .write.mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
+        // a partitioned chain's backfill re-lands the whole hive tree
+        // ONCE (adoption price, like Delta's backfill); the commit
+        // stays the rearrange every stream skips
+        val partCols = info.partitionCols
+        val filled = toPhysical(
+          readVersionFiles(spark, dir, v, victims)
+            .withColumn(RowIdCol, coalesce(fcol(RowIdCol),
+              lit(base) + monotonically_increasing_id())),
+          columnMapping(spark, dir, v))
+        (if (partCols.isEmpty) filled.write
+         else filled.write.partitionBy(partCols: _*))
+          .mode(SaveMode.ErrorIfExists).parquet(stagedPath.toString)
         // the rewrite commit advances the _row_id high-water mark from
         // the staged footers' bounds — the same atomic-claim contract
         // as every identity write
-        commitFileRewrite(spark, dir, victims, Some(staged), Seq.empty,
+        commitFileRewrite(spark, dir, victims, Some(staged), partCols,
           dvSnapshot, protocol, dataChange = false).getOrElse(v)
       }
     }

@@ -394,7 +394,32 @@ private[sql] object VersionedProcedures {
       out = StructType(Seq(StructField("version", IntegerType))))(
       (spark, args) => Seq(row(
         Versioned.dropTableFeature(spark, args.str(0), args.str(1))
-          .map(Int.box).orNull)))
+          .map(Int.box).orNull))),
+
+    proc("copy_into",
+      "idempotently ingest a directory's data files into an existing table: " +
+        "files already in the ingest ledger skip, the rest load as ONE " +
+        "append that atomically records their paths — a re-run never " +
+        "double-loads; NULL row when nothing new",
+      params = Seq(in("table", StringType), in("source", StringType),
+        inDefault("format", StringType, "'parquet'")),
+      out = StructType(Seq(StructField("files_loaded", IntegerType),
+        StructField("rows_loaded", LongType),
+        StructField("version", IntegerType))))(
+      (spark, args) =>
+        Versioned.copyInto(spark, args.str(0), args.str(1), args.str(2)) match {
+          case Some((n, r, v)) => Seq(row(Int.box(n), Long.box(r), Int.box(v)))
+          case None            => Seq(row(null, null, null))
+        }),
+
+    proc("forget_ingests",
+      "retire the COPY INTO ledger in one metadata commit (the retention " +
+        "valve; the next copy_into re-considers every source file); NULL " +
+        "when the ledger is already empty",
+      params = Seq(in("table", StringType)),
+      out = StructType(Seq(StructField("version", IntegerType))))(
+      (spark, args) => Seq(row(
+        Versioned.forgetIngestHistory(spark, args.str(0)).map(Int.box).orNull)))
   ).map(p => p.name() -> p).toMap
 
   // ── plumbing ──

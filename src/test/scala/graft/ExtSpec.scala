@@ -5149,6 +5149,202 @@ class ExtSpec extends AnyFunSuite {
     assert(Maintenance.zorderVersionedIncremental(spark, dir, Seq("a", "b")).isEmpty)
   }
 
+  test("partitioned chains: incremental OPTIMIZE clusters within partitions hive-laid-out; row tracking backfills the hive tree once; auto-cluster TBLPROPERTY ticks post-commit") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.{Maintenance, Versioned}
+    val root = java.nio.file.Files.createTempDirectory("graft_part16").toString
+    spark.conf.set("spark.sql.catalog.graft_pt", "graft.sql.VersionedCatalog")
+
+    // ── incremental OPTIMIZE on a PARTITIONED chain
+    val zdir = root + "/z"
+    def zslice(from: Long, until: Long, parts: Int) =
+      spark.range(from, until).select($"id".as("a"),
+        (($"id" * 7919) % 1000).as("b"), ($"id" % 3).as("bucket"))
+        .repartition(parts)
+    Versioned.writeVersionPartitioned(zslice(0, 3000, 4), zdir, Seq("bucket"))
+    // first incremental run clusters EVERYTHING live (no base yet),
+    // re-landed hive-laid-out as a rearrange
+    val (n0, _, v0) =
+      Maintenance.zorderVersionedIncremental(spark, zdir, Seq("a", "b")).get
+    assert(n0 > 0 && Versioned.isRearrange(spark, zdir, v0))
+    assert(Versioned.versionInfo(spark, zdir, v0).partitionCols == Seq("bucket"))
+    val base = Versioned.planDataFiles(spark, zdir, v0, Seq.empty).toSet
+    assert(base.forall(_.contains("bucket=")),
+      s"the replacement must re-land hive-laid-out: $base")
+    // append an increment; the second run rewrites exactly it
+    Versioned.writeVersionPartitioned(zslice(3000, 3600, 2), zdir, Seq("bucket"),
+      SaveMode.Append)
+    val vApp = Versioned.latestVersion(spark, zdir).get
+    val appendedBytes = Versioned.fileBytesOf(spark, zdir, vApp,
+      Versioned.unclusteredLiveFiles(spark, zdir, vApp))
+    val (n1, b1, v1) =
+      Maintenance.zorderVersionedIncremental(spark, zdir, Seq("a", "b")).get
+    assert(b1 == appendedBytes, s"must rewrite exactly the increment: $b1 vs $appendedBytes")
+    assert(base.subsetOf(Versioned.planDataFiles(spark, zdir, v1, Seq.empty).toSet),
+      "the clustered base must carry verbatim by name")
+    assert(Versioned.readLatest(spark, zdir).count() == 3600)
+    // partition pruning serves through the clustered layout
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pt.`$zdir` WHERE bucket = 1")
+      .as[Long].head() == 1200)
+    assert(Maintenance.zorderVersionedIncremental(spark, zdir, Seq("a", "b")).isEmpty,
+      "the cadence converges")
+
+    // ── row tracking on a PARTITIONED chain
+    val rdir = root + "/r"
+    Versioned.writeVersionPartitioned(
+      spark.range(0, 900).select($"id", ($"id" % 3).as("cat")), rdir, Seq("cat"))
+    val rv = Versioned.enableRowTracking(spark, rdir)
+    assert(rv == Versioned.latestVersion(spark, rdir).get)
+    assert(Versioned.isRearrange(spark, rdir, rv), "the backfill is a rearrange")
+    assert(Versioned.versionInfo(spark, rdir, rv).partitionCols == Seq("cat"))
+    val ids0 = Versioned.readLatest(spark, rdir)
+      .select(Versioned.RowIdCol).as[Long].collect()
+    assert(ids0.length == 900 && ids0.toSet.size == 900, "backfilled ids distinct")
+    // appends keep assigning ABOVE the mark, hive-laid-out
+    Versioned.writeVersionPartitioned(
+      spark.range(900, 1000).select($"id", ($"id" % 3).as("cat")), rdir, Seq("cat"),
+      SaveMode.Append)
+    val ids1 = Versioned.readLatest(spark, rdir)
+      .select(Versioned.RowIdCol).as[Long].collect()
+    assert(ids1.length == 1000 && ids1.toSet.size == 1000,
+      "appended ids must not collide with backfilled ones")
+    // partition pruning intact after the backfill
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_pt.`$rdir` WHERE cat = 2")
+      .as[Long].head() == 333)
+
+    // ── auto-cluster tick, TBLPROPERTY-driven (no session conf)
+    val adir = root + "/a"
+    def aslice(from: Long, until: Long) =
+      spark.range(from, until).select($"id".as("a"),
+        (($"id" * 104729) % 500).as("b")).repartition(2)
+    Versioned.writeVersion(aslice(0, 500), adir)
+    spark.sql(s"ALTER TABLE graft_pt.`$adir` SET TBLPROPERTIES(" +
+      "'graft.autoCluster.columns'='a,b', 'graft.autoCluster.minBytes'='1')")
+    Versioned.writeVersion(aslice(500, 1000), adir, SaveMode.Append)
+    val av = Versioned.latestVersion(spark, adir).get
+    assert(Versioned.isRearrange(spark, adir, av),
+      "the post-commit tick must have clustered the increment")
+    assert(Versioned.unclusteredLiveFiles(spark, adir, av)
+      .valuesIterator.forall(_.isEmpty), "everything live is clustered base")
+    assert(Versioned.readLatest(spark, adir).count() == 1000)
+    // a session-conf override (empty) disables the tick both ways
+    spark.conf.set("spark.graft.autoCluster.columns", "")
+    try {
+      Versioned.writeVersion(aslice(1000, 1100), adir, SaveMode.Append)
+      val av2 = Versioned.latestVersion(spark, adir).get
+      assert(!Versioned.isRearrange(spark, adir, av2),
+        "an empty session override must silence the property-driven tick")
+    } finally spark.conf.unset("spark.graft.autoCluster.columns")
+    // next committed write re-probes and picks the leftover up
+    Versioned.writeVersion(aslice(1100, 1200), adir, SaveMode.Append)
+    val av3 = Versioned.latestVersion(spark, adir).get
+    assert(Versioned.isRearrange(spark, adir, av3) &&
+      Versioned.unclusteredLiveFiles(spark, adir, av3)
+        .valuesIterator.forall(_.isEmpty),
+      "the re-probe must cluster the accumulated increment")
+    assert(Versioned.readLatest(spark, adir).count() == 1200)
+  }
+
+  test("COPY INTO: per-file idempotent ingestion — re-runs skip the ledger, new files load alone, the ledger rides overwrites, partitioned + renamed targets, csv by name with casts, feature lifecycle") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_copyinto").toString
+    spark.conf.set("spark.sql.catalog.graft_ci", "graft.sql.VersionedCatalog")
+
+    // source: two parquet batches in one dir tree (a subdir too)
+    val src = root + "/src"
+    spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS price")
+      .coalesce(2).write.parquet(src + "/b0")
+    spark.range(100, 150).selectExpr("id", "CAST(id AS DOUBLE) AS price")
+      .coalesce(1).write.parquet(src + "/b1")
+
+    val dir = root + "/t"
+    spark.sql(s"CREATE TABLE graft_ci.`$dir` (id BIGINT, price DOUBLE)")
+    // first run loads all three files as ONE append
+    val Some((n1, r1, v1)) = Versioned.copyInto(spark, dir, src)
+    assert(n1 == 3 && r1 == 150L && v1 == Versioned.latestVersion(spark, dir).get)
+    assert(Versioned.readLatest(spark, dir).count() == 150)
+    // idempotent: the re-run is a no-op, not a double-load
+    assert(Versioned.copyInto(spark, dir, src).isEmpty)
+    // a NEW file loads alone
+    spark.range(150, 170).selectExpr("id", "CAST(id AS DOUBLE) AS price")
+      .coalesce(1).write.parquet(src + "/b2")
+    val Some((n2, r2, _)) = Versioned.copyInto(spark, dir, src)
+    assert(n2 == 1 && r2 == 20L)
+    assert(Versioned.readLatest(spark, dir).count() == 170)
+    // the ledger survives a maintenance OVERWRITE (the exactly-once
+    // window must never re-open)
+    Versioned.writeVersion(Versioned.readLatest(spark, dir), dir)
+    assert(Versioned.copyInto(spark, dir, src).isEmpty,
+      "an overwrite must not forget which files were ingested")
+    // feature lifecycle: stamped optional; drop refuses while the
+    // ledger is live, names the remedy; forget + drop succeed
+    assert(Versioned.tableFeatures(spark, dir,
+      Versioned.latestVersion(spark, dir).get).contains(("ingest", false)))
+    val eLive = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_ci.system.drop_feature('$dir', 'ingest')") }
+    assert(eLive.getMessage.contains("forgetIngestHistory"), eLive.getMessage)
+    assert(spark.sql(s"CALL graft_ci.system.forget_ingests('$dir')")
+      .as[Int].head() == Versioned.latestVersion(spark, dir).get)
+    assert(Versioned.dropTableFeature(spark, dir, "ingest").nonEmpty)
+    // after the forget, a re-run re-loads (documented semantics)
+    val Some((n3, _, _)) = Versioned.copyInto(spark, dir, src)
+    assert(n3 == 4, "a forgotten ledger re-considers every file")
+
+    // refusal: a source column the target lacks names the remedy
+    val bad = root + "/bad"
+    spark.range(0, 5).selectExpr("id", "CAST(id AS DOUBLE) AS price",
+      "'x' AS extra").write.parquet(bad)
+    val eCol = intercept[IllegalArgumentException] {
+      Versioned.copyInto(spark, dir, bad) }
+    assert(eCol.getMessage.contains("extra") &&
+      eCol.getMessage.contains("ADD COLUMNS"), eCol.getMessage)
+
+    // PARTITIONED target: fresh files land hive-laid-out, pruning serves
+    val pdir = root + "/p"
+    val psrc = root + "/psrc"
+    spark.range(0, 90).selectExpr("id", "CAST(id % 3 AS INT) AS bucket")
+      .coalesce(1).write.parquet(psrc)
+    spark.sql(s"CREATE TABLE graft_ci.`$pdir` (id BIGINT, bucket INT) " +
+      "PARTITIONED BY (bucket)")
+    val Some((pn, pr, pv)) = Versioned.copyInto(spark, pdir, psrc)
+    assert(pn == 1 && pr == 90L)
+    assert(Versioned.versionInfo(spark, pdir, pv).partitionCols == Seq("bucket"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_ci.`$pdir` WHERE bucket = 1")
+      .as[Long].head() == 30)
+    // idempotent there too
+    assert(Versioned.copyInto(spark, pdir, psrc).isEmpty)
+
+    // RENAMED target: alignment is by LOGICAL name; files land physical
+    val rdir = root + "/r"
+    spark.sql(s"CREATE TABLE graft_ci.`$rdir` (id BIGINT, score DOUBLE)")
+    Versioned.renameColumns(spark, rdir, Seq("score" -> "rating"))
+    val rsrc = root + "/rsrc"
+    spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS rating")
+      .coalesce(1).write.parquet(rsrc)
+    assert(Versioned.copyInto(spark, rdir, rsrc).map(_._2).contains(10L))
+    assert(spark.sql(s"SELECT sum(rating) AS s FROM graft_ci.`$rdir`")
+      .as[Double].head() == 45.0)
+
+    // CSV with an explicit schema: by-name alignment + casts; the SQL
+    // procedure drives the same ingestion
+    val cdir = root + "/c"
+    spark.sql(s"CREATE TABLE graft_ci.`$cdir` (id BIGINT, price DOUBLE)")
+    val csrc = root + "/csrc"
+    new java.io.File(csrc).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(csrc + "/a.csv"),
+      "id,price\n1,10.5\n2,20.5\n".getBytes("UTF-8"))
+    val Some((cn, cr, _)) = Versioned.copyInto(spark, cdir, csrc, format = "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true"))
+    assert(cn == 1 && cr == 2L)
+    assert(spark.sql(s"SELECT sum(price) AS s FROM graft_ci.`$cdir`")
+      .as[Double].head() == 31.0)
+    val idle = spark.sql(
+      s"CALL graft_ci.system.copy_into('$cdir', '$csrc', 'csv')").collect()
+    assert(idle.length == 1 && idle.head.isNullAt(0),
+      "the procedure's re-run must be the NULL no-op row")
+  }
+
   test("checkpoint spill: an over-budget checkpoint externalizes its largest inline stats to sidecars — blob bytes bounded, reads/skipping/travel exact, prune's boundary materialization intact") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
