@@ -143,12 +143,17 @@ private[sql] class DeltaCandidateScanBuilder(spark: SparkSession, dir: String, v
   }
 }
 
-/** One task's commit: the insert delegate's native message plus the
-  * name of the position-sidecar file this task wrote (if any) — the
-  * driver prunes the sidecar dir to exactly the committed names, so a
-  * failed attempt's partial file can never reach a read. */
+/** One task's commit: the insert delegate's native message, the name
+  * of the position-sidecar file this task wrote (if any) — the driver
+  * prunes the sidecar dir to exactly the committed names, so a failed
+  * attempt's partial file can never reach a read — and the DISTINCT
+  * data files this task masked: the task sees every address it
+  * deletes, so shipping the set here saves the driver a whole Spark
+  * job re-deriving it from the sidecar (bounded by the same
+  * maxPositions contract that bounds the sidecar itself). */
 private[sql] case class GraftDeltaTaskCommit(insert: Option[WriterCommitMessage],
-                                             pdvFile: Option[String])
+                                             pdvFile: Option[String],
+                                             maskedFiles: Array[String])
   extends WriterCommitMessage
 
 /** Per-task fan-out: inserts (and reinserts — the post-image half of
@@ -177,6 +182,7 @@ private[sql] case class GraftDeltaWriterFactory(insertFactory: DataWriterFactory
       private var del: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var delName: String = _
       private val buf = new GenericInternalRow(2)
+      private val masked = new java.util.LinkedHashSet[String]()
 
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         if (del == null) {
@@ -194,6 +200,7 @@ private[sql] case class GraftDeltaWriterFactory(insertFactory: DataWriterFactory
         // projecting id row may be reused by the next record safely
         buf.update(0, id.getUTF8String(0))
         buf.update(1, id.getLong(1))
+        masked.add(id.getUTF8String(0).toString)
         del.write(buf)
       }
 
@@ -210,7 +217,8 @@ private[sql] case class GraftDeltaWriterFactory(insertFactory: DataWriterFactory
 
       override def commit(): WriterCommitMessage = {
         if (del != null) { del.close(); del = null }
-        GraftDeltaTaskCommit(Option(ins).map(_.commit()), Option(delName))
+        GraftDeltaTaskCommit(Option(ins).map(_.commit()), Option(delName),
+          masked.toArray(Array.empty[String]))
       }
 
       override def abort(): Unit = {
@@ -302,7 +310,7 @@ private[sql] class GraftDeltaBatchWrite(spark: SparkSession, dir: String, v: Int
     insertsPossible && insertBatch.useCommitCoordinator
 
   override def onDataWriterCommit(m: WriterCommitMessage): Unit = m match {
-    case GraftDeltaTaskCommit(i, _) => i.foreach(insertBatch.onDataWriterCommit)
+    case GraftDeltaTaskCommit(i, _, _) => i.foreach(insertBatch.onDataWriterCommit)
     case _ => ()
   }
 
@@ -322,20 +330,19 @@ private[sql] class GraftDeltaBatchWrite(spark: SparkSession, dir: String, v: Int
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     // the masked files, split at the DIR-NAME boundary the manifest
     // spells (cloned refs are absolute; hive file entries carry
-    // subpaths) — ONE small job over the sidecar, bounded by the same
-    // contract commitFileRewrite enforces on the position count
+    // subpaths) — from the TASK-CARRIED sets, zero extra jobs,
+    // bounded by the same contract commitFileRewrite enforces on the
+    // position count
+    val masked = parts.iterator.flatMap(_.maskedFiles).toSet
     val pdvFor: Option[(String, Map[String, Set[String]])] =
-      if (!hasParquet(pathOf(stagedPdv))) { fs.delete(pathOf(stagedPdv), true); None }
+      if (masked.isEmpty) { fs.delete(pathOf(stagedPdv), true); None }
       else {
         val cap = Versioned.maxDvPositions(spark)
-        val lim = if (cap >= Int.MaxValue - 1) Int.MaxValue else cap.toInt + 1
-        val masked = spark.read.schema(pdvSchema).parquet(pathOf(stagedPdv).toString)
-          .select("_file").distinct().limit(lim).collect().map(_.getString(0))
-        if (masked.length > cap) {
+        if (masked.size > cap) {
           fs.delete(pathOf(stagedPdv), true)
           fs.delete(pathOf(stagedAdd), true)
           throw new IllegalArgumentException(
-            s"row-level rewrite masks ${masked.length}+ files — past the positional " +
+            s"row-level rewrite masks ${masked.size} files — past the positional " +
               s"deletion-vector size contract (spark.graft.dv.maxPositions=$cap). " +
               "Re-run with spark.graft.rowops.mode=cow")
         }
@@ -356,21 +363,20 @@ private[sql] class GraftDeltaBatchWrite(spark: SparkSession, dir: String, v: Int
         Some((stagedPdv, byDir))
       }
     // inserts: flat for a flat chain; re-landed hive-laid-out for a
-    // partitioned one (a rewrite never downgrades the layout)
+    // partitioned one (a rewrite never downgrades the layout). Lazy
+    // writer creation means a committed parquet file always holds
+    // rows — no emptiness probe needed
     val replacement: Option[String] =
       if (!hasParquet(pathOf(stagedAdd))) { fs.delete(pathOf(stagedAdd), true); None }
       else if (partCols.isEmpty) Some(stagedAdd)
       else {
-        val df = spark.read.schema(info.schema()).parquet(pathOf(stagedAdd).toString)
-        if (df.isEmpty) { fs.delete(pathOf(stagedAdd), true); None }
-        else {
-          val landed = Versioned.stageDataDir(spark, dir)
-          df.write.partitionBy(partCols: _*)
-            .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-            .parquet(pathOf(landed).toString)
-          fs.delete(pathOf(stagedAdd), true)
-          Some(landed)
-        }
+        val landed = Versioned.stageDataDir(spark, dir)
+        spark.read.schema(info.schema()).parquet(pathOf(stagedAdd).toString)
+          .write.partitionBy(partCols: _*)
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(pathOf(landed).toString)
+        fs.delete(pathOf(stagedAdd), true)
+        Some(landed)
       }
     if (pdvFor.isEmpty && replacement.isEmpty) return // no-op statement
     Versioned.commitFileRewrite(spark, dir, Map.empty, replacement, partCols,
