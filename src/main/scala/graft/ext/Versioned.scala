@@ -5325,6 +5325,103 @@ object Versioned {
     }
   }
 
+  /** Write-time CDF capture for a DELTA-BASED row-level commit
+    * (Delta `enableChangeDataFeed`'s role for UPDATE/MERGE/DELETE):
+    * when the table (or session) opts in, the merge-on-read commit
+    * records the classified change feed alongside its position mask
+    * and appended rows, turning every later [[changesBetween]] over
+    * the step into an O(feed) read instead of an O(two versions)
+    * derive that must also pay the mask. Key resolution:
+    * `graft.cdf.keys` (comma-separated) wins; else
+    * `graft.cdf.enabled=true` on a ROW-TRACKED table keys the feed on
+    * `_row_id`; else no feed (the feed format is keyed — without
+    * stable keys there is nothing exact to record). Cost, paid only
+    * when enabled: ONE scan of the masked files semi-joined against
+    * the (broadcast-small, contract-bounded) sidecar for the
+    * pre-images, one read-back of the staged inserts, one small
+    * parquet write — all invisible orphans until the manifest lands.
+    * Returns the (keys, feedDir) pair for commitFileRewrite's
+    * changeFeed leg; None when not enabled. */
+  private[graft] def rowOpsFeed(spark: SparkSession, dir: String, v: Int,
+                                masked: Option[(String, Map[String, Set[String]])],
+                                insertDir: Option[String]): Option[(Seq[String], String)] = {
+    import org.apache.spark.sql.functions.{broadcast, col => fcol}
+    val explicit = effectiveSetting(spark, dir, "spark.graft.cdf.keys",
+        "graft.cdf.keys")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val enabled = effectiveSetting(spark, dir, "spark.graft.cdf.enabled",
+      "graft.cdf.enabled").exists(_.toBoolean)
+    if (explicit.isEmpty && !enabled) return None
+    val ls = lines(spark, dir, v)
+    val cmap = colMapOf(ls)
+    val logicalSchema = ls.collectFirst { case SchemaEntry(s) =>
+      toLogicalSchema(s, cmap) }.getOrElse(return None)
+    val keys =
+      if (explicit.nonEmpty) explicit
+      else if (identityColumnsOf(logicalSchema)
+          .exists(_.col.equalsIgnoreCase(RowIdCol))) Seq(RowIdCol)
+      else {
+        log.warn(s"graft.cdf.enabled is set at $dir but the table is not " +
+          "row-tracked and graft.cdf.keys is unset — no exact keyed feed can " +
+          "be recorded; enableRowTracking or set graft.cdf.keys")
+        return None
+      }
+    keys.foreach(k => require(k.matches("[A-Za-z0-9_]+") &&
+      logicalSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"CDF key '$k' must be a word-shaped column of $dir"))
+    val (_, root) = fsFor(spark, dir)
+    val fields = logicalSchema.fieldNames.toSeq
+    def emptyLogical =
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        asNullable(logicalSchema))
+    // pre-images: the masked files read RAW with addresses, kept to
+    // exactly the newly-masked positions (they were live at v by
+    // construction — a just-matched row cannot have been pre-masked)
+    val pre = masked match {
+      case Some((sidecarDir, byDir)) =>
+        val partCols = ls.collectFirst { case PartitionEntry(cs) => cs }
+          .getOrElse(Seq.empty)
+        val physSchema = ls.collectFirst { case SchemaEntry(s) => s }.get
+        val subsetIndex = manifestPartitioningIndexSubset(spark, dir, v, byDir)
+        val dataSchema = StructType(
+          physSchema.fields.filterNot(f => partCols.contains(f.name)))
+        val raw = spark.baseRelationToDataFrame(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            subsetIndex, StructType(partCols.map(physSchema(_))), dataSchema, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+            Map.empty)(spark))
+        val rootUri = rootUriPath(spark, dir)
+        import org.apache.spark.sql.functions.{lit, when}
+        val fileRaw = uriPathOfCol(fcol("_metadata.file_path"))
+        val withMeta = raw.select(fcol("*"),
+          when(fileRaw.startsWith(rootUri + "/"),
+            fileRaw.substr(lit(rootUri.length + 2), lit(Int.MaxValue)))
+            .otherwise(fileRaw).as(PdvFileCol),
+          fcol("_metadata.row_index").cast("long").as(PdvPosCol))
+        val sc = spark.read.parquet(new Path(root, sidecarDir).toString)
+          .select(fcol("_file").as(PdvFileCol), fcol("_pos").cast("long").as(PdvPosCol))
+        toLogicalDf(withMeta, cmap)
+          .join(broadcast(sc), Seq(PdvFileCol, PdvPosCol), "leftsemi")
+          .select(fields.map(fcol): _*)
+      case None => emptyLogical
+    }
+    // post-images: the staged inserts, read back (hive re-lands
+    // self-describe their partition values), served logical
+    val ins = insertDir match {
+      case Some(nd) =>
+        toLogicalDf(spark.read.parquet(new Path(root, nd).toString), cmap)
+          .select(fields.map(fcol): _*)
+      case None => emptyLogical
+    }
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val chDir = f"v$v%08d_changes_$nonce"
+    diffFeedFrames(pre, ins, keys.map(k =>
+        logicalSchema.fieldNames.find(_.equalsIgnoreCase(k)).get))
+      .write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, chDir).toString)
+    Some((keys.map(k => logicalSchema.fieldNames.find(_.equalsIgnoreCase(k)).get),
+      chDir))
+  }
+
   private def diffFeedFrames(oldV: DataFrame, newV: DataFrame,
                              keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}

@@ -379,8 +379,12 @@ private[sql] class GraftDeltaBatchWrite(spark: SparkSession, dir: String, v: Int
         Some(landed)
       }
     if (pdvFor.isEmpty && replacement.isEmpty) return // no-op statement
+    // requested CDF capture (graft.cdf.* — recorded only when the
+    // table opts in): pre-images from the masked files, post-images
+    // from the staged inserts, one keyed feed beside the commit
+    val feed = Versioned.rowOpsFeed(spark, dir, v, pdvFor, replacement)
     Versioned.commitFileRewrite(spark, dir, Map.empty, replacement, partCols,
-      dvSnapshot, addPdv = pdvFor)
+      dvSnapshot, addPdv = pdvFor, changeFeed = feed)
     ()
   }
 

@@ -5245,6 +5245,70 @@ class ExtSpec extends AnyFunSuite {
     assert(Versioned.readLatest(spark, adir).count() == 1200)
   }
 
+  test("delta row ops record a keyed change feed when the table opts in: graft.cdf.keys property; row-tracked tables default on _row_id; changesBetween serves the RECORDED feed") {
+    import org.apache.spark.sql.SaveMode
+    import graft.ext.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfdelta").toString
+    spark.conf.set("spark.sql.catalog.graft_cf", "graft.sql.VersionedCatalog")
+
+    // explicit keys via TBLPROPERTY
+    val dir = root + "/t"
+    Versioned.writeVersion(spark.range(0, 100)
+      .select($"id", ($"id" % 10).cast("double").as("price")), dir)
+    spark.sql(s"ALTER TABLE graft_cf.`$dir` SET TBLPROPERTIES('graft.cdf.keys'='id')")
+    // UPDATE: masked pre-images + reinserts classify as update pairs
+    spark.sql(s"UPDATE graft_cf.`$dir` SET price = price + 100 WHERE id % 10 = 3 AND id < 40")
+    val vU = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.hasRecordedChanges(spark, dir, vU - 1, vU, Seq("id")),
+      "the delta UPDATE must record its feed in the same commit")
+    val fed = Versioned.changesBetween(spark, dir, vU - 1, vU, Seq("id"))
+      .select("id", "price", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    val wantU = (0L until 40L).filter(_ % 10 == 3).flatMap(i =>
+      Seq((i, (i % 10).toDouble, "update_preimage"),
+          (i, (i % 10) + 100.0, "update_postimage"))).toSet
+    assert(fed == wantU, s"feed mismatch: ${fed -- wantU} / ${wantU -- fed}")
+    // untranslatable DELETE (delta path): delete rows recorded
+    spark.sql(s"DELETE FROM graft_cf.`$dir` WHERE pmod(id, 9) = 4 AND price < 50")
+    val vD = Versioned.latestVersion(spark, dir).get
+    assert(Versioned.hasRecordedChanges(spark, dir, vD - 1, vD, Seq("id")))
+    val fedD = Versioned.changesBetween(spark, dir, vD - 1, vD, Seq("id"))
+      .select("_change_type").as[String].collect()
+    assert(fedD.nonEmpty && fedD.forall(_ == "delete"), fedD.mkString(","))
+    // ...and the recorded feed EQUALS the derive for the same span
+    val derived = graft.ext.Versioned.changesBetween(spark, dir, vD - 1, vD, Seq("id"))
+    assert(derived.count() == fedD.length)
+
+    // row-tracked table + graft.cdf.enabled: keyless feed on _row_id
+    val rdir = root + "/r"
+    Versioned.writeVersion(spark.range(0, 50)
+      .select($"id".as("k"), lit(1.0).as("w")), rdir)
+    Versioned.enableRowTracking(spark, rdir)
+    spark.conf.set("spark.graft.cdf.enabled", "true")
+    try {
+      spark.sql(s"UPDATE graft_cf.`$rdir` SET w = 2.0 WHERE k >= 45")
+      val rv = Versioned.latestVersion(spark, rdir).get
+      assert(Versioned.hasRecordedChanges(spark, rdir, rv - 1, rv,
+        Seq(Versioned.RowIdCol)),
+        "an enabled row-tracked table must key its feed on _row_id")
+      // the KEYLESS changesBetween serves the recorded feed directly
+      val kl = Versioned.changesBetween(spark, rdir, rv - 1, rv, Seq.empty)
+        .select("k", "w", "_change_type").as[(Long, Double, String)].collect().toSet
+      val wantR = (45L until 50L).flatMap(i =>
+        Seq((i, 1.0, "update_preimage"), (i, 2.0, "update_postimage"))).toSet
+      assert(kl == wantR, s"keyless feed mismatch: $kl")
+    } finally spark.conf.unset("spark.graft.cdf.enabled")
+
+    // not opted in: no feed line (the commit stays mask+append only)
+    val ndir = root + "/n"
+    Versioned.writeVersion(spark.range(0, 20)
+      .select($"id", lit(1.0).as("w")), ndir)
+    spark.sql(s"UPDATE graft_cf.`$ndir` SET w = 9.0 WHERE id = 3")
+    val nv = Versioned.latestVersion(spark, ndir).get
+    assert(!Versioned.hasRecordedChanges(spark, ndir, nv - 1, nv, Seq("id")),
+      "without the property no feed is recorded")
+  }
+
   test("COPY INTO: per-file idempotent ingestion — re-runs skip the ledger, new files load alone, the ledger rides overwrites, partitioned + renamed targets, csv by name with casts, feature lifecycle") {
     import org.apache.spark.sql.SaveMode
     import graft.ext.Versioned
