@@ -94,6 +94,60 @@ object Versioned {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** The parquet schema of a versioned sidecar: `(_file, _pos)` rows
+    * of a positional deletion vector — known by construction, so its
+    * reads never pay schema inference. */
+  private[graft] val PdvDirSchema: StructType = StructType(Seq(
+    StructField("_file", org.apache.spark.sql.types.StringType),
+    StructField("_pos", org.apache.spark.sql.types.LongType)))
+
+  /** Spark schema of parquet dir(s), read DRIVER-SIDE from the first
+    * footer found — what `spark.read.parquet(dirs).schema` infers
+    * (mergeSchema=false: one representative footer), WITHOUT the
+    * footer-reading Spark job (and its serialized-hadoop-conf
+    * broadcast) that inference launches per call. The versioned
+    * layer needs a schema once per COMMIT (footer harvest of the
+    * just-written dir) and once per SIDECAR read (dv key sets,
+    * recorded change feeds); the per-call job overhead — measured
+    * 30–60 ms each at local[32] — dominated the multi-commit
+    * protocol meters (optimization guide §1.2: remove work, then
+    * tune). Spark-written files carry the exact Spark schema as
+    * footer key-value JSON, the same source inference prefers;
+    * foreign files fall back to MessageType conversion under the
+    * session's parquet semantics. */
+  private[graft] def parquetSchemaDriver(spark: SparkSession, dirs: Seq[String]): StructType = {
+    val conf = org.apache.spark.sql.GraftSqlShims.sessionHadoopConf(spark)
+    def firstFile(p: Path, fs: org.apache.hadoop.fs.FileSystem): Option[Path] = {
+      val st = fs.listStatus(p).sortBy(_.getPath.getName.toString)
+      st.collectFirst {
+        case s if !s.isDirectory && s.getPath.getName.endsWith(".parquet") => s.getPath
+      }.orElse(st.iterator.filter(_.isDirectory)
+        .flatMap(d => firstFile(d.getPath, fs)).nextOption())
+    }
+    val head = dirs.iterator.flatMap { d =>
+      val p = new Path(d)
+      firstFile(p, p.getFileSystem(conf))
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"no parquet files under ${dirs.mkString(", ")}"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(head, conf))
+    try {
+      val fmd = reader.getFooter.getFileMetaData
+      Option(fmd.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(j => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]).toOption)
+        .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(conf).convert(fmd.getSchema))
+    } finally reader.close()
+  }
+
+  /** [[parquetSchemaDriver]] applied as an explicit read schema: the
+    * no-inference-job replacement for `spark.read.parquet(dirs…)` on
+    * engine-written dirs. */
+  private[graft] def readParquetNoInfer(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.schema(parquetSchemaDriver(spark, dirs)).parquet(dirs: _*)
+
   private def manifestPath(dir: String, v: Int) =
     new Path(dir, f"$VDIR/$v%08d.manifest")
 
@@ -2471,7 +2525,7 @@ object Versioned {
       val p = new Path(root, nd)
       val (rows, cols, files) = preHarvested.getOrElse {
         if (partCols.isEmpty) {
-          val s = asNullable(spark.read.parquet(p.toString).schema)
+          val s = asNullable(parquetSchemaDriver(spark, Seq(p.toString)))
           Skipping.collectDirStats(spark, p, s)
         } else Skipping.collectDirStatsPartitioned(spark, p, schema,
           StructType(partCols.map(c => schema(c))))
@@ -3401,12 +3455,15 @@ object Versioned {
         // read-back infers partition columns (appended last); their
         // TYPES are pinned to the caller's declaration, not to what
         // the path values happen to parse as
-        val inferred = spark.read.parquet(dataPath.toString).schema
+        // driver-side footer read — no schema-inference job per
+        // commit; hive layout strips partition values into paths so
+        // only data columns come back, partition fields append below
+        val inferred = parquetSchemaDriver(spark, Seq(dataPath.toString))
         val s = asNullable(StructType(
           inferred.fields.filterNot(f => ps.fieldNames.contains(f.name)) ++ ps.fields))
         (s, Skipping.collectDirStatsPartitioned(spark, dataPath, s, asNullable(ps)))
       case None =>
-        val s = asNullable(spark.read.parquet(dataPath.toString).schema)
+        val s = asNullable(parquetSchemaDriver(spark, Seq(dataPath.toString)))
         (s, Skipping.collectDirStats(spark, dataPath, s))
     }
     val (rows, colStats, dirFiles) = harvested
@@ -4328,7 +4385,7 @@ object Versioned {
         def mergeDirs(k: String, names: Seq[String]): String = {
           val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
           val dvDir = f"v$v%08d_dv_$nonce"
-          spark.read.parquet(names.map(n => new Path(root, n).toString): _*)
+          readParquetNoInfer(spark, names.map(n => new Path(root, n).toString))
             .select(org.apache.spark.sql.functions.col(k)).distinct()
             .write.mode(SaveMode.ErrorIfExists)
             .parquet(new Path(root, dvDir).toString)
@@ -4366,7 +4423,8 @@ object Versioned {
           else {
             val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
             val pdvDir = f"v$v%08d_pdv_$nonce"
-            spark.read.parquet(pdvAll.map(e => new Path(root, e.name).toString): _*)
+            spark.read.schema(PdvDirSchema)
+              .parquet(pdvAll.map(e => new Path(root, e.name).toString): _*)
               .select("_file", "_pos").distinct()
               .write.mode(SaveMode.ErrorIfExists)
               .parquet(new Path(root, pdvDir).toString)
@@ -4723,7 +4781,7 @@ object Versioned {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .foldLeft(base1) { case (df, (k, dvs)) =>
         df.join(
-          spark.read.parquet(dvs.map(_._2): _*)
+          readParquetNoInfer(spark, dvs.map(_._2))
             .select(org.apache.spark.sql.functions.col(k)).distinct(),
           Seq(k), "left_anti")
       }
@@ -4732,7 +4790,7 @@ object Versioned {
       else {
         import org.apache.spark.sql.functions.{broadcast, col}
         val rootUri = rootUriPath(spark, dir)
-        val dv = spark.read.parquet(pdvDirs: _*)
+        val dv = spark.read.schema(PdvDirSchema).parquet(pdvDirs: _*)
           .select(pdvAbsFileCol(col("_file"), rootUri).as("_file"), col("_pos"))
           .distinct()
         masked.join(broadcast(dv),
@@ -5262,7 +5320,7 @@ object Versioned {
                               vTo: Int, keys: Seq[String]): Option[DataFrame] =
     lines(spark, dir, vTo).collectFirst {
       case ChangesEntry(f, t, ks, n) if f == vFrom && t == vTo && ks == keys =>
-        spark.read.parquet(new Path(new Path(dir), n).toString)
+        readParquetNoInfer(spark, Seq(new Path(new Path(dir), n).toString))
     }
 
   /** True iff [[changesBetween]] over this span would serve a
@@ -5398,7 +5456,8 @@ object Versioned {
             fileRaw.substr(lit(rootUri.length + 2), lit(Int.MaxValue)))
             .otherwise(fileRaw).as(PdvFileCol),
           fcol("_metadata.row_index").cast("long").as(PdvPosCol))
-        val sc = spark.read.parquet(new Path(root, sidecarDir).toString)
+        val sc = spark.read.schema(PdvDirSchema)
+          .parquet(new Path(root, sidecarDir).toString)
           .select(fcol("_file").as(PdvFileCol), fcol("_pos").cast("long").as(PdvPosCol))
         toLogicalDf(withMeta, cmap)
           .join(broadcast(sc), Seq(PdvFileCol, PdvPosCol), "leftsemi")

@@ -2366,7 +2366,7 @@ private[graft] class DvMaskedScan(val inner: Scan, requested: StructType,
         val spark = SparkSession.active
         val cap = Versioned.maxDvPositions(spark)
         val limit = if (cap >= Int.MaxValue - 1) Int.MaxValue else cap.toInt + 1
-        val rows = spark.read.parquet(posDvs: _*)
+        val rows = spark.read.schema(Versioned.PdvDirSchema).parquet(posDvs: _*)
           .select("_file", "_pos").distinct().limit(limit).collect()
         if (rows.length > cap) throw new IllegalStateException(
           s"positional deletion vectors exceed the size contract " +
@@ -2438,7 +2438,7 @@ private[graft] class DvMaskedScan(val inner: Scan, requested: StructType,
           // single-column by construction (deleteByKeys writes exactly
           // the key column), so fall back to position when the name
           // is absent
-          val raw = spark.read.parquet(dirs: _*)
+          val raw = Versioned.readParquetNoInfer(spark, dirs)
           val src = if (raw.columns.contains(k)) k else raw.columns.head
           val keyRows = raw
             .select(org.apache.spark.sql.functions.col(src)).distinct()

@@ -681,7 +681,7 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
     // must not read as a phantom DELETE here.
     def keySets(dv: Seq[(String, Seq[String])]): Map[String, Set[Any]] =
       dv.groupBy(_._1).map { case (k, es) =>
-        k -> spark.read.parquet(es.flatMap(_._2): _*)
+        k -> graft.ext.Versioned.readParquetNoInfer(spark, es.flatMap(_._2))
           .select(org.apache.spark.sql.functions.col(k)).na.drop()
           .distinct().collect().map(_.get(0)).toSet
       }.filter(_._2.nonEmpty) // an empty key set masks nothing
@@ -696,7 +696,8 @@ private[sql] class VersionedStreamSource(spark: SparkSession, dir: String,
   private def samePdvContent(a: Seq[String], b: Seq[String]): Boolean = {
     def posSet(dirs: Seq[String]): Set[(String, Long)] =
       if (dirs.isEmpty) Set.empty
-      else spark.read.parquet(dirs: _*).select("_file", "_pos").distinct()
+      else spark.read.schema(graft.ext.Versioned.PdvDirSchema).parquet(dirs: _*)
+        .select("_file", "_pos").distinct()
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     posSet(a) == posSet(b)
   }

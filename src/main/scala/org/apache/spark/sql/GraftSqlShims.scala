@@ -11,4 +11,12 @@ package org.apache.spark.sql
   * [[org.apache.spark.sql.execution.datasources.GraftFilterShim]]. */
 object GraftSqlShims {
   type V2TableWithV1Fallback = connector.catalog.V2TableWithV1Fallback
+
+  /** The session's Hadoop conf WITH the SQL confs embedded
+    * (`sessionState.newHadoopConf()` is `private[sql]`) — what a
+    * driver-side parquet footer read needs so schema conversion of
+    * foreign files honors the session's parquet semantics
+    * (binaryAsString, nanosAsLong, …). */
+  def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.sessionState.newHadoopConf()
 }
