@@ -768,7 +768,11 @@ object SparkEntry {
     // scalar percentile() calls would each build and sort their own
     // per-group value-count buffer
     "q43_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // exact percentile's map-side partial collects EVERY value — on
+      // a one-row-group input that serializes on one task; spread the
+      // projection first (no-op when the scan is already wide)
+      graft.ext.Par.spread(
+          Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
         .select(col("l_returnflag"),
@@ -845,7 +849,10 @@ object SparkEntry {
     // conventions); the oracle replays N and the exact p50 and
     // hard-codes TRUE for both verdicts.
     "q47_approx_quantiles" -> { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      // both aggregates' map-side partials (GK sketch build + exact
+      // percentile collect) otherwise run on the single scan task
+      val li = graft.ext.Par.spread(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")))
       val approx = li.groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("ap"))
         .select(col("l_returnflag"),
@@ -3415,7 +3422,7 @@ object SparkEntry {
       // budgets metered in REAL subword tokens (the checked-in BPE
       // merge table), not whitespace words — a training mix is
       // budgeted in model-tokenizer tokens
-      val withTok = Tables.documents(s, d)
+      val withTok = graft.ext.Par.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("source"),
           TextStats.bpeTokenCount(col("text")).as("n_tokens"))
       Sampling.capTokensPerStratum(withTok, "doc_id", "source", "n_tokens",
@@ -3429,7 +3436,8 @@ object SparkEntry {
     // leftmost-merge CTE over the inlined merge table (the q30
     // inline-the-constants pattern, applied to a vocabulary)
     "q72_bpe_tokens" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      // the per-doc BPE fold is the kernel; spread the one-row-group scan
+      graft.ext.Par.spread(Tables.documents(s, d)).select(col("doc_id"),
         TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         md5(array_join(TextStats.bpeTokens(col("text")), " ")).as("tokens_md5"))
         .orderBy(col("doc_id"))),

@@ -52,7 +52,7 @@ object Dedup {
   /** (id, shingle) rows with the token array materialized once per
     * row before shingling. */
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, w: Int = 3): DataFrame =
-    df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+    Par.spread(df).select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(shinglesFromTokens(col("toks"), w)).as("shingle"))
 
   /** MinHash signature columns: for seed s, min over shingles of
@@ -65,7 +65,10 @@ object Dedup {
     * [[minhashSignaturesExploded]]. Null-text rows are dropped, as
     * explode-of-nothing dropped them in the exploded form. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
-    val sigs = df.filter(col(textCol).isNotNull)
+    // spread BEFORE the signature projection: the one-pass minhash
+    // kernel is the expensive step, and a one-row-group input would
+    // otherwise run it on one core (Par.spread's contract)
+    val sigs = Par.spread(df.filter(col(textCol).isNotNull))
       .select(col(idCol),
         graft.functions.TextFunctions.minhashSigs(TextStats.tokens(col(textCol)), 3, k).as("sigs"))
     // "sigs" is multiply-referenced, so CollapseProject keeps the
@@ -441,7 +444,7 @@ object Dedup {
     * invisible in their output (the DuckDB oracles keep the per-window
     * md5 formulation and still hash-match end to end). */
   def windowHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+    Par.spread(df).select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol),
         posexplode(graft.functions.TextFunctions.tokenWindowHashes(col("toks"), k))
@@ -636,7 +639,7 @@ object Dedup {
     * sign of the per-bit vote sum (+1 if set, −1 if not) across tokens.
     * Returns (idCol, simhash: long). */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
-    val toked = df.select(col(idCol),
+    val toked = Par.spread(df).select(col(idCol),
       explode(TextStats.tokens(col(textCol))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val votes = (0 until bits).map { b =>

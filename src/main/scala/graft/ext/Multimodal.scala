@@ -174,12 +174,28 @@ object Multimodal {
     md.digest()
   }
 
+  /** The ids to synthesize, spread across the cores before the
+    * expensive per-row work. The bench testdata arrives as ONE
+    * parquet row group — the splittability atom — so without this
+    * every synthesize→decode chain (the multimodal tier's per-row
+    * kernels, all narrow maps in one stage) runs in ONE task no
+    * matter how many cores the session has; profiled as two ~1 s
+    * single-task jobs in q108 (the second is the orderBy's range
+    * sampler re-running the chain). The shuffled payload is one LONG
+    * per row; the kernel work it unlocks is orders of magnitude
+    * bigger (guide §2.3: shuffle keys, not payloads). Explicit-N
+    * round-robin so AQE keeps the fan-out; defaultParallelism follows
+    * the master's core count, so the driver's low-core scaling bench
+    * sees the honest per-core cost. */
+  private def spreadIds(docs: DataFrame, idCol: String): DataFrame =
+    Par.spread(docs.select(col(idCol).cast(LongType)))
+
   /** Deterministic REAL BMP per document id: 13×7 24-bit images whose
     * pixels derive from md5(id:i). One MessageDigest per partition —
     * the decoder-init-per-partition production shape. */
   def synthesizeBmp(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+    val rdd = spreadIds(docs, idCol).rdd.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val id = r.getLong(0)
@@ -219,7 +235,7 @@ object Multimodal {
     * the oracle stays codec-free. */
   def synthesizePng(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+    val rdd = spreadIds(docs, idCol).rdd.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val id = r.getLong(0)
@@ -259,7 +275,7 @@ object Multimodal {
     * the round-trip lossless and the oracle codec-free. */
   def synthesizeGif(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+    val rdd = spreadIds(docs, idCol).rdd.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val id = r.getLong(0)
@@ -368,7 +384,7 @@ object Multimodal {
 
   def synthesizeWav(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast(LongType)).rdd.mapPartitions { it =>
+    val rdd = spreadIds(docs, idCol).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val samples = Array.tabulate(wavSampleCount(id))(j => wavSample(id, j))

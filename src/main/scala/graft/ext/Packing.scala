@@ -28,7 +28,9 @@ object Packing {
     require(windowTokens > 0 && nShards > 0, "windowTokens and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    // tokenCount (possibly a full BPE fold) evaluates BEFORE the
+    // shard shuffle — spread a narrow input so it parallelizes
+    Par.spread(docs)
       .select(col(idCol), pmod(col(idCol), lit(nShards)).as("shard"),
         tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -62,7 +64,7 @@ object Packing {
     require(windowTokens > 0 && nShards > 0, "windowTokens and nShards must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    Par.spread(docs)
       .select(col(idCol).cast("long"), pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
         size(TextStats.tokens(col(textCol))).as("n_tokens"))
       .repartition(nShards, col("shard"))

@@ -27,7 +27,9 @@ object Scrub {
     * report stays narrow). */
   def piiReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol),
+    // three regex passes per row — spread a narrow input so they
+    // don't serialize on one scan task (Par.spread's contract)
+    Par.spread(df).select(col(idCol),
       size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(t, lit(urlRe), lit(0))).as("n_urls"),
       length(scrub(t)).as("scrubbed_len"))

@@ -92,6 +92,26 @@ object TextStats {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges > 0, "need nMerges > 0")
     val spark = df.sparkSession
+    // let AQE right-size the PERSISTED histogram's partitioning for
+    // the duration of training: with the default (conf off) the cache
+    // pins the full shuffle fan-out, and every one of the ~3 jobs per
+    // merge round pays shuffle.partitions near-empty tasks over a
+    // |vocab|-row table (measured ~20% of q91). Scoped — set/restore
+    // around training — so no other operator's plan contract shifts.
+    // Scale-adaptive by construction: AQE coalesces from observed
+    // sizes, so a genuinely large histogram keeps its parallelism.
+    val aqeCacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val aqeCachePrior = spark.conf.getOption(aqeCacheKey)
+    spark.conf.set(aqeCacheKey, "true")
+    try bpeTrainBody(df, textCol, nMerges)
+    finally aqeCachePrior match {
+      case Some(v) => spark.conf.set(aqeCacheKey, v)
+      case None    => spark.conf.unset(aqeCacheKey)
+    }
+  }
+
+  private def bpeTrainBody(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
     var hist = df.select(explode(bpeishTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -294,7 +314,7 @@ object TextStats {
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = col("toks")
     val bigrams = Dedup.shinglesFromTokens(toks, 2)
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    Par.spread(df).select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), toks, size(toks).as("n_tokens"),
         when(size(toks) < 2, lit(0)).otherwise(size(toks) - 1).as("n_bigrams"),
         when(size(toks) < 2, lit(0))
@@ -322,7 +342,7 @@ object TextStats {
     * then a groupBy(doc). All-integer arithmetic until the final mean
     * (exact-int division), so every engine rounds identically. */
   def rarityStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toked = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val toked = Par.spread(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toked.groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
     toked
       .join(vocab, Seq("tok"))
@@ -362,7 +382,7 @@ object TextStats {
     * driver collect anywhere. */
   def lmScore(df: DataFrame, textCol: String, idCol: String,
               trainPred: Column): DataFrame = {
-    val big = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val big = Par.spread(df).select(col(idCol), tokens(col(textCol)).as("toks"))
       // SQL-parsed lambda: struct field building + toks[i-1] indexing
       // inside Column-API lambdas does not resolve (round-1 gotcha)
       .select(col(idCol), posexplode(expr(
@@ -422,7 +442,7 @@ object TextStats {
     * hash + one on doc id — no driver involvement, no quadratic step. */
   def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
                        maxDocFreq: Int, sep: String = ". "): DataFrame = {
-    val lines = df
+    val lines = Par.spread(df)
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
     val docFreq = lines.select(col(idCol), col("line")).distinct()
@@ -452,7 +472,7 @@ object TextStats {
     val toks = col("toks")
     val nChunks = when(size(toks) <= windowTokens, lit(1))
       .otherwise(ceil((size(toks) - windowTokens).cast("double") / stride).cast("int") + 1)
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    Par.spread(df).select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), toks,
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ",
@@ -490,7 +510,7 @@ object TextStats {
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 10, eager: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
-    val docs = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val docs = Par.spread(df).select(col(idCol), tokens(col(textCol)).as("toks"))
     // one-row corpus stats; exact-int avg so every engine divides the
     // same two integers
     val stats = docs.agg(
